@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column helpers shared across the engine. All built on codegen'd
+  * Catalyst built-ins — no Scala UDFs in hot paths.
+  */
+object Cols {
+
+  /** Epoch-nanosecond LongType → TimestampType (µs precision).
+    * Companion of `spark.sql.legacy.parquet.nanosAsLong` (see
+    * [[graft.GraftSession]]): parquet TIMESTAMP(NANOS) columns arrive as
+    * longs and downstream window/watermark ops need real timestamps.
+    */
+  def nanosToTs(c: Column): Column = timestamp_micros(c.divide(lit(1000L)).cast("long"))
+}

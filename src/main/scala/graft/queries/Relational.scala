@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Native relational surface (SURVEY.md §2.13 Q1–Q10).
+  *
+  * Everything here is pure declarative DataFrame algebra — predicate
+  * pushdown, column pruning, join selection, partial aggregation and
+  * whole-stage codegen all come from Catalyst unmodified (SURVEY §4).
+  *
+  * Determinism contract with the DuckDB oracle:
+  *   - every query is totally ordered (full tiebreaker key) so row order
+  *     is reproducible;
+  *   - money-valued SUMs go through DecimalType so addition is exact and
+  *     associative (a double sum's value depends on partitioning — it
+  *     would hash-mismatch a single-threaded oracle run);
+  *   - all output columns are explicitly aliased to match the oracle SQL.
+  *
+  * Scale notes (100 TB): each query is a scan→(filter/project)→shuffle
+  * agg/join shape. Aggregations are hash-based with map-side partial
+  * aggregation; joins on small dims (nation/region/customer at fixture
+  * scale) are broadcast by Catalyst via AQE; no driver-side collect
+  * anywhere.
+  */
+object Relational {
+
+  /** Q1 scan + filter + project; filter and both columns push to parquet. */
+  def q01ScanFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_extendedprice"))
+
+  /** Q2 TPC-H Q1-style grouped aggregate (map-side partial agg → 2-phase hash agg). */
+  def q02AggGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q3 equi-join + agg; nation is tiny → Catalyst broadcasts it. */
+  def q03JoinAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("n_name"))
+
+  /** Q4 star-schema 4-way join; dims broadcast, fact streams. */
+  def q04StarJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+      .orderBy(col("r_name"))
+
+  /** Q5 anti-join (customers with no orders) — left_anti, not NOT IN-collect. */
+  def q05AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q6 exact distinct count (2-phase: partial distinct per partition, then merge). */
+  def q06Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(countDistinct(col("o_custkey")).as("cnt"))
+
+  /** Q7 top-k: global sort + limit → Spark TakeOrderedAndProject (no full sort at scale). */
+  def q07TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q8 window: first order per customer (row_number over partitioned window). */
+  def q08Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Q9 timestamp filter + grouped agg over the events table.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS) → read as LongType epoch
+    * nanos (see [[graft.GraftSession]]); the filter compares against the
+    * equivalent nanosecond constant so it still pushes down to the scan.
+    */
+  def q09Events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= lit(1704844800000000000L)) // 2024-01-10T00:00:00Z as epoch ns
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+      .orderBy(col("event_type"))
+
+  /** Q10 set op: INTERSECT (distinct semantics in both Spark and the oracle). */
+  def q10Intersect(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** Oracle SQL (DuckDB dialect ≡ ANSI) — must alias identically to the above. */
+  val oracles: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_extendedprice""".stripMargin,
+    "q02_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT n_name, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q04_star_join" ->
+      """SELECT r_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT count(*) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q06_distinct" ->
+      "SELECT count(DISTINCT o_custkey) AS cnt FROM orders",
+    "q07_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q08_window" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q09_events" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q10_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter" -> q01ScanFilter _,
+    "q02_agg_group"   -> q02AggGroup _,
+    "q03_join_agg"    -> q03JoinAgg _,
+    "q04_star_join"   -> q04StarJoin _,
+    "q05_anti_join"   -> q05AntiJoin _,
+    "q06_distinct"    -> q06Distinct _,
+    "q07_topk"        -> q07TopK _,
+    "q08_window"      -> q08Window _,
+    "q09_events"      -> q09Events _,
+    "q10_intersect"   -> q10Intersect _,
+  )
+}
