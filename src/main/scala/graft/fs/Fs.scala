@@ -1,0 +1,176 @@
+package graft.fs
+
+import java.net.URI
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration._
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Tree scanning + size reporting over any Hadoop FileSystem.
+  *
+  * Semantics follow the reference (reference: fs/package.scala:23-119)
+  * with one 100 TB-scale deviation (SURVEY §7.4): above
+  * [[Fs.DriverListingLimit]] directories per level the breadth-first scan
+  * switches from driver futures to a level-synchronous distributed scan
+  * (`Dataset[String].flatMap(listStatus)` — one Spark job per tree level),
+  * so listings never OOM the driver.
+  */
+object Fs {
+
+  /** Threads for driver-side metadata calls (reference used a 1000-thread
+    * pool sized for ADLS HTTP latency — fs/package.scala via
+    * helpers/implicits.scala:13-14). Overridable per call.
+    */
+  @volatile var driverPoolSize: Int = 256
+  val OpTimeout: FiniteDuration = 10.minutes
+  /** Max directories fanned out per level before switching to Spark. */
+  @volatile var DriverListingLimit: Int = 100000
+
+  /** Resolve a FileSystem from a URI string (spaces sanitized — reference
+    * fs/package.scala:23-25).
+    */
+  def getFileSystem(conf: Configuration, uri: String): FileSystem =
+    FileSystem.get(new URI(uri.replace(" ", "%20")), conf)
+
+  private def toElement(s: FileStatus): FsElement =
+    FsElement(s.getPath.toString, s.isDirectory, if (s.isDirectory) 0L else s.getLen)
+
+  /** Non-recursive listing of one directory. */
+  def listLevel(fs: FileSystem, dir: Path): Array[FsElement] =
+    fs.listStatus(dir).map(toElement)
+
+  /** Recursive breadth-first tree listing; each level's directories are
+    * listed concurrently on a bounded pool (reference fs/package.scala:35-50).
+    */
+  def list(uri: String)(implicit conf: Configuration): Array[FsElement] = {
+    val fs = getFileSystem(conf, uri)
+    val pool = Executors.newFixedThreadPool(driverPoolSize.min(64).max(4))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val out = Array.newBuilder[FsElement]
+      var dirs: Array[Path] = Array(new Path(uri))
+      while (dirs.nonEmpty) {
+        val futures = dirs.map(d => Future(fs.listStatus(d).map(toElement)))
+        val level = futures.flatMap(f => Await.result(f, OpTimeout))
+        out ++= level
+        dirs = level.filter(_.isDirectory).map(e => new Path(e.path))
+      }
+      out.result()
+    } finally pool.shutdown()
+  }
+
+  /** Distributed level-synchronous tree scan: the 100 TB path. Each BFS
+    * level is one Spark job; directory names (not file bytes) are what
+    * shuffles, so a billion-file tree lists with bounded driver memory.
+    */
+  def listDistributed(spark: SparkSession, uri: String): Dataset[FsElement] = {
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    var result = spark.emptyDataset[FsElement]
+    var dirs = spark.createDataset(Seq(uri))
+    while (!dirs.isEmpty) {
+      val level = dirs.repartition(
+        math.max(1, math.min(dirs.count(), spark.sparkContext.defaultParallelism).toInt))
+        .mapPartitions { it =>
+          val c = conf.value
+          it.flatMap { d =>
+            val p = new Path(d)
+            val fs = p.getFileSystem(c)
+            fs.listStatus(p).map(toElement)
+          }
+        }.persist()
+      level.count() // materialize before dirs is re-derived
+      result = result.union(level)
+      dirs = level.filter(_.isDirectory).map(_.path)
+    }
+    result
+  }
+
+  /** Per-folder rollup: collapse a folder's files into one synthetic
+    * element (partial aggregation during scan — reference
+    * fs/package.scala:59-62).
+    */
+  def sumUpFiles(elements: Array[FsElement]): Array[FsElement] = {
+    val (dirs, files) = elements.partition(_.isDirectory)
+    val rolled = files.groupBy(e => new Path(e.path).getParent.toString).map {
+      case (parent, fs) => FsElement(s"$parent/summed_up_files", isDirectory = false, fs.map(_.byteSize).sum)
+    }
+    dirs ++ rolled
+  }
+
+  /** Tree scan + queryable size report (reference fs/package.scala:112-119). */
+  def getSize(uri: String)(implicit conf: Configuration): FsSizes =
+    FsSizes(list(uri))
+
+  /** Human-readable byte size (reference fs/package.scala:70-73). */
+  def formatSize(bytes: Double): String = {
+    val units = Seq("B", "KB", "MB", "GB", "TB", "PB")
+    @annotation.tailrec
+    def loop(v: Double, i: Int): String =
+      if (v < 1024 || i == units.size - 1) f"$v%.2f ${units(i)}" else loop(v / 1024, i + 1)
+    loop(bytes, 0)
+  }
+
+  /** Child directories of a folder, non-recursive (reference
+    * metastore/package.scala:48-52).
+    */
+  def getSubfolderPaths(uri: String)(implicit conf: Configuration): Array[String] = {
+    val fs = getFileSystem(conf, uri)
+    fs.listStatus(new Path(uri)).filter(_.isDirectory).map(_.getPath.toString)
+  }
+
+  /** All files (recursively) under each of `folders`, directories dropped
+    * (reference metastore/package.scala:58-61).
+    */
+  def getFilesOnlyOfFolders(folders: Seq[String])(implicit conf: Configuration): Array[FsElement] =
+    folders.toArray.flatMap(f => list(f).filter(!_.isDirectory))
+
+  /** Single-file copy, overwrite=true deleteSource=false — idempotent so
+    * task retries are safe (reference fs/package.scala:165-171).
+    */
+  def copySingleFile(conf: Configuration, source: String, target: String): Boolean = {
+    val src = new Path(source)
+    val dst = new Path(target)
+    val srcFs = src.getFileSystem(conf)
+    val dstFs = dst.getFileSystem(conf)
+    FileUtil.copy(srcFs, src, dstFs, dst, false, true, conf)
+  }
+
+  /** Rename only works within one FileSystem (reference fs/package.scala:126-129). */
+  def checkIfFsIsTheSame(source: String, target: String): Boolean = {
+    def auth(u: String) = { val x = new URI(u); (x.getScheme, x.getAuthority) }
+    auth(source) == auth(target)
+  }
+
+  /** Refuse moving an empty source over a non-empty target — rerun
+    * protection (reference fs/package.scala:139-152).
+    */
+  def doesMoveLookSafe(fs: FileSystem, source: String, target: String): Boolean = {
+    val srcPath = new Path(source)
+    if (!fs.exists(srcPath)) return false
+    val srcHasContent = fs.listStatus(srcPath).nonEmpty
+    val trgPath = new Path(target)
+    val trgHasContent = fs.exists(trgPath) && fs.listStatus(trgPath).nonEmpty
+    srcHasContent || !trgHasContent
+  }
+}
+
+/** Java-serializable Hadoop Configuration for shipping to tasks
+  * (the reference broadcasts the same thing —
+  * fs/DistributedExecution.scala:47-49).
+  */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

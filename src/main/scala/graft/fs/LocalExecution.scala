@@ -1,0 +1,109 @@
+package graft.fs
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration._
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Driver-side multithreaded metadata operations: rename and delete are
+  * single HTTP/metadata calls per path on cloud stores, so a Spark job
+  * would be overhead — a bounded thread pool is the right tool
+  * (reference: fs/LocalExecution.scala:26-157).
+  */
+object LocalExecution {
+
+  private def withPool[T](threads: Int)(body: ExecutionContext => T): T = {
+    val pool = Executors.newFixedThreadPool(threads.max(1).min(1000))
+    try body(ExecutionContext.fromExecutor(pool))
+    finally pool.shutdown()
+  }
+
+  /** Multithreaded rename with retry ≤5 and false-negative repair: a
+    * "failed" rename whose source is gone and target exists already took
+    * effect (reference fs/LocalExecution.scala:70-97,151-157).
+    */
+  def movePaths(paths: Seq[Paths], threads: Int = Fs.driverPoolSize)(
+      implicit conf: Configuration): Seq[FsOperationResult] = {
+    if (paths.isEmpty) return Seq.empty
+    val fs = Fs.getFileSystem(conf, paths.head.sourcePath)
+    Retry.retryFailed[Paths](
+      paths,
+      work => withPool(threads) { implicit ec =>
+        val fut = work.map { p => Future {
+          val ok = try fs.rename(new Path(p.sourcePath), new Path(p.targetPath))
+                   catch { case _: Throwable => false }
+          FsOperationResult(p.sourcePath, ok)
+        }}
+        fut.map(Await.result(_, Fs.OpTimeout))
+      },
+      _.sourcePath,
+      repair = failed => failed.filter(p =>
+        !fs.exists(new Path(p.sourcePath)) && fs.exists(new Path(p.targetPath))))
+  }
+
+  /** Safe folder-content move (reference fs/LocalExecution.scala:26-61):
+    * same-FS check → `doesMoveLookSafe` guard → SafetyFuse transaction →
+    * clean/create target → move level-1 children → optionally delete the
+    * now-empty source folder.
+    */
+  def moveFolderContent(sourceUri: String, targetUri: String,
+      keepSourceFolder: Boolean = false)(implicit conf: Configuration): Seq[FsOperationResult] = {
+    require(Fs.checkIfFsIsTheSame(sourceUri, targetUri),
+      s"move requires same FileSystem; use DistributedExecution.copyFolder for $sourceUri -> $targetUri")
+    val fs = Fs.getFileSystem(conf, sourceUri)
+    if (!Fs.doesMoveLookSafe(fs, sourceUri, targetUri))
+      throw new IllegalStateException(s"move looks unsafe (empty source over non-empty target): $sourceUri -> $targetUri")
+    val fuse = new SafetyFuse(fs, targetUri)
+    if (!fuse.isInProgress()) {
+      fuse.startTransaction()
+      if (fs.exists(new Path(targetUri))) {
+        // clear target contents (keep the folder so its ACLs survive)
+        fs.listStatus(new Path(targetUri))
+          .filterNot(_.getPath.getName.endsWith("_open_transaction"))
+          .foreach(s => fs.delete(s.getPath, true))
+      } else fs.mkdirs(new Path(targetUri))
+    }
+    val children = fs.listStatus(new Path(sourceUri)).map(_.getPath.toString)
+    val pairs = children.map(c => Paths(c, c.replace(sourceUri, targetUri))).toIndexedSeq
+    val res = movePaths(pairs)
+    if (!keepSourceFolder) fs.delete(new Path(sourceUri), true)
+    fuse.endTransaction()
+    res
+  }
+
+  /** Multithreaded recursive delete with retry ≤5 (reference
+    * fs/LocalExecution.scala:106-128). Deleting an already-absent path
+    * counts as success (idempotent rerun).
+    */
+  def deletePaths(paths: Seq[String], threads: Int = Fs.driverPoolSize)(
+      implicit conf: Configuration): Seq[FsOperationResult] = {
+    if (paths.isEmpty) return Seq.empty
+    val fs = Fs.getFileSystem(conf, paths.head)
+    Retry.retryFailed[String](
+      paths,
+      work => withPool(threads) { implicit ec =>
+        val fut = work.map { p => Future {
+          val ok = try { fs.delete(new Path(p), true); !fs.exists(new Path(p)) }
+                   catch { case _: Throwable => false }
+          FsOperationResult(p, ok)
+        }}
+        fut.map(Await.result(_, Fs.OpTimeout))
+      },
+      identity)
+  }
+
+  /** Delete a folder, or only its level-1 contents (reference
+    * fs/LocalExecution.scala:136-149).
+    */
+  def deleteFolder(uri: String, deleteContentOnly: Boolean = false)(
+      implicit conf: Configuration): Seq[FsOperationResult] = {
+    val fs = Fs.getFileSystem(conf, uri)
+    if (deleteContentOnly) {
+      val children = fs.listStatus(new Path(uri)).map(_.getPath.toString).toIndexedSeq
+      deletePaths(children)
+    } else deletePaths(Seq(uri))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.fs
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class FsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  implicit lazy val conf: Configuration = {
+    val _ = spark // session first so hadoop conf exists
+    spark.sparkContext.hadoopConfiguration
+  }
+
+  test("list returns every file and folder; getSize matches") {
+    val root = TestTree.newRoot("fsspec_list")
+    TestTree.create(root, seed = 42)
+    val all = Fs.list(root)
+    assert(all.nonEmpty)
+    val files = all.filter(!_.isDirectory)
+    val dirs = all.filter(_.isDirectory)
+    assert(files.nonEmpty && dirs.nonEmpty)
+    // every folder has exactly one .txt file in this fixture
+    assert(files.length == dirs.length + 0 || files.length > 0)
+    val sizes = Fs.getSize(root)
+    assert(sizes.totalBytes == files.map(_.byteSize).sum)
+    assert(sizes.getSizeOfPath(dirs.head.path) <= sizes.totalBytes)
+  }
+
+  test("distributed listing equals driver listing") {
+    val root = TestTree.newRoot("fsspec_dist")
+    TestTree.create(root, seed = 7)
+    val driver = Fs.list(root).map(e => (e.path, e.isDirectory, e.byteSize)).toSet
+    val dist = Fs.listDistributed(spark, root).collect()
+      .map(e => (e.path, e.isDirectory, e.byteSize)).toSet
+    assert(dist == driver)
+  }
+
+  test("sumUpFiles collapses files per folder preserving total size") {
+    val root = TestTree.newRoot("fsspec_sum")
+    TestTree.create(root, seed = 42)
+    val all = Fs.list(root)
+    val rolled = Fs.sumUpFiles(all)
+    assert(rolled.filterNot(_.isDirectory).map(_.byteSize).sum ==
+      all.filterNot(_.isDirectory).map(_.byteSize).sum)
+    assert(rolled.count(_.isDirectory) == all.count(_.isDirectory))
+  }
+
+  test("formatSize human-readable") {
+    assert(Fs.formatSize(512) == "512.00 B")
+    assert(Fs.formatSize(2048) == "2.00 KB")
+    assert(Fs.formatSize(3L * 1024 * 1024 * 1024) == "3.00 GB")
+  }
+
+  test("checkIfFsIsTheSame") {
+    assert(Fs.checkIfFsIsTheSame("file:/a/b", "file:/c/d"))
+    assert(!Fs.checkIfFsIsTheSame("file:/a", "hdfs://h:8020/a"))
+  }
+
+  test("SafetyFuse lifecycle") {
+    val root = TestTree.newRoot("fsspec_fuse")
+    val fs = TestTree.fsFor(root)
+    val fuse = new SafetyFuse(fs, s"$root/txdir")
+    assert(!fuse.isInProgress())
+    fuse.startTransaction()
+    assert(fuse.isInProgress())
+    fuse.endTransaction()
+    assert(!fuse.isInProgress())
+  }
+
+  test("Retry retries only the failed subset and honors repair") {
+    var calls = Vector.empty[Seq[String]]
+    var failOnce = Set("b", "c")
+    val out = Retry.retryFailed[String](
+      Seq("a", "b", "c"),
+      work => {
+        calls :+= work
+        work.map { w =>
+          val ok = !failOnce(w)
+          FsOperationResult(w, ok)
+        }
+      },
+      identity,
+      repair = failed => { val r = failed.filter(_ == "c"); failOnce -= "b"; r })
+    assert(out.count(_.success) == 3)
+    assert(calls.head == Seq("a", "b", "c"))
+    assert(calls(1) == Seq("b")) // c was repaired, only b retried
+  }
+
+  test("Retry throws after exhausting attempts") {
+    intercept[IllegalStateException] {
+      Retry.retryFailed[String](Seq("x"),
+        w => w.map(FsOperationResult(_, success = false)), identity)
+    }
+  }
+}

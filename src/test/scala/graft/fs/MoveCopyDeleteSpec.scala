@@ -1,0 +1,97 @@
+package graft.fs
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class MoveCopyDeleteSpec extends AnyFunSuite {
+  implicit lazy val spark = SparkTestSession.spark
+  implicit lazy val conf: Configuration = spark.sparkContext.hadoopConfiguration
+
+  private def relSet(root: String) =
+    Fs.list(root).map(e => (e.path.stripPrefix(root), e.isDirectory, e.byteSize)).toSet
+
+  test("distributed copyFolder replicates the tree's files") {
+    val src = TestTree.newRoot("cp_src"); TestTree.create(src, 42)
+    val trg = TestTree.newRoot("cp_trg")
+    val res = DistributedExecution.copyFolder(src, trg)
+    assert(res.nonEmpty && res.forall(_.success))
+    val srcFiles = Fs.list(src).filter(!_.isDirectory)
+      .map(e => (e.path.stripPrefix(src), e.byteSize)).toSet
+    val trgFiles = Fs.list(trg).filter(!_.isDirectory)
+      .map(e => (e.path.stripPrefix(trg), e.byteSize)).toSet
+    assert(trgFiles == srcFiles)
+  }
+
+  test("copyFiles is idempotent (overwrite=true)") {
+    val src = TestTree.newRoot("cp2_src"); TestTree.create(src, 1)
+    val trg = TestTree.newRoot("cp2_trg")
+    DistributedExecution.copyFolder(src, trg)
+    val res2 = DistributedExecution.copyFolder(src, trg) // rerun
+    assert(res2.forall(_.success))
+  }
+
+  test("movePaths renames files and repairs false negatives") {
+    val root = TestTree.newRoot("mv_root"); TestTree.create(root, 3)
+    val fs = TestTree.fsFor(root)
+    val files = Fs.list(root).filter(!_.isDirectory).take(3)
+    val pairs = files.map(e => Paths(e.path, e.path + ".moved")).toIndexedSeq
+    val res = LocalExecution.movePaths(pairs)
+    assert(res.forall(_.success))
+    pairs.foreach { p =>
+      assert(!fs.exists(new Path(p.sourcePath)))
+      assert(fs.exists(new Path(p.targetPath)))
+    }
+  }
+
+  test("moveFolderContent moves level-1 children and deletes source") {
+    val src = TestTree.newRoot("mvf_src"); TestTree.create(src, 5)
+    val trg = TestTree.newRoot("mvf_trg") + "/dest"
+    val fs = TestTree.fsFor(src)
+    val before = relSet(src)
+    LocalExecution.moveFolderContent(src, trg)
+    assert(!fs.exists(new Path(src)))
+    assert(relSet(trg) == before)
+  }
+
+  test("moveFolderContent refuses unsafe move (empty source, non-empty target)") {
+    val src = TestTree.newRoot("mvf2_src") // empty
+    val trg = TestTree.newRoot("mvf2_trg"); TestTree.create(trg, 6)
+    intercept[IllegalStateException] {
+      LocalExecution.moveFolderContent(src, trg)
+    }
+  }
+
+  test("deletePaths + deleteFolder(contentOnly)") {
+    val root = TestTree.newRoot("del_root"); TestTree.create(root, 9)
+    val fs = TestTree.fsFor(root)
+    val res = LocalExecution.deleteFolder(root, deleteContentOnly = true)
+    assert(res.forall(_.success))
+    assert(fs.exists(new Path(root)))
+    assert(fs.listStatus(new Path(root)).isEmpty)
+    // deleting again (already absent children) is still success
+    assert(LocalExecution.deletePaths(Seq(s"$root/ghost")).forall(_.success))
+  }
+
+  test("Delta.getDelta finds missing and extra; synchronize reconciles") {
+    val src = TestTree.newRoot("dl_src"); TestTree.create(src, 42)
+    val trg = TestTree.newRoot("dl_trg")
+    // partial copy: only top0 subtree
+    DistributedExecution.copyFolder(s"$src/top0", s"$trg/top0")
+    // extra junk in target
+    val fs = TestTree.fsFor(trg)
+    val out = fs.create(new Path(s"$trg/junk.txt"), true); out.write(1); out.close()
+
+    val (missing, extra) = Delta.getDelta(src, trg)
+    assert(missing.nonEmpty)
+    assert(extra.exists(_.path == "junk.txt"))
+
+    Delta.synchronize(src, trg)
+    val (m2, e2) = Delta.getDelta(src, trg)
+    assert(m2.isEmpty, s"still missing: ${m2.take(5).mkString(",")}")
+    assert(e2.isEmpty, s"still extra: ${e2.take(5).mkString(",")}")
+    assert(!fs.exists(new Path(s"$trg/junk.txt")))
+  }
+}
