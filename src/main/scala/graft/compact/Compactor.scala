@@ -1,0 +1,90 @@
+package graft.compact
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.fs.{Fs, LocalExecution}
+
+/** Small-file compaction (reference: Coalesce.scala).
+  *
+  * Plan: median file size + total size → target file count; skip when the
+  * folder is already compact. Execute: `spark.read.parquet.coalesce(n)`
+  * (CoalesceExec — no shuffle) → write to a temp sibling → swap.
+  *
+  * Two reference bugs fixed deliberately (SURVEY §7.6):
+  *   - `numOfFiles == -1` (skip sentinel) was passed into `coalesce()`
+  *     unguarded (reference Coalesce.scala:38-40) — here -1 short-circuits;
+  *   - the delete-before-rename swap window (reference Coalesce.scala:79-81)
+  *     is narrowed by renaming the old folder aside first (old → .bak,
+  *     temp → live, delete .bak) so a crash leaves a recoverable folder.
+  */
+object Compactor {
+
+  /** Target file count, or -1 when compaction should be skipped: fewer
+    * than 2 files, or median file size already ≥ requested (reference
+    * Coalesce.scala:19-31).
+    */
+  def figureOutNumberOfPartitions(fileSizes: Seq[Long], requestedSizeMb: Int): Int = {
+    if (fileSizes.size < 2) return -1
+    val sorted = fileSizes.sorted
+    val median = sorted(sorted.size / 2)
+    val requested = requestedSizeMb.toLong * 1024 * 1024
+    if (median >= requested) return -1
+    val total = fileSizes.sum
+    math.max(1, math.min(math.ceil(total.toDouble / requested).toInt, fileSizes.size))
+  }
+
+  /** Compact one parquet folder in place. Returns the new file count, or
+    * -1 if skipped.
+    */
+  def doAutoCoalesce(path: String, requestedSizeMb: Int = 100)(
+      implicit spark: SparkSession): Int = {
+    implicit val conf = spark.sessionState.newHadoopConf()
+    val fs = Fs.getFileSystem(conf, path)
+    val files = fs.listStatus(new Path(path)).filter(s => !s.isDirectory &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val n = figureOutNumberOfPartitions(files.map(_.getLen).toIndexedSeq, requestedSizeMb)
+    if (n < 0) return -1
+    val tmp = s"${path}_graft_tmp"
+    val bak = s"${path}_graft_bak"
+    spark.read.parquet(path).coalesce(n)
+      .write.mode("overwrite").parquet(tmp)
+    // swap: live → bak, tmp → live, drop bak
+    fs.delete(new Path(bak), true)
+    require(fs.rename(new Path(path), new Path(bak)), s"swap: cannot move $path aside")
+    require(fs.rename(new Path(tmp), new Path(path)), s"swap: cannot promote $tmp")
+    fs.delete(new Path(bak), true)
+    n
+  }
+
+  /** Leaf (partition) directories under `path` — dirs with no subdirs
+    * (reference Coalesce.scala:48-62).
+    */
+  def getLowestFoldersPaths(path: String)(implicit spark: SparkSession): Seq[String] = {
+    implicit val conf = spark.sessionState.newHadoopConf()
+    val all = Fs.list(path)
+    val dirs = all.filter(_.isDirectory).map(_.path)
+    val parentsOfDirs = dirs.map(d => new Path(d).getParent.toString).toSet
+    val leaves = dirs.filterNot(parentsOfDirs.contains)
+    if (leaves.isEmpty) Seq(path.stripSuffix("/")) else leaves.toIndexedSeq
+  }
+
+  /** Compact every leaf partition folder, a few in flight at a time
+    * (each is itself a Spark job — reference Coalesce.scala:85-97).
+    */
+  def doItAll(tablePath: String, requestedSizeMb: Int = 100, concurrency: Int = 10)(
+      implicit spark: SparkSession): Map[String, Int] = {
+    val leaves = getLowestFoldersPaths(tablePath)
+    val pool = Executors.newFixedThreadPool(concurrency.max(1))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = leaves.map(l => Future(l -> doAutoCoalesce(l, requestedSizeMb)))
+      futures.map(Await.result(_, Duration.Inf)).toMap
+    } finally pool.shutdown()
+  }
+}

@@ -3,16 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-object SparkTestSession {
-  // One shared session across all suites (sbt forks one test JVM).
-  lazy val spark: SparkSession = {
-    val s = GraftSession.builder("local[4]", 4).getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
-  }
-  val sf = "/root/testdata/sf0.001"
-}
-
 class RelationalSpec extends AnyFunSuite {
   import SparkTestSession._
 

@@ -1,0 +1,97 @@
+package graft.promotor
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.meta.{Meta, TableMetadataValidator}
+
+/** Promotion tests modeled on the reference's end-to-end Hive-table
+  * pattern (reference src/test/scala/TestPartitionCopyOverwrite.scala,
+  * TestTableContentMove.scala) but on deterministic /root/testdata
+  * fixtures: SALES_FCT (values ×2) vs SALES_SFCT (original), partition
+  * col l_ship_month, relational oracle = counts/sums before vs after.
+  */
+class PromotorSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SparkTestSession.spark
+  val db = "graft_promo"
+
+  lazy val base: String = {
+    val root = "file:" + Files.createTempDirectory("promo_wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val li = spark.read.parquet(s"${SparkTestSession.sf}/lineitem.parquet")
+      .withColumn("l_ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .where("l_ship_month >= '2001-01'") // keep the fixture small
+    // source: perturbed values (quantity x2) so promotion is detectable
+    li.withColumn("l_quantity", col("l_quantity") * 2)
+      .write.partitionBy("l_ship_month")
+      .option("path", s"$root/sales_fct").saveAsTable(s"$db.sales_fct")
+    // target: original values
+    li.write.partitionBy("l_ship_month")
+      .option("path", s"$root/sales_sfct").saveAsTable(s"$db.sales_sfct")
+    // unpartitioned pair for whole-table ops
+    li.drop("l_ship_month").write
+      .option("path", s"$root/sales_np_src").saveAsTable(s"$db.sales_np_src")
+    li.drop("l_ship_month").withColumn("l_quantity", lit(0.0))
+      .write.option("path", s"$root/sales_np_trg").saveAsTable(s"$db.sales_np_trg")
+    root
+  }
+
+  def qty(table: String): Double =
+    spark.table(s"$db.$table").agg(sum("l_quantity")).head.getDouble(0)
+
+  def qtyFor(table: String, month: String): Double =
+    spark.table(s"$db.$table").where(s"l_ship_month = '$month'")
+      .agg(sum("l_quantity")).head.getDouble(0)
+
+  test("copyOverwritePartitions promotes only the matching partition") {
+    val _ = base
+    val m = "2001-06"
+    val beforeOther = qtyFor("sales_sfct", "2001-07")
+    assert(qtyFor("sales_fct", m) == 2 * qtyFor("sales_sfct", m))
+    val res = Promotor.copyOverwritePartitions(db, "sales_fct", db, "sales_sfct", Seq(m))
+    assert(res.nonEmpty && res.forall(_.success))
+    assert(qtyFor("sales_sfct", m) == qtyFor("sales_fct", m)) // promoted
+    assert(qtyFor("sales_sfct", "2001-07") == beforeOther)    // untouched
+  }
+
+  test("deleteTablePartitions removes matching partitions only") {
+    val _ = base
+    val before = spark.table(s"$db.sales_sfct").count()
+    val monthCnt = spark.table(s"$db.sales_sfct").where("l_ship_month = '2001-02'").count()
+    assert(monthCnt > 0)
+    Promotor.deleteTablePartitions(db, "sales_sfct", Seq("2001-02"))
+    assert(spark.table(s"$db.sales_sfct").count() == before - monthCnt)
+  }
+
+  test("copyOverwriteTable replaces whole unpartitioned table content") {
+    val _ = base
+    assert(qty("sales_np_trg") == 0.0)
+    val res = Promotor.copyOverwriteTable(db, "sales_np_src", db, "sales_np_trg")
+    assert(res.forall(_.success))
+    assert(qty("sales_np_trg") == qty("sales_np_src"))
+  }
+
+  test("moveTablePartitions moves partition dirs metadata-only") {
+    val _ = base
+    val m = "2001-03"
+    val srcBefore = qtyFor("sales_fct", m)
+    Promotor.moveTablePartitions(db, "sales_fct", db, "sales_sfct", Seq(m))
+    assert(qtyFor("sales_sfct", m) == srcBefore)
+    assert(spark.table(s"$db.sales_fct").where(s"l_ship_month = '$m'").count() == 0)
+  }
+
+  test("validator rejects mismatched schemas") {
+    val _ = base
+    intercept[IllegalArgumentException] {
+      TableMetadataValidator.validate(db, "sales_fct", db, "sales_np_src")
+    }
+  }
+
+  test("filterPaths matches on substring") {
+    assert(Meta.filterPaths(Array("/a/p=1", "/a/p=2", "/a/q=1"), Seq("p=")).length == 2)
+  }
+}
