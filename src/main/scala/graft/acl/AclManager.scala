@@ -1,0 +1,212 @@
+package graft.acl
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration._
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.permission.{AclEntry, AclEntryScope, AclEntryType, AclStatus, FsAction}
+
+import graft.fs.{Fs, FsOperationResult, Retry}
+
+/** User-facing ACL spec (reference: acl/AclManager.scala:198-205):
+  * scope ∈ user/group/other/mask, POSIX rwx string, level ACCESS/DEFAULT,
+  * optional grantee object id.
+  */
+final case class FsPermission(scope: String, permission: String, level: String,
+    granteeObjectId: String = "")
+
+object AclManager {
+
+  /** FsPermission → Hadoop AclEntry (reference acl/AclManager.scala:83-101). */
+  def getAclEntry(p: FsPermission): AclEntry = {
+    val typ = p.scope.toLowerCase match {
+      case "user"  => AclEntryType.USER
+      case "group" => AclEntryType.GROUP
+      case "mask"  => AclEntryType.MASK
+      case _       => AclEntryType.OTHER
+    }
+    val scope = if (p.level.equalsIgnoreCase("DEFAULT")) AclEntryScope.DEFAULT else AclEntryScope.ACCESS
+    val b = new AclEntry.Builder()
+      .setType(typ)
+      .setScope(scope)
+      .setPermission(FsAction.getFsAction(p.permission))
+    if (p.granteeObjectId.nonEmpty) b.setName(p.granteeObjectId)
+    b.build()
+  }
+
+  private def withPool[T](threads: Int)(body: ExecutionContext => T): T = {
+    val pool = Executors.newFixedThreadPool(threads.max(1).min(1000))
+    try body(ExecutionContext.fromExecutor(pool))
+    finally pool.shutdown()
+  }
+
+  /** Multithreaded `modifyAclEntries` over paths; paths that vanished are
+    * skipped (reference acl/AclManager.scala:57-80); retry ≤5.
+    */
+  def modifyAcls(paths: Seq[String], permission: FsPermission,
+      threads: Int = Fs.driverPoolSize)(implicit conf: Configuration): Seq[FsOperationResult] = {
+    if (paths.isEmpty) return Seq.empty
+    val fs = Fs.getFileSystem(conf, paths.head)
+    val entry = getAclEntry(permission)
+    val existing = paths.filter(p => fs.exists(new Path(p)))
+    Retry.retryFailed[String](
+      existing,
+      work => withPool(threads) { implicit ec =>
+        val fut = work.map { p => Future {
+          val ok = try { fs.modifyAclEntries(new Path(p), Seq(entry).asJava); true }
+                   catch { case _: Throwable => false }
+          FsOperationResult(p, ok)
+        }}
+        fut.map(Await.result(_, Fs.OpTimeout))
+      },
+      identity)
+  }
+
+  /** Table ACL: ACCESS+DEFAULT on the table folder, ACCESS on all data
+    * files (reference acl/AclManager.scala:32-45).
+    */
+  def modifyTableAcl(db: String, table: String, permission: FsPermission)(
+      implicit spark: org.apache.spark.sql.SparkSession): Seq[FsOperationResult] = {
+    implicit val conf = spark.sessionState.newHadoopConf()
+    val location = graft.meta.Meta.getTableLocation(db, table)
+    val files = graft.meta.Meta.getListOfTableFiles(db, table)
+    val access = permission.copy(level = "ACCESS")
+    val default = permission.copy(level = "DEFAULT")
+    modifyAcls(Seq(location), access) ++
+      modifyAcls(Seq(location), default) ++
+      modifyAcls(files.toIndexedSeq, access)
+  }
+
+  /** Folder-tree ACL: ACCESS on every element, DEFAULT additionally on
+    * folders (reference acl/AclManager.scala:110-126).
+    */
+  def modifyFolderAcl(uri: String, permission: FsPermission)(
+      implicit conf: Configuration): Seq[FsOperationResult] = {
+    val tree = Fs.list(uri)
+    val all = uri +: tree.map(_.path).toIndexedSeq
+    val folders = uri +: tree.filter(_.isDirectory).map(_.path).toIndexedSeq
+    modifyAcls(all, permission.copy(level = "ACCESS")) ++
+      modifyAcls(folders, permission.copy(level = "DEFAULT"))
+  }
+
+  /** Remove all non-base ACL entries from paths (reference
+    * acl/AclManager.scala:135-164).
+    */
+  def clearAcls(paths: Seq[String], threads: Int = Fs.driverPoolSize)(
+      implicit conf: Configuration): Seq[FsOperationResult] = {
+    if (paths.isEmpty) return Seq.empty
+    val fs = Fs.getFileSystem(conf, paths.head)
+    Retry.retryFailed[String](
+      paths.filter(p => fs.exists(new Path(p))),
+      work => withPool(threads) { implicit ec =>
+        val fut = work.map { p => Future {
+          val ok = try { fs.removeAcl(new Path(p)); true }
+                   catch { case _: Throwable => false }
+          FsOperationResult(p, ok)
+        }}
+        fut.map(Await.result(_, Fs.OpTimeout))
+      },
+      identity)
+  }
+
+  def clearFolderAcl(uri: String)(implicit conf: Configuration): Seq[FsOperationResult] =
+    clearAcls(uri +: Fs.list(uri).map(_.path).toIndexedSeq)
+
+  /** Read AclStatus for one / many paths (reference acl/AclManager.scala:172-175,324-329). */
+  def getAclEntries(path: String)(implicit conf: Configuration): AclStatus =
+    Fs.getFileSystem(conf, path).getAclStatus(new Path(path))
+
+  def getAclsForPaths(paths: Seq[String])(implicit conf: Configuration): Map[String, AclStatus] =
+    paths.map(p => p -> getAclEntries(p)).toMap
+
+  /** Replace (not merge) the ACL on a path (reference acl/AclManager.scala:183-189). */
+  def resetAclEntries(path: String, entries: Seq[AclEntry])(implicit conf: Configuration): Unit =
+    Fs.getFileSystem(conf, path).setAcl(new Path(path), entries.asJava)
+
+  /** DEFAULT-scope entries converted to ACCESS scope — what a child file
+    * inherits (reference acl/AclManager.scala:331-336).
+    */
+  def defaultsToAccess(entries: Seq[AclEntry]): Seq[AclEntry] =
+    entries.filter(_.getScope == AclEntryScope.DEFAULT).map { e =>
+      val b = new AclEntry.Builder()
+        .setType(e.getType).setScope(AclEntryScope.ACCESS).setPermission(e.getPermission)
+      if (e.getName != null) b.setName(e.getName)
+      b.build()
+    }
+
+  /** Pure planning core of [[synchronizeAcls]]: assign each target folder
+    * the source ACL at the same relative path, else its parent's planned
+    * ACL (top-down inheritance — reference acl/AclManager.scala:247-257).
+    *
+    * @param srcAcls   relative source folder path ("" = root) → entries
+    * @param trgFolders relative target folder paths
+    * @return parent-first ordered (relPath, plannedEntries)
+    */
+  def planIdealAcls(srcAcls: Map[String, Seq[AclEntry]],
+      trgFolders: Seq[String]): Seq[(String, Seq[AclEntry])] = {
+    val rootAcl = srcAcls.getOrElse("", Seq.empty)
+    val planned = scala.collection.mutable.LinkedHashMap[String, Seq[AclEntry]]("" -> rootAcl)
+    trgFolders.filter(_.nonEmpty).sortBy(_.length).foreach { rel =>
+      val parent = {
+        val i = rel.lastIndexOf('/')
+        if (i < 0) "" else rel.substring(0, i)
+      }
+      planned(rel) = srcAcls.getOrElse(rel, planned.getOrElse(parent, rootAcl))
+    }
+    planned.toSeq
+  }
+
+  /** ACL tree synchronization (reference acl/AclManager.scala:214-316):
+    * read all source-folder ACLs, plan target-folder ACLs by path
+    * correspondence with parent inheritance, apply parent-first
+    * (replace, then each file gets its parent's DEFAULT entries as
+    * ACCESS entries).
+    */
+  def synchronizeAcls(applyToUri0: String, takeFromUri0: String)(
+      implicit conf: Configuration): Unit = {
+    val applyToUri = applyToUri0.stripSuffix("/")
+    val takeFromUri = takeFromUri0.stripSuffix("/")
+    val srcFs = Fs.getFileSystem(conf, takeFromUri)
+    val trgFs = Fs.getFileSystem(conf, applyToUri)
+
+    // URI forms differ between caller and listStatus (acl:///x vs acl:/x)
+    // — relativize on the scheme-less URI path, not the raw string
+    def rel(rootUri: String, p: String): String =
+      new Path(p).toUri.getPath.stripPrefix(new Path(rootUri).toUri.getPath).stripPrefix("/")
+
+    val srcTree = Fs.list(takeFromUri)
+    val srcFolderRel = "" +: srcTree.filter(_.isDirectory)
+      .map(e => rel(takeFromUri, e.path)).toIndexedSeq
+    val srcAcls: Map[String, Seq[AclEntry]] = srcFolderRel.map { r =>
+      val abs = if (r.isEmpty) takeFromUri else s"$takeFromUri/$r"
+      r -> srcFs.getAclStatus(new Path(abs)).getEntries.asScala.toSeq
+    }.toMap
+
+    val trgTree = Fs.list(applyToUri)
+    val trgFolderRel = "" +: trgTree.filter(_.isDirectory)
+      .map(e => rel(applyToUri, e.path)).toIndexedSeq
+
+    val plan = planIdealAcls(srcAcls, trgFolderRel)
+    val byRel = plan.toMap
+
+    // folders parent-first: replace entries
+    plan.foreach { case (r, entries) =>
+      if (entries.nonEmpty) {
+        val abs = if (r.isEmpty) applyToUri else s"$applyToUri/$r"
+        trgFs.removeAcl(new Path(abs))
+        trgFs.modifyAclEntries(new Path(abs), entries.asJava)
+      }
+    }
+    // files: parent's DEFAULT entries, converted to ACCESS
+    trgTree.filter(!_.isDirectory).foreach { f =>
+      val r = rel(applyToUri, f.path)
+      val parentRel = { val i = r.lastIndexOf('/'); if (i < 0) "" else r.substring(0, i) }
+      val inherited = defaultsToAccess(byRel.getOrElse(parentRel, Seq.empty))
+      if (inherited.nonEmpty) trgFs.setAcl(new Path(f.path), inherited.asJava)
+    }
+  }
+}

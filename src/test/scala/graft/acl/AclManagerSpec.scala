@@ -1,0 +1,102 @@
+package graft.acl
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.permission.{AclEntryScope, AclEntryType, FsAction}
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fs.{Fs, TestTree}
+
+class AclManagerSpec extends AnyFunSuite with BeforeAndAfterEach {
+
+  implicit val conf: Configuration = {
+    val c = new Configuration(false)
+    c.set("fs.acl.impl", classOf[InMemAclFileSystem].getName)
+    c.set("fs.file.impl", classOf[org.apache.hadoop.fs.LocalFileSystem].getName)
+    c
+  }
+
+  override def beforeEach(): Unit = InMemAclFileSystem.clear()
+
+  private def newAclRoot(prefix: String): String = {
+    val local = TestTree.newRoot(prefix) // file:/tmp/...
+    "acl://" + local.stripPrefix("file:")
+  }
+
+  test("getAclEntry maps scope/permission/level") {
+    val e = AclManager.getAclEntry(FsPermission("user", "rwx", "DEFAULT", "grantee1"))
+    assert(e.getType == AclEntryType.USER)
+    assert(e.getScope == AclEntryScope.DEFAULT)
+    assert(e.getPermission == FsAction.ALL)
+    assert(e.getName == "grantee1")
+    val o = AclManager.getAclEntry(FsPermission("other", "r-x", "ACCESS"))
+    assert(o.getType == AclEntryType.OTHER && o.getPermission == FsAction.READ_EXECUTE)
+  }
+
+  test("modifyFolderAcl: ACCESS everywhere, DEFAULT on folders only") {
+    val root = newAclRoot("acl_mod")
+    TestTree.create(root, 42, width = 2)
+    AclManager.modifyFolderAcl(root, FsPermission("user", "rwx", "ACCESS", "g1"))
+    val tree = Fs.list(root)
+    val file = tree.find(!_.isDirectory).get
+    val dir = tree.find(_.isDirectory).get
+    val fileAcl = AclManager.getAclEntries(file.path).getEntries.asScala
+    val dirAcl = AclManager.getAclEntries(dir.path).getEntries.asScala
+    assert(fileAcl.exists(e => e.getScope == AclEntryScope.ACCESS && e.getName == "g1"))
+    assert(fileAcl.forall(_.getScope != AclEntryScope.DEFAULT))
+    assert(dirAcl.exists(_.getScope == AclEntryScope.DEFAULT))
+  }
+
+  test("clearFolderAcl removes all entries") {
+    val root = newAclRoot("acl_clear")
+    TestTree.create(root, 7, width = 1)
+    AclManager.modifyFolderAcl(root, FsPermission("user", "rwx", "ACCESS", "g2"))
+    AclManager.clearFolderAcl(root)
+    Fs.list(root).foreach { e =>
+      assert(AclManager.getAclEntries(e.path).getEntries.isEmpty, e.path)
+    }
+  }
+
+  test("planIdealAcls: exact match wins, else parent inheritance") {
+    val mk = (n: String) => Seq(AclManager.getAclEntry(FsPermission("user", "rwx", "ACCESS", n)))
+    val srcAcls = Map("" -> mk("root"), "a" -> mk("a"), "a/b" -> mk("ab"))
+    val plan = AclManager.planIdealAcls(srcAcls, Seq("a", "a/b", "a/b/c", "x", "x/y")).toMap
+    assert(plan("a") == mk("a"))
+    assert(plan("a/b") == mk("ab"))
+    assert(plan("a/b/c") == mk("ab")) // inherited from a/b
+    assert(plan("x") == mk("root"))   // no source match → root
+    assert(plan("x/y") == mk("root"))
+  }
+
+  test("synchronizeAcls copies folder ACLs and converts DEFAULT→ACCESS on files") {
+    val src = newAclRoot("acl_sync_src")
+    val trg = newAclRoot("acl_sync_trg")
+    TestTree.create(src, 42, width = 2)
+    TestTree.create(trg, 42, width = 2) // same shape
+    // extra target-only subtree → should inherit from its parent chain
+    val trgFs = Fs.getFileSystem(conf, trg)
+    trgFs.mkdirs(new Path(s"$trg/top0/extra"))
+    val f = trgFs.create(new Path(s"$trg/top0/extra/file.txt"), true); f.write(1); f.close()
+
+    AclManager.modifyFolderAcl(src, FsPermission("user", "rwx", "ACCESS", "owner1"))
+    AclManager.modifyFolderAcl(src, FsPermission("group", "r-x", "DEFAULT", "team1"))
+
+    AclManager.synchronizeAcls(trg, src)
+
+    // corresponding folder got the source folder's entries
+    val dirAcl = AclManager.getAclEntries(s"$trg/top0").getEntries.asScala
+    assert(dirAcl.exists(e => e.getName == "owner1" && e.getScope == AclEntryScope.ACCESS))
+    assert(dirAcl.exists(e => e.getName == "team1" && e.getScope == AclEntryScope.DEFAULT))
+    // target-only folder inherited its parent's ACL
+    val extraAcl = AclManager.getAclEntries(s"$trg/top0/extra").getEntries.asScala
+    assert(extraAcl.exists(e => e.getName == "owner1"))
+    // file got the DEFAULT entries converted to ACCESS
+    val fileAcl = AclManager.getAclEntries(s"$trg/top0/extra/file.txt").getEntries.asScala
+    assert(fileAcl.nonEmpty)
+    assert(fileAcl.forall(_.getScope == AclEntryScope.ACCESS))
+    assert(fileAcl.exists(_.getName == "team1"))
+  }
+}
