@@ -1,0 +1,166 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, smallest-shuffle
+  * designs:
+  *
+  *  - exact: one hash-groupBy (map-side partial agg; the 256-bit hash,
+  *    not the document text, is what shuffles);
+  *  - n-gram Jaccard: shingle → explode → self-join on shingle →
+  *    per-pair intersection counts → Jaccard (exact, the verifier for
+  *    the approximate paths);
+  *  - MinHash + LSH banding: k seeded min-hashes per doc computed in ONE
+  *    groupBy pass, bands hashed, candidates = equi-join on
+  *    (band, bandHash) — the classic shingle→minhash→band→bucket-join,
+  *    all codegen'd built-ins, shuffle keyed on band hash so it scales
+  *    to billions of documents;
+  *  - SimHash: 64-bit sign-sum fingerprint in one groupBy (64 partial
+  *    sums), near-dups = fingerprints within Hamming distance d (banded
+  *    by 16-bit chunks so the self-join is an equi-join, not a cross).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** One representative (min doc_id) per distinct text + duplicate count.
+    * Grouping key is sha2(text) so only 32 bytes per doc shuffle.
+    */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** The deduplicated documents themselves (row_number=1 per hash). */
+  def dropExactDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Exact pairwise Jaccard similarity over word n-gram sets, for all
+    * pairs sharing ≥1 shingle with Jaccard ≥ minJaccard (a < b).
+    * Inverted-index self-join: explode distinct shingles, join on
+    * shingle, count per pair, |A∪B| = |A|+|B|-|A∩B|.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextOps.shingles(col(textCol), n))).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("setSize"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("interSize"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("setSize", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("setSize", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("interSize").cast("double") / (col("size_a") + col("size_b") - col("interSize")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // --------------------------------------------------------- MinHash LSH
+
+  /** k seeded min-hash values per document, one groupBy pass: minhash_i =
+    * min over shingles of xxhash64(seed_i, shingle).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 32,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextOps.shingles(col(textCol), n))).as("shingle"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate near-dup pairs via LSH banding of the minhash signature:
+    * signature split into `bands` bands of k/bands rows each, band content
+    * hashed, pairs = self-equi-join on (band index, band hash).
+    */
+  def lshCandidatePairs(signatures: DataFrame, k: Int = 32, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rowsPerBand = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bandHash"))
+    }
+    val banded = signatures.select(col("id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.bandHash").as("bandHash"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dedup: candidates from banding, verified with
+    * exact Jaccard — the standard recall/precision split (LSH prunes the
+    * O(n²) pair space; verification keeps only true near-dups).
+    */
+  def minhashDedupPairs(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 16,
+      minJaccard: Double = 0.8, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val candidates = lshCandidatePairs(minhashSignatures(docs, n, k, textCol, idCol), k, bands)
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextOps.shingles(col(textCol), n))).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("setSize"))
+    val inter = candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "sh_b"), "id_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("interSize"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("setSize", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("setSize", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("interSize").cast("double") / (col("size_a") + col("size_b") - col("interSize")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash fingerprint: per token-hash bit, sum +1/-1 across the
+    * document; bit set where the sum is positive. One groupBy with 64
+    * conditional-sum aggregates — fully codegen'd.
+    */
+  def simhash64(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val summed = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    summed.select(col("id"), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, banded into
+    * four 16-bit chunks (pigeonhole: distance ≤3 ⇒ at least one chunk
+    * identical) so candidate generation is an equi-join.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxDist < 4, "4x16-bit banding supports maxDist <= 3")
+    val fps = simhash64(docs, textCol, idCol)
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunkVal")))
+    val banded = fps.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("ch"))
+      .select(col("id"), col("simhash"), col("ch.chunk").as("chunk"), col("ch.chunkVal").as("chunkVal"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b, col("a.chunk") === col("b.chunk")
+        && col("a.chunkVal") === col("b.chunkVal") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All pure Catalyst built-ins (codegen'd, no UDFs) — every function is a
+  * narrow map over the document row, so the operators scale linearly and
+  * never shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count: whitespace words further split on
+    * letter/digit/punct boundaries, ≈ GPT-style token inflation.
+    */
+  def subwordCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^a-zA-Z0-9\\s])")))
+
+  /** Quality heuristics (length / punctuation / stopword ratios). */
+  def punctCount(text: Column): Column = length(regexp_replace(text, "[^.!?]", ""))
+
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text))
+
+  private val StopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(StopwordsEn: _*))).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: longer docs with moderate
+    * punctuation and some stopwords score higher.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctScore = least(punctCount(text).cast("double") * 10.0 / greatest(tokenCount(text), lit(1)), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lenScore * 0.5 + punctScore * 0.2 + stopScore * 0.3), 6)
+  }
+
+  /** Character n-gram based language ID over a fixed marker table — the
+    * classic stopword/diacritic heuristic. Scores each language by
+    * marker-token hits; highest wins, 'en' on tie/none.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "with", "for"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "dans"),
+    "es" -> Seq("el", "los", "es", "y", "con", "para"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "我"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = LangMarkers.toSeq.map { case (lang, markers) =>
+      struct(
+        size(filter(toks, t => t.isin(markers: _*))).as("hits"),
+        // zh rarely space-separates; also count substring occurrences
+        (if (lang == "zh")
+          markers.map(m => (length(text) - length(regexp_replace(text, m, ""))).cast("int"))
+            .reduce(_ + _)
+        else lit(0)).as("charHits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores.map(s => struct((s.getField("hits") + s.getField("charHits")).as("h"), s.getField("lang").as("lang"))): _*)
+    when(best.getField("h") > 0, best.getField("lang")).otherwise(lit("en"))
+  }
+
+  /** Rolling-hash document fingerprint: polynomial rolling hash over the
+    * token-hash stream, mod 1e9+7 (keeps every intermediate < 2^35, so no
+    * ANSI-mode overflow), order-sensitive.
+    */
+  def fingerprint(text: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(
+      transform(tokens(text), t => pmod(xxhash64(t), p)),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(31L) + h, p))
+  }
+
+  /** Word-level shingles (n-grams) as space-joined strings; documents
+    * shorter than n words yield their full token string.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** Per-document text metrics, one narrow projection. */
+  def analyze(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      subwordCount(col("text")).as("n_subwords"),
+      length(col("text")).as("n_chars"),
+      punctCount(col("text")).as("n_punct"),
+      round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      qualityScore(col("text")).as("quality"),
+      langId(col("text")).as("lang_pred"),
+      fingerprint(col("text")).as("fingerprint"))
+}

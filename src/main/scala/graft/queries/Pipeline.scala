@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** LLM-pipeline operator surface: dedup family, similarity search, text
+  * analysis, JSON/event-window queries. Every SQL-expressible operator
+  * has a DuckDB oracle; engine-specific ones (xxhash64-based MinHash /
+  * SimHash / fingerprints, heuristic language-ID, LSH ANN) are
+  * registered rows-only and verified by ScalaTest invariants instead
+  * (recall vs the exact operator, determinism, accuracy).
+  */
+object Pipeline {
+
+  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(spark, dir))
+      .select(col("keep_id"), col("dup_cnt"))
+      .orderBy(col("keep_id"))
+
+  def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, minJaccard = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def d03MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupPairs(Tables.documents(spark, dir), n = 3, k = 32, bands = 16,
+        minJaccard = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def d04SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def d05EmbeddingDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupPairs(Tables.embeddings(spark, dir), minSim = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def s01SimTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def s02LshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, k = 5, dim = 64, bitsPerTable = 6, tables = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def t01TextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        TextOps.punctCount(col("text")).as("n_punct"))
+      .orderBy(col("doc_id"))
+
+  def t02TextAnalyze(spark: SparkSession, dir: String): DataFrame =
+    TextOps.analyze(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  def j01JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k") > 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  /** Hourly tumbling windows over the events stream table (batch shape;
+    * the streaming variant lives in graft.streaming). ts is epoch-nanos
+    * (see GraftSession) so the bucket is integer division.
+    */
+  def e01EventWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("window_hour", expr("ts div 3600000000000"))
+      .groupBy(col("window_hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+      .orderBy(col("window_hour"), col("event_type"))
+
+  private val ngramJaccardOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+      |         ELSE array_to_string(w[i.i:i.i+2], ' ') END AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i) i
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS isz
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ia AS id_a, ib AS id_b,
+      |  round(isz / CAST(sa.sz + sb.sz - isz AS DOUBLE), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = ia
+      |JOIN sizes sb ON sb.doc_id = ib
+      |WHERE isz / CAST(sa.sz + sb.sz - isz AS DOUBLE) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "d02_ngram_jaccard" -> ngramJaccardOracle,
+    // minhash+LSH output is LSH-candidates verified by exact Jaccard; with
+    // k=32/bands=16 recall at j>=0.5 is ~1 (verified == exact on fixtures),
+    // so the exact-Jaccard oracle applies
+    "d03_minhash_pairs" -> ngramJaccardOracle,
+    "d05_embedding_dups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "s01_sim_topk" ->
+      """SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |               b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        |  WHERE a.vec_id < 20) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "t01_text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) AS len_chars,
+        |  length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "j01_json_extract" ->
+      """SELECT event_type, count(*) AS cnt, sum(k) AS sum_k FROM (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |  FROM events) t
+        |WHERE k > 50 GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e01_event_windows" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS window_hour, event_type,
+        |  count(*) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_hour, event_type""".stripMargin,
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup"    -> d01ExactDedup _,
+    "d02_ngram_jaccard"  -> d02NgramJaccard _,
+    "d03_minhash_pairs"  -> d03MinhashPairs _,
+    "d04_simhash_pairs"  -> d04SimhashPairs _,
+    "d05_embedding_dups" -> d05EmbeddingDups _,
+    "s01_sim_topk"       -> s01SimTopK _,
+    "s02_lsh_topk"       -> s02LshTopK _,
+    "t01_text_stats"     -> t01TextStats _,
+    "t02_text_analyze"   -> t02TextAnalyze _,
+    "j01_json_extract"   -> j01JsonExtract _,
+    "e01_event_windows"  -> e01EventWindows _,
+  )
+}

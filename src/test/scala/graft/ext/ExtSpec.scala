@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf
+  lazy val docs = Tables.documents(spark, sf).cache()
+  lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("exactDedup keeps one representative per distinct text") {
+    val d = Dedup.exactDedup(docs)
+    assert(d.agg(sum("dup_cnt")).head.getLong(0) == docs.count())
+    assert(d.count() == docs.select("text").distinct().count())
+    val kept = Dedup.dropExactDuplicates(docs)
+    assert(kept.count() == d.count())
+  }
+
+  test("minhash LSH pairs == exact ngram-Jaccard pairs on fixture (full recall)") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDedupPairs(docs, 3, 32, 16, 0.5).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"missing=${(exact -- lsh).take(5)} spurious=${(lsh -- exact).take(5)}")
+  }
+
+  test("simhash near-dup pairs include the exact duplicates") {
+    // identical texts → identical simhash → hamming 0
+    val exactDups = Dedup.exactDedup(docs).filter(col("dup_cnt") > 1)
+    if (exactDups.count() > 0) {
+      val pairs = Dedup.simhashPairs(docs, maxDist = 3)
+      assert(pairs.filter(col("hamming") === 0).count() > 0)
+    }
+    val fps = Dedup.simhash64(docs)
+    assert(fps.count() == docs.filter(length(trim(col("text"))) > 0).count())
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, emb, 5, dim = 64, bitsPerTable = 6, tables = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.25, f"LSH recall $recall%.2f too low") // random near-orthogonal vectors: floor
+  }
+
+  test("langId classifies real multilingual samples; valid codes on fixture") {
+    import spark.implicits._
+    // note: the fixture's lang label is random (text is the same synthetic
+    // English-ish vocab for every label), so accuracy is asserted on real
+    // sentences instead
+    val samples = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and runs for cover"),
+      ("de", "der schnelle braune fuchs ist nicht langsam und springt mit freude"),
+      ("fr", "le renard brun saute dans la forêt et les oiseaux chantent"),
+      ("es", "el zorro marrón salta sobre el perro y los gatos para jugar"),
+      ("zh", "敏捷的棕色狐狸跳过了懒狗我们都看到了")).toDF("lang", "text")
+    val wrong = samples.withColumn("pred", TextOps.langId(col("text")))
+      .filter(col("pred") =!= col("lang")).collect()
+    assert(wrong.isEmpty, wrong.mkString(","))
+    val preds = docs.withColumn("pred", TextOps.langId(col("text")))
+      .select("pred").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(TextOps.LangMarkers.keySet))
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val fp1 = TextOps.analyze(docs).select("doc_id", "fingerprint").collect().toSet
+    val fp2 = TextOps.analyze(docs).select("doc_id", "fingerprint").collect().toSet
+    assert(fp1 == fp2)
+    import spark.implicits._
+    val two = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val fps = TextOps.analyze(two).select("fingerprint").collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+
+  test("token counts: empty and whitespace-only are 0") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("doc_id", "text")
+    val counts = df.select(TextOps.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(counts.toSeq == Seq(0, 0, 2))
+  }
+
+  test("cosine of identical vectors is 1") {
+    import spark.implicits._
+    val v = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
+      (3L, Array(-3.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineDupPairs(v, 0.99)
+    val rows = pairs.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L && rows.head.getLong(1) == 2L)
+  }
+}
