@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.functions.Cols
+
+/** Structured Streaming over the events table (SURVEY §2.12, §7.5):
+  * file-source replay of the parquet fixture → watermarked event-time
+  * windows. The same aggregations run identically against a Kafka/rate
+  * source on a cluster — the source is the only thing that changes.
+  */
+object EventsStream {
+
+  /** Parquet schema of the events fixture; ts is LongType because the
+    * file stores TIMESTAMP(NANOS) (see GraftSession).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events parquet DIRECTORY (file-stream sources
+    * monitor directories), ts converted to a real timestamp for
+    * event-time semantics.
+    */
+  def read(spark: SparkSession, eventsDir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", Cols.nanosToTs(col("ts")))
+
+  /** Stage the single-file events fixture into a temp directory so the
+    * file-stream source can monitor it; returns the directory.
+    */
+  def stageFixture(spark: SparkSession, sfDir: String): String = {
+    val out = java.nio.file.Files.createTempDirectory("events_stream").toFile
+    out.deleteOnExit()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val dst = new org.apache.hadoop.fs.Path(s"file:${out.getAbsolutePath}/events.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+      dst.getFileSystem(conf), dst, false, true, conf)
+    s"file:${out.getAbsolutePath}"
+  }
+
+  /** Tumbling event-time windows with a watermark: count + sum(value)
+    * per (window, event_type). Late data beyond the watermark is dropped
+    * — at scale this bounds state size.
+    */
+  def tumbling(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+
+  /** Sliding windows (length, slide). */
+  def sliding(events: DataFrame, length: String = "1 hour", slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Session windows: gap-based per-user sessions. */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+
+  // -------- stateful processing (mapGroupsWithState) ------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState —
+    * the template for arbitrary stateful logic Spark's windowed aggs
+    * can't express.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val events = batch.toSeq
+          val next = UserRunning(userId,
+            prev.n_events + events.size,
+            prev.total_value + events.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Batch-equivalent of [[tumbling]] for parity checks: same windows
+    * computed over the static table.
+    */
+  def tumblingBatch(spark: SparkSession, dir: String, window: String = "1 hour"): DataFrame = {
+    val events = graft.Tables.events(spark, dir).withColumn("ts", Cols.nanosToTs(col("ts")))
+    events.groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+  }
+}

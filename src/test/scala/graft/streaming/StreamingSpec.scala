@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf
+  lazy val streamDir: String = EventsStream.stageFixture(spark, sf)
+
+  test("streaming tumbling windows equal the batch computation") {
+    val q = EventsStream.tumbling(EventsStream.read(spark, streamDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = EventsStream.tumblingBatch(spark, sf)
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session windows produce per-user sessions") {
+    val q = EventsStream.sessions(EventsStream.read(spark, streamDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sessions_out")
+      assert(out.count() > 0)
+      // every event lands in exactly one session
+      val totalEvents = out.agg(sum("n_events")).head.getLong(0)
+      assert(totalEvents == graft.Tables.events(spark, sf).count())
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates running user totals") {
+    import spark.implicits._
+    val events = EventsStream.read(spark, streamDir)
+      .select($"event_id", $"ts".cast("timestamp"), $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+    val q = EventsStream.runningUserTotals(events)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("state_out")
+      assert(out.count() > 0)
+      val batchTotals = graft.Tables.events(spark, sf)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // final state per user matches the batch count
+      val lastPerUser = out.groupBy("user_id").agg(max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lastPerUser == batchTotals)
+    } finally q.stop()
+  }
+}
