@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions.graftShingles
+
 /** Deduplication operators for training-data pipelines, smallest-shuffle
   * designs:
   *
@@ -47,8 +50,11 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // join key is the 8-byte shingle hash (native one-pass expression)
+    // — fixed-width comparisons, half the shuffle of string shingles
+    GraftFunctions.ensureRegistered(docs.sparkSession)
     val sh = docs.select(col(idCol).as("id"),
-        explode(array_distinct(TextOps.shingles(col(textCol), n))).as("shingle"))
+        explode(graftShingles(col(textCol), n)).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("setSize"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -70,9 +76,11 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 32,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // k seeded re-hashes run on the fixed-width shingle hash, not the string
+    GraftFunctions.ensureRegistered(docs.sparkSession)
     val sh = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextOps.shingles(col(textCol), n))).as("shingle"))
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+      explode(graftShingles(col(textCol), n)).as("h"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -104,7 +112,7 @@ object Dedup {
       minJaccard: Double = 0.8, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val candidates = lshCandidatePairs(minhashSignatures(docs, n, k, textCol, idCol), k, bands)
     val sh = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextOps.shingles(col(textCol), n))).as("shingle"))
+      explode(graftShingles(col(textCol), n)).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("setSize"))
     val inter = candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sh_a"), "id_a")

@@ -4,22 +4,30 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions.graftDot
+
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Baseline: brute-force cosine top-k — block-broadcast join + per-row
-  * dot product with `zip_with`/`aggregate` (codegen'd higher-order
-  * functions, no UDF). The scale path is LSH bucketing with random
-  * hyperplanes: sign-bit signatures → equi-join on (table, bucket) so
-  * only same-bucket vectors are compared; probing multiple tables
-  * recovers recall, identical to the MinHash banding trade-off.
+  * Baseline: brute-force cosine top-k. The scale path is LSH bucketing
+  * with random hyperplanes: sign-bit signatures → equi-join on
+  * (table, bucket) so only same-bucket vectors are compared; probing
+  * multiple tables recovers recall — the MinHash banding trade-off.
+  *
+  * Hot-path arithmetic uses [[graft.functions.DotProduct]] (a codegen'd
+  * native expression — one fused loop per pair, no allocation); vector
+  * norms are computed ONCE per side before any join, so the O(n²) stage
+  * does exactly one dot product per pair. All accumulation is f64
+  * left→right, matching the DuckDB oracle bit-for-bit.
   */
 object Similarity {
 
-  /** Cast to double once; all arithmetic in f64 so results are
-    * deterministic and engine-comparable.
-    */
+  /** Cast to double once so all downstream arithmetic is f64. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Interpreted-fallback helpers (higher-order functions); per-row use
+    * only — the per-pair path goes through graft_dot.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -28,62 +36,64 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact cosine top-k neighbors for each query vector (brute force).
-    * The corpus side is broadcast when small; at scale, partition the
-    * corpus and take per-partition top-k then global top-k (the
-    * `Window`+filter shape below already reduces per-partition before
-    * the final shuffle thanks to AQE partial aggregation of rank).
+    * Corpus side broadcast when small; at scale partition the corpus and
+    * rely on the windowed rank's partial reduction.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(graftDot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(graftDot(col("cv"), col("cv"))))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
-  /** Random-hyperplane LSH signature: `bits` sign bits, hyperplane h_i
-    * deterministic from (seed, i, dim index) via a hash-derived
-    * pseudo-gaussian (sum of 4 uniform hashes, central-limit-ish).
+  /** Random-hyperplane LSH signature: `bits` sign bits. Hyperplanes are
+    * seeded gaussian literal arrays evaluated through the native dot
+    * product (codegen'd — the signature of a billion vectors is `bits`
+    * fused loops per row, no per-element lambda dispatch).
     */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
     val v = asDouble(vec)
     val bitCols = (0 until bits).map { i =>
-      // dot(v, h_i) where h_i(d) = hash(seed,i,d) mapped to [-0.5, 0.5]
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(dim - 1)),
-          (x, d) => x * ((pmod(xxhash64(lit(seed), lit(i), d), lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
+      val rnd = new scala.util.Random(seed * 7919L + i)
+      val plane = Array.fill(dim)(rnd.nextGaussian())
+      when(graftDot(v, typedLit(plane)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }
     bitCols.reduce(_.bitwiseOR(_))
   }
 
   /** Approximate top-k: compare only vectors sharing an LSH bucket in at
-    * least one of `tables` independent hash tables, then exact cosine +
-    * rank within the candidate set.
+    * least one of `tables` hash tables, then exact cosine + rank within
+    * the candidate set.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       bitsPerTable: Int = 12, tables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def bucketed(df: DataFrame, idAs: String, vecAs: String) = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    def bucketed(df: DataFrame, idAs: String, vecAs: String, normAs: String) = {
       val base = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
+        .withColumn(normAs, sqrt(graftDot(col(vecAs), col(vecAs))))
       val tableCols = (0 until tables).map(t =>
         struct(lit(t).as("table"),
           hyperplaneSignature(col(vecAs), dim, bitsPerTable, seed = 1000L + t).as("bucket")))
-      base.select(col(idAs), col(vecAs), explode(array(tableCols: _*)).as("tb"))
-        .select(col(idAs), col(vecAs), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      base.select(col(idAs), col(vecAs), col(normAs), explode(array(tableCols: _*)).as("tb"))
+        .select(col(idAs), col(vecAs), col(normAs), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     }
-    val q = bucketed(queries, "query_id", "qv")
-    val c = bucketed(corpus, "neighbor_id", "cv")
+    val q = bucketed(queries, "query_id", "qv", "qn")
+    val c = bucketed(corpus, "neighbor_id", "cv", "cn")
     val cand = q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val scored = cand.withColumn("sim",
+      round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -95,10 +105,13 @@ object Similarity {
     */
   def cosineDupPairs(vectors: DataFrame, minSim: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
     val a = vectors.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+      .withColumn("na", sqrt(graftDot(col("va"), col("va"))))
     val b = vectors.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+      .withColumn("nb", sqrt(graftDot(col("vb"), col("vb"))))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", round(graftDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= minSim)
       .select("id_a", "id_b", "sim")
   }

@@ -98,16 +98,25 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
-  /** Per-document text metrics, one narrow projection. */
+  /** Per-document text metrics in two narrow projections: the expensive
+    * primitives (tokenization, regex counts) are computed exactly once
+    * and the composite quality score is derived from those columns —
+    * not recomputed per metric.
+    */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(
-      col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
-      subwordCount(col("text")).as("n_subwords"),
-      length(col("text")).as("n_chars"),
-      punctCount(col("text")).as("n_punct"),
-      round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
-      qualityScore(col("text")).as("quality"),
-      langId(col("text")).as("lang_pred"),
-      fingerprint(col("text")).as("fingerprint"))
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        subwordCount(col("text")).as("n_subwords"),
+        length(col("text")).as("n_chars"),
+        punctCount(col("text")).as("n_punct"),
+        round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        langId(col("text")).as("lang_pred"),
+        fingerprint(col("text")).as("fingerprint"))
+      .withColumn("quality", {
+        val lenScore = least(col("n_chars").cast("double") / 500.0, lit(1.0))
+        val punctScore = least(col("n_punct").cast("double") * 10.0 / greatest(col("n_tokens"), lit(1)), lit(1.0))
+        val stopScore = least(col("stopword_ratio") * 5.0, lit(1.0))
+        round(lenScore * 0.5 + punctScore * 0.2 + stopScore * 0.3, 6)
+      })
 }

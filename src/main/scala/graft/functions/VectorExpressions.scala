@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst dot product over `array<float>` / `array<double>`
+  * columns.
+  *
+  * The built-in equivalent, `aggregate(zip_with(a, b, _*_), 0d, _+_)`,
+  * is a higher-order function — CodegenFallback, per-row closure
+  * invocation and an intermediate array allocation per pair. On an
+  * all-pairs similarity join that's the entire runtime (150 s for 12.5M
+  * pairs at sf0.1). This expression generates a single fused loop with
+  * no allocation; accumulation is sequential left→right in double, the
+  * same order as the interpreted version and the DuckDB oracle.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if (l == FloatType || l == DoubleType) && l == r =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_dot expects two array<float>/array<double> of matching type, " +
+            s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    val n = math.min(la.numElements(), ra.numElements())
+    var sum = 0.0
+    var i = 0
+    if (elemType == FloatType) {
+      while (i < n) { sum += la.getFloat(i).toDouble * ra.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { sum += la.getDouble(i) * ra.getDouble(i); i += 1 }
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemType == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (double)$l.$get($i) * (double)$r.$get($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-API surface for graft's native expressions. */
+object GraftFunctions {
+
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Idempotently register graft expressions on a session. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val key = System.identityHashCode(spark.sessionState).toString
+    if (registered.add(key)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_shingles"),
+        new ExpressionInfo(classOf[HashedShingles].getName, "graft_shingles"),
+        (exprs: Seq[Expression]) => HashedShingles(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]))
+    }
+  }
+
+  /** Fused native dot product (requires [[ensureRegistered]] on the
+    * owning session, done automatically by graft.ext.Similarity).
+    */
+  def graftDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Distinct hashed word-shingle set (requires [[ensureRegistered]]). */
+  def graftShingles(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(n))
+}
