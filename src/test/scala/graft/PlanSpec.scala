@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gates: these queries must not regress to bad physical
+  * plans. Asserting on the executed plan keeps "is the filter pushed
+  * down / is the dim broadcast / is codegen on" from silently breaking —
+  * at 100 TB those are the difference between minutes and hours.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter and projection push down to the parquet scan") {
+    val plan = planOf("q01_scan_filter")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_shipdate:timestamp"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("q03/q04: dimension joins are broadcast, not shuffled") {
+    assert(planOf("q03_join_agg").contains("BroadcastHashJoin"))
+    val p4 = planOf("q04_star_join")
+    assert(p4.contains("BroadcastHashJoin"))
+    assert(!p4.contains("SortMergeJoin"), s"star join fell back to SMJ:\n$p4")
+  }
+
+  test("q02: two-phase hash aggregation with partial agg before the shuffle") {
+    val plan = planOf("q02_agg_group")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial"), plan)
+  }
+
+  test("q07: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("q07_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q05: anti join stays a real anti join") {
+    assert(planOf("q05_anti_join").contains("LeftAnti"), planOf("q05_anti_join"))
+  }
+
+  test("whole-stage codegen is active on the scan-agg path") {
+    val df = SparkEntry.queries("q02_agg_group")(spark, sf)
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(2000))
+  }
+
+  test("d05: per-side norms are computed below the pair join") {
+    val df = SparkEntry.queries("d05_embedding_dups")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // norm (graft_dot(v,v)) must appear in a Project under the join, not above it
+    val joinIdx = plan.indexOf("Join")
+    val normIdx = plan.lastIndexOf("SQRT(dotproduct")
+    assert(joinIdx >= 0 && normIdx > joinIdx,
+      s"norms not pushed below the join:\n$plan")
+  }
+}
