@@ -13,19 +13,41 @@ import org.apache.spark.sql.functions._
   */
 object Delta {
 
-  /** Both directions of the tree diff. */
-  def getDelta(sourceUri0: String, targetUri0: String)(
+  /** Both directions of the tree diff.
+    *
+    * @param checkContent when true, files are additionally compared by a
+    *        distributed content hash (FNV-1a 64 over the byte stream) —
+    *        the reference equates files by relative path + size only
+    *        (reference Delta.scala:45-46), which misses same-size edits.
+    *        Hashing reads every byte, so it is opt-in.
+    */
+  def getDelta(sourceUri0: String, targetUri0: String, checkContent: Boolean = false)(
       implicit spark: SparkSession): (Array[DeltaEntry], Array[DeltaEntry]) = {
     import spark.implicits._
     implicit val conf = spark.sparkContext.hadoopConfiguration
     val sourceUri = sourceUri0.stripSuffix("/")
     val targetUri = targetUri0.stripSuffix("/")
-    // relPath = path minus "<rootUri>/" (SQL substring is 1-based)
-    val src = spark.createDataset(Fs.list(sourceUri).toIndexedSeq)
-      .withColumn("relPath", expr(s"substring(path, ${sourceUri.length + 2})"))
-    val trg = spark.createDataset(Fs.list(targetUri).toIndexedSeq)
-      .withColumn("relPath", expr(s"substring(path, ${targetUri.length + 2})"))
-    val keys = Seq("relPath", "isDirectory", "byteSize")
+
+    def side(rootUri: String) = {
+      // relPath = path minus "<rootUri>/" (SQL substring is 1-based)
+      val listed = spark.createDataset(Fs.list(rootUri).toIndexedSeq)
+        .withColumn("relPath", expr(s"substring(path, ${rootUri.length + 2})"))
+      if (!checkContent) listed.withColumn("contentHash", lit(0L))
+      else {
+        val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+        listed.as[(String, Boolean, Long, String)].mapPartitions { it =>
+          val c = sconf.value
+          it.map { case (path, isDir, size, rel) =>
+            val h = if (isDir) 0L else contentHash(c, path)
+            (path, isDir, size, rel, h)
+          }
+        }.toDF("path", "isDirectory", "byteSize", "relPath", "contentHash")
+      }
+    }
+
+    val src = side(sourceUri)
+    val trg = side(targetUri)
+    val keys = Seq("relPath", "isDirectory", "byteSize", "contentHash")
     val missing = src.join(trg, keys, "left_anti")
       .select($"relPath").as[String].collect()
       .map(DeltaEntry(_, DeltaEntry.MissingInTarget))
@@ -35,15 +57,32 @@ object Delta {
     (missing, extra)
   }
 
+  /** FNV-1a 64 of a file's bytes (streamed, 64 KiB buffer). */
+  private def contentHash(conf: org.apache.hadoop.conf.Configuration, uri: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(uri)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      var h = 0xcbf29ce484222325L
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) { h = (h ^ (buf(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+        n = in.read(buf)
+      }
+      h
+    } finally in.close()
+  }
+
   /** Make target identical to source: delete target-only paths, then
     * distributed-copy the missing files (reference Delta.scala:25-32).
     */
-  def synchronize(sourceUri0: String, targetUri0: String, taskCount: Int = -1)(
-      implicit spark: SparkSession): Unit = {
+  def synchronize(sourceUri0: String, targetUri0: String, taskCount: Int = -1,
+      checkContent: Boolean = false)(implicit spark: SparkSession): Unit = {
     implicit val conf = spark.sparkContext.hadoopConfiguration
     val sourceUri = sourceUri0.stripSuffix("/")
     val targetUri = targetUri0.stripSuffix("/")
-    val (missing, extra) = getDelta(sourceUri, targetUri)
+    val (missing, extra) = getDelta(sourceUri, targetUri, checkContent)
     // delete deepest-first so children go before parents
     val toDelete = extra.map(e => s"$targetUri/${e.path}").sortBy(-_.length).toIndexedSeq
     LocalExecution.deletePaths(toDelete)

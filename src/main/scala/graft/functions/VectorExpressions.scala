@@ -92,6 +92,10 @@ object GraftFunctions {
         new ExpressionInfo(classOf[HashedShingles].getName, "graft_shingles"),
         (exprs: Seq[Expression]) => HashedShingles(exprs(0),
           exprs(1).eval().asInstanceOf[Int]))
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_text_metrics"),
+        new ExpressionInfo(classOf[TextMetrics].getName, "graft_text_metrics"),
+        (exprs: Seq[Expression]) => TextMetrics(exprs(0)))
     }
   }
 
@@ -103,4 +107,7 @@ object GraftFunctions {
   /** Distinct hashed word-shingle set (requires [[ensureRegistered]]). */
   def graftShingles(text: Column, n: Int): Column =
     call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(n))
+
+  /** One-pass text metrics struct (requires [[ensureRegistered]]). */
+  def graftTextMetrics(text: Column): Column = call_function("graft_text_metrics", text)
 }

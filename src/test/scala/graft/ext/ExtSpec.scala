@@ -78,6 +78,25 @@ class ExtSpec extends AnyFunSuite {
     assert(fps(0) != fps(1))
   }
 
+  test("fused analyze() equals the column-primitive formulation") {
+    import org.apache.spark.sql.functions.{length => slen}
+    val expected = docs.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.subwordCount(col("text")).as("n_subwords"),
+      slen(col("text")).as("n_chars"),
+      TextOps.punctCount(col("text")).as("n_punct"),
+      round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      TextOps.langId(col("text")).as("lang_pred"),
+      TextOps.fingerprint(col("text")).as("fingerprint"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    val actual = TextOps.analyze(docs)
+      .select(expected.columns.map(col).toIndexedSeq: _*)
+    val e = expected.collect().map(_.toSeq).toSet
+    val a = actual.collect().map(_.toSeq).toSet
+    assert(a == e, s"diff: ${(e -- a).take(2)} vs ${(a -- e).take(2)}")
+  }
+
   test("token counts: empty and whitespace-only are 0") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("doc_id", "text")

@@ -75,6 +75,27 @@ class MoveCopyDeleteSpec extends AnyFunSuite {
     assert(LocalExecution.deletePaths(Seq(s"$root/ghost")).forall(_.success))
   }
 
+  test("Delta checkContent catches same-size content drift") {
+    val src = TestTree.newRoot("dlc_src"); TestTree.create(src, 11)
+    val trg = TestTree.newRoot("dlc_trg")
+    DistributedExecution.copyFolder(src, trg)
+    // corrupt one target file, SAME byte length
+    val fs = TestTree.fsFor(trg)
+    val victim = Fs.list(trg).filter(!_.isDirectory).head
+    val size = victim.byteSize.toInt
+    val out = fs.create(new Path(victim.path), true)
+    out.write(Array.fill[Byte](size)('Z')); out.close()
+
+    val (m0, e0) = Delta.getDelta(src, trg) // size-only: blind to the edit
+    assert(m0.isEmpty && e0.isEmpty)
+    val (m1, e1) = Delta.getDelta(src, trg, checkContent = true)
+    assert(m1.length == 1 && e1.length == 1)
+
+    Delta.synchronize(src, trg, checkContent = true)
+    val (m2, e2) = Delta.getDelta(src, trg, checkContent = true)
+    assert(m2.isEmpty && e2.isEmpty)
+  }
+
   test("Delta.getDelta finds missing and extra; synchronize reconciles") {
     val src = TestTree.newRoot("dl_src"); TestTree.create(src, 42)
     val trg = TestTree.newRoot("dl_trg")
