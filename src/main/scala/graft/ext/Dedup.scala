@@ -130,11 +130,22 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash fingerprint: per token-hash bit, sum +1/-1 across the
-    * document; bit set where the sum is positive. One groupBy with 64
-    * conditional-sum aggregates — fully codegen'd.
+  /** 64-bit SimHash fingerprint via the one-pass native expression
+    * ([[graft.functions.SimHash64]]) — no explode, no shuffle; the
+    * operator's only wide dependency is the later banding join.
     */
   def simhash64(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      GraftFunctions.graftSimhash(col(textCol)).as("simhash"))
+  }
+
+  /** Declarative reference formulation of [[simhash64]] (explode →
+    * 64 conditional sums → bit reassembly); kept as the oracle for the
+    * native expression in ExtSpec.
+    */
+  private[graft] def simhash64Declarative(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

@@ -96,6 +96,10 @@ object GraftFunctions {
         FunctionIdentifier("graft_text_metrics"),
         new ExpressionInfo(classOf[TextMetrics].getName, "graft_text_metrics"),
         (exprs: Seq[Expression]) => TextMetrics(exprs(0)))
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_simhash"),
+        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+        (exprs: Seq[Expression]) => SimHash64(exprs(0)))
     }
   }
 
@@ -110,4 +114,7 @@ object GraftFunctions {
 
   /** One-pass text metrics struct (requires [[ensureRegistered]]). */
   def graftTextMetrics(text: Column): Column = call_function("graft_text_metrics", text)
+
+  /** One-pass 64-bit SimHash (requires [[ensureRegistered]]). */
+  def graftSimhash(text: Column): Column = call_function("graft_simhash", text)
 }

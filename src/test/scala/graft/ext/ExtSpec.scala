@@ -35,7 +35,15 @@ class ExtSpec extends AnyFunSuite {
       assert(pairs.filter(col("hamming") === 0).count() > 0)
     }
     val fps = Dedup.simhash64(docs)
-    assert(fps.count() == docs.filter(length(trim(col("text"))) > 0).count())
+    assert(fps.count() == docs.count())
+  }
+
+  test("native simhash equals the declarative formulation") {
+    val native = Dedup.simhash64(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val declarative = Dedup.simhash64Declarative(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == declarative)
   }
 
   test("lshTopK achieves reasonable recall vs brute force") {
