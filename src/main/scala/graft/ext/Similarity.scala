@@ -51,7 +51,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits. Hyperplanes are
@@ -97,7 +97,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
   /** All pairs with cosine ≥ minSim (embedding near-dup detection),

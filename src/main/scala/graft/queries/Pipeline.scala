@@ -52,9 +52,9 @@ object Pipeline {
   def t01TextStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
         col("doc_id"),
-        TextOps.tokenCount(col("text")).as("n_tokens"),
-        length(col("text")).as("len_chars"),
-        TextOps.punctCount(col("text")).as("n_punct"))
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"),
+        TextOps.punctCount(col("text")).cast("long").as("n_punct"))
       .orderBy(col("doc_id"))
 
   def t02TextAnalyze(spark: SparkSession, dir: String): DataFrame =
@@ -77,7 +77,7 @@ object Pipeline {
       .withColumn("window_hour", expr("ts div 3600000000000"))
       .groupBy(col("window_hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .orderBy(col("window_hour"), col("event_type"))
 
   private val ngramJaccardOracle =
@@ -136,13 +136,13 @@ object Pipeline {
         |  length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct
         |FROM documents ORDER BY doc_id""".stripMargin,
     "j01_json_extract" ->
-      """SELECT event_type, count(*) AS cnt, sum(k) AS sum_k FROM (
+      """SELECT event_type, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |  FROM events) t
         |WHERE k > 50 GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e01_event_windows" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS window_hour, event_type,
-        |  count(*) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_hour, event_type""".stripMargin,
   )
 

@@ -42,7 +42,7 @@ object Relational {
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 4))).as("revenue"),
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"),
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -62,7 +62,7 @@ object Relational {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
       .orderBy(col("r_name"))
 
   /** Q5 anti-join (customers with no orders) — left_anti, not NOT IN-collect. */
@@ -107,7 +107,7 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .orderBy(col("event_type"))
 
   /** Q10 set op: INTERSECT (distinct semantics in both Spark and the oracle). */
@@ -125,7 +125,7 @@ object Relational {
     "q02_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -134,7 +134,7 @@ object Relational {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q04_star_join" ->
-      """SELECT r_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      """SELECT r_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -157,7 +157,7 @@ object Relational {
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q09_events" ->
       """SELECT event_type, count(*) AS cnt,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q10_intersect" ->

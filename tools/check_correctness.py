@@ -25,6 +25,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def cmp(a: pd.DataFrame, b: pd.DataFrame):
     if list(a.columns) != list(b.columns):
         return f"schema mismatch: {list(a.columns)} vs {list(b.columns)}"
+    # dtype drift (e.g. int32 vs int64, decimal scale) may hash-mismatch
+    # in the driver even when values compare equal — treat as failure
+    for c in a.columns:
+        if a[c].dtype != b[c].dtype:
+            return f"dtype mismatch col {c}: {a[c].dtype} vs {b[c].dtype}"
     if len(a) != len(b):
         return f"row count mismatch: {len(a)} vs {len(b)}"
     for c in a.columns:
