@@ -57,6 +57,32 @@ object Delta {
     (missing, extra)
   }
 
+  /** Fully-distributed diff (SURVEY §7.4.1-3): listings come from the
+    * level-synchronous Dataset scan and NOTHING is collected — the
+    * returned Dataset[DeltaEntry] can itself be millions of rows and
+    * feed the copy/delete stages distributively. Equivalent to
+    * [[getDelta]] (asserted in MoveCopyDeleteSpec); use this form when
+    * a tree is too large for a driver listing.
+    */
+  def getDeltaDataset(sourceUri0: String, targetUri0: String)(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[DeltaEntry] = {
+    import spark.implicits._
+    val sourceUri = sourceUri0.stripSuffix("/")
+    val targetUri = targetUri0.stripSuffix("/")
+    val src = Fs.listDistributed(spark, sourceUri)
+      .withColumn("relPath", expr(s"substring(path, ${sourceUri.length + 2})"))
+    val trg = Fs.listDistributed(spark, targetUri)
+      .withColumn("relPath", expr(s"substring(path, ${targetUri.length + 2})"))
+    val keys = Seq("relPath", "isDirectory", "byteSize")
+    val missing = src.join(trg, keys, "left_anti")
+      .select($"relPath").as[String]
+      .map(DeltaEntry(_, DeltaEntry.MissingInTarget))
+    val extra = trg.join(src, keys, "left_anti")
+      .select($"relPath").as[String]
+      .map(DeltaEntry(_, DeltaEntry.OnlyInTarget))
+    missing.union(extra)
+  }
+
   /** FNV-1a 64 of a file's bytes (streamed, 64 KiB buffer). */
   private def contentHash(conf: org.apache.hadoop.conf.Configuration, uri: String): Long = {
     val p = new org.apache.hadoop.fs.Path(uri)

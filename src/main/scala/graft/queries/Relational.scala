@@ -116,8 +116,79 @@ object Relational {
       .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
       .orderBy(col("nationkey"))
 
+  /** Q11 rollup: subtotals per (flag, status), per flag, and grand total.
+    * Grouping nulls are coalesced to 'ALL' so null-ordering differences
+    * between engines can't bite.
+    */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"))
+      .orderBy(col("flag"), col("status"))
+
+  /** Q12 running aggregate: cumulative spend per customer over order time. */
+  def q12Running(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Q13 gaps-and-islands sessionization (batch): a session ends after a
+    * 30-minute silence. Same windowed cumulative-flag construction any
+    * SQL engine can express — the streaming `session_window` twin lives
+    * in graft.streaming.
+    */
+  def q13Sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapNs = 1800000000000L // 30 min in ns (ts is epoch-nanos)
+    Tables.events(spark, dir)
+      .withColumn("new_session",
+        when(col("ts") - lag(col("ts"), 1).over(byUser) > gapNs, 1)
+          .when(lag(col("ts"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("session_id")).as("n_sessions"), count(lit(1)).as("cnt"))
+      .orderBy(col("user_id"))
+  }
+
   /** Oracle SQL (DuckDB dialect ≡ ANSI) — must alias identically to the above. */
   val oracles: Map[String, String] = Map(
+    "q11_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q12_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q13_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+        |         OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS cnt
+        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_extendedprice FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -178,5 +249,8 @@ object Relational {
     "q08_window"      -> q08Window _,
     "q09_events"      -> q09Events _,
     "q10_intersect"   -> q10Intersect _,
+    "q11_rollup"      -> q11Rollup _,
+    "q12_running"     -> q12Running _,
+    "q13_sessions"    -> q13Sessions _,
   )
 }

@@ -75,6 +75,18 @@ class MoveCopyDeleteSpec extends AnyFunSuite {
     assert(LocalExecution.deletePaths(Seq(s"$root/ghost")).forall(_.success))
   }
 
+  test("distributed getDeltaDataset equals the driver-listing diff") {
+    val src = TestTree.newRoot("dd_src"); TestTree.create(src, 21)
+    val trg = TestTree.newRoot("dd_trg")
+    DistributedExecution.copyFolder(s"$src/top0", s"$trg/top0")
+    val (missing, extra) = Delta.getDelta(src, trg)
+    val expected = (missing.map(e => (e.path, e.message)) ++
+      extra.map(e => (e.path, e.message))).toSet
+    val dist = Delta.getDeltaDataset(src, trg).collect()
+      .map(e => (e.path, e.message)).toSet
+    assert(dist == expected)
+  }
+
   test("Delta checkContent catches same-size content drift") {
     val src = TestTree.newRoot("dlc_src"); TestTree.create(src, 11)
     val trg = TestTree.newRoot("dlc_trg")
