@@ -110,9 +110,12 @@ object Similarity {
       .withColumn("na", sqrt(graftDot(col("va"), col("va"))))
     val b = vectors.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
       .withColumn("nb", sqrt(graftDot(col("vb"), col("vb"))))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(graftDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-      .filter(col("sim") >= minSim)
-      .select("id_a", "id_b", "sim")
+    val simRaw = graftDot(col("va"), col("vb")) / (col("na") * col("nb"))
+    // both predicates in the join condition, cheap id check FIRST: a
+    // pushed-down filter would land before it and run the dot product on
+    // all n² ordered pairs instead of n²/2. Threshold compares the RAW
+    // sim (like the oracle); only the output is rounded.
+    a.join(b, col("id_a") < col("id_b") && simRaw >= minSim)
+      .select(col("id_a"), col("id_b"), round(simRaw, 6).as("sim"))
   }
 }
