@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities.
+  *
+  * AQE's skew-join splitting (on by default in [[graft.GraftSession]])
+  * handles most runtime skew; these helpers cover the cases AQE can't:
+  * a single hot aggregation key, and broadcast-impossible joins against
+  * a hot key set. Salting is deterministic (hash-derived, no rand()) so
+  * reruns and retries produce identical partitioning.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, buckets): hash of the whole row — uniform
+    * regardless of key skew, stable across retries.
+    */
+  def saltCol(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong)).cast("int")
+
+  /** Two-phase skew-proof sum: partial aggregate on (keys, salt) — at
+    * most `buckets` partial rows per hot key per shuffle partition —
+    * then final aggregate on keys. Result is identical to a direct
+    * groupBy/sum (decimal/long sums; double sums differ only by fp
+    * association, as with any repartitioning).
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", saltCol(df, buckets))
+    salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+  }
+
+  /** Skewed equi-join: the large (skewed) side gets a deterministic salt,
+    * the small side is replicated once per salt value; the join key
+    * becomes (key, salt) so a hot key spreads over `buckets` tasks.
+    * Inner-join semantics are unchanged.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      buckets: Int = 16): DataFrame = {
+    val saltedLarge = large.withColumn("__salt", saltCol(large, buckets))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedLarge.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}
