@@ -100,6 +100,50 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer (deterministic
+    * hash-ordered sample of the corpus as centroids) partitions the
+    * corpus into inverted lists; each query probes its `nProbe` nearest
+    * centroids and runs exact cosine only inside those lists.
+    *
+    * At 100 TB the centroid assignment is a broadcast join (centroid
+    * table is tiny) and the candidate join shuffles on centroid id —
+    * the classic IVF trade-off: scan nProbe/nCentroids of the corpus.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(graftDot(col("cv"), col("cv"))))
+    // deterministic coarse quantizer: first nCentroids vectors by hashed id
+    val centroids = c.orderBy(xxhash64(col("neighbor_id")))
+      .limit(nCentroids)
+      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"),
+        col("cn").as("centn"))
+    def assign(df: DataFrame, vec: String, nrm: String, keep: Int) = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("csim", graftDot(col(vec), col("centv")) / (col(nrm) * col("centn")))
+      val w = Window.partitionBy(df.columns.map(col).toIndexedSeq: _*)
+        .orderBy(col("csim").desc, col("centroid_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("centv", "centn", "csim", "crank")
+    }
+    val corpusLists = assign(c, "cv", "cn", 1)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(graftDot(col("qv"), col("qv"))))
+    val probes = assign(q, "qv", "qn", nProbe)
+    val cand = probes.join(corpusLists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("sim",
+      round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** All pairs with cosine ≥ minSim (embedding near-dup detection),
     * brute force; a < b.
     */

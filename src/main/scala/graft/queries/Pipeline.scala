@@ -49,6 +49,13 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def s03IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, k = 5,
+        nCentroids = 16, nProbe = 6)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def t01TextStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
         col("doc_id"),
@@ -154,6 +161,7 @@ object Pipeline {
     "d05_embedding_dups" -> d05EmbeddingDups _,
     "s01_sim_topk"       -> s01SimTopK _,
     "s02_lsh_topk"       -> s02LshTopK _,
+    "s03_ivf_topk"       -> s03IvfTopK _,
     "t01_text_stats"     -> t01TextStats _,
     "t02_text_analyze"   -> t02TextAnalyze _,
     "j01_json_extract"   -> j01JsonExtract _,

@@ -57,6 +57,17 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.25, f"LSH recall $recall%.2f too low") // random near-orthogonal vectors: floor
   }
 
+  test("ivfTopK achieves reasonable recall vs brute force") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(q, emb, 5, nCentroids = 16, nProbe = 6)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.25, f"IVF recall $recall%.2f too low")
+  }
+
   test("langId classifies real multilingual samples; valid codes on fixture") {
     import spark.implicits._
     // note: the fixture's lang label is random (text is the same synthetic
