@@ -55,7 +55,9 @@ object Dedup {
     GraftFunctions.ensureRegistered(docs.sparkSession)
     val sh = docs.select(col(idCol).as("id"),
         explode(graftShingles(col(textCol), n)).as("shingle"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("setSize"))
+    // |set| is a narrow map over the shingle array — no explode/shuffle
+    val sizes = docs.select(col(idCol).as("id"),
+      size(graftShingles(col(textCol), n)).cast("long").as("setSize"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -113,7 +115,8 @@ object Dedup {
     val candidates = lshCandidatePairs(minhashSignatures(docs, n, k, textCol, idCol), k, bands)
     val sh = docs.select(col(idCol).as("id"),
       explode(graftShingles(col(textCol), n)).as("shingle"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("setSize"))
+    val sizes = docs.select(col(idCol).as("id"),
+      size(graftShingles(col(textCol), n)).cast("long").as("setSize"))
     val inter = candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "sh_b"), "id_b")

@@ -71,6 +71,44 @@ object EventsStream {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding hour. Both sides watermarked so
+    * Spark can discard buffered state past the interval — the state
+    * bound that makes this viable on an unbounded stream.
+    */
+  def clickToPurchaseJoin(events: DataFrame, within: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $within"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
+  /** Batch twin of [[clickToPurchaseJoin]] for parity checks. */
+  def clickToPurchaseBatch(spark: SparkSession, dir: String, within: String = "1 hour"): DataFrame = {
+    val events = graft.Tables.events(spark, dir).withColumn("ts", Cols.nanosToTs(col("ts")))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $within"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   // -------- stateful processing (mapGroupsWithState) ------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

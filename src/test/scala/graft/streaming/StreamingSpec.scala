@@ -41,6 +41,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val q = EventsStream.clickToPurchaseJoin(EventsStream.read(spark, streamDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_out")
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventsStream.clickToPurchaseBatch(spark, sf)
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates running user totals") {
     import spark.implicits._
     val events = EventsStream.read(spark, streamDir)
