@@ -1,0 +1,64 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** End-to-end tour of the training-data pipeline operators through the
+  * public API on the real fixtures: analyze → filter → dedup (exact +
+  * near) → similarity — the shape of an actual corpus-cleaning job.
+  * Run: `sbt "runMain graft.examples.PipelineTour"`.
+  */
+object PipelineTour {
+  def main(args: Array[String]): Unit = {
+    implicit val spark = GraftSession.local(8)
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    var failed = 0
+    def check(name: String)(cond: => Boolean): Unit = {
+      val ok = try cond catch { case e: Throwable => println(s"  ! $name: $e"); false }
+      println(f"${if (ok) "OK  " else "FAIL"} $name"); if (!ok) failed += 1
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+    val analyzed = TextOps.analyze(docs).cache()
+    check("text analysis covers every doc") { analyzed.count() == docs.count() }
+
+    val quality = analyzed.filter(col("quality") > 0.2)
+    check("quality filter keeps a nonempty subset") {
+      val n = quality.count(); n > 0 && n <= docs.count()
+    }
+
+    val deduped = Dedup.dropExactDuplicates(docs)
+    check("exact dedup keeps distinct texts") {
+      deduped.count() == docs.select("text").distinct().count()
+    }
+
+    val nearPairs = Dedup.minhashDedupPairs(docs, n = 3, k = 32, bands = 16, minJaccard = 0.5)
+    check("minhash near-dup pairs found and verified >= threshold") {
+      val rows = nearPairs.collect()
+      rows.nonEmpty && rows.forall(_.getDouble(2) >= 0.5)
+    }
+
+    check("ANN top-5 agrees with brute force on top-1 for most queries") {
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, emb, 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ivf = Similarity.ivfTopK(q, emb, 5, nCentroids = 16, nProbe = 8)
+        .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+      val hits = exact.count { case (qid, n1) => ivf.getOrElse(qid, Set.empty).contains(n1) }
+      hits >= exact.size / 2
+    }
+
+    check("multimodal features flow into dedup") {
+      val media = Multimodal.syntheticMedia(docs.limit(100))
+      Multimodal.extractFeatures(media).count() == 100
+    }
+
+    spark.stop()
+    if (failed > 0) { println(s"$failed FAILED"); sys.exit(1) }
+    println("PipelineTour: all checks passed")
+  }
+}
