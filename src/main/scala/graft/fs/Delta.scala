@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object Delta {
 
+  /** Relative path of `p` under `root`, compared on scheme-independent
+    * URI paths (as AclManager.rel does) so caller spellings — file:///x
+    * vs file:/x, trailing slash, unqualified — can't break the prefix
+    * arithmetic the way a raw string offset would.
+    */
+  private[fs] def rel(root: String)(p: String): String = {
+    val rootPath = new org.apache.hadoop.fs.Path(root).toUri.getPath.stripSuffix("/")
+    val pp = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    require(pp.startsWith(rootPath + "/"), s"listed path $p is not under root $root")
+    pp.substring(rootPath.length + 1)
+  }
+
   /** Both directions of the tree diff.
     *
     * @param checkContent when true, files are additionally compared by a
@@ -29,9 +41,11 @@ object Delta {
     val targetUri = targetUri0.stripSuffix("/")
 
     def side(rootUri: String) = {
-      // relPath = path minus "<rootUri>/" (SQL substring is 1-based)
-      val listed = spark.createDataset(Fs.list(rootUri).toIndexedSeq)
-        .withColumn("relPath", expr(s"substring(path, ${rootUri.length + 2})"))
+      val relOf = rel(rootUri) _
+      val listed = spark.createDataset(Fs.list(rootUri).toIndexedSeq
+          .map(e => (e.path, e.isDirectory, e.byteSize)))
+        .toDF("path", "isDirectory", "byteSize")
+        .withColumn("relPath", udf(relOf).apply($"path"))
       if (!checkContent) listed.withColumn("contentHash", lit(0L))
       else {
         val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
@@ -70,9 +84,9 @@ object Delta {
     val sourceUri = sourceUri0.stripSuffix("/")
     val targetUri = targetUri0.stripSuffix("/")
     val src = Fs.listDistributed(spark, sourceUri)
-      .withColumn("relPath", expr(s"substring(path, ${sourceUri.length + 2})"))
+      .withColumn("relPath", udf(rel(sourceUri) _).apply($"path"))
     val trg = Fs.listDistributed(spark, targetUri)
-      .withColumn("relPath", expr(s"substring(path, ${targetUri.length + 2})"))
+      .withColumn("relPath", udf(rel(targetUri) _).apply($"path"))
     val keys = Seq("relPath", "isDirectory", "byteSize")
     val missing = src.join(trg, keys, "left_anti")
       .select($"relPath").as[String]
@@ -106,10 +120,13 @@ object Delta {
   def synchronize(sourceUri0: String, targetUri0: String, taskCount: Int = -1,
       checkContent: Boolean = false)(implicit spark: SparkSession): Unit = {
     implicit val conf = spark.sparkContext.hadoopConfiguration
-    val sourceUri = sourceUri0.stripSuffix("/")
-    val targetUri = targetUri0.stripSuffix("/")
+    val sourceUri = new org.apache.hadoop.fs.Path(sourceUri0).toString
+    val targetUri = new org.apache.hadoop.fs.Path(targetUri0).toString
     val (missing, extra) = getDelta(sourceUri, targetUri, checkContent)
-    // delete deepest-first so children go before parents
+    // delete deepest-first so children go before parents; an empty relPath
+    // would resolve to the target ROOT — refuse rather than wipe it
+    extra.foreach(e => require(e.path.nonEmpty,
+      s"refusing delete of target root (empty relPath in diff of $targetUri)"))
     val toDelete = extra.map(e => s"$targetUri/${e.path}").sortBy(-_.length).toIndexedSeq
     LocalExecution.deletePaths(toDelete)
     val fs = Fs.getFileSystem(conf, targetUri)

@@ -49,8 +49,17 @@ object LocalExecution {
     * clean/create target → move level-1 children → optionally delete the
     * now-empty source folder.
     */
-  def moveFolderContent(sourceUri: String, targetUri: String,
+  def moveFolderContent(sourceUri0: String, targetUri0: String,
       keepSourceFolder: Boolean = false)(implicit conf: Configuration): Seq[FsOperationResult] = {
+    // Normalize caller spellings (file:///x, trailing slash, unqualified)
+    // through Path so every derived string agrees with listStatus output;
+    // targets are built from child NAMES, never string replace, so an
+    // unmatched prefix can't silently turn a move into a self-rename.
+    val sourcePath = new Path(sourceUri0)
+    val targetPath = new Path(targetUri0)
+    val sourceUri = sourcePath.toString
+    val targetUri = targetPath.toString
+    require(sourceUri != targetUri, s"source and target are the same folder: $sourceUri")
     require(Fs.checkIfFsIsTheSame(sourceUri, targetUri),
       s"move requires same FileSystem; use DistributedExecution.copyFolder for $sourceUri -> $targetUri")
     val fs = Fs.getFileSystem(conf, sourceUri)
@@ -59,17 +68,30 @@ object LocalExecution {
     val fuse = new SafetyFuse(fs, targetUri)
     if (!fuse.isInProgress()) {
       fuse.startTransaction()
-      if (fs.exists(new Path(targetUri))) {
+      if (fs.exists(targetPath)) {
         // clear target contents (keep the folder so its ACLs survive)
-        fs.listStatus(new Path(targetUri))
+        fs.listStatus(targetPath)
           .filterNot(_.getPath.getName.endsWith("_open_transaction"))
           .foreach(s => fs.delete(s.getPath, true))
-      } else fs.mkdirs(new Path(targetUri))
+      } else fs.mkdirs(targetPath)
     }
-    val children = fs.listStatus(new Path(sourceUri)).map(_.getPath.toString)
-    val pairs = children.map(c => Paths(c, c.replace(sourceUri, targetUri))).toIndexedSeq
+    val children = fs.listStatus(sourcePath).map(_.getPath)
+    val pairs = children.map { c =>
+      val t = new Path(targetPath, c.getName)
+      require(t.toString != c.toString, s"refusing self-move of $c")
+      Paths(c.toString, t.toString)
+    }.toIndexedSeq
+    // Resuming an interrupted transaction: a child still present in source
+    // may have a leftover target twin (cleared-then-crashed run); Hadoop
+    // rename(src, existingDir) would nest src INSIDE it, so clear twins
+    // first. (Children whose rename completed are gone from the source
+    // listing and keep their target.)
+    val leftovers = pairs.filter(p => fs.exists(new Path(p.targetPath)))
+    if (leftovers.nonEmpty) deletePaths(leftovers.map(_.targetPath))
     val res = movePaths(pairs)
-    if (!keepSourceFolder) fs.delete(new Path(sourceUri), true)
+    // Only drop the source folder once every child actually moved —
+    // deleting it under a failed rename would destroy the unmoved data.
+    if (!keepSourceFolder && res.forall(_.success)) fs.delete(sourcePath, true)
     fuse.endTransaction()
     res
   }

@@ -13,5 +13,9 @@ object Cols {
     * [[graft.GraftSession]]): parquet TIMESTAMP(NANOS) columns arrive as
     * longs and downstream window/watermark ops need real timestamps.
     */
-  def nanosToTs(c: Column): Column = timestamp_micros(c.divide(lit(1000L)).cast("long"))
+  def nanosToTs(c: Column): Column =
+    // integer `div`, not Column./ — double division loses 1µs ULPs on
+    // epoch-nano longs (~1.7e18 > 2^53) and can shift events across
+    // window boundaries
+    timestamp_micros(call_function("div", c, lit(1000L)))
 }

@@ -76,13 +76,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 /** Registration + Column-API surface for graft's native expressions. */
 object GraftFunctions {
 
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
-  /** Idempotently register graft expressions on a session. */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val key = System.identityHashCode(spark.sessionState).toString
-    if (registered.add(key)) {
+  /** Idempotently register graft expressions on a session. The session's
+    * own FunctionRegistry is the source of truth — an external dedupe key
+    * (identity hash) can collide across sessions and silently skip one.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("graft_dot"))) {
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

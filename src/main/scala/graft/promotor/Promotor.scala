@@ -166,17 +166,30 @@ object Promotor {
     pairs.foreach { p =>
       require(Fs.checkIfFsIsTheSame(p.sourcePath, p.targetPath),
         s"move requires one FileSystem: $p")
-      if (!Fs.doesMoveLookSafe(fs, p.sourcePath, p.targetPath))
-        throw new IllegalStateException(s"unsafe move: $p")
     }
     val trgParent = new Path(pairs.head.targetPath).getParent.toString
     val fuse = new SafetyFuse(fs, trgParent)
-    if (!fuse.isInProgress()) {
-      fuse.startTransaction()
-      val existing = pairs.map(_.targetPath).filter(t => fs.exists(new Path(t)))
-      LocalExecution.deletePaths(existing)
+    val resuming = fuse.isInProgress()
+    // Resuming a crashed run: pairs whose source is gone and target exists
+    // already renamed — count them done. Everything else still needs its
+    // move, and any target it finds in the way predates the interrupted
+    // transaction's delete phase.
+    val (done, toMove) =
+      if (!resuming) (Seq.empty[Paths], pairs)
+      else pairs.partition(p =>
+        !fs.exists(new Path(p.sourcePath)) && fs.exists(new Path(p.targetPath)))
+    toMove.foreach { p =>
+      if (!Fs.doesMoveLookSafe(fs, p.sourcePath, p.targetPath))
+        throw new IllegalStateException(s"unsafe move: $p")
     }
-    val res = LocalExecution.movePaths(pairs)
+    if (!resuming) fuse.startTransaction()
+    // Delete pre-existing targets for pairs about to move — on the resume
+    // path too, else Hadoop rename(src, existingDir) silently nests the
+    // partition folder INSIDE the leftover target (trg/p1/p1).
+    val existing = toMove.map(_.targetPath).filter(t => fs.exists(new Path(t)))
+    LocalExecution.deletePaths(existing)
+    val res = done.map(p => FsOperationResult(p.sourcePath, success = true)) ++
+      LocalExecution.movePaths(toMove)
     fuse.endTransaction()
     res
   }

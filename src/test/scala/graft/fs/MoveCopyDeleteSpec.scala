@@ -56,6 +56,40 @@ class MoveCopyDeleteSpec extends AnyFunSuite {
     assert(relSet(trg) == before)
   }
 
+  test("moveFolderContent survives file:/// + trailing-slash URI spellings (ADVICE r1 high)") {
+    val src0 = TestTree.newRoot("mvs_src"); TestTree.create(src0, 7)
+    val trg0 = TestTree.newRoot("mvs_trg") + "/dest"
+    // equivalent but differently-spelled URIs: a raw string replace on
+    // listStatus output (file:/x) would miss these and self-rename
+    val src = "file://" + src0.stripPrefix("file:") + "/"
+    val trg = "file://" + trg0.stripPrefix("file:")
+    val before = relSet(src0)
+    val fs = TestTree.fsFor(src0)
+    val res = LocalExecution.moveFolderContent(src, trg)
+    assert(res.nonEmpty && res.forall(_.success))
+    assert(!fs.exists(new Path(src0)))
+    assert(relSet(trg0) == before)
+  }
+
+  test("moveFolderContent resume: leftover target twin cleared, no nesting") {
+    val src = TestTree.newRoot("mvr_src"); TestTree.create(src, 5)
+    val trg = TestTree.newRoot("mvr_trg") + "/dest"
+    val fs = TestTree.fsFor(src)
+    // simulate a crashed run: transaction open, target partially populated
+    // with a stale twin of a still-unmoved child
+    fs.mkdirs(new Path(trg))
+    new SafetyFuse(fs, trg).startTransaction()
+    val child = fs.listStatus(new Path(src)).head.getPath.getName
+    fs.mkdirs(new Path(s"$trg/$child/stale"))
+    val before = relSet(src)
+    val res = LocalExecution.moveFolderContent(src, trg)
+    assert(res.forall(_.success))
+    // the child must land flat, not nested inside its stale twin
+    assert(!fs.exists(new Path(s"$trg/$child/$child")))
+    assert(!fs.exists(new Path(s"$trg/$child/stale")))
+    assert(relSet(trg) == before)
+  }
+
   test("moveFolderContent refuses unsafe move (empty source, non-empty target)") {
     val src = TestTree.newRoot("mvf2_src") // empty
     val trg = TestTree.newRoot("mvf2_trg"); TestTree.create(trg, 6)
@@ -106,6 +140,21 @@ class MoveCopyDeleteSpec extends AnyFunSuite {
     Delta.synchronize(src, trg, checkContent = true)
     val (m2, e2) = Delta.getDelta(src, trg, checkContent = true)
     assert(m2.isEmpty && e2.isEmpty)
+  }
+
+  test("Delta relativizes across URI spellings; synchronize can't wipe the target root (ADVICE r1 medium)") {
+    val src0 = TestTree.newRoot("dls_src"); TestTree.create(src0, 13)
+    val trg0 = TestTree.newRoot("dls_trg")
+    DistributedExecution.copyFolder(src0, trg0)
+    // file:///abs + trailing slash spellings: raw substring offsets would
+    // produce garbage relPaths, a bogus diff, and a delete of "$trg/"
+    val src = "file://" + src0.stripPrefix("file:")
+    val trg = "file://" + trg0.stripPrefix("file:") + "/"
+    val (m, e) = Delta.getDelta(src, trg)
+    assert(m.isEmpty && e.isEmpty, s"spurious diff: ${m.take(3).mkString(",")} / ${e.take(3).mkString(",")}")
+    assert(Delta.getDeltaDataset(src, trg).isEmpty)
+    Delta.synchronize(src, trg)
+    assert(Fs.list(trg0).nonEmpty, "synchronize deleted the target tree")
   }
 
   test("Delta.getDelta finds missing and extra; synchronize reconciles") {

@@ -84,6 +84,32 @@ class PromotorSpec extends AnyFunSuite {
     assert(spark.table(s"$db.sales_fct").where(s"l_ship_month = '$m'").count() == 0)
   }
 
+  test("moveFolders resume path: leftover target cleared, finished rename honored (ADVICE r1 medium)") {
+    implicit val conf = spark.sessionState.newHadoopConf()
+    val root = graft.fs.TestTree.newRoot("mvres")
+    val fs = graft.fs.Fs.getFileSystem(conf, root)
+    import org.apache.hadoop.fs.Path
+    def touch(p: String): Unit = { val o = fs.create(new Path(p), true); o.write(1); o.close() }
+    // crashed mid-transaction: p1 not yet moved but its pre-existing target
+    // survives (delete phase was interrupted); p2's rename already finished
+    touch(s"$root/src/p1/data.txt")
+    touch(s"$root/trg/p1/old.txt")
+    touch(s"$root/trg/p2/moved.txt")
+    new graft.fs.SafetyFuse(fs, s"$root/trg").startTransaction()
+    val pairs = Seq(
+      graft.fs.Paths(s"$root/src/p1", s"$root/trg/p1"),
+      graft.fs.Paths(s"$root/src/p2", s"$root/trg/p2"))
+    val res = Promotor.moveFolders(pairs)
+    assert(res.forall(_.success))
+    // p1 landed flat — the crashed-run leftover must not nest it (trg/p1/p1)
+    assert(fs.exists(new Path(s"$root/trg/p1/data.txt")))
+    assert(!fs.exists(new Path(s"$root/trg/p1/p1")))
+    assert(!fs.exists(new Path(s"$root/trg/p1/old.txt")))
+    // p2's completed rename is reported done and left untouched
+    assert(fs.exists(new Path(s"$root/trg/p2/moved.txt")))
+    assert(!fs.exists(new Path(s"$root/trg/graft_open_transaction")))
+  }
+
   test("validator rejects mismatched schemas") {
     val _ = base
     intercept[IllegalArgumentException] {
