@@ -1,9 +1,12 @@
 package graft.examples
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.ext.{Dedup, TextOps}
+import graft.ext.Dedup
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions.graftShingles
 
 /** Scratch profiler for hot queries (not part of the public surface). */
 object Profile {
@@ -11,25 +14,58 @@ object Profile {
     val spark = GraftSession.local(32)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    GraftFunctions.ensureRegistered(spark)
     def time[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime(); val r = body
       println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     // warmup
     docs.count()
-    val sh = docs.select(col("doc_id").as("id"),
-      explode(array_distinct(transform(TextOps.shingles(col("text"), 3), s => xxhash64(s)))).as("shingle"))
-    time("shingle gen + count")(sh.count())
-    time("shingle gen x3")(Seq(1, 2, 3).foreach(_ => sh.count()))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("setSize"))
-    time("sizes")(sizes.count())
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+    val t = 0.5
+    val sets = docs.select(col("doc_id").as("id"), graftShingles(col("text"), 3).as("set"))
+      .withColumn("setSize", size(col("set")).cast("long"))
+    time("sets")(sets.count())
+    val sh = sets.select(col("id"), col("setSize"), explode(col("set")).as("shingle"))
+    time("explode")(sh.count())
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    time("freq")(freq.count())
+    val prefixLen = greatest(lit(1),
+      (col("setSize") - ceil(lit(t) * col("setSize")) + 1).cast("int"))
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefixLen)
+      .select(col("id"), col("setSize"), col("shingle"))
+    time("prefix (freq join + window)")(println("prefix rows: " + prefix.count()))
+    val a = prefix.as("a"); val b = prefix.as("b")
+    val cand = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id")
+        && least(col("a.setSize"), col("b.setSize")).cast("double") >=
+           lit(t) * greatest(col("a.setSize"), col("b.setSize")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    time("cand join")(println("cand rows: " + cand.count()))
+    val candD = cand.distinct()
+    time("cand distinct")(println("cand distinct: " + candD.count()))
+    time("full d02 (prefix)")(Dedup.ngramJaccardPairs(docs, 3, t).count())
+    time("full d02 again")(Dedup.ngramJaccardPairs(docs, 3, t).count())
+    // naive formulation for comparison
+    val shN = sh.select("id", "shingle")
+    val aN = shN.as("a"); val bN = shN.as("b")
+    val interN = aN.join(bN, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("interSize"))
-    time("self-join+paircount")(inter.count())
-    time("full d02")(Dedup.ngramJaccardPairs(docs, 3, 0.5).count())
-    time("full d02 again")(Dedup.ngramJaccardPairs(docs, 3, 0.5).count())
+    time("naive self-join+paircount")(println("naive pairs: " + interN.count()))
+    val sizes = sets.select(col("id"), col("setSize"))
+    def naiveFull(szA: org.apache.spark.sql.DataFrame, szB: org.apache.spark.sql.DataFrame) = interN
+      .join(szA.withColumnRenamed("id", "id_a").withColumnRenamed("setSize", "size_a"), "id_a")
+      .join(szB.withColumnRenamed("id", "id_b").withColumnRenamed("setSize", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("interSize").cast("double") / (col("size_a") + col("size_b") - col("interSize")))
+      .filter(col("jaccard") >= t)
+    time("naive full (no hint)")(println("rows: " + naiveFull(sizes, sizes).count()))
+    time("naive full (broadcast sizes)")(
+      println("rows: " + naiveFull(broadcast(sizes), broadcast(sizes)).count()))
+    time("naive full again (broadcast)")(
+      println("rows: " + naiveFull(broadcast(sizes), broadcast(sizes)).count()))
     spark.stop()
   }
 }

@@ -44,32 +44,88 @@ object Dedup {
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Exact pairwise Jaccard similarity over word n-gram sets, for all
-    * pairs sharing ≥1 shingle with Jaccard ≥ minJaccard (a < b).
-    * Inverted-index self-join: explode distinct shingles, join on
-    * shingle, count per pair, |A∪B| = |A|+|B|-|A∩B|.
+    * pairs with Jaccard ≥ minJaccard (a < b).
+    *
+    * Two physically different but result-identical strategies:
+    *
+    *  - `prefixFilter = false` (default): inverted-index self-join —
+    *    explode distinct shingles, join on shingle, count matches per
+    *    pair, |A∪B| = |A|+|B|-|A∩B|. Three shuffles; optimal when the
+    *    shingle document-frequency distribution is flat (no join key
+    *    explodes) as on the synthetic test corpus.
+    *  - `prefixFilter = true`: PPJoin-style prefix filtering (Bayardo
+    *    et al., "Scaling Up All Pairs Similarity Search", WWW'07). The
+    *    scale path for REAL text, whose df distribution is zipfian: a
+    *    boilerplate shingle shared by a million docs puts 10¹² rows on
+    *    one join key in the naive plan. Under a global ascending-df
+    *    token order, a pair with J ≥ t must share a token in the first
+    *    |X| - ⌈t·|X|⌉ + 1 tokens of BOTH ordered sets, so only each
+    *    doc's RAREST shingles enter the join — the high-df keys never
+    *    do. Candidates are length-filtered in the join condition, then
+    *    verified exactly with one codegen'd array_intersect per pair.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // join key is the 8-byte shingle hash (native one-pass expression)
-    // — fixed-width comparisons, half the shuffle of string shingles
+      textCol: String = "text", idCol: String = "doc_id",
+      prefixFilter: Boolean = false): DataFrame = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
-    val sh = docs.select(col(idCol).as("id"),
+    if (prefixFilter) ngramJaccardPrefix(docs, n, minJaccard, textCol, idCol)
+    else {
+      val sh = docs.select(col(idCol).as("id"),
         explode(graftShingles(col(textCol), n)).as("shingle"))
-    // |set| is a narrow map over the shingle array — no explode/shuffle
-    val sizes = docs.select(col(idCol).as("id"),
-      size(graftShingles(col(textCol), n)).cast("long").as("setSize"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("interSize"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("setSize", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("setSize", "size_b"), "id_b")
+      // |set| is a narrow map over the shingle array — no explode/shuffle
+      val sizes = docs.select(col(idCol).as("id"),
+        size(graftShingles(col(textCol), n)).cast("long").as("setSize"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("interSize"))
+      inter
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("setSize", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("setSize", "size_b"), "id_b")
+        .withColumn("jaccard",
+          col("interSize").cast("double") / (col("size_a") + col("size_b") - col("interSize")))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
+  }
+
+  /** PPJoin strategy of [[ngramJaccardPairs]] (see its scaladoc). */
+  private def ngramJaccardPrefix(docs: DataFrame, n: Int, t: Double,
+      textCol: String, idCol: String): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"), graftShingles(col(textCol), n).as("set"))
+      .withColumn("setSize", size(col("set")).cast("long"))
+    val sh = sets.select(col("id"), col("setSize"), explode(col("set")).as("shingle"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefixLen = greatest(lit(1),
+      (col("setSize") - ceil(lit(t) * col("setSize")) + 1).cast("int"))
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefixLen)
+      .select(col("id"), col("setSize"), col("shingle"))
+    val a = prefix.as("a"); val b = prefix.as("b")
+    val cand = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id")
+        && least(col("a.setSize"), col("b.setSize")).cast("double") >=
+           lit(t) * greatest(col("a.setSize"), col("b.setSize")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sets, t)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * per-doc sorted shingle sets: one array_intersect per pair.
+    */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, t: Double): DataFrame =
+    cand
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
+        col("setSize").as("size_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b"),
+        col("setSize").as("size_b")), "id_b")
+      .withColumn("interSize", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
         col("interSize").cast("double") / (col("size_a") + col("size_b") - col("interSize")))
-      .filter(col("jaccard") >= minJaccard)
+      .filter(col("jaccard") >= t)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   // --------------------------------------------------------- MinHash LSH
 
@@ -113,22 +169,13 @@ object Dedup {
   def minhashDedupPairs(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 16,
       minJaccard: Double = 0.8, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val candidates = lshCandidatePairs(minhashSignatures(docs, n, k, textCol, idCol), k, bands)
-    val sh = docs.select(col(idCol).as("id"),
-      explode(graftShingles(col(textCol), n)).as("shingle"))
-    val sizes = docs.select(col(idCol).as("id"),
-      size(graftShingles(col(textCol), n)).cast("long").as("setSize"))
-    val inter = candidates
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "sh_b"), "id_b")
-      .filter(col("sh_a") === col("sh_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("interSize"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("setSize", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("setSize", "size_b"), "id_b")
-      .withColumn("jaccard",
-        col("interSize").cast("double") / (col("size_a") + col("size_b") - col("interSize")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    // verify with one array_intersect per candidate pair — the earlier
+    // explode-join formulation shuffled every shingle of every candidate
+    // doc TWICE and ground through a per-match groupBy
+    val sets = docs.select(col(idCol).as("id"),
+        graftShingles(col(textCol), n).as("set"))
+      .withColumn("setSize", size(col("set")).cast("long"))
+    verifyJaccard(candidates, sets, minJaccard)
   }
 
   // ------------------------------------------------------------- SimHash

@@ -27,6 +27,16 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh == exact, s"missing=${(exact -- lsh).take(5)} spurious=${(lsh -- exact).take(5)}")
   }
 
+  test("PPJoin prefix-filter strategy == naive inverted-index strategy") {
+    val naive = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ppjoin = Dedup.ngramJaccardPairs(docs, 3, 0.5, prefixFilter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty)
+    assert(ppjoin == naive,
+      s"missing=${(naive -- ppjoin).take(5)} spurious=${(ppjoin -- naive).take(5)}")
+  }
+
   test("simhash near-dup pairs include the exact duplicates") {
     // identical texts → identical simhash → hamming 0
     val exactDups = Dedup.exactDedup(docs).filter(col("dup_cnt") > 1)
