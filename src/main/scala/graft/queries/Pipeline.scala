@@ -87,6 +87,27 @@ object Pipeline {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .orderBy(col("window_hour"), col("event_type"))
 
+  /** For each click, the most recent prior view by the same user —
+    * backward as-of join ([[graft.ops.AsOf.joinBackward]]; single
+    * shuffle on user_id, no range-join blowup). Oracle: DuckDB ASOF
+    * LEFT JOIN.
+    */
+  def e02AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_event_id"), col("value").as("view_value"))
+    graft.ops.AsOf.joinBackward(clicks, views, Seq("user_id"), "ts", "ts",
+        Seq("view_event_id", "view_value"))
+      .select(col("event_id"), col("user_id"),
+        // µs grid: DuckDB reads TIMESTAMP(NANOS) at µs precision
+        expr("ts div 1000").as("click_us"),
+        col("view_event_id"), col("view_value"))
+      .orderBy(col("event_id"))
+  }
+
   private val ngramJaccardOracle =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
@@ -151,6 +172,13 @@ object Pipeline {
       """SELECT epoch_ns(ts) // 3600000000000 AS window_hour, event_type,
         |  count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_hour, event_type""".stripMargin,
+    "e02_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     views  AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+        |SELECT c.event_id AS event_id, c.user_id AS user_id, epoch_us(c.ts) AS click_us,
+        |  v.event_id AS view_event_id, v.value AS view_value
+        |FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY event_id""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -166,5 +194,6 @@ object Pipeline {
     "t02_text_analyze"   -> t02TextAnalyze _,
     "j01_json_extract"   -> j01JsonExtract _,
     "e01_event_windows"  -> e01EventWindows _,
+    "e02_asof_join"      -> e02AsofJoin _,
   )
 }
