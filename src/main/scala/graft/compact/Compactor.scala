@@ -64,22 +64,41 @@ object Compactor {
 
   /** Leaf (partition) directories under `path` — dirs with no subdirs
     * (reference Coalesce.scala:48-62).
+    *
+    * @param distributedListing scan the tree with Spark jobs instead of
+    *        driver threads ([[Fs.listDistributed]]) and compute the
+    *        leaf set with a distributed anti-join — for tables whose
+    *        file count exceeds driver memory; only the leaf DIRECTORY
+    *        paths (bounded by partition count) are collected.
     */
-  def getLowestFoldersPaths(path: String)(implicit spark: SparkSession): Seq[String] = {
-    implicit val conf = spark.sessionState.newHadoopConf()
-    val all = Fs.list(path)
-    val dirs = all.filter(_.isDirectory).map(_.path)
-    val parentsOfDirs = dirs.map(d => new Path(d).getParent.toString).toSet
-    val leaves = dirs.filterNot(parentsOfDirs.contains)
-    if (leaves.isEmpty) Seq(path.stripSuffix("/")) else leaves.toIndexedSeq
+  def getLowestFoldersPaths(path: String, distributedListing: Boolean = false)(
+      implicit spark: SparkSession): Seq[String] = {
+    val leaves: Seq[String] =
+      if (distributedListing) {
+        import spark.implicits._
+        val dirs = Fs.listDistributed(spark, path)
+          .filter(_.isDirectory).map(_.path).persist()
+        val parents = dirs.map(d => new Path(d).getParent.toString).distinct()
+        val out = dirs.toDF("p").join(parents.toDF("p"), Seq("p"), "left_anti")
+          .as[String].collect().toIndexedSeq
+        dirs.unpersist()
+        out
+      } else {
+        implicit val conf = spark.sessionState.newHadoopConf()
+        val dirs = Fs.list(path).filter(_.isDirectory).map(_.path)
+        val parentsOfDirs = dirs.map(d => new Path(d).getParent.toString).toSet
+        dirs.filterNot(parentsOfDirs.contains).toIndexedSeq
+      }
+    if (leaves.isEmpty) Seq(path.stripSuffix("/")) else leaves
   }
 
   /** Compact every leaf partition folder, a few in flight at a time
     * (each is itself a Spark job — reference Coalesce.scala:85-97).
     */
-  def doItAll(tablePath: String, requestedSizeMb: Int = 100, concurrency: Int = 10)(
+  def doItAll(tablePath: String, requestedSizeMb: Int = 100, concurrency: Int = 10,
+      distributedListing: Boolean = false)(
       implicit spark: SparkSession): Map[String, Int] = {
-    val leaves = getLowestFoldersPaths(tablePath)
+    val leaves = getLowestFoldersPaths(tablePath, distributedListing)
     val pool = Executors.newFixedThreadPool(concurrency.max(1))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {

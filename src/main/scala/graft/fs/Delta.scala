@@ -97,6 +97,62 @@ object Delta {
     missing.union(extra)
   }
 
+  /** [[synchronize]] with NOTHING collected on the driver: diff, delete,
+    * mkdir and copy all run as Spark jobs over the distributed listings
+    * (SURVEY §7.4) — the form to use when a tree has more entries than
+    * driver memory holds. Deletes are recursive and idempotent, so no
+    * deepest-first ordering is needed: a child whose ancestor another
+    * task already removed counts as deleted.
+    */
+  def synchronizeDistributed(sourceUri0: String, targetUri0: String, taskCount: Int = -1)(
+      implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    val sourceUri = new org.apache.hadoop.fs.Path(sourceUri0).toString
+    val targetUri = new org.apache.hadoop.fs.Path(targetUri0).toString
+    val src = Fs.listDistributed(spark, sourceUri)
+      .withColumn("relPath", udf(rel(sourceUri) _).apply($"path"))
+    val trg = Fs.listDistributed(spark, targetUri)
+      .withColumn("relPath", udf(rel(targetUri) _).apply($"path"))
+    val keys = Seq("relPath", "isDirectory", "byteSize")
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+
+    // target-only entries: recursive idempotent delete (empty relPath
+    // would be the target root — rel() already refuses those)
+    val extra = trg.join(src, keys, "left_anti")
+      .filter(length($"relPath") > 0).select($"relPath").as[String]
+    val delFailed = extra.mapPartitions { it =>
+      val c = conf.value
+      it.map { relPath =>
+        val p = new org.apache.hadoop.fs.Path(s"$targetUri/$relPath")
+        val ok = try { val fs = p.getFileSystem(c); fs.delete(p, true); !fs.exists(p) }
+                 catch { case _: Throwable => false }
+        FsOperationResult(relPath, ok)
+      }
+    }.filter(!_.success).count()
+    require(delFailed == 0, s"synchronizeDistributed: $delFailed deletes failed under $targetUri")
+
+    val missing = src.join(trg, keys, "left_anti")
+      .filter(length($"relPath") > 0)
+      .select($"relPath", $"isDirectory").persist()
+    // source-only directories: recreate (copy below only moves files)
+    val mkdirFailed = missing.filter($"isDirectory").select($"relPath").as[String]
+      .mapPartitions { it =>
+        val c = conf.value
+        it.map { relPath =>
+          val p = new org.apache.hadoop.fs.Path(s"$targetUri/$relPath")
+          val ok = try p.getFileSystem(c).mkdirs(p) catch { case _: Throwable => false }
+          FsOperationResult(relPath, ok)
+        }
+      }.filter(!_.success).count()
+    require(mkdirFailed == 0, s"synchronizeDistributed: $mkdirFailed mkdirs failed under $targetUri")
+    // source-only files: distributed copy with retry
+    val files = missing.filter(!$"isDirectory").select($"relPath").as[String]
+      .map(relPath => Paths(s"$sourceUri/$relPath", s"$targetUri/$relPath"))
+    DistributedExecution.copyDataset(files, taskCount)
+    missing.unpersist()
+    ()
+  }
+
   /** FNV-1a 64 of a file's bytes (streamed, 64 KiB buffer). */
   private def contentHash(conf: org.apache.hadoop.conf.Configuration, uri: String): Long = {
     val p = new org.apache.hadoop.fs.Path(uri)

@@ -38,6 +38,18 @@ class CompactorSpec extends AnyFunSuite {
     assert(snapshot() == before)
   }
 
+  test("distributed leaf listing equals the driver listing") {
+    val dir = "file:" + Files.createTempDirectory("compact_leaves").toFile.getAbsolutePath + "/t"
+    val li = spark.read.parquet(s"${SparkTestSession.sf}/lineitem.parquet")
+      .withColumn("y", date_format(col("l_shipdate"), "yyyy"))
+      .withColumn("rf", col("l_returnflag"))
+    li.limit(2000).write.partitionBy("y", "rf").parquet(dir)
+    val driver = Compactor.getLowestFoldersPaths(dir).toSet
+    val dist = Compactor.getLowestFoldersPaths(dir, distributedListing = true).toSet
+    assert(driver.nonEmpty)
+    assert(dist == driver, s"only-driver=${(driver -- dist).take(3)} only-dist=${(dist -- driver).take(3)}")
+  }
+
   test("doItAll compacts each leaf partition dir") {
     val dir = "file:" + Files.createTempDirectory("compact_all").toFile.getAbsolutePath + "/t"
     val li = spark.read.parquet(s"${SparkTestSession.sf}/lineitem.parquet")

@@ -157,6 +157,20 @@ class MoveCopyDeleteSpec extends AnyFunSuite {
     assert(Fs.list(trg0).nonEmpty, "synchronize deleted the target tree")
   }
 
+  test("synchronizeDistributed reconciles without driver collection") {
+    val src = TestTree.newRoot("sd_src"); TestTree.create(src, 33)
+    val trg = TestTree.newRoot("sd_trg")
+    DistributedExecution.copyFolder(s"$src/top1", s"$trg/top1")
+    val fs = TestTree.fsFor(trg)
+    val out = fs.create(new Path(s"$trg/stale/junk.bin"), true); out.write(7); out.close()
+
+    Delta.synchronizeDistributed(src, trg)
+    val (m, e) = Delta.getDelta(src, trg)
+    assert(m.isEmpty, s"still missing: ${m.take(5).mkString(",")}")
+    assert(e.isEmpty, s"still extra: ${e.take(5).mkString(",")}")
+    assert(!fs.exists(new Path(s"$trg/stale")))
+  }
+
   test("Delta.getDelta finds missing and extra; synchronize reconciles") {
     val src = TestTree.newRoot("dl_src"); TestTree.create(src, 42)
     val trg = TestTree.newRoot("dl_trg")
