@@ -161,6 +161,48 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Q14 exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`; `percentile_approx` would not hash-match an
+    * exact oracle). Rounded to 6dp to absorb fp representation drift.
+    */
+  def q14Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Q15 correlated EXISTS — planned as a left_semi join (no subquery
+    * re-execution per row): customers with at least one urgent order,
+    * counted per market segment.
+    */
+  def q15Exists(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Q16 pivot: per-user event counts spread to one column per event
+    * type (explicit value list keeps the schema deterministic; counts
+    * coalesced to 0 to match SQL conditional aggregation).
+    */
+  def q16Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
   /** Oracle SQL (DuckDB dialect ≡ ANSI) — must alias identically to the above. */
   val oracles: Map[String, String] = Map(
     "q11_rollup" ->
@@ -236,6 +278,25 @@ object Relational {
         |INTERSECT
         |SELECT s_nationkey AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "q14_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q15_exists" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q16_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -252,5 +313,8 @@ object Relational {
     "q11_rollup"      -> q11Rollup _,
     "q12_running"     -> q12Running _,
     "q13_sessions"    -> q13Sessions _,
+    "q14_percentiles" -> q14Percentiles _,
+    "q15_exists"      -> q15Exists _,
+    "q16_pivot"       -> q16Pivot _,
   )
 }
