@@ -88,7 +88,9 @@ object Similarity {
     }
     val q = bucketed(queries, "query_id", "qv", "qn")
     val c = bucketed(corpus, "neighbor_id", "cv", "cn")
-    val cand = q.join(c, Seq("table", "bucket"))
+    // the probe set is small by contract — broadcast it so the corpus
+    // never shuffles for the bucket join
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
       .dropDuplicates("query_id", "neighbor_id")
@@ -105,9 +107,13 @@ object Similarity {
     * corpus into inverted lists; each query probes its `nProbe` nearest
     * centroids and runs exact cosine only inside those lists.
     *
-    * At 100 TB the centroid assignment is a broadcast join (centroid
-    * table is tiny) and the candidate join shuffles on centroid id —
-    * the classic IVF trade-off: scan nProbe/nCentroids of the corpus.
+    * The codebook (nCentroids vectors) is collected to the driver — the
+    * same footprint any ANN index's coarse quantizer has — so list
+    * assignment is a NARROW per-row argmax over centroid literals: no
+    * cross join, no shuffle, embedded straight into the scan's codegen.
+    * The candidate join broadcasts the probe side; the corpus shuffles
+    * only for the final per-query ranking. Classic IVF trade-off: scan
+    * nProbe/nCentroids of the corpus.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
@@ -116,26 +122,31 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", sqrt(graftDot(col("cv"), col("cv"))))
     // deterministic coarse quantizer: first nCentroids vectors by hashed id
-    val centroids = c.orderBy(xxhash64(col("neighbor_id")))
-      .limit(nCentroids)
-      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"),
-        col("cn").as("centn"))
-    def assign(df: DataFrame, vec: String, nrm: String, keep: Int) = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("csim", graftDot(col(vec), col("centv")) / (col(nrm) * col("centn")))
-      val w = Window.partitionBy(df.columns.map(col).toIndexedSeq: _*)
-        .orderBy(col("csim").desc, col("centroid_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("centv", "centn", "csim", "crank")
+    val codebook = c.orderBy(xxhash64(col("neighbor_id"))).limit(nCentroids)
+      .select(col("neighbor_id"), col("cv"), col("cn")).collect()
+    // nearest `keep` centroids per row as a sorted literal-array argmax
+    def nearestCentroids(vec: String, nrm: String, keep: Int): Column = {
+      val sims = codebook.map { r =>
+        val cid = r.getLong(0)
+        val cv = r.getSeq[Double](1).toArray
+        val cn = r.getDouble(2)
+        struct((graftDot(col(vec), typedLit(cv)) / (col(nrm) * lit(cn))).as("csim"),
+          lit(cid).as("centroid_id"))
+      }
+      slice(sort_array(array(sims.toIndexedSeq: _*), asc = false), 1, keep)
     }
-    val corpusLists = assign(c, "cv", "cn", 1)
+    val corpusLists = c.withColumn("centroid_id",
+      element_at(nearestCentroids("cv", "cn", 1), 1).getField("centroid_id"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", sqrt(graftDot(col("qv"), col("qv"))))
-    val probes = assign(q, "qv", "qn", nProbe)
-    val cand = probes.join(corpusLists, Seq("centroid_id"))
+    val probes = q.withColumn("probe",
+        explode(nearestCentroids("qv", "qn", nProbe)))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("probe.centroid_id").as("centroid_id"))
+    // corpus keep=1 + distinct probe centroids ⇒ a (query, neighbor) pair
+    // can only arise once: no dedupe shuffle needed
+    val cand = corpusLists.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
     val scored = cand.withColumn("sim",
       round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
