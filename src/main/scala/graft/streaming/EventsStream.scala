@@ -109,6 +109,19 @@ object EventsStream {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Streaming exact dedup with BOUNDED state — the streaming twin of
+    * `Dedup.dropExactDuplicates`: duplicates of a key arriving within
+    * the watermark horizon are dropped, and per-key state is evicted
+    * once the watermark passes it (`dropDuplicatesWithinWatermark`), so
+    * the dedup map never grows with stream length. Plain
+    * dropDuplicates would retain every key forever — unusable on an
+    * unbounded ingest pipeline.
+    */
+  def dedupedStream(events: DataFrame, watermark: String = "2 hours",
+      keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   // -------- stateful processing (mapGroupsWithState) ------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -58,6 +58,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicates with bounded state") {
+    // stage the fixture TWICE so every event arrives duplicated
+    val dir = EventsStream.stageFixture(spark, sf)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$sf/events.parquet")
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/events_copy.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+      dst.getFileSystem(conf), dst, false, true, conf)
+    val q = EventsStream.dedupedStream(EventsStream.read(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val expected = graft.Tables.events(spark, sf).count()
+      assert(spark.table("dedup_out").count() == expected)
+      assert(spark.table("dedup_out").select("event_id").distinct().count() == expected)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates running user totals") {
     import spark.implicits._
     val events = EventsStream.read(spark, streamDir)
