@@ -25,6 +25,22 @@ object Similarity {
   /** Cast to double once so all downstream arithmetic is f64. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Rank stage shared by every top-k variant: the custom
+    * [[graft.plans.TopKPerKeyNode]] operator prunes to ≤ q·k rows while
+    * streaming the sorted shuffle (no window machinery over the full
+    * candidate set), then row_number materializes the rank column on the
+    * survivors only. The operator declares its output partitioning +
+    * ordering, so the window reuses the same exchange and sort — the
+    * plan has ONE shuffle for the whole stage.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.ops.TopK.perKey(scored, Seq("query_id"),
+      Seq(("sim", true), ("neighbor_id", false)), k)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** Interpreted-fallback helpers (higher-order functions); per-row use
     * only — the per-pair path goes through graft_dot.
     */
@@ -48,10 +64,7 @@ object Similarity {
       .withColumn("cn", sqrt(graftDot(col("cv"), col("cv"))))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank").cast("long").as("rank"))
+    rankTopK(scored, k)
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits. Hyperplanes are
@@ -96,10 +109,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand.withColumn("sim",
       round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank").cast("long").as("rank"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style approximate top-k: a coarse quantizer (deterministic
@@ -149,10 +159,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
     val scored = cand.withColumn("sim",
       round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank").cast("long").as("rank"))
+    rankTopK(scored, k)
   }
 
   /** All pairs with cosine ≥ minSim (embedding near-dup detection),
