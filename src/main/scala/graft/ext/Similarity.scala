@@ -34,7 +34,11 @@ object Similarity {
     * plan has ONE shuffle for the whole stage.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val top = graft.ops.TopK.perKey(scored, Seq("query_id"),
+    // prune to the rank columns EXPLICITLY: Catalyst can't push pruning
+    // through a custom logical node, and without this the embedding
+    // vectors would ride the rank shuffle
+    val slim = scored.select(col("query_id"), col("neighbor_id"), col("sim"))
+    val top = graft.ops.TopK.perKey(slim, Seq("query_id"),
       Seq(("sim", true), ("neighbor_id", false)), k)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     top.withColumn("rank", row_number().over(w))
