@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
 
-import graft.plans.{TopKPerKeyNode, TopKPerKeyStrategy}
+import graft.plans.{TopKPerKeyNode, TopKPerKeyPruning, TopKPerKeyStrategy}
 
 /** Column-level API over the [[graft.plans.TopKPerKeyNode]] custom
   * operator: the top `k` rows of each key group under `order`, without
@@ -14,11 +14,14 @@ import graft.plans.{TopKPerKeyNode, TopKPerKeyStrategy}
   */
 object TopK {
 
-  /** Idempotently add the planner strategy to the session. */
+  /** Idempotently add the planner strategy + pruning rule to the session. */
   def ensureStrategy(spark: SparkSession): Unit = synchronized {
     val es = spark.experimental.extraStrategies
     if (!es.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies = es :+ TopKPerKeyStrategy
+    val eo = spark.experimental.extraOptimizations
+    if (!eo.contains(TopKPerKeyPruning))
+      spark.experimental.extraOptimizations = eo :+ TopKPerKeyPruning
   }
 
   /** @param order (columnName, descending?) pairs, applied in sequence */

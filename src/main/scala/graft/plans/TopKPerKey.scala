@@ -86,3 +86,28 @@ object TopKPerKeyStrategy extends SparkStrategy {
     case _ => Nil
   }
 }
+
+/** Column pruning through [[TopKPerKeyNode]]: Catalyst's own
+  * ColumnPruning rule only knows built-in nodes, so without this a
+  * projection above the operator still shuffles EVERY child column
+  * (vectors, document text, ...). When a parent Project consumes a
+  * strict subset of the node's output, push a Project holding
+  * (consumed ∪ key ∪ order) attributes beneath the node — the slimmed
+  * child then prunes all the way to the scan through the normal rules.
+  * Injected via `experimental.extraOptimizations` alongside the
+  * strategy.
+  */
+object TopKPerKeyPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, t @ TopKPerKeyNode(keys, order, _, child)) =>
+      val needed = AttributeSet(p.references) ++
+        AttributeSet(keys.flatMap(_.references)) ++
+        AttributeSet(order.flatMap(_.references))
+      if (child.output.forall(needed.contains)) p
+      else p.copy(child =
+        t.copy(child = Project(child.output.filter(needed.contains), child)))
+  }
+}

@@ -35,6 +35,20 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("injected pruning rule pushes projection below the custom node") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, "wide_payload"), (1L, 3L, "wide_payload2")).toDF("k", "v", "wide")
+    val out = TopK.perKey(df, Seq("k"), Seq(("v", true)), 1).select("k", "v")
+    val lines = out.queryExecution.optimizedPlan.toString.split("\n")
+    val idx = lines.indexWhere(_.contains("TopKPerKey"))
+    assert(idx >= 0, lines.mkString("\n"))
+    // the pushed Project may be folded further (e.g. into LocalRelation);
+    // the invariant is that the node's child no longer carries `wide`
+    val childLine = lines(idx + 1)
+    assert(!childLine.contains("wide"), lines.mkString("\n"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L)))
+  }
+
   test("groups smaller than k pass through whole; empty keys = global top-k") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("k", "v")
