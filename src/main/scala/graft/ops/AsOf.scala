@@ -43,6 +43,8 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload ${payload.filter(leftCols.contains).mkString(",")} collides with left columns")
+    require(!(leftCols ++ payload ++ keys).exists(_.startsWith("_asof_")),
+      "column names starting with _asof_ are reserved by the as-of join")
 
     val r = right
       .select((keys ++ payload :+ rightTs).distinct.map(col): _*)

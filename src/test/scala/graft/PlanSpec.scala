@@ -53,6 +53,23 @@ class PlanSpec extends AnyFunSuite {
     assert(codegen.contains("WholeStageCodegen"), codegen.take(2000))
   }
 
+  test("q15: correlated EXISTS plans as a semi join (no per-row subquery)") {
+    val plan = planOf("q15_exists")
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("e02: as-of join has one exchange and no join operator at all") {
+    val plan = planOf("e02_asof_join")
+    assert(!plan.contains("Join"), s"as-of regressed to a join:\n$plan")
+    // one shuffle for the key window + one for the final orderBy range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("s01: rank stage uses the custom TopKPerKey operator") {
+    val plan = planOf("s01_sim_topk")
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+
   test("d05: per-side norms are computed below the pair join") {
     val df = SparkEntry.queries("d05_embedding_dups")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString
