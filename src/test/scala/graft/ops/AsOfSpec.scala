@@ -46,6 +46,16 @@ class AsOfSpec extends AnyFunSuite {
     assert(rows(3)._2 == Some("r49"))  // age 1 <= 3
   }
 
+  test("forward as-of: earliest following right row, inclusive, tolerance-bounded") {
+    val left = Seq(("k1", 10L, "l1"), ("k1", 20L, "l2"), ("k1", 31L, "l3")).toDF("k", "t", "lv")
+    val right = Seq(("k1", 20L, "r20"), ("k1", 30L, "r30")).toDF("k", "t", "rv")
+    def run(tol: Option[Long]) =
+      AsOf.joinForward(left, right, Seq("k"), "t", "t", Seq("rv"), tol)
+        .orderBy("lv").collect().map(r => Option(r.getString(3))).toSeq
+    assert(run(None) == Seq(Some("r20"), Some("r20"), None))
+    assert(run(Some(5L)) == Seq(None, Some("r20"), None)) // 10->20 is 10 > 5
+  }
+
   test("as-of plan has exactly one shuffle (no range-join blowup)") {
     val left = spark.range(100).select(col("id").as("k"), (col("id") * 10).as("t"))
     val right = spark.range(100).select(col("id").as("k"), (col("id") * 7).as("t"),
