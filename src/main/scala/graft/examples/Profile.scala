@@ -45,8 +45,9 @@ object Profile {
     time("cand join")(println("cand rows: " + cand.count()))
     val candD = cand.distinct()
     time("cand distinct")(println("cand distinct: " + candD.count()))
-    time("full d02 (prefix)")(Dedup.ngramJaccardPairs(docs, 3, t).count())
-    time("full d02 again")(Dedup.ngramJaccardPairs(docs, 3, t).count())
+    time("full d02 (prefix strategy)")(
+      Dedup.ngramJaccardPairs(docs, 3, t, prefixFilter = true).count())
+    time("full d02 (naive strategy)")(Dedup.ngramJaccardPairs(docs, 3, t).count())
     // naive formulation for comparison
     val shN = sh.select("id", "shingle")
     val aN = shN.as("a"); val bN = shN.as("b")

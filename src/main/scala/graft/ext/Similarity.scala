@@ -92,7 +92,8 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       bitsPerTable: Int = 12, tables: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
     GraftFunctions.ensureRegistered(queries.sparkSession)
     def bucketed(df: DataFrame, idAs: String, vecAs: String, normAs: String) = {
       val base = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
@@ -105,9 +106,11 @@ object Similarity {
     }
     val q = bucketed(queries, "query_id", "qv", "qn")
     val c = bucketed(corpus, "neighbor_id", "cv", "cn")
-    // the probe set is small by contract — broadcast it so the corpus
-    // never shuffles for the bucket join
-    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+    // a small probe set broadcasts so the corpus never shuffles for the
+    // bucket join; for corpus-vs-corpus self-search pass
+    // broadcastQueries=false to fall back to a shuffle join
+    val qSide = if (broadcastQueries) broadcast(q) else q
+    val cand = c.join(qSide, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
       .dropDuplicates("query_id", "neighbor_id")
@@ -131,23 +134,25 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastProbes: Boolean = true): DataFrame = {
     GraftFunctions.ensureRegistered(queries.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", sqrt(graftDot(col("cv"), col("cv"))))
     // deterministic coarse quantizer: first nCentroids vectors by hashed id
     val codebook = c.orderBy(xxhash64(col("neighbor_id"))).limit(nCentroids)
       .select(col("neighbor_id"), col("cv"), col("cn")).collect()
-    // nearest `keep` centroids per row as a sorted literal-array argmax
+    // nearest `keep` centroids per row as a sorted literal-array argmax;
+    // ASCENDING sort on (-csim, centroid_id) keeps ties on the SMALLEST
+    // centroid id, and `lit(r.get(0))` keeps the id column type-generic
     def nearestCentroids(vec: String, nrm: String, keep: Int): Column = {
       val sims = codebook.map { r =>
-        val cid = r.getLong(0)
         val cv = r.getSeq[Double](1).toArray
         val cn = r.getDouble(2)
-        struct((graftDot(col(vec), typedLit(cv)) / (col(nrm) * lit(cn))).as("csim"),
-          lit(cid).as("centroid_id"))
+        struct((-graftDot(col(vec), typedLit(cv)) / (col(nrm) * lit(cn))).as("negsim"),
+          lit(r.get(0)).as("centroid_id"))
       }
-      slice(sort_array(array(sims.toIndexedSeq: _*), asc = false), 1, keep)
+      slice(sort_array(array(sims.toIndexedSeq: _*), asc = true), 1, keep)
     }
     val corpusLists = c.withColumn("centroid_id",
       element_at(nearestCentroids("cv", "cn", 1), 1).getField("centroid_id"))
@@ -158,8 +163,10 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"),
         col("probe.centroid_id").as("centroid_id"))
     // corpus keep=1 + distinct probe centroids ⇒ a (query, neighbor) pair
-    // can only arise once: no dedupe shuffle needed
-    val cand = corpusLists.join(broadcast(probes), Seq("centroid_id"))
+    // can only arise once: no dedupe shuffle needed. Probe broadcast is
+    // the default for small query sets; disable for corpus-vs-corpus.
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    val cand = corpusLists.join(probeSide, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
     val scored = cand.withColumn("sim",
       round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))

@@ -66,7 +66,8 @@ object LocalExecution {
     if (!Fs.doesMoveLookSafe(fs, sourceUri, targetUri))
       throw new IllegalStateException(s"move looks unsafe (empty source over non-empty target): $sourceUri -> $targetUri")
     val fuse = new SafetyFuse(fs, targetUri)
-    if (!fuse.isInProgress()) {
+    val resuming = fuse.isInProgress()
+    if (!resuming) {
       fuse.startTransaction()
       if (fs.exists(targetPath)) {
         // clear target contents (keep the folder so its ACLs survive)
@@ -81,18 +82,25 @@ object LocalExecution {
       require(t.toString != c.toString, s"refusing self-move of $c")
       Paths(c.toString, t.toString)
     }.toIndexedSeq
-    // Resuming an interrupted transaction: a child still present in source
-    // may have a leftover target twin (cleared-then-crashed run); Hadoop
-    // rename(src, existingDir) would nest src INSIDE it, so clear twins
-    // first. (Children whose rename completed are gone from the source
-    // listing and keep their target.)
-    val leftovers = pairs.filter(p => fs.exists(new Path(p.targetPath)))
-    if (leftovers.nonEmpty) deletePaths(leftovers.map(_.targetPath))
+    if (resuming) {
+      // Interrupted transaction: a child still present in source may have
+      // a leftover target twin (cleared-then-crashed run); Hadoop
+      // rename(src, existingDir) would nest src INSIDE it, so clear twins
+      // first. (Children whose rename completed are gone from the source
+      // listing and keep their target.) Fresh runs just cleared the
+      // target — no per-child exists probes needed.
+      val leftovers = pairs.filter(p => fs.exists(new Path(p.targetPath)))
+      if (leftovers.nonEmpty) deletePaths(leftovers.map(_.targetPath))
+    }
     val res = movePaths(pairs)
     // Only drop the source folder once every child actually moved —
     // deleting it under a failed rename would destroy the unmoved data.
-    if (!keepSourceFolder && res.forall(_.success)) fs.delete(sourcePath, true)
-    fuse.endTransaction()
+    val allMoved = res.forall(_.success)
+    if (!keepSourceFolder && allMoved) fs.delete(sourcePath, true)
+    // On partial failure the marker stays: a retry must take the RESUME
+    // path above — closing the transaction would send it through the
+    // clear-target branch, destroying the children that already moved.
+    if (allMoved) fuse.endTransaction()
     res
   }
 

@@ -37,6 +37,23 @@ class ExtSpec extends AnyFunSuite {
       s"missing=${(naive -- ppjoin).take(5)} spurious=${(ppjoin -- naive).take(5)}")
   }
 
+  test("PPJoin strategy keeps exact-boundary pairs despite fp round-up") {
+    import spark.implicits._
+    // |A|=7 shingles fully contained in |B|=100 → J = 7/100 = 0.07 exactly;
+    // naively evaluated 0.07*100 rounds UP in binary, so a non-conservative
+    // prefix/length filter drops the pair the naive strategy keeps
+    val wordsA = (1 to 9).map(i => s"w$i")
+    val wordsB = (1 to 102).map(i => s"w$i")
+    val docs2 = Seq((1L, wordsA.mkString(" ")), (2L, wordsB.mkString(" ")))
+      .toDF("doc_id", "text")
+    def pairs(prefix: Boolean) =
+      Dedup.ngramJaccardPairs(docs2, 3, 0.07, prefixFilter = prefix)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = pairs(false)
+    assert(naive == Set((1L, 2L, 0.07)), s"naive: $naive")
+    assert(pairs(true) == naive)
+  }
+
   test("simhash near-dup pairs include the exact duplicates") {
     // identical texts → identical simhash → hamming 0
     val exactDups = Dedup.exactDedup(docs).filter(col("dup_cnt") > 1)
