@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data pipelines.
+  *
+  * The workhorse is [[perKeyExact]]: EXACTLY min(k, |group|) rows per
+  * key, deterministic across runs and cluster layouts — the property
+  * `df.sample`/`rand()` cannot give (their output changes with
+  * partitioning, which makes pipeline reruns non-reproducible).
+  * Selection order is a seeded hash of the row's id columns, so it is
+  * unbiased w.r.t. any data ordering, and the heavy lifting is the
+  * custom [[graft.plans.TopKPerKeyNode]] operator — one shuffle, no
+  * rank column, no per-group buffering beyond the stream.
+  */
+object Sampling {
+
+  /** @param keys    stratum columns (e.g. language, source)
+    * @param idCols  columns whose hash drives selection — must identify
+    *        a row stably (e.g. doc_id); reruns then pick the SAME sample
+    * @param k       rows to keep per stratum
+    * @param seed    vary to draw a different (still deterministic) sample
+    */
+  def perKeyExact(df: DataFrame, keys: Seq[String], idCols: Seq[String], k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(idCols.nonEmpty, "need id columns to hash for deterministic selection")
+    val tagged = df.withColumn("_sample_order",
+      xxhash64(lit(seed) +: idCols.map(col): _*))
+    TopK.perKey(tagged, keys, Seq(("_sample_order", false)), k)
+      .drop("_sample_order")
+  }
+
+  /** Per-stratum fraction sampling via the same seeded hash: keeps a row
+    * iff hash lands in the stratum's fraction of the hash space.
+    * Deterministic, single pass, no shuffle at all.
+    */
+  def stratifiedFraction(df: DataFrame, keyCol: String,
+      fractions: Map[String, Double], seed: Long = 42L,
+      idCols: Seq[String] = Seq.empty): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1), "fractions must be in [0,1]")
+    val hashCols = if (idCols.nonEmpty) idCols.map(col) else df.columns.toSeq.map(col)
+    // map hash to [0,1): shift into non-negative range first
+    val u = (xxhash64(lit(seed) +: hashCols: _*) / lit(2.0) + lit(Long.MaxValue / 2.0)) /
+      lit(Long.MaxValue.toDouble)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (key, f)) =>
+      acc || (col(keyCol) === lit(key) && u < lit(f))
+    }
+    df.filter(keep)
+  }
+}

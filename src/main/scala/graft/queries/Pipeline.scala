@@ -67,6 +67,20 @@ object Pipeline {
   def t02TextAnalyze(spark: SparkSession, dir: String): DataFrame =
     TextOps.analyze(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** Corpus vocabulary with term + document frequencies — the table a
+    * training pipeline derives stopword lists, df-ordered PPJoin
+    * prefixes, and tokenizer vocabularies from. One explode + one
+    * grouped agg; the shuffle key is the token, map-side partial
+    * aggregation shrinks it before the exchange.
+    */
+  def t03Vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("token"))
+
   def j01JsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -163,6 +177,12 @@ object Pipeline {
         |  length(text) AS len_chars,
         |  length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t03_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin,
     "j01_json_extract" ->
       """SELECT event_type, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -192,6 +212,7 @@ object Pipeline {
     "s03_ivf_topk"       -> s03IvfTopK _,
     "t01_text_stats"     -> t01TextStats _,
     "t02_text_analyze"   -> t02TextAnalyze _,
+    "t03_vocab"          -> t03Vocab _,
     "j01_json_extract"   -> j01JsonExtract _,
     "e01_event_windows"  -> e01EventWindows _,
     "e02_asof_join"      -> e02AsofJoin _,
