@@ -136,12 +136,30 @@ object Dedup {
 
   // --------------------------------------------------------- MinHash LSH
 
-  /** k seeded min-hash values per document, one groupBy pass: minhash_i =
-    * min over shingles of xxhash64(seed_i, shingle).
+  /** k seeded min-hash values per document: minhash_i = min over
+    * shingles of xxhash64(seed_i, shingle), computed by the one-pass
+    * native [[graft.functions.MinHashes]] expression — a NARROW map over
+    * the shingle array. The signature stage therefore shuffles nothing;
+    * the earlier explode → 32-way min groupBy shipped every shingle
+    * instance through an exchange first. Docs with empty shingle sets
+    * are dropped (they have no signature), matching the explode
+    * formulation which never emitted a row for them.
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 32,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // k seeded re-hashes run on the fixed-width shingle hash, not the string
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val sigs = docs
+      .select(col(idCol).as("id"), graftShingles(col(textCol), n).as("set"))
+      .filter(size(col("set")) > 0)
+      .select(col("id"), GraftFunctions.graftMinhashes(col("set"), k).as("mh"))
+    sigs.select(col("id") +: (0 until k).map(i => col("mh").getItem(i).as(s"mh_$i")): _*)
+  }
+
+  /** Explode+groupBy formulation of [[minhashSignatures]]; kept as the
+    * equality oracle for the native expression in ExtSpec.
+    */
+  private[graft] def minhashSignaturesDeclarative(docs: DataFrame, n: Int, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
     val sh = docs.select(col(idCol).as("id"),
       explode(graftShingles(col(textCol), n)).as("h"))

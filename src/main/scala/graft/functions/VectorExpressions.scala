@@ -80,25 +80,28 @@ object GraftFunctions {
     * own FunctionRegistry is the source of truth — an external dedupe key
     * (identity hash) can collide across sessions and silently skip one.
     */
+  private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct],
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    ("graft_shingles", classOf[HashedShingles],
+      (exprs: Seq[Expression]) => HashedShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])),
+    ("graft_text_metrics", classOf[TextMetrics],
+      (exprs: Seq[Expression]) => TextMetrics(exprs(0))),
+    ("graft_simhash", classOf[SimHash64],
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))),
+    ("graft_minhashes", classOf[MinHashes],
+      (exprs: Seq[Expression]) => MinHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
+
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
-    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("graft_dot"))) {
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier("graft_dot"),
-        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier("graft_shingles"),
-        new ExpressionInfo(classOf[HashedShingles].getName, "graft_shingles"),
-        (exprs: Seq[Expression]) => HashedShingles(exprs(0),
-          exprs(1).eval().asInstanceOf[Int]))
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier("graft_text_metrics"),
-        new ExpressionInfo(classOf[TextMetrics].getName, "graft_text_metrics"),
-        (exprs: Seq[Expression]) => TextMetrics(exprs(0)))
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier("graft_simhash"),
-        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-        (exprs: Seq[Expression]) => SimHash64(exprs(0)))
+    val registry = spark.sessionState.functionRegistry
+    // per-function check: a session registered by an older library
+    // version still picks up functions added since
+    builders.foreach { case (name, cls, builder) =>
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.registerFunction(FunctionIdentifier(name),
+          new ExpressionInfo(cls.getName, name), builder)
     }
   }
 
@@ -116,4 +119,10 @@ object GraftFunctions {
 
   /** One-pass 64-bit SimHash (requires [[ensureRegistered]]). */
   def graftSimhash(text: Column): Column = call_function("graft_simhash", text)
+
+  /** k seeded MinHash values of a shingle set, one narrow pass
+    * (requires [[ensureRegistered]]).
+    */
+  def graftMinhashes(set: Column, k: Int): Column =
+    call_function("graft_minhashes", set, org.apache.spark.sql.functions.lit(k))
 }

@@ -54,6 +54,15 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs(true) == naive)
   }
 
+  test("native minhash signatures equal the explode+groupBy formulation") {
+    val native = Dedup.minhashSignatures(docs, 3, 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_))).toMap
+    val declarative = Dedup.minhashSignaturesDeclarative(docs, 3, 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_))).toMap
+    assert(native.nonEmpty)
+    assert(native == declarative)
+  }
+
   test("simhash near-dup pairs include the exact duplicates") {
     // identical texts → identical simhash → hamming 0
     val exactDups = Dedup.exactDedup(docs).filter(col("dup_cnt") > 1)
