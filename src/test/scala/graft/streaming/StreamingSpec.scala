@@ -77,6 +77,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of equals the batch as-of on matured ticks") {
+    import spark.implicits._
+    val src = EventsStream.read(spark, streamDir).withWatermark("ts", "10 minutes")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("key"), col("ts"), unix_micros(col("ts")).as("tsMicros"),
+        (col("event_type") === "click").as("isLeft"), col("event_id").as("id"), col("value"))
+      .as[StreamingAsOf.Tick]
+    val q = StreamingAsOf.joinBackward(src)
+      .writeStream.outputMode("append").format("memory").queryName("sasof_out").start()
+    try {
+      q.processAllAvailable()
+      // timeout-driven emissions land in no-data micro-batches; wait for a fixpoint
+      var prev = -1L
+      var cur = spark.table("sasof_out").count()
+      var i = 0
+      while (cur != prev && i < 30) {
+        Thread.sleep(500); q.processAllAvailable()
+        prev = cur; cur = spark.table("sasof_out").count(); i += 1
+      }
+      val streamed = spark.table("sasof_out").collect()
+        .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      val ev = graft.Tables.events(spark, sf)
+        .withColumn("us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us"), col("event_id").as("view_id"))
+      val batch = graft.ops.AsOf.joinBackward(clicks, views, Seq("user_id"), "us", "us",
+          Seq("view_id")).collect()
+        .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (leftId, m) => assert(batch(leftId) == m, s"click $leftId") }
+      // every click older than maxTs - watermark delay must have matured
+      val horizon = ev.agg(max("us")).head.getLong(0) - 10L * 60 * 1000000
+      val expectedMatured = clicks.filter(col("us") <= horizon).count()
+      assert(streamed.size >= expectedMatured, s"${streamed.size} < $expectedMatured")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates running user totals") {
     import spark.implicits._
     val events = EventsStream.read(spark, streamDir)
