@@ -1,0 +1,89 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.streaming.{EventsStream, StreamingAsOf}
+
+/** End-to-end tour of the streaming surface against the events fixture
+  * replayed through the file-stream source: windowed aggregation,
+  * bounded-state dedup, stream-stream interval join, and the stateful
+  * streaming as-of — each checked against its batch twin.
+  * Run: `sbt "runMain graft.examples.StreamTour"` — prints one OK/FAIL
+  * line per operator and exits nonzero on any FAIL.
+  */
+object StreamTour {
+  def main(args: Array[String]): Unit = {
+    implicit val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    var failed = 0
+    def check(name: String)(cond: => Boolean): Unit = {
+      val ok = try cond catch { case e: Throwable => println(s"  ! $name: $e"); false }
+      println(f"${if (ok) "OK  " else "FAIL"} $name")
+      if (!ok) failed += 1
+    }
+    def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+        mode: String): org.apache.spark.sql.DataFrame = {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    }
+
+    val dir = EventsStream.stageFixture(spark, sf)
+
+    check("tumbling windows equal batch") {
+      val streamed = runToMemory(EventsStream.tumbling(EventsStream.read(spark, dir)),
+        "tour_tumbling", "complete")
+        .select(col("window.start"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = EventsStream.tumblingBatch(spark, sf)
+        .select(col("window.start"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      streamed.nonEmpty && streamed == batch
+    }
+
+    check("bounded-state dedup removes nothing from an already-unique stream") {
+      val n = runToMemory(EventsStream.dedupedStream(EventsStream.read(spark, dir)),
+        "tour_dedup", "append").count()
+      n == spark.read.parquet(s"$sf/events.parquet").count()
+    }
+
+    check("interval join equals batch") {
+      val streamed = runToMemory(
+        EventsStream.clickToPurchaseJoin(EventsStream.read(spark, dir)),
+        "tour_ssjoin", "append")
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventsStream.clickToPurchaseBatch(spark, sf)
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      streamed.nonEmpty && streamed == batch
+    }
+
+    check("streaming as-of matches batch on matured ticks") {
+      val src = EventsStream.read(spark, dir).withWatermark("ts", "10 minutes")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("key"), col("ts"), unix_micros(col("ts")).as("tsMicros"),
+          (col("event_type") === "click").as("isLeft"), col("event_id").as("id"), col("value"))
+        .as[StreamingAsOf.Tick]
+      val streamed = runToMemory(StreamingAsOf.joinBackward(src).toDF(), "tour_sasof", "append")
+        .collect().map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      val ev = graft.Tables.events(spark, sf).withColumn("us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us"), col("event_id").as("view_id"))
+      val batch = graft.ops.AsOf.joinBackward(clicks, views, Seq("user_id"), "us", "us",
+          Seq("view_id")).collect()
+        .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      streamed.nonEmpty && streamed.forall { case (id, m) => batch(id) == m }
+    }
+
+    println(if (failed == 0) "StreamTour: all checks passed"
+            else s"StreamTour: $failed check(s) FAILED")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}
