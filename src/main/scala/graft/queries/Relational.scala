@@ -203,6 +203,24 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Q17 RANGE-frame window: 30-day trailing average spend per customer.
+    * The frame is value-based (all orders within 29 days), not row-based
+    * — ties and gaps in order dates are handled identically by any
+    * engine, unlike a ROWS frame. Sum runs in Decimal so the average is
+    * partition-order independent.
+    */
+  def q17MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-29, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("day", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double") /
+          count(lit(1)).over(w), 6).as("avg_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Oracle SQL (DuckDB dialect ≡ ANSI) — must alias identically to the above. */
   val oracles: Map[String, String] = Map(
     "q11_rollup" ->
@@ -297,6 +315,14 @@ object Relational {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q17_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |        / count(*) OVER w, 6) AS avg_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |             RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -316,5 +342,6 @@ object Relational {
     "q14_percentiles" -> q14Percentiles _,
     "q15_exists"      -> q15Exists _,
     "q16_pivot"       -> q16Pivot _,
+    "q17_moving_avg"  -> q17MovingAvg _,
   )
 }
