@@ -169,9 +169,15 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))
+        // one percentile() call per COLUMN (array of fractions): each call
+        // buffers the column's values once, so fusing p50/p90 halves the
+        // aggregation state for l_quantity
+        expr("percentile(l_quantity, array(0.5, 0.9))").as("p_qty"),
+        expr("percentile(l_extendedprice, array(0.95))").as("p_price"))
+      .select(col("l_returnflag"),
+        round(element_at(col("p_qty"), 1), 6).as("p50_qty"),
+        round(element_at(col("p_qty"), 2), 6).as("p90_qty"),
+        round(element_at(col("p_price"), 1), 6).as("p95_price"))
       .orderBy(col("l_returnflag"))
 
   /** Q15 correlated EXISTS — planned as a left_semi join (no subquery
