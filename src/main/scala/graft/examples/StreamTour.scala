@@ -63,21 +63,22 @@ object StreamTour {
     }
 
     check("streaming as-of matches batch on matured ticks") {
-      val src = EventsStream.read(spark, dir).withWatermark("ts", "10 minutes")
-        .filter(col("event_type").isin("click", "view"))
-        .select(col("user_id").as("key"), col("ts"), unix_micros(col("ts")).as("tsMicros"),
-          (col("event_type") === "click").as("isLeft"), col("event_id").as("id"), col("value"))
-        .as[StreamingAsOf.Tick]
-      val streamed = runToMemory(StreamingAsOf.joinBackward(src).toDF(), "tour_sasof", "append")
-        .collect().map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
-      val ev = graft.Tables.events(spark, sf).withColumn("us", expr("ts div 1000"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("us"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("us"), col("event_id").as("view_id"))
-      val batch = graft.ops.AsOf.joinBackward(clicks, views, Seq("user_id"), "us", "us",
-          Seq("view_id")).collect()
-        .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      val src = StreamingAsOf.clickViewTicks(EventsStream.read(spark, dir))
+      val q = StreamingAsOf.joinBackward(src)
+        .writeStream.outputMode("append").format("memory").queryName("tour_sasof").start()
+      val streamed = try {
+        q.processAllAvailable()
+        // matured emissions arrive in timeout-driven no-data batches —
+        // wait for a fixpoint before reading
+        var prev = -1L; var cur = spark.table("tour_sasof").count(); var i = 0
+        while (cur != prev && i < 30) {
+          Thread.sleep(500); q.processAllAvailable()
+          prev = cur; cur = spark.table("tour_sasof").count(); i += 1
+        }
+        spark.table("tour_sasof").collect()
+          .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      } finally q.stop()
+      val batch = StreamingAsOf.clickViewBatch(spark, sf)
       streamed.nonEmpty && streamed.forall { case (id, m) => batch(id) == m }
     }
 

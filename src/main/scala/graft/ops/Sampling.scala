@@ -25,6 +25,8 @@ object Sampling {
   def perKeyExact(df: DataFrame, keys: Seq[String], idCols: Seq[String], k: Int,
       seed: Long = 42L): DataFrame = {
     require(idCols.nonEmpty, "need id columns to hash for deterministic selection")
+    require(!df.columns.contains("_sample_order"),
+      "column name _sample_order is reserved by Sampling.perKeyExact")
     val tagged = df.withColumn("_sample_order",
       xxhash64(lit(seed) +: idCols.map(col): _*))
     TopK.perKey(tagged, keys, Seq(("_sample_order", false)), k)

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming backward as-of join on a single keyed tick stream
@@ -10,13 +11,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * arrive.
   *
   * Why not the batch union+window plan: a streaming window over
-  * unbounded input would buffer forever. Here state is explicitly
-  * bounded by the watermark — per key we hold (a) left ticks not yet
-  * matured past the watermark and (b) right ticks newer than the oldest
-  * pending left, plus ONE right tick at or before it (the only older
-  * row a future left can still match). Both buffers shrink as the
-  * watermark advances; an event-time timeout wakes groups whose pending
-  * lefts matured in a batch that brought them no new data.
+  * unbounded input would buffer forever. Here per-key state holds only
+  * (a) left ticks not yet matured past the watermark and (b) the single
+  * latest right tick at or before the watermark plus rights newer than
+  * it — everything an arbitrarily-late-but-legal future left could
+  * still match. The one-retained-right floor is inherent to as-of
+  * semantics (a left may arrive years after its matching right); rows
+  * above it are bounded by the watermark horizon. An event-time timeout
+  * wakes groups whose pending lefts matured in a batch that brought
+  * them no new data.
   */
 object StreamingAsOf {
 
@@ -57,21 +60,52 @@ object StreamingAsOf {
             val m = rights.takeWhile(_.tsMicros <= l.tsMicros).lastOption
             AsOfMatch(key, l.id, l.tsMicros, m.map(_.id), m.map(_.value))
           }
-          if (pending.isEmpty && wmMicros >= (prev.rights ++ incoming).map(_.tsMicros)
-              .foldLeft(Long.MinValue)(_ max _)) {
-            state.remove() // nothing left to match and no fresher data than the watermark
+          // prune rights to what a FUTURE left can still match. Future
+          // lefts are only bounded below by the WATERMARK (they can be
+          // older than pending lefts), so the horizon is wm, not the
+          // oldest pending left: keep the latest right at/below wm plus
+          // everything newer.
+          val (older, newer) = rights.partition(_.tsMicros <= wmMicros)
+          val keep = older.lastOption.toList ++ newer
+          if (pending.isEmpty && keep.isEmpty) {
+            state.remove() // key has never seen a right tick worth remembering
           } else {
-            // keep rights a future left could still match: everything after
-            // the maturity horizon plus the single latest one at/before it
-            val horizon = pending.headOption.map(_.tsMicros).getOrElse(wmMicros)
-            val (older, newer) = rights.partition(_.tsMicros <= horizon)
-            state.update(Buffers(pending, older.lastOption.toList ++ newer))
-            // wake this group when the watermark reaches its oldest pending
-            // left even if no new data arrives for the key
-            pending.headOption.foreach(p =>
-              state.setTimeoutTimestamp(math.max(p.tsMicros / 1000L, state.getCurrentWatermarkMs() + 1)))
+            state.update(Buffers(pending, keep))
+            // wake when the watermark reaches the oldest pending left (to
+            // emit without new data); else once more to compact a multi-row
+            // right buffer down to its one-row floor
+            val wakeMs = pending.headOption.map(_.tsMicros / 1000L)
+              .orElse(if (keep.size > 1) Some(keep.map(_.tsMicros).max / 1000L) else None)
+            wakeMs.foreach(w =>
+              state.setTimeoutTimestamp(math.max(w, state.getCurrentWatermarkMs() + 1)))
           }
           out.iterator
       }
+  }
+
+  /** Clicks-as-left / views-as-right tick stream over the events table —
+    * the fixture wiring shared by StreamingSpec and StreamTour.
+    */
+  def clickViewTicks(events: DataFrame): Dataset[Tick] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("key"), col("ts"), unix_micros(col("ts")).as("tsMicros"),
+        (col("event_type") === "click").as("isLeft"), col("event_id").as("id"), col("value"))
+      .as[Tick]
+  }
+
+  /** Batch twin of [[clickViewTicks]]+[[joinBackward]] for parity
+    * checks: (click event_id → matched view event_id or None).
+    */
+  def clickViewBatch(spark: SparkSession, dir: String): Map[Long, Option[Long]] = {
+    val ev = graft.Tables.events(spark, dir).withColumn("us", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us"), col("event_id").as("view_id"))
+    graft.ops.AsOf.joinBackward(clicks, views, Seq("user_id"), "us", "us", Seq("view_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
   }
 }

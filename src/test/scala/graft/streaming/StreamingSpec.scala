@@ -78,12 +78,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming as-of equals the batch as-of on matured ticks") {
-    import spark.implicits._
-    val src = EventsStream.read(spark, streamDir).withWatermark("ts", "10 minutes")
-      .filter(col("event_type").isin("click", "view"))
-      .select(col("user_id").as("key"), col("ts"), unix_micros(col("ts")).as("tsMicros"),
-        (col("event_type") === "click").as("isLeft"), col("event_id").as("id"), col("value"))
-      .as[StreamingAsOf.Tick]
+    val src = StreamingAsOf.clickViewTicks(EventsStream.read(spark, streamDir))
     val q = StreamingAsOf.joinBackward(src)
       .writeStream.outputMode("append").format("memory").queryName("sasof_out").start()
     try {
@@ -98,21 +93,49 @@ class StreamingSpec extends AnyFunSuite {
       }
       val streamed = spark.table("sasof_out").collect()
         .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
-      val ev = graft.Tables.events(spark, sf)
-        .withColumn("us", expr("ts div 1000"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("us"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("us"), col("event_id").as("view_id"))
-      val batch = graft.ops.AsOf.joinBackward(clicks, views, Seq("user_id"), "us", "us",
-          Seq("view_id")).collect()
-        .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      val batch = StreamingAsOf.clickViewBatch(spark, sf)
       assert(streamed.nonEmpty)
       streamed.foreach { case (leftId, m) => assert(batch(leftId) == m, s"click $leftId") }
       // every click older than maxTs - watermark delay must have matured
+      val ev = graft.Tables.events(spark, sf).withColumn("us", expr("ts div 1000"))
       val horizon = ev.agg(max("us")).head.getLong(0) - 10L * 60 * 1000000
-      val expectedMatured = clicks.filter(col("us") <= horizon).count()
+      val expectedMatured = ev.filter(col("event_type") === "click")
+        .filter(col("us") <= horizon).count()
       assert(streamed.size >= expectedMatured, s"${streamed.size} < $expectedMatured")
+    } finally q.stop()
+  }
+
+  test("streaming as-of keeps rights needed by out-of-order (legal) lefts across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingAsOf.Tick]
+    def tick(tSec: Long, left: Boolean, id: Long) = StreamingAsOf.Tick(
+      1L, new java.sql.Timestamp(tSec * 1000), tSec * 1000000L, left, id, 0.0)
+    val ticks = input.toDS().withWatermark("ts", "20 seconds").as[StreamingAsOf.Tick]
+    val q = StreamingAsOf.joinBackward(ticks)
+      .writeStream.outputMode("append").format("memory").queryName("sasof_ooo").start()
+    try {
+      // batch 1: three rights + a left at t=40 → watermark becomes 20s
+      input.addData(tick(10, false, 910), tick(20, false, 920),
+        tick(30, false, 930), tick(40, true, 40))
+      q.processAllAvailable()
+      // batch 2: a left at t=25 — BEHIND the pending left but above the
+      // watermark, so fully legal; its match (the right at t=20) must
+      // still be buffered
+      input.addData(tick(25, true, 25))
+      q.processAllAvailable()
+      // batch 3: advance the watermark past both lefts
+      input.addData(tick(100, true, 100))
+      q.processAllAvailable()
+      var prev = -1L; var cur = spark.table("sasof_ooo").count(); var i = 0
+      while (cur != prev && i < 30) {
+        Thread.sleep(500); q.processAllAvailable()
+        prev = cur; cur = spark.table("sasof_ooo").count(); i += 1
+      }
+      val got = spark.table("sasof_ooo").collect()
+        .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      assert(got.get(25).contains(Some(920L)), s"out-of-order left lost its right: $got")
+      assert(got.get(40).contains(Some(930L)), got.toString)
     } finally q.stop()
   }
 
