@@ -7,10 +7,11 @@ import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.hadoop.fs.permission.{AclEntry, AclEntryScope, AclEntryType, AclStatus, FsAction}
+import org.apache.spark.sql.{Dataset, SparkSession}
 
-import graft.fs.{Fs, FsOperationResult, Retry}
+import graft.fs.{Fs, FsOperationResult, Retry, SerializableHadoopConf}
 
 /** User-facing ACL spec (reference: acl/AclManager.scala:198-205):
   * scope ∈ user/group/other/mask, POSIX rwx string, level ACCESS/DEFAULT,
@@ -115,6 +116,77 @@ object AclManager {
 
   def clearFolderAcl(uri: String)(implicit conf: Configuration): Seq[FsOperationResult] =
     clearAcls(uri +: Fs.list(uri).map(_.path).toIndexedSeq)
+
+  // ------------------------------------------------ distributed variants
+
+  /** [[modifyAcls]] over a Dataset of paths — the 100 TB path when the
+    * path set exceeds driver memory: each task opens its own FS handle,
+    * vanished paths count as skipped-success, and the failed subset is
+    * re-derived with a left_semi join and retried ≤5 (the same shape as
+    * DistributedExecution.copyDataset).
+    */
+  def modifyAclsDistributed(paths: Dataset[String], permission: FsPermission,
+      conf: Configuration)(implicit spark: SparkSession): Dataset[FsOperationResult] =
+    applyAclDistributed(paths, conf) { (fs, path) =>
+      fs.modifyAclEntries(path, Seq(getAclEntry(permission)).asJava)
+    }
+
+  /** Distributed [[clearAcls]]. */
+  def clearAclsDistributed(paths: Dataset[String], conf: Configuration)(
+      implicit spark: SparkSession): Dataset[FsOperationResult] =
+    applyAclDistributed(paths, conf)((fs, path) => fs.removeAcl(path))
+
+  /** Distributed [[modifyFolderAcl]]: tree scan, ACCESS application and
+    * DEFAULT-on-folders application all run as Spark jobs.
+    */
+  def modifyFolderAclDistributed(uri: String, permission: FsPermission,
+      conf: Configuration)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    val tree = Fs.listDistributed(spark, uri, conf).persist()
+    val root = spark.createDataset(Seq(uri))
+    val all = tree.map(_.path).union(root)
+    val folders = tree.filter(_.isDirectory).map(_.path).union(root)
+    modifyAclsDistributed(all, permission.copy(level = "ACCESS"), conf).count()
+    modifyAclsDistributed(folders, permission.copy(level = "DEFAULT"), conf).count()
+    tree.unpersist()
+    ()
+  }
+
+  private def applyAclDistributed(paths: Dataset[String], conf: Configuration)(
+      op: (FileSystem, Path) => Unit)(
+      implicit spark: SparkSession): Dataset[FsOperationResult] = {
+    import spark.implicits._
+    val sconf = new SerializableHadoopConf(conf)
+    var pending = paths
+    var results = spark.emptyDataset[FsOperationResult]
+    var attempt = 0
+    var pendingCount = pending.count()
+    while (pendingCount > 0 && attempt < Retry.MaxAttempts) {
+      attempt += 1
+      val res = pending.mapPartitions { it =>
+        val c = sconf.value
+        it.map { p =>
+          val path = new Path(p)
+          val ok = try {
+            val fs = path.getFileSystem(c)
+            if (fs.exists(path)) op(fs, path)
+            true // vanished paths are skipped-success, as in the driver variant
+          } catch { case _: Throwable => false }
+          FsOperationResult(p, ok)
+        }
+      }.persist()
+      val failed = res.filter(!_.success)
+      val failedCount = failed.count()
+      results = results.union(res.filter(_.success))
+      pending = pending.toDF("p")
+        .join(failed.select(org.apache.spark.sql.functions.col("path").as("p")), Seq("p"), "left_semi")
+        .as[String]
+      pendingCount = failedCount
+    }
+    require(pendingCount == 0,
+      s"$pendingCount ACL operations still failing after ${Retry.MaxAttempts} attempts")
+    results
+  }
 
   /** Read AclStatus for one / many paths (reference acl/AclManager.scala:172-175,324-329). */
   def getAclEntries(path: String)(implicit conf: Configuration): AclStatus =

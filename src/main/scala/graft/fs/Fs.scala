@@ -67,9 +67,16 @@ object Fs {
     * level is one Spark job; directory names (not file bytes) are what
     * shuffles, so a billion-file tree lists with bounded driver memory.
     */
-  def listDistributed(spark: SparkSession, uri: String): Dataset[FsElement] = {
+  def listDistributed(spark: SparkSession, uri: String): Dataset[FsElement] =
+    listDistributed(spark, uri, spark.sparkContext.hadoopConfiguration)
+
+  /** [[listDistributed]] with an explicit Hadoop conf (e.g. a custom
+    * FileSystem registration not present on the SparkContext conf).
+    */
+  def listDistributed(spark: SparkSession, uri: String,
+      hadoopConf: Configuration): Dataset[FsElement] = {
     import spark.implicits._
-    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val conf = new SerializableHadoopConf(hadoopConf)
     var result = spark.emptyDataset[FsElement]
     var dirs = spark.createDataset(Seq(uri))
     while (!dirs.isEmpty) {

@@ -50,6 +50,25 @@ class AclManagerSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(dirAcl.exists(_.getScope == AclEntryScope.DEFAULT))
   }
 
+  test("distributed folder ACL records the same state as the driver variant") {
+    implicit val spark = graft.SparkTestSession.spark
+    import scala.jdk.CollectionConverters._
+    val root = newAclRoot("acl_dist")
+    TestTree.create(root, 9, width = 2)
+    val perm = FsPermission("user", "rwx", "ACCESS", "gd")
+    AclManager.modifyFolderAcl(root, perm)
+    def snapshot() = InMemAclFileSystem.acls.asScala.toMap
+      .map { case (k, v) => k -> v.map(_.toString).sorted }
+    val driverState = snapshot()
+    InMemAclFileSystem.clear()
+    AclManager.modifyFolderAclDistributed(root, perm, conf)
+    val distState = snapshot()
+    assert(distState.nonEmpty)
+    assert(distState == driverState,
+      s"only-driver=${(driverState.keySet -- distState.keySet).take(3)} " +
+        s"only-dist=${(distState.keySet -- driverState.keySet).take(3)}")
+  }
+
   test("clearFolderAcl removes all entries") {
     val root = newAclRoot("acl_clear")
     TestTree.create(root, 7, width = 1)
