@@ -127,14 +127,18 @@ object AclManager {
     */
   def modifyAclsDistributed(paths: Dataset[String], permission: FsPermission,
       conf: Configuration)(implicit spark: SparkSession): Dataset[FsOperationResult] =
-    applyAclDistributed(paths, conf) { (fs, path) =>
-      fs.modifyAclEntries(path, Seq(getAclEntry(permission)).asJava)
+    applyAclDistributed(paths, conf) { () =>
+      // entry built once per PARTITION: AclEntry is not Serializable, so
+      // it can't be hoisted into the closure, but per-row rebuilds waste
+      // an allocation+parse on every path
+      val entry = Seq(getAclEntry(permission)).asJava
+      (fs, path) => fs.modifyAclEntries(path, entry)
     }
 
   /** Distributed [[clearAcls]]. */
   def clearAclsDistributed(paths: Dataset[String], conf: Configuration)(
       implicit spark: SparkSession): Dataset[FsOperationResult] =
-    applyAclDistributed(paths, conf)((fs, path) => fs.removeAcl(path))
+    applyAclDistributed(paths, conf)(() => (fs, path) => fs.removeAcl(path))
 
   /** Distributed [[modifyFolderAcl]]: tree scan, ACCESS application and
     * DEFAULT-on-folders application all run as Spark jobs.
@@ -153,18 +157,22 @@ object AclManager {
   }
 
   private def applyAclDistributed(paths: Dataset[String], conf: Configuration)(
-      op: (FileSystem, Path) => Unit)(
+      opBuilder: () => (FileSystem, Path) => Unit)(
       implicit spark: SparkSession): Dataset[FsOperationResult] = {
     import spark.implicits._
+    require(!spark.conf.getOption("spark.speculation").contains("true"),
+      "distributed ACL tasks are side-effecting; disable spark.speculation")
     val sconf = new SerializableHadoopConf(conf)
     var pending = paths
     var results = spark.emptyDataset[FsOperationResult]
+    val attemptCaches = scala.collection.mutable.ListBuffer.empty[Dataset[FsOperationResult]]
     var attempt = 0
     var pendingCount = pending.count()
     while (pendingCount > 0 && attempt < Retry.MaxAttempts) {
       attempt += 1
       val res = pending.mapPartitions { it =>
         val c = sconf.value
+        val op = opBuilder()
         it.map { p =>
           val path = new Path(p)
           val ok = try {
@@ -175,6 +183,7 @@ object AclManager {
           FsOperationResult(p, ok)
         }
       }.persist()
+      attemptCaches += res
       val failed = res.filter(!_.success)
       val failedCount = failed.count()
       results = results.union(res.filter(_.success))
@@ -183,8 +192,15 @@ object AclManager {
         .as[String]
       pendingCount = failedCount
     }
-    require(pendingCount == 0,
-      s"$pendingCount ACL operations still failing after ${Retry.MaxAttempts} attempts")
+    if (pendingCount > 0)
+      throw new IllegalStateException(
+        s"$pendingCount ACL operations still failing after ${Retry.MaxAttempts} attempts")
+    // pin the final results, then release the per-attempt caches — left
+    // persisted they'd pin one row per path for the session lifetime, and
+    // unpersisting without materializing would re-run the side effects
+    results = results.persist()
+    results.count()
+    attemptCaches.foreach(_.unpersist())
     results
   }
 

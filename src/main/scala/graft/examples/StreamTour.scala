@@ -67,14 +67,7 @@ object StreamTour {
       val q = StreamingAsOf.joinBackward(src)
         .writeStream.outputMode("append").format("memory").queryName("tour_sasof").start()
       val streamed = try {
-        q.processAllAvailable()
-        // matured emissions arrive in timeout-driven no-data batches —
-        // wait for a fixpoint before reading
-        var prev = -1L; var cur = spark.table("tour_sasof").count(); var i = 0
-        while (cur != prev && i < 30) {
-          Thread.sleep(500); q.processAllAvailable()
-          prev = cur; cur = spark.table("tour_sasof").count(); i += 1
-        }
+        StreamingAsOf.drainToFixpoint(q, () => spark.table("tour_sasof").count())
         spark.table("tour_sasof").collect()
           .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
       } finally q.stop()

@@ -60,6 +60,7 @@ object DistributedExecution {
 
     var pending = work
     var results = spark.emptyDataset[FsOperationResult]
+    val attemptCaches = scala.collection.mutable.ListBuffer.empty[Dataset[FsOperationResult]]
     var attempt = 0
     var pendingCount = total
     while (pendingCount > 0 && attempt < Retry.MaxAttempts) {
@@ -74,6 +75,7 @@ object DistributedExecution {
             FsOperationResult(p.sourcePath, ok)
           }
         }.persist()
+      attemptCaches += attemptResults
       val failed = attemptResults.filter(!_.success)
       val failedCount = failed.count()
       results = results.union(attemptResults.filter(_.success))
@@ -86,6 +88,12 @@ object DistributedExecution {
     }
     if (pendingCount > 0)
       throw new IllegalStateException(s"$pendingCount copies still failing after ${Retry.MaxAttempts} attempts")
+    // pin the final results, then release per-attempt caches — left
+    // persisted they'd hold a row per copied file for the session
+    // lifetime; unpersisting unmaterialized would re-run the copies
+    results = results.persist()
+    results.count()
+    attemptCaches.foreach(_.unpersist())
     results
   }
 }

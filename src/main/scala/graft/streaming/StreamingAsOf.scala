@@ -83,6 +83,26 @@ object StreamingAsOf {
       }
   }
 
+  /** Drive a started streaming query to an output fixpoint: matured
+    * as-of rows are emitted in timeout-driven no-data micro-batches that
+    * a single processAllAvailable may not cover — poll until the sink
+    * row count stops growing.
+    */
+  def drainToFixpoint(q: org.apache.spark.sql.streaming.StreamingQuery,
+      rowCount: () => Long, maxRounds: Int = 30): Unit = {
+    q.processAllAvailable()
+    var prev = -1L
+    var cur = rowCount()
+    var i = 0
+    while (cur != prev && i < maxRounds) {
+      Thread.sleep(500)
+      q.processAllAvailable()
+      prev = cur
+      cur = rowCount()
+      i += 1
+    }
+  }
+
   /** Clicks-as-left / views-as-right tick stream over the events table —
     * the fixture wiring shared by StreamingSpec and StreamTour.
     */

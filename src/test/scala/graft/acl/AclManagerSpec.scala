@@ -69,6 +69,27 @@ class AclManagerSpec extends AnyFunSuite with BeforeAndAfterEach {
         s"only-dist=${(distState.keySet -- driverState.keySet).take(3)}")
   }
 
+  test("distributed ACL retry re-derives the failed subset and heals transient errors") {
+    implicit val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val c = new Configuration(false)
+    c.set("fs.flakyacl.impl", classOf[FlakyAclFileSystem].getName)
+    c.set("fs.file.impl", classOf[org.apache.hadoop.fs.LocalFileSystem].getName)
+    val local = TestTree.newRoot("acl_flaky")
+    TestTree.create(local, 3, width = 1)(c)
+    val paths = Fs.list(local)(c).map(e => "flakyacl://" + e.path.stripPrefix("file:"))
+    FlakyAclFileSystem.clear(); InMemAclFileSystem.clear()
+    val res = AclManager.modifyAclsDistributed(
+      spark.createDataset(paths.toIndexedSeq), FsPermission("user", "rwx", "ACCESS", "gf"), c)
+      .collect()
+    assert(res.length == paths.length && res.forall(_.success))
+    // every path failed its first attempt — so the left_semi retry path ran
+    assert(FlakyAclFileSystem.failedOnce.size == paths.length)
+    paths.foreach { p =>
+      assert(InMemAclFileSystem.acls.containsKey(new Path(p).toUri.getPath), p)
+    }
+  }
+
   test("clearFolderAcl removes all entries") {
     val root = newAclRoot("acl_clear")
     TestTree.create(root, 7, width = 1)

@@ -45,3 +45,24 @@ object InMemAclFileSystem {
   val acls = new ConcurrentHashMap[String, List[AclEntry]]()
   def clear(): Unit = acls.clear()
 }
+
+/** [[InMemAclFileSystem]] variant that fails each path's FIRST
+  * modifyAclEntries with a transient error — exercises the distributed
+  * retry's left_semi re-derivation, which a never-failing FS leaves as
+  * dead code. Registered under `flakyacl://`.
+  */
+class FlakyAclFileSystem extends InMemAclFileSystem {
+  override def getScheme: String = "flakyacl"
+  override def getUri: URI = URI.create("flakyacl:///")
+
+  override def modifyAclEntries(path: Path, aclSpec: java.util.List[AclEntry]): Unit = {
+    if (FlakyAclFileSystem.failedOnce.add(path.toUri.getPath))
+      throw new java.io.IOException(s"injected transient failure for $path")
+    super.modifyAclEntries(path, aclSpec)
+  }
+}
+
+object FlakyAclFileSystem {
+  val failedOnce: java.util.Set[String] = ConcurrentHashMap.newKeySet[String]()
+  def clear(): Unit = failedOnce.clear()
+}

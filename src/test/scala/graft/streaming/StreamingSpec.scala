@@ -82,15 +82,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamingAsOf.joinBackward(src)
       .writeStream.outputMode("append").format("memory").queryName("sasof_out").start()
     try {
-      q.processAllAvailable()
-      // timeout-driven emissions land in no-data micro-batches; wait for a fixpoint
-      var prev = -1L
-      var cur = spark.table("sasof_out").count()
-      var i = 0
-      while (cur != prev && i < 30) {
-        Thread.sleep(500); q.processAllAvailable()
-        prev = cur; cur = spark.table("sasof_out").count(); i += 1
-      }
+      StreamingAsOf.drainToFixpoint(q, () => spark.table("sasof_out").count())
       val streamed = spark.table("sasof_out").collect()
         .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
       val batch = StreamingAsOf.clickViewBatch(spark, sf)
@@ -126,12 +118,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       // batch 3: advance the watermark past both lefts
       input.addData(tick(100, true, 100))
-      q.processAllAvailable()
-      var prev = -1L; var cur = spark.table("sasof_ooo").count(); var i = 0
-      while (cur != prev && i < 30) {
-        Thread.sleep(500); q.processAllAvailable()
-        prev = cur; cur = spark.table("sasof_ooo").count(); i += 1
-      }
+      StreamingAsOf.drainToFixpoint(q, () => spark.table("sasof_ooo").count())
       val got = spark.table("sasof_ooo").collect()
         .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
       assert(got.get(25).contains(Some(920L)), s"out-of-order left lost its right: $got")
