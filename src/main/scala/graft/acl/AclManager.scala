@@ -163,14 +163,8 @@ object AclManager {
     require(!spark.conf.getOption("spark.speculation").contains("true"),
       "distributed ACL tasks are side-effecting; disable spark.speculation")
     val sconf = new SerializableHadoopConf(conf)
-    var pending = paths
-    var results = spark.emptyDataset[FsOperationResult]
-    val attemptCaches = scala.collection.mutable.ListBuffer.empty[Dataset[FsOperationResult]]
-    var attempt = 0
-    var pendingCount = pending.count()
-    while (pendingCount > 0 && attempt < Retry.MaxAttempts) {
-      attempt += 1
-      val res = pending.mapPartitions { it =>
+    graft.fs.DistributedRetry.run[String](paths, "value", "ACL operations",
+      (pending, _) => pending.mapPartitions { it =>
         val c = sconf.value
         val op = opBuilder()
         it.map { p =>
@@ -182,26 +176,7 @@ object AclManager {
           } catch { case _: Throwable => false }
           FsOperationResult(p, ok)
         }
-      }.persist()
-      attemptCaches += res
-      val failed = res.filter(!_.success)
-      val failedCount = failed.count()
-      results = results.union(res.filter(_.success))
-      pending = pending.toDF("p")
-        .join(failed.select(org.apache.spark.sql.functions.col("path").as("p")), Seq("p"), "left_semi")
-        .as[String]
-      pendingCount = failedCount
-    }
-    if (pendingCount > 0)
-      throw new IllegalStateException(
-        s"$pendingCount ACL operations still failing after ${Retry.MaxAttempts} attempts")
-    // pin the final results, then release the per-attempt caches — left
-    // persisted they'd pin one row per path for the session lifetime, and
-    // unpersisting without materializing would re-run the side effects
-    results = results.persist()
-    results.count()
-    attemptCaches.foreach(_.unpersist())
-    results
+      })
   }
 
   /** Read AclStatus for one / many paths (reference acl/AclManager.scala:172-175,324-329). */

@@ -58,14 +58,8 @@ object DistributedExecution {
     val n = if (taskCount > 0) math.min(taskCount.toLong, total).toInt
             else math.min(total, 10000L).toInt.max(1)
 
-    var pending = work
-    var results = spark.emptyDataset[FsOperationResult]
-    val attemptCaches = scala.collection.mutable.ListBuffer.empty[Dataset[FsOperationResult]]
-    var attempt = 0
-    var pendingCount = total
-    while (pendingCount > 0 && attempt < Retry.MaxAttempts) {
-      attempt += 1
-      val attemptResults = pending.repartition(math.max(1, math.min(n, pendingCount.toInt)))
+    DistributedRetry.run[Paths](work, "sourcePath", "copies", (pending, pendingCount) =>
+      pending.repartition(math.max(1, math.min(n, pendingCount.toInt)))
         .mapPartitions { it =>
           val c = conf.value
           it.map { p =>
@@ -74,26 +68,6 @@ object DistributedExecution {
               catch { case _: Throwable => false }
             FsOperationResult(p.sourcePath, ok)
           }
-        }.persist()
-      attemptCaches += attemptResults
-      val failed = attemptResults.filter(!_.success)
-      val failedCount = failed.count()
-      results = results.union(attemptResults.filter(_.success))
-      if (failedCount == pendingCount && failedCount > 0 && attempt >= Retry.MaxAttempts)
-        throw new IllegalStateException(s"all $failedCount copies failed after $attempt attempts")
-      // re-derive the failed work subset distributed (no driver collect)
-      pending = pending.join(failed.select($"path".as("sourcePath")), Seq("sourcePath"), "left_semi")
-        .as[Paths]
-      pendingCount = failedCount
-    }
-    if (pendingCount > 0)
-      throw new IllegalStateException(s"$pendingCount copies still failing after ${Retry.MaxAttempts} attempts")
-    // pin the final results, then release per-attempt caches — left
-    // persisted they'd hold a row per copied file for the session
-    // lifetime; unpersisting unmaterialized would re-run the copies
-    results = results.persist()
-    results.count()
-    attemptCaches.foreach(_.unpersist())
-    results
+        }, knownCount = total)
   }
 }
