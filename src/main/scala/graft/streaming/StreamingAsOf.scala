@@ -83,6 +83,53 @@ object StreamingAsOf {
       }
   }
 
+  /** Streaming FORWARD as-of: each left tick matches the EARLIEST right
+    * tick at or after it. A lookahead `toleranceMicros` is mandatory —
+    * it is what makes the stream version viable: without a bound a left
+    * with no following right would wait forever. A left emits when its
+    * match is final: either its earliest following right is at or below
+    * the watermark (no future right can be earlier), or the watermark
+    * passed `ts + tolerance` (no future right can land inside the
+    * window; a farther candidate is nulled per tolerance). Unlike
+    * [[joinBackward]] the state has NO retained-row floor: rights at or
+    * below the watermark serve only pending lefts, so once none need
+    * them they drop, and fully-drained keys remove their state.
+    */
+  def joinForward(ticks: Dataset[Tick], toleranceMicros: Long): Dataset[AsOfMatch] = {
+    require(toleranceMicros >= 0, "forward as-of needs a non-negative lookahead tolerance")
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.key)
+      .flatMapGroupsWithState[Buffers, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[Tick], state: GroupState[Buffers]) =>
+          val prev = state.getOption.getOrElse(Buffers(Nil, Nil))
+          val incoming = rows.toList
+          val lefts = (prev.lefts ++ incoming.filter(_.isLeft)).sortBy(t => (t.tsMicros, t.id))
+          val rights = (prev.rights ++ incoming.filterNot(_.isLeft)).sortBy(t => (t.tsMicros, t.id))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          def candidate(l: Tick): Option[Tick] = rights.find(_.tsMicros >= l.tsMicros)
+          def isFinal(l: Tick): Boolean =
+            candidate(l).exists(_.tsMicros <= wmMicros) || wmMicros >= l.tsMicros + toleranceMicros
+          val (matured, pending) = lefts.partition(isFinal)
+          val out = matured.map { l =>
+            val m = candidate(l).filter(_.tsMicros <= l.tsMicros + toleranceMicros)
+            AsOfMatch(key, l.id, l.tsMicros, m.map(_.id), m.map(_.value))
+          }
+          // rights above the watermark can serve future lefts; rights at or
+          // below it only ever serve the still-pending ones
+          val horizon = pending.headOption.map(_.tsMicros).getOrElse(Long.MaxValue)
+          val keep = rights.filter(r => r.tsMicros > wmMicros || r.tsMicros >= horizon)
+          if (pending.isEmpty && keep.isEmpty) state.remove()
+          else {
+            state.update(Buffers(pending, keep))
+            // worst-case maturity: the watermark reaching ts + tolerance
+            pending.headOption.foreach(p => state.setTimeoutTimestamp(
+              math.max((p.tsMicros + toleranceMicros) / 1000L, state.getCurrentWatermarkMs() + 1)))
+          }
+          out.iterator
+      }
+  }
+
   /** Drive a started streaming query to an output fixpoint: matured
     * as-of rows are emitted in timeout-driven no-data micro-batches that
     * a single processAllAvailable may not cover — poll until the sink

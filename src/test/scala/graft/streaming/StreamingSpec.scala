@@ -126,6 +126,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming forward as-of: in-window match final via watermark, out-of-window nulled") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingAsOf.Tick]
+    def tick(tSec: Long, left: Boolean, id: Long) = StreamingAsOf.Tick(
+      1L, new java.sql.Timestamp(tSec * 1000), tSec * 1000000L, left, id, 0.0)
+    val ticks = input.toDS().withWatermark("ts", "5 seconds").as[StreamingAsOf.Tick]
+    val q = StreamingAsOf.joinForward(ticks, toleranceMicros = 10L * 1000000)
+      .writeStream.outputMode("append").format("memory").queryName("sasof_fwd").start()
+    try {
+      // L(10) has only a right at t=30 — outside its 10s window
+      input.addData(tick(10, true, 10), tick(30, false, 930))
+      q.processAllAvailable()
+      // L(28): candidate r30 is in-window but not yet final (wm=25)
+      input.addData(tick(28, true, 28), tick(40, false, 940))
+      q.processAllAvailable()
+      // push the watermark past both maturity points
+      input.addData(tick(60, false, 960))
+      StreamingAsOf.drainToFixpoint(q, () => spark.table("sasof_fwd").count())
+      val got = spark.table("sasof_fwd").collect()
+        .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      assert(got.get(10).contains(None), s"out-of-window left must null-match: $got")
+      assert(got.get(28).contains(Some(930L)), s"in-window left must take earliest right: $got")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates running user totals") {
     import spark.implicits._
     val events = EventsStream.read(spark, streamDir)
