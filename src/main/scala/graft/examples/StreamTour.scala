@@ -75,6 +75,27 @@ object StreamTour {
       streamed.nonEmpty && streamed.forall { case (id, m) => batch(id) == m }
     }
 
+    check("streaming forward as-of honors its lookahead tolerance") {
+      val tol = 30L * 60 * 1000000 // 30 min lookahead
+      val src = StreamingAsOf.clickViewTicks(EventsStream.read(spark, dir))
+      val q = StreamingAsOf.joinForward(src, tol)
+        .writeStream.outputMode("append").format("memory").queryName("tour_fasof").start()
+      val streamed = try {
+        StreamingAsOf.drainToFixpoint(q, () => spark.table("tour_fasof").count())
+        spark.table("tour_fasof").collect()
+          .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      } finally q.stop()
+      val ev = graft.Tables.events(spark, sf).withColumn("us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us"), col("event_id").as("view_id"))
+      val batch = graft.ops.AsOf.joinForward(clicks, views, Seq("user_id"), "us", "us",
+          Seq("view_id"), tolerance = Some(tol)).collect()
+        .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      streamed.nonEmpty && streamed.forall { case (id, m) => batch(id) == m }
+    }
+
     println(if (failed == 0) "StreamTour: all checks passed"
             else s"StreamTour: $failed check(s) FAILED")
     spark.stop()
