@@ -67,6 +67,18 @@ object Profile {
       println("rows: " + naiveFull(broadcast(sizes), broadcast(sizes)).count()))
     time("naive full again (broadcast)")(
       println("rows: " + naiveFull(broadcast(sizes), broadcast(sizes)).count()))
+    // vocab formulations: count+countDistinct (Expand) vs two-stage agg
+    val tok = docs.select(col("doc_id"),
+        explode(graft.ext.TextOps.tokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+    def vocabExpand() = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    def vocabTwoStage() = tok.groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("token"))
+      .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
+    (1 to 3).foreach(i => time(s"vocab expand #$i")(vocabExpand().count()))
+    (1 to 3).foreach(i => time(s"vocab two-stage #$i")(vocabTwoStage().count()))
     spark.stop()
   }
 }
