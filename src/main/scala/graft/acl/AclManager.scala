@@ -146,12 +146,16 @@ object AclManager {
   def modifyFolderAclDistributed(uri: String, permission: FsPermission,
       conf: Configuration)(implicit spark: SparkSession): Unit = {
     import spark.implicits._
-    val tree = Fs.listDistributed(spark, uri, conf).persist()
+    val tree = Fs.listDistributed(spark, uri, conf) // arrives persisted
     val root = spark.createDataset(Seq(uri))
     val all = tree.map(_.path).union(root)
     val folders = tree.filter(_.isDirectory).map(_.path).union(root)
-    modifyAclsDistributed(all, permission.copy(level = "ACCESS"), conf).count()
-    modifyAclsDistributed(folders, permission.copy(level = "DEFAULT"), conf).count()
+    // DistributedRetry.run returns its result already materialized AND
+    // pinned; this caller only needs the side effects, so release the
+    // pin — left persisted, each call would hold a row per path for the
+    // session lifetime on exactly the larger-than-driver-memory path.
+    modifyAclsDistributed(all, permission.copy(level = "ACCESS"), conf).unpersist()
+    modifyAclsDistributed(folders, permission.copy(level = "DEFAULT"), conf).unpersist()
     tree.unpersist()
     ()
   }

@@ -76,12 +76,13 @@ object Compactor {
     val leaves: Seq[String] =
       if (distributedListing) {
         import spark.implicits._
-        val dirs = Fs.listDistributed(spark, path)
-          .filter(_.isDirectory).map(_.path).persist()
+        val tree = Fs.listDistributed(spark, path) // arrives persisted
+        val dirs = tree.filter(_.isDirectory).map(_.path).persist()
         val parents = dirs.map(d => new Path(d).getParent.toString).distinct()
         val out = dirs.toDF("p").join(parents.toDF("p"), Seq("p"), "left_anti")
           .as[String].collect().toIndexedSeq
         dirs.unpersist()
+        tree.unpersist()
         out
       } else {
         implicit val conf = spark.sessionState.newHadoopConf()

@@ -41,7 +41,9 @@ object FsTour {
     }
     check("getSize totals bytes") { Fs.getSize(src).totalBytes == 9 * 8 }
     check("listDistributed == list") {
-      Fs.listDistributed(spark, src).collect().toSet == Fs.list(src).toSet
+      val listing = Fs.listDistributed(spark, src)
+      try listing.collect().toSet == Fs.list(src).toSet
+      finally listing.unpersist()
     }
     check("copyFolder replicates files") {
       DistributedExecution.copyFolder(src, trg).forall(_.success) &&

@@ -83,10 +83,10 @@ object Delta {
     import spark.implicits._
     val sourceUri = sourceUri0.stripSuffix("/")
     val targetUri = targetUri0.stripSuffix("/")
-    val src = Fs.listDistributed(spark, sourceUri)
-      .withColumn("relPath", udf(rel(sourceUri) _).apply($"path"))
-    val trg = Fs.listDistributed(spark, targetUri)
-      .withColumn("relPath", udf(rel(targetUri) _).apply($"path"))
+    val srcList = Fs.listDistributed(spark, sourceUri)
+    val trgList = Fs.listDistributed(spark, targetUri)
+    val src = srcList.withColumn("relPath", udf(rel(sourceUri) _).apply($"path"))
+    val trg = trgList.withColumn("relPath", udf(rel(targetUri) _).apply($"path"))
     val keys = Seq("relPath", "isDirectory", "byteSize")
     val missing = src.join(trg, keys, "left_anti")
       .select($"relPath").as[String]
@@ -94,7 +94,14 @@ object Delta {
     val extra = trg.join(src, keys, "left_anti")
       .select($"relPath").as[String]
       .map(DeltaEntry(_, DeltaEntry.OnlyInTarget))
-    missing.union(extra)
+    // materialize the diff so the pinned listings (each referenced by two
+    // anti-joins) can be released before returning; the caller owns the
+    // returned persisted diff and should unpersist it when done
+    val diff = missing.union(extra).persist()
+    diff.count()
+    srcList.unpersist()
+    trgList.unpersist()
+    diff
   }
 
   /** [[synchronize]] with NOTHING collected on the driver: diff, delete,
@@ -109,10 +116,10 @@ object Delta {
     import spark.implicits._
     val sourceUri = new org.apache.hadoop.fs.Path(sourceUri0).toString
     val targetUri = new org.apache.hadoop.fs.Path(targetUri0).toString
-    val src = Fs.listDistributed(spark, sourceUri)
-      .withColumn("relPath", udf(rel(sourceUri) _).apply($"path"))
-    val trg = Fs.listDistributed(spark, targetUri)
-      .withColumn("relPath", udf(rel(targetUri) _).apply($"path"))
+    val srcList = Fs.listDistributed(spark, sourceUri)
+    val trgList = Fs.listDistributed(spark, targetUri)
+    val src = srcList.withColumn("relPath", udf(rel(sourceUri) _).apply($"path"))
+    val trg = trgList.withColumn("relPath", udf(rel(targetUri) _).apply($"path"))
     val keys = Seq("relPath", "isDirectory", "byteSize")
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
 
@@ -150,6 +157,8 @@ object Delta {
       .map(relPath => Paths(s"$sourceUri/$relPath", s"$targetUri/$relPath"))
     DistributedExecution.copyDataset(files, taskCount)
     missing.unpersist()
+    srcList.unpersist()
+    trgList.unpersist()
     ()
   }
 

@@ -66,6 +66,11 @@ object Fs {
   /** Distributed level-synchronous tree scan: the 100 TB path. Each BFS
     * level is one Spark job; directory names (not file bytes) are what
     * shuffles, so a billion-file tree lists with bounded driver memory.
+    *
+    * The returned Dataset comes back PERSISTED and materialized (the
+    * per-level caches the loop needs are released before returning, so
+    * re-deriving the result lazily would re-list the whole tree);
+    * callers must `unpersist()` it when done with the listing.
     */
   def listDistributed(spark: SparkSession, uri: String): Dataset[FsElement] =
     listDistributed(spark, uri, spark.sparkContext.hadoopConfiguration)
@@ -79,6 +84,7 @@ object Fs {
     val conf = new SerializableHadoopConf(hadoopConf)
     var result = spark.emptyDataset[FsElement]
     var dirs = spark.createDataset(Seq(uri))
+    val levels = scala.collection.mutable.ListBuffer.empty[Dataset[FsElement]]
     while (!dirs.isEmpty) {
       val level = dirs.repartition(
         math.max(1, math.min(dirs.count(), spark.sparkContext.defaultParallelism).toInt))
@@ -90,10 +96,17 @@ object Fs {
             fs.listStatus(p).map(toElement)
           }
         }.persist()
+      levels += level
       level.count() // materialize before dirs is re-derived
       result = result.union(level)
       dirs = level.filter(_.isDirectory).map(_.path)
     }
+    // pin the union, then drop the per-level pins it was built from —
+    // left persisted they outlive the call (one row per tree entry each,
+    // unreachable by the caller)
+    result = result.persist()
+    result.count()
+    levels.foreach(_.unpersist())
     result
   }
 

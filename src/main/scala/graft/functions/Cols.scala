@@ -13,9 +13,13 @@ object Cols {
     * [[graft.GraftSession]]): parquet TIMESTAMP(NANOS) columns arrive as
     * longs and downstream window/watermark ops need real timestamps.
     */
-  def nanosToTs(c: Column): Column =
+  def nanosToTs(c: Column): Column = {
     // integer `div`, not Column./ — double division loses 1µs ULPs on
     // epoch-nano longs (~1.7e18 > 2^53) and can shift events across
-    // window boundaries
-    timestamp_micros(call_function("div", c, lit(1000L)))
+    // window boundaries. `div` truncates toward zero, so pre-1970
+    // (negative) nanos would land 1µs late; subtracting the pmod
+    // remainder first makes it a true floor for either sign.
+    val floored = c - pmod(c, lit(1000L))
+    timestamp_micros(call_function("div", floored, lit(1000L)))
+  }
 }

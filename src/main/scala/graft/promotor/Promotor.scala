@@ -190,7 +190,11 @@ object Promotor {
     LocalExecution.deletePaths(existing)
     val res = done.map(p => FsOperationResult(p.sourcePath, success = true)) ++
       LocalExecution.movePaths(toMove)
-    fuse.endTransaction()
+    // Close the transaction only on full success (mirrors
+    // LocalExecution.moveFolderContent): a partial failure must leave the
+    // fuse open so a retry re-enters the resume path above and counts
+    // already-renamed pairs as done instead of tripping doesMoveLookSafe.
+    if (res.forall(_.success)) fuse.endTransaction()
     res
   }
 }

@@ -107,7 +107,14 @@ object StreamingAsOf {
           val lefts = (prev.lefts ++ incoming.filter(_.isLeft)).sortBy(t => (t.tsMicros, t.id))
           val rights = (prev.rights ++ incoming.filterNot(_.isLeft)).sortBy(t => (t.tsMicros, t.id))
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
-          def candidate(l: Tick): Option[Tick] = rights.find(_.tsMicros >= l.tsMicros)
+          // Earliest right ts at/after the left; among rights TIED at that
+          // ts, take the largest id — the batch twin's carry orders tied
+          // rights by the payload struct (led by the right's id in the
+          // parity fixtures), so its winner is the max-id row and the two
+          // APIs must agree when the fixture has equal-timestamp rights.
+          def candidate(l: Tick): Option[Tick] =
+            rights.find(_.tsMicros >= l.tsMicros).map(first =>
+              rights.filter(_.tsMicros == first.tsMicros).last)
           def isFinal(l: Tick): Boolean =
             candidate(l).exists(_.tsMicros <= wmMicros) || wmMicros >= l.tsMicros + toleranceMicros
           val (matured, pending) = lefts.partition(isFinal)

@@ -61,7 +61,12 @@ class AclManagerSpec extends AnyFunSuite with BeforeAndAfterEach {
       .map { case (k, v) => k -> v.map(_.toString).sorted }
     val driverState = snapshot()
     InMemAclFileSystem.clear()
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     AclManager.modifyFolderAclDistributed(root, perm, conf)
+    // side-effect-only caller must release every retry-loop pin
+    // (ADVICE r2: two datasets leaked per call, one row per path)
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "modifyFolderAclDistributed leaked persisted datasets")
     val distState = snapshot()
     assert(distState.nonEmpty)
     assert(distState == driverState,

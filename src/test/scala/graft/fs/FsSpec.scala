@@ -32,8 +32,9 @@ class FsSpec extends AnyFunSuite {
     val root = TestTree.newRoot("fsspec_dist")
     TestTree.create(root, seed = 7)
     val driver = Fs.list(root).map(e => (e.path, e.isDirectory, e.byteSize)).toSet
-    val dist = Fs.listDistributed(spark, root).collect()
-      .map(e => (e.path, e.isDirectory, e.byteSize)).toSet
+    val listing = Fs.listDistributed(spark, root)
+    val dist = listing.collect().map(e => (e.path, e.isDirectory, e.byteSize)).toSet
+    listing.unpersist()
     assert(dist == driver)
   }
 

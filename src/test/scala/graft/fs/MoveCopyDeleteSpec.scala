@@ -116,8 +116,9 @@ class MoveCopyDeleteSpec extends AnyFunSuite {
     val (missing, extra) = Delta.getDelta(src, trg)
     val expected = (missing.map(e => (e.path, e.message)) ++
       extra.map(e => (e.path, e.message))).toSet
-    val dist = Delta.getDeltaDataset(src, trg).collect()
-      .map(e => (e.path, e.message)).toSet
+    val diff = Delta.getDeltaDataset(src, trg)
+    val dist = diff.collect().map(e => (e.path, e.message)).toSet
+    diff.unpersist()
     assert(dist == expected)
   }
 
@@ -152,7 +153,8 @@ class MoveCopyDeleteSpec extends AnyFunSuite {
     val trg = "file://" + trg0.stripPrefix("file:") + "/"
     val (m, e) = Delta.getDelta(src, trg)
     assert(m.isEmpty && e.isEmpty, s"spurious diff: ${m.take(3).mkString(",")} / ${e.take(3).mkString(",")}")
-    assert(Delta.getDeltaDataset(src, trg).isEmpty)
+    val diff = Delta.getDeltaDataset(src, trg)
+    try assert(diff.isEmpty) finally diff.unpersist()
     Delta.synchronize(src, trg)
     assert(Fs.list(trg0).nonEmpty, "synchronize deleted the target tree")
   }

@@ -24,6 +24,19 @@ class FunctionsFixSpec extends AnyFunSuite {
     }
   }
 
+  test("nanosToTs floors negative (pre-1970) nanos instead of truncating (ADVICE r2)") {
+    import spark.implicits._
+    val nanos = Seq(-1L, -999L, -1000L, -1001L, -1999L, -2000L,
+      -1700000000000000001L, -1700000000000000999L, 0L, 1L, 999L)
+    val got = nanos.toDF("n")
+      .select($"n", unix_micros(Cols.nanosToTs($"n")).as("us"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, us) =>
+      val floor = Math.floorDiv(n, 1000L)
+      assert(us == floor, s"nanos $n -> $us, expected floor $floor")
+    }
+  }
+
   test("ensureRegistered keys on the session registry, not an identity hash (ADVICE r1)") {
     val s1 = spark
     val s2 = spark.newSession() // fresh sessionState => fresh FunctionRegistry

@@ -110,6 +110,37 @@ class PromotorSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(s"$root/trg/graft_open_transaction")))
   }
 
+  test("moveFolders partial failure leaves the fuse open; retry resumes completed pairs (ADVICE r2)") {
+    implicit val conf = spark.sessionState.newHadoopConf()
+    val root = graft.fs.TestTree.newRoot("mvfail")
+    val fs = graft.fs.Fs.getFileSystem(conf, root)
+    import org.apache.hadoop.fs.Path
+    def touch(p: String): Unit = { val o = fs.create(new Path(p), true); o.write(1); o.close() }
+    touch(s"$root/src/p1/data.txt")
+    touch(s"$root/src/p2/data.txt")
+    fs.mkdirs(new Path(s"$root/trg"))
+    // p2's target PARENT is a file → its rename fails persistently (and
+    // the pre-move target-delete pass can't clear it: trg/bad/p2 doesn't
+    // "exist" under a file parent)
+    touch(s"$root/trg/bad")
+    val pairs = Seq(
+      graft.fs.Paths(s"$root/src/p1", s"$root/trg/p1"),
+      graft.fs.Paths(s"$root/src/p2", s"$root/trg/bad/p2"))
+    intercept[IllegalStateException] { Promotor.moveFolders(pairs) }
+    // p1's rename went through before the failure surfaced; the fuse must
+    // still be open or the retry below takes the non-resume path and
+    // trips 'unsafe move' on the vanished p1 source
+    assert(fs.exists(new Path(s"$root/trg/graft_open_transaction")))
+    assert(fs.exists(new Path(s"$root/trg/p1/data.txt")))
+    // clear the obstruction: file → directory
+    fs.delete(new Path(s"$root/trg/bad"), false)
+    fs.mkdirs(new Path(s"$root/trg/bad"))
+    val res = Promotor.moveFolders(pairs)
+    assert(res.forall(_.success) && res.size == 2)
+    assert(fs.exists(new Path(s"$root/trg/bad/p2/data.txt")))
+    assert(!fs.exists(new Path(s"$root/trg/graft_open_transaction")))
+  }
+
   test("validator rejects mismatched schemas") {
     val _ = base
     intercept[IllegalArgumentException] {

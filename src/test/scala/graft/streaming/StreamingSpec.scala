@@ -152,6 +152,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("as-of tie-break on equal right timestamps matches batch, both directions") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def tick(tSec: Long, left: Boolean, id: Long) = StreamingAsOf.Tick(
+      1L, new java.sql.Timestamp(tSec * 1000), tSec * 1000000L, left, id, 0.0)
+    // two rights TIED at t=30 (ids 931, 932), lefts probing from both sides
+    val data = Seq(tick(20, true, 20), tick(30, false, 931), tick(30, false, 932),
+      tick(35, true, 35), tick(200, true, 200))
+
+    def runStream(mk: org.apache.spark.sql.Dataset[StreamingAsOf.Tick] =>
+        org.apache.spark.sql.Dataset[StreamingAsOf.AsOfMatch], name: String): Map[Long, Option[Long]] = {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingAsOf.Tick]
+      val ticks = input.toDS().withWatermark("ts", "5 seconds").as[StreamingAsOf.Tick]
+      val q = mk(ticks).writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        input.addData(data: _*)
+        StreamingAsOf.drainToFixpoint(q, () => spark.table(name).count())
+        spark.table(name).collect()
+          .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      } finally q.stop()
+    }
+    val fwdStream = runStream(StreamingAsOf.joinForward(_, toleranceMicros = 60L * 1000000), "tie_fwd")
+    val bwdStream = runStream(StreamingAsOf.joinBackward, "tie_bwd")
+
+    // batch twins on the same rows, payload = the right's id (the parity
+    // fixtures' shape): carry struct is led by view_id so tied rights
+    // resolve to the max id — streaming must agree
+    val clicks = data.filter(_.isLeft).map(t => (t.id, 1L, t.tsMicros)).toDF("event_id", "user_id", "us")
+    val views = data.filterNot(_.isLeft).map(t => (1L, t.tsMicros, t.id)).toDF("user_id", "us", "view_id")
+    def collectBatch(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val fwdBatch = collectBatch(graft.ops.AsOf.joinForward(
+      clicks, views, Seq("user_id"), "us", "us", Seq("view_id"), tolerance = Some(60L * 1000000)))
+    val bwdBatch = collectBatch(graft.ops.AsOf.joinBackward(
+      clicks, views, Seq("user_id"), "us", "us", Seq("view_id")))
+
+    for (id <- Seq(20L, 35L)) {
+      assert(fwdStream.get(id).contains(fwdBatch(id)), s"fwd left $id: $fwdStream vs $fwdBatch")
+      assert(bwdStream.get(id).contains(bwdBatch(id)), s"bwd left $id: $bwdStream vs $bwdBatch")
+    }
+    // the tie itself: both APIs take the max-id right of the tied pair
+    assert(fwdBatch(20L).contains(932L))
+    assert(bwdBatch(35L).contains(932L))
+  }
+
   test("mapGroupsWithState accumulates running user totals") {
     import spark.implicits._
     val events = EventsStream.read(spark, streamDir)
