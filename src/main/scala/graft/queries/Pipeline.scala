@@ -122,6 +122,40 @@ object Pipeline {
       .orderBy(col("event_id"))
   }
 
+  /** For each click, the EARLIEST following view by the same user —
+    * forward as-of join ([[graft.ops.AsOf.joinForward]]); same
+    * single-shuffle union+window plan as e02, time reversed. Oracle:
+    * DuckDB ASOF LEFT JOIN with the inequality flipped.
+    */
+  def e03AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_event_id"), col("value").as("view_value"))
+    graft.ops.AsOf.joinForward(clicks, views, Seq("user_id"), "ts", "ts",
+        Seq("view_event_id", "view_value"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("click_us"),
+        col("view_event_id"), col("view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Content fingerprint per document: the minimum digest over word
+    * 3-gram shingles — the winnowing idea with a window spanning the
+    * whole document, so two documents sharing their minimal shingle
+    * collide. One explode + min-agg; the shuffle carries one digest per
+    * (doc, shingle), combiner-reduced map-side. md5 (not xxhash64) so a
+    * SQL oracle can recompute it bit-for-bit.
+    */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.shingles(lower(col("text")), 3)).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("sh"))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
   private val ngramJaccardOracle =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
@@ -199,6 +233,24 @@ object Pipeline {
         |  v.event_id AS view_event_id, v.value AS view_value
         |FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY event_id""".stripMargin,
+    "e03_asof_forward" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     views  AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+        |SELECT c.event_id AS event_id, c.user_id AS user_id, epoch_us(c.ts) AS click_us,
+        |  v.event_id AS view_event_id, v.value AS view_value
+        |FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts <= v.ts
+        |ORDER BY event_id""".stripMargin,
+    "t04_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+        |         ELSE array_to_string(w[i.i:i.i+2], ' ') END AS shingle
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i) i
+        |)
+        |SELECT doc_id, min(md5(shingle)) AS fingerprint
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -216,5 +268,7 @@ object Pipeline {
     "j01_json_extract"   -> j01JsonExtract _,
     "e01_event_windows"  -> e01EventWindows _,
     "e02_asof_join"      -> e02AsofJoin _,
+    "e03_asof_forward"   -> e03AsofForward _,
+    "t04_fingerprint"    -> t04Fingerprint _,
   )
 }

@@ -227,6 +227,48 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Q18 range join: orders matched to half-open promo periods. The
+    * period table is tiny and explicitly broadcast, so the inequality
+    * join is a broadcast nested-loop over a handful of rows per order —
+    * the only plan that doesn't blow up at fact-table scale (a shuffle
+    * range join would cross-product within key-less partitions).
+    * Half-open [start, end) bounds sidestep date-vs-timestamp midnight
+    * semantics differing between engines.
+    */
+  def q18RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val periods = Seq(
+      ("1996-H2", "1996-07-01", "1997-01-01"),
+      ("1997-H1", "1997-01-01", "1997-07-01"),
+      ("1997-H2", "1997-07-01", "1998-01-01"),
+      ("1998-H1", "1998-01-01", "1998-07-01"))
+      .toDF("period", "start_d", "end_d")
+      .select(col("period"),
+        col("start_d").cast("timestamp").as("start_d"),
+        col("end_d").cast("timestamp").as("end_d"))
+    Tables.orders(spark, dir)
+      .join(broadcast(periods),
+        col("o_orderdate") >= col("start_d") && col("o_orderdate") < col("end_d"))
+      .groupBy(col("period"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .orderBy(col("period"))
+  }
+
+  /** Q19 skew-proof aggregation via [[graft.ops.Skew.saltedSum]]: the
+    * two-phase (key, salt) → key plan bounds any hot key's partial rows
+    * per shuffle partition. lineitem's 3-value l_returnflag IS the hot
+    * key case. Decimal sums make the salted result bit-identical to the
+    * direct groupBy the oracle runs.
+    */
+  def q19SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedSum(
+        Tables.lineitem(spark, dir)
+          .select(col("l_returnflag"), col("l_quantity").cast(DecimalType(18, 2)).as("qty")),
+        Seq("l_returnflag"), "qty", buckets = 16)
+      .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
   /** Oracle SQL (DuckDB dialect ≡ ANSI) — must alias identically to the above. */
   val oracles: Map[String, String] = Map(
     "q11_rollup" ->
@@ -329,6 +371,21 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
         |             RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q18_range_join" ->
+      """SELECT period, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN (VALUES ('1996-H2', TIMESTAMP '1996-07-01', TIMESTAMP '1997-01-01'),
+        |             ('1997-H1', TIMESTAMP '1997-01-01', TIMESTAMP '1997-07-01'),
+        |             ('1997-H2', TIMESTAMP '1997-07-01', TIMESTAMP '1998-01-01'),
+        |             ('1998-H1', TIMESTAMP '1998-01-01', TIMESTAMP '1998-07-01'))
+        |  p(period, start_d, end_d)
+        |ON o_orderdate >= start_d AND o_orderdate < end_d
+        |GROUP BY period ORDER BY period""".stripMargin,
+    "q19_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -349,5 +406,7 @@ object Relational {
     "q15_exists"      -> q15Exists _,
     "q16_pivot"       -> q16Pivot _,
     "q17_moving_avg"  -> q17MovingAvg _,
+    "q18_range_join"  -> q18RangeJoin _,
+    "q19_salted_agg"  -> q19SaltedAgg _,
   )
 }
