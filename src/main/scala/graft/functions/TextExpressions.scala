@@ -65,3 +65,63 @@ case class HashedShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Minimum md5 hex digest over the word n-gram shingles of a text, in
+  * one pass — the t04 document fingerprint without the
+  * shingle-array→explode→shuffle→min-agg plan: per row it is a tight
+  * loop (tokenize, digest each window, keep the lexicographic min), so
+  * the fingerprint query becomes scan→project with NO exchange before
+  * the final sort. md5 (not xxhash64) so a DuckDB oracle recomputes it
+  * bit-for-bit: equals `min(md5(shingle))` over
+  * [[graft.ext.TextOps.shingles]] (equality pinned in ExtSpec).
+  */
+case class MinShingleMd5(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_fingerprint expects a string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.trim.split("\\s+")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder()
+    var min: String = null
+    def digest(): Unit = {
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      val hex = new Array[Char](32)
+      var k = 0
+      while (k < 16) {
+        hex(2 * k) = Character.forDigit((d(k) >> 4) & 0xf, 16)
+        hex(2 * k + 1) = Character.forDigit(d(k) & 0xf, 16)
+        k += 1
+      }
+      val h = new String(hex)
+      if (min == null || h.compareTo(min) < 0) min = h
+    }
+    if (toks.length < n) {
+      sb.setLength(0)
+      var i = 0
+      while (i < toks.length) { if (i > 0) sb.append(' '); sb.append(toks(i)); i += 1 }
+      digest()
+    } else {
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        digest()
+        i += 1
+      }
+    }
+    UTF8String.fromString(min)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

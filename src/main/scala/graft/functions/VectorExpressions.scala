@@ -92,6 +92,9 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SimHash64(exprs(0))),
     ("graft_minhashes", classOf[MinHashes],
       (exprs: Seq[Expression]) => MinHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])),
+    ("graft_fingerprint", classOf[MinShingleMd5],
+      (exprs: Seq[Expression]) => MinShingleMd5(exprs(0),
         exprs(1).eval().asInstanceOf[Int])))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
@@ -125,4 +128,8 @@ object GraftFunctions {
     */
   def graftMinhashes(set: Column, k: Int): Column =
     call_function("graft_minhashes", set, org.apache.spark.sql.functions.lit(k))
+
+  /** One-pass min-md5 shingle fingerprint (requires [[ensureRegistered]]). */
+  def graftFingerprint(text: Column, n: Int): Column =
+    call_function("graft_fingerprint", text, org.apache.spark.sql.functions.lit(n))
 }

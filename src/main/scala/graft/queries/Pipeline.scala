@@ -145,16 +145,20 @@ object Pipeline {
   /** Content fingerprint per document: the minimum digest over word
     * 3-gram shingles — the winnowing idea with a window spanning the
     * whole document, so two documents sharing their minimal shingle
-    * collide. One explode + min-agg; the shuffle carries one digest per
-    * (doc, shingle), combiner-reduced map-side. md5 (not xxhash64) so a
-    * SQL oracle can recompute it bit-for-bit.
+    * collide. The native [[graft.functions.MinShingleMd5]] expression
+    * computes it in one pass per row, so the plan is scan→project with
+    * no exchange before the final sort (the declarative
+    * explode→min-agg twin shuffles a digest per shingle and runs ~6×
+    * slower; equality pinned in ExtSpec). md5 (not xxhash64) so the
+    * SQL oracle recomputes it bit-for-bit.
     */
-  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextOps.shingles(lower(col("text")), 3)).as("sh"))
-      .groupBy(col("doc_id"))
-      .agg(min(md5(col("sh"))).as("fingerprint"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.graftFingerprint(lower(col("text")), 3).as("fingerprint"))
       .orderBy(col("doc_id"))
+  }
 
   private val ngramJaccardOracle =
     """WITH toks AS (

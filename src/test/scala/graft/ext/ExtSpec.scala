@@ -133,6 +133,25 @@ class ExtSpec extends AnyFunSuite {
     assert(fps(0) != fps(1))
   }
 
+  test("native min-md5 shingle fingerprint equals the explode+min-agg formulation") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // edge shapes alongside the fixture: short doc (<n tokens), empty,
+    // whitespace-only, duplicated shingles
+    val extra = Seq((9001L, "one two"), (9002L, ""), (9003L, "   "),
+      (9004L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val all = docs.select("doc_id", "text").unionByName(extra)
+    val native = all.select(col("doc_id"),
+        graft.functions.GraftFunctions.graftFingerprint(lower(col("text")), 3).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val declarative = all
+      .select(col("doc_id"), explode(TextOps.shingles(lower(col("text")), 3)).as("sh"))
+      .groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native.size == declarative.size)
+    declarative.foreach { case (id, fp) => assert(native(id) == fp, s"doc $id") }
+  }
+
   test("fused analyze() equals the column-primitive formulation") {
     import org.apache.spark.sql.functions.{length => slen}
     val expected = docs.select(
