@@ -173,6 +173,45 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** [[cosineDupPairs]] at corpus scale: random-hyperplane LSH buckets
+    * shrink the quadratic stage from n² to Σ(bucket²) — only vectors
+    * sharing a bucket in at least one of `tables` hash tables are
+    * compared, then exact cosine inside the candidate set keeps
+    * precision 1.0 (no false pairs). Recall is the LSH trade-off and is
+    * a function of the angle at `minSim`: near-dup thresholds (≥ ~0.9)
+    * give ~1.0 recall at the defaults; loose thresholds need more
+    * tables/fewer bits. Shuffle profile: each side materializes
+    * n·tables (id, vec, bucket) rows for ONE equi-join on
+    * (table, bucket) — no all-pairs exchange ever forms, and a hot
+    * bucket is bounded by 2^bitsPerTable fan-in, not n.
+    */
+  def cosineDupPairsLsh(vectors: DataFrame, minSim: Double, dim: Int,
+      bitsPerTable: Int = 8, tables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val base = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(graftDot(col("v"), col("v"))))
+    val tableCols = (0 until tables).map(t =>
+      struct(lit(t).as("table"),
+        hyperplaneSignature(col("v"), dim, bitsPerTable, seed = 2000L + t).as("bucket")))
+    val bucketed = base
+      .select(col("id"), col("v"), col("nrm"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val a = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val simRaw = graftDot(col("va"), col("vb")) / (col("na") * col("nb"))
+    // threshold BEFORE the pair-dedupe so the distinct shuffle carries
+    // only true dups (a candidate pair re-found by every table would
+    // otherwise ride the exchange `tables` times)
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b") && simRaw >= minSim)
+      .select(col("id_a"), col("id_b"), round(simRaw, 6).as("sim"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** All pairs with cosine ≥ minSim (embedding near-dup detection),
     * brute force; a < b.
     */

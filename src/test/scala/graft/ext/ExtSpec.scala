@@ -104,6 +104,25 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.25, f"IVF recall $recall%.2f too low")
   }
 
+  test("LSH cosine dup pairs == exact pairs on a near-dup corpus") {
+    // the raw fixture has no high-similarity pairs (max cosine ~0.5), so
+    // build one: each vector gets a perturbed twin (first component
+    // nudged) at cosine ~0.999; at threshold 0.95 the exact dup set is
+    // exactly those twin pairs, and hyperplane-LSH recall at that angle
+    // is ~1 - 1e-8 with the defaults
+    val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    val all = emb.select(col("vec_id"), col("embedding")).unionByName(perturbed)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineDupPairs(all, minSim = 0.95))
+    val lsh = pairs(Similarity.cosineDupPairsLsh(all, minSim = 0.95, dim = 64))
+    assert(exact.nonEmpty && exact.size >= 400, s"unexpected exact dup count ${exact.size}")
+    assert(lsh.subsetOf(exact), "LSH produced a false pair (precision must be 1.0)")
+    assert(lsh == exact, s"LSH missed ${(exact -- lsh).take(5)} of ${exact.size}")
+  }
+
   test("langId classifies real multilingual samples; valid codes on fixture") {
     import spark.implicits._
     // note: the fixture's lang label is random (text is the same synthetic
