@@ -160,6 +160,23 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Multimodal decode plumbing under the gate: documents wrapped as
+    * binary media payloads, streamed through the per-partition codec
+    * ([[graft.ext.Multimodal.extractFeatures]]), with the
+    * SQL-expressible outputs (id, type, payload byte count) checked
+    * against the oracle — proving the batch path reads every payload
+    * and reports sizes faithfully. The stubbed decode outputs
+    * (checksum, embedding) are spec-verified in MultimodalSpec.
+    */
+  def m01MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticMedia(Tables.documents(spark, dir))
+    graft.ext.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("mediaType").as("media_type"),
+        col("n_bytes").cast("long").as("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
   private val ngramJaccardOracle =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
@@ -244,6 +261,9 @@ object Pipeline {
         |  v.event_id AS view_event_id, v.value AS view_value
         |FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts <= v.ts
         |ORDER BY event_id""".stripMargin,
+    "m01_media_features" ->
+      """SELECT doc_id AS media_id, 'image' AS media_type, strlen(text) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
     "t04_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
@@ -274,5 +294,6 @@ object Pipeline {
     "e02_asof_join"      -> e02AsofJoin _,
     "e03_asof_forward"   -> e03AsofForward _,
     "t04_fingerprint"    -> t04Fingerprint _,
+    "m01_media_features" -> m01MediaFeatures _,
   )
 }
