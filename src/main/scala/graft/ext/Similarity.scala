@@ -86,6 +86,24 @@ object Similarity {
     bitCols.reduce(_.bitwiseOR(_))
   }
 
+  /** Shared hyperplane-LSH bucketing stage: (id, vec-as-double, norm)
+    * exploded once per hash table with its (table, bucket) key — the
+    * single copy of the bucketing recipe [[lshTopK]] and
+    * [[cosineDupPairsLsh]] both join on.
+    */
+  private def lshBucketed(df: DataFrame, dim: Int, bitsPerTable: Int, tables: Int,
+      seedBase: Long, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, normAs: String): DataFrame = {
+    val base = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
+      .withColumn(normAs, sqrt(graftDot(col(vecAs), col(vecAs))))
+    val tableCols = (0 until tables).map(t =>
+      struct(lit(t).as("table"),
+        hyperplaneSignature(col(vecAs), dim, bitsPerTable, seed = seedBase + t).as("bucket")))
+    base.select(col(idAs), col(vecAs), col(normAs), explode(array(tableCols: _*)).as("tb"))
+      .select(col(idAs), col(vecAs), col(normAs),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
   /** Approximate top-k: compare only vectors sharing an LSH bucket in at
     * least one of `tables` hash tables, then exact cosine + rank within
     * the candidate set.
@@ -95,17 +113,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       broadcastQueries: Boolean = true): DataFrame = {
     GraftFunctions.ensureRegistered(queries.sparkSession)
-    def bucketed(df: DataFrame, idAs: String, vecAs: String, normAs: String) = {
-      val base = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
-        .withColumn(normAs, sqrt(graftDot(col(vecAs), col(vecAs))))
-      val tableCols = (0 until tables).map(t =>
-        struct(lit(t).as("table"),
-          hyperplaneSignature(col(vecAs), dim, bitsPerTable, seed = 1000L + t).as("bucket")))
-      base.select(col(idAs), col(vecAs), col(normAs), explode(array(tableCols: _*)).as("tb"))
-        .select(col(idAs), col(vecAs), col(normAs), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    }
-    val q = bucketed(queries, "query_id", "qv", "qn")
-    val c = bucketed(corpus, "neighbor_id", "cv", "cn")
+    val q = lshBucketed(queries, dim, bitsPerTable, tables, 1000L, idCol, vecCol,
+      "query_id", "qv", "qn")
+    val c = lshBucketed(corpus, dim, bitsPerTable, tables, 1000L, idCol, vecCol,
+      "neighbor_id", "cv", "cn")
     // a small probe set broadcasts so the corpus never shuffles for the
     // bucket join; for corpus-vs-corpus self-search pass
     // broadcastQueries=false to fall back to a shuffle join
@@ -189,15 +200,8 @@ object Similarity {
       bitsPerTable: Int = 8, tables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.ensureRegistered(vectors.sparkSession)
-    val base = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(graftDot(col("v"), col("v"))))
-    val tableCols = (0 until tables).map(t =>
-      struct(lit(t).as("table"),
-        hyperplaneSignature(col("v"), dim, bitsPerTable, seed = 2000L + t).as("bucket")))
-    val bucketed = base
-      .select(col("id"), col("v"), col("nrm"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("id"), col("v"), col("nrm"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val bucketed = lshBucketed(vectors, dim, bitsPerTable, tables, 2000L,
+      idCol, vecCol, "id", "v", "nrm")
     val a = bucketed.select(col("table"), col("bucket"),
       col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("table"), col("bucket"),

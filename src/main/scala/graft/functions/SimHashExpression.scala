@@ -29,7 +29,9 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
       s"graft_simhash expects a string, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    // ShingleWalk.tokens, NOT Java trim/split: must tokenize exactly
+    // like the declarative twin's split(trim(text), "\\s+")
+    val toks = ShingleWalk.tokens(input.asInstanceOf[UTF8String].toString)
     val sums = new Array[Int](64)
     var t = 0
     while (t < toks.length) {

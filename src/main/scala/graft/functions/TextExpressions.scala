@@ -7,6 +7,57 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Shared tokenize-and-window walk for the shingle expressions,
+  * replicating the DECLARATIVE twin `split(trim(text), "\\s+")` +
+  * [[graft.ext.TextOps.shingles]] exactly — which is also what the
+  * DuckDB oracles compute:
+  *   - trim strips SPACES only (Spark/DuckDB `trim`), not all
+  *     whitespace (Java `String.trim` strips every char ≤ U+0020 and
+  *     would silently drop a trailing newline's empty token);
+  *   - split keeps trailing empty tokens (Spark `split` uses limit -1;
+  *     Java's default limit 0 drops them).
+  * Divergence here breaks the bit-for-bit equality contract of every
+  * expression built on it, so there is exactly one copy.
+  */
+private[functions] object ShingleWalk {
+
+  /** Spark `trim`: strip SPACES (U+0020) only, both ends. */
+  def sparkTrim(text: String): String = {
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    text.substring(b, e)
+  }
+
+  /** `split(trim(text), "\\s+")` with Spark semantics (limit -1 keeps
+    * trailing empty tokens).
+    */
+  def tokens(text: String): Array[String] = sparkTrim(text).split("\\s+", -1)
+
+  /** Apply `f` to each word n-gram (space-joined); a text with fewer
+    * than n tokens yields its full token join once.
+    */
+  def foreachShingle(text: String, n: Int)(f: String => Unit): Unit = {
+    val toks = tokens(text)
+    val sb = new java.lang.StringBuilder()
+    if (toks.length < n) {
+      var i = 0
+      while (i < toks.length) { if (i > 0) sb.append(' '); sb.append(toks(i)); i += 1 }
+      f(sb.toString)
+    } else {
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        f(sb.toString)
+        i += 1
+      }
+    }
+  }
+}
+
 /** Distinct xxhash64 values of the word n-gram (shingle) set of a text,
   * in one pass.
   *
@@ -34,24 +85,8 @@ case class HashedShingles(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.trim.split("\\s+")
     val out = new java.util.LinkedHashSet[Long]()
-    val sb = new java.lang.StringBuilder()
-    if (toks.length < n) {
-      sb.setLength(0)
-      var i = 0
-      while (i < toks.length) { if (i > 0) sb.append(' '); sb.append(toks(i)); i += 1 }
-      out.add(hash(sb.toString))
-    } else {
-      var i = 0
-      while (i <= toks.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-        out.add(hash(sb.toString))
-        i += 1
-      }
-    }
+    ShingleWalk.foreachShingle(text, n)(s => out.add(hash(s)))
     val arr = new Array[Long](out.size)
     val it = out.iterator()
     var i = 0
@@ -87,12 +122,10 @@ case class MinShingleMd5(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.trim.split("\\s+")
     val md = java.security.MessageDigest.getInstance("MD5")
-    val sb = new java.lang.StringBuilder()
     var min: String = null
-    def digest(): Unit = {
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ShingleWalk.foreachShingle(text, n) { s =>
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.reset()
       val hex = new Array[Char](32)
       var k = 0
@@ -103,21 +136,6 @@ case class MinShingleMd5(child: Expression, n: Int)
       }
       val h = new String(hex)
       if (min == null || h.compareTo(min) < 0) min = h
-    }
-    if (toks.length < n) {
-      sb.setLength(0)
-      var i = 0
-      while (i < toks.length) { if (i > 0) sb.append(' '); sb.append(toks(i)); i += 1 }
-      digest()
-    } else {
-      var i = 0
-      while (i <= toks.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-        digest()
-        i += 1
-      }
     }
     UTF8String.fromString(min)
   }

@@ -33,12 +33,15 @@ case class TextMetrics(child: Expression) extends UnaryExpression with CodegenFa
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val trimmed = text.trim
-    val toks = trimmed.split("\\s+")
+    // ShingleWalk's Spark-semantics trim/split, NOT Java's: the
+    // column-primitive twin strips spaces only and keeps trailing empty
+    // tokens, and the fused path must count identically
+    val trimmed = ShingleWalk.sparkTrim(text)
+    val toks = trimmed.split("\\s+", -1)
     val empty = trimmed.isEmpty
 
     val nTokens = if (empty) 0 else toks.length
-    val nSubwords = if (empty) 0 else TextMetrics.SubwordPattern.split(trimmed).length
+    val nSubwords = if (empty) 0 else TextMetrics.SubwordPattern.split(trimmed, -1).length
     var nPunct = 0
     var i = 0
     while (i < text.length) {

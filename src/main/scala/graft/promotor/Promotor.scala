@@ -190,10 +190,13 @@ object Promotor {
     LocalExecution.deletePaths(existing)
     val res = done.map(p => FsOperationResult(p.sourcePath, success = true)) ++
       LocalExecution.movePaths(toMove)
-    // Close the transaction only on full success (mirrors
-    // LocalExecution.moveFolderContent): a partial failure must leave the
-    // fuse open so a retry re-enters the resume path above and counts
-    // already-renamed pairs as done instead of tripping doesMoveLookSafe.
+    // A partial failure must leave the fuse open so a retry re-enters
+    // the resume path above and counts already-renamed pairs as done
+    // instead of tripping doesMoveLookSafe. Today that happens via the
+    // THROW from movePaths (its retry loop only ever returns successes,
+    // see Retry.retryFailed), which skips this line; the forall guard is
+    // defense in depth should movePaths ever start returning failure
+    // rows instead. Regression-tested in PromotorSpec.
     if (res.forall(_.success)) fuse.endTransaction()
     res
   }

@@ -39,6 +39,18 @@ object StreamingAsOf {
 
   case class Buffers(lefts: List[Tick], rights: List[Tick])
 
+  /** Tie-break shared by both directions: among the rights tied at the
+    * winning timestamp, the row with the largest (value, id) payload.
+    * This is exactly the row the batch twin's carry keeps when its
+    * payload struct is (value, id)-ordered ([[graft.ops.AsOf]] orders
+    * tied rights by the carried struct) — build batch parity checks
+    * with payload Seq(value, id) and the two APIs agree on ties
+    * (pinned in StreamingSpec). `cands` must be (ts, id)-sorted.
+    */
+  private def maxTied(cands: List[Tick]): Option[Tick] =
+    cands.lastOption.map(last =>
+      cands.filter(_.tsMicros == last.tsMicros).maxBy(t => (t.value, t.id)))
+
   /** @param ticks keyed tick stream; the upstream DataFrame MUST carry a
     *        watermark on the timestamp column tsMicros was derived from,
     *        or state never matures.
@@ -57,16 +69,18 @@ object StreamingAsOf {
           // a left tick matures once no right tick <= its ts can arrive
           val (matured, pending) = lefts.partition(_.tsMicros <= wmMicros)
           val out = matured.map { l =>
-            val m = rights.takeWhile(_.tsMicros <= l.tsMicros).lastOption
+            val m = maxTied(rights.takeWhile(_.tsMicros <= l.tsMicros))
             AsOfMatch(key, l.id, l.tsMicros, m.map(_.id), m.map(_.value))
           }
           // prune rights to what a FUTURE left can still match. Future
           // lefts are only bounded below by the WATERMARK (they can be
           // older than pending lefts), so the horizon is wm, not the
-          // oldest pending left: keep the latest right at/below wm plus
-          // everything newer.
+          // oldest pending left: keep the rights at the latest ts at/
+          // below wm (ALL of them — the tie-break needs the full tied
+          // group) plus everything newer.
           val (older, newer) = rights.partition(_.tsMicros <= wmMicros)
-          val keep = older.lastOption.toList ++ newer
+          val keep = (if (older.isEmpty) Nil
+                      else older.filter(_.tsMicros == older.last.tsMicros)) ++ newer
           if (pending.isEmpty && keep.isEmpty) {
             state.remove() // key has never seen a right tick worth remembering
           } else {
@@ -107,14 +121,11 @@ object StreamingAsOf {
           val lefts = (prev.lefts ++ incoming.filter(_.isLeft)).sortBy(t => (t.tsMicros, t.id))
           val rights = (prev.rights ++ incoming.filterNot(_.isLeft)).sortBy(t => (t.tsMicros, t.id))
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
-          // Earliest right ts at/after the left; among rights TIED at that
-          // ts, take the largest id — the batch twin's carry orders tied
-          // rights by the payload struct (led by the right's id in the
-          // parity fixtures), so its winner is the max-id row and the two
-          // APIs must agree when the fixture has equal-timestamp rights.
+          // earliest right ts at/after the left; ties resolve via the
+          // shared maxTied contract
           def candidate(l: Tick): Option[Tick] =
             rights.find(_.tsMicros >= l.tsMicros).map(first =>
-              rights.filter(_.tsMicros == first.tsMicros).last)
+              maxTied(rights.filter(_.tsMicros == first.tsMicros)).get)
           def isFinal(l: Tick): Boolean =
             candidate(l).exists(_.tsMicros <= wmMicros) || wmMicros >= l.tsMicros + toleranceMicros
           val (matured, pending) = lefts.partition(isFinal)

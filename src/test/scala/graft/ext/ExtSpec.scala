@@ -54,10 +54,21 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs(true) == naive)
   }
 
+  // non-space whitespace at the edges is the divergence trap between the
+  // native expressions' Java-side tokenization and the declarative
+  // split(trim(...)) twin: Spark trim strips SPACES only and Spark split
+  // keeps trailing empty tokens (Java trim/split do neither)
+  lazy val whitespaceEdgeDocs = {
+    import spark.implicits._
+    Seq((9101L, "foo bar baz\n"), (9102L, "\tfoo bar baz"), (9103L, "foo bar baz \n "),
+      (9104L, "a b c d"), (9105L, " foo  bar\tbaz\r\n")).toDF("doc_id", "text")
+  }
+
   test("native minhash signatures equal the explode+groupBy formulation") {
-    val native = Dedup.minhashSignatures(docs, 3, 8)
+    val input = docs.select("doc_id", "text").unionByName(whitespaceEdgeDocs)
+    val native = Dedup.minhashSignatures(input, 3, 8)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_))).toMap
-    val declarative = Dedup.minhashSignaturesDeclarative(docs, 3, 8)
+    val declarative = Dedup.minhashSignaturesDeclarative(input, 3, 8)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_))).toMap
     assert(native.nonEmpty)
     assert(native == declarative)
@@ -75,9 +86,10 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("native simhash equals the declarative formulation") {
-    val native = Dedup.simhash64(docs).collect()
+    val input = docs.select("doc_id", "text").unionByName(whitespaceEdgeDocs)
+    val native = Dedup.simhash64(input).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val declarative = Dedup.simhash64Declarative(docs).collect()
+    val declarative = Dedup.simhash64Declarative(input).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(native == declarative)
   }
@@ -156,10 +168,11 @@ class ExtSpec extends AnyFunSuite {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
     // edge shapes alongside the fixture: short doc (<n tokens), empty,
-    // whitespace-only, duplicated shingles
+    // whitespace-only, duplicated shingles, non-space edge whitespace
     val extra = Seq((9001L, "one two"), (9002L, ""), (9003L, "   "),
       (9004L, "a b c a b c a b c")).toDF("doc_id", "text")
     val all = docs.select("doc_id", "text").unionByName(extra)
+      .unionByName(whitespaceEdgeDocs)
     val native = all.select(col("doc_id"),
         graft.functions.GraftFunctions.graftFingerprint(lower(col("text")), 3).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -173,7 +186,11 @@ class ExtSpec extends AnyFunSuite {
 
   test("fused analyze() equals the column-primitive formulation") {
     import org.apache.spark.sql.functions.{length => slen}
-    val expected = docs.select(
+    val input = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(whitespaceEdgeDocs
+        .withColumn("lang", lit("en")).withColumn("source", lit("edge"))
+        .withColumn("n_chars", slen(col("text")).cast("long")))
+    val expected = input.select(
       col("doc_id"),
       TextOps.tokenCount(col("text")).as("n_tokens"),
       TextOps.subwordCount(col("text")).as("n_subwords"),
@@ -183,7 +200,7 @@ class ExtSpec extends AnyFunSuite {
       TextOps.langId(col("text")).as("lang_pred"),
       TextOps.fingerprint(col("text")).as("fingerprint"),
       TextOps.qualityScore(col("text")).as("quality"))
-    val actual = TextOps.analyze(docs)
+    val actual = TextOps.analyze(input)
       .select(expected.columns.map(col).toIndexedSeq: _*)
     val e = expected.collect().map(_.toSeq).toSet
     val a = actual.collect().map(_.toSeq).toSet

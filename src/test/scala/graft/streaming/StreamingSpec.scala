@@ -155,10 +155,13 @@ class StreamingSpec extends AnyFunSuite {
   test("as-of tie-break on equal right timestamps matches batch, both directions") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
-    def tick(tSec: Long, left: Boolean, id: Long) = StreamingAsOf.Tick(
-      1L, new java.sql.Timestamp(tSec * 1000), tSec * 1000000L, left, id, 0.0)
-    // two rights TIED at t=30 (ids 931, 932), lefts probing from both sides
-    val data = Seq(tick(20, true, 20), tick(30, false, 931), tick(30, false, 932),
+    def tick(tSec: Long, left: Boolean, id: Long, v: Double = 0.0) = StreamingAsOf.Tick(
+      1L, new java.sql.Timestamp(tSec * 1000), tSec * 1000000L, left, id, v)
+    // two rights TIED at t=30 with values INVERTED vs ids (the max-value
+    // row has the smaller id), so a tie-break on id alone and one on
+    // (value, id) give different winners — only the declared contract
+    // passes; lefts probe the tie from both sides
+    val data = Seq(tick(20, true, 20), tick(30, false, 931, 5.0), tick(30, false, 932, 1.0),
       tick(35, true, 35), tick(200, true, 200))
 
     def runStream(mk: org.apache.spark.sql.Dataset[StreamingAsOf.Tick] =>
@@ -176,25 +179,29 @@ class StreamingSpec extends AnyFunSuite {
     val fwdStream = runStream(StreamingAsOf.joinForward(_, toleranceMicros = 60L * 1000000), "tie_fwd")
     val bwdStream = runStream(StreamingAsOf.joinBackward, "tie_bwd")
 
-    // batch twins on the same rows, payload = the right's id (the parity
-    // fixtures' shape): carry struct is led by view_id so tied rights
-    // resolve to the max id — streaming must agree
+    // batch twins on the same rows with payload ordered (value, id) —
+    // the shape the streaming contract declares parity for: the batch
+    // carry resolves tied rights to the max payload struct, which is
+    // then the same max-(value, id) row streaming picks
     val clicks = data.filter(_.isLeft).map(t => (t.id, 1L, t.tsMicros)).toDF("event_id", "user_id", "us")
-    val views = data.filterNot(_.isLeft).map(t => (1L, t.tsMicros, t.id)).toDF("user_id", "us", "view_id")
+    val views = data.filterNot(_.isLeft).map(t => (1L, t.tsMicros, t.value, t.id))
+      .toDF("user_id", "us", "view_value", "view_id")
     def collectBatch(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
-      df.collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      df.collect().map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
     val fwdBatch = collectBatch(graft.ops.AsOf.joinForward(
-      clicks, views, Seq("user_id"), "us", "us", Seq("view_id"), tolerance = Some(60L * 1000000)))
+      clicks, views, Seq("user_id"), "us", "us", Seq("view_value", "view_id"),
+      tolerance = Some(60L * 1000000)))
     val bwdBatch = collectBatch(graft.ops.AsOf.joinBackward(
-      clicks, views, Seq("user_id"), "us", "us", Seq("view_id")))
+      clicks, views, Seq("user_id"), "us", "us", Seq("view_value", "view_id")))
 
     for (id <- Seq(20L, 35L)) {
       assert(fwdStream.get(id).contains(fwdBatch(id)), s"fwd left $id: $fwdStream vs $fwdBatch")
       assert(bwdStream.get(id).contains(bwdBatch(id)), s"bwd left $id: $bwdStream vs $bwdBatch")
     }
-    // the tie itself: both APIs take the max-id right of the tied pair
-    assert(fwdBatch(20L).contains(932L))
-    assert(bwdBatch(35L).contains(932L))
+    // the tie itself: both APIs take the max-(value, id) right — id 931,
+    // NOT the max-id row 932
+    assert(fwdBatch(20L).contains(931L))
+    assert(bwdBatch(35L).contains(931L))
   }
 
   test("mapGroupsWithState accumulates running user totals") {
