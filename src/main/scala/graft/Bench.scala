@@ -21,6 +21,13 @@ object Bench {
         "lineitem", "events", "documents", "embeddings").foreach { t =>
         Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
       }
+      // run EVERY query once at the tiny SF: codegen + JIT compile of
+      // each plan shape happens here, so the measured pass below times
+      // steady-state execution instead of first-compile latency
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
