@@ -204,6 +204,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(bwdBatch(35L).contains(931L))
   }
 
+  test("parquet file sink with checkpoint: stream out equals batch in, restart appends nothing") {
+    val outDir = java.nio.file.Files.createTempDirectory("sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sink_ckpt").toString
+    def run(): Unit = {
+      val q = EventsStream.read(spark, streamDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val expected = graft.Tables.events(spark, sf).count()
+    assert(spark.read.parquet(outDir).count() == expected)
+    // restart against the SAME checkpoint: the committed source offsets
+    // must prevent re-emitting (the file sink's exactly-once contract)
+    run()
+    assert(spark.read.parquet(outDir).count() == expected, "restart duplicated rows")
+    assert(spark.read.parquet(outDir).select("event_id").distinct().count() == expected)
+  }
+
   test("mapGroupsWithState accumulates running user totals") {
     import spark.implicits._
     val events = EventsStream.read(spark, streamDir)
