@@ -70,6 +70,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("q18: tiny period table joins as a broadcast nested loop (no shuffle range join)") {
+    val plan = planOf("q18_range_join")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"range join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q19: salted sum is two aggregations with no extra exchange between partial and salt stage") {
+    val plan = planOf("q19_salted_agg")
+    // (keys, salt) agg → exchange → final keys agg → exchange for sort:
+    // exactly two hash-partitioned exchanges, not three
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, plan) // 2 aggs × partial+final
+  }
+
+  test("t04: native fingerprint plan has no exchange before the final sort") {
+    val plan = planOf("t04_fingerprint")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fingerprint regressed to a shuffle plan:\n$plan")
+    assert(plan.contains("minshinglemd5") || plan.contains("MinShingleMd5"), plan)
+  }
+
+  test("e03: forward as-of is the same no-join single-exchange shape as e02") {
+    val plan = planOf("e03_asof_forward")
+    assert(!plan.contains("Join"), s"as-of regressed to a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("d05: per-side norms are computed below the pair join") {
     val df = SparkEntry.queries("d05_embedding_dups")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString
