@@ -12,26 +12,28 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def runToNoop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // Warmup: flagship star join (JIT + codegen) plus one scan of each
     // input table at the bench SF (parquet footer + page-cache warm) so
     // per-query numbers reflect steady state, not first-touch I/O.
     try {
-      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      runToNoop(SparkEntry.entry(spark))
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
-        Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+        runToNoop(Tables(spark, sfDir, t))
       }
       // run EVERY query once at the tiny SF: codegen + JIT compile of
       // each plan shape happens here, so the measured pass below times
       // steady-state execution instead of first-compile latency
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        try runToNoop(fn(spark, "/root/testdata/sf0.001"))
         catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try runToNoop(fn(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }

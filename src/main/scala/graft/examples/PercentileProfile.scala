@@ -43,7 +43,6 @@ object PercentileProfile {
       val ranked = long
         .withColumn("i", row_number().over(w).cast("double") - 1)
         .withColumn("n", count(lit(1)).over(wc).cast("double"))
-      val targets = Seq(("qty", 0.5, "p50_qty"), ("qty", 0.9, "p90_qty"), ("price", 0.95, "p95_price"))
       def contrib(metric: String, f: Double) = {
         val h = (col("n") - 1) * lit(f)
         val weight = when(col("i") === floor(h),

@@ -186,10 +186,8 @@ class ExtSpec extends AnyFunSuite {
 
   test("fused analyze() equals the column-primitive formulation") {
     import org.apache.spark.sql.functions.{length => slen}
-    val input = docs.select("doc_id", "text", "lang", "source", "n_chars")
-      .unionByName(whitespaceEdgeDocs
-        .withColumn("lang", lit("en")).withColumn("source", lit("edge"))
-        .withColumn("n_chars", slen(col("text")).cast("long")))
+    // analyze() reads only doc_id + text
+    val input = docs.select("doc_id", "text").unionByName(whitespaceEdgeDocs)
     val expected = input.select(
       col("doc_id"),
       TextOps.tokenCount(col("text")).as("n_tokens"),

@@ -20,6 +20,13 @@ object TestTree {
     "file:" + dir.getAbsolutePath
   }
 
+  /** Create a one-byte file at `p` (parents included). */
+  def touch(fs: FileSystem, p: String): Unit = {
+    val o = fs.create(new org.apache.hadoop.fs.Path(p), true)
+    o.write(1)
+    o.close()
+  }
+
   /** Build a random tree: `width` top dirs, depth 2-4, 2-4 children per
     * node, one `<name>.txt` file per folder. Returns the root URI.
     */

@@ -89,7 +89,7 @@ class PromotorSpec extends AnyFunSuite {
     val root = graft.fs.TestTree.newRoot("mvres")
     val fs = graft.fs.Fs.getFileSystem(conf, root)
     import org.apache.hadoop.fs.Path
-    def touch(p: String): Unit = { val o = fs.create(new Path(p), true); o.write(1); o.close() }
+    def touch(p: String): Unit = graft.fs.TestTree.touch(fs, p)
     // crashed mid-transaction: p1 not yet moved but its pre-existing target
     // survives (delete phase was interrupted); p2's rename already finished
     touch(s"$root/src/p1/data.txt")
@@ -115,7 +115,7 @@ class PromotorSpec extends AnyFunSuite {
     val root = graft.fs.TestTree.newRoot("mvfail")
     val fs = graft.fs.Fs.getFileSystem(conf, root)
     import org.apache.hadoop.fs.Path
-    def touch(p: String): Unit = { val o = fs.create(new Path(p), true); o.write(1); o.close() }
+    def touch(p: String): Unit = graft.fs.TestTree.touch(fs, p)
     touch(s"$root/src/p1/data.txt")
     touch(s"$root/src/p2/data.txt")
     fs.mkdirs(new Path(s"$root/trg"))

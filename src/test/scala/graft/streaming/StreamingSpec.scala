@@ -97,12 +97,14 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // single-key test tick at second granularity, shared by the MemoryStream specs
+  private def tick(tSec: Long, left: Boolean, id: Long, v: Double = 0.0) = StreamingAsOf.Tick(
+    1L, new java.sql.Timestamp(tSec * 1000), tSec * 1000000L, left, id, v)
+
   test("streaming as-of keeps rights needed by out-of-order (legal) lefts across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingAsOf.Tick]
-    def tick(tSec: Long, left: Boolean, id: Long) = StreamingAsOf.Tick(
-      1L, new java.sql.Timestamp(tSec * 1000), tSec * 1000000L, left, id, 0.0)
     val ticks = input.toDS().withWatermark("ts", "20 seconds").as[StreamingAsOf.Tick]
     val q = StreamingAsOf.joinBackward(ticks)
       .writeStream.outputMode("append").format("memory").queryName("sasof_ooo").start()
@@ -130,8 +132,6 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sql = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingAsOf.Tick]
-    def tick(tSec: Long, left: Boolean, id: Long) = StreamingAsOf.Tick(
-      1L, new java.sql.Timestamp(tSec * 1000), tSec * 1000000L, left, id, 0.0)
     val ticks = input.toDS().withWatermark("ts", "5 seconds").as[StreamingAsOf.Tick]
     val q = StreamingAsOf.joinForward(ticks, toleranceMicros = 10L * 1000000)
       .writeStream.outputMode("append").format("memory").queryName("sasof_fwd").start()
@@ -155,8 +155,6 @@ class StreamingSpec extends AnyFunSuite {
   test("as-of tie-break on equal right timestamps matches batch, both directions") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
-    def tick(tSec: Long, left: Boolean, id: Long, v: Double = 0.0) = StreamingAsOf.Tick(
-      1L, new java.sql.Timestamp(tSec * 1000), tSec * 1000000L, left, id, v)
     // two rights TIED at t=30 with values INVERTED vs ids (the max-value
     // row has the smaller id), so a tie-break on id alone and one on
     // (value, id) give different winners — only the declared contract
