@@ -71,6 +71,25 @@ object Delta {
     (missing, extra)
   }
 
+  /** Distributed-listing twin of getDelta's hashing stage: files gain a
+    * content hash computed in the tasks that would read them anyway at
+    * copy time (dirs hash 0; with checkContent off the column is a
+    * constant so the diff keys keep one shape).
+    */
+  private def withContentHash(list: org.apache.spark.sql.Dataset[FsElement],
+      checkContent: Boolean)(implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    if (!checkContent) list.toDF().withColumn("contentHash", lit(0L))
+    else {
+      val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      list.mapPartitions { it =>
+        val c = sconf.value
+        it.map(e => (e.path, e.isDirectory, e.byteSize,
+          if (e.isDirectory) 0L else contentHash(c, e.path)))
+      }.toDF("path", "isDirectory", "byteSize", "contentHash")
+    }
+  }
+
   /** Fully-distributed diff (SURVEY §7.4.1-3): listings come from the
     * level-synchronous Dataset scan and NOTHING is collected — the
     * returned Dataset[DeltaEntry] can itself be millions of rows and
@@ -78,30 +97,49 @@ object Delta {
     * [[getDelta]] (asserted in MoveCopyDeleteSpec); use this form when
     * a tree is too large for a driver listing.
     */
-  def getDeltaDataset(sourceUri0: String, targetUri0: String)(
+  def getDeltaDataset(sourceUri0: String, targetUri0: String, checkContent: Boolean = false)(
       implicit spark: SparkSession): org.apache.spark.sql.Dataset[DeltaEntry] = {
     import spark.implicits._
     val sourceUri = sourceUri0.stripSuffix("/")
     val targetUri = targetUri0.stripSuffix("/")
-    val srcList = Fs.listDistributed(spark, sourceUri)
-    val trgList = Fs.listDistributed(spark, targetUri)
-    val src = srcList.withColumn("relPath", udf(rel(sourceUri) _).apply($"path"))
-    val trg = trgList.withColumn("relPath", udf(rel(targetUri) _).apply($"path"))
-    val keys = Seq("relPath", "isDirectory", "byteSize")
+    val (src, trg) = hashedSides(sourceUri, targetUri, checkContent)
+    val keys = Seq("relPath", "isDirectory", "byteSize", "contentHash")
     val missing = src.join(trg, keys, "left_anti")
       .select($"relPath").as[String]
       .map(DeltaEntry(_, DeltaEntry.MissingInTarget))
     val extra = trg.join(src, keys, "left_anti")
       .select($"relPath").as[String]
       .map(DeltaEntry(_, DeltaEntry.OnlyInTarget))
-    // materialize the diff so the pinned listings (each referenced by two
+    // materialize the diff so the pinned sides (each referenced by two
     // anti-joins) can be released before returning; the caller owns the
     // returned persisted diff and should unpersist it when done
     val diff = missing.union(extra).persist()
     diff.count()
+    src.unpersist()
+    trg.unpersist()
+    diff
+  }
+
+  /** Pinned, fully-materialized (listing + relPath + content hash)
+    * snapshots of both trees. The pin matters beyond cost: hashes are
+    * computed lazily, so without it a second action — or a delete phase
+    * running between two actions — would re-read files that no longer
+    * exist. Callers unpersist both when done.
+    */
+  private def hashedSides(sourceUri: String, targetUri: String, checkContent: Boolean)(
+      implicit spark: SparkSession): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val srcList = Fs.listDistributed(spark, sourceUri)
+    val trgList = Fs.listDistributed(spark, targetUri)
+    val src = withContentHash(srcList, checkContent)
+      .withColumn("relPath", udf(rel(sourceUri) _).apply($"path")).persist()
+    val trg = withContentHash(trgList, checkContent)
+      .withColumn("relPath", udf(rel(targetUri) _).apply($"path")).persist()
+    src.count()
+    trg.count()
     srcList.unpersist()
     trgList.unpersist()
-    diff
+    (src, trg)
   }
 
   /** [[synchronize]] with NOTHING collected on the driver: diff, delete,
@@ -111,16 +149,13 @@ object Delta {
     * deepest-first ordering is needed: a child whose ancestor another
     * task already removed counts as deleted.
     */
-  def synchronizeDistributed(sourceUri0: String, targetUri0: String, taskCount: Int = -1)(
-      implicit spark: SparkSession): Unit = {
+  def synchronizeDistributed(sourceUri0: String, targetUri0: String, taskCount: Int = -1,
+      checkContent: Boolean = false)(implicit spark: SparkSession): Unit = {
     import spark.implicits._
     val sourceUri = new org.apache.hadoop.fs.Path(sourceUri0).toString
     val targetUri = new org.apache.hadoop.fs.Path(targetUri0).toString
-    val srcList = Fs.listDistributed(spark, sourceUri)
-    val trgList = Fs.listDistributed(spark, targetUri)
-    val src = srcList.withColumn("relPath", udf(rel(sourceUri) _).apply($"path"))
-    val trg = trgList.withColumn("relPath", udf(rel(targetUri) _).apply($"path"))
-    val keys = Seq("relPath", "isDirectory", "byteSize")
+    val (src, trg) = hashedSides(sourceUri, targetUri, checkContent)
+    val keys = Seq("relPath", "isDirectory", "byteSize", "contentHash")
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
 
     // target-only entries: recursive idempotent delete (empty relPath
@@ -157,8 +192,8 @@ object Delta {
       .map(relPath => Paths(s"$sourceUri/$relPath", s"$targetUri/$relPath"))
     DistributedExecution.copyDataset(files, taskCount)
     missing.unpersist()
-    srcList.unpersist()
-    trgList.unpersist()
+    src.unpersist()
+    trg.unpersist()
     ()
   }
 

@@ -143,6 +143,26 @@ class MoveCopyDeleteSpec extends AnyFunSuite {
     assert(m2.isEmpty && e2.isEmpty)
   }
 
+  test("distributed diff + synchronize catch and heal same-size content drift") {
+    val src = TestTree.newRoot("ddc_src"); TestTree.create(src, 17)
+    val trg = TestTree.newRoot("ddc_trg")
+    DistributedExecution.copyFolder(src, trg)
+    // corrupt one target file, SAME byte length — invisible to the
+    // size-only diff, caught by the distributed content hash
+    val fs = TestTree.fsFor(trg)
+    val victim = Fs.list(trg).filter(!_.isDirectory).head
+    val out = fs.create(new Path(victim.path), true)
+    out.write(Array.fill[Byte](victim.byteSize.toInt)('Z')); out.close()
+
+    val blind = Delta.getDeltaDataset(src, trg)
+    try assert(blind.isEmpty) finally blind.unpersist()
+    val sharp = Delta.getDeltaDataset(src, trg, checkContent = true)
+    try assert(sharp.count() == 2) finally sharp.unpersist() // missing + extra for the drifted file
+    Delta.synchronizeDistributed(src, trg, checkContent = true)
+    val (m, e) = Delta.getDelta(src, trg, checkContent = true)
+    assert(m.isEmpty && e.isEmpty, "distributed synchronize left drift behind")
+  }
+
   test("Delta relativizes across URI spellings; synchronize can't wipe the target root (ADVICE r1 medium)") {
     val src0 = TestTree.newRoot("dls_src"); TestTree.create(src0, 13)
     val trg0 = TestTree.newRoot("dls_trg")
