@@ -122,6 +122,25 @@ object Pipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Sliding windows (1 h length, 15 min slide) over the events table —
+    * the batch twin of streaming.EventsStream.sliding. Each event lands
+    * in exactly length/slide = 4 windows, produced by a 4-way explode
+    * BEFORE the grouped aggregation (the standard sliding-window
+    * expansion; map-side partial agg shrinks the 4× rows before the one
+    * exchange). ts is epoch-nanos, so window starts are integer
+    * arithmetic both here and in the oracle.
+    */
+  def e04Sliding(spark: SparkSession, dir: String): DataFrame = {
+    val slideNs = 900000000000L
+    Tables.events(spark, dir)
+      .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+      .withColumn("win_start", (expr(s"ts div $slideNs") - col("k")) * lit(slideNs))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** For each click, the EARLIEST following view by the same user —
     * forward as-of join ([[graft.ops.AsOf.joinForward]]); same
     * single-shuffle union+window plan as e02, time reversed. Oracle:
@@ -254,6 +273,11 @@ object Pipeline {
         |  v.event_id AS view_event_id, v.value AS view_value
         |FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY event_id""".stripMargin,
+    "e04_sliding" ->
+      """SELECT (epoch_ns(ts) // 900000000000 - k) * 900000000000 AS win_start, event_type,
+        |  count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events, (SELECT unnest(range(0,4)) AS k) t
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "e03_asof_forward" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |     views  AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
@@ -293,6 +317,7 @@ object Pipeline {
     "e01_event_windows"  -> e01EventWindows _,
     "e02_asof_join"      -> e02AsofJoin _,
     "e03_asof_forward"   -> e03AsofForward _,
+    "e04_sliding"        -> e04Sliding _,
     "t04_fingerprint"    -> t04Fingerprint _,
     "m01_media_features" -> m01MediaFeatures _,
   )
