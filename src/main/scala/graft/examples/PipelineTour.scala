@@ -57,6 +57,31 @@ object PipelineTour {
       Multimodal.extractFeatures(media).count() == 100
     }
 
+    check("fingerprint clusters exact duplicates together") {
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      val fps = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.graftFingerprint(lower(col("text")), 3).as("fp"))
+      // identical texts must share a fingerprint: distinct fp count <= distinct text count
+      fps.select("fp").distinct().count() <= docs.select("text").distinct().count()
+    }
+
+    check("LSH embedding dedup finds the planted twins and nothing else at 0.95") {
+      val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x))
+          .as("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionByName(twins)
+      val pairs = Similarity.cosineDupPairsLsh(corpus, minSim = 0.95, dim = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs.nonEmpty && pairs.forall { case (a, b) => b == a + 100000L }
+    }
+
+    check("stratified sample is exact and reproducible") {
+      val s1 = graft.ops.Sampling.perKeyExact(docs, Seq("lang"), Seq("doc_id"), k = 5)
+      val s2 = graft.ops.Sampling.perKeyExact(docs, Seq("lang"), Seq("doc_id"), k = 5)
+      s1.collect().map(_.toSeq).toSet == s2.collect().map(_.toSeq).toSet &&
+        s1.groupBy("lang").count().collect().forall(_.getLong(1) <= 5)
+    }
+
     spark.stop()
     if (failed > 0) { println(s"$failed FAILED"); sys.exit(1) }
     println("PipelineTour: all checks passed")
