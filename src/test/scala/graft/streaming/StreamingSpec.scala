@@ -27,6 +27,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding windows equal the batch explode expansion (e04)") {
+    val q = EventsStream.sliding(EventsStream.read(spark, streamDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_out")
+        .select(unix_micros(col("window.start")) * 1000, col("event_type"), col("cnt"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.queries.Pipeline.e04Sliding(spark, sf)
+        .select(col("win_start"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("session windows produce per-user sessions") {
     val q = EventsStream.sessions(EventsStream.read(spark, streamDir))
       .writeStream.outputMode("complete")
