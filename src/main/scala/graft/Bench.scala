@@ -23,13 +23,19 @@ object Bench {
         "lineitem", "events", "documents", "embeddings").foreach { t =>
         runToNoop(Tables(spark, sfDir, t))
       }
-      // run EVERY query once at the tiny SF: codegen + JIT compile of
+      // run EVERY query once at a tiny SF: codegen + JIT compile of
       // each plan shape happens here, so the measured pass below times
       // steady-state execution instead of first-compile latency
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try runToNoop(fn(spark, "/root/testdata/sf0.001"))
-        catch { case _: Throwable => () }
-      }
+      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+      if (new java.io.File(warmDir.stripPrefix("file:")).isDirectory) {
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          try runToNoop(fn(spark, warmDir))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+          }
+        }
+      } else System.err.println(
+        s"[bench] warmup dir $warmDir missing - measured times include first-compile latency")
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -57,12 +57,17 @@ object PipelineTour {
       Multimodal.extractFeatures(media).count() == 100
     }
 
-    check("fingerprint clusters exact duplicates together") {
+    check("fingerprint is a pure function of the text and non-degenerate") {
       graft.functions.GraftFunctions.ensureRegistered(spark)
-      val fps = docs.select(col("doc_id"),
+      val fps = docs.select(lower(col("text")).as("lt"),
         graft.functions.GraftFunctions.graftFingerprint(lower(col("text")), 3).as("fp"))
-      // identical texts must share a fingerprint: distinct fp count <= distinct text count
-      fps.select("fp").distinct().count() <= docs.select("text").distinct().count()
+      // every text maps to exactly one fingerprint (so exact dups always
+      // cluster), and the fingerprints don't collapse to a few values
+      // (the fixture's 500 texts produce ~388 — near-dups sharing their
+      // rarest shingle DO collide, which is the winnowing point)
+      fps.groupBy("lt").agg(countDistinct("fp").as("nfp"))
+        .agg(max("nfp")).head.getLong(0) == 1L &&
+        fps.select("fp").distinct().count() > 100
     }
 
     check("LSH embedding dedup finds the planted twins and nothing else at 0.95") {

@@ -102,7 +102,7 @@ object Delta {
     import spark.implicits._
     val sourceUri = sourceUri0.stripSuffix("/")
     val targetUri = targetUri0.stripSuffix("/")
-    val (src, trg) = hashedSides(sourceUri, targetUri, checkContent)
+    val (src, trg, release) = hashedSides(sourceUri, targetUri, checkContent)
     val keys = Seq("relPath", "isDirectory", "byteSize", "contentHash")
     val missing = src.join(trg, keys, "left_anti")
       .select($"relPath").as[String]
@@ -115,31 +115,43 @@ object Delta {
     // returned persisted diff and should unpersist it when done
     val diff = missing.union(extra).persist()
     diff.count()
-    src.unpersist()
-    trg.unpersist()
+    release()
     diff
   }
 
-  /** Pinned, fully-materialized (listing + relPath + content hash)
-    * snapshots of both trees. The pin matters beyond cost: hashes are
-    * computed lazily, so without it a second action — or a delete phase
-    * running between two actions — would re-read files that no longer
-    * exist. Callers unpersist both when done.
+  /** Both tree sides as (listing + relPath + content hash) DataFrames,
+    * plus the thunk that releases whatever they pinned.
+    *
+    * checkContent=false: the hash column is a constant, so the joins run
+    * straight off the already-pinned listings — nothing extra cached, no
+    * extra pass. checkContent=true: hashing is lazy and expensive, so the
+    * hashed sides are pinned and materialized BEFORE any caller side
+    * effect (a delete phase between two actions would otherwise re-read
+    * files that no longer exist). The pin is a cache, not a checkpoint —
+    * should a partition be lost and recomputed mid-sync, [[contentHash]]'s
+    * vanished-file sentinel keeps the rebuilt rows safe (the entry reads
+    * as drift and is re-copied) instead of aborting the job.
     */
   private def hashedSides(sourceUri: String, targetUri: String, checkContent: Boolean)(
-      implicit spark: SparkSession): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      implicit spark: SparkSession): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, () => Unit) = {
     import spark.implicits._
     val srcList = Fs.listDistributed(spark, sourceUri)
     val trgList = Fs.listDistributed(spark, targetUri)
     val src = withContentHash(srcList, checkContent)
-      .withColumn("relPath", udf(rel(sourceUri) _).apply($"path")).persist()
+      .withColumn("relPath", udf(rel(sourceUri) _).apply($"path"))
     val trg = withContentHash(trgList, checkContent)
-      .withColumn("relPath", udf(rel(targetUri) _).apply($"path")).persist()
-    src.count()
-    trg.count()
-    srcList.unpersist()
-    trgList.unpersist()
-    (src, trg)
+      .withColumn("relPath", udf(rel(targetUri) _).apply($"path"))
+    if (!checkContent) {
+      (src, trg, () => { srcList.unpersist(); trgList.unpersist(); () })
+    } else {
+      val srcPinned = src.persist()
+      val trgPinned = trg.persist()
+      srcPinned.count()
+      trgPinned.count()
+      srcList.unpersist()
+      trgList.unpersist()
+      (srcPinned, trgPinned, () => { srcPinned.unpersist(); trgPinned.unpersist(); () })
+    }
   }
 
   /** [[synchronize]] with NOTHING collected on the driver: diff, delete,
@@ -154,7 +166,7 @@ object Delta {
     import spark.implicits._
     val sourceUri = new org.apache.hadoop.fs.Path(sourceUri0).toString
     val targetUri = new org.apache.hadoop.fs.Path(targetUri0).toString
-    val (src, trg) = hashedSides(sourceUri, targetUri, checkContent)
+    val (src, trg, release) = hashedSides(sourceUri, targetUri, checkContent)
     val keys = Seq("relPath", "isDirectory", "byteSize", "contentHash")
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
 
@@ -192,27 +204,33 @@ object Delta {
       .map(relPath => Paths(s"$sourceUri/$relPath", s"$targetUri/$relPath"))
     DistributedExecution.copyDataset(files, taskCount)
     missing.unpersist()
-    src.unpersist()
-    trg.unpersist()
+    release()
     ()
   }
 
-  /** FNV-1a 64 of a file's bytes (streamed, 64 KiB buffer). */
-  private def contentHash(conf: org.apache.hadoop.conf.Configuration, uri: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(uri)
-    val in = p.getFileSystem(conf).open(p)
+  /** FNV-1a 64 of a file's bytes (streamed, 64 KiB buffer). A file that
+    * vanished or turned unreadable between listing and hashing returns
+    * the -1 sentinel instead of throwing: under recomputation (lost
+    * cache partition mid-sync) the entry then reads as drift and is
+    * re-reconciled, rather than aborting the whole job on a file the
+    * sync itself already removed.
+    */
+  private def contentHash(conf: org.apache.hadoop.conf.Configuration, uri: String): Long =
     try {
-      var h = 0xcbf29ce484222325L
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n > 0) {
-        var i = 0
-        while (i < n) { h = (h ^ (buf(i) & 0xffL)) * 0x100000001b3L; i += 1 }
-        n = in.read(buf)
-      }
-      h
-    } finally in.close()
-  }
+      val p = new org.apache.hadoop.fs.Path(uri)
+      val in = p.getFileSystem(conf).open(p)
+      try {
+        var h = 0xcbf29ce484222325L
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i < n) { h = (h ^ (buf(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+          n = in.read(buf)
+        }
+        h
+      } finally in.close()
+    } catch { case _: java.io.IOException => -1L }
 
   /** Make target identical to source: delete target-only paths, then
     * distributed-copy the missing files (reference Delta.scala:25-32).
