@@ -41,11 +41,17 @@ object TextOps {
   /** Composite quality score in [0,1]: longer docs with moderate
     * punctuation and some stopwords score higher.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
+
+  /** Un-rounded [[qualityScore]] — for callers that need a rounding mode
+    * other than HALF_UP (e.g. the oracle-gated t05 floor-scales, since
+    * round() tie-breaking differs between engines at exact .5 digits).
+    */
+  private[graft] def qualityScoreRaw(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val punctScore = least(punctCount(text).cast("double") * 10.0 / greatest(tokenCount(text), lit(1)), lit(1.0))
     val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round((lenScore * 0.5 + punctScore * 0.2 + stopScore * 0.3), 6)
+    lenScore * 0.5 + punctScore * 0.2 + stopScore * 0.3
   }
 
   /** Character n-gram based language ID over a fixed marker table — the

@@ -122,6 +122,36 @@ object Pipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Fingerprint-based dedup clusters: documents sharing their minimal
+    * shingle digest form a near-dup group with a kept representative —
+    * the cheap first-stage dedup a pipeline runs before the pairwise
+    * operators (one narrow fingerprint pass + one grouped agg; nothing
+    * quadratic anywhere).
+    */
+  def d06FingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.graftFingerprint(lower(col("text")), 3).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .orderBy(col("keep_id"))
+  }
+
+  /** Composite quality score per document (length / punctuation /
+    * stopword heuristics, [[graft.ext.TextOps.qualityScore]]) — fully
+    * SQL-expressible, so the heuristic itself sits under the oracle
+    * gate rather than only under specs.
+    */
+  def t05Quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        // floor-scale instead of round(_, 6): round() tie-breaking at an
+        // exact .5 digit differs between engines; floor is deterministic
+        (floor(TextOps.qualityScoreRaw(col("text")) * 1e6) / 1e6).as("quality"))
+      .orderBy(col("doc_id"))
+
   /** Sliding windows (1 h length, 15 min slide) over the events table —
     * the batch twin of streaming.EventsStream.sliding. Each event lands
     * in exactly length/slide = 4 windows, produced by a 4-way explode
@@ -299,6 +329,40 @@ object Pipeline {
         |)
         |SELECT doc_id, min(md5(shingle)) AS fingerprint
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d06_fingerprint_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+        |         ELSE array_to_string(w[i.i:i.i+2], ' ') END AS shingle
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i) i
+        |), fp AS (
+        |  SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+        |)
+        |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS cnt
+        |FROM fp GROUP BY fingerprint HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+    "t05_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n_tokens, n_punct, length(text) AS n_chars,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE len(list_filter(toks, x -> x IN
+        |                ('the','a','an','and','or','of','to','in','is','it')))
+        |              / CAST(len(toks) AS DOUBLE) END AS stop_ratio
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  floor((least(n_chars / 500.0, 1.0) * 0.5
+        |       + least(n_punct * 10.0 / greatest(n_tokens, 1), 1.0) * 0.2
+        |       + least(stop_ratio * 5.0, 1.0) * 0.3) * 1e6) / 1e6 AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -319,6 +383,8 @@ object Pipeline {
     "e03_asof_forward"   -> e03AsofForward _,
     "e04_sliding"        -> e04Sliding _,
     "t04_fingerprint"    -> t04Fingerprint _,
+    "t05_quality"        -> t05Quality _,
+    "d06_fingerprint_dedup" -> d06FingerprintDedup _,
     "m01_media_features" -> m01MediaFeatures _,
   )
 }
