@@ -64,6 +64,28 @@ class ExtSpec extends AnyFunSuite {
       (9104L, "a b c d"), (9105L, " foo  bar\tbaz\r\n")).toDF("doc_id", "text")
   }
 
+  test("whitespace fuzz: native tokenization matches the declarative twin on 300 random texts") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // seeded random strings over a whitespace-heavy alphabet — the class
+    // of input where Java trim/split semantics silently diverge from
+    // Spark's (r3 code review finding)
+    val rnd = new scala.util.Random(20260812L)
+    val alphabet = "ab c\t\n\r  d"
+    val fuzz = (0 until 300).map { i =>
+      (10000L + i, (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    val native = fuzz.select(col("doc_id"),
+        graft.functions.GraftFunctions.graftShingles(col("text"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val declarative = fuzz.select(col("doc_id"),
+        array_distinct(transform(TextOps.shingles(col("text"), 3), s => xxhash64(s))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    declarative.foreach { case (id, hs) =>
+      assert(native(id) == hs, s"doc $id: ${fuzz.filter(col("doc_id") === id).head.getString(1)}")
+    }
+  }
+
   test("native minhash signatures equal the explode+groupBy formulation") {
     val input = docs.select("doc_id", "text").unionByName(whitespaceEdgeDocs)
     val native = Dedup.minhashSignatures(input, 3, 8)
