@@ -37,6 +37,17 @@ class FunctionsFixSpec extends AnyFunSuite {
     }
   }
 
+  test("registered graft functions are callable from SQL text") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT graft_fingerprint('a b c d', 3) AS fp, graft_simhash('a b c') AS sh, " +
+      "size(graft_shingles('a b c d', 3)) AS n, graft_dot(array(1.0F,2.0F), array(3.0F,4.0F)) AS d")
+      .head
+    assert(r.getString(0).length == 32)
+    assert(r.getInt(2) == 2)
+    assert(math.abs(r.getDouble(3) - 11.0) < 1e-12)
+  }
+
   test("ensureRegistered keys on the session registry, not an identity hash (ADVICE r1)") {
     val s1 = spark
     val s2 = spark.newSession() // fresh sessionState => fresh FunctionRegistry

@@ -56,6 +56,16 @@ class StreamingSpec extends AnyFunSuite {
       // every event lands in exactly one session
       val totalEvents = out.agg(sum("n_events")).head.getLong(0)
       assert(totalEvents == graft.Tables.events(spark, sf).count())
+      // per-user session COUNTS equal the batch gaps-and-islands
+      // formulation (q13, same 30-minute gap) — the two constructions
+      // must carve identical session boundaries
+      val streamed = out.groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.queries.Relational.q13Sessions(spark, sf)
+        .select("user_id", "n_sessions")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch,
+        s"diff: ${(streamed.toSet -- batch.toSet).take(3)} vs ${(batch.toSet -- streamed.toSet).take(3)}")
     } finally q.stop()
   }
 
