@@ -39,11 +39,8 @@ object AclManager {
     b.build()
   }
 
-  private def withPool[T](threads: Int)(body: ExecutionContext => T): T = {
-    val pool = Executors.newFixedThreadPool(threads.max(1).min(1000))
-    try body(ExecutionContext.fromExecutor(pool))
-    finally pool.shutdown()
-  }
+  private def withPool[T](threads: Int)(body: ExecutionContext => T): T =
+    Fs.withPool(threads)(body)
 
   /** Multithreaded `modifyAclEntries` over paths; paths that vanished are
     * skipped (reference acl/AclManager.scala:57-80); retry ≤5.
@@ -64,7 +61,11 @@ object AclManager {
         }}
         fut.map(Await.result(_, Fs.OpTimeout))
       },
-      identity)
+      identity,
+      // "vanished paths are skipped" must also hold for paths deleted
+      // AFTER the exists() pre-filter (temp/_SUCCESS files mid-run) —
+      // count them as done instead of failing the whole batch
+      repair = failed => failed.filter(p => !fs.exists(new Path(p))))
   }
 
   /** Table ACL: ACCESS+DEFAULT on the table folder, ACCESS on all data
@@ -111,7 +112,8 @@ object AclManager {
         }}
         fut.map(Await.result(_, Fs.OpTimeout))
       },
-      identity)
+      identity,
+      repair = failed => failed.filter(p => !fs.exists(new Path(p))))
   }
 
   def clearFolderAcl(uri: String)(implicit conf: Configuration): Seq[FsOperationResult] =
@@ -241,9 +243,10 @@ object AclManager {
     val trgFs = Fs.getFileSystem(conf, applyToUri)
 
     // URI forms differ between caller and listStatus (acl:///x vs acl:/x)
-    // — relativize on the scheme-less URI path, not the raw string
-    def rel(rootUri: String, p: String): String =
-      new Path(p).toUri.getPath.stripPrefix(new Path(rootUri).toUri.getPath).stripPrefix("/")
+    // — Delta.rel relativizes on the scheme-less URI path AND refuses a
+    // path that is not under the root (a silent stripPrefix no-op would
+    // feed an absolute path into the correspondence map)
+    def rel(rootUri: String, p: String): String = graft.fs.Delta.rel(rootUri)(p)
 
     val srcTree = Fs.list(takeFromUri)
     val srcFolderRel = "" +: srcTree.filter(_.isDirectory)

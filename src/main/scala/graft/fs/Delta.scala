@@ -18,7 +18,7 @@ object Delta {
     * vs file:/x, trailing slash, unqualified — can't break the prefix
     * arithmetic the way a raw string offset would.
     */
-  private[fs] def rel(root: String)(p: String): String = {
+  private[graft] def rel(root: String)(p: String): String = {
     val rootPath = new org.apache.hadoop.fs.Path(root).toUri.getPath.stripSuffix("/")
     val pp = new org.apache.hadoop.fs.Path(p).toUri.getPath
     require(pp.startsWith(rootPath + "/"), s"listed path $p is not under root $root")
@@ -62,12 +62,15 @@ object Delta {
     val src = side(sourceUri)
     val trg = side(targetUri)
     val keys = Seq("relPath", "isDirectory", "byteSize", "contentHash")
+    // carry isDirectory into the entries: synchronize needs it and the
+    // listing already knows it — re-statting every missing path would be
+    // one RPC per entry on the source FS
     val missing = src.join(trg, keys, "left_anti")
-      .select($"relPath").as[String].collect()
-      .map(DeltaEntry(_, DeltaEntry.MissingInTarget))
+      .select($"relPath", $"isDirectory").as[(String, Boolean)].collect()
+      .map { case (p, d) => DeltaEntry(p, DeltaEntry.MissingInTarget, d) }
     val extra = trg.join(src, keys, "left_anti")
-      .select($"relPath").as[String].collect()
-      .map(DeltaEntry(_, DeltaEntry.OnlyInTarget))
+      .select($"relPath", $"isDirectory").as[(String, Boolean)].collect()
+      .map { case (p, d) => DeltaEntry(p, DeltaEntry.OnlyInTarget, d) }
     (missing, extra)
   }
 
@@ -105,11 +108,11 @@ object Delta {
     val (src, trg, release) = hashedSides(sourceUri, targetUri, checkContent)
     val keys = Seq("relPath", "isDirectory", "byteSize", "contentHash")
     val missing = src.join(trg, keys, "left_anti")
-      .select($"relPath").as[String]
-      .map(DeltaEntry(_, DeltaEntry.MissingInTarget))
+      .select($"relPath", $"isDirectory").as[(String, Boolean)]
+      .map { case (p, d) => DeltaEntry(p, DeltaEntry.MissingInTarget, d) }
     val extra = trg.join(src, keys, "left_anti")
-      .select($"relPath").as[String]
-      .map(DeltaEntry(_, DeltaEntry.OnlyInTarget))
+      .select($"relPath", $"isDirectory").as[(String, Boolean)]
+      .map { case (p, d) => DeltaEntry(p, DeltaEntry.OnlyInTarget, d) }
     // materialize the diff so the pinned sides (each referenced by two
     // anti-joins) can be released before returning; the caller owns the
     // returned persisted diff and should unpersist it when done
@@ -248,16 +251,12 @@ object Delta {
     val toDelete = extra.map(e => s"$targetUri/${e.path}").sortBy(-_.length).toIndexedSeq
     LocalExecution.deletePaths(toDelete)
     val fs = Fs.getFileSystem(conf, targetUri)
-    // recreate missing directories (copy handles files only)
-    val srcFs = Fs.getFileSystem(conf, sourceUri)
-    missing.map(e => s"$sourceUri/${e.path}").foreach { p =>
-      if (srcFs.getFileStatus(new org.apache.hadoop.fs.Path(p)).isDirectory)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(p.replace(sourceUri, targetUri)))
-    }
-    val files = missing.filter { e =>
-      !srcFs.getFileStatus(new org.apache.hadoop.fs.Path(s"$sourceUri/${e.path}")).isDirectory
-    }
-    val pairs = files.map(e => Paths(s"$sourceUri/${e.path}", s"$targetUri/${e.path}")).toIndexedSeq
+    // recreate missing directories (copy handles files only); the diff
+    // entries carry isDirectory from the listing, so no per-path re-stat
+    missing.filter(_.isDirectory)
+      .foreach(e => fs.mkdirs(new org.apache.hadoop.fs.Path(s"$targetUri/${e.path}")))
+    val pairs = missing.filterNot(_.isDirectory)
+      .map(e => Paths(s"$sourceUri/${e.path}", s"$targetUri/${e.path}")).toIndexedSeq
     DistributedExecution.copyFiles(pairs, taskCount)
     ()
   }

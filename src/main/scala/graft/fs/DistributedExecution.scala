@@ -28,7 +28,7 @@ object DistributedExecution {
       implicit spark: SparkSession): Array[FsOperationResult] = {
     implicit val conf = spark.sparkContext.hadoopConfiguration
     val files = Fs.list(sourceUri).filter(!_.isDirectory)
-    val paths = files.map(e => Paths(e.path, e.path.replace(sourceUri, targetUri)))
+    val paths = files.map(e => Paths(e.path, Fs.rebase(e.path, sourceUri, targetUri)))
     copyFiles(paths.toIndexedSeq, taskCount)
   }
 
@@ -63,9 +63,13 @@ object DistributedExecution {
         .mapPartitions { it =>
           val c = conf.value
           it.map { p =>
+            // a self-copy with overwrite=true TRUNCATES the file before
+            // reading it — refuse rather than destroy data (this is the
+            // failure mode of a mis-spelled prefix rewrite upstream)
             val ok =
-              try Fs.copySingleFile(c, p.sourcePath, p.targetPath)
-              catch { case _: Throwable => false }
+              if (p.sourcePath == p.targetPath) false
+              else try Fs.copySingleFile(c, p.sourcePath, p.targetPath)
+                   catch { case _: Throwable => false }
             FsOperationResult(p.sourcePath, ok)
           }
         }, knownCount = total)

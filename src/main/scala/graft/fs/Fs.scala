@@ -161,6 +161,34 @@ object Fs {
   }
 
   /** Rename only works within one FileSystem (reference fs/package.scala:126-129). */
+  /** Fixed driver-side thread pool scoped to `body` — the one pool
+    * helper every multithreaded metadata operator (move/delete/ACL)
+    * shares, so sizing/shutdown fixes land in one place.
+    */
+  private[graft] def withPool[T](threads: Int)(body: ExecutionContext => T): T = {
+    val pool = Executors.newFixedThreadPool(threads.max(1).min(1000))
+    try body(ExecutionContext.fromExecutor(pool))
+    finally pool.shutdown()
+  }
+
+  /** Rewrite `path` from one root prefix onto another, with all three
+    * normalized through Hadoop Path so caller spellings — file:///x vs
+    * listStatus's file:/x, trailing slash, unqualified — can't turn the
+    * rewrite into a no-op. A raw String.replace with a mismatched
+    * prefix silently yields target == source, which downstream turns
+    * into a self-move (source deleted as the "existing target") or a
+    * self-copy (file truncated by overwrite). Throws when `path` is not
+    * under `fromRoot`.
+    */
+  def rebase(path: String, fromRoot: String, toRoot: String): String = {
+    val p = new Path(path).toString
+    val from = new Path(fromRoot).toString.stripSuffix("/")
+    val to = new Path(toRoot).toString.stripSuffix("/")
+    require(p == from || p.startsWith(from + "/"),
+      s"path $p is not under $from - cannot rebase onto $to")
+    to + p.stripPrefix(from)
+  }
+
   def checkIfFsIsTheSame(source: String, target: String): Boolean = {
     def auth(u: String) = { val x = new URI(u); (x.getScheme, x.getAuthority) }
     auth(source) == auth(target)

@@ -15,11 +15,8 @@ import org.apache.hadoop.fs.Path
   */
 object LocalExecution {
 
-  private def withPool[T](threads: Int)(body: ExecutionContext => T): T = {
-    val pool = Executors.newFixedThreadPool(threads.max(1).min(1000))
-    try body(ExecutionContext.fromExecutor(pool))
-    finally pool.shutdown()
-  }
+  private def withPool[T](threads: Int)(body: ExecutionContext => T): T =
+    Fs.withPool(threads)(body)
 
   /** Multithreaded rename with retry ≤5 and false-negative repair: a
     * "failed" rename whose source is gone and target exists already took
@@ -63,10 +60,15 @@ object LocalExecution {
     require(Fs.checkIfFsIsTheSame(sourceUri, targetUri),
       s"move requires same FileSystem; use DistributedExecution.copyFolder for $sourceUri -> $targetUri")
     val fs = Fs.getFileSystem(conf, sourceUri)
-    if (!Fs.doesMoveLookSafe(fs, sourceUri, targetUri))
-      throw new IllegalStateException(s"move looks unsafe (empty source over non-empty target): $sourceUri -> $targetUri")
     val fuse = new SafetyFuse(fs, targetUri)
     val resuming = fuse.isInProgress()
+    // The unsafe-move guard applies to FRESH runs only: an open
+    // transaction means a prior run already passed it and was
+    // interrupted mid-move — its source may legitimately be empty now
+    // (every child renamed before the crash), and the guard would
+    // otherwise wedge the resume path forever.
+    if (!resuming && !Fs.doesMoveLookSafe(fs, sourceUri, targetUri))
+      throw new IllegalStateException(s"move looks unsafe (empty source over non-empty target): $sourceUri -> $targetUri")
     if (!resuming) {
       fuse.startTransaction()
       if (fs.exists(targetPath)) {

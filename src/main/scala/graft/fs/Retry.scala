@@ -37,9 +37,15 @@ object Retry {
       val repaired = repair(failed).map(keyOf).toSet
       done ++= failed.collect { case w if repaired(keyOf(w)) => FsOperationResult(keyOf(w), success = true) }
       val stillFailed = failed.filterNot(w => repaired(keyOf(w)))
-      if (stillFailed.nonEmpty && succeeded.isEmpty && repaired.isEmpty && attempt >= maxAttempts)
+      // two consecutive attempts with no progress at all (nothing
+      // succeeded, nothing repaired) — the batch is hopeless; fail fast
+      // instead of burning the remaining attempts (reference
+      // fs/DistributedExecution.scala:76 throws on an all-failed batch).
+      // The second chance covers a singleton item's transient error,
+      // which would otherwise never be retried.
+      if (stillFailed.nonEmpty && succeeded.isEmpty && repaired.isEmpty && attempt >= 2)
         throw new IllegalStateException(
-          s"all ${stillFailed.size} operations failed after $attempt attempts")
+          s"all ${stillFailed.size} operations failed on attempt $attempt")
       pending = stillFailed
     }
     if (pending.nonEmpty)

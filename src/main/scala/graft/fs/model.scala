@@ -22,16 +22,22 @@ object DeltaEntry {
 }
 
 /** One line of a tree diff (relative path + verdict). */
-final case class DeltaEntry(path: String, message: String)
+final case class DeltaEntry(path: String, message: String, isDirectory: Boolean = false)
 
 /** A cached listing supporting repeated size queries without re-listing
   * (reference: fs/package.scala:79-87).
   */
 final case class FsSizes(sizes: Array[FsElement]) {
-  /** Total bytes under `path` (prefix match over the cached listing). */
-  def getSizeOfPath(path: String): Long =
-    sizes.iterator.filter(e => e.path.startsWith(path) && !e.isDirectory)
+  /** Total bytes under `path` — matched on a PATH boundary, not a raw
+    * string prefix, so a sibling like `/data/2024-backup` doesn't count
+    * toward `/data/2024`.
+    */
+  def getSizeOfPath(path: String): Long = {
+    val root = path.stripSuffix("/")
+    sizes.iterator
+      .filter(e => (e.path == root || e.path.startsWith(root + "/")) && !e.isDirectory)
       .map(_.byteSize).sum
+  }
   def totalBytes: Long = sizes.iterator.filterNot(_.isDirectory).map(_.byteSize).sum
   def count: Int = sizes.length
 }

@@ -90,7 +90,9 @@ case class TextMetrics(child: Expression) extends UnaryExpression with CodegenFa
     }
 
     new GenericInternalRow(Array[Any](
-      nTokens, nSubwords, text.length, nPunct, stopHits, fingerprint,
+      // code points, not UTF-16 units: the declarative twin's length()
+      // counts characters, and a supplementary char (emoji) is 2 units
+      nTokens, nSubwords, text.codePointCount(0, text.length), nPunct, stopHits, fingerprint,
       UTF8String.fromString(bestLang)))
   }
 

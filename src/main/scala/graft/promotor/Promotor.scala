@@ -58,10 +58,10 @@ object Promotor {
     implicit val conf = spark.sessionState.newHadoopConf()
     val partitions = Meta.filterPartitions(srcDb, srcTable, matchStrings)
     require(partitions.nonEmpty, s"no partitions of $srcDb.$srcTable match $matchStrings")
-    val srcLoc = Meta.getTableLocation(srcDb, srcTable).stripSuffix("/")
-    val trgLoc = Meta.getTableLocation(trgDb, trgTable).stripSuffix("/")
+    val srcLoc = Meta.getTableLocation(srcDb, srcTable)
+    val trgLoc = Meta.getTableLocation(trgDb, trgTable)
     val files = Fs.getFilesOnlyOfFolders(partitions.toIndexedSeq)
-    val pairs = files.map(e => Paths(e.path, e.path.replace(srcLoc, trgLoc))).toIndexedSeq
+    val pairs = files.map(e => Paths(e.path, Fs.rebase(e.path, srcLoc, trgLoc))).toIndexedSeq
     val res = DistributedExecution.copyFiles(pairs, taskCount)
     Meta.refreshMetadata(trgDb, trgTable)
     res
@@ -83,10 +83,9 @@ object Promotor {
       implicit spark: SparkSession): Array[FsOperationResult] = {
     implicit val conf = spark.sessionState.newHadoopConf()
     val src = srcFolder.stripSuffix("/")
-    val trg = trgFolder.stripSuffix("/")
     val subs = Meta.filterPaths(Fs.getSubfolderPaths(src), matchStrings)
     val files = Fs.getFilesOnlyOfFolders(subs.toIndexedSeq)
-    val pairs = files.map(e => Paths(e.path, e.path.replace(src, trg))).toIndexedSeq
+    val pairs = files.map(e => Paths(e.path, Fs.rebase(e.path, srcFolder, trgFolder))).toIndexedSeq
     DistributedExecution.copyFiles(pairs, taskCount)
   }
 
@@ -119,9 +118,9 @@ object Promotor {
     TableMetadataValidator.validate(srcDb, srcTable, trgDb, trgTable)
     val partitions = Meta.filterPartitions(srcDb, srcTable, matchStrings)
     require(partitions.nonEmpty, s"no partitions of $srcDb.$srcTable match $matchStrings")
-    val srcLoc = Meta.getTableLocation(srcDb, srcTable).stripSuffix("/")
-    val trgLoc = Meta.getTableLocation(trgDb, trgTable).stripSuffix("/")
-    val pairs = partitions.map(p => Paths(p, p.replace(srcLoc, trgLoc))).toIndexedSeq
+    val srcLoc = Meta.getTableLocation(srcDb, srcTable)
+    val trgLoc = Meta.getTableLocation(trgDb, trgTable)
+    val pairs = partitions.map(p => Paths(p, Fs.rebase(p, srcLoc, trgLoc))).toIndexedSeq
     val res = moveFolders(pairs)
     Meta.refreshMetadata(srcDb, srcTable)
     Meta.refreshMetadata(trgDb, trgTable)
@@ -148,9 +147,8 @@ object Promotor {
       implicit spark: SparkSession): Seq[FsOperationResult] = {
     implicit val conf = spark.sessionState.newHadoopConf()
     val src = srcFolder.stripSuffix("/")
-    val trg = trgFolder.stripSuffix("/")
     val subs = Meta.filterPaths(Fs.getSubfolderPaths(src), matchStrings)
-    moveFolders(subs.map(p => Paths(p, p.replace(src, trg))).toIndexedSeq)
+    moveFolders(subs.map(p => Paths(p, Fs.rebase(p, srcFolder, trgFolder))).toIndexedSeq)
   }
 
   /** M11 core folder move: per-folder safety guard, same-FS check,
@@ -166,6 +164,9 @@ object Promotor {
     pairs.foreach { p =>
       require(Fs.checkIfFsIsTheSame(p.sourcePath, p.targetPath),
         s"move requires one FileSystem: $p")
+      // a self-move would delete the source as the "existing target" —
+      // refuse outright (defense in depth behind Fs.rebase)
+      require(p.sourcePath != p.targetPath, s"refusing self-move: ${p.sourcePath}")
     }
     val trgParent = new Path(pairs.head.targetPath).getParent.toString
     val fuse = new SafetyFuse(fs, trgParent)

@@ -140,9 +140,16 @@ object StreamingAsOf {
           if (pending.isEmpty && keep.isEmpty) state.remove()
           else {
             state.update(Buffers(pending, keep))
-            // worst-case maturity: the watermark reaching ts + tolerance
-            pending.headOption.foreach(p => state.setTimeoutTimestamp(
-              math.max((p.tsMicros + toleranceMicros) / 1000L, state.getCurrentWatermarkMs() + 1)))
+            // wake at worst-case left maturity (wm reaching ts+tolerance);
+            // with no pending lefts, wake when the wm passes the LAST
+            // retained right — the prune above then drops everything and
+            // the state removes. Without that arm, a key whose stream
+            // ends on right ticks is never re-invoked and its buffered
+            // rights live forever.
+            val wakeMicros = pending.headOption.map(_.tsMicros + toleranceMicros)
+              .orElse(keep.lastOption.map(_.tsMicros))
+            wakeMicros.foreach(w => state.setTimeoutTimestamp(
+              math.max(w / 1000L, state.getCurrentWatermarkMs() + 1)))
           }
           out.iterator
       }

@@ -95,4 +95,22 @@ class FsSpec extends AnyFunSuite {
         w => w.map(FsOperationResult(_, success = false)), identity)
     }
   }
+
+  test("Retry fails fast after two zero-progress attempts, not five") {
+    var attempts = 0
+    intercept[IllegalStateException] {
+      Retry.retryFailed[String](Seq("x", "y"),
+        w => { attempts += 1; w.map(FsOperationResult(_, success = false)) }, identity)
+    }
+    assert(attempts == 2, s"expected fail-fast after 2 hopeless attempts, ran $attempts")
+  }
+
+  test("getSizeOfPath matches on path boundaries, not raw prefixes") {
+    val sizes = FsSizes(Array(
+      FsElement("/data/2024", isDirectory = true, 0),
+      FsElement("/data/2024/f1", isDirectory = false, 10),
+      FsElement("/data/2024-backup/f2", isDirectory = false, 90)))
+    assert(sizes.getSizeOfPath("/data/2024") == 10)
+    assert(sizes.getSizeOfPath("/data/2024/") == 10)
+  }
 }

@@ -109,6 +109,41 @@ class MoveCopyDeleteSpec extends AnyFunSuite {
     assert(LocalExecution.deletePaths(Seq(s"$root/ghost")).forall(_.success))
   }
 
+  test("copyFolder survives caller URI spellings; self-copy is refused, not truncating") {
+    val src0 = TestTree.newRoot("reb_src"); TestTree.create(src0, 31)
+    val trg = TestTree.newRoot("reb_trg")
+    // file:///abs + trailing slash: a raw String.replace would produce
+    // target == source and the overwrite-copy would truncate every file
+    val src = "file://" + src0.stripPrefix("file:") + "/"
+    val res = DistributedExecution.copyFolder(src, trg)
+    assert(res.nonEmpty && res.forall(_.success))
+    val (m, e) = Delta.getDelta(src0, trg)
+    assert(m.isEmpty && e.isEmpty, "rebased copy is not a faithful replica")
+    // direct self-copy attempts fail per-file instead of destroying data
+    val victim = Fs.list(src0).filter(!_.isDirectory).head
+    intercept[IllegalStateException] {
+      DistributedExecution.copyFiles(Seq(Paths(victim.path, victim.path)))
+    }
+    assert(Fs.list(src0).filter(_.path == victim.path).head.byteSize == victim.byteSize,
+      "self-copy truncated the file")
+  }
+
+  test("moveFolderContent resumes after a crash that had moved every child") {
+    val root = TestTree.newRoot("mvall")
+    val fs = TestTree.fsFor(root)
+    def touch(p: String): Unit = TestTree.touch(fs, p)
+    // crashed AFTER all children moved, BEFORE source delete + fuse close:
+    // source exists but is empty, target holds the content + open marker
+    fs.mkdirs(new Path(s"$root/src"))
+    touch(s"$root/trg/a.txt")
+    new SafetyFuse(fs, s"$root/trg").startTransaction()
+    val res = LocalExecution.moveFolderContent(s"$root/src", s"$root/trg")
+    assert(res.isEmpty) // nothing left to move — but the run must COMPLETE
+    assert(!fs.exists(new Path(s"$root/src")), "source folder not cleaned up on resume")
+    assert(fs.exists(new Path(s"$root/trg/a.txt")))
+    assert(!fs.exists(new Path(s"$root/trg/graft_open_transaction")), "fuse left open")
+  }
+
   test("distributed getDeltaDataset equals the driver-listing diff") {
     val src = TestTree.newRoot("dd_src"); TestTree.create(src, 21)
     val trg = TestTree.newRoot("dd_trg")

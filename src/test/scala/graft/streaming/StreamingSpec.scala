@@ -180,6 +180,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("forward as-of drops buffered rights for keys whose stream ends on right ticks") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def tickK(key: Long, tSec: Long, left: Boolean, id: Long) = StreamingAsOf.Tick(
+      key, new java.sql.Timestamp(tSec * 1000), tSec * 1000000L, left, id, 0.0)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingAsOf.Tick]
+    val ticks = input.toDS().withWatermark("ts", "5 seconds").as[StreamingAsOf.Tick]
+    val q = StreamingAsOf.joinForward(ticks, toleranceMicros = 10L * 1000000)
+      .writeStream.outputMode("append").format("memory").queryName("fwd_drop").start()
+    try {
+      // key 1 receives ONLY right ticks — with no pending left its state
+      // must still get a wake and drop once the watermark passes them
+      input.addData(tickK(1, 10, false, 910), tickK(1, 12, false, 912))
+      q.processAllAvailable()
+      // key 2's far-future right pushes the watermark way past key 1
+      input.addData(tickK(2, 400, false, 940))
+      var stateRows = Long.MaxValue
+      var i = 0
+      while (i < 30 && stateRows > 1) {
+        q.processAllAvailable()
+        Thread.sleep(300)
+        stateRows = Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(Long.MaxValue)
+        i += 1
+      }
+      // key 2's above-watermark right legitimately stays (1 row); key 1's
+      // two rights must be gone — before the wake fix they lived forever
+      assert(stateRows <= 1, s"stranded state rows: $stateRows")
+    } finally q.stop()
+  }
+
   test("as-of tie-break on equal right timestamps matches batch, both directions") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
