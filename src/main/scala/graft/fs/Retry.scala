@@ -2,8 +2,12 @@ package graft.fs
 
 /** Retry-failed-subset loop shared by every effectful operator
   * (reference semantics: fs/DistributedExecution.scala:72-83,
-  * fs/LocalExecution.scala:85-96 — up to 5 attempts, fail fast when an
-  * attempt makes no progress at all, return per-path results).
+  * fs/LocalExecution.scala:85-96 — up to 5 attempts, return per-path
+  * results, throw once attempts are exhausted). Zero-progress attempts
+  * are deliberately retried too: a batch-wide transient outage (storage
+  * briefly unreachable) fails EVERY item in an attempt and must still
+  * recover on a later one (pinned by the transient-failures property in
+  * PropertySpec).
   */
 object Retry {
   val MaxAttempts = 5
@@ -32,21 +36,11 @@ object Retry {
       attempt += 1
       val results = op(pending)
       val failedPaths = results.filter(!_.success).map(_.path).toSet
-      val (failed, succeeded) = pending.partition(w => failedPaths(keyOf(w)))
+      val failed = pending.filter(w => failedPaths(keyOf(w)))
       done ++= results.filter(_.success)
       val repaired = repair(failed).map(keyOf).toSet
       done ++= failed.collect { case w if repaired(keyOf(w)) => FsOperationResult(keyOf(w), success = true) }
-      val stillFailed = failed.filterNot(w => repaired(keyOf(w)))
-      // two consecutive attempts with no progress at all (nothing
-      // succeeded, nothing repaired) — the batch is hopeless; fail fast
-      // instead of burning the remaining attempts (reference
-      // fs/DistributedExecution.scala:76 throws on an all-failed batch).
-      // The second chance covers a singleton item's transient error,
-      // which would otherwise never be retried.
-      if (stillFailed.nonEmpty && succeeded.isEmpty && repaired.isEmpty && attempt >= 2)
-        throw new IllegalStateException(
-          s"all ${stillFailed.size} operations failed on attempt $attempt")
-      pending = stillFailed
+      pending = failed.filterNot(w => repaired(keyOf(w)))
     }
     if (pending.nonEmpty)
       throw new IllegalStateException(

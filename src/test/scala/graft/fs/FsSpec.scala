@@ -96,13 +96,16 @@ class FsSpec extends AnyFunSuite {
     }
   }
 
-  test("Retry fails fast after two zero-progress attempts, not five") {
+  test("Retry keeps retrying a zero-progress batch until attempts are exhausted") {
+    // a batch-wide transient outage fails EVERY item in an attempt; the
+    // loop must not give up early or a recovering store never gets its
+    // later attempts (the transient-failures property depends on this)
     var attempts = 0
     intercept[IllegalStateException] {
       Retry.retryFailed[String](Seq("x", "y"),
         w => { attempts += 1; w.map(FsOperationResult(_, success = false)) }, identity)
     }
-    assert(attempts == 2, s"expected fail-fast after 2 hopeless attempts, ran $attempts")
+    assert(attempts == Retry.MaxAttempts, s"expected ${Retry.MaxAttempts} attempts, ran $attempts")
   }
 
   test("getSizeOfPath matches on path boundaries, not raw prefixes") {
