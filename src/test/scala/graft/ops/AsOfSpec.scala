@@ -56,6 +56,50 @@ class AsOfSpec extends AnyFunSuite {
     assert(run(Some(5L)) == Seq(None, Some("r20"), None)) // 10->20 is 10 > 5
   }
 
+  test("randomized oracle: 60 keys of random ticks with forced ties, both directions") {
+    // small ts range forces equal-timestamp rights; payload ordered
+    // (value, id) so the declared tie contract applies. One Spark job
+    // covers all scenarios (keys ARE the scenarios); the oracle is a
+    // direct in-memory transcription of the semantics.
+    val rnd = new scala.util.Random(42L)
+    case class L(k: Long, t: Long, lid: Long)
+    case class R(k: Long, t: Long, v: Double, rid: Long)
+    val lefts = for (k <- 0L until 60L; i <- 0 until rnd.nextInt(6))
+      yield L(k, rnd.nextInt(8).toLong, k * 100 + i)
+    val rights = for (k <- 0L until 60L; i <- 0 until rnd.nextInt(6))
+      yield R(k, rnd.nextInt(8).toLong, rnd.nextInt(3).toDouble, k * 100 + 50 + i)
+    val lDf = lefts.map(l => (l.k, l.t, l.lid)).toDF("k", "t", "lid")
+    val rDf = rights.map(r => (r.k, r.t, r.v, r.rid)).toDF("k", "t", "v", "rid")
+    val tol = 3L
+
+    def oracle(forward: Boolean, tolerance: Option[Long]): Map[Long, Option[Long]] =
+      lefts.map { l =>
+        val cands = rights.filter(r => r.k == l.k &&
+          (if (forward) r.t >= l.t else r.t <= l.t))
+        val best = if (cands.isEmpty) None else {
+          val ts = if (forward) cands.map(_.t).min else cands.map(_.t).max
+          Some(cands.filter(_.t == ts).maxBy(r => (r.v, r.rid)))
+        }
+        val inTol = best.filter(r => tolerance.forall(b =>
+          (if (forward) r.t - l.t else l.t - r.t) <= b))
+        l.lid -> inTol.map(_.rid)
+      }.toMap
+
+    for ((forward, tolerance) <- Seq((false, None), (true, Some(tol)),
+        (false, Some(tol)), (true, None))) {
+      val got = (if (forward)
+          AsOf.joinForward(lDf, rDf, Seq("k"), "t", "t", Seq("v", "rid"), tolerance)
+        else AsOf.joinBackward(lDf, rDf, Seq("k"), "t", "t", Seq("v", "rid"), tolerance))
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val want = oracle(forward, tolerance)
+      assert(got.size == want.size)
+      want.foreach { case (lid, rid) =>
+        assert(got(lid) == rid, s"forward=$forward tol=$tolerance left $lid: got ${got(lid)}, want $rid")
+      }
+    }
+  }
+
   test("as-of plan has exactly one shuffle (no range-join blowup)") {
     val left = spark.range(100).select(col("id").as("k"), (col("id") * 10).as("t"))
     val right = spark.range(100).select(col("id").as("k"), (col("id") * 7).as("t"),
