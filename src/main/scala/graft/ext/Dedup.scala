@@ -173,19 +173,26 @@ object Dedup {
     * hashed, pairs = self-equi-join on (band index, band hash).
     */
   def lshCandidatePairs(signatures: DataFrame, k: Int = 32, bands: Int = 16): DataFrame = {
+    val banded = bandSignature(signatures, k, bands)
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** (id, band, bandHash) rows of a signature DataFrame — the banding
+    * stage shared by the self-join and incremental candidate paths.
+    */
+  private def bandSignature(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bandHash"))
     }
-    val banded = signatures.select(col("id"), explode(array(bandCols: _*)).as("bh"))
+    signatures.select(col("id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.bandHash").as("bandHash"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash")
-        && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
   }
 
   /** Full MinHash-LSH near-dedup: candidates from banding, verified with
@@ -202,6 +209,37 @@ object Dedup {
         graftShingles(col(textCol), n).as("set"))
       .withColumn("setSize", size(col("set")).cast("long"))
     verifyJaccard(candidates, sets, minJaccard)
+  }
+
+  /** Incremental near-dedup: pairs between a NEW batch and an existing
+    * corpus, plus new-vs-new — but never corpus-vs-corpus. This is the
+    * shape a production ingest runs every batch: the corpus side only
+    * flows through signature banding (in practice a precomputed index),
+    * and the candidate join probes it with the new batch's bands, so
+    * each batch costs O(|new| · bucket fan-in) rather than re-pairing
+    * the whole corpus. Output rows are (id_new, id_other, jaccard) with
+    * id_other from either side; a new-new pair appears once (id_new <
+    * id_other).
+    */
+  def minhashDedupNewPairs(newDocs: DataFrame, corpus: DataFrame,
+      n: Int = 3, k: Int = 32, bands: Int = 16, minJaccard: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val newBanded = bandSignature(minhashSignatures(newDocs, n, k, textCol, idCol), k, bands)
+    val corpusBanded = bandSignature(minhashSignatures(corpus, n, k, textCol, idCol), k, bands)
+    val probe = newBanded.as("a")
+    val index = corpusBanded.withColumn("isNew", lit(false))
+      .unionByName(newBanded.withColumn("isNew", lit(true))).as("b")
+    val cand = probe.join(index,
+        col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash")
+          // corpus matches keep (new, corpus) orientation; new-new pairs
+          // deduplicate by ordering, like the self-join path
+          && (!col("b.isNew") || col("a.id") < col("b.id")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = newDocs.unionByName(corpus)
+      .select(col(idCol).as("id"), graftShingles(col(textCol), n).as("set"))
+      .withColumn("setSize", size(col("set")).cast("long"))
+    verifyJaccard(cand, sets, minJaccard)
   }
 
   // ------------------------------------------------------------- SimHash

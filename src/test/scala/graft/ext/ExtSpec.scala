@@ -27,6 +27,27 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh == exact, s"missing=${(exact -- lsh).take(5)} spurious=${(lsh -- exact).take(5)}")
   }
 
+  test("incremental minhash dedup == full dedup restricted to pairs touching the new batch") {
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val incremental = Dedup.minhashDedupNewPairs(newDocs, corpus,
+        n = 3, k = 32, bands = 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newIds = newDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // full dedup over the union, restricted to pairs with >= 1 new id,
+    // re-oriented to the incremental output's (new, other) convention
+    val full = Dedup.minhashDedupPairs(docs, n = 3, k = 32, bands = 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => newIds(a) || newIds(b) }
+      .map { case (a, b) =>
+        if (newIds(a) && newIds(b)) (math.min(a, b), math.max(a, b))
+        else if (newIds(a)) (a, b) else (b, a)
+      }.toSet
+    assert(full.nonEmpty, "fixture produced no pairs touching the new batch")
+    assert(incremental == full,
+      s"only-incr=${(incremental -- full).take(3)} only-full=${(full -- incremental).take(3)}")
+  }
+
   test("PPJoin prefix-filter strategy == naive inverted-index strategy") {
     val naive = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
