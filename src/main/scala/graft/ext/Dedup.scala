@@ -232,11 +232,19 @@ object Dedup {
     val cand = probe.join(index,
         col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash")
           // corpus matches keep (new, corpus) orientation; new-new pairs
-          // deduplicate by ordering, like the self-join path
+          // deduplicate by ordering, like the self-join path. A doc_id
+          // present in BOTH batch and corpus must not pair with itself —
+          // the isNew ordering guard alone would let the corpus copy
+          // through as an (id, id) self-pair
+          && col("a.id") =!= col("b.id")
           && (!col("b.isNew") || col("a.id") < col("b.id")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sets = newDocs.unionByName(corpus)
+    // batch rows are authoritative for shared ids: a corpus row whose id
+    // reappears in the batch is dropped, so `sets` stays id-unique and
+    // verifyJaccard's per-side join can't fan a pair out into duplicates
+    val corpusOnly = corpus.join(newDocs.select(col(idCol)), Seq(idCol), "left_anti")
+    val sets = newDocs.unionByName(corpusOnly)
       .select(col(idCol).as("id"), graftShingles(col(textCol), n).as("set"))
       .withColumn("setSize", size(col("set")).cast("long"))
     verifyJaccard(cand, sets, minJaccard)

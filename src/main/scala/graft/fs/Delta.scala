@@ -212,13 +212,16 @@ object Delta {
   }
 
   /** FNV-1a 64 of a file's bytes (streamed, 64 KiB buffer). A file that
-    * vanished or turned unreadable between listing and hashing returns
-    * the -1 sentinel instead of throwing: under recomputation (lost
+    * vanished or turned unreadable between listing and hashing hashes as
+    * FNV-1a of its own URI instead of throwing: under recomputation (lost
     * cache partition mid-sync) the entry then reads as drift and is
     * re-reconciled, rather than aborting the whole job on a file the
-    * sync itself already removed.
+    * sync itself already removed. The sentinel is side-distinct — source
+    * and target spell different URIs — so two unreadable counterparts can
+    * never compare equal and mask real drift (a shared constant sentinel
+    * would report an unreadable pair as in-sync).
     */
-  private def contentHash(conf: org.apache.hadoop.conf.Configuration, uri: String): Long =
+  private[graft] def contentHash(conf: org.apache.hadoop.conf.Configuration, uri: String): Long =
     try {
       val p = new org.apache.hadoop.fs.Path(uri)
       val in = p.getFileSystem(conf).open(p)
@@ -233,7 +236,15 @@ object Delta {
         }
         h
       } finally in.close()
-    } catch { case _: java.io.IOException => -1L }
+    } catch { case _: java.io.IOException => fnv1a(uri) }
+
+  /** FNV-1a 64 of a string's UTF-8 bytes — the unreadable-file sentinel. */
+  private[graft] def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    for (b <- s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      h = (h ^ (b & 0xffL)) * 0x100000001b3L
+    h
+  }
 
   /** Make target identical to source: delete target-only paths, then
     * distributed-copy the missing files (reference Delta.scala:25-32).

@@ -78,6 +78,14 @@ object LocalExecution {
           .foreach(s => fs.delete(s.getPath, true))
       } else fs.mkdirs(targetPath)
     }
+    if (resuming && !fs.exists(sourcePath)) {
+      // Crash window between source-folder delete and endTransaction: the
+      // move itself finished (source is gone), only the marker close was
+      // lost. Complete it — rescanning a vanished source would throw
+      // FileNotFoundException on every retry and wedge the fuse forever.
+      fuse.endTransaction()
+      return Seq.empty
+    }
     val children = fs.listStatus(sourcePath).map(_.getPath)
     val pairs = children.map { c =>
       val t = new Path(targetPath, c.getName)

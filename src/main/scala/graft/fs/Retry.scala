@@ -1,13 +1,15 @@
 package graft.fs
 
 /** Retry-failed-subset loop shared by every effectful operator
-  * (reference semantics: fs/DistributedExecution.scala:72-83,
+  * (reference shape: fs/DistributedExecution.scala:72-83,
   * fs/LocalExecution.scala:85-96 — up to 5 attempts, return per-path
-  * results, throw once attempts are exhausted). Zero-progress attempts
-  * are deliberately retried too: a batch-wide transient outage (storage
-  * briefly unreachable) fails EVERY item in an attempt and must still
-  * recover on a later one (pinned by the transient-failures property in
-  * PropertySpec).
+  * results, throw once attempts are exhausted). One DELIBERATE
+  * divergence: the reference fails fast when an attempt makes zero
+  * progress (failed.length == paths.length aborts the loop); here a
+  * zero-progress attempt is retried like any other, because a
+  * batch-wide transient outage (storage briefly unreachable) fails
+  * EVERY item in an attempt and must still recover on a later one
+  * (pinned by the transient-failures property in PropertySpec).
   */
 object Retry {
   val MaxAttempts = 5

@@ -158,13 +158,17 @@ object Pipeline {
     * BEFORE the grouped aggregation (the standard sliding-window
     * expansion; map-side partial agg shrinks the 4× rows before the one
     * exchange). ts is epoch-nanos, so window starts are integer
-    * arithmetic both here and in the oracle.
+    * arithmetic both here and in the oracle. The base window start is
+    * `ts - pmod(ts, slide)` — a FLOORED multiple of the slide, matching
+    * DuckDB's flooring `//` — not `ts div slide`, which truncates toward
+    * zero and would shift window starts for pre-1970 (negative) nanos.
     */
   def e04Sliding(spark: SparkSession, dir: String): DataFrame = {
     val slideNs = 900000000000L
     Tables.events(spark, dir)
       .withColumn("k", explode(sequence(lit(0L), lit(3L))))
-      .withColumn("win_start", (expr(s"ts div $slideNs") - col("k")) * lit(slideNs))
+      .withColumn("win_start",
+        col("ts") - pmod(col("ts"), lit(slideNs)) - col("k") * lit(slideNs))
       .groupBy(col("win_start"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))

@@ -18,6 +18,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("e04 sliding windows floor (not truncate) pre-1970 timestamps") {
+    import spark.implicits._
+    val slide = 900000000000L
+    val dir = java.nio.file.Files.createTempDirectory("e04neg").toString
+    val events = Seq(
+      (1L, -100L, 10L, "click", 1.0, "{}"),          // just before epoch
+      (2L, -slide - 1L, 11L, "view", 2.0, "{}"),
+      (3L, 100L, 12L, "click", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.parquet(s"$dir/events.parquet")
+    val got = queries.Pipeline.e04Sliding(spark, dir)
+      .select("win_start", "event_type", "cnt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // DuckDB's // floors; `div` truncates toward zero — for ts = -100 the
+    // window base must be -slide, not 0
+    val expected = Seq((-100L, "click"), (-slide - 1L, "view"), (100L, "click"))
+      .flatMap { case (ts, et) =>
+        val base = Math.floorDiv(ts, slide) * slide
+        (0L to 3L).map(k => (base - k * slide, et))
+      }.groupBy(identity).map { case ((w, et), v) => (w, et, v.size.toLong) }.toSet
+    assert(got == expected, s"only-got=${(got -- expected).take(4)} only-exp=${(expected -- got).take(4)}")
+  }
+
   test("q02 aggregates reconcile with raw scan") {
     val li = Tables.lineitem(spark, sf)
     val total = queries.Relational.q02AggGroup(spark, sf)

@@ -48,6 +48,26 @@ class ExtSpec extends AnyFunSuite {
       s"only-incr=${(incremental -- full).take(3)} only-full=${(full -- incremental).take(3)}")
   }
 
+  test("incremental dedup: doc_id present in both batch and corpus yields no self-pair") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val batch = Seq(
+      (1L, shared),
+      (5L, "completely different words with no overlap at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, shared), // same id re-ingested — must not pair with itself
+      (2L, shared), // true near-dup of batch doc 1
+      (3L, "unrelated corpus text that matches nothing in the incoming batch")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.minhashDedupNewPairs(batch, corpus, n = 3, k = 32, bands = 16,
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(!rows.exists(p => p._1 == p._2), s"self-pair in: $rows")
+    assert(rows.size == rows.distinct.size, s"duplicated pair rows: $rows")
+    assert(rows.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), s"got: $rows")
+  }
+
   test("PPJoin prefix-filter strategy == naive inverted-index strategy") {
     val naive = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

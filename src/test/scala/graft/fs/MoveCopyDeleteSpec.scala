@@ -144,6 +144,34 @@ class MoveCopyDeleteSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(s"$root/trg/graft_open_transaction")), "fuse left open")
   }
 
+  test("moveFolderContent resume: source vanished after full move (crash before fuse close)") {
+    val root = TestTree.newRoot("mvv")
+    val fs = TestTree.fsFor(root)
+    TestTree.touch(fs, s"$root/trg/a.txt")
+    // crashed AFTER the source folder delete, BEFORE endTransaction:
+    // marker open, source gone entirely
+    new SafetyFuse(fs, s"$root/trg").startTransaction()
+    val res = LocalExecution.moveFolderContent(s"$root/src", s"$root/trg")
+    assert(res.isEmpty)
+    assert(fs.exists(new Path(s"$root/trg/a.txt")), "resume damaged the moved content")
+    assert(!fs.exists(new Path(s"$root/trg/graft_open_transaction")), "fuse left open")
+    // a fresh move into the now-closed target takes the normal path again
+    TestTree.touch(fs, s"$root/src2/b.txt")
+    val res2 = LocalExecution.moveFolderContent(s"$root/src2", s"$root/trg")
+    assert(res2.forall(_.success))
+  }
+
+  test("contentHash sentinel is side-distinct for unreadable files") {
+    val root = TestTree.newRoot("chs")
+    // two vanished counterpart files must NEVER hash equal (a shared
+    // constant sentinel would report the pair as in-sync); the sentinel
+    // is the FNV-1a of each side's own URI
+    val a = s"$root/src/gone.bin"
+    val b = s"$root/trg/gone.bin"
+    assert(Delta.contentHash(conf, a) != Delta.contentHash(conf, b))
+    assert(Delta.contentHash(conf, a) == Delta.fnv1a(a))
+  }
+
   test("distributed getDeltaDataset equals the driver-listing diff") {
     val src = TestTree.newRoot("dd_src"); TestTree.create(src, 21)
     val trg = TestTree.newRoot("dd_trg")
