@@ -160,8 +160,10 @@ object Pipeline {
     * exchange). ts is epoch-nanos, so window starts are integer
     * arithmetic both here and in the oracle. The base window start is
     * `ts - pmod(ts, slide)` — a FLOORED multiple of the slide, matching
-    * DuckDB's flooring `//` — not `ts div slide`, which truncates toward
-    * zero and would shift window starts for pre-1970 (negative) nanos.
+    * streaming window() semantics — not `ts div slide`, which truncates
+    * toward zero and would shift window starts for pre-1970 (negative)
+    * nanos. (DuckDB's integer `//` also truncates, so the oracle floors
+    * explicitly with the same pmod arithmetic.)
     */
   def e04Sliding(spark: SparkSession, dir: String): DataFrame = {
     val slideNs = 900000000000L
@@ -307,8 +309,13 @@ object Pipeline {
         |  v.event_id AS view_event_id, v.value AS view_value
         |FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY event_id""".stripMargin,
+    // win_start base is an explicit FLOORED multiple of the slide
+    // (x - pmod(x, s)); DuckDB's integer // truncates toward zero like
+    // Spark's div, so a bare // would shift pre-1970 windows on both
+    // engines — the floor matches streaming window() semantics instead
     "e04_sliding" ->
-      """SELECT (epoch_ns(ts) // 900000000000 - k) * 900000000000 AS win_start, event_type,
+      """SELECT epoch_ns(ts) - ((epoch_ns(ts) % 900000000000) + 900000000000) % 900000000000
+        |    - k * 900000000000 AS win_start, event_type,
         |  count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events, (SELECT unnest(range(0,4)) AS k) t
         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,

@@ -31,8 +31,9 @@ class RelationalSpec extends AnyFunSuite {
     val got = queries.Pipeline.e04Sliding(spark, dir)
       .select("win_start", "event_type", "cnt").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    // DuckDB's // floors; `div` truncates toward zero — for ts = -100 the
-    // window base must be -slide, not 0
+    // both Spark `div` and DuckDB integer `//` truncate toward zero; the
+    // query and its oracle floor explicitly — for ts = -100 the window
+    // base must be -slide, not 0 (streaming window() semantics)
     val expected = Seq((-100L, "click"), (-slide - 1L, "view"), (100L, "click"))
       .flatMap { case (ts, et) =>
         val base = Math.floorDiv(ts, slide) * slide
