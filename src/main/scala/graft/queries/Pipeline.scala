@@ -232,6 +232,50 @@ object Pipeline {
       .orderBy(col("media_id"))
   }
 
+  /** 32-bit SimHash with an md5-derived token hash — the oracle-gated
+    * twin of the xxhash64-based d04 family (xxhash64 has no DuckDB
+    * counterpart; md5's first 8 hex digits parse to the same 32-bit
+    * integer in both engines). Declarative formulation: explode → 32
+    * conditional ±1 sums in ONE grouped aggregation (single shuffle on
+    * doc_id, map-side partial agg) → bit reassembly. A sign-sum tie
+    * (s_b = 0) yields bit 0 on both sides.
+    */
+  def d07SimhashMd5(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val summed = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 32).map { b =>
+      when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    summed.select(col("doc_id"), fp.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  private def simhashMd5Oracle: String = {
+    val sums = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
+      .mkString(",\n    ")
+    // disjoint bits, so + reassembles what Spark ORs
+    val fp = (0 until 32)
+      .map(b => s"CASE WHEN s_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+       |), h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+       |  FROM toks WHERE tok <> ''
+       |), s AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM h GROUP BY doc_id
+       |)
+       |SELECT doc_id, $fp AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
   private val ngramJaccardOracle =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
@@ -256,6 +300,7 @@ object Pipeline {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d07_simhash_md5" -> simhashMd5Oracle,
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
@@ -396,6 +441,7 @@ object Pipeline {
     "t04_fingerprint"    -> t04Fingerprint _,
     "t05_quality"        -> t05Quality _,
     "d06_fingerprint_dedup" -> d06FingerprintDedup _,
+    "d07_simhash_md5"    -> d07SimhashMd5 _,
     "m01_media_features" -> m01MediaFeatures _,
   )
 }

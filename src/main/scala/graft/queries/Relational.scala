@@ -269,6 +269,50 @@ object Relational {
       .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Q20 NATIVE session windows: Spark's `session_window` — the same
+    * operator the streaming pipeline uses — run in batch under the
+    * oracle gate. Semantics: a session merges events closer than the
+    * gap (strictly — an exact-gap successor starts a NEW session, which
+    * is where this differs from q13's `diff > gap` islands), and the
+    * session end is last event + gap. ts is floored ns→µs on both
+    * sides; sums run in Decimal for partition-order independence.
+    */
+  def q20SessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val gap = "30 minutes"
+    Tables.events(spark, dir)
+      .withColumn("tsx", graft.functions.Cols.nanosToTs(col("ts")))
+      .groupBy(col("user_id"), session_window(col("tsx"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("sess_start_us"),
+        unix_micros(col("sw.end")).as("sess_end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+  }
+
+  /** Q21 Bloom-prefiltered join ([[graft.ops.Prefilter.bloomSemiJoin]]):
+    * lineitem joined to the few highest-value orders. The Bloom filter
+    * over the surviving order keys prunes non-matching lineitem rows
+    * before any exchange — the semi-join reduction that keeps a
+    * fact-table join affordable when the dim side is filtered-small but
+    * not plan-time-provably so. False positives die in the real join,
+    * so the result is bit-identical to the oracle's plain join.
+    */
+  def q21BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    graft.ops.Prefilter.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey")
+      .join(hot, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Oracle SQL (DuckDB dialect ≡ ANSI) — must alias identically to the above. */
   val oracles: Map[String, String] = Map(
     "q11_rollup" ->
@@ -386,6 +430,33 @@ object Relational {
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // session_window semantics: merge when diff < gap (new session at
+    // diff >= gap, STRICTER than q13's > gap), end = last event + gap
+    "q20_session_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events
+        |), flagged AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), sess AS (
+        |  SELECT user_id, us, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(us) AS sess_start_us, max(us) + 1800000000 AS sess_end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_us""".stripMargin,
+    "q21_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -408,5 +479,7 @@ object Relational {
     "q17_moving_avg"  -> q17MovingAvg _,
     "q18_range_join"  -> q18RangeJoin _,
     "q19_salted_agg"  -> q19SaltedAgg _,
+    "q20_session_windows" -> q20SessionWindows _,
+    "q21_bloom_join"  -> q21BloomJoin _,
   )
 }

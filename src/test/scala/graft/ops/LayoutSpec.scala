@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("interleave is the standard Morton code") {
+    assert(ZOrder.interleave(Array(1, 0), 2) == 1L) // x bit0 -> pos 0
+    assert(ZOrder.interleave(Array(0, 1), 2) == 2L) // y bit0 -> pos 1
+    assert(ZOrder.interleave(Array(3, 3), 2) == 15L)
+    // x=2 (bit1 -> pos 2), y=1 (bit0 -> pos 1) -> 0b110
+    assert(ZOrder.interleave(Array(2, 1), 2) == 6L)
+    assert(ZOrder.interleave(Array(5, 2, 7), 3) ==
+      ((1L << 0) + (1L << 6)       // x=5: bits 0,2 -> pos 0, 6
+       + (1L << 4)                 // y=2: bit 1 -> pos 4
+       + (1L << 2) + (1L << 5) + (1L << 8))) // z=7: bits 0,1,2 -> 2,5,8
+  }
+
+  test("rankOf counts boundaries <= v") {
+    val b = Array(10.0, 20.0, 30.0)
+    assert(ZOrder.rankOf(b, 5.0) == 0)
+    assert(ZOrder.rankOf(b, 10.0) == 1)
+    assert(ZOrder.rankOf(b, 25.0) == 2)
+    assert(ZOrder.rankOf(b, 35.0) == 3)
+  }
+
+  test("z-ordered layout prunes on BOTH columns; single-column sort on one") {
+    import spark.implicits._
+    val n = 4096
+    val df = (0 until n).map(i => (i % 64, i / 64)).toDF("x", "y") // 64x64 grid
+    val parts = 16
+    val zed = ZOrder.layoutBy(df, Seq("x", "y"), parts, bits = 6).cache()
+    val linear = df.repartitionByRange(parts, col("x"))
+      .sortWithinPartitions("x").cache()
+    try {
+      assert(zed.count() == n, "layout lost rows")
+      val zx = ZOrder.partitionSpanFraction(zed, "x")
+      val zy = ZOrder.partitionSpanFraction(zed, "y")
+      val lx = ZOrder.partitionSpanFraction(linear, "x")
+      val ly = ZOrder.partitionSpanFraction(linear, "y")
+      // sanity: the single-column sort is sharp on its own column and
+      // useless on the other
+      assert(lx < 0.2, s"linear layout should prune x, got $lx")
+      assert(ly > 0.8, s"linear layout cannot prune y, got $ly")
+      // z-order: BOTH columns' per-partition spans are a fraction of the
+      // global range (16 partitions on a 64x64 grid -> ~1/4 per axis)
+      assert(zx < 0.5, s"z-order failed to prune x: $zx")
+      assert(zy < 0.5, s"z-order failed to prune y: $zy")
+    } finally { zed.unpersist(); linear.unpersist(); () }
+  }
+
+  test("withZValue is deterministic across reruns") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => ((i * 37) % 100, (i * 91) % 100)).toDF("a", "b")
+    def zs = ZOrder.withZValue(df, Seq("a", "b"), bits = 5)
+      .select("__z").collect().map(_.getLong(0)).toSeq
+    assert(zs == zs)
+  }
+}
