@@ -33,6 +33,35 @@ object Sampling {
       .drop("_sample_order")
   }
 
+  /** Weight-proportional sampling without replacement — priority
+    * sampling (Duffield/Lund/Thorup, JACM 2007): each row gets priority
+    * w / u for a per-row uniform u in (0,1], and the m highest
+    * priorities form the sample. Heavier rows draw larger priorities,
+    * so inclusion probability scales with weight, and the top-m is a
+    * single TakeOrdered pass — no per-row acceptance loop, no resample
+    * on rejection, one reduction.
+    *
+    * u derives from md5 of the id columns, NOT rand(): reruns and
+    * cluster re-layouts pick the same sample, and every arithmetic step
+    * is IEEE +,/ on doubles (no pow/ln), so an external engine hashing
+    * the same ids reproduces the sample bit-for-bit (q22 gate).
+    *
+    * @param weightCol positive numeric weights; rows with w <= 0 are
+    *        never sampled
+    */
+  def weightedPriority(df: DataFrame, weightCol: String, idCols: Seq[String], m: Int,
+      seed: String = "graft"): DataFrame = {
+    require(idCols.nonEmpty, "need id columns to hash for deterministic selection")
+    val idConcat = concat_ws(":", lit(seed) +: idCols.map(c => col(c).cast("string")): _*)
+    // first 8 md5 hex digits -> 32-bit integer -> u in (0, 1]
+    val h = conv(substring(md5(idConcat), 1, 8), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority", col(weightCol).cast("double") / u)
+      .orderBy(col("priority").desc +: idCols.map(col): _*)
+      .limit(m)
+  }
+
   /** Per-stratum fraction sampling via the same seeded hash: keeps a row
     * iff hash lands in the stratum's fraction of the hash space.
     * Deterministic, single pass, no shuffle at all.

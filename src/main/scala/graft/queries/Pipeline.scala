@@ -255,6 +255,22 @@ object Pipeline {
     summed.select(col("doc_id"), fp.as("simhash")).orderBy(col("doc_id"))
   }
 
+  /** Deterministic weight-proportional sample of the corpus
+    * ([[graft.ops.Sampling.weightedPriority]]): 50 documents drawn with
+    * probability ~ token count. The md5-derived uniform and the
+    * pow-free priority arithmetic (only IEEE +,/) make the drawn set
+    * AND the priority doubles bit-reproducible in any engine, so the
+    * sample itself sits under the oracle gate — reproducible sampling
+    * is what makes a 100 TB training-data pipeline auditable.
+    */
+  def t06WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedPriority(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("double").as("w")),
+        "w", Seq("doc_id"), m = 50)
+      .select(col("doc_id"), col("priority"))
+      .orderBy(col("doc_id"))
+
   private def simhashMd5Oracle: String = {
     val sums = (0 until 32)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
@@ -301,6 +317,21 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "d07_simhash_md5" -> simhashMd5Oracle,
+    // priority = w / u, u = (h+1)/2^32 — all IEEE-exact ops, so the
+    // DOUBLE priorities hash-match bit-for-bit across engines
+    "t06_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS w,
+        |    ('0x' || substr(md5('graft:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, w / ((h + 1) / 4294967296.0) AS priority
+        |  FROM t WHERE w > 0
+        |  ORDER BY priority DESC, doc_id LIMIT 50
+        |)
+        |SELECT doc_id, priority FROM p ORDER BY doc_id""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
@@ -442,6 +473,7 @@ object Pipeline {
     "t05_quality"        -> t05Quality _,
     "d06_fingerprint_dedup" -> d06FingerprintDedup _,
     "d07_simhash_md5"    -> d07SimhashMd5 _,
+    "t06_weighted_sample" -> t06WeightedSample _,
     "m01_media_features" -> m01MediaFeatures _,
   )
 }

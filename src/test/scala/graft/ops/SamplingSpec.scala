@@ -28,6 +28,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(sample.columns.toSeq == docs.columns.toSeq) // helper column dropped
   }
 
+  test("weightedPriority: deterministic, weight-biased, never samples w <= 0") {
+    import spark.implicits._
+    // one whale (w=10000) among 200 minnows (w=1): the whale's priority
+    // is >= 10000/1 * min-u, a minnow's <= 1/u — the whale must be drawn
+    val df = ((1 to 200).map(i => (i.toLong, 1.0)) :+ (999L, 10000.0) :+ (998L, 0.0))
+      .toDF("id", "w")
+    val s = Sampling.weightedPriority(df, "w", Seq("id"), m = 20)
+    val ids = s.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(999L), "heaviest row missing from weighted sample")
+    assert(!ids.contains(998L), "zero-weight row sampled")
+    assert(ids.size == 20)
+    // rerun identical; different seed shifts the (light-row) selection
+    val ids2 = Sampling.weightedPriority(df, "w", Seq("id"), m = 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids)
+    val ids3 = Sampling.weightedPriority(df, "w", Seq("id"), m = 20, seed = "other")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids3 != ids, "seed change should redraw the sample")
+    assert(ids3.contains(999L))
+    // aggregate bias: across the light rows, expected inclusion is
+    // uniform; heavier rows win proportionally — check with two classes
+    val mix = ((1 to 300).map(i => (i.toLong, 1.0)) ++
+      (301 to 600).map(i => (i.toLong, 20.0))).toDF("id", "w")
+    val heavy = Sampling.weightedPriority(mix, "w", Seq("id"), m = 60)
+      .filter(col("id") > 300).count()
+    assert(heavy > 45, s"heavy class underrepresented: $heavy of 60")
+  }
+
   test("stratifiedFraction respects per-stratum fractions and is deterministic") {
     val langs = docs.select("lang").distinct().collect().map(_.getString(0))
     val fractions = langs.map(_ -> 0.5).toMap + (langs.head -> 0.0)
