@@ -224,26 +224,26 @@ object Dedup {
   def minhashDedupNewPairs(newDocs: DataFrame, corpus: DataFrame,
       n: Int = 3, k: Int = 32, bands: Int = 16, minJaccard: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // batch rows are authoritative for shared ids: a corpus row whose id
+    // reappears in the batch is superseded and drops out BEFORE banding —
+    // otherwise the stale corpus copy both self-pairs with its batch twin
+    // and re-emits the twin's batch pairs in the opposite orientation,
+    // and verifyJaccard's per-side join fans duplicate ids out. With the
+    // anti-join up front the index sides are id-disjoint, so no self-pair
+    // guard is needed and superseded rows cost no signature work.
+    val corpusOnly = corpus.join(newDocs.select(col(idCol)), Seq(idCol), "left_anti")
     val newBanded = bandSignature(minhashSignatures(newDocs, n, k, textCol, idCol), k, bands)
-    val corpusBanded = bandSignature(minhashSignatures(corpus, n, k, textCol, idCol), k, bands)
+    val corpusBanded = bandSignature(minhashSignatures(corpusOnly, n, k, textCol, idCol), k, bands)
     val probe = newBanded.as("a")
     val index = corpusBanded.withColumn("isNew", lit(false))
       .unionByName(newBanded.withColumn("isNew", lit(true))).as("b")
     val cand = probe.join(index,
         col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash")
           // corpus matches keep (new, corpus) orientation; new-new pairs
-          // deduplicate by ordering, like the self-join path. A doc_id
-          // present in BOTH batch and corpus must not pair with itself —
-          // the isNew ordering guard alone would let the corpus copy
-          // through as an (id, id) self-pair
-          && col("a.id") =!= col("b.id")
+          // deduplicate by ordering, like the self-join path
           && (!col("b.isNew") || col("a.id") < col("b.id")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // batch rows are authoritative for shared ids: a corpus row whose id
-    // reappears in the batch is dropped, so `sets` stays id-unique and
-    // verifyJaccard's per-side join can't fan a pair out into duplicates
-    val corpusOnly = corpus.join(newDocs.select(col(idCol)), Seq(idCol), "left_anti")
     val sets = newDocs.unionByName(corpusOnly)
       .select(col(idCol).as("id"), graftShingles(col(textCol), n).as("set"))
       .withColumn("setSize", size(col("set")).cast("long"))

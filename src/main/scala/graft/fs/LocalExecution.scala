@@ -70,7 +70,9 @@ object LocalExecution {
     if (!resuming && !Fs.doesMoveLookSafe(fs, sourceUri, targetUri))
       throw new IllegalStateException(s"move looks unsafe (empty source over non-empty target): $sourceUri -> $targetUri")
     if (!resuming) {
-      fuse.startTransaction()
+      // record which move owns this transaction — the vanished-source
+      // resume below must be able to tell ITS crash from a stranger's
+      fuse.startTransaction(sourceUri)
       if (fs.exists(targetPath)) {
         // clear target contents (keep the folder so its ACLs survive)
         fs.listStatus(targetPath)
@@ -83,6 +85,15 @@ object LocalExecution {
       // move itself finished (source is gone), only the marker close was
       // lost. Complete it — rescanning a vanished source would throw
       // FileNotFoundException on every retry and wedge the fuse forever.
+      // But ONLY when the marker provably belongs to THIS move: source
+      // absence alone proves nothing for a retry issued with a wrong or
+      // stale source path, and closing another move's marker would let a
+      // later fresh run clear a target still holding that move's data.
+      val recorded = fuse.markerContent().getOrElse("")
+      if (recorded != sourceUri)
+        throw new IllegalStateException(
+          s"open transaction on $targetUri records source '$recorded', not $sourceUri — " +
+            "refusing to infer move completion from source absence")
       fuse.endTransaction()
       return Seq.empty
     }

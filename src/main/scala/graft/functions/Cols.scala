@@ -22,4 +22,16 @@ object Cols {
     val floored = c - pmod(c, lit(1000L))
     timestamp_micros(call_function("div", floored, lit(1000L)))
   }
+
+  /** First 8 md5 hex digits of `c` as an unsigned 32-bit value in a
+    * LongType — the engine's cross-engine-reproducible uniform hash.
+    * md5 (not xxhash64) because every SQL engine agrees on md5's hex
+    * output, so a DuckDB oracle replays it exactly:
+    * `('0x' || substr(md5(x), 1, 8))::BIGINT`. Used by the md5 SimHash
+    * (d07) and priority sampling (q22); both oracles must stay in
+    * lockstep with THIS definition — change it in one place or not at
+    * all.
+    */
+  def md5Uint32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 }

@@ -40,11 +40,25 @@ object Prefilter {
     */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
       expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    // the filter is built from dim's values but probed with fact's: the
+    // two sides must hash identically, so their key types must share a
+    // sketch class (both integral or both string). A mismatch would not
+    // fail — it would silently prune almost every true match, because
+    // putLong bits never collide with mightContainString bits.
+    def sketchClass(t: org.apache.spark.sql.types.DataType): String = t match {
+      case LongType | IntegerType => "integral"
+      case StringType             => "string"
+      case other => throw new IllegalArgumentException(
+        s"bloomSemiJoin supports integral or string keys, got $other")
+    }
+    val keyType = fact.schema(factKey).dataType
+    require(sketchClass(keyType) == sketchClass(dim.schema(dimKey).dataType),
+      s"bloomSemiJoin key types must share a sketch class: " +
+        s"$factKey is $keyType, $dimKey is ${dim.schema(dimKey).dataType}")
     val n = if (expectedItems > 0) expectedItems else dim.select(dimKey).count()
     if (n == 0) return fact.filter(lit(false))
     val bf = dim.stat.bloomFilter(dimKey, n, fpp)
     val bfB = fact.sparkSession.sparkContext.broadcast(bf)
-    val keyType = fact.schema(factKey).dataType
     val might = keyType match {
       case LongType | IntegerType =>
         udf((k: java.lang.Long) => k != null && bfB.value.mightContainLong(k))

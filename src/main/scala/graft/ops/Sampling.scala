@@ -52,9 +52,11 @@ object Sampling {
   def weightedPriority(df: DataFrame, weightCol: String, idCols: Seq[String], m: Int,
       seed: String = "graft"): DataFrame = {
     require(idCols.nonEmpty, "need id columns to hash for deterministic selection")
+    require(!df.columns.contains("priority"),
+      "column name priority is reserved by Sampling.weightedPriority")
     val idConcat = concat_ws(":", lit(seed) +: idCols.map(c => col(c).cast("string")): _*)
-    // first 8 md5 hex digits -> 32-bit integer -> u in (0, 1]
-    val h = conv(substring(md5(idConcat), 1, 8), 16, 10).cast("long")
+    // md5-derived 32-bit uniform -> u in (0, 1]
+    val h = graft.functions.Cols.md5Uint32(idConcat)
     val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
     df.filter(col(weightCol) > 0)
       .withColumn("priority", col(weightCol).cast("double") / u)

@@ -62,10 +62,17 @@ object ZOrder {
     val bounds: Array[Array[Double]] = df.stat.approxQuantile(
       cols.toArray, probs, 0.001)
     val nCols = cols.size
-    val z = udf((vs: Seq[Double]) => {
+    // boxed element type: real tables have nullable columns, and the
+    // Seq[Double] deserializer would kill the job on the first null.
+    // Nulls rank 0 — they cluster with the lowest values, which is also
+    // where approxQuantile (null-ignoring) leaves the first boundary.
+    val z = udf((vs: Seq[java.lang.Double]) => {
       val ranks = new Array[Int](nCols)
       var i = 0
-      while (i < nCols) { ranks(i) = rankOf(bounds(i), vs(i)); i += 1 }
+      while (i < nCols) {
+        ranks(i) = if (vs(i) == null) 0 else rankOf(bounds(i), vs(i))
+        i += 1
+      }
       interleave(ranks, nCols)
     })
     df.withColumn(zCol, z(array(cols.map(c => col(c).cast("double")): _*)))
@@ -100,6 +107,9 @@ object ZOrder {
       .agg(avg(col("mx") - col("mn")).as("avgSpan"),
         (max(col("mx")) - min(col("mn"))).as("globalSpan"))
       .head()
+    // degenerate input (empty df, all-null probe column) leaves both
+    // aggregates NULL — a diagnostic should report 0, not throw
+    if (perPart.isNullAt(0) || perPart.isNullAt(1)) return 0.0
     val global = perPart.getDouble(1)
     if (global == 0) 0.0 else perPart.getDouble(0) / global
   }

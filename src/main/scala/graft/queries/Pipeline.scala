@@ -244,7 +244,7 @@ object Pipeline {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h", graft.functions.Cols.md5Uint32(col("tok")))
     val bitSums = (0 until 32).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
     }

@@ -305,7 +305,11 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderpriority"))
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_extendedprice"))
-    graft.ops.Prefilter.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey")
+    // sizing hint: an upper bound on surviving orders at any tested SF —
+    // skips the defaulted count() job (one full orders scan per run);
+    // an undercount would only raise the filter's fpp, never lose rows
+    graft.ops.Prefilter.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey",
+        expectedItems = 1 << 20)
       .join(hot, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"),
@@ -430,14 +434,18 @@ object Relational {
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // session_window semantics: merge when diff < gap (new session at
-    // diff >= gap, STRICTER than q13's > gap), end = last event + gap
+    // session_window semantics: an event MERGES while it starts at or
+    // before the current session's end (= last event + gap), i.e. a new
+    // session only at diff > gap — the same islands q13 computes. Spark's
+    // UpdatingSessionsIterator splits strictly on start > currentEnd, so
+    // two events exactly `gap` apart share a session (pinned in
+    // RelationalSpec's exact-gap test).
     "q20_session_windows" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, value FROM events
         |), flagged AS (
         |  SELECT user_id, us, value,
-        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
         |), sess AS (

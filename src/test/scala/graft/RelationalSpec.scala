@@ -42,6 +42,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == expected, s"only-got=${(got -- expected).take(4)} only-exp=${(expected -- got).take(4)}")
   }
 
+  test("q20 session_window merges events exactly gap apart (oracle must use diff > gap)") {
+    import spark.implicits._
+    val gapNs = 1800L * 1000 * 1000 * 1000 // 30 min, the q20 gap
+    val t0 = 1_000_000_000_000_000L        // µs-aligned epoch-nanos base
+    val dir = java.nio.file.Files.createTempDirectory("q20gap").toString
+    Seq(
+      // exactly gap apart: the new event starts AT the session's end —
+      // session_window merges (UpdatingSessionsIterator splits only on
+      // start strictly greater than current end), so ONE session
+      (1L, t0, 10L, "click", 1.0, "{}"),
+      (2L, t0 + gapNs, 10L, "click", 2.0, "{}"),
+      // one µs past the gap: TWO sessions
+      (3L, t0, 20L, "view", 3.0, "{}"),
+      (4L, t0 + gapNs + 1000L, 20L, "view", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = queries.Relational.q20SessionWindows(spark, dir)
+      .select("user_id", "sess_start_us", "sess_end_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val gapUs = gapNs / 1000
+    assert(got == Set(
+      (10L, t0 / 1000, t0 / 1000 + 2 * gapUs, 2L),
+      (20L, t0 / 1000, t0 / 1000 + gapUs, 1L),
+      (20L, t0 / 1000 + gapUs + 1, t0 / 1000 + 2 * gapUs + 1, 1L)
+    ), s"got $got")
+  }
+
   test("q02 aggregates reconcile with raw scan") {
     val li = Tables.lineitem(spark, sf)
     val total = queries.Relational.q02AggGroup(spark, sf)

@@ -53,11 +53,13 @@ class ExtSpec extends AnyFunSuite {
     val shared = "the quick brown fox jumps over the lazy dog again and again"
     val batch = Seq(
       (1L, shared),
+      (7L, shared), // batch near-dup of the re-ingested doc: the stale
+                    // corpus copy of id 1 must not re-emit (1,7) as (7,1)
       (5L, "completely different words with no overlap at all whatsoever here")
     ).toDF("doc_id", "text")
     val corpus = Seq(
       (1L, shared), // same id re-ingested — must not pair with itself
-      (2L, shared), // true near-dup of batch doc 1
+      (2L, shared), // true near-dup of batch docs 1 and 7
       (3L, "unrelated corpus text that matches nothing in the incoming batch")
     ).toDF("doc_id", "text")
     val rows = Dedup.minhashDedupNewPairs(batch, corpus, n = 3, k = 32, bands = 16,
@@ -65,7 +67,11 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(!rows.exists(p => p._1 == p._2), s"self-pair in: $rows")
     assert(rows.size == rows.distinct.size, s"duplicated pair rows: $rows")
-    assert(rows.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), s"got: $rows")
+    val unordered = rows.map(p => if (p._1 < p._2) (p._1, p._2) else (p._2, p._1))
+    assert(unordered.size == unordered.distinct.size,
+      s"same unordered pair emitted in both orientations: $rows")
+    assert(rows.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (7L, 2L), (1L, 7L)),
+      s"got: $rows")
   }
 
   test("PPJoin prefix-filter strategy == naive inverted-index strategy") {

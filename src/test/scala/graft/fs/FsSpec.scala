@@ -64,10 +64,16 @@ class FsSpec extends AnyFunSuite {
     val fs = TestTree.fsFor(root)
     val fuse = new SafetyFuse(fs, s"$root/txdir")
     assert(!fuse.isInProgress())
-    fuse.startTransaction()
+    assert(fuse.markerContent().isEmpty)
+    fuse.startTransaction("file:/some/move/source")
     assert(fuse.isInProgress())
+    assert(fuse.markerContent().contains("file:/some/move/source"))
+    // double-open must fail, not silently overwrite the recorded owner
+    intercept[Exception] { fuse.startTransaction("file:/other") }
+    assert(fuse.markerContent().contains("file:/some/move/source"))
     fuse.endTransaction()
     assert(!fuse.isInProgress())
+    assert(fuse.markerContent().isEmpty)
   }
 
   test("Retry retries only the failed subset and honors repair") {

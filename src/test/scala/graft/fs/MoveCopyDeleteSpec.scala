@@ -149,8 +149,8 @@ class MoveCopyDeleteSpec extends AnyFunSuite {
     val fs = TestTree.fsFor(root)
     TestTree.touch(fs, s"$root/trg/a.txt")
     // crashed AFTER the source folder delete, BEFORE endTransaction:
-    // marker open, source gone entirely
-    new SafetyFuse(fs, s"$root/trg").startTransaction()
+    // marker open (recording the move's source), source gone entirely
+    new SafetyFuse(fs, s"$root/trg").startTransaction(s"$root/src")
     val res = LocalExecution.moveFolderContent(s"$root/src", s"$root/trg")
     assert(res.isEmpty)
     assert(fs.exists(new Path(s"$root/trg/a.txt")), "resume damaged the moved content")
@@ -159,6 +159,27 @@ class MoveCopyDeleteSpec extends AnyFunSuite {
     TestTree.touch(fs, s"$root/src2/b.txt")
     val res2 = LocalExecution.moveFolderContent(s"$root/src2", s"$root/trg")
     assert(res2.forall(_.success))
+  }
+
+  test("moveFolderContent refuses to complete a DIFFERENT move's open transaction") {
+    val root = TestTree.newRoot("mvx")
+    val fs = TestTree.fsFor(root)
+    // an interrupted move A->trg left its marker and some moved children;
+    // a retry mistakenly issued with absent source B must NOT close A's
+    // marker — that would unlock a fresh A->trg run's target-clear over
+    // children A already moved (and can no longer re-supply)
+    TestTree.touch(fs, s"$root/trg/moved_by_a.txt")
+    new SafetyFuse(fs, s"$root/trg").startTransaction(s"$root/a")
+    intercept[IllegalStateException] {
+      LocalExecution.moveFolderContent(s"$root/b", s"$root/trg")
+    }
+    assert(fs.exists(new Path(s"$root/trg/graft_open_transaction")),
+      "stranger's marker was closed")
+    // the genuine owner's resume still completes
+    val res = LocalExecution.moveFolderContent(s"$root/a", s"$root/trg")
+    assert(res.isEmpty)
+    assert(!fs.exists(new Path(s"$root/trg/graft_open_transaction")))
+    assert(fs.exists(new Path(s"$root/trg/moved_by_a.txt")))
   }
 
   test("contentHash sentinel is side-distinct for unreadable files") {

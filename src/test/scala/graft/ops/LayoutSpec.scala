@@ -53,6 +53,21 @@ class LayoutSpec extends AnyFunSuite {
     } finally { zed.unpersist(); linear.unpersist(); () }
   }
 
+  test("layoutBy survives nulls in z-order columns; degenerate diagnostic returns 0") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Integer, java.lang.Integer)](
+      (1, 10), (2, null), (null, 30), (null, null), (5, 50)
+    ).toDF("a", "b")
+    val zed = ZOrder.layoutBy(df, Seq("a", "b"), numPartitions = 2, bits = 3)
+    assert(zed.count() == 5, "null rows lost or job crashed")
+    // nulls rank 0: an all-null row z-codes to 0 and sorts first
+    val z = ZOrder.withZValue(df, Seq("a", "b"), bits = 3)
+    assert(z.filter(col("a").isNull && col("b").isNull)
+      .select("__z").head.getLong(0) == 0L)
+    assert(ZOrder.partitionSpanFraction(df.filter(lit(false)), "a") == 0.0)
+    assert(ZOrder.partitionSpanFraction(df.filter(col("a").isNull && col("b").isNull), "a") == 0.0)
+  }
+
   test("withZValue is deterministic across reruns") {
     import spark.implicits._
     val df = (0 until 1000).map(i => ((i * 37) % 100, (i * 91) % 100)).toDF("a", "b")

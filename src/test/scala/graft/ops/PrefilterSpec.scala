@@ -38,4 +38,18 @@ class PrefilterSpec extends AnyFunSuite {
     val none = Prefilter.bloomSemiJoin(fact, dim.filter(lit(false)), "k", "k")
     assert(none.count() == 0)
   }
+
+  test("mismatched key sketch classes fail fast instead of silently pruning everything") {
+    import spark.implicits._
+    // string fact key probed against a long-built filter would hash
+    // disjoint bit sets — near-zero survivors, bit-identity broken
+    val fact = Seq(("1", 1), ("2", 2)).toDF("k", "v")
+    val dim = Seq(1L, 2L).toDF("k")
+    intercept[IllegalArgumentException] {
+      Prefilter.bloomSemiJoin(fact, dim, "k", "k")
+    }
+    intercept[IllegalArgumentException] { // unsupported type, either side
+      Prefilter.bloomSemiJoin(Seq(1.5).toDF("k"), dim, "k", "k")
+    }
+  }
 }

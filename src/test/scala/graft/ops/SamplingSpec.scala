@@ -54,6 +54,11 @@ class SamplingSpec extends AnyFunSuite {
     val heavy = Sampling.weightedPriority(mix, "w", Seq("id"), m = 60)
       .filter(col("id") > 300).count()
     assert(heavy > 45, s"heavy class underrepresented: $heavy of 60")
+    // a pre-existing business column named `priority` must not be
+    // silently overwritten (same convention as perKeyExact's guard)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedPriority(df.withColumn("priority", lit(1)), "w", Seq("id"), m = 5)
+    }
   }
 
   test("stratifiedFraction respects per-stratum fractions and is deterministic") {
