@@ -234,4 +234,33 @@ object Similarity {
     a.join(b, col("id_a") < col("id_b") && simRaw >= minSim)
       .select(col("id_a"), col("id_b"), round(simRaw, 6).as("sim"))
   }
+
+  /** Incremental embedding near-dedup: pairs between a NEW batch and an
+    * existing corpus, plus new-vs-new — never corpus-vs-corpus. The
+    * production ingest shape ([[graft.ext.Dedup.minhashDedupNewPairs]]'s
+    * embedding twin): each batch costs O(|new| · |corpus|) comparisons,
+    * not the O(|corpus|²) a full re-dedup pays, and the small new side
+    * is broadcast so the corpus never shuffles at all. Batch rows are
+    * authoritative for shared ids (the stale corpus copy is anti-joined
+    * out before pairing). Output is (id_a=new, id_b=other, sim), each
+    * unordered pair once (new-new pairs ordered id_a < id_b).
+    */
+  def cosineDupPairsNew(newVecs: DataFrame, corpus: DataFrame, minSim: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(newVecs.sparkSession)
+    val corpusOnly = corpus.join(newVecs.select(col(idCol)), Seq(idCol), "left_anti")
+    def side(df: DataFrame, idAs: String, vAs: String, nAs: String) =
+      df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vAs))
+        .withColumn(nAs, sqrt(graftDot(col(vAs), col(vAs))))
+    val a = side(newVecs, "id_a", "va", "na")
+    val b = side(corpusOnly, "id_b", "vb", "nb").withColumn("isNew", lit(false))
+      .unionByName(side(newVecs, "id_b", "vb", "nb").withColumn("isNew", lit(true)))
+    val simRaw = graftDot(col("va"), col("vb")) / (col("na") * col("nb"))
+    // broadcast the batch: the theta-join then streams the corpus side
+    // partition-local (BroadcastNestedLoopJoin) instead of degenerating
+    // to a CartesianProduct exchange of the whole corpus
+    broadcast(a).join(b,
+        (!col("isNew") || col("id_a") < col("id_b")) && simRaw >= minSim)
+      .select(col("id_a"), col("id_b"), round(simRaw, 6).as("sim"))
+  }
 }

@@ -37,6 +37,18 @@ object Pipeline {
     Similarity.cosineDupPairs(Tables.embeddings(spark, dir), minSim = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Incremental embedding dedup ([[Similarity.cosineDupPairsNew]]):
+    * vec_id % 10 == 0 plays the incoming batch, the rest the corpus —
+    * the oracle re-derives exactly the batch-touching pair set.
+    */
+  def d08EmbeddingDupsNew(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.cosineDupPairsNew(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 =!= 0), minSim = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def s01SimTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
@@ -346,6 +358,22 @@ object Pipeline {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    // batch-touching pairs only: new-vs-corpus in (new, corpus)
+    // orientation plus new-vs-new ordered — never corpus-vs-corpus
+    "d08_embedding_dups_new" ->
+      """WITH n AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |     c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 0)
+        |SELECT id_a, id_b, sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |  FROM n a JOIN c b
+        |    ON list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        |  UNION ALL
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        |) t ORDER BY id_a, id_b""".stripMargin,
     "s01_sim_topk" ->
       """SELECT query_id, neighbor_id, sim, rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -458,6 +486,7 @@ object Pipeline {
     "d03_minhash_pairs"  -> d03MinhashPairs _,
     "d04_simhash_pairs"  -> d04SimhashPairs _,
     "d05_embedding_dups" -> d05EmbeddingDups _,
+    "d08_embedding_dups_new" -> d08EmbeddingDupsNew _,
     "s01_sim_topk"       -> s01SimTopK _,
     "s02_lsh_topk"       -> s02LshTopK _,
     "s03_ivf_topk"       -> s03IvfTopK _,

@@ -317,6 +317,35 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Q22 CUBE: all 2^k grouping-set combinations in one pass — the
+    * grouping-sets surface q11's ROLLUP doesn't exercise (rollup emits
+    * only the k+1 prefix sets). Same single-shuffle expand-based plan.
+    */
+  def q22Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"))
+      .orderBy(col("flag"), col("status"))
+
+  /** Q23 navigation windows: lag/lead/first_value over the per-customer
+    * order timeline — value-passthrough window functions (no arithmetic,
+    * so cross-engine exact). One shuffle on o_custkey, one sort.
+    */
+  def q23WindowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderkey")).over(w).as("first_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Oracle SQL (DuckDB dialect ≡ ANSI) — must alias identically to the above. */
   val oracles: Map[String, String] = Map(
     "q11_rollup" ->
@@ -465,6 +494,20 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q22_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q23_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  first_value(o_orderkey) OVER w AS first_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -489,5 +532,7 @@ object Relational {
     "q19_salted_agg"  -> q19SaltedAgg _,
     "q20_session_windows" -> q20SessionWindows _,
     "q21_bloom_join"  -> q21BloomJoin _,
+    "q22_cube"        -> q22Cube _,
+    "q23_window_nav"  -> q23WindowNav _,
   )
 }

@@ -76,6 +76,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("d08: incremental embedding dedup broadcasts the batch (no cartesian exchange)") {
+    val plan = planOf("d08_embedding_dups_new")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"batch side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q19: salted sum is two aggregations with no extra exchange between partial and salt stage") {
     val plan = planOf("q19_salted_agg")
     // (keys, salt) agg → exchange → final keys agg → exchange for sort:

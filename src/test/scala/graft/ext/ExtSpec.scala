@@ -74,6 +74,27 @@ class ExtSpec extends AnyFunSuite {
       s"got: $rows")
   }
 
+  test("incremental embedding dedup == full dedup restricted to batch-touching pairs") {
+    val newV = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val incremental = Similarity.cosineDupPairsNew(newV, corpus, minSim = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newIds = newV.select("vec_id").collect().map(_.getLong(0)).toSet
+    // full-dedup pairs touching >= 1 new id, re-oriented to (new, other)
+    val full = Similarity.cosineDupPairs(emb, minSim = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => newIds(p._1) || newIds(p._2))
+      .map { case (x, y) => if (newIds(x)) (x, y) else (y, x) }.toSet
+    assert(incremental.nonEmpty)
+    assert(incremental == full,
+      s"only-incr=${(incremental -- full).take(3)} only-full=${(full -- incremental).take(3)}")
+    // a batch id re-ingested over its corpus copy must not self-pair
+    val reingested = Similarity.cosineDupPairsNew(newV, emb, minSim = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!reingested.exists(p => p._1 == p._2), "self-pair from shared id")
+    assert(reingested.toSet == incremental, "superseded corpus copies changed the pair set")
+  }
+
   test("PPJoin prefix-filter strategy == naive inverted-index strategy") {
     val naive = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
