@@ -206,15 +206,32 @@ object Similarity {
       col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("table"), col("bucket"),
       col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    val simRaw = graftDot(col("va"), col("vb")) / (col("na") * col("nb"))
     // threshold BEFORE the pair-dedupe so the distinct shuffle carries
     // only true dups (a candidate pair re-found by every table would
     // otherwise ride the exchange `tables` times)
     a.join(b, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b") && simRaw >= minSim)
-      .select(col("id_a"), col("id_b"), round(simRaw, 6).as("sim"))
+      .filter(col("id_a") < col("id_b") && pairSim >= minSim)
+      .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** (id, vec, norm) side projection for the brute-force pair joins —
+    * id as `idAs`, doubles as `vAs`, L2 norm as `nAs`.
+    */
+  private def normedSide(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vAs: String, nAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vAs))
+      .withColumn(nAs, sqrt(graftDot(col(vAs), col(vAs))))
+
+  /** Raw cosine between two [[normedSide]]s — THE oracle-matched formula
+    * (dot / (na*nb), threshold on the RAW value, round(6) only on
+    * output). Every pair operator must use this single definition: the
+    * DuckDB `list_cosine_similarity` oracles hash-match it exactly, and
+    * a drifted copy would silently fail the gate for whichever twin
+    * missed the change.
+    */
+  private def pairSim: Column =
+    graftDot(col("va"), col("vb")) / (col("na") * col("nb"))
 
   /** All pairs with cosine ≥ minSim (embedding near-dup detection),
     * brute force; a < b.
@@ -222,17 +239,13 @@ object Similarity {
   def cosineDupPairs(vectors: DataFrame, minSim: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.ensureRegistered(vectors.sparkSession)
-    val a = vectors.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
-      .withColumn("na", sqrt(graftDot(col("va"), col("va"))))
-    val b = vectors.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
-      .withColumn("nb", sqrt(graftDot(col("vb"), col("vb"))))
-    val simRaw = graftDot(col("va"), col("vb")) / (col("na") * col("nb"))
+    val a = normedSide(vectors, idCol, vecCol, "id_a", "va", "na")
+    val b = normedSide(vectors, idCol, vecCol, "id_b", "vb", "nb")
     // both predicates in the join condition, cheap id check FIRST: a
     // pushed-down filter would land before it and run the dot product on
-    // all n² ordered pairs instead of n²/2. Threshold compares the RAW
-    // sim (like the oracle); only the output is rounded.
-    a.join(b, col("id_a") < col("id_b") && simRaw >= minSim)
-      .select(col("id_a"), col("id_b"), round(simRaw, 6).as("sim"))
+    // all n² ordered pairs instead of n²/2
+    a.join(b, col("id_a") < col("id_b") && pairSim >= minSim)
+      .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
   }
 
   /** Incremental embedding near-dedup: pairs between a NEW batch and an
@@ -249,18 +262,16 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.ensureRegistered(newVecs.sparkSession)
     val corpusOnly = corpus.join(newVecs.select(col(idCol)), Seq(idCol), "left_anti")
-    def side(df: DataFrame, idAs: String, vAs: String, nAs: String) =
-      df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vAs))
-        .withColumn(nAs, sqrt(graftDot(col(vAs), col(vAs))))
-    val a = side(newVecs, "id_a", "va", "na")
-    val b = side(corpusOnly, "id_b", "vb", "nb").withColumn("isNew", lit(false))
-      .unionByName(side(newVecs, "id_b", "vb", "nb").withColumn("isNew", lit(true)))
-    val simRaw = graftDot(col("va"), col("vb")) / (col("na") * col("nb"))
+    val a = normedSide(newVecs, idCol, vecCol, "id_a", "va", "na")
+    val b = normedSide(corpusOnly, idCol, vecCol, "id_b", "vb", "nb")
+      .withColumn("isNew", lit(false))
+      .unionByName(normedSide(newVecs, idCol, vecCol, "id_b", "vb", "nb")
+        .withColumn("isNew", lit(true)))
     // broadcast the batch: the theta-join then streams the corpus side
     // partition-local (BroadcastNestedLoopJoin) instead of degenerating
     // to a CartesianProduct exchange of the whole corpus
     broadcast(a).join(b,
-        (!col("isNew") || col("id_a") < col("id_b")) && simRaw >= minSim)
-      .select(col("id_a"), col("id_b"), round(simRaw, 6).as("sim"))
+        (!col("isNew") || col("id_a") < col("id_b")) && pairSim >= minSim)
+      .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
   }
 }
