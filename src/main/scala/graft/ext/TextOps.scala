@@ -23,6 +23,19 @@ object TextOps {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^a-zA-Z0-9\\s])")))
 
+  /** GPT-style pre-tokenizer alternation, RE2-safe: optional-space
+    * letter runs / digit runs / punctuation runs, residual space runs.
+    * Deliberately lookaround-free so an RE2 engine (DuckDB, Go, Rust)
+    * replays it verbatim — [[subwordCount]] is the finer Java-regex
+    * variant whose lookarounds no RE2 oracle can express.
+    */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+|[ ]+"
+
+  /** Count of [[BpePattern]] matches — the cross-engine-verifiable
+    * GPT-ish token count (t07 gate).
+    */
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
   /** Quality heuristics (length / punctuation / stopword ratios). */
   def punctCount(text: Column): Column = length(regexp_replace(text, "[^.!?]", ""))
 

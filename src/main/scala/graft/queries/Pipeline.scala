@@ -79,6 +79,15 @@ object Pipeline {
   def t02TextAnalyze(spark: SparkSession, dir: String): DataFrame =
     TextOps.analyze(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** BPE-ish token count ([[TextOps.bpeTokenCount]]): GPT-style
+    * pre-tokenizer match count, RE2-safe so DuckDB replays it exactly.
+    */
+  def t07BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+      .orderBy(col("doc_id"))
+
   /** Corpus vocabulary with term + document frequencies — the table a
     * training pipeline derives stopword lists, df-ordered PPJoin
     * prefixes, and tokenizer vocabularies from. One explode + one
@@ -384,6 +393,10 @@ object Pipeline {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
         |  WHERE a.vec_id < 20) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "t07_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+|[ ]+')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t01_text_stats" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
@@ -491,6 +504,7 @@ object Pipeline {
     "s02_lsh_topk"       -> s02LshTopK _,
     "s03_ivf_topk"       -> s03IvfTopK _,
     "t01_text_stats"     -> t01TextStats _,
+    "t07_bpe_tokens"     -> t07BpeTokens _,
     "t02_text_analyze"   -> t02TextAnalyze _,
     "t03_vocab"          -> t03Vocab _,
     "j01_json_extract"   -> j01JsonExtract _,

@@ -302,6 +302,20 @@ class ExtSpec extends AnyFunSuite {
     assert(counts.toSeq == Seq(0, 0, 2))
   }
 
+  test("BPE-ish token count: alternation edges match the hand count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ""),           // no matches
+      (2L, "one two"),    // "one", " two"
+      (3L, "ab12, cd"),   // "ab", "12", ",", " cd"
+      (4L, "a  b"),       // "a", "  " (residual spaces), "b"
+      (5L, "x\ny!?")      // "x", "\n" (non-alnum run), "y", "!?"
+    ).toDF("doc_id", "text")
+    val got = df.orderBy("doc_id")
+      .select(TextOps.bpeTokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(0, 2, 4, 3, 4), got.toSeq)
+  }
+
   test("cosine of identical vectors is 1") {
     import spark.implicits._
     val v = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
