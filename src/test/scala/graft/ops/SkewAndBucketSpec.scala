@@ -31,6 +31,46 @@ class SkewAndBucketSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-salt scale path)") {
+    import spark.implicits._
+    // manual salting (above) is the explicit skew tool; AQE's skew-join
+    // rewrite is the zero-code path a 100 TB job leans on first. Pin
+    // that the mechanism actually fires: one hot key dominating the
+    // left side must come out of planning marked isSkewJoin.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // incompressible pad: shuffle-size stats see compressed block
+      // sizes, and a constant pad would deflate the "skew" away
+      val pad = concat_ws("", md5(col("id").cast("string")),
+        md5((col("id") + 1).cast("string")), md5((col("id") + 2).cast("string")))
+      val left = spark.range(0, 300000)
+        .select((when(col("id") < 250000, 0L).otherwise(pmod(col("id"), lit(997L)) + 1))
+          .as("k"), pad.as("pad"))
+      val right = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      // aggregate OVER pad so column pruning can't drop it below the
+      // join — a bare count would shuffle 8-byte keys and no skew exists
+      val joined = left.join(right, "k")
+        .select(count(col("pad")).as("n"), sum(length(col("pad"))).as("bytes"))
+      // collect through THIS DataFrame's QueryExecution — a separate
+      // .count() would execute a different QE and leave this one's
+      // adaptive plan unfinalized (isFinalPlan=false, no skew marking)
+      assert(joined.collect().head.getLong(0) == 300000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("isSkewJoin=true"),
+        s"AQE did not mark the join skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val root = "file:" + Files.createTempDirectory("buckets").toFile.getAbsolutePath
     spark.sql("CREATE DATABASE IF NOT EXISTS bk")
