@@ -87,6 +87,45 @@ object PipelineTour {
         s1.groupBy("lang").count().collect().forall(_.getLong(1) <= 5)
     }
 
+    check("incremental ingest dedup: batch-vs-corpus only, both text and embedding") {
+      val newDocs = docs.filter(col("doc_id") % 7 === 0)
+      val docCorpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val textPairs = Dedup.minhashDedupNewPairs(newDocs, docCorpus,
+        n = 3, k = 32, bands = 16, minJaccard = 0.5).collect()
+      val newVecs = emb.filter(col("vec_id") % 7 === 0)
+      val vecPairs = Similarity.cosineDupPairsNew(newVecs,
+        emb.filter(col("vec_id") % 7 =!= 0), minSim = 0.35).collect()
+      val newDocIds = newDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+      val newVecIds = newVecs.select("vec_id").collect().map(_.getLong(0)).toSet
+      // every pair touches the batch on the left — never corpus-vs-corpus
+      textPairs.forall(r => newDocIds(r.getLong(0))) && vecPairs.nonEmpty &&
+        vecPairs.forall(r => newVecIds(r.getLong(0)))
+    }
+
+    check("weighted sample is deterministic and favors heavy docs") {
+      val weighted = docs.withColumn("w", length(col("text")).cast("double"))
+      val s1 = graft.ops.Sampling.weightedPriority(weighted, "w", Seq("doc_id"), m = 50)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val s2 = graft.ops.Sampling.weightedPriority(weighted, "w", Seq("doc_id"), m = 50)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      s1 == s2 && s1.size == 50
+    }
+
+    check("BPE-ish token count is >= whitespace token count on every doc") {
+      docs.select(TextOps.tokenCount(col("text")).as("ws"),
+          TextOps.bpeTokenCount(col("text")).as("bpe"))
+        .filter(col("bpe") < col("ws")).count() == 0
+    }
+
+    check("z-order layout sharpens per-file pruning on a second column") {
+      val table = spark.range(0, 20000)
+        .select((col("id") % 200).as("a"), (col("id") / 200).cast("long").as("b"))
+      val zed = graft.ops.ZOrder.layoutBy(table, Seq("a", "b"), numPartitions = 8)
+      val linear = table.repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      graft.ops.ZOrder.partitionSpanFraction(zed, "b") <
+        graft.ops.ZOrder.partitionSpanFraction(linear, "b")
+    }
+
     spark.stop()
     if (failed > 0) { println(s"$failed FAILED"); sys.exit(1) }
     println("PipelineTour: all checks passed")
