@@ -37,6 +37,27 @@ object GraftProperties extends Properties("graft") {
       n == -1 || n.toLong * target >= sizes.sum - target || n == sizes.size
     }
 
+  // ---- ZOrder core --------------------------------------------------
+
+  property("morton interleave is injective over in-range rank vectors") =
+    forAll(Gen.chooseNum(1, 4)) { nCols =>
+      val bits = math.min(8, 63 / nCols)
+      val g = Gen.listOfN(nCols, Gen.chooseNum(0, (1 << bits) - 1)).map(_.toArray)
+      forAll(g, g) { (a, b) =>
+        (graft.ops.ZOrder.interleave(a, nCols) ==
+          graft.ops.ZOrder.interleave(b, nCols)) == a.sameElements(b)
+      }
+    }
+
+  property("rankOf equals the count of boundaries <= v, and is monotone in v") =
+    forAll(Gen.listOf(Gen.chooseNum(-1e6, 1e6)),
+        Gen.chooseNum(-2e6, 2e6), Gen.chooseNum(-2e6, 2e6)) { (bs, v1, v2) =>
+      val bounds = bs.sorted.toArray
+      val r1 = graft.ops.ZOrder.rankOf(bounds, v1)
+      r1 == bounds.count(_ <= v1) &&
+        (v1 > v2 || r1 <= graft.ops.ZOrder.rankOf(bounds, v2))
+    }
+
   // ---- Retry --------------------------------------------------------
 
   property("retry returns one success per item when failures are transient") =

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
 class MoveCopyDeleteSpec extends AnyFunSuite {
-  implicit lazy val spark = SparkTestSession.spark
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
   implicit lazy val conf: Configuration = spark.sparkContext.hadoopConfiguration
 
   private def relSet(root: String) =
