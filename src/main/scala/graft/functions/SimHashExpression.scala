@@ -52,3 +52,52 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** 32-bit SimHash with an md5-derived token hash, one pass per row —
+  * the zero-exchange form of the oracle-gated d07 query. The token
+  * hash is the first 8 md5 hex digits parsed as an unsigned 32-bit
+  * integer — `conv(substring(md5(tok), 1, 8), 16, 10)`, i.e. the first
+  * 4 digest bytes big-endian — so the DuckDB oracle
+  * `('0x' || substr(md5(tok), 1, 8))::BIGINT` replays it bit-for-bit
+  * (the same [[graft.functions.Cols.md5Uint32]] contract). Empty
+  * tokens are skipped exactly like the declarative twin's
+  * `filter(tok =!= "")`; a sign-sum tie yields bit 0 on every engine.
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_md5 expects a string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = ShingleWalk.tokens(input.asInstanceOf[UTF8String].toString)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](32)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (tok.nonEmpty) {
+        val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.reset()
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var b = 0
+        while (b < 32) {
+          if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 32) { if (sums(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -90,6 +90,8 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => TextMetrics(exprs(0))),
     ("graft_simhash", classOf[SimHash64],
       (exprs: Seq[Expression]) => SimHash64(exprs(0))),
+    ("graft_simhash_md5", classOf[SimHashMd5],
+      (exprs: Seq[Expression]) => SimHashMd5(exprs(0))),
     ("graft_minhashes", classOf[MinHashes],
       (exprs: Seq[Expression]) => MinHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Int])),
@@ -122,6 +124,11 @@ object GraftFunctions {
 
   /** One-pass 64-bit SimHash (requires [[ensureRegistered]]). */
   def graftSimhash(text: Column): Column = call_function("graft_simhash", text)
+
+  /** One-pass 32-bit md5 SimHash, DuckDB-replayable (requires
+    * [[ensureRegistered]]).
+    */
+  def graftSimhashMd5(text: Column): Column = call_function("graft_simhash_md5", text)
 
   /** k seeded MinHash values of a shingle set, one narrow pass
     * (requires [[ensureRegistered]]).

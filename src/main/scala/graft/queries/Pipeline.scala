@@ -256,12 +256,28 @@ object Pipeline {
   /** 32-bit SimHash with an md5-derived token hash — the oracle-gated
     * twin of the xxhash64-based d04 family (xxhash64 has no DuckDB
     * counterpart; md5's first 8 hex digits parse to the same 32-bit
-    * integer in both engines). Declarative formulation: explode → 32
-    * conditional ±1 sums in ONE grouped aggregation (single shuffle on
-    * doc_id, map-side partial agg) → bit reassembly. A sign-sum tie
-    * (s_b = 0) yields bit 0 on both sides.
+    * integer in both engines). Computed by the one-pass native
+    * expression ([[graft.functions.SimHashMd5]]): no explode, no
+    * shuffle — the plan is scan → project → sort, same shape as t04.
+    * The trim filter reproduces which docs the explode-based
+    * oracle/declarative twin emits: a token-less doc has no rows to
+    * group there, so it must not appear here either.
     */
   def d07SimhashMd5(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.graftSimhashMd5(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declarative reference formulation of [[d07SimhashMd5]] (explode →
+    * 32 conditional ±1 sums in one grouped aggregation → bit
+    * reassembly); kept as the in-repo oracle for the native expression
+    * (equality pinned in ExtSpec).
+    */
+  private[graft] def d07SimhashMd5Declarative(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")

@@ -76,6 +76,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("d07: native md5 simhash plan has no exchange before the final sort") {
+    val plan = planOf("d07_simhash_md5")
+    assert("Exchange".r.findAllIn(plan).length <= 1, // only the orderBy's range exchange
+      s"md5 simhash still shuffles token rows:\n$plan")
+  }
+
   test("d08: incremental embedding dedup broadcasts the batch (no cartesian exchange)") {
     val plan = planOf("d08_embedding_dups_new")
     assert(plan.contains("BroadcastNestedLoopJoin"), s"batch side not broadcast:\n$plan")

@@ -302,6 +302,22 @@ class ExtSpec extends AnyFunSuite {
     assert(counts.toSeq == Seq(0, 0, 2))
   }
 
+  test("native md5 simhash equals the declarative explode+agg formulation") {
+    import spark.implicits._
+    val native = graft.queries.Pipeline.d07SimhashMd5(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val declarative = graft.queries.Pipeline.d07SimhashMd5Declarative(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(native.nonEmpty && native == declarative)
+    // token-less docs: the declarative groupBy has no rows for them, so
+    // the native path must drop them too (not emit a zero fingerprint)
+    val dir = java.nio.file.Files.createTempDirectory("d07empty").toString
+    Seq((1L, "real text here", "en"), (2L, "   ", "en"), (3L, "", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    assert(graft.queries.Pipeline.d07SimhashMd5(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("BPE-ish token count: alternation edges match the hand count") {
     import spark.implicits._
     val df = Seq(
