@@ -74,14 +74,14 @@ case class SimHashMd5(child: Expression) extends UnaryExpression with CodegenFal
 
   override def nullSafeEval(input: Any): Any = {
     val toks = ShingleWalk.tokens(input.asInstanceOf[UTF8String].toString)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Local.get()
     val sums = new Array[Int](32)
     var t = 0
     while (t < toks.length) {
       val tok = toks(t)
       if (tok.nonEmpty) {
+        // digest() resets the instance — safe to reuse per token/row
         val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        md.reset()
         val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
           ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
         var b = 0

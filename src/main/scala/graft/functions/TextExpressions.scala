@@ -19,6 +19,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * Divergence here breaks the bit-for-bit equality contract of every
   * expression built on it, so there is exactly one copy.
   */
+/** Per-thread MD5 digest for the native md5 expressions: MessageDigest
+  * is stateful and not thread-safe, but `digest()` leaves it reset, so
+  * one instance per task thread serves every row — no per-row
+  * getInstance (JCA provider lookup + allocation) on corpus-scale
+  * scans.
+  */
+private[functions] object Md5Local {
+  private val local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def get(): java.security.MessageDigest = local.get()
+}
+
 private[functions] object ShingleWalk {
 
   /** Spark `trim`: strip SPACES (U+0020) only, both ends. */
@@ -122,11 +136,11 @@ case class MinShingleMd5(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Local.get()
     var min: String = null
     ShingleWalk.foreachShingle(text, n) { s =>
+      // digest() resets the instance — safe to reuse per shingle/row
       val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      md.reset()
       val hex = new Array[Char](32)
       var k = 0
       while (k < 16) {

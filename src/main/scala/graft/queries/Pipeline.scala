@@ -259,14 +259,17 @@ object Pipeline {
     * integer in both engines). Computed by the one-pass native
     * expression ([[graft.functions.SimHashMd5]]): no explode, no
     * shuffle — the plan is scan → project → sort, same shape as t04.
-    * The trim filter reproduces which docs the explode-based
-    * oracle/declarative twin emits: a token-less doc has no rows to
-    * group there, so it must not appear here either.
+    * The has-a-non-whitespace-char filter reproduces which docs the
+    * explode-based oracle/declarative twin emits: a token-less doc has
+    * no rows to group there, so it must not appear here either. rlike
+    * "\\S", NOT length(trim(..)) > 0 — Spark trim strips only spaces,
+    * so a tab/newline-only doc would pass a trim filter while its
+    * \s+-split tokens are all empty.
     */
   def d07SimhashMd5(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     Tables.documents(spark, dir)
-      .filter(length(trim(col("text"))) > 0)
+      .filter(col("text").rlike("\\S"))
       .select(col("doc_id"),
         graft.functions.GraftFunctions.graftSimhashMd5(col("text")).as("simhash"))
       .orderBy(col("doc_id"))

@@ -310,11 +310,17 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(native.nonEmpty && native == declarative)
     // token-less docs: the declarative groupBy has no rows for them, so
-    // the native path must drop them too (not emit a zero fingerprint)
+    // the native path must drop them too (not emit a zero fingerprint).
+    // Doc 4 is tab/newline-only: Spark trim strips spaces ONLY, so a
+    // trim-based filter would wrongly keep it — emission is defined by
+    // "has a non-\s character", the \s+-tokenizer's notion of empty
     val dir = java.nio.file.Files.createTempDirectory("d07empty").toString
-    Seq((1L, "real text here", "en"), (2L, "   ", "en"), (3L, "", "en"))
+    Seq((1L, "real text here", "en"), (2L, "   ", "en"), (3L, "", "en"),
+        (4L, "\t\n ", "en"))
       .toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
     assert(graft.queries.Pipeline.d07SimhashMd5(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(graft.queries.Pipeline.d07SimhashMd5Declarative(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
