@@ -76,6 +76,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q20: batch session_window is one hash exchange on the session keys") {
+    val plan = planOf("q20_session_windows")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("q22: cube computes all grouping sets in one expand + one exchange") {
+    val plan = planOf("q22_cube")
+    assert(plan.contains("Expand"), s"cube not expand-based:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("q23: navigation windows share one window operator pass") {
+    val plan = planOf("q23_window_nav")
+    // lag/lead/first_value over the same spec must fuse into ONE Window
+    // node — separate passes would re-sort the partition per function
+    assert("Window".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("d07: native md5 simhash plan has no exchange before the final sort") {
     val plan = planOf("d07_simhash_md5")
     assert("Exchange".r.findAllIn(plan).length <= 1, // only the orderBy's range exchange
