@@ -147,6 +147,44 @@ object EventsStream {
       }
   }
 
+  /** [[runningUserTotals]] on the arbitrary-state API that supersedes
+    * mapGroupsWithState (`transformWithState`, Spark 4): typed state
+    * variables with independent lifetimes and optional TTL instead of
+    * one opaque blob per key. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`) — state lives off
+    * the executor heap, the property that keeps unbounded keyed state
+    * viable at 100 TB. StreamingSpec pins output parity with the
+    * mapGroupsWithState formulation.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserRunning] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var totals: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserRunning]("totals",
+        org.apache.spark.sql.Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = if (totals.exists()) totals.get() else UserRunning(userId, 0L, 0.0)
+      val batch = rows.toSeq
+      val next = UserRunning(userId,
+        prev.n_events + batch.size,
+        prev.total_value + batch.map(_.value).sum)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserTotalsTws(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Batch-equivalent of [[tumbling]] for parity checks: same windows
     * computed over the static table.
     */

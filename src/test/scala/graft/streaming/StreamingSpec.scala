@@ -302,4 +302,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(lastPerUser == batchTotals)
     } finally q.stop()
   }
+
+  test("transformWithState running totals == mapGroupsWithState (RocksDB store)") {
+    import spark.implicits._
+    // the new arbitrary-state API only runs on the RocksDB provider;
+    // scope the conf to this query and restore after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = EventsStream.read(spark, streamDir)
+      .select($"event_id", $"ts".cast("timestamp"), $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+    val q = EventsStream.runningUserTotalsTws(events)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("tws_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("tws_out")
+      val batchTotals = graft.Tables.events(spark, sf)
+        .groupBy("user_id").agg(count(lit(1)).as("n"),
+          sum(col("value")).as("v"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val lastPerUser = out.groupBy("user_id")
+        .agg(max("n_events").as("n"), max("total_value").as("v"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(lastPerUser.view.mapValues(_._1).toMap ==
+        batchTotals.view.mapValues(_._1).toMap)
+      // totals agree to fp tolerance (summation order differs)
+      lastPerUser.foreach { case (u, (_, v)) =>
+        assert(math.abs(v - batchTotals(u)._2) < 1e-6, s"user $u") }
+    } finally {
+      q.stop()
+      saved match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }
