@@ -185,6 +185,47 @@ object EventsStream {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  case class UserHistory(user_id: Long, recent_values: Seq[Double])
+
+  /** Bounded per-user event history via ListState — the
+    * feature-generation shape (a model wants "the user's last k
+    * values" at every event). ListState appends without rewriting the
+    * whole blob (mapGroupsWithState would deserialize + reserialize
+    * the full history per batch); the k-bound caps state size per key
+    * regardless of stream length.
+    */
+  class RecentHistoryProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserHistory] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    @transient private var recent: ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Double]("recent",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserHistory] = {
+      // deterministic in-batch order: event time at FULL precision
+      // (getTime alone is millis — fixture timestamps differ at µs),
+      // then id as the tiebreaker
+      def micros(e: Event): Long =
+        e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L
+      val incoming = rows.toSeq.sortBy(e => (micros(e), e.event_id)).map(_.value)
+      val kept = (recent.get().toSeq ++ incoming).takeRight(k)
+      recent.clear()
+      kept.foreach(recent.appendValue)
+      Iterator.single(UserHistory(userId, kept))
+    }
+  }
+
+  def recentHistory(events: Dataset[Event], k: Int = 5): Dataset[UserHistory] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentHistoryProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Batch-equivalent of [[tumbling]] for parity checks: same windows
     * computed over the static table.
     */

@@ -337,4 +337,39 @@ class StreamingSpec extends AnyFunSuite {
       saved match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
+
+  test("ListState recent history keeps exactly the last k values per user") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = EventsStream.read(spark, streamDir)
+      .select($"event_id", $"ts".cast("timestamp"), $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+    val k = 5
+    val q = EventsStream.recentHistory(events, k)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hist_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hist_out").as[EventsStream.UserHistory]
+        .collect().map(h => h.user_id -> h.recent_values).toMap
+      // batch oracle: last k values per user in (ts µs, event_id) order
+      // — µs, not raw nanos: nanosToTs floors the streamed timestamps
+      // to µs, so the processor can only order at that precision
+      val expected = graft.Tables.events(spark, sf)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 1000L), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1)
+        .map { case (u, rows) =>
+          u -> rows.sortBy(r => (r._2, r._3)).takeRight(k).map(_._4).toSeq }
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (u, vs) => assert(vs == expected(u), s"user $u") }
+    } finally {
+      q.stop()
+      saved match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }
