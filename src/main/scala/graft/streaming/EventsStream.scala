@@ -189,10 +189,12 @@ object EventsStream {
 
   /** Bounded per-user event history via ListState — the
     * feature-generation shape (a model wants "the user's last k
-    * values" at every event). ListState appends without rewriting the
-    * whole blob (mapGroupsWithState would deserialize + reserialize
-    * the full history per batch); the k-bound caps state size per key
-    * regardless of stream length.
+    * values" at every event). The k-bound caps state per key
+    * regardless of stream length, and the trimmed list is replaced in
+    * ONE `put` store operation per batch (a mapGroupsWithState value
+    * would round-trip through the same single blob but without typed
+    * access; ListState's `appendValue` additionally serves pure-append
+    * workloads that never trim).
     */
   class RecentHistoryProcessor(k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserHistory] {
@@ -212,8 +214,7 @@ object EventsStream {
         e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L
       val incoming = rows.toSeq.sortBy(e => (micros(e), e.event_id)).map(_.value)
       val kept = (recent.get().toSeq ++ incoming).takeRight(k)
-      recent.clear()
-      kept.foreach(recent.appendValue)
+      recent.put(kept.toArray) // one store write, not clear + k appends
       Iterator.single(UserHistory(userId, kept))
     }
   }

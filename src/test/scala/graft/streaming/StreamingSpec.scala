@@ -324,8 +324,12 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy("user_id").agg(count(lit(1)).as("n"),
           sum(col("value")).as("v"))
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // max_by pairs total with ITS final row — two independent max()es
+      // would only agree because fixture values are all positive (the
+      // running total is monotone iff values are non-negative)
       val lastPerUser = out.groupBy("user_id")
-        .agg(max("n_events").as("n"), max("total_value").as("v"))
+        .agg(max("n_events").as("n"),
+          org.apache.spark.sql.functions.max_by(col("total_value"), col("n_events")).as("v"))
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
       assert(lastPerUser.view.mapValues(_._1).toMap ==
         batchTotals.view.mapValues(_._1).toMap)
@@ -333,8 +337,11 @@ class StreamingSpec extends AnyFunSuite {
       lastPerUser.foreach { case (u, (_, v)) =>
         assert(math.abs(v - batchTotals(u)._2) < 1e-6, s"user $u") }
     } finally {
-      q.stop()
-      saved match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+      // restore the provider even when stop() throws — a leaked RocksDB
+      // conf would silently re-platform every later streaming test
+      try q.stop()
+      finally saved match {
+        case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
 
@@ -353,8 +360,13 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("hist_out").start()
     try {
       q.processAllAvailable()
-      val got = spark.table("hist_out").as[EventsStream.UserHistory]
-        .collect().map(h => h.user_id -> h.recent_values).toMap
+      val rows = spark.table("hist_out").as[EventsStream.UserHistory].collect()
+      val got = rows.map(h => h.user_id -> h.recent_values).toMap
+      // one update row per user <=> the staged fixture ran as a single
+      // micro-batch; with several batches .toMap could keep a STALE
+      // intermediate history and fail flakily — fail loudly instead
+      assert(rows.length == got.size,
+        "fixture produced multiple batches; pick the last row per user explicitly")
       // batch oracle: last k values per user in (ts µs, event_id) order
       // — µs, not raw nanos: nanosToTs floors the streamed timestamps
       // to µs, so the processor can only order at that precision
@@ -368,8 +380,9 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.keySet == expected.keySet)
       got.foreach { case (u, vs) => assert(vs == expected(u), s"user $u") }
     } finally {
-      q.stop()
-      saved match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+      try q.stop()
+      finally saved match {
+        case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
 }
