@@ -93,24 +93,10 @@ object Dedup {
   /** PPJoin strategy of [[ngramJaccardPairs]] (see its scaladoc). */
   private def ngramJaccardPrefix(docs: DataFrame, n: Int, t: Double,
       textCol: String, idCol: String): DataFrame = {
-    // Pre-filters must be CONSERVATIVE: a pair dropped here never reaches
-    // the exact verification, so fp round-up in t*size (e.g. 0.07*100 →
-    // 7.0000000000000009, ceil → 8) must not shrink a prefix or fail the
-    // length test for a pair the naive strategy keeps. Nudging t down by
-    // an epsilon only ever lengthens prefixes / admits borderline pairs —
-    // extra candidates are discarded by verifyJaccard's exact filter.
-    val tLoose = t - 1e-9
     val sets = docs.select(col(idCol).as("id"), graftShingles(col(textCol), n).as("set"))
       .withColumn("setSize", size(col("set")).cast("long"))
-    val sh = sets.select(col("id"), col("setSize"), explode(col("set")).as("shingle"))
-    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val prefixLen = greatest(lit(1),
-      (col("setSize") - ceil(lit(tLoose) * col("setSize")) + 1).cast("int"))
-    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
-    val prefix = sh.join(freq, "shingle")
-      .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <= prefixLen)
-      .select(col("id"), col("setSize"), col("shingle"))
+    val prefix = prefixStage(sets, t)
+    val tLoose = t - 1e-9
     val a = prefix.as("a"); val b = prefix.as("b")
     val cand = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id")
         && least(col("a.setSize"), col("b.setSize")).cast("double") >=
@@ -118,6 +104,36 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifyJaccard(cand, sets, t)
+  }
+
+  /** The PPJoin prefix stage: for each doc (id, setSize, set) keep only
+    * the |X| - ⌈t·|X|⌉ + 1 globally-RAREST shingles — the only rows
+    * that enter the candidate self-join. This is what makes the
+    * strategy zipfian-safe: a boilerplate shingle's document frequency
+    * puts it at the END of every doc's rarity order, so it lands in a
+    * prefix only for docs with almost no rarer shingles; its join-key
+    * fan-in collapses from n (every doc) to those few rows. Exposed
+    * `private[graft]` so ExtSpec can pin exactly that property on a
+    * fixture with an injected boilerplate shingle.
+    *
+    * Pre-filters must be CONSERVATIVE: a pair dropped here never reaches
+    * the exact verification, so fp round-up in t*size (e.g. 0.07*100 →
+    * 7.0000000000000009, ceil → 8) must not shrink a prefix or fail the
+    * length test for a pair the naive strategy keeps. Nudging t down by
+    * an epsilon only ever lengthens prefixes / admits borderline pairs —
+    * extra candidates are discarded by verifyJaccard's exact filter.
+    */
+  private[graft] def prefixStage(sets: DataFrame, t: Double): DataFrame = {
+    val tLoose = t - 1e-9
+    val sh = sets.select(col("id"), col("setSize"), explode(col("set")).as("shingle"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefixLen = greatest(lit(1),
+      (col("setSize") - ceil(lit(tLoose) * col("setSize")) + 1).cast("int"))
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    sh.join(freq, "shingle")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefixLen)
+      .select(col("id"), col("setSize"), col("shingle"))
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against

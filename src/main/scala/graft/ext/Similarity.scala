@@ -257,9 +257,18 @@ object Similarity {
     * authoritative for shared ids (the stale corpus copy is anti-joined
     * out before pairing). Output is (id_a=new, id_b=other, sim), each
     * unordered pair once (new-new pairs ordered id_a < id_b).
+    *
+    * The new batch is broadcast whole (`broadcastBatch = true`), so it
+    * must fit in driver + executor memory — the intended shape is an
+    * ingest micro-batch of up to a few hundred MB against an unbounded
+    * corpus. For a batch too big to broadcast pass
+    * `broadcastBatch = false`: the join degrades to a partitioned
+    * cartesian pairing (correct, more exchange) instead of failing on
+    * the broadcast size limit.
     */
   def cosineDupPairsNew(newVecs: DataFrame, corpus: DataFrame, minSim: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastBatch: Boolean = true): DataFrame = {
     GraftFunctions.ensureRegistered(newVecs.sparkSession)
     val corpusOnly = corpus.join(newVecs.select(col(idCol)), Seq(idCol), "left_anti")
     val a = normedSide(newVecs, idCol, vecCol, "id_a", "va", "na")
@@ -270,7 +279,7 @@ object Similarity {
     // broadcast the batch: the theta-join then streams the corpus side
     // partition-local (BroadcastNestedLoopJoin) instead of degenerating
     // to a CartesianProduct exchange of the whole corpus
-    broadcast(a).join(b,
+    (if (broadcastBatch) broadcast(a) else a).join(b,
         (!col("isNew") || col("id_a") < col("id_b")) && pairSim >= minSim)
       .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
   }

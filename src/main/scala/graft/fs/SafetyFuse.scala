@@ -7,7 +7,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 /** Marker-file transaction guard making destructive move/delete sequences
   * rerun-safe (reference: SafetyFuse.scala:5-25). `startTransaction`
   * relies on the FS failing creation of an existing file; a rerun that
-  * finds the marker skips its target-delete step.
+  * finds the marker skips its target-delete step. Note the exclusivity
+  * is only as strong as the FileSystem's create(overwrite=false):
+  * HDFS/ABFS make it an atomic create-exclusive, but RawLocalFileSystem
+  * and some object stores implement it as check-then-create, so two
+  * exactly-concurrent `startTransaction` callers can BOTH succeed there.
+  * The fuse guards against reruns (its purpose), not against racing
+  * writers on such stores.
   *
   * The marker can carry a `content` payload identifying the operation
   * that opened it (e.g. the move's source URI), so a resume path can
@@ -22,7 +28,9 @@ class SafetyFuse(fs: FileSystem, folder: String, runId: String = "graft") {
 
   def startTransaction(content: String = ""): Unit = {
     if (!fs.exists(new Path(folder))) fs.mkdirs(new Path(folder))
-    val out = fs.create(marker, false) // fails if the marker already exists
+    // fails if the marker already exists (atomic on HDFS; best-effort
+    // check-then-create on local/object-store FSes — see class doc)
+    val out = fs.create(marker, false)
     try if (content.nonEmpty) out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }

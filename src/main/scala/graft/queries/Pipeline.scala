@@ -24,6 +24,15 @@ object Pipeline {
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, minJaccard = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** PPJoin prefix-filter strategy of [[Dedup.ngramJaccardPairs]] — the
+    * zipfian-text scale path — under the SAME oracle as d02: both
+    * strategies must produce bit-identical pair sets.
+    */
+  def d09NgramJaccardPpjoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, minJaccard = 0.5,
+        prefixFilter = true)
+      .orderBy(col("id_a"), col("id_b"))
+
   def d03MinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedupPairs(Tables.documents(spark, dir), n = 3, k = 32, bands = 16,
         minJaccard = 0.5)
@@ -376,6 +385,8 @@ object Pipeline {
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "d02_ngram_jaccard" -> ngramJaccardOracle,
+    // the PPJoin strategy must equal the naive strategy exactly — same oracle
+    "d09_ngram_jaccard_ppjoin" -> ngramJaccardOracle,
     // minhash+LSH output is LSH-candidates verified by exact Jaccard; with
     // k=32/bands=16 recall at j>=0.5 is ~1 (verified == exact on fixtures),
     // so the exact-Jaccard oracle applies
@@ -515,6 +526,7 @@ object Pipeline {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"    -> d01ExactDedup _,
     "d02_ngram_jaccard"  -> d02NgramJaccard _,
+    "d09_ngram_jaccard_ppjoin" -> d09NgramJaccardPpjoin _,
     "d03_minhash_pairs"  -> d03MinhashPairs _,
     "d04_simhash_pairs"  -> d04SimhashPairs _,
     "d05_embedding_dups" -> d05EmbeddingDups _,

@@ -271,10 +271,12 @@ object Relational {
 
   /** Q20 NATIVE session windows: Spark's `session_window` — the same
     * operator the streaming pipeline uses — run in batch under the
-    * oracle gate. Semantics: a session merges events closer than the
-    * gap (strictly — an exact-gap successor starts a NEW session, which
-    * is where this differs from q13's `diff > gap` islands), and the
-    * session end is last event + gap. ts is floored ns→µs on both
+    * oracle gate. Semantics: an event merges into the current session
+    * whenever its distance from the last event is ≤ gap — an EXACT-gap
+    * successor merges (Spark's UpdatingSessionsIterator splits only on
+    * start strictly past the current end), producing the same islands
+    * as q13's `diff > gap` rule — and the session end is last event +
+    * gap. ts is floored ns→µs on both
     * sides; sums run in Decimal for partition-order independence.
     */
   def q20SessionWindows(spark: SparkSession, dir: String): DataFrame = {

@@ -105,6 +105,41 @@ class ExtSpec extends AnyFunSuite {
       s"missing=${(naive -- ppjoin).take(5)} spurious=${(ppjoin -- naive).take(5)}")
   }
 
+  test("PPJoin prefix stage: an injected boilerplate shingle never enters the candidate join") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // 40 docs all opening with the same boilerplate 3 words (→ one shared
+    // shingle with df = 40, the zipfian hot key) followed by 7 unique
+    // words each (7 unique shingles, df = 1). The naive inverted-index
+    // join would put 40 rows — every doc — on the boilerplate key; the
+    // PPJoin prefix keeps only each doc's 2 rarest shingles, so the hot
+    // key must not survive into the join input at all.
+    val boiler = "boiler plate text"
+    val skewed = (1 to 40).map(i =>
+        (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g"))
+      .toDF("doc_id", "text")
+    val sets = skewed.select(col("doc_id").as("id"),
+        graft.functions.GraftFunctions.graftShingles(col("text"), 3).as("set"))
+      .withColumn("setSize", size(col("set")).cast("long"))
+    // shingles travel as xxhash64(seed 42) longs — hash the hot key the same way
+    val boilerHash = spark.range(1).select(xxhash64(lit(boiler))).head.getLong(0)
+    // every doc really does carry the hot shingle into the exploded stage
+    val explodedHot = sets.select(explode(col("set")).as("shingle"))
+      .filter(col("shingle") === boilerHash).count()
+    assert(explodedHot == 40L, s"fixture broken: boilerplate df = $explodedHot")
+    val prefix = Dedup.prefixStage(sets, 0.8)
+    // t=0.8 on 8-shingle docs → prefixLen 2: only df=1 shingles qualify
+    assert(prefix.filter(col("shingle") === boilerHash).count() == 0L,
+      "high-df boilerplate shingle leaked into the PPJoin candidate join input")
+    val maxFanIn = prefix.groupBy("shingle").count().agg(max("count")).head.getLong(0)
+    assert(maxFanIn == 1L, s"prefix-stage max per-key fan-in $maxFanIn (want 1 on this fixture)")
+    // and the full strategies still agree end-to-end on the skewed fixture
+    def run(prefixFilter: Boolean) =
+      Dedup.ngramJaccardPairs(skewed, 3, 0.8, prefixFilter = prefixFilter)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(true) == run(false))
+  }
+
   test("PPJoin strategy keeps exact-boundary pairs despite fp round-up") {
     import spark.implicits._
     // |A|=7 shingles fully contained in |B|=100 → J = 7/100 = 0.07 exactly;
