@@ -45,22 +45,40 @@ object Fs {
 
   /** Recursive breadth-first tree listing; each level's directories are
     * listed concurrently on a bounded pool (reference fs/package.scala:35-50).
+    *
+    * `threads` defaults to [[driverPoolSize]] and is honored up to
+    * `withPool`'s 1000-thread cap — the reference sized this pool at
+    * 1000 because against a high-latency object store (ADLS HTTP) the
+    * listing rate is latency-bound, not CPU-bound.
+    *
+    * `dropFileDetail = true` collapses each folder's files into one
+    * `<folder>/summed_up_files` element DURING the scan (reference
+    * fs/package.scala:40-42): a folder with a million files contributes
+    * its subdirs plus one rolled-up element to driver memory instead of
+    * a million rows, so wide-folder size reports stay driver-safe. Byte
+    * totals are unchanged; only per-file detail is lost.
     */
-  def list(uri: String)(implicit conf: Configuration): Array[FsElement] = {
+  def list(uri: String, dropFileDetail: Boolean = false,
+      threads: Int = -1)(implicit conf: Configuration): Array[FsElement] = {
     val fs = getFileSystem(conf, uri)
-    val pool = Executors.newFixedThreadPool(driverPoolSize.min(64).max(4))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
+    withPool(if (threads > 0) threads else driverPoolSize) { implicit ec =>
       val out = Array.newBuilder[FsElement]
       var dirs: Array[Path] = Array(new Path(uri))
       while (dirs.nonEmpty) {
-        val futures = dirs.map(d => Future(fs.listStatus(d).map(toElement)))
+        val futures = dirs.map(d => Future {
+          val elems = fs.listStatus(d).map(toElement)
+          if (dropFileDetail && elems.nonEmpty) {
+            val (subdirs, files) = elems.partition(_.isDirectory)
+            subdirs :+ FsElement(s"${d.toString.stripSuffix("/")}/summed_up_files",
+              isDirectory = false, files.map(_.byteSize).sum)
+          } else elems
+        })
         val level = futures.flatMap(f => Await.result(f, OpTimeout))
         out ++= level
         dirs = level.filter(_.isDirectory).map(e => new Path(e.path))
       }
       out.result()
-    } finally pool.shutdown()
+    }
   }
 
   /** Distributed level-synchronous tree scan: the 100 TB path. Each BFS
@@ -84,10 +102,16 @@ object Fs {
     val conf = new SerializableHadoopConf(hadoopConf)
     var result = spark.emptyDataset[FsElement]
     var dirs = spark.createDataset(Seq(uri))
+    // ONE job per BFS level: the aggregate that materializes the level's
+    // persist also returns how many of its rows are directories, which
+    // is exactly the next iteration's fan-out (no dirs.count() job —
+    // at fixture scale two jobs/level is cosmetic, on a deep 100 TB
+    // tree it doubles the scheduler round-trips).
+    var dirCount = 1L
     val levels = scala.collection.mutable.ListBuffer.empty[Dataset[FsElement]]
-    while (!dirs.isEmpty) {
+    while (dirCount > 0) {
       val level = dirs.repartition(
-        math.max(1, math.min(dirs.count(), spark.sparkContext.defaultParallelism).toInt))
+        math.max(1, math.min(dirCount, spark.sparkContext.defaultParallelism).toInt))
         .mapPartitions { it =>
           val c = conf.value
           it.flatMap { d =>
@@ -97,7 +121,10 @@ object Fs {
           }
         }.persist()
       levels += level
-      level.count() // materialize before dirs is re-derived
+      // materializes the persist AND yields the next level's dir count
+      dirCount = level.toDF().agg(
+        org.apache.spark.sql.functions.count_if(org.apache.spark.sql.functions.col("isDirectory")))
+        .head.getLong(0)
       result = result.union(level)
       dirs = level.filter(_.isDirectory).map(_.path)
     }

@@ -38,6 +38,78 @@ class FsSpec extends AnyFunSuite {
     assert(dist == driver)
   }
 
+  test("list honors a configured pool width past the old 64-thread clamp") {
+    val c = new Configuration(conf)
+    c.set("fs.cnt.impl", classOf[CountingFileSystem].getName)
+    c.setBoolean("fs.cnt.impl.disable.cache", true)
+    CountingFileSystem.reset()
+    val all = Fs.list("cnt:/", threads = CountingFileSystem.Width)(c)
+    assert(all.count(_.isDirectory) == CountingFileSystem.Width)
+    // every directory's listStatus holds for HoldMs, so with the pool
+    // really sized at Width they overlap almost completely; the old
+    // hidden .min(64) clamp would cap the high-water mark at 64
+    val peak = CountingFileSystem.maxActive.get()
+    assert(peak > 64, s"listing concurrency peaked at $peak - pool width not honored")
+  }
+
+  test("dropFileDetail collapses files during the scan, preserving sizes") {
+    val root = TestTree.newRoot("fsspec_dfd")
+    TestTree.create(root, seed = 42)
+    val detailed = Fs.list(root)
+    val collapsed = Fs.list(root, dropFileDetail = true)
+    // same folder skeleton, no per-file rows — one rollup per folder
+    assert(collapsed.filter(_.isDirectory).map(_.path).sorted.toSeq ==
+      detailed.filter(_.isDirectory).map(_.path).sorted.toSeq)
+    val rolled = collapsed.filterNot(_.isDirectory)
+    assert(rolled.nonEmpty && rolled.forall(_.path.endsWith("/summed_up_files")))
+    // one rollup per listed folder (root included — reference emits the
+    // rollup whenever the folder's listing is nonEmpty, 0 bytes if dirs-only)
+    assert(rolled.length == detailed.count(_.isDirectory) + 1)
+    // byte totals invariant, globally and per subtree (TestGetSize pattern)
+    val sizesD = FsSizes(detailed)
+    val sizesC = FsSizes(collapsed)
+    assert(sizesC.totalBytes == sizesD.totalBytes)
+    detailed.filter(_.isDirectory).foreach { d =>
+      assert(sizesC.getSizeOfPath(d.path) == sizesD.getSizeOfPath(d.path),
+        s"subtree size diverged at ${d.path}")
+    }
+  }
+
+  test("listDistributed runs one job per tree level (plus the final pin)") {
+    val root = TestTree.newRoot("fsspec_jobs")
+    TestTree.create(root, seed = 7)
+    val driver = Fs.list(root)
+    val rootDepth = new Path(root).toString.count(_ == '/')
+    val maxDepth = driver.map(e => new Path(e.path).toString.count(_ == '/') - rootDepth).max
+    // count ACTIONS (SQL executions), not scheduler jobs: AQE splits one
+    // action into several jobs, but each driver-side round-trip the BFS
+    // pays is exactly one execution
+    val execs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val listing =
+      try {
+        val l = Fs.listDistributed(spark, root)
+        org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+        l
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(listing.collect().map(e => (e.path, e.isDirectory, e.byteSize)).toSet ==
+      driver.map(e => (e.path, e.isDirectory, e.byteSize)).toSet)
+    listing.unpersist()
+    // the BFS lists dirs at depths 0..maxDepth-1 (ONE materializing agg
+    // each — the dir count rides it, no separate count action), plus the
+    // final result-pinning count
+    assert(execs.get() == maxDepth + 1,
+      s"expected ${maxDepth + 1} actions (levels $maxDepth + pin), saw ${execs.get()}")
+  }
+
   test("sumUpFiles collapses files per folder preserving total size") {
     val root = TestTree.newRoot("fsspec_sum")
     TestTree.create(root, seed = 42)
