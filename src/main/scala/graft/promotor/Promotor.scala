@@ -30,6 +30,63 @@ object Promotor {
       .map(f => Paths(norm(f), norm(f).replace(srcLoc, trgLoc)))
   }
 
+  // ------------------------------------------------------------------
+  // Current-database convenience overloads — the reference's primary
+  // documented call shape (reference Promotor.scala:24-28,41-45,58-63,
+  // 76-80,327-331,377-380): bare table names resolved against
+  // spark.catalog.currentDatabase, both sides in the same database.
+  // Scala allows default arguments on only ONE overload per name, so
+  // the bare forms carry explicit arities and delegate to the
+  // db-qualified implementations below.
+  // ------------------------------------------------------------------
+
+  /** H6 in the current database (reference Promotor.scala:24-28). */
+  def copyFilesBetweenTables(srcTable: String, trgTable: String)(
+      implicit spark: SparkSession): Array[FsOperationResult] =
+    copyFilesBetweenTables(srcTable, trgTable, -1)
+
+  /** H6 in the current database with an explicit task count. */
+  def copyFilesBetweenTables(srcTable: String, trgTable: String, taskCount: Int)(
+      implicit spark: SparkSession): Array[FsOperationResult] = {
+    val db = spark.catalog.currentDatabase
+    copyFilesBetweenTables(db, srcTable, db, trgTable, taskCount)
+  }
+
+  /** H8 in the current database (reference Promotor.scala:41-45). */
+  def copyTablePartitions(srcTable: String, trgTable: String, matchStrings: Seq[String])(
+      implicit spark: SparkSession): Array[FsOperationResult] = {
+    val db = spark.catalog.currentDatabase
+    copyTablePartitions(db, srcTable, db, trgTable, matchStrings)
+  }
+
+  /** H9 in the current database (reference Promotor.scala:58-63). */
+  def copyOverwritePartitions(srcTable: String, trgTable: String, matchStrings: Seq[String])(
+      implicit spark: SparkSession): Array[FsOperationResult] = {
+    val db = spark.catalog.currentDatabase
+    copyOverwritePartitions(db, srcTable, db, trgTable, matchStrings)
+  }
+
+  /** H7 in the current database (reference Promotor.scala:76-80). */
+  def copyOverwriteTable(srcTable: String, trgTable: String)(
+      implicit spark: SparkSession): Array[FsOperationResult] = {
+    val db = spark.catalog.currentDatabase
+    copyOverwriteTable(db, srcTable, db, trgTable)
+  }
+
+  /** H13 in the current database (reference Promotor.scala:327-331). */
+  def moveTablePartitions(srcTable: String, trgTable: String, matchStrings: Seq[String])(
+      implicit spark: SparkSession): Seq[FsOperationResult] = {
+    val db = spark.catalog.currentDatabase
+    moveTablePartitions(db, srcTable, db, trgTable, matchStrings)
+  }
+
+  /** H14 in the current database (reference Promotor.scala:377-380). */
+  def moveFilesBetweenTables(srcTable: String, trgTable: String)(
+      implicit spark: SparkSession): Seq[FsOperationResult] = {
+    val db = spark.catalog.currentDatabase
+    moveFilesBetweenTables(db, srcTable, db, trgTable)
+  }
+
   /** H6: table→table file copy, no target cleanup. */
   def copyFilesBetweenTables(srcDb: String, srcTable: String, trgDb: String,
       trgTable: String, taskCount: Int = -1)(

@@ -141,6 +141,57 @@ class PromotorSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(s"$root/trg/graft_open_transaction")))
   }
 
+  test("current-database overloads: partition ops resolve bare table names") {
+    val _ = base
+    val prev = spark.catalog.currentDatabase
+    spark.catalog.setCurrentDatabase(db)
+    try {
+      val m = "2001-08"
+      assert(qtyFor("sales_fct", m) == 2 * qtyFor("sales_sfct", m))
+      val res = Promotor.copyOverwritePartitions("sales_fct", "sales_sfct", Seq(m))
+      assert(res.nonEmpty && res.forall(_.success))
+      assert(qtyFor("sales_sfct", m) == qtyFor("sales_fct", m))
+      // bare copyTablePartitions APPENDS (no target cleanup — reference
+      // semantics): distinct part-file names, so the quantity stacks
+      val m3 = "2001-09"
+      val trgBefore = qtyFor("sales_sfct", m3)
+      val res2 = Promotor.copyTablePartitions("sales_fct", "sales_sfct", Seq(m3))
+      assert(res2.nonEmpty && res2.forall(_.success))
+      assert(qtyFor("sales_sfct", m3) == trgBefore + qtyFor("sales_fct", m3))
+      val m2 = "2001-04"
+      val srcBefore = qtyFor("sales_fct", m2)
+      Promotor.moveTablePartitions("sales_fct", "sales_sfct", Seq(m2))
+      assert(qtyFor("sales_sfct", m2) == srcBefore)
+      assert(spark.table(s"$db.sales_fct").where(s"l_ship_month = '$m2'").count() == 0)
+    } finally spark.catalog.setCurrentDatabase(prev)
+  }
+
+  test("current-database overloads: whole-table copy and move") {
+    val _ = base
+    val root2 = "file:" + Files.createTempDirectory("promo_wh2").toFile.getAbsolutePath
+    spark.range(100).withColumn("v", lit(1L)).write
+      .option("path", s"$root2/src").saveAsTable(s"$db.ovl_src")
+    spark.range(50).withColumn("v", lit(9L)).write
+      .option("path", s"$root2/trg").saveAsTable(s"$db.ovl_trg")
+    spark.range(0).withColumn("v", lit(0L)).write
+      .option("path", s"$root2/trg2").saveAsTable(s"$db.ovl_trg2")
+    val prev = spark.catalog.currentDatabase
+    spark.catalog.setCurrentDatabase(db)
+    try {
+      val res = Promotor.copyOverwriteTable("ovl_src", "ovl_trg")
+      assert(res.forall(_.success))
+      assert(spark.table(s"$db.ovl_trg").count() == 100)
+      assert(spark.table(s"$db.ovl_trg").agg(sum("v")).head.getLong(0) == 100L)
+      val res2 = Promotor.moveFilesBetweenTables("ovl_trg", "ovl_trg2")
+      assert(res2.forall(_.success))
+      assert(spark.table(s"$db.ovl_trg2").count() == 100)
+      assert(spark.table(s"$db.ovl_trg").count() == 0)
+      val res3 = Promotor.copyFilesBetweenTables("ovl_trg2", "ovl_trg")
+      assert(res3.nonEmpty && res3.forall(_.success))
+      assert(spark.table(s"$db.ovl_trg").count() == 100)
+    } finally spark.catalog.setCurrentDatabase(prev)
+  }
+
   test("validator rejects mismatched schemas") {
     val _ = base
     intercept[IllegalArgumentException] {
