@@ -53,6 +53,38 @@ class LayoutSpec extends AnyFunSuite {
     } finally { zed.unpersist(); linear.unpersist(); () }
   }
 
+  test("z-ordered parquet files actually skip row groups for a probe-column predicate") {
+    import spark.implicits._
+    // 64x64 grid, 16 rows per cell: 16 output files of one row group each,
+    // so parquet min/max stats skipping operates at file granularity
+    val n = 65536
+    val df = (0 until n).map(i => (i % 64, (i / 64) % 64)).toDF("x", "y")
+    val dir = "file:" + java.nio.file.Files.createTempDirectory("zorder_prune").toString
+    ZOrder.layoutBy(df, Seq("x", "y"), numPartitions = 16, bits = 6)
+      .write.parquet(s"$dir/zed")
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/linear")
+    // rows the parquet reader actually produced (post row-group/page
+    // skipping, pre Spark-side filter) — the scan leaf's numOutputRows
+    def rowsRead(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("y") >= 10 && col("y") <= 20)
+      assert(q.count() == 11L * 64 * 16, "box result wrong - fixture broken")
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(sys.error("no FileSourceScanExec leaf in plan"))
+      scan.metrics("numOutputRows").value
+    }
+    val lin = rowsRead(s"$dir/linear")
+    val zed = rowsRead(s"$dir/zed")
+    // x-sorted files all span the full y range: a y predicate skips nothing
+    assert(lin > (0.9 * n).toLong, s"x-sorted layout unexpectedly skipped rows ($lin of $n)")
+    // z-ordered files cover ~16x16 rectangles: only the two y-bands
+    // overlapping [10,20] survive the row-group stats filter
+    assert(zed <= (0.7 * lin).toLong,
+      s"z-order produced no real parquet skipping: read $zed rows vs $lin unsorted")
+  }
+
   test("layoutBy survives nulls in z-order columns; degenerate diagnostic returns 0") {
     import spark.implicits._
     val df = Seq[(java.lang.Integer, java.lang.Integer)](
