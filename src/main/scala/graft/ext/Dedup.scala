@@ -300,16 +300,24 @@ object Dedup {
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, banded into
     * four 16-bit chunks (pigeonhole: distance ≤3 ⇒ at least one chunk
     * identical) so candidate generation is an equi-join.
+    *
+    * SCALE BOUND: with 2¹⁶ buckets per chunk, expected bucket fan-in is
+    * n/65536 on well-spread fingerprints — fine to ~10⁹ docs, but at
+    * 10¹¹ the within-bucket candidate join (Σ bucket²/2 rows) turns
+    * quadratic again, and FAR earlier than that if the corpus has large
+    * exact-duplicate classes (identical fingerprints collapse onto one
+    * bucket in every chunk). Run [[simhashBandingDiagnostic]] before
+    * launching this at scale: if `candidate_pairs` is disproportionate
+    * to n, exact-dedup first ([[exactDedup]] removes identical-text
+    * classes, the dominant cause), or tighten maxDist so a
+    * wider-chunk/banded-combination scheme applies. The pigeonhole
+    * forces chunk width ≤ 64/(maxDist+1), so fan-in per bucket is a
+    * property of maxDist, not a tunable.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxDist < 4, "4x16-bit banding supports maxDist <= 3")
-    val fps = simhash64(docs, textCol, idCol)
-    val chunks = (0 until 4).map(c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunkVal")))
-    val banded = fps.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("ch"))
-      .select(col("id"), col("simhash"), col("ch.chunk").as("chunk"), col("ch.chunkVal").as("chunkVal"))
+    val banded = simhashBanded(docs, textCol, idCol)
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b, col("a.chunk") === col("b.chunk")
         && col("a.chunkVal") === col("b.chunkVal") && col("a.id") < col("b.id"))
@@ -319,5 +327,40 @@ object Dedup {
     cand.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** The (id, simhash, chunk, chunkVal) banding rows behind
+    * [[simhashPairs]]' candidate equi-join — shared with the fan-in
+    * diagnostic so both see the identical bucketing.
+    */
+  private[graft] def simhashBanded(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fps = simhash64(docs, textCol, idCol)
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunkVal")))
+    fps.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("ch"))
+      .select(col("id"), col("simhash"), col("ch.chunk").as("chunk"), col("ch.chunkVal").as("chunkVal"))
+  }
+
+  /** Bucket fan-in diagnostic for [[simhashPairs]] (the ZOrder
+    * span-fraction idea applied to the banding join): per 16-bit chunk,
+    * how concentrated the buckets are and how many within-bucket
+    * candidate rows the self-join would grind through. One row per
+    * chunk: `n_buckets`, `max_bucket` (the hottest key's fan-in) and
+    * `candidate_pairs` = Σ c·(c−1)/2 — the actual join output size, the
+    * number that must stay ~linear in n for the operator to be runnable.
+    * Cheap (one groupBy over the banding rows); run it on a sample
+    * before pointing [[simhashPairs]] at a new corpus.
+    */
+  def simhashBandingDiagnostic(docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    simhashBanded(docs, textCol, idCol)
+      .groupBy(col("chunk"), col("chunkVal")).agg(count(lit(1)).as("c"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_bucket"),
+        sum(col("c") * (col("c") - 1) / 2).cast("long").as("candidate_pairs"))
+      .orderBy(col("chunk"))
   }
 }

@@ -157,6 +157,29 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs(true) == naive)
   }
 
+  test("simhash banding diagnostic flags duplicate-class bucket skew") {
+    import spark.implicits._
+    // 200 identical docs (one fingerprint → one hot bucket in EVERY
+    // chunk) + 60 distinct docs: the exact situation where simhashPairs'
+    // candidate join quietly turns quadratic
+    val hot = (1 to 200).map(i => (i.toLong, "the same boilerplate document text every time"))
+    val cold = (1001 to 1060).map(i =>
+      (i.toLong, s"unique document number $i with words w${i}x w${i}y w${i}z"))
+    val skewed = (hot ++ cold).toDF("doc_id", "text")
+    val diag = Dedup.simhashBandingDiagnostic(skewed).collect()
+    assert(diag.length == 4, "one diagnostic row per 16-bit chunk")
+    val maxBucket = diag.map(_.getAs[Long]("max_bucket")).max
+    val candPairs = diag.map(_.getAs[Long]("candidate_pairs")).sum
+    assert(maxBucket >= 200L, s"hot duplicate class not visible: max_bucket $maxBucket")
+    // 200-doc class alone contributes 4 chunks x C(200,2) candidate rows
+    assert(candPairs >= 4L * 200 * 199 / 2, s"candidate_pairs underestimates: $candPairs")
+    // a spread-out corpus keeps buckets tiny — the diagnostic separates
+    // the two regimes crisply
+    val flatDiag = Dedup.simhashBandingDiagnostic(cold.toDF("doc_id", "text")).collect()
+    assert(flatDiag.map(_.getAs[Long]("max_bucket")).max <= 20L,
+      "flat fixture shows no dominant bucket")
+  }
+
   // non-space whitespace at the edges is the divergence trap between the
   // native expressions' Java-side tokenization and the declarative
   // split(trim(...)) twin: Spark trim strips SPACES only and Spark split
