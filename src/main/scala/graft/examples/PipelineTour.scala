@@ -103,6 +103,26 @@ object PipelineTour {
         vecPairs.nonEmpty && vecPairs.forall(r => newVecIds(r.getLong(0)))
     }
 
+    check("persisted minhash index: build once, probe every batch") {
+      // production ingest shape: the corpus signature index is built and
+      // written ONCE (the expensive part — it scales with the corpus),
+      // then every incoming batch probes the reloaded index instead of
+      // re-signaturing the corpus
+      val idxDir = java.nio.file.Files.createTempDirectory("tour_mh_idx")
+        .toFile.getAbsolutePath
+      val newDocs = docs.filter(col("doc_id") % 7 === 0)
+      val docCorpus = docs.filter(col("doc_id") % 7 =!= 0)
+      Dedup.writeMinhashIndex(docCorpus, s"$idxDir/idx", n = 3, k = 32, bands = 16)
+      val idx = Dedup.readMinhashIndex(spark, s"$idxDir/idx")
+      val indexed = Dedup.minhashDedupNewPairs(newDocs, docCorpus,
+          n = 3, k = 32, bands = 16, minJaccard = 0.5, corpusIndex = Some(idx))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = Dedup.minhashDedupNewPairs(newDocs, docCorpus,
+          n = 3, k = 32, bands = 16, minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      indexed.nonEmpty && indexed == direct
+    }
+
     check("weighted sample is deterministic and favors heavy docs") {
       val weighted = docs.withColumn("w", length(col("text")).cast("double"))
       val s1 = graft.ops.Sampling.weightedPriority(weighted, "w", Seq("doc_id"), m = 50)

@@ -66,9 +66,10 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id",
-      prefixFilter: Boolean = false): DataFrame = {
+      prefixFilter: Boolean = false, broadcastDf: Boolean = false,
+      dfTable: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
-    if (prefixFilter) ngramJaccardPrefix(docs, n, minJaccard, textCol, idCol)
+    if (prefixFilter) ngramJaccardPrefix(docs, n, minJaccard, textCol, idCol, broadcastDf, dfTable)
     else {
       // setSize rides the exploded rows (8 bytes per shingle instance)
       // and survives the pair groupBy as a grouping key — it is
@@ -92,10 +93,11 @@ object Dedup {
 
   /** PPJoin strategy of [[ngramJaccardPairs]] (see its scaladoc). */
   private def ngramJaccardPrefix(docs: DataFrame, n: Int, t: Double,
-      textCol: String, idCol: String): DataFrame = {
+      textCol: String, idCol: String,
+      broadcastDf: Boolean, dfTable: Option[DataFrame]): DataFrame = {
     val sets = docs.select(col(idCol).as("id"), graftShingles(col(textCol), n).as("set"))
       .withColumn("setSize", size(col("set")).cast("long"))
-    val prefix = prefixStage(sets, t)
+    val prefix = prefixStage(sets, t, broadcastDf, dfTable)
     val tLoose = t - 1e-9
     val a = prefix.as("a"); val b = prefix.as("b")
     val cand = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id")
@@ -122,18 +124,51 @@ object Dedup {
     * length test for a pair the naive strategy keeps. Nudging t down by
     * an epsilon only ever lengthens prefixes / admits borderline pairs —
     * extra candidates are discarded by verifyJaccard's exact filter.
+    *
+    * Shuffle profile of the df lookup: by default `sh` sort-merge-joins
+    * the freq table on shingle — two exchanges of the exploded rows
+    * before the (unavoidable) per-doc window exchange on id. When the
+    * distinct-shingle vocabulary is known to be modest
+    * (`broadcastDf = true`), freq broadcasts instead and the join is a
+    * narrow BroadcastHashJoin: the ONLY exchange of `sh` in the whole
+    * stage is the window's hash-partition on id (exchange count pinned
+    * in PlanSpec). And because exact global df is a corpus-level
+    * artifact a production pipeline reuses across ingest batches, a
+    * precomputed `(shingle, df)` table (e.g. read back from parquet —
+    * t03Vocab's `df` column is exactly this under a rename) can be
+    * passed as `dfTable`, skipping the groupBy recompute entirely.
+    * A stale/subset df table only REORDERS the rarity sort — any
+    * (shingle, df) assignment keeps the prefix conservative as long as
+    * prefixes come from the same ordering both sides of the self-join,
+    * which they do (one shared `prefix` plan); missing shingles drop
+    * their sh rows, so supply a complete vocabulary (the consistency
+    * spec pins reuse == recompute on the fixture).
     */
-  private[graft] def prefixStage(sets: DataFrame, t: Double): DataFrame = {
+  private[graft] def prefixStage(sets: DataFrame, t: Double,
+      broadcastDf: Boolean = false, dfTable: Option[DataFrame] = None): DataFrame = {
     val tLoose = t - 1e-9
     val sh = sets.select(col("id"), col("setSize"), explode(col("set")).as("shingle"))
-    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val freq = dfTable.getOrElse(sh.groupBy("shingle").agg(count(lit(1)).as("df")))
     val prefixLen = greatest(lit(1),
       (col("setSize") - ceil(lit(tLoose) * col("setSize")) + 1).cast("int"))
     val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
-    sh.join(freq, "shingle")
+    sh.join(if (broadcastDf) broadcast(freq) else freq, "shingle")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefixLen)
       .select(col("id"), col("setSize"), col("shingle"))
+  }
+
+  /** The exact global shingle document-frequency table `(shingle, df)`
+    * the PPJoin prefix orders by — exposed so a pipeline can compute it
+    * once, persist it (plain parquet), and feed it back to
+    * [[ngramJaccardPairs]] as `dfTable` on every subsequent batch
+    * instead of re-aggregating the corpus per invocation.
+    */
+  def shingleDfTable(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol).as("id"), explode(graftShingles(col(textCol), n)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
@@ -239,7 +274,8 @@ object Dedup {
     */
   def minhashDedupNewPairs(newDocs: DataFrame, corpus: DataFrame,
       n: Int = 3, k: Int = 32, bands: Int = 16, minJaccard: Double = 0.8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      corpusIndex: Option[DataFrame] = None): DataFrame = {
     // batch rows are authoritative for shared ids: a corpus row whose id
     // reappears in the batch is superseded and drops out BEFORE banding —
     // otherwise the stale corpus copy both self-pairs with its batch twin
@@ -249,7 +285,17 @@ object Dedup {
     // guard is needed and superseded rows cost no signature work.
     val corpusOnly = corpus.join(newDocs.select(col(idCol)), Seq(idCol), "left_anti")
     val newBanded = bandSignature(minhashSignatures(newDocs, n, k, textCol, idCol), k, bands)
-    val corpusBanded = bandSignature(minhashSignatures(corpusOnly, n, k, textCol, idCol), k, bands)
+    // a persisted index ([[minhashIndex]] written to parquet) replaces
+    // the per-call corpus signature recompute — the dominant cost of an
+    // ingest batch, since the corpus dwarfs the batch; the supersede
+    // anti-join then applies to the index ROWS by id (same semantics:
+    // a re-ingested id's stale bands must not produce candidates).
+    // Corpus TEXT is still read, but only for the docs that surface in
+    // candidate pairs (verifyJaccard's per-side join prunes the rest).
+    val corpusBanded = corpusIndex match {
+      case Some(idx) => idx.join(newDocs.select(col(idCol).as("id")), Seq("id"), "left_anti")
+      case None => bandSignature(minhashSignatures(corpusOnly, n, k, textCol, idCol), k, bands)
+    }
     val probe = newBanded.as("a")
     val index = corpusBanded.withColumn("isNew", lit(false))
       .unionByName(newBanded.withColumn("isNew", lit(true))).as("b")
@@ -265,6 +311,38 @@ object Dedup {
       .withColumn("setSize", size(col("set")).cast("long"))
     verifyJaccard(cand, sets, minJaccard)
   }
+
+  /** The banded signature index rows `(id, band, bandHash)` for a
+    * corpus — the artifact [[minhashDedupNewPairs]] probes every ingest
+    * batch. Computable once and PERSISTED (plain parquet via
+    * [[writeMinhashIndex]]) so production ingest reuses it instead of
+    * re-signaturing the full corpus per batch; `(n, k, bands)` and the
+    * text normalization must match between index build and probe time
+    * (the band hashes are a pure function of them — a mismatch joins
+    * nothing rather than joining wrongly).
+    */
+  def minhashIndex(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bandSignature(minhashSignatures(docs, n, k, textCol, idCol), k, bands)
+
+  /** Persist [[minhashIndex]] as parquet, laid out for the probe join:
+    * repartitioned on (band, bandHash) — the candidate join's key — so
+    * an ingest batch's broadcast/shuffle probe reads co-located buckets,
+    * and a full rebuild never shuffles at probe time.
+    */
+  def writeMinhashIndex(docs: DataFrame, path: String,
+      n: Int = 3, k: Int = 32, bands: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): Unit =
+    minhashIndex(docs, n, k, bands, textCol, idCol)
+      .repartition(col("band"), col("bandHash"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a persisted [[minhashIndex]] back; pass as `corpusIndex` to
+    * [[minhashDedupNewPairs]]. The reload==recompute consistency is
+    * pinned in ExtSpec.
+    */
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   // ------------------------------------------------------------- SimHash
 
@@ -298,8 +376,19 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, banded into
-    * four 16-bit chunks (pigeonhole: distance ≤3 ⇒ at least one chunk
-    * identical) so candidate generation is an equi-join.
+    * equal-width chunks so candidate generation is an equi-join.
+    *
+    * Chunk count is picked from maxDist by the pigeonhole argument: two
+    * fingerprints at Hamming distance d differ in d bit positions, and
+    * d positions can touch at most d of the c chunks — so for d < c at
+    * least one chunk is bit-identical on both sides, and the equi-join
+    * on (chunk, chunkVal) finds every true pair. maxDist ≤ 3 uses the
+    * classic 4×16-bit banding; 3 < maxDist ≤ 7 uses 8×8-bit chunks
+    * (d ≤ 7 touches ≤ 7 of the 8 chunks — one 8-bit chunk survives
+    * intact). Wider distance costs fan-in: 8-bit chunks have 2⁸
+    * buckets, so expected bucket occupancy is n/256 per chunk and the
+    * candidate join output grows 256× vs 16-bit chunks — the price of
+    * distance, not a tunable (chunk width ≤ 64/(maxDist+1) is forced).
     *
     * SCALE BOUND: with 2¹⁶ buckets per chunk, expected bucket fan-in is
     * n/65536 on well-spread fingerprints — fine to ~10⁹ docs, but at
@@ -309,15 +398,53 @@ object Dedup {
     * bucket in every chunk). Run [[simhashBandingDiagnostic]] before
     * launching this at scale: if `candidate_pairs` is disproportionate
     * to n, exact-dedup first ([[exactDedup]] removes identical-text
-    * classes, the dominant cause), or tighten maxDist so a
-    * wider-chunk/banded-combination scheme applies. The pigeonhole
-    * forces chunk width ≤ 64/(maxDist+1), so fan-in per bucket is a
-    * property of maxDist, not a tunable.
+    * classes, the dominant cause), or tighten maxDist so the
+    * narrower-fan-in banding applies.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(maxDist < 4, "4x16-bit banding supports maxDist <= 3")
-    val banded = simhashBanded(docs, textCol, idCol)
+    require(maxDist <= 7, "8x8-bit banding supports maxDist <= 7")
+    simhashPairsChunked(docs, maxDist, chunks = if (maxDist <= 3) 4 else 8,
+      textCol, idCol)
+  }
+
+  /** [[simhashPairs]] with the chunk count explicit — `private[graft]`
+    * so the twin-equality spec can force 8×8-bit banding at maxDist ≤ 3
+    * and pin it pair-identical to the default 4×16-bit banding.
+    */
+  private[graft] def simhashPairsChunked(docs: DataFrame, maxDist: Int, chunks: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(64 % chunks == 0 && maxDist < chunks,
+      s"pigeonhole needs maxDist=$maxDist < chunks=$chunks and chunks | 64")
+    hammingPairs(simhashBanded(docs, textCol, idCol, chunks), maxDist)
+  }
+
+  /** Near-dup pairs over the 32-bit md5-derived SimHash — the fully
+    * oracle-replayable twin of [[simhashPairs]]: d07 gates the
+    * fingerprint itself; this puts the PAIRING machinery (chunk banding
+    * equi-join, candidate dedupe, exact Hamming verify) under the same
+    * cross-engine gate, since a SQL engine can recompute both the
+    * fingerprints (md5) and the naive-join pair set
+    * (`bit_count(xor(...))`). Banding is 4×8-bit chunks of the 32-bit
+    * fingerprint — the same pigeonhole (d ≤ 3 < 4 chunks), a 256-bucket
+    * fan-in per chunk. The 64-bit xxhash64 variant stays the scale
+    * default (wider fingerprint, 65536-bucket fan-in).
+    */
+  def simhashPairsMd5(docs: DataFrame, maxDist: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxDist < 4, "4x8-bit banding of a 32-bit fingerprint supports maxDist <= 3")
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    // same doc filter as d07: a token-less doc has no fingerprint
+    val fps = docs.filter(col(textCol).rlike("\\S"))
+      .select(col(idCol).as("id"),
+        GraftFunctions.graftSimhashMd5(col(textCol)).as("simhash"))
+    hammingPairs(bandedOf(fps, nbits = 32, chunks = 4), maxDist)
+  }
+
+  /** Candidate equi-join on (chunk, chunkVal) + exact Hamming verify —
+    * the pairing stage shared by every SimHash variant.
+    */
+  private def hammingPairs(banded: DataFrame, maxDist: Int): DataFrame = {
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b, col("a.chunk") === col("b.chunk")
         && col("a.chunkVal") === col("b.chunkVal") && col("a.id") < col("b.id"))
@@ -329,18 +456,26 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** (id, simhash, chunk, chunkVal) banding rows over an arbitrary
+    * fingerprint width: `chunks` equal chunks of the low `nbits` bits.
+    */
+  private[graft] def bandedOf(fps: DataFrame, nbits: Int, chunks: Int): DataFrame = {
+    val width = nbits / chunks
+    val mask = (1L << width) - 1
+    val chunkCols = (0 until chunks).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * width).bitwiseAND(mask).as("chunkVal")))
+    fps.select(col("id"), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
+      .select(col("id"), col("simhash"), col("ch.chunk").as("chunk"), col("ch.chunkVal").as("chunkVal"))
+  }
+
   /** The (id, simhash, chunk, chunkVal) banding rows behind
     * [[simhashPairs]]' candidate equi-join — shared with the fan-in
     * diagnostic so both see the identical bucketing.
     */
-  private[graft] def simhashBanded(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fps = simhash64(docs, textCol, idCol)
-    val chunks = (0 until 4).map(c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunkVal")))
-    fps.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("ch"))
-      .select(col("id"), col("simhash"), col("ch.chunk").as("chunk"), col("ch.chunkVal").as("chunkVal"))
-  }
+  private[graft] def simhashBanded(docs: DataFrame, textCol: String, idCol: String,
+      chunks: Int = 4): DataFrame =
+    bandedOf(simhash64(docs, textCol, idCol), nbits = 64, chunks = chunks)
 
   /** Bucket fan-in diagnostic for [[simhashPairs]] (the ZOrder
     * span-fraction idea applied to the banding join): per 16-bit chunk,
@@ -353,9 +488,10 @@ object Dedup {
     * before pointing [[simhashPairs]] at a new corpus.
     */
   def simhashBandingDiagnostic(docs: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      chunks: Int = 4): DataFrame = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
-    simhashBanded(docs, textCol, idCol)
+    simhashBanded(docs, textCol, idCol, chunks)
       .groupBy(col("chunk"), col("chunkVal")).agg(count(lit(1)).as("c"))
       .groupBy(col("chunk"))
       .agg(count(lit(1)).as("n_buckets"),

@@ -26,11 +26,16 @@ object Pipeline {
 
   /** PPJoin prefix-filter strategy of [[Dedup.ngramJaccardPairs]] — the
     * zipfian-text scale path — under the SAME oracle as d02: both
-    * strategies must produce bit-identical pair sets.
+    * strategies must produce bit-identical pair sets. The fixture's
+    * vocabulary is modest, so the registered query takes the
+    * broadcast-df fast path (the df table broadcasts instead of
+    * shuffling the exploded shingles through a sort-merge join; see
+    * [[Dedup.prefixStage]]) — the shuffle-df path stays pinned equal in
+    * ExtSpec.
     */
   def d09NgramJaccardPpjoin(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, minJaccard = 0.5,
-        prefixFilter = true)
+        prefixFilter = true, broadcastDf = true)
       .orderBy(col("id_a"), col("id_b"))
 
   def d03MinhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -40,6 +45,17 @@ object Pipeline {
 
   def d04SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash PAIRING machinery under the oracle gate
+    * ([[Dedup.simhashPairsMd5]]): banding join + Hamming verify over the
+    * 32-bit md5 fingerprint d07 already gates — DuckDB recomputes the
+    * fingerprints and replays the pair set with `bit_count(xor(...))`.
+    * d04 (the 64-bit xxhash64 scale default) stays rows-only; its
+    * machinery is now cross-checked here.
+    */
+  def d10SimhashPairsMd5(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsMd5(Tables.documents(spark, dir), maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   def d05EmbeddingDups(spark: SparkSession, dir: String): DataFrame =
@@ -64,17 +80,59 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def s02LshTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact top-5 (query_id, neighbor_id) set shared by the two ANN
+    * recall gates — [[Similarity.bruteForceTopK]], the surface s01
+    * already proves hash-identical to the DuckDB exact top-k.
+    */
+  private def exactTop5Pairs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, k = 5, dim = 64, bitsPerTable = 6, tables = 8)
-      .orderBy(col("query_id"), col("rank"))
+    val q = emb.filter(col("vec_id") < 20)
+    (q, Similarity.bruteForceTopK(q, emb, k = 5).select(col("query_id"), col("neighbor_id")))
   }
 
-  def s03IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Recall@5 of hyperplane-LSH ANN vs the exact top-k, per query — the
+    * oracle-gated twin of the realistic-parameter [[s02LshTopK]] path
+    * (which stays spec-gated in ExtSpec). Seeded hyperplanes make the
+    * approximate set deterministic, and at these RECALL-SATURATING
+    * parameters (2 bits → 4 buckets/table, 32 tables: a true neighbor
+    * pair must land in different half-spaces of both planes in all 32
+    * tables to be missed) recall is exactly 1.0 on the fixture — so the
+    * DuckDB oracle can replay the whole query as exact-top-k joined
+    * against itself (the d03 pattern: approx == exact at gate
+    * parameters ⇒ the exact oracle applies). Any plumbing regression in
+    * bucketing, probing, or ranking that drops a single true pair
+    * breaks the 1.0 and fails the row.
+    */
+  def s02LshRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, k = 5,
-        nCentroids = 16, nProbe = 6)
-      .orderBy(col("query_id"), col("rank"))
+    val (q, exact) = exactTop5Pairs(spark, dir)
+    val approx = Similarity.lshTopK(q, emb, k = 5, dim = 64,
+        bitsPerTable = 2, tables = 32)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg((count(lit(1)) / 5.0).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Recall@5 of IVF ANN vs the exact top-k, per query. nProbe =
+    * nCentroids probes EVERY inverted list, so the candidate set is the
+    * full corpus and recall is structurally 1.0 — the gate pins the
+    * end-to-end IVF machinery (argmax list assignment with its
+    * tie-breaking, probe explode, candidate join emitting each pair
+    * exactly once, TopKPerKey ranking) as equivalent to brute force,
+    * the invariant full-probe IVF must satisfy. Partial-probe recall
+    * (the actual scale trade-off) stays spec-gated in ExtSpec.
+    */
+  def s03IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (q, exact) = exactTop5Pairs(spark, dir)
+    val approx = Similarity.ivfTopK(q, emb, k = 5, nCentroids = 16, nProbe = 16)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg((count(lit(1)) / 5.0).as("recall"))
+      .orderBy(col("query_id"))
   }
 
   def t01TextStats(spark: SparkSession, dir: String): DataFrame =
@@ -85,8 +143,36 @@ object Pipeline {
         TextOps.punctCount(col("text")).cast("long").as("n_punct"))
       .orderBy(col("doc_id"))
 
-  def t02TextAnalyze(spark: SparkSession, dir: String): DataFrame =
-    TextOps.analyze(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+  /** The SQL-expressible half of [[TextOps.analyze]] under the oracle
+    * gate: token/char/punct counts, stopword ratio, and the composite
+    * quality score, all read from the ONE-PASS native
+    * [[graft.functions.TextMetrics]] expression — so the gate verifies
+    * the fused hot path itself, not a column-primitive twin. The
+    * engine-specific outputs (heuristic lang-ID, xxhash64 rolling
+    * fingerprint, lookaround-regex subword count — none replayable by an
+    * RE2/SQL oracle) stay spec-gated in ExtSpec via the full
+    * [[TextOps.analyze]] surface. Ratio columns are floor-scaled, not
+    * round(6)-ed, for the same cross-engine tie-breaking reason as t05.
+    */
+  def t02TextAnalyze(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val ratio = when(col("m.n_tokens") === 0, lit(0.0))
+      .otherwise(col("m.stop_hits").cast("double") / col("m.n_tokens"))
+    val lenScore = least(col("m.n_chars").cast("double") / 500.0, lit(1.0))
+    val punctScore = least(
+      col("m.n_punct").cast("double") * 10.0 / greatest(col("m.n_tokens"), lit(1)), lit(1.0))
+    val stopScore = least(ratio * 5.0, lit(1.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.graftTextMetrics(col("text")).as("m"))
+      .select(col("doc_id"),
+        col("m.n_tokens").cast("long").as("n_tokens"),
+        col("m.n_chars").cast("long").as("n_chars"),
+        col("m.n_punct").cast("long").as("n_punct"),
+        (floor(ratio * 1e6) / 1e6).as("stopword_ratio"),
+        (floor((lenScore * 0.5 + punctScore * 0.2 + stopScore * 0.3) * 1e6) / 1e6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
 
   /** BPE-ish token count ([[TextOps.bpeTokenCount]]): GPT-style
     * pre-tokenizer match count, RE2-safe so DuckDB replays it exactly.
@@ -320,7 +406,11 @@ object Pipeline {
       .select(col("doc_id"), col("priority"))
       .orderBy(col("doc_id"))
 
-  private def simhashMd5Oracle: String = {
+  /** Shared CTE chain computing the 32-bit md5 SimHash per doc (ends in
+    * a `fp(doc_id, simhash)` relation) — the base of both the d07
+    * fingerprint oracle and the d10 pairs oracle.
+    */
+  private def simhashMd5Cte: String = {
     val sums = (0 until 32)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
       .mkString(",\n    ")
@@ -337,9 +427,44 @@ object Pipeline {
        |  SELECT doc_id,
        |    $sums
        |  FROM h GROUP BY doc_id
-       |)
-       |SELECT doc_id, $fp AS simhash FROM s ORDER BY doc_id""".stripMargin
+       |), fp AS (
+       |  SELECT doc_id, $fp AS simhash FROM s
+       |)""".stripMargin
   }
+
+  private def simhashMd5Oracle: String =
+    s"$simhashMd5Cte\nSELECT doc_id, simhash FROM fp ORDER BY doc_id"
+
+  /** Naive exact pair join over the md5 SimHash — what the banded
+    * equi-join + Hamming verify must reproduce exactly.
+    */
+  private def simhashMd5PairsOracle: String =
+    s"""$simhashMd5Cte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Exact top-5 joined against itself → recall 1.0 per query — the
+    * expected output of [[s02LshRecall]]/[[s03IvfRecall]] (whose
+    * approximate sets equal the exact set at gate parameters).
+    */
+  private val annRecallOracle =
+    """WITH exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+      |                 b.vec_id) AS rank
+      |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      |    WHERE a.vec_id < 20) t
+      |  WHERE rank <= 5
+      |)
+      |SELECT a.query_id AS query_id, count(*) / 5.0 AS recall
+      |FROM exact a JOIN exact b
+      |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      |GROUP BY a.query_id ORDER BY query_id""".stripMargin
 
   private val ngramJaccardOracle =
     """WITH toks AS (
@@ -366,6 +491,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "d07_simhash_md5" -> simhashMd5Oracle,
+    "d10_simhash_pairs_md5" -> simhashMd5PairsOracle,
     // priority = w / u, u = (h+1)/2^32 — all IEEE-exact ops, so the
     // DOUBLE priorities hash-match bit-for-bit across engines
     "t06_weighted_sample" ->
@@ -423,6 +549,35 @@ object Pipeline {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
         |  WHERE a.vec_id < 20) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the recall joins replay in SQL as exact-top-k ⋈ exact-top-k: at the
+    // registered gate parameters the approximate candidate set provably
+    // (IVF: structurally; LSH: saturating tables) contains every exact
+    // pair, so any Spark-side recall < 1.0 hash-mismatches the oracle
+    "s02_lsh_recall" -> annRecallOracle,
+    "s03_ivf_recall" -> annRecallOracle,
+    "t02_text_analyze" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n_tokens, n_chars, n_punct,
+        |    CASE WHEN n_tokens = 0 THEN 0.0
+        |         ELSE len(list_filter(toks, x -> x IN
+        |                ('the','a','an','and','or','of','to','in','is','it')))
+        |              / CAST(n_tokens AS DOUBLE) END AS stop_ratio
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, n_chars, n_punct,
+        |  floor(stop_ratio * 1e6) / 1e6 AS stopword_ratio,
+        |  floor((least(n_chars / 500.0, 1.0) * 0.5
+        |       + least(n_punct * 10.0 / greatest(n_tokens, 1), 1.0) * 0.2
+        |       + least(stop_ratio * 5.0, 1.0) * 0.3) * 1e6) / 1e6 AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
     "t07_bpe_tokens" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+|[ ]+')) AS n_bpe
@@ -529,11 +684,12 @@ object Pipeline {
     "d09_ngram_jaccard_ppjoin" -> d09NgramJaccardPpjoin _,
     "d03_minhash_pairs"  -> d03MinhashPairs _,
     "d04_simhash_pairs"  -> d04SimhashPairs _,
+    "d10_simhash_pairs_md5" -> d10SimhashPairsMd5 _,
     "d05_embedding_dups" -> d05EmbeddingDups _,
     "d08_embedding_dups_new" -> d08EmbeddingDupsNew _,
     "s01_sim_topk"       -> s01SimTopK _,
-    "s02_lsh_topk"       -> s02LshTopK _,
-    "s03_ivf_topk"       -> s03IvfTopK _,
+    "s02_lsh_recall"     -> s02LshRecall _,
+    "s03_ivf_recall"     -> s03IvfRecall _,
     "t01_text_stats"     -> t01TextStats _,
     "t07_bpe_tokens"     -> t07BpeTokens _,
     "t02_text_analyze"   -> t02TextAnalyze _,

@@ -127,6 +127,31 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("d09 prefix stage (broadcast df): exploded shingles never shuffle on the join key") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, sf)
+    val sets = docs.select(col("doc_id").as("id"),
+        graft.functions.GraftFunctions.graftShingles(col("text"), 3).as("set"))
+      .withColumn("setSize", size(col("set")).cast("long"))
+    val plan = graft.ext.Dedup.prefixStage(sets, 0.5, broadcastDf = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"df lookup not broadcast:\n$plan")
+    // the df-aggregation's own exchange + the per-doc rarity window's —
+    // but NOT a third shuffling the exploded shingle rows on the join key
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+    // with the df table PERSISTED and read back (the cross-batch reuse
+    // path) even the aggregation exchange is gone: the whole prefix
+    // stage is the window's single hash exchange
+    val dir = java.nio.file.Files.createTempDirectory("graft_df_plan").toFile.getAbsolutePath
+    graft.ext.Dedup.shingleDfTable(docs, 3).write.parquet(s"$dir/df")
+    val reusedPlan = graft.ext.Dedup.prefixStage(sets, 0.5, broadcastDf = true,
+        dfTable = Some(spark.read.parquet(s"$dir/df")))
+      .queryExecution.executedPlan.toString
+    assert(reusedPlan.contains("BroadcastHashJoin"), reusedPlan)
+    assert("Exchange hashpartitioning".r.findAllIn(reusedPlan).length == 1, reusedPlan)
+  }
+
   test("d05: per-side norms are computed below the pair join") {
     val df = SparkEntry.queries("d05_embedding_dups")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString

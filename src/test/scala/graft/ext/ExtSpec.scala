@@ -404,4 +404,72 @@ class ExtSpec extends AnyFunSuite {
     val rows = pairs.collect()
     assert(rows.length == 1 && rows.head.getLong(0) == 1L && rows.head.getLong(1) == 2L)
   }
+
+  test("simhash 8x8-bit banding == 4x16-bit banding at maxDist <= 3") {
+    // both chunkings are pigeonhole-complete at d <= 3 (3 flipped bits
+    // touch at most 3 of 4 sixteen-bit chunks AND at most 3 of 8
+    // eight-bit chunks), and both verify candidates with the same exact
+    // hamming filter — so the pair sets must be identical, the wider
+    // banding just pays 256x bucket fan-in for its d <= 7 reach
+    def pairs(chunks: Int) =
+      Dedup.simhashPairsChunked(docs, maxDist = 3, chunks = chunks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val narrow = pairs(4)
+    val wide = pairs(8)
+    assert(narrow.nonEmpty, "fixture produced no simhash pairs at maxDist 3")
+    assert(wide == narrow,
+      s"only-8x8=${(wide -- narrow).take(5)} only-4x16=${(narrow -- wide).take(5)}")
+    // the public entry dispatches by maxDist: > 3 must route to 8x8
+    // (and a distance-7 sweep is a superset of the distance-3 pairs)
+    val d7 = Dedup.simhashPairs(docs, maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(narrow.map(p => (p._1, p._2)).subsetOf(d7))
+  }
+
+  test("minhash index: parquet reload == recompute, and indexed incremental dedup == direct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_index").toFile.getAbsolutePath
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    Dedup.writeMinhashIndex(corpus, s"$dir/idx", n = 3, k = 32, bands = 16)
+    val reloaded = Dedup.readMinhashIndex(spark, s"$dir/idx")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("band"), r.getAs[Long]("bandHash"))).toSet
+    assert(rows(reloaded) == rows(Dedup.minhashIndex(corpus, n = 3, k = 32, bands = 16)),
+      "persisted index rows drifted from a fresh recompute")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = pairSet(Dedup.minhashDedupNewPairs(newDocs, corpus,
+      n = 3, k = 32, bands = 16, minJaccard = 0.5))
+    val indexed = pairSet(Dedup.minhashDedupNewPairs(newDocs, corpus,
+      n = 3, k = 32, bands = 16, minJaccard = 0.5, corpusIndex = Some(reloaded)))
+    assert(direct.nonEmpty)
+    assert(indexed == direct,
+      s"only-indexed=${(indexed -- direct).take(3)} only-direct=${(direct -- indexed).take(3)}")
+    // the supersede rule must hold against the INDEX too: a re-ingested
+    // id's stale bands may not self-pair or re-orient batch pairs
+    val fullIndex = Dedup.minhashIndex(docs, n = 3, k = 32, bands = 16)
+    val reingested = pairSet(Dedup.minhashDedupNewPairs(newDocs, docs,
+      n = 3, k = 32, bands = 16, minJaccard = 0.5, corpusIndex = Some(fullIndex)))
+    assert(!reingested.exists(p => p._1 == p._2), "self-pair from stale index rows")
+    assert(reingested == direct, "superseded index rows changed the pair set")
+  }
+
+  test("PPJoin with broadcast df and a persisted df table == naive strategy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_df_table").toFile.getAbsolutePath
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.5))
+    val bcast = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.5,
+      prefixFilter = true, broadcastDf = true))
+    assert(naive.nonEmpty)
+    assert(bcast == naive,
+      s"missing=${(naive -- bcast).take(5)} spurious=${(bcast -- naive).take(5)}")
+    // cross-batch df reuse: persist the corpus-level (shingle, df) table
+    // once, read it back, and feed it to the prefix stage
+    Dedup.shingleDfTable(docs, 3).write.mode("overwrite").parquet(s"$dir/df")
+    val reused = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.5,
+      prefixFilter = true, broadcastDf = true,
+      dfTable = Some(spark.read.parquet(s"$dir/df"))))
+    assert(reused == naive)
+  }
 }
