@@ -96,6 +96,33 @@ object StreamTour {
       streamed.nonEmpty && streamed.forall { case (id, m) => batch(id) == m }
     }
 
+    check("streaming dedup against the persisted minhash index equals the batch operator") {
+      // online ingest: documents arrive as a stream, near-dups are found
+      // by probing the parquet signature index built offline
+      implicit val sql = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("tour_sdedup")
+        .toFile.getAbsolutePath
+      val docs = graft.Tables.documents(spark, sf)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      graft.ext.Dedup.writeMinhashIndex(corpus, s"$root/idx", n = 3, k = 32, bands = 16)
+      val idx = graft.ext.Dedup.readMinhashIndex(spark, s"$root/idx")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.start(
+        input.toDF().toDF("doc_id", "text"), corpus, idx,
+        s"$root/out", s"$root/ckpt", n = 3, k = 32, bands = 16, minJaccard = 0.5)
+      try {
+        input.addData(batch.select("doc_id", "text").as[(Long, String)].collect().toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.read.parquet(s"$root/out")
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = graft.ext.Dedup.minhashDedupNewPairs(batch, corpus,
+          n = 3, k = 32, bands = 16, minJaccard = 0.5)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      streamed.nonEmpty && streamed == expected
+    }
+
     println(if (failed == 0) "StreamTour: all checks passed"
             else s"StreamTour: $failed check(s) FAILED")
     spark.stop()

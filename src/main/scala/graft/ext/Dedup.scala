@@ -233,9 +233,11 @@ object Dedup {
   }
 
   /** (id, band, bandHash) rows of a signature DataFrame — the banding
-    * stage shared by the self-join and incremental candidate paths.
+    * stage shared by the self-join, incremental, and streaming candidate
+    * paths. Narrow (select + explode, no aggregation), so it is legal on
+    * a streaming DataFrame.
     */
-  private def bandSignature(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def bandSignature(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { b =>
@@ -306,7 +308,11 @@ object Dedup {
           && (!col("b.isNew") || col("a.id") < col("b.id")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sets = newDocs.unionByName(corpusOnly)
+    // project to the dedup columns BEFORE the union: batch and corpus
+    // legitimately differ in payload columns (an ingest batch carries
+    // only id+text; the corpus table carries its full schema)
+    val sets = newDocs.select(col(idCol), col(textCol))
+      .unionByName(corpusOnly.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), graftShingles(col(textCol), n).as("set"))
       .withColumn("setSize", size(col("set")).cast("long"))
     verifyJaccard(cand, sets, minJaccard)
