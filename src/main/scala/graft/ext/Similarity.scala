@@ -104,19 +104,62 @@ object Similarity {
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
+  /** The (id, vec, norm, table, bucket) hyperplane-LSH bucket rows for a
+    * vector corpus — the embedding twin of
+    * [[graft.ext.Dedup.minhashIndex]]: computable once and PERSISTED
+    * (parquet via [[writeLshIndex]]) so ANN serving and ingest dedup
+    * probe an artifact instead of re-hashing the corpus per call.
+    * `(dim, bitsPerTable, tables, seedBase)` must match between index
+    * build and probe time — the hyperplanes are a pure function of them,
+    * and a mismatch buckets the two sides incompatibly (probes then
+    * join nothing, they never join wrongly by accident).
+    */
+  def lshIndex(vectors: DataFrame, dim: Int, bitsPerTable: Int = 8, tables: Int = 8,
+      seedBase: Long = 2000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    lshBucketed(vectors, dim, bitsPerTable, tables, seedBase, idCol, vecCol,
+      "id", "vec", "norm")
+  }
+
+  /** Persist [[lshIndex]] as parquet, repartitioned on the probe join's
+    * (table, bucket) key so bucket reads are co-located.
+    */
+  def writeLshIndex(vectors: DataFrame, path: String, dim: Int,
+      bitsPerTable: Int = 8, tables: Int = 8, seedBase: Long = 2000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    lshIndex(vectors, dim, bitsPerTable, tables, seedBase, idCol, vecCol)
+      .repartition(col("table"), col("bucket"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a persisted [[lshIndex]] back (reload==recompute pinned in
+    * ExtSpec); pass to [[lshTopK]]'s `corpusIndex` or
+    * [[cosineDupPairsNewLsh]].
+    */
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Approximate top-k: compare only vectors sharing an LSH bucket in at
     * least one of `tables` hash tables, then exact cosine + rank within
-    * the candidate set.
+    * the candidate set. With `corpusIndex` the corpus side is a
+    * persisted [[lshIndex]] (built with seedBase = 1000L to match the
+    * query-side planes) and the per-call work is hashing only the
+    * probe set.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       bitsPerTable: Int = 12, tables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      corpusIndex: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.ensureRegistered(queries.sparkSession)
     val q = lshBucketed(queries, dim, bitsPerTable, tables, 1000L, idCol, vecCol,
       "query_id", "qv", "qn")
-    val c = lshBucketed(corpus, dim, bitsPerTable, tables, 1000L, idCol, vecCol,
-      "neighbor_id", "cv", "cn")
+    val c = corpusIndex match {
+      case Some(idx) => idx.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        col("norm").as("cn"), col("table"), col("bucket"))
+      case None => lshBucketed(corpus, dim, bitsPerTable, tables, 1000L, idCol, vecCol,
+        "neighbor_id", "cv", "cn")
+    }
     // a small probe set broadcasts so the corpus never shuffles for the
     // bucket join; for corpus-vs-corpus self-search pass
     // broadcastQueries=false to fall back to a shuffle join
@@ -211,6 +254,42 @@ object Similarity {
     // otherwise ride the exchange `tables` times)
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b") && pairSim >= minSim)
+      .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** [[cosineDupPairsNew]] at corpus scale: the incoming batch is
+    * hashed with the index's hyperplanes and joined against a PERSISTED
+    * corpus [[lshIndex]] on (table, bucket) — per batch the corpus
+    * contributes only same-bucket rows (bounded by 2^bitsPerTable
+    * fan-in), vs the brute path's full corpus stream under a broadcast
+    * nested-loop. Same output contract as [[cosineDupPairsNew]]:
+    * batch-touching pairs only, (new, corpus) orientation plus ordered
+    * new×new (found via the batch's own buckets), each unordered pair
+    * once, threshold on exact cosine so precision is 1.0 — recall is
+    * the LSH trade-off, ~1.0 at near-dup thresholds (pinned against the
+    * brute twin in ExtSpec on a planted-twin corpus). Batch ids
+    * reappearing in the index are superseded by an anti-join on id
+    * BEFORE pairing, exactly like the minhash incremental path.
+    */
+  def cosineDupPairsNewLsh(newVecs: DataFrame, corpusIndex: DataFrame, minSim: Double,
+      dim: Int, bitsPerTable: Int = 8, tables: Int = 8, seedBase: Long = 2000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(newVecs.sparkSession)
+    val batch = lshBucketed(newVecs, dim, bitsPerTable, tables, seedBase,
+      idCol, vecCol, "id", "vec", "norm")
+    val a = batch.select(col("table"), col("bucket"),
+      col("id").as("id_a"), col("vec").as("va"), col("norm").as("na"))
+    val idxOnly = corpusIndex
+      .join(newVecs.select(col(idCol).as("id")), Seq("id"), "left_anti")
+    val b = idxOnly.select(col("table"), col("bucket"), col("id").as("id_b"),
+        col("vec").as("vb"), col("norm").as("nb"))
+      .withColumn("isNew", lit(false))
+      .unionByName(batch.select(col("table"), col("bucket"), col("id").as("id_b"),
+          col("vec").as("vb"), col("norm").as("nb"))
+        .withColumn("isNew", lit(true)))
+    a.join(b, Seq("table", "bucket"))
+      .filter((!col("isNew") || col("id_a") < col("id_b")) && pairSim >= minSim)
       .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
       .dropDuplicates("id_a", "id_b")
   }

@@ -454,6 +454,41 @@ class ExtSpec extends AnyFunSuite {
     assert(reingested == direct, "superseded index rows changed the pair set")
   }
 
+  test("LSH index: reload == recompute; indexed incremental dedup and top-k == direct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toFile.getAbsolutePath
+    // planted twins (cosine ~0.999) — the regime where hyperplane-LSH
+    // recall is ~1, so the indexed path must equal the brute twin exactly
+    val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    Similarity.writeLshIndex(emb, s"$dir/idx", dim = 64)
+    val idx = Similarity.readLshIndex(spark, s"$dir/idx")
+    def bucketRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "table", "bucket", "norm").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(bucketRows(idx) == bucketRows(Similarity.lshIndex(emb, dim = 64)),
+      "persisted LSH bucket rows drifted from a fresh recompute")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIndex = pairs(Similarity.cosineDupPairsNewLsh(perturbed, idx,
+      minSim = 0.95, dim = 64))
+    val brute = pairs(Similarity.cosineDupPairsNew(perturbed, emb, minSim = 0.95))
+    assert(brute.size >= 400, s"fixture: expected planted twin pairs, got ${brute.size}")
+    assert(viaIndex == brute,
+      s"only-idx=${(viaIndex -- brute).take(3)} only-brute=${(brute -- viaIndex).take(3)}")
+    // ANN serving against the same artifact mechanism: identical output
+    // to hashing the corpus inline (seedBase 1000L = the query planes)
+    Similarity.writeLshIndex(emb, s"$dir/topk", dim = 64,
+      bitsPerTable = 6, tables = 8, seedBase = 1000L)
+    val q = emb.filter(col("vec_id") < 20)
+    def topk(ci: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.lshTopK(q, emb, k = 5, dim = 64, bitsPerTable = 6, tables = 8,
+          corpusIndex = ci)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(topk(Some(Similarity.readLshIndex(spark, s"$dir/topk"))) == topk(None),
+      "indexed lshTopK diverged from the inline-hashed corpus")
+  }
+
   test("PPJoin with broadcast df and a persisted df table == naive strategy") {
     val dir = java.nio.file.Files.createTempDirectory("graft_df_table").toFile.getAbsolutePath
     def pairSet(df: org.apache.spark.sql.DataFrame) =
