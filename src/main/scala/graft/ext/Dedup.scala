@@ -318,6 +318,70 @@ object Dedup {
     verifyJaccard(cand, sets, minJaccard)
   }
 
+  // ---------------------------------------------------------- clustering
+
+  /** Connected components over an undirected near-dup pair graph —
+    * the step after ANY pairwise dedup operator: pairs say "a ~ b";
+    * clusters say "these k documents are one group, keep one". Labels
+    * converge by iterative min-label propagation (each round: one
+    * edge join + one min-aggregation — a bounded number of shuffles,
+    * no driver-side graph), reaching fixpoint in O(component diameter)
+    * rounds; near-dup components are dense and shallow, so typically
+    * 2–4. Transitivity is the point: a~b and b~c cluster {a,b,c} even
+    * when a~c itself fell below the pair threshold.
+    *
+    * Returns (id, cluster_id) for every id appearing in `pairs`,
+    * cluster_id = the component's minimum id. Each round persists its
+    * label table and unpersists the previous one, so lineage stays one
+    * round deep; throws if `maxIter` rounds don't converge (a silent
+    * partial clustering would merge/split groups wrongly downstream).
+    *
+    * At 100 TB scale the rounds are shuffle-bound on |edges|; for
+    * graphs with huge diameters (chains), large-star/small-star
+    * alternation converges in fewer rounds — near-dup graphs don't
+    * have that shape, so the simple propagation is the right cost.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("dstLabel")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dstLabel")).as("nbrMin"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbrMin"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      val changed = updated
+        .join(labels.select(col("id"), col("cluster_id").as("prev")), "id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    require(converged, s"label propagation did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** `docs` minus every non-representative near-dup cluster member: the
+    * composition a pipeline actually runs (pairs → [[clusters]] → keep
+    * the min-id representative of each group, all singletons untouched).
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusters(pairs).filter(col("cluster_id") =!= col("id"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** The banded signature index rows `(id, band, bandHash)` for a
     * corpus — the artifact [[minhashDedupNewPairs]] probes every ingest
     * batch. Computable once and PERSISTED (plain parquet via

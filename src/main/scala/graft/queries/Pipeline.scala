@@ -58,6 +58,16 @@ object Pipeline {
     Dedup.simhashPairsMd5(Tables.documents(spark, dir), maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Near-dup clusters from the exact pair graph
+    * ([[Dedup.clusters]]): distributed min-label propagation, gated
+    * against DuckDB computing the same components by recursive
+    * transitive closure — transitivity (a~b, b~c ⇒ one cluster even
+    * without an a~c pair) is exactly what the pairwise gates can't see.
+    */
+  def d11DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, minJaccard = 0.5))
+      .orderBy(col("id"))
+
   def d05EmbeddingDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineDupPairs(Tables.embeddings(spark, dir), minSim = 0.35)
       .orderBy(col("id_a"), col("id_b"))
@@ -466,8 +476,12 @@ object Pipeline {
       |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
       |GROUP BY a.query_id ORDER BY query_id""".stripMargin
 
-  private val ngramJaccardOracle =
-    """WITH toks AS (
+  /** CTE chain ending in a `jpairs(id_a, id_b, jaccard)` relation — the
+    * exact n-gram Jaccard pair set d02/d03/d09 gate on, shared with the
+    * recursive d11 clustering oracle.
+    */
+  private val ngramJaccardCtes =
+    """toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
       |), sh AS (
       |  SELECT DISTINCT doc_id,
@@ -480,18 +494,39 @@ object Pipeline {
       |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS isz
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
-      |)
-      |SELECT ia AS id_a, ib AS id_b,
-      |  round(isz / CAST(sa.sz + sb.sz - isz AS DOUBLE), 6) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = ia
-      |JOIN sizes sb ON sb.doc_id = ib
-      |WHERE isz / CAST(sa.sz + sb.sz - isz AS DOUBLE) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin
+      |), jpairs AS (
+      |  SELECT ia AS id_a, ib AS id_b,
+      |    round(isz / CAST(sa.sz + sb.sz - isz AS DOUBLE), 6) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = ia
+      |  JOIN sizes sb ON sb.doc_id = ib
+      |  WHERE isz / CAST(sa.sz + sb.sz - isz AS DOUBLE) >= 0.5
+      |)""".stripMargin
+
+  private val ngramJaccardOracle =
+    s"""WITH $ngramJaccardCtes
+       |SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Connected components over the exact pair set, in SQL: transitive
+    * closure by recursive CTE, cluster_id = min reachable id — what the
+    * Spark-side iterative min-label propagation must converge to.
+    */
+  private val dedupClustersOracle =
+    s"""WITH RECURSIVE $ngramJaccardCtes, edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jpairs
+       |  UNION SELECT id_b, id_a FROM jpairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT src AS id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d07_simhash_md5" -> simhashMd5Oracle,
     "d10_simhash_pairs_md5" -> simhashMd5PairsOracle,
+    "d11_dedup_clusters" -> dedupClustersOracle,
     // priority = w / u, u = (h+1)/2^32 — all IEEE-exact ops, so the
     // DOUBLE priorities hash-match bit-for-bit across engines
     "t06_weighted_sample" ->
@@ -685,6 +720,7 @@ object Pipeline {
     "d03_minhash_pairs"  -> d03MinhashPairs _,
     "d04_simhash_pairs"  -> d04SimhashPairs _,
     "d10_simhash_pairs_md5" -> d10SimhashPairsMd5 _,
+    "d11_dedup_clusters" -> d11DedupClusters _,
     "d05_embedding_dups" -> d05EmbeddingDups _,
     "d08_embedding_dups_new" -> d08EmbeddingDupsNew _,
     "s01_sim_topk"       -> s01SimTopK _,

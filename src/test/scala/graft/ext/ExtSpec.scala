@@ -454,6 +454,39 @@ class ExtSpec extends AnyFunSuite {
     assert(reingested == direct, "superseded index rows changed the pair set")
   }
 
+  test("clusters: transitive chains merge, components match driver union-find, keep-one works") {
+    import spark.implicits._
+    // chain a~b, b~c with NO a~c pair, plus an isolated pair and a
+    // singleton that appears in no pair at all
+    val pairFixture = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairFixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L), got)
+    // real fixture: components of the minhash pair graph == driver union-find
+    val pairs = Dedup.minhashDedupPairs(docs, 3, 32, 16, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => id -> find(id)).toMap
+    val dist = Dedup.clusters(Dedup.minhashDedupPairs(docs, 3, 32, 16, 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == expected,
+      s"diff=${(dist.toSet diff expected.toSet).take(5)} / ${(expected.toSet diff dist.toSet).take(5)}")
+    // keep-one composition: drops exactly the non-representative members
+    val kept = Dedup.dropNearDuplicates(docs, Dedup.minhashDedupPairs(docs, 3, 32, 16, 0.5))
+    val nonReps = expected.count { case (id, c) => id != c }
+    assert(kept.count() == docs.count() - nonReps)
+  }
+
   test("LSH index: reload == recompute; indexed incremental dedup and top-k == direct") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toFile.getAbsolutePath
     // planted twins (cosine ~0.999) — the regime where hyperplane-LSH
