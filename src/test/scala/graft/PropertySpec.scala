@@ -124,4 +124,18 @@ object GraftProperties extends Properties("graft") {
         plan(p) == expected
       }
     }
+
+  // ---- Bench median -------------------------------------------------
+
+  property("bench median is an element of the passes, robust to one outlier") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0.0, 1000.0))) { xs =>
+      val m = Bench.median(xs)
+      // always a measured value (never an average no pass achieved), and
+      // for >= 3 passes a single arbitrarily-large outlier can't move it
+      // above the max of the others
+      xs.contains(m) && (xs.size < 3 || {
+        val spiked = xs.tail :+ 1e12
+        Bench.median(spiked) <= xs.tail.max
+      })
+    }
 }
