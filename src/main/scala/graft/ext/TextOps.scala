@@ -117,6 +117,32 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * `topK` most-frequent tokens (ties broken by token) — the
+    * rare-token quality signal a filtering pipeline thresholds on:
+    * high OOV against a reasonable vocabulary flags gibberish, boiler
+    * code, or wrong-domain text. Pure counting (no log-prob floats, so
+    * the result is bit-reproducible cross-engine and sits under the
+    * oracle gate). The vocabulary is `topK` rows and BROADCASTS — the
+    * exploded token stream never shuffles for the membership probe;
+    * the only wide stages are the vocabulary aggregation and the
+    * per-doc grouping. Docs with no tokens yield no row (no tokens to
+    * rate). Output: (idCol, n_oov, oov_rate ∈ [0,1] floor-scaled).
+    */
+  def oovRate(docs: DataFrame, topK: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val top = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(topK)
+      .select(col("token"), lit(1).as("inVocab"))
+    val oov = count(lit(1)) - sum(coalesce(col("inVocab"), lit(0)))
+    toks.join(broadcast(top), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(oov.cast("long").as("n_oov"),
+        (floor(oov.cast("double") / count(lit(1)) * 1e6) / 1e6).as("oov_rate"))
+  }
+
   /** Per-document text metrics via [[graft.functions.TextMetrics]] — ONE
     * pass over each text (the column-primitive formulation above is kept
     * for à-la-carte use; this fused path is ~5× faster and verified

@@ -207,6 +207,43 @@ object Pipeline {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("token"))
 
+  /** Rare-token quality signal ([[TextOps.oovRate]]) against the
+    * corpus's top-10 tokens — pure counting, so the whole signal (not a
+    * float-fuzzy proxy) hash-matches the oracle.
+    */
+  def t08OovRate(spark: SparkSession, dir: String): DataFrame =
+    TextOps.oovRate(Tables.documents(spark, dir), topK = 10)
+      .orderBy(col("doc_id"))
+
+  /** view → click → purchase funnel per user: two composed backward
+    * as-of joins ([[graft.ops.AsOf.joinBackward]] — each a single
+    * shuffle on user_id, no range-join blowup), counting purchases
+    * whose most recent prior click itself had a prior view. The final
+    * projection keeps only view_id, which is tie-insensitive: two
+    * clicks at the same (user, ts) necessarily share the same most
+    * recent prior view, so the compose is deterministic cross-engine
+    * even where as-of tie-breaking could differ. Oracle: two nested
+    * DuckDB ASOF LEFT JOINs.
+    */
+  def e05Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def typed(t: String) = ev.filter(col("event_type") === t)
+    val views = typed("view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val clicks = typed("click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = typed("purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clickWithView = graft.ops.AsOf.joinBackward(clicks, views,
+      Seq("user_id"), "ts", "ts", Seq("view_id"))
+    val purchaseWithClick = graft.ops.AsOf.joinBackward(purchases,
+      clickWithView.select(col("user_id"), col("ts"), col("click_id"), col("view_id")),
+      Seq("user_id"), "ts", "ts", Seq("click_id", "view_id"))
+    purchaseWithClick.filter(col("view_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_funnels"))
+      .orderBy(col("user_id"))
+  }
+
   def j01JsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -630,6 +667,36 @@ object Pipeline {
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin,
+    "t08_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, token FROM toks WHERE token <> ''
+        |), top AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS tf FROM t GROUP BY token
+        |    ORDER BY tf DESC, token LIMIT 10)
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) - count(top.token) AS BIGINT) AS n_oov,
+        |  floor((count(*) - count(top.token)) / CAST(count(*) AS DOUBLE) * 1e6) / 1e6 AS oov_rate
+        |FROM t LEFT JOIN top ON t.token = top.token
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e05_funnel" ->
+      """WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'),
+        |     c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |cv AS (
+        |  SELECT c.user_id AS user_id, c.ts AS ts, c.click_id, v.view_id
+        |  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+        |),
+        |pc AS (
+        |  SELECT p.user_id AS user_id, cv.view_id
+        |  FROM p ASOF LEFT JOIN cv ON p.user_id = cv.user_id AND p.ts >= cv.ts
+        |)
+        |SELECT user_id, count(*) AS n_funnels FROM pc WHERE view_id IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "j01_json_extract" ->
       """SELECT event_type, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -730,6 +797,8 @@ object Pipeline {
     "t07_bpe_tokens"     -> t07BpeTokens _,
     "t02_text_analyze"   -> t02TextAnalyze _,
     "t03_vocab"          -> t03Vocab _,
+    "t08_oov_rate"       -> t08OovRate _,
+    "e05_funnel"         -> e05Funnel _,
     "j01_json_extract"   -> j01JsonExtract _,
     "e01_event_windows"  -> e01EventWindows _,
     "e02_asof_join"      -> e02AsofJoin _,

@@ -152,6 +152,19 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(reusedPlan).length == 1, reusedPlan)
   }
 
+  test("ANN recall gates and new pipeline queries never go cartesian; OOV probe is broadcast") {
+    Seq("s02_lsh_recall", "s03_ivf_recall", "d10_simhash_pairs_md5", "e05_funnel")
+      .foreach { q =>
+        val plan = planOf(q)
+        assert(!plan.contains("CartesianProduct"), s"$q went cartesian:\n$plan")
+      }
+    // the top-K vocabulary membership probe must broadcast — the token
+    // stream shuffles only for the vocab agg and the per-doc grouping
+    val oov = planOf("t08_oov_rate")
+    assert(oov.contains("BroadcastHashJoin"), s"vocab probe not broadcast:\n$oov")
+    assert(!oov.contains("SortMergeJoin"), s"token stream shuffled for the probe:\n$oov")
+  }
+
   test("d05: per-side norms are computed below the pair join") {
     val df = SparkEntry.queries("d05_embedding_dups")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString
