@@ -41,8 +41,19 @@ object Compactor {
 
   /** Compact one parquet folder in place. Returns the new file count, or
     * -1 if skipped.
+    *
+    * @param zorderCols when non-empty, the rewrite lays the data out
+    *        along the Morton curve of these columns
+    *        ([[graft.ops.ZOrder.layoutBy]]) instead of a plain
+    *        `coalesce` — compaction is the natural (often only) moment a
+    *        pipeline rewrites a table, so clustering rides the same I/O
+    *        for free. Note z-ordering is a repartition (one range
+    *        exchange + per-column quantile probe), not coalesce's
+    *        shuffle-free narrowing — reserve it for tables whose read
+    *        pattern filters on those columns.
     */
-  def doAutoCoalesce(path: String, requestedSizeMb: Int = 100)(
+  def doAutoCoalesce(path: String, requestedSizeMb: Int = 100,
+      zorderCols: Seq[String] = Nil)(
       implicit spark: SparkSession): Int = {
     implicit val conf = spark.sessionState.newHadoopConf()
     val fs = Fs.getFileSystem(conf, path)
@@ -52,8 +63,11 @@ object Compactor {
     if (n < 0) return -1
     val tmp = s"${path}_graft_tmp"
     val bak = s"${path}_graft_bak"
-    spark.read.parquet(path).coalesce(n)
-      .write.mode("overwrite").parquet(tmp)
+    val data = spark.read.parquet(path)
+    val rewritten =
+      if (zorderCols.isEmpty) data.coalesce(n)
+      else graft.ops.ZOrder.layoutBy(data, zorderCols, numPartitions = n)
+    rewritten.write.mode("overwrite").parquet(tmp)
     // swap: live → bak, tmp → live, drop bak
     fs.delete(new Path(bak), true)
     require(fs.rename(new Path(path), new Path(bak)), s"swap: cannot move $path aside")
@@ -97,13 +111,13 @@ object Compactor {
     * (each is itself a Spark job — reference Coalesce.scala:85-97).
     */
   def doItAll(tablePath: String, requestedSizeMb: Int = 100, concurrency: Int = 10,
-      distributedListing: Boolean = false)(
+      distributedListing: Boolean = false, zorderCols: Seq[String] = Nil)(
       implicit spark: SparkSession): Map[String, Int] = {
     val leaves = getLowestFoldersPaths(tablePath, distributedListing)
     val pool = Executors.newFixedThreadPool(concurrency.max(1))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val futures = leaves.map(l => Future(l -> doAutoCoalesce(l, requestedSizeMb)))
+      val futures = leaves.map(l => Future(l -> doAutoCoalesce(l, requestedSizeMb, zorderCols)))
       futures.map(Await.result(_, Duration.Inf)).toMap
     } finally pool.shutdown()
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sampling operators for training-data pipelines.
@@ -62,6 +62,34 @@ object Sampling {
       .withColumn("priority", col(weightCol).cast("double") / u)
       .orderBy(col("priority").desc +: idCols.map(col): _*)
       .limit(m)
+  }
+
+  /** Deterministic train/val/test split assignment: each row's label is
+    * a pure function of its id hash, so the split survives reruns,
+    * re-partitioning, corpus growth (existing rows never change label
+    * when new rows arrive), and re-implementation in another engine —
+    * the property that makes a training split auditable. Thresholds are
+    * INTEGER cutoffs of the 32-bit md5 space (`⌊cum·2³²⌋`), so the
+    * assignment involves no float comparison anywhere and is exactly
+    * reproducible in SQL (t09 gate). Narrow (one hash + one when-chain
+    * per row, no shuffle). Weights must sum to 1 (±1e-9); rounding of
+    * the cutoffs biases each band by < 2⁻³² — immaterial against the
+    * statistical fluctuation of any finite corpus.
+    */
+  def hashSplit(df: DataFrame, idCols: Seq[String], splits: Seq[(String, Double)],
+      seed: String = "graft", splitCol: String = "split"): DataFrame = {
+    require(idCols.nonEmpty, "need id columns to hash for deterministic assignment")
+    require(splits.nonEmpty && splits.forall(_._2 >= 0), "split weights must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split weights must sum to 1")
+    val idConcat = concat_ws(":", lit(seed) +: idCols.map(c => col(c).cast("string")): _*)
+    val h = graft.functions.Cols.md5Uint32(idConcat)
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.min((c * 4294967296.0).toLong, 4294967296L))
+    val label = splits.init.zip(bounds).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), bound)) =>
+        Some(acc.fold(when(h < bound, name))(_.when(h < bound, name)))
+    }.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+    df.withColumn(splitCol, label)
   }
 
   /** Per-stratum fraction sampling via the same seeded hash: keeps a row

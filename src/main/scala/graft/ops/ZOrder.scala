@@ -93,6 +93,25 @@ object ZOrder {
       .drop(zc)
   }
 
+  /** [[partitionSpanFraction]] measured per physical FILE of a written
+    * table (grouped on `input_file_name()`), so the metric reflects
+    * what parquet footer min/max stats will actually prune — immune to
+    * the read-side split coalescing that blurs the partition-level
+    * metric on small files. `df` must be a file-backed scan.
+    */
+  def fileSpanFraction(df: DataFrame, probeCol: String): Double = {
+    val perFile = df
+      .groupBy(input_file_name().as("__f"))
+      .agg(min(col(probeCol)).cast("double").as("mn"),
+        max(col(probeCol)).cast("double").as("mx"))
+      .agg(avg(col("mx") - col("mn")).as("avgSpan"),
+        (max(col("mx")) - min(col("mn"))).as("globalSpan"))
+      .head()
+    if (perFile.isNullAt(0) || perFile.isNullAt(1)) return 0.0
+    val global = perFile.getDouble(1)
+    if (global == 0) 0.0 else perFile.getDouble(0) / global
+  }
+
   /** Pruning-power diagnostic: per partition, the min/max span of
     * `probeCol` as a fraction of its global span — the expected fraction
     * of partitions a point predicate on `probeCol` must read. ~1.0 for a

@@ -244,6 +244,18 @@ object Pipeline {
       .orderBy(col("user_id"))
   }
 
+  /** Deterministic 80/10/10 split assignment
+    * ([[graft.ops.Sampling.hashSplit]]): the label is a pure function of
+    * the id hash with INTEGER thresholds, so the full assignment table
+    * hash-matches the oracle — reproducible splits are an audit
+    * requirement for any training corpus.
+    */
+  def t09HashSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.hashSplit(Tables.documents(spark, dir), Seq("doc_id"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
   def j01JsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -452,6 +464,23 @@ object Pipeline {
         "w", Seq("doc_id"), m = 50)
       .select(col("doc_id"), col("priority"))
       .orderBy(col("doc_id"))
+
+  /** The t09 split thresholds, derived with the SAME scanLeft-on-doubles
+    * arithmetic as [[graft.ops.Sampling.hashSplit]] so the SQL literals
+    * can never drift from the Scala cutoffs.
+    */
+  private def hashSplitOracle: String = {
+    val bounds = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      .map(c => math.min((c * 4294967296.0).toLong, 4294967296L))
+    s"""SELECT doc_id,
+       |  CASE WHEN h < ${bounds(0)} THEN 'train'
+       |       WHEN h < ${bounds(1)} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |        ('0x' || substr(md5('graft:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+       |      FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared CTE chain computing the 32-bit md5 SimHash per doc (ends in
     * a `fp(doc_id, simhash)` relation) — the base of both the d07
@@ -667,6 +696,7 @@ object Pipeline {
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin,
+    "t09_hash_split" -> hashSplitOracle,
     "t08_oov_rate" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
@@ -798,6 +828,7 @@ object Pipeline {
     "t02_text_analyze"   -> t02TextAnalyze _,
     "t03_vocab"          -> t03Vocab _,
     "t08_oov_rate"       -> t08OovRate _,
+    "t09_hash_split"     -> t09HashSplit _,
     "e05_funnel"         -> e05Funnel _,
     "j01_json_extract"   -> j01JsonExtract _,
     "e01_event_windows"  -> e01EventWindows _,

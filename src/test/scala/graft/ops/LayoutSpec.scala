@@ -85,6 +85,39 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order produced no real parquet skipping: read $zed rows vs $lin unsorted")
   }
 
+  test("doAutoCoalesce with zorderCols compacts and clusters in one rewrite") {
+    import spark.implicits._
+    implicit val s = spark
+    // 64x64 grid with a payload column fat enough that the compaction
+    // plan wants several output files at a 1 MB target
+    val n = 65536
+    // per-row distinct pad so parquet can't dictionary/RLE it away —
+    // the on-disk size must be real for the size-based plan to fan out
+    def pad(i: Int) = (0 until 30)
+      .map(j => java.lang.Long.toHexString((i * 31L + j) * 2654435761L)).mkString
+    val df = (0 until n).map(i => (i % 64, (i / 64) % 64, pad(i))).toDF("x", "y", "pad")
+    val dir = "file:" + java.nio.file.Files.createTempDirectory("zcompact").toString + "/t"
+    df.repartition(32).write.parquet(dir) // fragmented ingest shape
+    val got = graft.compact.Compactor.doAutoCoalesce(dir, requestedSizeMb = 1,
+      zorderCols = Seq("x", "y"))
+    // >= 4 range partitions so the curve's top split bits reach BOTH axes
+    assert(got >= 4, s"fixture should want >= 4 output files, got $got")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == n, "compaction lost rows")
+    // round-robin fragments span the whole value space; the z-ordered
+    // rewrite's FILES cover compact rectangles on both curve columns
+    val fx = ZOrder.fileSpanFraction(back, "x")
+    val fy = ZOrder.fileSpanFraction(back, "y")
+    assert(fx < 0.7, s"x not clustered after z-compaction: $fx")
+    assert(fy < 0.7, s"y not clustered after z-compaction: $fy")
+    // plain compaction of the same fragments keeps full-range files
+    val dir2 = "file:" + java.nio.file.Files.createTempDirectory("zcompact2").toString + "/t"
+    df.repartition(32).write.parquet(dir2)
+    assert(graft.compact.Compactor.doAutoCoalesce(dir2, requestedSizeMb = 1) == got)
+    val plain = ZOrder.fileSpanFraction(spark.read.parquet(dir2), "y")
+    assert(plain > 0.8, s"fixture: plain coalesce should not cluster y ($plain)")
+  }
+
   test("layoutBy survives nulls in z-order columns; degenerate diagnostic returns 0") {
     import spark.implicits._
     val df = Seq[(java.lang.Integer, java.lang.Integer)](

@@ -72,4 +72,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.stratifiedFraction(docs, "lang", fractions, idCols = Seq("doc_id"))
       .count() == s.count())
   }
+
+  test("hashSplit: total, deterministic, stable under corpus growth, proportions ~ weights") {
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashSplit(df, Seq("doc_id"), splits)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = assign(docs)
+    assert(full.size == docs.count(), "every row gets a label")
+    assert(full.values.toSet.subsetOf(Set("train", "val", "test")))
+    // rerun-deterministic
+    assert(assign(docs) == full)
+    // THE auditability property: a row's label is independent of what
+    // else is in the corpus — the split computed on a subset agrees
+    val subset = assign(docs.filter(col("doc_id") % 3 === 0))
+    assert(subset.nonEmpty && subset.forall { case (id, s) => full(id) == s })
+    // proportions track the weights (binomial fluctuation at n=500)
+    val trainFrac = full.values.count(_ == "train").toDouble / full.size
+    assert(trainFrac > 0.72 && trainFrac < 0.88, s"train fraction $trainFrac")
+    assert(full.values.count(_ == "val") > 0 && full.values.count(_ == "test") > 0)
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, Seq("doc_id"), Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
 }
