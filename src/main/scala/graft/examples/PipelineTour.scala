@@ -123,6 +123,30 @@ object PipelineTour {
       indexed.nonEmpty && indexed == direct
     }
 
+    check("near-dup pairs -> clusters -> keep one representative per group") {
+      val pairs = Dedup.minhashDedupPairs(docs, n = 3, k = 32, bands = 16, minJaccard = 0.5)
+      val groups = Dedup.clusters(pairs).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val kept = Dedup.dropNearDuplicates(docs, pairs).count()
+      // every cluster keeps exactly its min-id member; singletons untouched
+      groups.nonEmpty &&
+        kept == docs.count() - groups.count { case (id, c) => id != c }
+    }
+
+    check("reproducible corpus curation: split + quality + OOV filters compose") {
+      val splits = graft.ops.Sampling.hashSplit(docs, Seq("doc_id"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      val oov = TextOps.oovRate(docs, topK = 10)
+      val curated = splits.filter(col("split") === "train")
+        .join(oov.filter(col("oov_rate") < 0.9), Seq("doc_id"))
+      // deterministic end-to-end: the same curation re-derives exactly
+      val again = graft.ops.Sampling.hashSplit(docs, Seq("doc_id"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .filter(col("split") === "train")
+        .join(TextOps.oovRate(docs, topK = 10).filter(col("oov_rate") < 0.9), Seq("doc_id"))
+      val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+      ids.nonEmpty && ids == again.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+
     check("weighted sample is deterministic and favors heavy docs") {
       val weighted = docs.withColumn("w", length(col("text")).cast("double"))
       val s1 = graft.ops.Sampling.weightedPriority(weighted, "w", Seq("doc_id"), m = 50)
