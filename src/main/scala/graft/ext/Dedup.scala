@@ -336,32 +336,45 @@ object Dedup {
     * round deep; throws if `maxIter` rounds don't converge (a silent
     * partial clustering would merge/split groups wrongly downstream).
     *
-    * At 100 TB scale the rounds are shuffle-bound on |edges|; for
-    * graphs with huge diameters (chains), large-star/small-star
-    * alternation converges in fewer rounds — near-dup graphs don't
-    * have that shape, so the simple propagation is the right cost.
+    * Each round does neighbor-min propagation PLUS pointer jumping
+    * (label(v) ← label(label(v)) — valid because labels only ever
+    * decrease and every label is itself a node id), which doubles the
+    * propagated distance per round: convergence is O(log diameter),
+    * so even a pathological 10⁶-long near-dup CHAIN (a drifting
+    * versioned document) finishes in ~20 rounds, not 10⁶. Rounds are
+    * shuffle-bound on |edges| + |labels|.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()
+    // localCheckpoint, not persist: the jump SELF-JOINS each round's
+    // result, so without truncation the logical plan doubles per round
+    // (2^rounds nodes — a driver OOM long before the data is big);
+    // checkpointing materializes the round and cuts lineage to depth 1
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).persist()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("dstLabel")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dstLabel")).as("nbrMin"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbrMin"), col("cluster_id"))).as("cluster_id"))
-        .persist()
+      // pointer jump: follow the label one hop (label(label(v))). The
+      // left join always matches — a label is the id of some node — and
+      // label(x) <= x, so the jump only ever improves toward the root.
+      val updated = propagated.as("a")
+        .join(propagated.select(col("id").as("cluster_id"), col("cluster_id").as("grand")).as("b"),
+          Seq("cluster_id"), "left")
+        .select(col("id"), coalesce(col("grand"), col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
       val changed = updated
         .join(labels.select(col("id"), col("cluster_id").as("prev")), "id")
         .filter(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist()
       labels = updated
       converged = changed == 0
       i += 1

@@ -462,6 +462,13 @@ class ExtSpec extends AnyFunSuite {
     val got = Dedup.clusters(pairFixture).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L), got)
+    // a 150-long chain (drifting versioned doc) needs pointer jumping:
+    // plain neighbor-min propagation would take 150 > maxIter rounds
+    val chain = (0L until 150L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainGot = Dedup.clusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(chainGot.size == 151 && chainGot.values.forall(_ == 0L),
+      s"chain did not collapse to one component: ${chainGot.filter(_._2 != 0L).take(5)}")
     // real fixture: components of the minhash pair graph == driver union-find
     val pairs = Dedup.minhashDedupPairs(docs, 3, 32, 16, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
