@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ext.Similarity
+
+/** Online ANN: a STREAM of query vectors served against a persisted
+  * corpus [[graft.ext.Similarity.lshIndex]] — the embedding twin of
+  * [[StreamingDedup]], same two surfaces:
+  *
+  *  - [[candidates]]: stateless stream-static join. The stream side is
+  *    hashed with the index's hyperplanes (narrow — seeded literal
+  *    planes through the codegen'd dot product, no aggregation), then
+  *    equi-joined on (table, bucket): append mode, no watermark, no
+  *    state store; per-trigger cost is the probe batch × bucket
+  *    fan-in. Emits each (query, candidate) once per shared table —
+  *    at-least-once candidate semantics; ranking happens downstream.
+  *  - [[start]]: foreachBatch runs the full
+  *    [[Similarity.lshTopK]] (probe-side broadcast, TopKPerKey rank)
+  *    per micro-batch against the index and appends (query_id,
+  *    neighbor_id, sim, rank) parquet — one code path with the batch
+  *    operator, so the spec can pin stream == batch exactly.
+  */
+object StreamingSimilarity {
+
+  /** Stateless candidate join: (query_id, neighbor_id, table) per
+    * shared bucket. `queriesStream` is a streaming DataFrame with
+    * (idCol, vecCol); `corpusIndex` a static [[Similarity.lshIndex]]
+    * built with the SAME (dim, bitsPerTable, tables, seedBase).
+    */
+  def candidates(queriesStream: DataFrame, corpusIndex: DataFrame,
+      dim: Int, bitsPerTable: Int = 8, tables: Int = 8, seedBase: Long = 2000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queriesStream.sparkSession)
+    val q = Similarity.lshIndex(queriesStream, dim, bitsPerTable, tables, seedBase,
+      idCol, vecCol)
+    q.select(col("table"), col("bucket"), col("id").as("query_id"))
+      .join(corpusIndex.select(col("table"), col("bucket"), col("id").as("neighbor_id")),
+        Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("table"))
+  }
+
+  /** Serve exact-ranked top-k per micro-batch of query vectors against
+    * the persisted index; appends results as parquet. Callers own
+    * stop(). The index must have been built with seedBase = 1000L
+    * (lshTopK's query-plane seed).
+    */
+  def start(queriesStream: DataFrame, corpus: DataFrame, corpusIndex: DataFrame,
+      k: Int, dim: Int, outPath: String, checkpoint: String,
+      bitsPerTable: Int = 12, tables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    queriesStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.lshTopK(batch, corpus, k, dim, bitsPerTable, tables,
+            idCol, vecCol, corpusIndex = Some(corpusIndex))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+}

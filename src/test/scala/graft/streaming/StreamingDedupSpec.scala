@@ -55,6 +55,50 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally { q.stop(); idx.unpersist(); () }
   }
 
+  test("streaming ANN against the persisted LSH index == batch lshTopK; candidates stateless") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("graft_stream_ann").toFile.getAbsolutePath
+    val emb = Tables.embeddings(spark, sf)
+    graft.ext.Similarity.writeLshIndex(emb, s"$root/idx", dim = 64,
+      bitsPerTable = 6, tables = 8, seedBase = 1000L)
+    val idx = graft.ext.Similarity.readLshIndex(spark, s"$root/idx")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    // stateless candidate surface
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingSimilarity.candidates(
+        input.toDF().toDF("vec_id", "embedding"), idx,
+        dim = 64, bitsPerTable = 6, tables = 8, seedBase = 1000L)
+      .writeStream.outputMode("append").format("memory").queryName("ann_cand_out").start()
+    try {
+      input.addData(queries.toIndexedSeq)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty, "candidate join should be stateless")
+      assert(spark.table("ann_cand_out").count() > 0)
+    } finally q.stop()
+    // foreachBatch served top-k == batch lshTopK with the same index
+    val input2 = MemoryStream[(Long, Array[Float])]
+    val served = StreamingSimilarity.start(input2.toDF().toDF("vec_id", "embedding"),
+      emb, idx, k = 5, dim = 64, s"$root/out", s"$root/ckpt",
+      bitsPerTable = 6, tables = 8)
+    try {
+      input2.addData(queries.toIndexedSeq)
+      served.processAllAvailable()
+    } finally served.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val streamed = rows(spark.read.parquet(s"$root/out")
+      .select("query_id", "neighbor_id", "sim", "rank"))
+    val batch = rows(graft.ext.Similarity.lshTopK(
+        emb.filter(col("vec_id") < 20), emb, k = 5, dim = 64,
+        bitsPerTable = 6, tables = 8, corpusIndex = Some(idx))
+      .select("query_id", "neighbor_id", "sim", "rank"))
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("foreachBatch verified stream over two micro-batches == batch operator per batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
