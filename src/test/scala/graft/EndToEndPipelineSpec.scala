@@ -82,6 +82,24 @@ class EndToEndPipelineSpec extends AnyFunSuite {
     assert(Compactor.doItAll(trgPath, requestedSizeMb = 100).values.forall(_ == -1),
       "re-compaction of a compact table should be a no-op")
 
+    // ---- partition pruning: a month predicate must reach the scan as a
+    // PartitionFilter (metadata-only pruning — no data files of other
+    // months are even listed, the property that keeps a 100 TB
+    // month-partitioned table queryable)
+    val monthQ = spark.table(s"$db.e2e_trg")
+      .where(col("l_ship_month") === months.head)
+      .select("l_returnflag", "l_quantity") // exchange-free: leaf stays inspectable
+    monthQ.collect()
+    val scan = monthQ.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(sys.error("no FileSourceScanExec leaf"))
+    assert(scan.partitionFilters.exists(_.toString.contains("l_ship_month")),
+      s"month predicate not a partition filter: ${scan.partitionFilters}")
+    // post-compaction each partition is exactly one file, so a pruned
+    // scan of one month must read exactly one file
+    assert(scan.metrics("numFiles").value == 1L,
+      s"pruned scan read ${scan.metrics("numFiles").value} files, want 1")
+
     // ---- layout: z-order the promoted content for multi-column pruning
     val zDir = s"$root/e2e_z"
     val zed = ZOrder.layoutBy(spark.table(s"$db.e2e_trg"),
