@@ -189,27 +189,26 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true,
+      corpusIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     GraftFunctions.ensureRegistered(queries.sparkSession)
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", sqrt(graftDot(col("cv"), col("cv"))))
-    // deterministic coarse quantizer: first nCentroids vectors by hashed id
-    val codebook = c.orderBy(xxhash64(col("neighbor_id"))).limit(nCentroids)
-      .select(col("neighbor_id"), col("cv"), col("cn")).collect()
-    // nearest `keep` centroids per row as a sorted literal-array argmax;
-    // ASCENDING sort on (-csim, centroid_id) keeps ties on the SMALLEST
-    // centroid id, and `lit(r.get(0))` keeps the id column type-generic
-    def nearestCentroids(vec: String, nrm: String, keep: Int): Column = {
-      val sims = codebook.map { r =>
-        val cv = r.getSeq[Double](1).toArray
-        val cn = r.getDouble(2)
-        struct((-graftDot(col(vec), typedLit(cv)) / (col(nrm) * lit(cn))).as("negsim"),
-          lit(r.get(0)).as("centroid_id"))
-      }
-      slice(sort_array(array(sims.toIndexedSeq: _*), asc = true), 1, keep)
+    // with a persisted index the per-call work is hashing only the probe
+    // set: the codebook parquet is the 16-row quantizer, the lists
+    // parquet the pre-assigned corpus. nCentroids is then defined by the
+    // index (the parameter is ignored); nProbe must be <= its size.
+    val (codebook, corpusLists) = corpusIndex match {
+      case Some((cb, lists)) =>
+        (cb.collect(),
+          lists.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+            col("norm").as("cn"), col("centroid_id")))
+      case None =>
+        val (cbDf, lists) = ivfIndex(corpus, nCentroids, idCol, vecCol)
+        (cbDf.collect(),
+          lists.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+            col("norm").as("cn"), col("centroid_id")))
     }
-    val corpusLists = c.withColumn("centroid_id",
-      element_at(nearestCentroids("cv", "cn", 1), 1).getField("centroid_id"))
+    def nearestCentroids(vec: String, nrm: String, keep: Int): Column =
+      nearestCentroidsExpr(codebook, vec, nrm, keep)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", sqrt(graftDot(col("qv"), col("qv"))))
     val probes = q.withColumn("probe",
@@ -225,6 +224,62 @@ object Similarity {
     val scored = cand.withColumn("sim",
       round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     rankTopK(scored, k)
+  }
+
+  /** Persistable IVF index for a vector corpus: (codebook, lists).
+    * codebook = the `nCentroids` hash-ordered corpus rows that act as
+    * the coarse quantizer ((id, vec, norm) — deterministic: first
+    * nCentroids by xxhash64(id)); lists = every corpus row with its
+    * nearest-centroid assignment (the inverted lists). Persist with
+    * [[writeIvfIndex]] so ANN serving pays the corpus assignment ONCE —
+    * per query batch only the probe side is hashed ([[ivfTopK]] with
+    * `corpusIndex`). The index keys the FAISS-style serving layout:
+    * lists parquet laid out on centroid_id, so a probe reads only its
+    * nProbe/nCentroids fraction of the corpus.
+    */
+  def ivfIndex(corpus: DataFrame, nCentroids: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", sqrt(graftDot(col("vec"), col("vec"))))
+    val codebookDf = c.orderBy(xxhash64(col("id"))).limit(nCentroids)
+    val cbRows = codebookDf.collect()
+    val lists = c.withColumn("centroid_id",
+      element_at(nearestCentroidsExpr(cbRows, "vec", "norm", 1), 1).getField("centroid_id"))
+    (codebookDf, lists)
+  }
+
+  /** Persist [[ivfIndex]] as parquet: `path/codebook` + `path/lists`
+    * (lists repartitioned on centroid_id — the probe join's key).
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String, nCentroids: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (cb, lists) = ivfIndex(corpus, nCentroids, idCol, vecCol)
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
+    lists.repartition(col("centroid_id")).write.mode("overwrite").parquet(s"$path/lists")
+  }
+
+  /** Read a persisted [[ivfIndex]] back; pass to [[ivfTopK]]'s
+    * `corpusIndex` (indexed == inline pinned in ExtSpec).
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/codebook"), spark.read.parquet(s"$path/lists"))
+
+  /** Nearest `keep` centroids of a collected codebook as a sorted
+    * literal-array argmax — narrow, codegen'd, embedded straight into
+    * the scan (no cross join). ASCENDING sort on (-csim, centroid_id)
+    * keeps ties on the SMALLEST centroid id; `lit(r.get(0))` keeps the
+    * id column type-generic.
+    */
+  private def nearestCentroidsExpr(codebook: Array[org.apache.spark.sql.Row],
+      vec: String, nrm: String, keep: Int): Column = {
+    val sims = codebook.map { r =>
+      val cv = r.getSeq[Double](1).toArray
+      val cn = r.getDouble(2)
+      struct((-graftDot(col(vec), typedLit(cv)) / (col(nrm) * lit(cn))).as("negsim"),
+        lit(r.get(0)).as("centroid_id"))
+    }
+    slice(sort_array(array(sims.toIndexedSeq: _*), asc = true), 1, keep)
   }
 
   /** [[cosineDupPairs]] at corpus scale: random-hyperplane LSH buckets

@@ -529,6 +529,27 @@ class ExtSpec extends AnyFunSuite {
       "indexed lshTopK diverged from the inline-hashed corpus")
   }
 
+  test("IVF index: reload == recompute; indexed ivfTopK == inline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toFile.getAbsolutePath
+    Similarity.writeIvfIndex(emb, s"$dir/ivf", nCentroids = 16)
+    val idx = Similarity.readIvfIndex(spark, s"$dir/ivf")
+    val (cbFresh, listsFresh) = Similarity.ivfIndex(emb, nCentroids = 16)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(idx._1) == ids(cbFresh), "persisted codebook drifted from recompute")
+    def assignments(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "centroid_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(assignments(idx._2) == assignments(listsFresh),
+      "persisted inverted lists drifted from recompute")
+    val q = emb.filter(col("vec_id") < 20)
+    def topk(ci: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]) =
+      Similarity.ivfTopK(q, emb, k = 5, nCentroids = 16, nProbe = 6, corpusIndex = ci)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(topk(Some(idx)) == topk(None),
+      "indexed ivfTopK diverged from the inline-assigned corpus")
+  }
+
   test("PPJoin with broadcast df and a persisted df table == naive strategy") {
     val dir = java.nio.file.Files.createTempDirectory("graft_df_table").toFile.getAbsolutePath
     def pairSet(df: org.apache.spark.sql.DataFrame) =
