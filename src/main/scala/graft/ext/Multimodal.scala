@@ -85,6 +85,39 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_payload")
   }
 
+  /** Deterministic resize: nearest-"pixel" subsampling of the payload to
+    * a target width (stub for image resize — a real implementation would
+    * decode, scale, re-encode; the meta/payload CONTRACT is the real
+    * part: output meta reflects the new dimensions, payload length
+    * scales accordingly, id is preserved). Same per-partition batch
+    * shape as [[extractFeatures]].
+    */
+  def resize(media: Dataset[MediaRow], targetWidth: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(targetWidth > 0, "targetWidth must be positive")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val w = math.max(1, r.meta.width)
+        val out =
+          if (targetWidth >= w) r.payload
+          else {
+            // nearest-neighbor over the byte raster: keep byte i*w/targetWidth
+            val perRow = math.max(1, r.payload.length / math.max(1, r.meta.height) / w)
+            val keep = (0 until (r.payload.length / math.max(1, perRow * w)) * targetWidth)
+              .map { i =>
+                val row = i / targetWidth; val c = i % targetWidth
+                (row * w + c.toLong * w / targetWidth).toInt * perRow
+              }
+              .filter(_ < r.payload.length)
+            keep.map(r.payload).toArray
+          }
+        MediaRow(r.media_id,
+          r.meta.copy(width = math.min(targetWidth, w),
+            height = r.meta.height), out)
+      }
+    }
+  }
+
   /** Media near-dup detection: features → cosine pairs (composition with
     * the similarity operators; this is the 100 TB dedup path for
     * non-text modalities).

@@ -40,4 +40,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.length == 1)
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
   }
+
+  test("resize honors the meta/payload contract and is deterministic") {
+    val media = Multimodal.syntheticMedia(docs)
+    val resized = Multimodal.resize(media, targetWidth = 8).collect()
+    val orig = media.collect().map(r => r.media_id -> r).toMap
+    assert(resized.nonEmpty && resized.length == orig.size, "resize must be 1:1 on rows")
+    resized.foreach { r =>
+      val o = orig(r.media_id)
+      assert(r.meta.width <= 8 && r.meta.width <= o.meta.width, s"width contract: ${r.meta}")
+      assert(r.payload.length <= o.payload.length, "resize must not grow the payload")
+    }
+    // deterministic: same input -> byte-identical output
+    val again = Multimodal.resize(media, targetWidth = 8).collect()
+      .map(r => r.media_id -> r.payload.toSeq).toMap
+    assert(resized.forall(r => again(r.media_id) == r.payload.toSeq))
+    // a target wider than the media is the identity
+    val wide = Multimodal.resize(media, targetWidth = 1000).collect()
+      .map(r => r.media_id -> r.payload.toSeq).toMap
+    assert(resized.nonEmpty && orig.values.forall(o => wide(o.media_id) == o.payload.toSeq))
+  }
 }
