@@ -163,6 +163,12 @@ class PlanSpec extends AnyFunSuite {
     val oov = planOf("t08_oov_rate")
     assert(oov.contains("BroadcastHashJoin"), s"vocab probe not broadcast:\n$oov")
     assert(!oov.contains("SortMergeJoin"), s"token stream shuffled for the probe:\n$oov")
+    // the composed funnel stays two single-exchange as-of stages, with
+    // NO join operator anywhere (the union+window formulation) — a
+    // regression to a range join would explode at scale
+    val funnel = planOf("e05_funnel")
+    assert(!funnel.contains("Join"), s"funnel regressed to a join:\n$funnel")
+    assert("Exchange hashpartitioning".r.findAllIn(funnel).length == 2, funnel)
   }
 
   test("d05: per-side norms are computed below the pair join") {
