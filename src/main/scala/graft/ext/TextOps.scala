@@ -143,6 +143,40 @@ object TextOps {
         (floor(oov.cast("double") / count(lit(1)) * 1e6) / 1e6).as("oov_rate"))
   }
 
+  /** PII scrubbing patterns — deliberately RE2-safe (no lookarounds, no
+    * backrefs) so a Go/Rust/SQL scrubber replays them byte-identically;
+    * the t10 gate pins exactly that. Narrow regexp_replace chain:
+    * codegen'd, no UDF, no shuffle.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact emails → `<EMAIL>`, then phone-like runs → `<PHONE>`, then
+    * IPv4s → `<IP>`. Order matters and is part of the contract (an email
+    * is redacted before its digits can look like a phone; an IP inside
+    * an already-redacted token is gone) — the oracle applies the same
+    * sequence.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Count of redactions [[redactPii]] performs, counted stage by stage
+    * on the progressively redacted text (so a digit run inside an email
+    * is never double-counted).
+    */
+  def piiCount(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhonePattern, "<PHONE>")
+    regexp_count(text, lit(EmailPattern)) +
+      regexp_count(afterEmail, lit(PhonePattern)) +
+      regexp_count(afterPhone, lit(Ipv4Pattern))
+  }
+
   /** Per-document text metrics via [[graft.functions.TextMetrics]] — ONE
     * pass over each text (the column-primitive formulation above is kept
     * for à-la-carte use; this fused path is ~5× faster and verified

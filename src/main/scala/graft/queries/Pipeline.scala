@@ -256,6 +256,26 @@ object Pipeline {
       .select(col("doc_id"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** PII scrubbing under the gate ([[TextOps.redactPii]]): the fixture
+    * text carries no PII, so the query INJECTS a deterministic contact
+    * line (email + phone + IP derived from doc_id) and then redacts —
+    * the oracle replays injection and redaction byte-identically, so
+    * any divergence in pattern semantics or replacement order
+    * hash-mismatches. Output is the full redacted text plus the
+    * per-stage redaction count.
+    */
+  def t10Redact(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact: user"), col("doc_id"), lit("@example.com or +1 (555) 123-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" at 10.0."), pmod(col("doc_id"), lit(256)), lit(".7")).as("text"))
+    withPii.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("redacted"),
+        TextOps.piiCount(col("text")).cast("long").as("n_pii"))
+      .orderBy(col("doc_id"))
+  }
+
   def j01JsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -697,6 +717,28 @@ object Pipeline {
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin,
     "t09_hash_split" -> hashSplitOracle,
+    "t10_redact" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |    text || ' contact: user' || doc_id::VARCHAR || '@example.com or +1 (555) 123-'
+        |      || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |      || ' at 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS text
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM withpii
+        |), s2 AS (
+        |  SELECT doc_id, text, t1,
+        |    regexp_replace(t1, '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS t2
+        |  FROM s1
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(t1, '\+?[0-9][0-9()\-. ]{6,}[0-9]'))
+        |    + len(regexp_extract_all(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_pii
+        |FROM s2 ORDER BY doc_id""".stripMargin,
     "t08_oov_rate" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
@@ -829,6 +871,7 @@ object Pipeline {
     "t03_vocab"          -> t03Vocab _,
     "t08_oov_rate"       -> t08OovRate _,
     "t09_hash_split"     -> t09HashSplit _,
+    "t10_redact"         -> t10Redact _,
     "e05_funnel"         -> e05Funnel _,
     "j01_json_extract"   -> j01JsonExtract _,
     "e01_event_windows"  -> e01EventWindows _,
