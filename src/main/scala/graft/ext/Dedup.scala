@@ -318,6 +318,33 @@ object Dedup {
     verifyJaccard(cand, sets, minJaccard)
   }
 
+  /** Benchmark decontamination: for each EVAL document, the fraction of
+    * its (distinct) word n-grams that appear anywhere in the TRAINING
+    * corpus — the overlap scan run before an eval set is trusted.
+    * One explode per side, one distinct on the corpus shingles (the
+    * corpus-sized shuffle — at 100 TB substitute a persisted corpus
+    * shingle set, or a Bloom filter of it via
+    * [[graft.ops.Prefilter]] when approximate contamination suffices),
+    * one equi-join keyed on the shingle hash, one per-doc aggregate.
+    * Output: (idCol, n_shingles, n_contaminated, contamination) —
+    * contamination floor-scaled for cross-engine hash equality.
+    */
+  def ngramContamination(evalDocs: DataFrame, corpus: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.ensureRegistered(evalDocs.sparkSession)
+    val evalSh = evalDocs.select(col(idCol),
+      explode(graftShingles(col(textCol), n)).as("shingle"))
+    val corpusSh = corpus
+      .select(explode(graftShingles(col(textCol), n)).as("shingle"))
+      .distinct().withColumn("hit", lit(1))
+    val hits = sum(coalesce(col("hit"), lit(0)))
+    evalSh.join(corpusSh, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        hits.cast("long").as("n_contaminated"),
+        (floor(hits.cast("double") / count(lit(1)) * 1e6) / 1e6).as("contamination"))
+  }
+
   // ---------------------------------------------------------- clustering
 
   /** Connected components over an undirected near-dup pair graph —

@@ -143,6 +143,28 @@ object TextOps {
         (floor(oov.cast("double") / count(lit(1)) * 1e6) / 1e6).as("oov_rate"))
   }
 
+  /** Within-document repetition (the Gopher-style "repetitious text"
+    * quality filter): 1 − distinct/total word n-grams. Fully narrow —
+    * total gram count is arithmetic on the token count
+    * (`max(len − n + 1, 1)`, the same formula for the short-doc case
+    * the shingle operators use) and the distinct count is the size of
+    * the one-pass native shingle SET; no explode, no shuffle. dup_ratio
+    * floor-scaled for cross-engine hash equality.
+    */
+  def repetitionRatio(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // RAW split length (no empty-text guard): the shingle machinery
+    // derives its short-doc case from the raw token array, so the
+    // instance count must come from the same array
+    val nGrams = greatest(size(tokens(col(textCol))) - (n - 1), lit(1))
+    val nDistinct = size(graft.functions.GraftFunctions.graftShingles(col(textCol), n))
+    docs.select(col(idCol),
+      nGrams.cast("long").as("n_grams"),
+      nDistinct.cast("long").as("n_distinct"),
+      (floor((lit(1.0) - nDistinct.cast("double") / nGrams) * 1e6) / 1e6).as("dup_ratio"))
+  }
+
   /** PII scrubbing patterns — deliberately RE2-safe (no lookarounds, no
     * backrefs) so a Go/Rust/SQL scrubber replays them byte-identically;
     * the t10 gate pins exactly that. Narrow regexp_replace chain:

@@ -276,6 +276,25 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination gate ([[Dedup.ngramContamination]]): docs with
+    * doc_id % 17 == 0 play the eval set, the rest the training corpus.
+    */
+  def d12Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.ngramContamination(
+        docs.filter(col("doc_id") % 17 === 0),
+        docs.filter(col("doc_id") % 17 =!= 0), n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Within-doc repetition filter ([[TextOps.repetitionRatio]]) — fully
+    * narrow (native shingle set size vs token arithmetic), gate checks
+    * the whole signal.
+    */
+  def t11Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionRatio(Tables.documents(spark, dir), n = 3)
+      .orderBy(col("doc_id"))
+
   def j01JsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -593,6 +612,36 @@ object Pipeline {
     s"""WITH $ngramJaccardCtes
        |SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b""".stripMargin
 
+  /** Eval-vs-corpus shingle containment over the same sh CTE. */
+  private val contaminationOracle =
+    s"""WITH $ngramJaccardCtes, ev AS (
+       |  SELECT doc_id, shingle FROM sh WHERE doc_id % 17 = 0
+       |), cs AS (
+       |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 != 0
+       |)
+       |SELECT ev.doc_id AS doc_id, count(*) AS n_shingles,
+       |  count(cs.shingle) AS n_contaminated,
+       |  floor(count(cs.shingle) / CAST(count(*) AS DOUBLE) * 1e6) / 1e6 AS contamination
+       |FROM ev LEFT JOIN cs ON ev.shingle = cs.shingle
+       |GROUP BY ev.doc_id ORDER BY doc_id""".stripMargin
+
+  private val repetitionOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), inst AS (
+      |  SELECT doc_id, greatest(len(w) - 2, 1) AS n_grams FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+      |         ELSE array_to_string(w[i.i:i.i+2], ' ') END AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i) i
+      |), d AS (
+      |  SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_grams, n_distinct,
+      |  floor((1 - n_distinct / CAST(n_grams AS DOUBLE)) * 1e6) / 1e6 AS dup_ratio
+      |FROM inst JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Connected components over the exact pair set, in SQL: transitive
     * closure by recursive CTE, cluster_id = min reachable id — what the
     * Spark-side iterative min-label propagation must converge to.
@@ -613,6 +662,8 @@ object Pipeline {
     "d07_simhash_md5" -> simhashMd5Oracle,
     "d10_simhash_pairs_md5" -> simhashMd5PairsOracle,
     "d11_dedup_clusters" -> dedupClustersOracle,
+    "d12_contamination" -> contaminationOracle,
+    "t11_repetition" -> repetitionOracle,
     // priority = w / u, u = (h+1)/2^32 — all IEEE-exact ops, so the
     // DOUBLE priorities hash-match bit-for-bit across engines
     "t06_weighted_sample" ->
@@ -860,6 +911,8 @@ object Pipeline {
     "d04_simhash_pairs"  -> d04SimhashPairs _,
     "d10_simhash_pairs_md5" -> d10SimhashPairsMd5 _,
     "d11_dedup_clusters" -> d11DedupClusters _,
+    "d12_contamination"  -> d12Contamination _,
+    "t11_repetition"     -> t11Repetition _,
     "d05_embedding_dups" -> d05EmbeddingDups _,
     "d08_embedding_dups_new" -> d08EmbeddingDupsNew _,
     "s01_sim_topk"       -> s01SimTopK _,
