@@ -345,6 +345,36 @@ object Dedup {
         (floor(hits.cast("double") / count(lit(1)) * 1e6) / 1e6).as("contamination"))
   }
 
+  /** [[ngramContamination]] at corpus scale: the corpus shingle set is
+    * summarized as a driver-built Bloom filter (~1.2 bytes/shingle at
+    * 1% fpp — a 10¹⁰-shingle corpus fits a few GB broadcast, vs the
+    * exact path's corpus-wide distinct + join), probed by the eval
+    * shingles via [[graft.ops.Prefilter.bloomSemiJoin]]. Error is
+    * ONE-SIDED: false positives only, so the reported contamination
+    * upper-bounds the true rate — the safe direction for a
+    * decontamination gate (you can only over-flag, never under-flag;
+    * pinned in ExtSpec against the exact operator).
+    */
+  def ngramContaminationApprox(evalDocs: DataFrame, corpus: DataFrame, n: Int = 3,
+      fpp: Double = 0.01, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.ensureRegistered(evalDocs.sparkSession)
+    val evalSh = evalDocs.select(col(idCol),
+      explode(graftShingles(col(textCol), n)).as("shingle"))
+    val corpusSh = corpus
+      .select(explode(graftShingles(col(textCol), n)).as("shingle"))
+    // expectedItems defaults to the instance count (dups included) — an
+    // OVERSIZED filter, which only lowers the realized fpp
+    val flagged = graft.ops.Prefilter
+      .bloomSemiJoin(evalSh, corpusSh, "shingle", "shingle", fpp = fpp)
+      .groupBy(col(idCol)).agg(count(lit(1)).cast("long").as("n_contaminated"))
+    evalSh.groupBy(col(idCol)).agg(count(lit(1)).cast("long").as("n_shingles"))
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (floor(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+          / col("n_shingles") * 1e6) / 1e6).as("contamination"))
+  }
+
   // ---------------------------------------------------------- clustering
 
   /** Connected components over an undirected near-dup pair graph —

@@ -529,6 +529,26 @@ class ExtSpec extends AnyFunSuite {
       "indexed lshTopK diverged from the inline-hashed corpus")
   }
 
+  test("bloom contamination upper-bounds exact contamination, tightly at low fpp") {
+    val evalDocs = docs.filter(col("doc_id") % 17 === 0)
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    def byDoc(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_shingles", "n_contaminated").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = byDoc(Dedup.ngramContamination(evalDocs, corpus, 3))
+    val approx = byDoc(Dedup.ngramContaminationApprox(evalDocs, corpus, 3, fpp = 0.01))
+    assert(exact.nonEmpty && approx.keySet == exact.keySet)
+    approx.foreach { case (id, (total, hits)) =>
+      val (exTotal, exHits) = exact(id)
+      assert(total == exTotal, s"doc $id shingle totals diverged")
+      // one-sided error: bloom can only ADD false hits, never lose one
+      assert(hits >= exHits && hits <= total, s"doc $id: approx $hits vs exact $exHits")
+    }
+    val extraRate = (approx.values.map(_._2).sum - exact.values.map(_._2).sum).toDouble /
+      math.max(1L, exact.values.map(_._1).sum)
+    assert(extraRate <= 0.05, s"false-positive inflation $extraRate exceeds 5%")
+  }
+
   test("IVF index: reload == recompute; indexed ivfTopK == inline") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toFile.getAbsolutePath
     Similarity.writeIvfIndex(emb, s"$dir/ivf", nCentroids = 16)
