@@ -1,0 +1,111 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.ext.{Dedup, TextOps}
+
+/** The COMPLETE training-data curation pipeline as one executable
+  * narrative — every stage a graft operator, chained the way a 100 TB
+  * curation job runs them:
+  *
+  *   raw docs → PII redaction → quality / OOV / repetition filters →
+  *   exact dedup → near-dup clusters (keep one) → decontamination vs a
+  *   held-out eval set → deterministic train/val/test split → persisted
+  *   minhash index for the NEXT ingest batch.
+  *
+  * Run: `sbt "runMain graft.examples.CurationTour"` — prints one
+  * OK/FAIL line per stage and exits nonzero on any FAIL. Every stage is
+  * deterministic, so the final train set is bit-reproducible.
+  */
+object CurationTour {
+  def main(args: Array[String]): Unit = {
+    implicit val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    var failed = 0
+    def check(name: String)(cond: => Boolean): Unit = {
+      val ok = try cond catch { case e: Throwable => println(s"  ! $name: $e"); false }
+      println(f"${if (ok) "OK  " else "FAIL"} $name")
+      if (!ok) failed += 1
+    }
+
+    val raw = Tables.documents(spark, sf).cache()
+    val n0 = raw.count()
+
+    // 1. scrub: redact PII in place, count what was touched
+    val scrubbed = raw.select(col("doc_id"), col("lang"),
+      TextOps.redactPii(col("text")).as("text"),
+      TextOps.piiCount(col("text")).as("n_pii")).cache()
+    check("redaction preserves every row and is idempotent") {
+      scrubbed.count() == n0 &&
+        scrubbed.filter(TextOps.piiCount(col("text")) =!= 0).count() == 0
+    }
+
+    // 2. filter: quality floor, OOV ceiling, repetition ceiling
+    val quality = scrubbed.withColumn("quality", TextOps.qualityScore(col("text")))
+    val oov = TextOps.oovRate(scrubbed, topK = 10)
+    val rep = TextOps.repetitionRatio(scrubbed, n = 3)
+    val filtered = quality.filter(col("quality") >= 0.1)
+      .join(oov.filter(col("oov_rate") <= 0.95).select("doc_id"), "doc_id")
+      .join(rep.filter(col("dup_ratio") <= 0.5).select("doc_id"), "doc_id")
+      .cache()
+    check("quality/OOV/repetition filters keep a nonempty strict subset") {
+      val k = filtered.count(); k > 0 && k <= n0
+    }
+
+    // 3. dedup: exact first (cheap), then near-dup clusters keep-one
+    val exactKept = Dedup.dropExactDuplicates(filtered)
+    val pairs = Dedup.minhashDedupPairs(exactKept, n = 3, k = 32, bands = 16,
+      minJaccard = 0.5)
+    val deduped = Dedup.dropNearDuplicates(exactKept, pairs).cache()
+    check("dedup keeps one representative per near-dup group") {
+      val clusters = Dedup.clusters(pairs).collect()
+      deduped.count() ==
+        exactKept.count() - clusters.count { case r => r.getLong(0) != r.getLong(1) }
+    }
+
+    // 4. decontaminate against a held-out eval slice
+    val evalSet = deduped.filter(col("doc_id") % 17 === 0)
+    val train0 = deduped.filter(col("doc_id") % 17 =!= 0)
+    check("decontamination scan flags eval overlap without dropping train rows") {
+      val cont = Dedup.ngramContamination(evalSet, train0, n = 3)
+      cont.count() == evalSet.count() &&
+        cont.agg(max("contamination")).head.getDouble(0) <= 1.0
+    }
+
+    // 5. split deterministically; the train set is the deliverable
+    val split = graft.ops.Sampling.hashSplit(train0, Seq("doc_id"),
+      Seq(("train", 0.9), ("val", 0.1)))
+    val train = split.filter(col("split") === "train")
+    check("split is total and reproducible down to the exact id set") {
+      val ids = train.select("doc_id").collect().map(_.getLong(0)).toSet
+      val again = graft.ops.Sampling.hashSplit(train0, Seq("doc_id"),
+          Seq(("train", 0.9), ("val", 0.1)))
+        .filter(col("split") === "train")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      split.count() == train0.count() && ids.nonEmpty && ids == again
+    }
+
+    // 6. persist the corpus index the NEXT ingest batch will probe
+    check("next-batch index: persisted signatures probe-equal to recompute") {
+      val dir = java.nio.file.Files.createTempDirectory("curation_idx")
+        .toFile.getAbsolutePath
+      Dedup.writeMinhashIndex(train, s"$dir/idx", n = 3, k = 32, bands = 16)
+      val idx = Dedup.readMinhashIndex(spark, s"$dir/idx")
+      val probe = raw.filter(col("doc_id") % 97 === 0)
+      val viaIdx = Dedup.minhashDedupNewPairs(probe, train, n = 3, k = 32,
+          bands = 16, minJaccard = 0.5, corpusIndex = Some(idx))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = Dedup.minhashDedupNewPairs(probe, train, n = 3, k = 32,
+          bands = 16, minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      viaIdx == direct
+    }
+
+    println(if (failed == 0) "CurationTour: all checks passed"
+            else s"CurationTour: $failed check(s) FAILED")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}
