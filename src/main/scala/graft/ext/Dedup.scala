@@ -137,12 +137,17 @@ object Dedup {
     * precomputed `(shingle, df)` table (e.g. read back from parquet —
     * t03Vocab's `df` column is exactly this under a rename) can be
     * passed as `dfTable`, skipping the groupBy recompute entirely.
-    * A stale/subset df table only REORDERS the rarity sort — any
-    * (shingle, df) assignment keeps the prefix conservative as long as
-    * prefixes come from the same ordering both sides of the self-join,
-    * which they do (one shared `prefix` plan); missing shingles drop
-    * their sh rows, so supply a complete vocabulary (the consistency
-    * spec pins reuse == recompute on the fixture).
+    * The df lookup is a LEFT join with missing df coalesced to
+    * Long.MaxValue: a stale/subset table (exactly what a
+    * new-vocabulary ingest batch produces against a persisted corpus
+    * df) then only REORDERS the rarity sort — unknown shingles sort
+    * LAST but stay joinable, so no sh row is ever dropped and the
+    * prefix stays conservative under ANY consistent (shingle, df)
+    * assignment. PPJoin's recall needs only that both self-join sides
+    * share one total token order, which they do (one shared `prefix`
+    * plan); rarity vs. an exact df is purely the performance heuristic
+    * (subset-safety pinned in ExtSpec: a df table missing half the
+    * vocabulary yields the identical pair set).
     */
   private[graft] def prefixStage(sets: DataFrame, t: Double,
       broadcastDf: Boolean = false, dfTable: Option[DataFrame] = None): DataFrame = {
@@ -151,8 +156,9 @@ object Dedup {
     val freq = dfTable.getOrElse(sh.groupBy("shingle").agg(count(lit(1)).as("df")))
     val prefixLen = greatest(lit(1),
       (col("setSize") - ceil(lit(tLoose) * col("setSize")) + 1).cast("int"))
-    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
-    sh.join(if (broadcastDf) broadcast(freq) else freq, "shingle")
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(coalesce(col("df"), lit(Long.MaxValue)), col("shingle"))
+    sh.join(if (broadcastDf) broadcast(freq) else freq, Seq("shingle"), "left")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefixLen)
       .select(col("id"), col("setSize"), col("shingle"))
@@ -388,21 +394,35 @@ object Dedup {
     * when a~c itself fell below the pair threshold.
     *
     * Returns (id, cluster_id) for every id appearing in `pairs`,
-    * cluster_id = the component's minimum id. Each round persists its
-    * label table and unpersists the previous one, so lineage stays one
-    * round deep; throws if `maxIter` rounds don't converge (a silent
-    * partial clustering would merge/split groups wrongly downstream).
+    * cluster_id = the component's minimum id. Each round checkpoints its
+    * label table and unpersists the previous round's blocks, so both
+    * lineage AND block-manager footprint stay one round deep; throws if
+    * `maxIter` rounds don't converge (a silent partial clustering would
+    * merge/split groups wrongly downstream).
     *
     * Each round does neighbor-min propagation PLUS pointer jumping
     * (label(v) ← label(label(v)) — valid because labels only ever
     * decrease and every label is itself a node id), which doubles the
     * propagated distance per round: convergence is O(log diameter),
     * so even a pathological 10⁶-long near-dup CHAIN (a drifting
-    * versioned document) finishes in ~20 rounds, not 10⁶. Rounds are
-    * shuffle-bound on |edges| + |labels|.
+    * versioned document) finishes in ~20 rounds, not 10⁶ (pinned by
+    * PropertySpec on a 2k-node path graph). Rounds are shuffle-bound on
+    * |edges| + |labels|, and each round is ONE materializing pass: the
+    * previous label rides the round as a `prev` column into the
+    * checkpoint, so the convergence check is a narrow count over the
+    * just-materialized in-memory blocks — no re-join, no second pass
+    * over edges or labels.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    clustersWithRounds(pairs, idA, idB, maxIter)._1
+
+  /** [[clusters]] plus the number of propagation rounds it took —
+    * exposed so PropertySpec can pin the O(log diameter) convergence
+    * claim on an adversarial long-chain graph.
+    */
+  private[graft] def clustersWithRounds(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 50): (DataFrame, Int) = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()
@@ -419,27 +439,45 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("dstLabel")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dstLabel")).as("nbrMin"))
       val propagated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbrMin"), col("cluster_id"))).as("cluster_id"))
       // pointer jump: follow the label one hop (label(label(v))). The
       // left join always matches — a label is the id of some node — and
       // label(x) <= x, so the jump only ever improves toward the root.
+      // prev rides along so convergence is read off the SAME
+      // materialized round instead of a separate join against labels.
       val updated = propagated.as("a")
         .join(propagated.select(col("id").as("cluster_id"), col("cluster_id").as("grand")).as("b"),
           Seq("cluster_id"), "left")
-        .select(col("id"), coalesce(col("grand"), col("cluster_id")).as("cluster_id"))
+        .select(col("id"), coalesce(col("grand"), col("cluster_id")).as("cluster_id"),
+          col("prev"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.select(col("id"), col("cluster_id").as("prev")), "id")
-        .filter(col("cluster_id") =!= col("prev")).count()
+      // narrow filter+count over the checkpoint's in-memory blocks —
+      // the round's joins ran exactly once, in the checkpoint job
+      val changed = updated.filter(col("cluster_id") =!= col("prev")).count()
+      unpersistCheckpoint(labels)
       labels = updated
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
     require(converged, s"label propagation did not converge in $maxIter rounds")
-    labels
+    (labels.select(col("id"), col("cluster_id")), i)
   }
+
+  /** Free a [[org.apache.spark.sql.Dataset.localCheckpoint]]'s blocks.
+    * `Dataset.unpersist` only consults the CacheManager, which never
+    * sees checkpoint RDDs — without this each round's blocks would sit
+    * in the block manager until the job ends (bounded by the O(log d)
+    * round count, but a pure waste; boundedness of live checkpoint
+    * blocks is pinned in PropertySpec).
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** `docs` minus every non-representative near-dup cluster member: the
     * composition a pipeline actually runs (pairs → [[clusters]] → keep

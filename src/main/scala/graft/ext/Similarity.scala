@@ -111,8 +111,12 @@ object Similarity {
     * probe an artifact instead of re-hashing the corpus per call.
     * `(dim, bitsPerTable, tables, seedBase)` must match between index
     * build and probe time — the hyperplanes are a pure function of them,
-    * and a mismatch buckets the two sides incompatibly (probes then
-    * join nothing, they never join wrongly by accident).
+    * and a mismatch hashes the two sides with UNRELATED planes. That
+    * failure is SILENT and wrong, not empty: bucket values are dense
+    * small integers, so mismatched sides still collide by chance and
+    * the probe returns random candidates. Hence the `_graft_lsh_params`
+    * sidecar [[writeLshIndex]] records and [[lshTopKAt]] obeys —
+    * parameter agreement is enforced by construction, not by docstring.
     */
   def lshIndex(vectors: DataFrame, dim: Int, bitsPerTable: Int = 8, tables: Int = 8,
       seedBase: Long = 2000L,
@@ -122,42 +126,107 @@ object Similarity {
       "id", "vec", "norm")
   }
 
+  /** The hash parameters an LSH index was built with. The hyperplanes
+    * are a pure function of these four values, so a probe MUST hash with
+    * the same ones — a mismatch buckets the two sides incompatibly and
+    * the (table, bucket) join silently matches nothing.
+    */
+  case class LshParams(dim: Int, bitsPerTable: Int, tables: Int, seedBase: Long)
+
   /** Persist [[lshIndex]] as parquet, repartitioned on the probe join's
-    * (table, bucket) key so bucket reads are co-located.
+    * (table, bucket) key so bucket reads are co-located. The hash
+    * parameters are written alongside as an `_graft_lsh_params.json`
+    * sidecar (underscore-prefixed, so parquet readers skip it like
+    * `_SUCCESS`) — probes read them back with [[readLshIndexParams]]
+    * instead of trusting call-site defaults to agree.
     */
   def writeLshIndex(vectors: DataFrame, path: String, dim: Int,
       bitsPerTable: Int = 8, tables: Int = 8, seedBase: Long = 2000L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     lshIndex(vectors, dim, bitsPerTable, tables, seedBase, idCol, vecCol)
       .repartition(col("table"), col("bucket"))
       .write.mode("overwrite").parquet(path)
+    writeLshParams(vectors.sparkSession, path,
+      LshParams(dim, bitsPerTable, tables, seedBase))
+  }
+
+  private def paramsPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_lsh_params.json")
+
+  private def writeLshParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, p: LshParams): Unit = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    val out = fs.create(paramsPath(path), true)
+    try out.write(
+      s"""{"dim":${p.dim},"bitsPerTable":${p.bitsPerTable},"tables":${p.tables},"seedBase":${p.seedBase}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The [[LshParams]] sidecar of a persisted index; None for an index
+    * written before the sidecar existed (or by hand).
+    */
+  def readLshIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[LshParams] = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    if (!fs.exists(paramsPath(path))) return None
+    val in = fs.open(paramsPath(path))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def field(k: String) = s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(txt).map(_.group(1))
+    for {
+      d <- field("dim"); b <- field("bitsPerTable")
+      t <- field("tables"); s <- field("seedBase")
+    } yield LshParams(d.toInt, b.toInt, t.toInt, s.toLong)
+  }
 
   /** Read a persisted [[lshIndex]] back (reload==recompute pinned in
     * ExtSpec); pass to [[lshTopK]]'s `corpusIndex` or
-    * [[cosineDupPairsNewLsh]].
+    * [[cosineDupPairsNewLsh]] — with the SAME seedBase the sidecar
+    * records ([[readLshIndexParams]] / [[lshTopKAt]] make that
+    * automatic).
     */
   def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** [[lshTopK]] against a persisted index path, hash parameters taken
+    * from the index's own sidecar — the footgun-free serving call (no
+    * way to probe with mismatched planes). Requires the sidecar.
+    */
+  def lshTopKAt(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+      corpus: DataFrame, k: Int, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
+    val p = readLshIndexParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no _graft_lsh_params.json sidecar; pass parameters to lshTopK explicitly"))
+    lshTopK(queries, corpus, k, p.dim, p.bitsPerTable, p.tables, idCol, vecCol,
+      broadcastQueries, corpusIndex = Some(readLshIndex(spark, path)),
+      seedBase = p.seedBase)
+  }
+
   /** Approximate top-k: compare only vectors sharing an LSH bucket in at
     * least one of `tables` hash tables, then exact cosine + rank within
-    * the candidate set. With `corpusIndex` the corpus side is a
-    * persisted [[lshIndex]] (built with seedBase = 1000L to match the
-    * query-side planes) and the per-call work is hashing only the
-    * probe set.
+    * the candidate set. ONE `seedBase` drives both the query-side
+    * hashing and the inline corpus path, so the two sides cannot bucket
+    * incompatibly; with `corpusIndex` the corpus side is a persisted
+    * [[lshIndex]] — it must have been built with the SAME
+    * (dim, bitsPerTable, tables, seedBase), which [[lshTopKAt]]
+    * guarantees by reading them from the index's sidecar — and the
+    * per-call work is hashing only the probe set.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       bitsPerTable: Int = 12, tables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       broadcastQueries: Boolean = true,
-      corpusIndex: Option[DataFrame] = None): DataFrame = {
+      corpusIndex: Option[DataFrame] = None,
+      seedBase: Long = 1000L): DataFrame = {
     GraftFunctions.ensureRegistered(queries.sparkSession)
-    val q = lshBucketed(queries, dim, bitsPerTable, tables, 1000L, idCol, vecCol,
+    val q = lshBucketed(queries, dim, bitsPerTable, tables, seedBase, idCol, vecCol,
       "query_id", "qv", "qn")
     val c = corpusIndex match {
       case Some(idx) => idx.select(col("id").as("neighbor_id"), col("vec").as("cv"),
         col("norm").as("cn"), col("table"), col("bucket"))
-      case None => lshBucketed(corpus, dim, bitsPerTable, tables, 1000L, idCol, vecCol,
+      case None => lshBucketed(corpus, dim, bitsPerTable, tables, seedBase, idCol, vecCol,
         "neighbor_id", "cv", "cn")
     }
     // a small probe set broadcasts so the corpus never shuffles for the

@@ -174,29 +174,32 @@ object TextOps {
   val PhonePattern = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
   val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
-  /** Redact emails → `<EMAIL>`, then phone-like runs → `<PHONE>`, then
-    * IPv4s → `<IP>`. Order matters and is part of the contract (an email
-    * is redacted before its digits can look like a phone; an IP inside
-    * an already-redacted token is gone) — the oracle applies the same
-    * sequence.
+  /** Redact emails → `<EMAIL>`, then IPv4s → `<IP>`, then phone-like
+    * runs → `<PHONE>`. Order matters and is part of the contract: an
+    * email is redacted before its digits can look like a phone, and IPs
+    * go BEFORE phones because [[PhonePattern]]'s separator class
+    * includes `.`, so any dotted-quad of ≥ 8 chars also matches it —
+    * phone-first would tag every IPv4 `<PHONE>`, scrubbing the data but
+    * lying to any consumer that distinguishes PII classes. The oracle
+    * applies the same sequence.
     */
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(text, EmailPattern, "<EMAIL>"),
-        PhonePattern, "<PHONE>"),
-      Ipv4Pattern, "<IP>")
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
 
   /** Count of redactions [[redactPii]] performs, counted stage by stage
     * on the progressively redacted text (so a digit run inside an email
-    * is never double-counted).
+    * is never double-counted, and an IP never counts as a phone).
     */
   def piiCount(text: Column): Column = {
     val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
-    val afterPhone = regexp_replace(afterEmail, PhonePattern, "<PHONE>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
     regexp_count(text, lit(EmailPattern)) +
-      regexp_count(afterEmail, lit(PhonePattern)) +
-      regexp_count(afterPhone, lit(Ipv4Pattern))
+      regexp_count(afterEmail, lit(Ipv4Pattern)) +
+      regexp_count(afterIp, lit(PhonePattern))
   }
 
   /** Per-document text metrics via [[graft.functions.TextMetrics]] — ONE

@@ -781,14 +781,14 @@ object Pipeline {
         |  FROM withpii
         |), s2 AS (
         |  SELECT doc_id, text, t1,
-        |    regexp_replace(t1, '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS t2
+        |    regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2
         |  FROM s1
         |)
         |SELECT doc_id,
-        |  regexp_replace(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted,
+        |  regexp_replace(t2, '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |    + len(regexp_extract_all(t1, '\+?[0-9][0-9()\-. ]{6,}[0-9]'))
-        |    + len(regexp_extract_all(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_pii
+        |    + len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
+        |    + len(regexp_extract_all(t2, '\+?[0-9][0-9()\-. ]{6,}[0-9]')) AS n_pii
         |FROM s2 ORDER BY doc_id""".stripMargin,
     "t08_oov_rate" ->
       """WITH toks AS (

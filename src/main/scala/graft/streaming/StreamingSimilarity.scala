@@ -45,18 +45,20 @@ object StreamingSimilarity {
 
   /** Serve exact-ranked top-k per micro-batch of query vectors against
     * the persisted index; appends results as parquet. Callers own
-    * stop(). The index must have been built with seedBase = 1000L
-    * (lshTopK's query-plane seed).
+    * stop(). `(dim, bitsPerTable, tables, seedBase)` must equal the
+    * index's build parameters — read them from its
+    * [[Similarity.readLshIndexParams]] sidecar rather than repeating
+    * call-site literals.
     */
   def start(queriesStream: DataFrame, corpus: DataFrame, corpusIndex: DataFrame,
       k: Int, dim: Int, outPath: String, checkpoint: String,
-      bitsPerTable: Int = 12, tables: Int = 4,
+      bitsPerTable: Int = 12, tables: Int = 4, seedBase: Long = 1000L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     queriesStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Similarity.lshTopK(batch, corpus, k, dim, bitsPerTable, tables,
-            idCol, vecCol, corpusIndex = Some(corpusIndex))
+            idCol, vecCol, corpusIndex = Some(corpusIndex), seedBase = seedBase)
           .write.mode("append").parquet(outPath)
         ()
       }

@@ -588,4 +588,86 @@ class ExtSpec extends AnyFunSuite {
       dfTable = Some(spark.read.parquet(s"$dir/df"))))
     assert(reused == naive)
   }
+
+  test("PPJoin with a SUBSET df table loses no pairs (stale-vocabulary conservatism)") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.5))
+    assert(naive.nonEmpty)
+    // a df table missing ~half the vocabulary — the shape a persisted
+    // corpus artifact takes against an ingest batch with NEW shingles.
+    // The prefix stage left-joins and sorts unknown shingles last, so
+    // this must only reorder rarity, never drop candidate rows.
+    val half = Dedup.shingleDfTable(docs, 3)
+      .filter(xxhash64(col("shingle")) % 2 === 0)
+    for (bcast <- Seq(true, false)) {
+      val got = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.5,
+        prefixFilter = true, broadcastDf = bcast, dfTable = Some(half)))
+      assert(got == naive,
+        s"bcast=$bcast missing=${(naive -- got).take(5)} spurious=${(got -- naive).take(5)}")
+    }
+    // degenerate case: an EMPTY df table (all shingles unknown) still
+    // yields the exact pair set — pure tie-broken-by-shingle ordering
+    val none = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.5,
+      prefixFilter = true, broadcastDf = true,
+      dfTable = Some(Dedup.shingleDfTable(docs, 3).limit(0))))
+    assert(none == naive)
+  }
+
+  test("LSH index sidecar: params round-trip; one seedBase drives probe and index; lshTopKAt") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_seed").toFile.getAbsolutePath
+    // a NON-default seed everywhere: before lshTopK took a seedBase, its
+    // query side was hard-wired to 1000L and an index built with any
+    // other seed silently joined nothing — this pins the fix
+    val seed = 555L
+    Similarity.writeLshIndex(emb, s"$dir/idx", dim = 64,
+      bitsPerTable = 6, tables = 8, seedBase = seed)
+    assert(Similarity.readLshIndexParams(spark, s"$dir/idx")
+      .contains(Similarity.LshParams(64, 6, 8, seed)), "params sidecar did not round-trip")
+    val q = emb.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val inline = rows(Similarity.lshTopK(q, emb, k = 5, dim = 64,
+      bitsPerTable = 6, tables = 8, seedBase = seed))
+    assert(inline.nonEmpty)
+    val indexed = rows(Similarity.lshTopK(q, emb, k = 5, dim = 64,
+      bitsPerTable = 6, tables = 8,
+      corpusIndex = Some(Similarity.readLshIndex(spark, s"$dir/idx")), seedBase = seed))
+    assert(indexed == inline, "indexed probe with matching seed diverged from inline")
+    // the footgun-free serving call: parameters come from the sidecar,
+    // so no call-site literal can disagree with the index
+    val auto = rows(Similarity.lshTopKAt(spark, q, emb, k = 5, s"$dir/idx"))
+    assert(auto == inline, "lshTopKAt (sidecar-driven) diverged from inline")
+    // and the failure the fix removes: a MISMATCHED probe seed buckets
+    // the sides with UNRELATED planes — at this bucket density the join
+    // still matches (bucket values collide by chance), silently returning
+    // RANDOM candidates; only parameter agreement (the sidecar) prevents it
+    val mismatched = rows(Similarity.lshTopK(q, emb, k = 5, dim = 64,
+      bitsPerTable = 6, tables = 8,
+      corpusIndex = Some(Similarity.readLshIndex(spark, s"$dir/idx")), seedBase = 9999L))
+    assert(mismatched != inline,
+      "mismatched seeds happened to reproduce the true top-k; fixture can't pin the footgun")
+  }
+
+  test("clusters converge in O(log diameter) rounds on a 2k path graph; checkpoint blocks bounded") {
+    import spark.implicits._
+    // adversarial long chain: 2001 nodes, diameter 2000 — plain
+    // neighbor-min propagation needs 2000 rounds; pointer jumping
+    // doubles reach per round, so ceil(log2(2000)) = 11 (+ slack for
+    // the detect-no-change round and the first hop)
+    val n = 2000L
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = spark.range(n).select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val (labels, rounds) = Dedup.clustersWithRounds(chain.toDF())
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n + 1 && got.forall(_._2 == 0L),
+      s"path did not collapse to one component rooted at 0")
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 3
+    assert(rounds <= bound, s"pointer jumping regressed: $rounds rounds > log2-bound $bound")
+    // each round unpersists the previous checkpoint, so live checkpoint
+    // blocks stay O(1) — without it ~`rounds` RDDs would linger here
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"leaked checkpoint RDDs: $before -> $after over $rounds rounds")
+  }
 }
