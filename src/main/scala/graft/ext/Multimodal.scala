@@ -1,18 +1,26 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with a typed metadata struct, processed in partition-sized
-  * batches.
+  * batches (one codec allocation per task, rows streamed through it —
+  * the standard Spark shape for binary-blob work).
   *
-  * The Spark-side plumbing — schema, partitioning, batch shape, feature
-  * flow into [[Similarity]] — is real and tested. The actual codec step
-  * is STUBBED with a deterministic fake (this container ships no
-  * image/audio libraries): [[MediaCodec.decodeStub]] is the single seam
-  * where a real JNI/FFI decoder would plug in, consuming the same
-  * `Array[Byte]` and producing the same `DecodedMedia` shape.
+  * The image codec is REAL: `javax.imageio` (public JDK, no native
+  * deps) encodes/decodes PNG payloads, [[resize]] decodes, scales by
+  * nearest-neighbor, and re-encodes — the m02 oracle gates the decoded
+  * pixels of the resized output byte-for-byte against SQL replaying
+  * the same pixel arithmetic. Formats the container has no decoder for
+  * (audio/video) flow through the same plumbing as opaque payloads
+  * with content-hash features ([[MediaCodec.byteHistogram]]) — byte-level
+  * statistics, not a decode, and documented as such.
   */
 object Multimodal {
 
@@ -20,17 +28,92 @@ object Multimodal {
   case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
   case class MediaFeatures(media_id: Long, mediaType: String, n_bytes: Int,
       checksum: Long, embedding: Array[Float])
+  case class DecodedStats(media_id: Long, width: Int, height: Int, checksum: Long)
+
+  val PngFormat = "image/png"
 
   object MediaCodec {
-    /** STUB — deterministic fake decode. A real implementation would
-      * dispatch on `meta.format` to an image/audio decoder; everything
-      * downstream (batching, schema, feature flow) is identical.
+    private val P = 1000000007L
+
+    /** Encode an RGB raster (row-major packed 0xRRGGBB ints) as a real
+      * PNG via ImageIO. Lossless, so [[decodePng]] round-trips the
+      * exact pixels.
       */
-    def decodeStub(meta: MediaMeta, payload: Array[Byte]): Array[Float] = {
-      // 32-bin byte histogram, L1-normalized — a stand-in "embedding"
+    def encodePng(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+      require(rgb.length == width * height, s"raster ${rgb.length} != $width x $height")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, width, height, rgb, 0, width)
+      val out = new ByteArrayOutputStream()
+      require(ImageIO.write(img, "png", out), "JDK PNG writer unavailable")
+      out.toByteArray
+    }
+
+    /** Decode a PNG payload to (width, height, row-major 0xRRGGBB). */
+    def decodePng(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF)
+      (w, h, rgb)
+    }
+
+    /** Nearest-neighbor scale of a packed raster: output pixel (x, y)
+      * reads source pixel (x·srcW/dstW, y·srcH/dstH) — floor integer
+      * arithmetic, so SQL replays the mapping exactly. Handles both
+      * up- and down-scaling.
+      */
+    def scaleNearest(srcW: Int, srcH: Int, rgb: Array[Int],
+        dstW: Int, dstH: Int): Array[Int] = {
+      val out = new Array[Int](dstW * dstH)
+      var y = 0
+      while (y < dstH) {
+        val sy = y * srcH / dstH
+        var x = 0
+        while (x < dstW) {
+          out(y * dstW + x) = rgb(sy * srcW + x * srcW / dstW)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Position-weighted pixel digest: Σ rgbᵢ·(i+1) mod 1e9+7,
+      * mod-accumulated so it never overflows at any image size; for
+      * small rasters a 128-bit SQL sum-then-mod equals it exactly.
+      */
+    def pixelChecksum(rgb: Array[Int]): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < rgb.length) {
+        acc = (acc + (rgb(i).toLong % P) * ((i + 1) % P)) % P
+        i += 1
+      }
+      acc
+    }
+
+    /** Content-hash feature for OPAQUE payloads (no decoder in this
+      * container for audio/video): a 32-bin byte histogram,
+      * L1-normalized. Byte-level statistics by design — not a decode.
+      */
+    def byteHistogram(payload: Array[Byte]): Array[Float] = {
       val hist = new Array[Float](32)
       payload.foreach(b => hist((b & 0xFF) / 8) += 1f)
       val total = math.max(1f, payload.length.toFloat)
+      hist.map(_ / total)
+    }
+
+    /** RGB-channel histogram of a decoded raster (32 bins over the
+      * r, g, b bytes), L1-normalized — the decoded-pixel embedding.
+      */
+    def pixelHistogram(rgb: Array[Int]): Array[Float] = {
+      val hist = new Array[Float](32)
+      rgb.foreach { p =>
+        hist(((p >> 16) & 0xFF) / 8) += 1f
+        hist(((p >> 8) & 0xFF) / 8) += 1f
+        hist((p & 0xFF) / 8) += 1f
+      }
+      val total = math.max(1f, 3f * rgb.length)
       hist.map(_ / total)
     }
 
@@ -39,8 +122,8 @@ object Multimodal {
   }
 
   /** Wrap any table's string column as a binary media payload — the
-    * fixture generator for tests (real pipelines read binary columns
-    * straight from parquet).
+    * opaque-format fixture generator (real pipelines read binary
+    * columns straight from parquet).
     */
   def syntheticMedia(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text")(
       implicit spark: SparkSession): Dataset[MediaRow] = {
@@ -56,25 +139,70 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Batched decode + feature extraction: one codec instance per
-    * partition (the expensive part for a real decoder), rows streamed
-    * through it — the standard Spark shape for binary-blob processing.
+  /** Deterministic synthetic PNG per id: dims 8+id%9 × 8+id%5, pixel
+    * (x, y) = pure mod arithmetic over (id, x, y) — the whole raster
+    * is SQL-replayable, which is what lets the m02 gate check a real
+    * encode → resize → decode round trip byte-for-byte. Payloads are
+    * REAL PNGs produced by ImageIO in the per-partition batch shape.
+    */
+  def syntheticPng(docs: DataFrame, idCol: String = "doc_id")(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (8 + Math.floorMod(id, 9L)).toInt
+        val h = (8 + Math.floorMod(id, 5L)).toInt
+        MediaRow(id, MediaMeta("image", PngFormat, w, h),
+          MediaCodec.encodePng(w, h, syntheticRaster(id, w, h)))
+      }
+    }
+  }
+
+  /** The m02 pixel function: three channels of (id·a + x·b + y·c) mod
+    * 256 — chosen to be exactly expressible in ANSI SQL.
+    */
+  private[graft] def syntheticRaster(id: Long, w: Int, h: Int): Array[Int] = {
+    val rgb = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
+        val g = Math.floorMod(id * 17 + x * 11 + y * 5, 256L).toInt
+        val b = Math.floorMod(id * 13 + x * 3 + y * 19, 256L).toInt
+        rgb(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** Batched decode + feature extraction, dispatched on `meta.format`:
+    * PNG payloads get a REAL decode (embedding over decoded pixels,
+    * position-weighted pixel checksum); opaque formats get byte-level
+    * content features. One codec pass per partition either way.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codecs allocate here, once per task
       rows.map { r =>
-        val emb = MediaCodec.decodeStub(r.meta, r.payload)
-        MediaFeatures(r.media_id, r.meta.mediaType, r.payload.length,
-          MediaCodec.checksum(r.payload), emb)
+        if (r.meta.format == PngFormat) {
+          val (_, _, rgb) = MediaCodec.decodePng(r.payload)
+          MediaFeatures(r.media_id, r.meta.mediaType, r.payload.length,
+            MediaCodec.pixelChecksum(rgb), MediaCodec.pixelHistogram(rgb))
+        } else {
+          MediaFeatures(r.media_id, r.meta.mediaType, r.payload.length,
+            MediaCodec.checksum(r.payload), MediaCodec.byteHistogram(r.payload))
+        }
       }
     }
   }
 
   /** Deterministic frame sampling: every nth byte-slice of the payload
-    * as a "frame" (stub for video frame extraction; same partitioned
-    * explode shape).
+    * as a "frame" (the partitioned explode shape video frame
+    * extraction uses; the slicing here is byte-level since the
+    * container ships no video decoder).
     */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 16, everyNth: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
@@ -85,35 +213,39 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_payload")
   }
 
-  /** Deterministic resize: nearest-"pixel" subsampling of the payload to
-    * a target width (stub for image resize — a real implementation would
-    * decode, scale, re-encode; the meta/payload CONTRACT is the real
-    * part: output meta reflects the new dimensions, payload length
-    * scales accordingly, id is preserved). Same per-partition batch
-    * shape as [[extractFeatures]].
+  /** REAL image resize: decode the PNG payload, nearest-neighbor scale
+    * to (targetWidth, targetHeight), re-encode as PNG. Same
+    * per-partition batch shape as [[extractFeatures]]; output meta
+    * carries the new dimensions and the payload is a decodable PNG of
+    * exactly those pixels (gated end-to-end by m02).
     */
-  def resize(media: Dataset[MediaRow], targetWidth: Int): Dataset[MediaRow] = {
+  def resize(media: Dataset[MediaRow], targetWidth: Int, targetHeight: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    require(targetWidth > 0, "targetWidth must be positive")
+    require(targetWidth > 0 && targetHeight > 0, "target dims must be positive")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val w = math.max(1, r.meta.width)
-        val out =
-          if (targetWidth >= w) r.payload
-          else {
-            // nearest-neighbor over the byte raster: keep byte i*w/targetWidth
-            val perRow = math.max(1, r.payload.length / math.max(1, r.meta.height) / w)
-            val keep = (0 until (r.payload.length / math.max(1, perRow * w)) * targetWidth)
-              .map { i =>
-                val row = i / targetWidth; val c = i % targetWidth
-                (row * w + c.toLong * w / targetWidth).toInt * perRow
-              }
-              .filter(_ < r.payload.length)
-            keep.map(r.payload).toArray
-          }
+        require(r.meta.format == PngFormat,
+          s"resize needs a decodable image payload, got ${r.meta.format}")
+        val (w, h, rgb) = MediaCodec.decodePng(r.payload)
+        val scaled = MediaCodec.scaleNearest(w, h, rgb, targetWidth, targetHeight)
         MediaRow(r.media_id,
-          r.meta.copy(width = math.min(targetWidth, w),
-            height = r.meta.height), out)
+          r.meta.copy(width = targetWidth, height = targetHeight),
+          MediaCodec.encodePng(targetWidth, targetHeight, scaled))
+      }
+    }
+  }
+
+  /** Decode each payload and report (width, height, pixel checksum) —
+    * the verification surface: running it AFTER [[resize]] proves the
+    * emitted payloads are real images carrying exactly the scaled
+    * pixels, not pass-through bytes.
+    */
+  def decodedStats(media: Dataset[MediaRow]): Dataset[DecodedStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = MediaCodec.decodePng(r.payload)
+        DecodedStats(r.media_id, w, h, MediaCodec.pixelChecksum(rgb))
       }
     }
   }

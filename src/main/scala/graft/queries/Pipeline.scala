@@ -446,6 +446,27 @@ object Pipeline {
       .orderBy(col("media_id"))
   }
 
+  /** REAL image decode under the gate: deterministic synthetic PNGs
+    * (pixels a pure mod-arithmetic function of (doc_id, x, y) —
+    * [[graft.ext.Multimodal.syntheticRaster]]) are ImageIO-encoded,
+    * [[graft.ext.Multimodal.resize]]d to 10×6 by decode →
+    * nearest-neighbor → re-encode, then decoded AGAIN for (width,
+    * height, pixel checksum). The oracle replays the raster and the
+    * x·srcW/dstW floor mapping in SQL, so the row hash pins the whole
+    * codec round trip: a wrong PNG writer, a lossy step, a flipped
+    * raster order, or an off-by-one in the scale mapping all
+    * hash-mismatch. Source dims 8–16 × 8–12 vs target 10×6 exercise
+    * BOTH up- and down-scaling.
+    */
+  def m02MediaResize(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticPng(Tables.documents(spark, dir))
+    graft.ext.Multimodal.decodedStats(graft.ext.Multimodal.resize(media, 10, 6)).toDF()
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("checksum"))
+      .orderBy(col("media_id"))
+  }
+
   /** 32-bit SimHash with an md5-derived token hash — the oracle-gated
     * twin of the xxhash64-based d04 family (xxhash64 has no DuckDB
     * counterpart; md5's first 8 hex digits parse to the same 32-bit
@@ -856,6 +877,27 @@ object Pipeline {
     "m01_media_features" ->
       """SELECT doc_id AS media_id, 'image' AS media_type, strlen(text) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+    // replays syntheticRaster + the nearest-neighbor floor mapping: the
+    // resized pixel (x, y) of doc d reads source pixel
+    // (x*sw // 10, y*sh // 6) of the (d, x, y) mod-arithmetic raster;
+    // checksum = sum(rgb * (pos+1)) over row-major pos, mod 1e9+7
+    // (exact: the 60-pixel sum fits far inside BIGINT, so sum-then-mod
+    // equals Spark's mod-accumulate)
+    "m02_media_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + doc_id % 5 AS sh FROM documents
+        |), px AS (
+        |  SELECT doc_id, yy.y * 10 + xx.x AS pos,
+        |      ((doc_id*31 + ((xx.x * sw) // 10)*7 + ((yy.y * sh) // 6)*13) % 256) * 65536
+        |    + ((doc_id*17 + ((xx.x * sw) // 10)*11 + ((yy.y * sh) // 6)*5) % 256) * 256
+        |    + ((doc_id*13 + ((xx.x * sw) // 10)*3 + ((yy.y * sh) // 6)*19) % 256) AS rgb
+        |  FROM dims,
+        |    (SELECT unnest(range(0, 10)) AS x) xx,
+        |    (SELECT unnest(range(0, 6)) AS y) yy
+        |)
+        |SELECT doc_id AS media_id, CAST(10 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+        |  CAST(sum(rgb * (pos + 1)) % 1000000007 AS BIGINT) AS checksum
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "t04_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
@@ -937,5 +979,6 @@ object Pipeline {
     "d07_simhash_md5"    -> d07SimhashMd5 _,
     "t06_weighted_sample" -> t06WeightedSample _,
     "m01_media_features" -> m01MediaFeatures _,
+    "m02_media_resize"   -> m02MediaResize _,
   )
 }

@@ -4,23 +4,72 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkTestSession, Tables}
+import graft.ext.Multimodal.MediaCodec
 
 class MultimodalSpec extends AnyFunSuite {
   implicit lazy val spark = SparkTestSession.spark
   lazy val docs = Tables.documents(spark, SparkTestSession.sf)
 
-  test("media features: one row per media, deterministic checksum/embedding") {
-    val media = Multimodal.syntheticMedia(docs)
-    val f1 = Multimodal.extractFeatures(media).collect()
-    assert(f1.length == docs.count())
-    f1.foreach { f =>
+  test("PNG codec round-trips exact pixels through a real ImageIO encode/decode") {
+    val raster = Multimodal.syntheticRaster(42L, 13, 9)
+    val png = MediaCodec.encodePng(13, 9, raster)
+    // a real PNG, not pass-through bytes: magic header + size differs
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val (w, h, back) = MediaCodec.decodePng(png)
+    assert(w == 13 && h == 9)
+    assert(back.sameElements(raster), "PNG decode must return the exact encoded pixels")
+  }
+
+  test("nearest-neighbor scale: identity at same dims, exact floor mapping up and down") {
+    val raster = Multimodal.syntheticRaster(7L, 12, 10)
+    assert(MediaCodec.scaleNearest(12, 10, raster, 12, 10).sameElements(raster))
+    val down = MediaCodec.scaleNearest(12, 10, raster, 6, 5)
+    for (y <- 0 until 5; x <- 0 until 6)
+      assert(down(y * 6 + x) == raster((y * 10 / 5) * 12 + x * 12 / 6))
+    val up = MediaCodec.scaleNearest(12, 10, raster, 24, 10)
+    for (y <- 0 until 10; x <- 0 until 24)
+      assert(up(y * 24 + x) == raster(y * 12 + x * 12 / 24))
+  }
+
+  test("synthetic PNGs decode back to the arithmetic raster; resize emits real scaled PNGs") {
+    val media = Multimodal.syntheticPng(docs.limit(50))
+    media.collect().foreach { r =>
+      val (w, h, rgb) = MediaCodec.decodePng(r.payload)
+      assert(w == r.meta.width && h == r.meta.height)
+      assert(rgb.sameElements(Multimodal.syntheticRaster(r.media_id, w, h)))
+    }
+    // resize -> decode: dims are the target's and pixels are exactly the
+    // nearest-neighbor selection of the source raster (up AND down)
+    val stats = Multimodal.decodedStats(Multimodal.resize(media, 10, 6)).collect()
+    assert(stats.length == 50)
+    stats.foreach { s =>
+      assert(s.width == 10 && s.height == 6)
+      val id = s.media_id
+      val (sw, sh) = ((8 + Math.floorMod(id, 9L)).toInt, (8 + Math.floorMod(id, 5L)).toInt)
+      val expected = MediaCodec.pixelChecksum(
+        MediaCodec.scaleNearest(sw, sh, Multimodal.syntheticRaster(id, sw, sh), 10, 6))
+      assert(s.checksum == expected, s"media $id checksum drifted")
+    }
+  }
+
+  test("media features: PNG path uses decoded pixels, opaque path uses byte stats") {
+    val png = Multimodal.extractFeatures(Multimodal.syntheticPng(docs.limit(20))).collect()
+    assert(png.length == 20)
+    png.foreach { f =>
       assert(f.embedding.length == 32)
       assert(math.abs(f.embedding.sum - 1.0f) < 1e-3) // L1-normalized histogram
+      val id = f.media_id
+      val (sw, sh) = ((8 + Math.floorMod(id, 9L)).toInt, (8 + Math.floorMod(id, 5L)).toInt)
+      assert(f.checksum ==
+        MediaCodec.pixelChecksum(Multimodal.syntheticRaster(id, sw, sh)),
+        "PNG features must digest DECODED pixels, not payload bytes")
+    }
+    val opaque = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs.limit(20))).collect()
+    assert(opaque.length == 20)
+    opaque.foreach { f =>
+      assert(f.embedding.length == 32 && math.abs(f.embedding.sum - 1.0f) < 1e-3)
       assert(f.n_bytes > 0)
     }
-    val f2 = Multimodal.extractFeatures(media).collect()
-    assert(f1.map(f => (f.media_id, f.checksum)).toSet ==
-      f2.map(f => (f.media_id, f.checksum)).toSet)
   }
 
   test("frame sampling slices payloads deterministically") {
@@ -39,25 +88,5 @@ class MultimodalSpec extends AnyFunSuite {
     val pairs = Multimodal.mediaDupPairs(Multimodal.syntheticMedia(dupDocs)).collect()
     assert(pairs.length == 1)
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
-  }
-
-  test("resize honors the meta/payload contract and is deterministic") {
-    val media = Multimodal.syntheticMedia(docs)
-    val resized = Multimodal.resize(media, targetWidth = 8).collect()
-    val orig = media.collect().map(r => r.media_id -> r).toMap
-    assert(resized.nonEmpty && resized.length == orig.size, "resize must be 1:1 on rows")
-    resized.foreach { r =>
-      val o = orig(r.media_id)
-      assert(r.meta.width <= 8 && r.meta.width <= o.meta.width, s"width contract: ${r.meta}")
-      assert(r.payload.length <= o.payload.length, "resize must not grow the payload")
-    }
-    // deterministic: same input -> byte-identical output
-    val again = Multimodal.resize(media, targetWidth = 8).collect()
-      .map(r => r.media_id -> r.payload.toSeq).toMap
-    assert(resized.forall(r => again(r.media_id) == r.payload.toSeq))
-    // a target wider than the media is the identity
-    val wide = Multimodal.resize(media, targetWidth = 1000).collect()
-      .map(r => r.media_id -> r.payload.toSeq).toMap
-    assert(resized.nonEmpty && orig.values.forall(o => wide(o.media_id) == o.payload.toSeq))
   }
 }
