@@ -1,16 +1,26 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
   * Each query is fully executed via the `noop` sink (a bare `.count()`
   * would let Catalyst prune sorts/columns and under-measure).
   *
-  * Robustness: each query is measured `SPARK_GRAFT_BENCH_PASSES` times
-  * (default 3) and the reported per-query number is the MEDIAN — one
-  * externally-loaded pass can neither fake nor mask a regression. The
-  * min/max across passes is emitted alongside (`spread`) so a noisy run
-  * is visible in the artifact itself instead of only in a re-run.
+  * Robustness: after an UNMEASURED full-suite warmup pass at the bench
+  * SF itself (codegen/JIT of every plan shape at its real AQE-chosen
+  * physical form, parquet footers + page cache hot), each query is
+  * measured `SPARK_GRAFT_BENCH_PASSES` times (default 3) and the
+  * reported number is the MEDIAN; min/max across passes is emitted as
+  * `spread` so a noisy run is visible in the artifact itself.
+  *
+  * A `scale_probe` section (factor `SPARK_GRAFT_BENCH_SCALE`, default
+  * 10, 0 disables) re-times the serving-shaped operators — fixed probe
+  * set against an id-salted ×N corpus — and reports per-row cost
+  * ratios: a ratio ≫ 1 means some hidden super-linear or driver-side
+  * cost appeared under growth that a single-SF artifact can't see.
   */
 object Bench {
 
@@ -23,43 +33,51 @@ object Bench {
     s((s.size - 1) / 2)
   }
 
+  private def runToNoop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def timeSec(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** k id-salted copies of a table — the ×k corpus for the scale probe.
+    * Identical payloads with disjoint ids: distribution-preserving for
+    * the probed (linear/serving) operators.
+    */
+  private def scaledBy(df: DataFrame, idCol: String, k: Int): DataFrame =
+    (0 until k).map(i => df.withColumn(idCol, col(idCol) + lit(i * 1000000000L)))
+      .reduce(_.unionByName(_))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val scaleK = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "10").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def runToNoop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    // Warmup: flagship star join (JIT + codegen) plus one scan of each
-    // input table at the bench SF (parquet footer + page-cache warm) so
-    // per-query numbers reflect steady state, not first-touch I/O.
+    // ---- warmup (unmeasured): flagship + table scans + ONE full pass
+    // of the suite at the bench SF — the measured passes then time
+    // steady state, not first-compile/first-touch latency (a first
+    // measured pass absorbing JIT used to put a 7 s max on a 0.6 s
+    // query's spread)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
     try {
       runToNoop(SparkEntry.entry(spark))
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
         runToNoop(Tables(spark, sfDir, t))
       }
-      // run EVERY query once at a tiny SF: codegen + JIT compile of
-      // each plan shape happens here, so the measured pass below times
-      // steady-state execution instead of first-compile latency
-      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-      if (new java.io.File(warmDir.stripPrefix("file:")).isDirectory) {
-        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-          try runToNoop(fn(spark, warmDir))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
-          }
-        }
-      } else System.err.println(
-        s"[bench] warmup dir $warmDir missing - measured times include first-compile latency")
     } catch { case _: Throwable => () }
-    // measure pass-by-pass over the WHOLE query list (pass 1 of all
-    // queries, then pass 2, ...) rather than back-to-back per query:
-    // a transient machine-load spike then lands on DIFFERENT queries in
-    // different passes and the median discards it, whereas back-to-back
-    // repeats would hand all three passes of one query to the same spike
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    names.foreach { case (name, fn) =>
+      try runToNoop(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
+    }
+    // ---- measured: pass-by-pass over the WHOLE query list (pass 1 of
+    // all queries, then pass 2, ...) rather than back-to-back per
+    // query: a transient machine-load spike then lands on DIFFERENT
+    // queries in different passes and the median discards it
     val timings = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val failedSet = scala.collection.mutable.Set.empty[String]
@@ -84,7 +102,58 @@ object Bench {
     // failed queries must be visible IN the JSON line — a near-zero
     // timing for a query that threw would read as a performance win
     val failed = failedSet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"sf":"$sfDir"}""")
+    val probeJson = if (scaleK > 1) scaleProbe(spark, sfDir, scaleK) else "{}"
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"scale_probe":$probeJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Times each probed operator at ×1 and ×k corpus size and reports
+    * `per_row_ratio` = t(×k) / (k · t(×1)) — ~1/k-to-1 for a healthy
+    * linear operator (fixed job overhead dominates the small ×1 run),
+    * ≫ 1 when growth uncovered super-linear work. Probes are the
+    * serving/linear family on purpose: pair-GENERATING operators have
+    * data-dependent output structure (a ×k id-salted corpus multiplies
+    * true near-dup groups), so their cost is gated by plan shape in
+    * PlanSpec instead.
+    */
+  private def scaleProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, k: Int): String = {
+    import graft.ext.{Dedup, Similarity, TextOps}
+    def docsAt(n: Int) = scaledBy(Tables.documents(spark, sfDir), "doc_id", n)
+    def embAt(n: Int) = scaledBy(Tables.embeddings(spark, sfDir), "vec_id", n)
+    // fixed probe/eval sets: only copy-0 ids pass these filters
+    def queries(n: Int) = embAt(n).filter(col("vec_id") < 20)
+    def evalDocs(n: Int) = docsAt(n)
+      .filter(col("doc_id") < 1000000000L && col("doc_id") % 17 === 0)
+    val probes: Seq[(String, Int => DataFrame)] = Seq(
+      "exact_dedup" -> (n => Dedup.exactDedup(docsAt(n))),
+      "simhash_fp" -> (n => Dedup.simhash64(docsAt(n))),
+      "vocab" -> (n => docsAt(n)
+        .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("tf"))),
+      "quality" -> (n => docsAt(n).select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"))),
+      "repetition" -> (n => TextOps.repetitionRatio(docsAt(n))),
+      "contam_bloom" -> (n => Dedup.ngramContaminationApprox(
+        evalDocs(n), docsAt(n), n = 3, fpp = 0.01)),
+      "lsh_serve" -> (n => Similarity.lshTopK(queries(n), embAt(n), k = 5,
+        dim = 64, bitsPerTable = 12, tables = 4)),
+      "ivf_serve" -> (n => Similarity.ivfTopK(queries(n), embAt(n), k = 5,
+        nCentroids = 16, nProbe = 4)),
+    )
+    val rows = probes.flatMap { case (name, fn) =>
+      try {
+        runToNoop(fn(1)) // plan-shape warmup for the probe pair
+        val t1 = timeSec(runToNoop(fn(1)))
+        val tk = timeSec(runToNoop(fn(k)))
+        val ratio = tk / (k * math.max(1e-3, t1))
+        Some(f""""$name":{"x1":$t1%.3f,"x$k":$tk%.3f,"per_row_ratio":$ratio%.3f}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scale probe $name failed: ${e.getMessage}")
+        None
+      }
+    }
+    s"""{"factor":$k,${rows.mkString(",")}}"""
   }
 }

@@ -336,13 +336,15 @@ object Dedup {
     * contamination floor-scaled for cross-engine hash equality.
     */
   def ngramContamination(evalDocs: DataFrame, corpus: DataFrame, n: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      corpusShingles: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.ensureRegistered(evalDocs.sparkSession)
     val evalSh = evalDocs.select(col(idCol),
       explode(graftShingles(col(textCol), n)).as("shingle"))
-    val corpusSh = corpus
-      .select(explode(graftShingles(col(textCol), n)).as("shingle"))
-      .distinct().withColumn("hit", lit(1))
+    val corpusSh = corpusShingles
+      .map(_.select(col("shingle")))
+      .getOrElse(corpus.select(explode(graftShingles(col(textCol), n)).as("shingle")).distinct())
+      .withColumn("hit", lit(1))
     val hits = sum(coalesce(col("hit"), lit(0)))
     evalSh.join(corpusSh, Seq("shingle"), "left")
       .groupBy(col(idCol))
@@ -350,6 +352,41 @@ object Dedup {
         hits.cast("long").as("n_contaminated"),
         (floor(hits.cast("double") / count(lit(1)) * 1e6) / 1e6).as("contamination"))
   }
+
+  /** The corpus-distinct shingle set `(shingle)` behind
+    * [[ngramContamination]] — the corpus-sized work of every
+    * decontamination scan, factored into a PERSISTED artifact exactly
+    * like [[minhashIndex]]/[[shingleDfTable]]: compute once per corpus
+    * snapshot, write as parquet, probe per eval batch. STALENESS
+    * SEMANTICS: the artifact answers "contamination against the corpus
+    * AS OF index build" — shingles added to the corpus later are
+    * invisible until a rebuild, so the reported rate LOWER-bounds
+    * contamination against the grown corpus (the unsafe direction for
+    * a gate: rebuild on corpus growth; reuse freely while the corpus
+    * is frozen, the normal case for a training snapshot).
+    */
+  def contaminationIndex(corpus: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    corpus.select(explode(graftShingles(col(textCol), n)).as("shingle")).distinct()
+  }
+
+  /** Persist [[contaminationIndex]] as parquet, repartitioned on
+    * shingle — the probe join's key.
+    */
+  def writeContaminationIndex(corpus: DataFrame, path: String, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): Unit =
+    contaminationIndex(corpus, n, textCol, idCol)
+      .repartition(col("shingle"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a persisted [[contaminationIndex]] back; pass as
+    * `corpusShingles` to [[ngramContamination]] /
+    * [[ngramContaminationApprox]] (reuse == recompute pinned in
+    * ExtSpec).
+    */
+  def readContaminationIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** [[ngramContamination]] at corpus scale: the corpus shingle set is
     * summarized as a driver-built Bloom filter (~1.2 bytes/shingle at
@@ -362,12 +399,15 @@ object Dedup {
     * pinned in ExtSpec against the exact operator).
     */
   def ngramContaminationApprox(evalDocs: DataFrame, corpus: DataFrame, n: Int = 3,
-      fpp: Double = 0.01, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      fpp: Double = 0.01, textCol: String = "text", idCol: String = "doc_id",
+      corpusShingles: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.ensureRegistered(evalDocs.sparkSession)
     val evalSh = evalDocs.select(col(idCol),
       explode(graftShingles(col(textCol), n)).as("shingle"))
-    val corpusSh = corpus
-      .select(explode(graftShingles(col(textCol), n)).as("shingle"))
+    // with a persisted [[contaminationIndex]] the Bloom builds from the
+    // (already-distinct) artifact instead of re-exploding the corpus
+    val corpusSh = corpusShingles.map(_.select(col("shingle"))).getOrElse(corpus
+      .select(explode(graftShingles(col(textCol), n)).as("shingle")))
     // expectedItems defaults to the instance count (dups included) — an
     // OVERSIZED filter, which only lowers the realized fpp
     val flagged = graft.ops.Prefilter

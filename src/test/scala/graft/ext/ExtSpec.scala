@@ -549,6 +549,34 @@ class ExtSpec extends AnyFunSuite {
     assert(extraRate <= 0.05, s"false-positive inflation $extraRate exceeds 5%")
   }
 
+  test("contamination index: persisted artifact probe == inline recompute, exact and bloom") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_contam").toFile.getAbsolutePath
+    val evalDocs = docs.filter(col("doc_id") % 17 === 0)
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    Dedup.writeContaminationIndex(corpus, s"$dir/idx", n = 3)
+    val idx = Dedup.readContaminationIndex(spark, s"$dir/idx")
+    // the artifact IS the corpus-distinct shingle set
+    assert(idx.count() == Dedup.contaminationIndex(corpus, 3).count())
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_shingles", "n_contaminated", "contamination").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val inline = rows(Dedup.ngramContamination(evalDocs, corpus, 3))
+    assert(inline.nonEmpty)
+    assert(rows(Dedup.ngramContamination(evalDocs, corpus, 3,
+      corpusShingles = Some(idx))) == inline,
+      "persisted-index probe drifted from inline recompute")
+    // bloom path built FROM the artifact keeps its one-sided guarantee
+    val bloomIdx = Dedup.ngramContaminationApprox(evalDocs, corpus, 3, fpp = 0.01,
+      corpusShingles = Some(idx))
+      .select("doc_id", "n_contaminated").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exactByDoc = inline.map(t => t._1 -> t._3).toMap
+    assert(bloomIdx.keySet == exactByDoc.keySet)
+    exactByDoc.foreach { case (id, ex) =>
+      assert(bloomIdx(id) >= ex, s"bloom-from-index under-flagged doc $id")
+    }
+  }
+
   test("IVF index: reload == recompute; indexed ivfTopK == inline") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toFile.getAbsolutePath
     Similarity.writeIvfIndex(emb, s"$dir/ivf", nCentroids = 16)
