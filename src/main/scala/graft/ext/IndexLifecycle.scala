@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.compact.Compactor
+import graft.fs.{Fs, SafetyFuse}
+
+/** Operational lifecycle for the persisted similarity-index artifacts:
+  * the ext/ indexes are plain parquet, so they get the SAME treatment
+  * tables get on the fs surface — rebuild to a sibling path, compact +
+  * z-order the rewrite ([[Compactor.doAutoCoalesce]]), and promote it
+  * with a [[SafetyFuse]]-guarded atomic swap (the Promotor/Compactor
+  * rename discipline: live → bak, new → live, drop bak, marker open
+  * across the destructive window so a crashed swap is recoverable and
+  * a rerun can't re-delete).
+  *
+  * Serving continuity: [[graft.streaming.StreamingSimilarity.startAt]]
+  * re-reads the index path per micro-batch, so a swap that lands
+  * between micro-batches is picked up by the NEXT batch with no stream
+  * restart — the E2E spec pins stream == batch across a rebuild+swap.
+  */
+object IndexLifecycle {
+
+  /** Rebuild the LSH index for `vectors` and atomically swap it into
+    * `livePath`. The rebuild lands at `<livePath>_rebuild`, gets
+    * compacted (z-ordered on (table, bucket) — the probe join's key, so
+    * bucket reads cluster into contiguous row groups), has its params
+    * sidecar restored (compaction rewrites the folder), and then
+    * replaces the live index inside a fuse-guarded swap. Readers keep
+    * probing `livePath` throughout; only the rename window (two
+    * metadata ops) is exclusive.
+    */
+  def rebuildLshIndex(vectors: DataFrame, livePath: String, dim: Int,
+      bitsPerTable: Int = 8, tables: Int = 8, seedBase: Long = 2000L,
+      requestedSizeMb: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    implicit val spark: SparkSession = vectors.sparkSession
+    val rebuild = s"${livePath}_rebuild"
+    Similarity.writeLshIndex(vectors, rebuild, dim, bitsPerTable, tables, seedBase,
+      idCol, vecCol)
+    // compaction rewrites the folder (losing the sidecar with the old
+    // dir) — restore params after, they describe the same build
+    Compactor.doAutoCoalesce(rebuild, requestedSizeMb,
+      zorderCols = Seq("table", "bucket"))
+    Similarity.writeLshParams(spark, rebuild,
+      Similarity.LshParams(dim, bitsPerTable, tables, seedBase))
+    swapIn(spark, rebuild, livePath)
+  }
+
+  /** Fuse-guarded atomic swap: promote `rebuildPath` over `livePath`.
+    * Marker content records the rebuild path so [[recoverSwap]] can
+    * verify an open transaction is its own before touching anything.
+    */
+  def swapIn(spark: SparkSession, rebuildPath: String, livePath: String): Unit = {
+    val fs = Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, livePath)
+    val fuse = swapFuse(spark, livePath)
+    require(!fuse.isInProgress(),
+      s"unfinished swap on $livePath — run recoverSwap first")
+    val bak = s"${livePath}_swap_bak"
+    fuse.startTransaction(rebuildPath)
+    fs.delete(new Path(bak), true)
+    require(fs.rename(new Path(livePath), new Path(bak)),
+      s"swap: cannot move $livePath aside")
+    require(fs.rename(new Path(rebuildPath), new Path(livePath)),
+      s"swap: cannot promote $rebuildPath")
+    fs.delete(new Path(bak), true)
+    fuse.endTransaction()
+  }
+
+  /** Complete or roll back a swap whose process died mid-transaction.
+    * State machine over (live, bak, rebuild) existence:
+    *  - no open marker → nothing to do;
+    *  - live exists → the destructive renames either never started or
+    *    fully completed: drop any leftover bak, close the marker;
+    *  - live missing, rebuild exists → crashed between the two renames:
+    *    finish the promotion (rebuild → live), drop bak, close;
+    *  - live missing, rebuild gone, bak exists → promotion half-lost:
+    *    restore the old index (bak → live), close — serving resumes on
+    *    the previous build.
+    * Returns true when a marker was found and resolved.
+    */
+  def recoverSwap(spark: SparkSession, livePath: String): Boolean = {
+    val fs = Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, livePath)
+    val fuse = swapFuse(spark, livePath)
+    if (!fuse.isInProgress()) return false
+    val bak = s"${livePath}_swap_bak"
+    val rebuild = fuse.markerContent().getOrElse("")
+    val liveP = new Path(livePath)
+    if (!fs.exists(liveP)) {
+      if (rebuild.nonEmpty && fs.exists(new Path(rebuild))) {
+        require(fs.rename(new Path(rebuild), liveP), s"recover: cannot promote $rebuild")
+        fs.delete(new Path(bak), true)
+      } else {
+        require(fs.exists(new Path(bak)), s"recover: neither live, rebuild nor bak at $livePath")
+        require(fs.rename(new Path(bak), liveP), s"recover: cannot restore $bak")
+      }
+    } else fs.delete(new Path(bak), true)
+    fuse.endTransaction()
+    true
+  }
+
+  private def swapFuse(spark: SparkSession, livePath: String): SafetyFuse = {
+    val p = new Path(livePath)
+    new SafetyFuse(
+      Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, livePath),
+      p.getParent.toString, s"${p.getName}_swap")
+  }
+}

@@ -153,7 +153,7 @@ object Similarity {
   private def paramsPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_graft_lsh_params.json")
 
-  private def writeLshParams(spark: org.apache.spark.sql.SparkSession,
+  private[ext] def writeLshParams(spark: org.apache.spark.sql.SparkSession,
       path: String, p: LshParams): Unit = {
     val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
     val out = fs.create(paramsPath(path), true)
@@ -193,15 +193,14 @@ object Similarity {
     * way to probe with mismatched planes). Requires the sidecar.
     */
   def lshTopKAt(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
-      corpus: DataFrame, k: Int, path: String,
+      k: Int, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       broadcastQueries: Boolean = true): DataFrame = {
     val p = readLshIndexParams(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path has no _graft_lsh_params.json sidecar; pass parameters to lshTopK explicitly"))
-    lshTopK(queries, corpus, k, p.dim, p.bitsPerTable, p.tables, idCol, vecCol,
-      broadcastQueries, corpusIndex = Some(readLshIndex(spark, path)),
-      seedBase = p.seedBase)
+    lshTopKIndexed(queries, readLshIndex(spark, path), k, p, idCol, vecCol,
+      broadcastQueries)
   }
 
   /** Approximate top-k: compare only vectors sharing an LSH bucket in at
@@ -229,6 +228,32 @@ object Similarity {
       case None => lshBucketed(corpus, dim, bitsPerTable, tables, seedBase, idCol, vecCol,
         "neighbor_id", "cv", "cn")
     }
+    probeRank(q, c, k, broadcastQueries)
+  }
+
+  /** [[lshTopK]] with the corpus side given ONLY as a persisted-index
+    * DataFrame and the hash parameters as an explicit [[LshParams]] —
+    * the serving-layer entry point ([[lshTopKAt]] and the streaming
+    * server build on it; no raw-corpus argument to confuse with the
+    * index).
+    */
+  def lshTopKIndexed(queries: DataFrame, corpusIndex: DataFrame, k: Int,
+      p: LshParams, idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val q = lshBucketed(queries, p.dim, p.bitsPerTable, p.tables, p.seedBase,
+      idCol, vecCol, "query_id", "qv", "qn")
+    val c = corpusIndex.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      col("norm").as("cn"), col("table"), col("bucket"))
+    probeRank(q, c, k, broadcastQueries)
+  }
+
+  /** Bucket-join the hashed probe side against a bucketed corpus side,
+    * exact-cosine the candidates, rank top-k — the stage every LSH
+    * serving variant shares.
+    */
+  private def probeRank(q: DataFrame, c: DataFrame, k: Int,
+      broadcastQueries: Boolean): DataFrame = {
     // a small probe set broadcasts so the corpus never shuffles for the
     // bucket join; for corpus-vs-corpus self-search pass
     // broadcastQueries=false to fall back to a shuffle join

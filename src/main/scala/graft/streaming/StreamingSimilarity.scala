@@ -65,4 +65,32 @@ object StreamingSimilarity {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** Serve top-k against a persisted index PATH, re-resolving the index
+    * (files AND params sidecar) at every micro-batch: an
+    * [[graft.ext.IndexLifecycle]] rebuild+swap that lands between
+    * micro-batches is picked up by the next batch with NO stream
+    * restart — and because the hash parameters ride the sidecar, a
+    * rebuild that changed (bits, tables, seed) re-tunes the probe side
+    * automatically. This is the serving shape for an index that gets
+    * rebuilt on corpus growth.
+    */
+  def startAt(queriesStream: DataFrame, indexPath: String, k: Int,
+      outPath: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val spark = queriesStream.sparkSession
+    queriesStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val p = Similarity.readLshIndexParams(spark, indexPath).getOrElse(
+          throw new IllegalStateException(s"$indexPath lost its params sidecar"))
+        Similarity.lshTopKIndexed(batch, Similarity.readLshIndex(spark, indexPath),
+            k, p, idCol, vecCol)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }

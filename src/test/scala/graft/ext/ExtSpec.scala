@@ -664,7 +664,7 @@ class ExtSpec extends AnyFunSuite {
     assert(indexed == inline, "indexed probe with matching seed diverged from inline")
     // the footgun-free serving call: parameters come from the sidecar,
     // so no call-site literal can disagree with the index
-    val auto = rows(Similarity.lshTopKAt(spark, q, emb, k = 5, s"$dir/idx"))
+    val auto = rows(Similarity.lshTopKAt(spark, q, k = 5, s"$dir/idx"))
     assert(auto == inline, "lshTopKAt (sidecar-driven) diverged from inline")
     // and the failure the fix removes: a MISMATCHED probe seed buckets
     // the sides with UNRELATED planes — at this bucket density the join

@@ -1,0 +1,113 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+import graft.fs.{Fs, SafetyFuse}
+import graft.streaming.StreamingSimilarity
+
+/** The operational story a 100 TB pipeline needs from its index
+  * artifacts: rebuild on corpus growth, compact + z-order the rewrite,
+  * promote it with a fuse-guarded atomic swap, and keep SERVING across
+  * the swap — stream == batch pinned on both sides of the rebuild.
+  */
+class IndexLifecycleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf
+  lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  private def topkRows(df: org.apache.spark.sql.DataFrame) = df
+    .select("query_id", "neighbor_id", "sim", "rank").collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+  test("rebuild + z-order + swap: stream keeps serving, next batch sees the new corpus") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("graft_idx_cycle").toFile.getAbsolutePath
+    val live = s"$root/ann_index"
+    val (dim, bits, tables, seed) = (64, 6, 8, 777L)
+    Similarity.writeLshIndex(emb, live, dim, bits, tables, seed)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    // expected answers against v1, captured BEFORE the index is swapped
+    val expectedV1 = topkRows(Similarity.lshTopKAt(spark, emb.filter(col("vec_id") < 10),
+      k = 5, live))
+    val input = MemoryStream[(Long, Array[Float])]
+    val served = StreamingSimilarity.startAt(input.toDF().toDF("vec_id", "embedding"),
+      live, k = 5, s"$root/out", s"$root/ckpt")
+    try {
+      input.addData(queries.toIndexedSeq)
+      served.processAllAvailable()
+      // ---- corpus grows: near-identical twins of every vector ----
+      val grown = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding")))
+      IndexLifecycle.rebuildLshIndex(grown, live, dim, bits, tables, seed)
+      // swap left a clean state: sidecar restored, no marker, no debris
+      assert(Similarity.readLshIndexParams(spark, live)
+        .contains(Similarity.LshParams(dim, bits, tables, seed)))
+      val fs = Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, live)
+      assert(!fs.exists(new Path(s"${live}_rebuild")) && !fs.exists(new Path(s"${live}_swap_bak")))
+      assert(!new SafetyFuse(fs, root, "ann_index_swap").isInProgress())
+      // compaction really rewrote the artifact (32 shuffle files -> few)
+      val dataFiles = fs.listStatus(new Path(live))
+        .count(s => !s.isDirectory && !s.getPath.getName.startsWith("_"))
+      assert(dataFiles <= 4, s"rebuild not compacted: $dataFiles files")
+      // ---- SAME stream, next micro-batch: served from the NEW index ----
+      val queries2 = queries.map { case (id, v) => (id + 1000L, v) }
+      input.addData(queries2.toIndexedSeq)
+      served.processAllAvailable()
+    } finally served.stop()
+    val out = spark.read.parquet(s"$root/out")
+    assert(topkRows(out.filter(col("query_id") < 1000L)) == expectedV1,
+      "pre-swap stream output drifted from batch against the v1 index")
+    val post = topkRows(out.filter(col("query_id") >= 1000L))
+    val expectedV2 = topkRows(Similarity.lshTopKAt(spark,
+      emb.filter(col("vec_id") < 10).select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+      k = 5, live))
+    assert(post == expectedV2, "post-swap stream output drifted from batch against the v2 index")
+    // and it genuinely reflects the GROWN corpus: the planted twins
+    // (cosine ~0.999) must dominate the new top-k
+    assert(post.exists(_._2 >= 100000L),
+      "post-swap results never surface the rebuilt corpus's twin vectors")
+  }
+
+  test("recoverSwap: completes a crash between renames; restores from bak when rebuild is lost") {
+    val root = Files.createTempDirectory("graft_idx_recover").toFile.getAbsolutePath
+    val fs = Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, root)
+    val live = s"$root/idx"
+    def ids(path: String) = Similarity.readLshIndex(spark, path)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    // crash case 1: marker open, live moved aside, rebuild present
+    Similarity.writeLshIndex(emb.filter(col("vec_id") < 50), live, dim = 64)
+    Similarity.writeLshIndex(emb, s"${live}_rebuild", dim = 64)
+    val fuse = new SafetyFuse(fs, root, "idx_swap")
+    fuse.startTransaction(s"${live}_rebuild")
+    require(fs.rename(new Path(live), new Path(s"${live}_swap_bak")))
+    assert(IndexLifecycle.recoverSwap(spark, live), "open marker not detected")
+    assert(!fuse.isInProgress() && !fs.exists(new Path(s"${live}_swap_bak")))
+    assert(ids(live) == emb.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "recovery did not complete the promotion")
+    // crash case 2: marker open, live AND rebuild gone, bak holds the old build
+    require(fs.rename(new Path(live), new Path(s"${live}_swap_bak")))
+    fuse.startTransaction("/nonexistent_rebuild")
+    assert(IndexLifecycle.recoverSwap(spark, live))
+    assert(fs.exists(new Path(live)) && !fuse.isInProgress(),
+      "recovery did not restore the previous build from bak")
+    // no marker -> no-op
+    assert(!IndexLifecycle.recoverSwap(spark, live))
+    // and swapIn refuses to run over somebody's open transaction
+    fuse.startTransaction("theirs")
+    val ex = intercept[IllegalArgumentException] {
+      IndexLifecycle.swapIn(spark, s"${live}_rebuild", live)
+    }
+    assert(ex.getMessage.contains("unfinished swap"))
+    fuse.endTransaction()
+  }
+}

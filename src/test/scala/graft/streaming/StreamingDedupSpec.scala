@@ -99,6 +99,39 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming ANN serving carries the batch recall guarantee: recall@5 == 1.0 at s02 params") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("graft_stream_recall").toFile.getAbsolutePath
+    val emb = Tables.embeddings(spark, sf)
+    // the s02 gate's recall-saturating parameters (2 bits -> 4 buckets,
+    // 32 tables): a true neighbor pair must split across both planes in
+    // ALL 32 tables to be missed — recall is exactly 1.0, so the
+    // SERVING path (per-batch index re-read included) must reproduce
+    // the exact top-k, not just some top-k
+    graft.ext.Similarity.writeLshIndex(emb, s"$root/idx", dim = 64,
+      bitsPerTable = 2, tables = 32, seedBase = 1000L)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val input = MemoryStream[(Long, Array[Float])]
+    val served = StreamingSimilarity.startAt(input.toDF().toDF("vec_id", "embedding"),
+      s"$root/idx", k = 5, s"$root/out", s"$root/ckpt")
+    try {
+      input.addData(queries.toIndexedSeq)
+      served.processAllAvailable()
+    } finally served.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = pairs(spark.read.parquet(s"$root/out"))
+    val exact = pairs(graft.ext.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 20), emb, k = 5))
+    assert(exact.size == 100)
+    val recall = (exact intersect streamed).size.toDouble / exact.size
+    assert(recall == 1.0,
+      s"streaming recall@5 $recall < 1.0; missed=${(exact -- streamed).take(5)}")
+  }
+
   test("foreachBatch verified stream over two micro-batches == batch operator per batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
