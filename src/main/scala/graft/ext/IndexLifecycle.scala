@@ -48,6 +48,40 @@ object IndexLifecycle {
     swapIn(spark, rebuild, livePath)
   }
 
+  /** [[rebuildLshIndex]] for the IVF family: rebuild codebook +
+    * inverted lists to `<livePath>_rebuild` (lists compacted and
+    * z-ordered on `centroid_id` — the probe join's key, so an nProbe
+    * read touches contiguous row groups), then swap the whole index
+    * directory in one fuse-guarded promotion (codebook and lists move
+    * together — a probe can never see a new codebook over old lists).
+    */
+  def rebuildIvfIndex(corpus: DataFrame, livePath: String, nCentroids: Int = 16,
+      requestedSizeMb: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    implicit val spark: SparkSession = corpus.sparkSession
+    val rebuild = s"${livePath}_rebuild"
+    Similarity.writeIvfIndex(corpus, rebuild, nCentroids, idCol, vecCol)
+    Compactor.doAutoCoalesce(s"$rebuild/lists", requestedSizeMb,
+      zorderCols = Seq("centroid_id"))
+    swapIn(spark, rebuild, livePath)
+  }
+
+  /** [[rebuildLshIndex]] for the minhash text family: rebuild the
+    * banded-signature index to `<livePath>_rebuild`, compact +
+    * z-order on (band, bandHash) — the candidate join's key — and
+    * swap it in under the fuse.
+    */
+  def rebuildMinhashIndex(docs: DataFrame, livePath: String,
+      n: Int = 3, k: Int = 32, bands: Int = 16, requestedSizeMb: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    implicit val spark: SparkSession = docs.sparkSession
+    val rebuild = s"${livePath}_rebuild"
+    Dedup.writeMinhashIndex(docs, rebuild, n, k, bands, textCol, idCol)
+    Compactor.doAutoCoalesce(rebuild, requestedSizeMb,
+      zorderCols = Seq("band", "bandHash"))
+    swapIn(spark, rebuild, livePath)
+  }
+
   /** Fuse-guarded atomic swap: promote `rebuildPath` over `livePath`.
     * Marker content records the rebuild path so [[recoverSwap]] can
     * verify an open transaction is its own before touching anything.
@@ -60,8 +94,10 @@ object IndexLifecycle {
     val bak = s"${livePath}_swap_bak"
     fuse.startTransaction(rebuildPath)
     fs.delete(new Path(bak), true)
-    require(fs.rename(new Path(livePath), new Path(bak)),
-      s"swap: cannot move $livePath aside")
+    // no live index yet = the initial promotion; nothing to move aside
+    if (fs.exists(new Path(livePath)))
+      require(fs.rename(new Path(livePath), new Path(bak)),
+        s"swap: cannot move $livePath aside")
     require(fs.rename(new Path(rebuildPath), new Path(livePath)),
       s"swap: cannot promote $rebuildPath")
     fs.delete(new Path(bak), true)

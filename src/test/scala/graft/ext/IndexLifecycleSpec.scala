@@ -78,6 +78,37 @@ class IndexLifecycleSpec extends AnyFunSuite {
       "post-swap results never surface the rebuilt corpus's twin vectors")
   }
 
+  test("IVF and minhash rebuilds swap atomically and probe-equal a fresh recompute") {
+    val root = Files.createTempDirectory("graft_idx_fam").toFile.getAbsolutePath
+    val fs = Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, root)
+    // ---- IVF: codebook + lists move as ONE directory ----
+    val ivfLive = s"$root/ivf"
+    IndexLifecycle.rebuildIvfIndex(emb.filter(col("vec_id") < 50), ivfLive, nCentroids = 8)
+    IndexLifecycle.rebuildIvfIndex(emb, ivfLive, nCentroids = 16)
+    val q = emb.filter(col("vec_id") < 20)
+    def topk(ci: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]) =
+      Similarity.ivfTopK(q, emb, k = 5, nCentroids = 16, nProbe = 16, corpusIndex = ci)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(topk(Some(Similarity.readIvfIndex(spark, ivfLive))) == topk(None),
+      "swapped-in IVF index diverged from inline")
+    assert(!fs.exists(new Path(s"${ivfLive}_rebuild")) && !fs.exists(new Path(s"${ivfLive}_swap_bak")))
+    // ---- minhash: banded signatures, z-ordered on the join key ----
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val mhLive = s"$root/mh"
+    IndexLifecycle.rebuildMinhashIndex(corpus.limit(100), mhLive)
+    IndexLifecycle.rebuildMinhashIndex(corpus, mhLive)
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    def pairs(ci: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.minhashDedupNewPairs(newDocs, corpus, minJaccard = 0.5, corpusIndex = ci)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = pairs(None)
+    assert(direct.nonEmpty)
+    assert(pairs(Some(Dedup.readMinhashIndex(spark, mhLive))) == direct,
+      "swapped-in minhash index diverged from direct recompute")
+    assert(!fs.exists(new Path(s"${mhLive}_rebuild")) && !fs.exists(new Path(s"${mhLive}_swap_bak")))
+  }
+
   test("recoverSwap: completes a crash between renames; restores from bak when rebuild is lost") {
     val root = Files.createTempDirectory("graft_idx_recover").toFile.getAbsolutePath
     val fs = Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, root)
