@@ -35,6 +35,20 @@ object Multimodal {
   object MediaCodec {
     private val P = 1000000007L
 
+    // by default ImageIO spools every read/write through a FILE-cached
+    // image stream (a temp file per image!) and re-scans the plugin
+    // registry per call — at millions of payloads that is the codec
+    // cost, not the pixels. Memory-cached streams + one writer/reader
+    // per executor thread keep the hot loop allocation-only.
+    ImageIO.setUseCache(false)
+
+    private val pngWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue() = ImageIO.getImageWritersByFormatName("png").next()
+    }
+    private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue() = ImageIO.getImageReadersByFormatName("png").next()
+    }
+
     /** Encode an RGB raster (row-major packed 0xRRGGBB ints) as a real
       * PNG via ImageIO. Lossless, so [[decodePng]] round-trips the
       * exact pixels.
@@ -44,13 +58,31 @@ object Multimodal {
       val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
       img.setRGB(0, 0, width, height, rgb, 0, width)
       val out = new ByteArrayOutputStream()
-      require(ImageIO.write(img, "png", out), "JDK PNG writer unavailable")
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      val writer = pngWriter.get()
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally { writer.setOutput(null); ios.close() }
       out.toByteArray
     }
 
-    /** Decode a PNG payload to (width, height, row-major 0xRRGGBB). */
+    /** Decode a PNG payload to (width, height, row-major 0xRRGGBB);
+      * falls back to the general (format-sniffing) ImageIO path for
+      * non-PNG image payloads.
+      */
     def decodePng(payload: Array[Byte]): (Int, Int, Array[Int]) = {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      val img =
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new ByteArrayInputStream(payload))
+          val reader = pngReader.get()
+          try { reader.setInput(iis, true, true); reader.read(0) }
+          finally { reader.setInput(null); iis.close() }
+        } catch {
+          case _: java.io.IOException =>
+            ImageIO.read(new ByteArrayInputStream(payload))
+        }
       require(img != null, "payload is not a decodable image")
       val (w, h) = (img.getWidth, img.getHeight)
       val rgb = img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF)

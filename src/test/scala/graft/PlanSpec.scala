@@ -171,6 +171,20 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(funnel).length == 2, funnel)
   }
 
+  test("d12: corpus side reads the persisted contamination artifact, not a re-derivation") {
+    val plan = planOf("d12_contamination")
+    // the probe join's right side must be a plain parquet scan of the
+    // per-JVM index (path contains the temp-dir marker), with NO
+    // shingle explode or distinct aggregation above it — re-deriving
+    // the corpus-distinct shingles per call is the 100 TB smell this
+    // artifact removes
+    assert(plan.contains("graft_contam_idx"),
+      s"corpus side does not scan the persisted artifact:\n$plan")
+    // exactly one explode generator (the EVAL side); corpus explode gone
+    val explodes = "(?i)generate explode".r.findAllIn(plan).size
+    assert(explodes == 1, s"expected 1 explode (eval side only), got $explodes:\n$plan")
+  }
+
   test("d05: per-side norms are computed below the pair join") {
     val df = SparkEntry.queries("d05_embedding_dups")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString
