@@ -165,6 +165,77 @@ object TextOps {
       (floor((lit(1.0) - nDistinct.cast("double") / nGrams) * 1e6) / 1e6).as("dup_ratio"))
   }
 
+  // ------------------------------------------------- line-level dedup
+
+  /** (idCol, pos, line) segmentation of each document on an explicit
+    * separator — the natural segmentation for corpora with real line
+    * structure (C4/CCNet remove boilerplate at newline granularity).
+    */
+  def linesBySeparator(docs: DataFrame, sep: String = "\n",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("col", "line")
+
+  /** (idCol, pos, line) segmentation into fixed token windows — for
+    * corpora WITHOUT line structure (a flat token stream still repeats
+    * its boilerplate as identical windows). Narrow: the window split is
+    * arithmetic over the token array, one posexplode total.
+    */
+  def linesByTokenWindow(docs: DataFrame, tokensPerLine: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(tokensPerLine > 0, "tokensPerLine must be positive")
+    val toks = tokens(col(textCol))
+    val nGroups = ceil(size(toks) / lit(tokensPerLine.toDouble)).cast("int")
+    val lineArr = transform(sequence(lit(0), greatest(nGroups, lit(1)) - 1),
+      i => concat_ws(" ", slice(toks, i * tokensPerLine + 1, lit(tokensPerLine))))
+    docs.select(col(idCol), posexplode(lineArr))
+      .withColumnRenamed("col", "line")
+  }
+
+  /** The corpus-level `(line, line_df)` document-frequency table behind
+    * [[dropBoilerplateLines]] — persistable parquet exactly like
+    * [[graft.ext.Dedup.shingleDfTable]]/`contaminationIndex`, so
+    * ingest batches probe an artifact instead of re-aggregating the
+    * corpus per call.
+    */
+  def lineDfTable(lines: DataFrame, idCol: String = "doc_id"): DataFrame =
+    lines.groupBy(col("line")).agg(countDistinct(col(idCol)).as("line_df"))
+
+  /** C4/CCNet-style boilerplate removal: drop every line occurring in
+    * ≥ `minDf` distinct documents, reassemble the survivors in
+    * document order. Takes any (idCol, pos, line) segmentation
+    * ([[linesBySeparator]] or [[linesByTokenWindow]]). Output one row
+    * per INPUT document — (idCol, cleaned, n_lines, n_removed) — a doc
+    * that was pure boilerplate survives with `cleaned = ""`, so the
+    * operator never silently drops rows (filtering is the caller's
+    * policy decision).
+    *
+    * Shuffle profile: one line-keyed aggregation for the df table (the
+    * corpus-scale stage — pass a persisted [[lineDfTable]] to skip
+    * it), one line-keyed join, one per-doc aggregation. Reassembly is
+    * collect_list of (pos, line) structs + sort_array — deterministic
+    * order without a window over the whole corpus.
+    */
+  def dropBoilerplateLines(lines: DataFrame, minDf: Int, sep: String = "\n",
+      idCol: String = "doc_id", dfTable: Option[DataFrame] = None): DataFrame = {
+    val freq = dfTable.getOrElse(lineDfTable(lines, idCol))
+    // a subset/stale df table must stay CONSERVATIVE the cheap way
+    // round: a line missing from the table is UNKNOWN, keep it (df 1)
+    val joined = lines.join(freq, Seq("line"), "left")
+      .withColumn("keep", coalesce(col("line_df"), lit(1L)) < minDf)
+    // collect_list skips nulls, so kept lines ride one aggregation and
+    // the removed count falls out of the same pass
+    joined.groupBy(col(idCol))
+      .agg(
+        concat_ws(sep,
+          transform(
+            sort_array(collect_list(when(col("keep"), struct(col("pos"), col("line"))))),
+            s => s.getField("line"))).as("cleaned"),
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).cast("long").as("n_removed"))
+  }
+
   /** PII scrubbing patterns — deliberately RE2-safe (no lookarounds, no
     * backrefs) so a Go/Rust/SQL scrubber replays them byte-identically;
     * the t10 gate pins exactly that. Narrow regexp_replace chain:

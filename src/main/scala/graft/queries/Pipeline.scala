@@ -314,6 +314,23 @@ object Pipeline {
     TextOps.repetitionRatio(Tables.documents(spark, dir), n = 3)
       .orderBy(col("doc_id"))
 
+  /** C4/CCNet-style line-level boilerplate removal
+    * ([[TextOps.dropBoilerplateLines]]) under the gate: the fixture is
+    * a flat token stream, so segmentation is 8-token windows
+    * ([[TextOps.linesByTokenWindow]] — the same windowing a real corpus
+    * uses when its line structure is untrustworthy); every line
+    * occurring in ≥ 3 distinct documents is dropped and the survivors
+    * are reassembled in document order. The oracle replays
+    * segmentation, df, filter, and ordered reassembly — so a wrong
+    * window boundary, a df-vs-tf mix-up, or an unstable reassembly
+    * order all hash-mismatch on the full cleaned TEXT, not a proxy.
+    */
+  def t12LineDedup(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dropBoilerplateLines(
+        TextOps.linesByTokenWindow(Tables.documents(spark, dir), tokensPerLine = 8),
+        minDf = 3, sep = " ")
+      .orderBy(col("doc_id"))
+
   def j01JsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -830,6 +847,26 @@ object Pipeline {
         |    + len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
         |    + len(regexp_extract_all(t2, '\+?[0-9][0-9()\-. ]{6,}[0-9]')) AS n_pii
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    // 8-token window segmentation (list slice clamps at the tail like
+    // Spark's slice), df over DISTINCT docs, drop df>=3 lines, ordered
+    // reassembly; coalesce('') because string_agg over zero kept lines
+    // is NULL where Spark's concat_ws over an empty array is ''
+    "t12_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), lines AS (
+        |  SELECT doc_id, i.i AS pos,
+        |    array_to_string(w[i.i*8+1 : i.i*8+8], ' ') AS line
+        |  FROM toks, LATERAL (SELECT unnest(range(0, CAST(ceil(greatest(len(w), 1)/8.0) AS BIGINT))) AS i) i
+        |), df AS (
+        |  SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY line
+        |)
+        |SELECT doc_id,
+        |  coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE line_df < 3), '') AS cleaned,
+        |  count(*) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE line_df >= 3) AS BIGINT) AS n_removed
+        |FROM lines JOIN df USING (line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t08_oov_rate" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
@@ -974,6 +1011,7 @@ object Pipeline {
     "d11_dedup_clusters" -> d11DedupClusters _,
     "d12_contamination"  -> d12Contamination _,
     "t11_repetition"     -> t11Repetition _,
+    "t12_line_dedup"     -> t12LineDedup _,
     "d05_embedding_dups" -> d05EmbeddingDups _,
     "d08_embedding_dups_new" -> d08EmbeddingDupsNew _,
     "s01_sim_topk"       -> s01SimTopK _,

@@ -677,6 +677,47 @@ class ExtSpec extends AnyFunSuite {
       "mismatched seeds happened to reproduce the true top-k; fixture can't pin the footgun")
   }
 
+  test("line dedup: planted boilerplate removed everywhere, unique lines survive, df artifact reusable") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter"
+    val fixture = Seq(
+      (1L, s"alpha beta gamma\n$boiler\ndelta epsilon"),
+      (2L, s"$boiler\nzeta eta"),
+      (3L, s"theta iota\n$boiler"),
+      (4L, "kappa lambda mu\nnu xi")).toDF("doc_id", "text")
+    val lines = TextOps.linesBySeparator(fixture, "\n")
+    val got = TextOps.dropBoilerplateLines(lines, minDf = 3, sep = "\n")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("alpha beta gamma\ndelta epsilon", 3L, 1L)))
+    assert(got(2L) == (("zeta eta", 2L, 1L)))
+    assert(got(3L) == (("theta iota", 2L, 1L)))
+    assert(got(4L) == (("kappa lambda mu\nnu xi", 2L, 0L)), "unique lines must survive untouched")
+    // every input doc keeps a row, even if fully boilerplate
+    val allBoiler = Seq((1L, boiler), (2L, boiler), (3L, boiler)).toDF("doc_id", "text")
+    val cleaned = TextOps.dropBoilerplateLines(
+      TextOps.linesBySeparator(allBoiler, "\n"), minDf = 3, sep = "\n").collect()
+    assert(cleaned.length == 3 && cleaned.forall(_.getString(1) == ""),
+      "pure-boilerplate docs must survive as empty, not vanish")
+    // persisted df artifact: reuse == recompute; a SUBSET table keeps
+    // unknown lines (conservative: unknown = not boilerplate)
+    val winLines = TextOps.linesByTokenWindow(docs, tokensPerLine = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = rows(TextOps.dropBoilerplateLines(winLines, minDf = 3, sep = " "))
+    assert(direct.exists(_._4 > 0), "fixture produced no boilerplate windows")
+    val dfDir = java.nio.file.Files.createTempDirectory("graft_line_df").toFile.getAbsolutePath
+    TextOps.lineDfTable(winLines).write.parquet(s"$dfDir/df")
+    assert(rows(TextOps.dropBoilerplateLines(winLines, minDf = 3, sep = " ",
+      dfTable = Some(spark.read.parquet(s"$dfDir/df")))) == direct)
+    val subset = rows(TextOps.dropBoilerplateLines(winLines, minDf = 3, sep = " ",
+      dfTable = Some(spark.read.parquet(s"$dfDir/df").filter(col("line_df") >= 2))))
+    // subset drops only lines the table still marks boilerplate; docs
+    // whose removed lines were all in the subset are unchanged
+    assert(subset.map(_._1) == direct.map(_._1))
+    assert(subset.forall { case (id, _, nl, nr) =>
+      val d = direct.find(_._1 == id).get; nl == d._3 && nr <= d._4 })
+  }
+
   test("clusters converge in O(log diameter) rounds on a 2k path graph; checkpoint blocks bounded") {
     import spark.implicits._
     // adversarial long chain: 2001 nodes, diameter 2000 — plain
