@@ -363,17 +363,56 @@ object Similarity {
     * literal-array argmax — narrow, codegen'd, embedded straight into
     * the scan (no cross join). ASCENDING sort on (-csim, centroid_id)
     * keeps ties on the SMALLEST centroid id; `lit(r.get(0))` keeps the
-    * id column type-generic.
+    * id column type-generic. With `rounded` the ordering key is
+    * round(csim, 6) — the cross-engine-stable comparison an ORACLE
+    * replays (the s01 rank pattern); the unrounded form stays the
+    * internal IVF default.
     */
   private def nearestCentroidsExpr(codebook: Array[org.apache.spark.sql.Row],
-      vec: String, nrm: String, keep: Int): Column = {
+      vec: String, nrm: String, keep: Int, rounded: Boolean = false): Column = {
     val sims = codebook.map { r =>
       val cv = r.getSeq[Double](1).toArray
       val cn = r.getDouble(2)
-      struct((-graftDot(col(vec), typedLit(cv)) / (col(nrm) * lit(cn))).as("negsim"),
+      val csim = graftDot(col(vec), typedLit(cv)) / (col(nrm) * lit(cn))
+      struct((-(if (rounded) round(csim, 6) else csim)).as("negsim"),
         lit(r.get(0)).as("centroid_id"))
     }
     slice(sort_array(array(sims.toIndexedSeq: _*), asc = true), 1, keep)
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: coarse-cluster the corpus
+    * (argmax cosine against an md5-ordered deterministic codebook of
+    * `nCentroids` corpus rows), then compare pairs ONLY within a
+    * cluster and keep exact cosine ≥ minSim. This is the standard
+    * embedding-dedup scale pattern: the quadratic stage shrinks from
+    * n² to Σ cluster², and IDENTICAL vectors provably agree on their
+    * nearest centroid (same rounded sims, same tie-break), so
+    * exact-duplicate recall is 1.0. Near-identical pairs agree except
+    * when they straddle a cluster BOUNDARY — the recall trade-off real
+    * SemDeDup makes too (mitigate with more/fewer centroids or an LSH
+    * pass, [[cosineDupPairsLsh]], for boundary-sensitive thresholds).
+    * Pairs are a SUBSET of [[cosineDupPairs]]'s by construction — the
+    * trade the operator makes explicit. md5 (not xxhash64) codebook ordering + round(6)
+    * assignment comparisons make the whole operator — clustering
+    * included — replayable by a SQL oracle (the s04 gate).
+    */
+  def semanticDupPairs(vectors: DataFrame, minSim: Double, nCentroids: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val c = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", sqrt(graftDot(col("vec"), col("vec"))))
+    val cb = c.orderBy(graft.functions.Cols.md5Uint32(col("id").cast("string")), col("id"))
+      .limit(nCentroids).collect()
+    val assigned = c.withColumn("centroid_id",
+      element_at(nearestCentroidsExpr(cb, "vec", "norm", 1, rounded = true), 1)
+        .getField("centroid_id"))
+    val a = assigned.select(col("centroid_id"), col("id").as("id_a"),
+      col("vec").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("centroid_id"), col("id").as("id_b"),
+      col("vec").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b") && pairSim >= minSim)
+      .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
   }
 
   /** [[cosineDupPairs]] at corpus scale: random-hyperplane LSH buckets

@@ -145,6 +145,18 @@ object Pipeline {
       .orderBy(col("query_id"))
   }
 
+  /** SemDeDup under the gate ([[Similarity.semanticDupPairs]]): the
+    * oracle recomputes the md5-ordered codebook, the rounded argmax
+    * cluster assignment (ties to the smallest centroid id — the same
+    * (−sim, id) order both sides), the within-cluster pairing, and the
+    * exact-cosine threshold — so the CLUSTERING itself sits under the
+    * hash gate, not just the pairwise math d05 already pins.
+    */
+  def s04SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDupPairs(Tables.embeddings(spark, dir),
+        minSim = 0.35, nCentroids = 16)
+      .orderBy(col("id_a"), col("id_b"))
+
   def t01TextStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
         col("doc_id"),
@@ -784,6 +796,29 @@ object Pipeline {
     // pair, so any Spark-side recall < 1.0 hash-mismatches the oracle
     "s02_lsh_recall" -> annRecallOracle,
     "s03_ivf_recall" -> annRecallOracle,
+    // md5-ordered codebook, rounded argmax assignment (ties -> smallest
+    // centroid id), within-cluster pairs, threshold on the RAW cosine
+    "s04_semantic_dedup" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), cb AS (
+        |  SELECT vec_id AS centroid_id, e AS ce FROM v
+        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id
+        |  LIMIT 16
+        |), assign AS (
+        |  SELECT vec_id, e, centroid_id FROM (
+        |    SELECT v.vec_id, v.e, cb.centroid_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY round(list_cosine_similarity(v.e, cb.ce), 6) DESC, cb.centroid_id) AS rn
+        |    FROM v, cb) t
+        |  WHERE rn = 1
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.e, b.e), 6) AS sim
+        |FROM assign a JOIN assign b
+        |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
     "t02_text_analyze" ->
       """WITH t AS (
         |  SELECT doc_id, text,
@@ -1017,6 +1052,7 @@ object Pipeline {
     "s01_sim_topk"       -> s01SimTopK _,
     "s02_lsh_recall"     -> s02LshRecall _,
     "s03_ivf_recall"     -> s03IvfRecall _,
+    "s04_semantic_dedup" -> s04SemanticDedup _,
     "t01_text_stats"     -> t01TextStats _,
     "t07_bpe_tokens"     -> t07BpeTokens _,
     "t02_text_analyze"   -> t02TextAnalyze _,

@@ -549,6 +549,26 @@ class ExtSpec extends AnyFunSuite {
     assert(extraRate <= 0.05, s"false-positive inflation $extraRate exceeds 5%")
   }
 
+  test("semantic dedup: subset of brute pairs; planted twins share a cluster and are found") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = pairs(Similarity.semanticDupPairs(emb, minSim = 0.35, nCentroids = 16))
+    val brute = pairs(Similarity.cosineDupPairs(emb, minSim = 0.35))
+    assert(sem.nonEmpty && sem.subsetOf(brute),
+      s"semantic pairs must be within-cluster brute pairs; spurious=${(sem -- brute).take(3)}")
+    // IDENTICAL vectors provably share a centroid (same rounded sims,
+    // same tie-break), so exact-duplicate recall is 1.0 — SemDeDup's
+    // core promise; near-boundary NEAR-dups are its documented
+    // trade-off, not asserted here
+    val dups = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val dupPairs = pairs(Similarity.semanticDupPairs(dups, minSim = 0.9999, nCentroids = 16))
+    val expected = emb.select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    assert(expected.subsetOf(dupPairs),
+      s"exact duplicates split across clusters: missing=${(expected -- dupPairs).take(5)}")
+  }
+
   test("contamination index: persisted artifact probe == inline recompute, exact and bloom") {
     val dir = java.nio.file.Files.createTempDirectory("graft_contam").toFile.getAbsolutePath
     val evalDocs = docs.filter(col("doc_id") % 17 === 0)
