@@ -343,6 +343,20 @@ object Pipeline {
         minDf = 3, sep = " ")
       .orderBy(col("doc_id"))
 
+  /** Token-budget training shards ([[graft.ops.PrefixSum
+    * .tokenBudgetShards]]): pack the corpus into ≈512-token shards by a
+    * distributed two-phase prefix sum — NO single-partition window
+    * anywhere (pinned in PlanSpec; the naive Window.orderBy spelling
+    * collapses 100 TB onto one task). All-integer assignment, so the
+    * full (doc, tokens, shard) table hash-matches the oracle's
+    * ordinary SQL running total.
+    */
+  def t13TokenShards(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.PrefixSum.tokenBudgetShards(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), budget = 512L)
+      .select(col("doc_id"), col("n_tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+
   def j01JsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -918,6 +932,18 @@ object Pipeline {
         |  floor((count(*) - count(top.token)) / CAST(count(*) AS DOUBLE) * 1e6) / 1e6 AS oov_rate
         |FROM t LEFT JOIN top ON t.token = top.token
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ordinary SQL running total; the Spark side must reproduce it with
+    // its two-phase distributed scan exactly
+    "t13_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens,
+        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 512 AS BIGINT) AS shard
+        |FROM t ORDER BY doc_id""".stripMargin,
     "e05_funnel" ->
       """WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'),
         |     c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
@@ -1047,6 +1073,7 @@ object Pipeline {
     "d12_contamination"  -> d12Contamination _,
     "t11_repetition"     -> t11Repetition _,
     "t12_line_dedup"     -> t12LineDedup _,
+    "t13_token_shards"   -> t13TokenShards _,
     "d05_embedding_dups" -> d05EmbeddingDups _,
     "d08_embedding_dups_new" -> d08EmbeddingDupsNew _,
     "s01_sim_topk"       -> s01SimTopK _,

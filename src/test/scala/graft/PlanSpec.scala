@@ -185,6 +185,21 @@ class PlanSpec extends AnyFunSuite {
     assert(explodes == 1, s"expected 1 explode (eval side only), got $explodes:\n$plan")
   }
 
+  test("t13: distributed prefix sum never materializes a single-partition exchange") {
+    val df = SparkEntry.queries("t13_token_shards")(spark, sf)
+    // drop the final presentation orderBy (a global sort IS a range
+    // exchange, fine); the SCAN itself must stay partition-parallel
+    val plan = graft.ops.PrefixSum.tokenBudgetShards(
+      Tables.documents(spark, sf).select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")), budget = 512L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"prefix sum collapsed to one partition — the naive Window.orderBy shape:\n$plan")
+    assert(plan.contains("rangepartitioning"), s"expected a range exchange:\n$plan")
+    assert(df.queryExecution.executedPlan.toString.contains("Window"),
+      "partition-local cumsum should still be a window")
+  }
+
   test("d05: per-side norms are computed below the pair join") {
     val df = SparkEntry.queries("d05_embedding_dups")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString

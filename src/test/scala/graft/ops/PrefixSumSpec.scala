@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class PrefixSumSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("two-phase running total == driver scanLeft, across many partitions") {
+    import spark.implicits._
+    // adversarial sizes: skewed values, ids out of insertion order, and
+    // far more rows than partitions so every partition contributes
+    val rnd = new scala.util.Random(42)
+    val rows = rnd.shuffle((0L until 5000L).toVector).map(id => (id, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "v").repartition(32)
+    val got = PrefixSum.runningTotal(df, "id", "v", "run")
+      .select("id", "run").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (id, v) =>
+      acc += v
+      assert(got(id) == acc, s"running total diverged at id $id")
+    }
+    assert(got.size == rows.size)
+  }
+
+  test("token shards: whole docs, contiguous shards, each shard within budget + one doc") {
+    import spark.implicits._
+    val docs = (0L until 300L)
+      .map(i => (i, Seq.fill(1 + (i % 37).toInt)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val budget = 100L
+    val shards = PrefixSum.tokenBudgetShards(docs, budget)
+      .select("doc_id", "n_tokens", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(shards.length == 300, "every doc must land in exactly one shard")
+    // shard ids are non-decreasing in doc order and skip nothing
+    val ids = shards.map(_._3)
+    assert(ids.zip(ids.tail).forall { case (a, b) => b == a || b == a + 1 || b > a },
+      "shard ids must be non-decreasing in id order")
+    assert(ids.distinct.sorted.sameElements(ids.min to ids.max), "shard ids must be contiguous")
+    // every shard holds >= budget tokens before spilling to the next
+    // (except the last), and starts within one doc of its boundary
+    shards.groupBy(_._3).toSeq.sortBy(_._1).dropRight(1).foreach { case (s, ds) =>
+      assert(ds.map(_._2).sum >= budget - ds.map(_._2).max,
+        s"shard $s underfilled: ${ds.map(_._2).sum} of $budget")
+    }
+  }
+}
