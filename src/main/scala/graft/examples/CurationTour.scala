@@ -9,9 +9,10 @@ import graft.ext.{Dedup, TextOps}
   * narrative — every stage a graft operator, chained the way a 100 TB
   * curation job runs them:
   *
-  *   raw docs → PII redaction → quality / OOV / repetition filters →
-  *   exact dedup → near-dup clusters (keep one) → decontamination vs a
-  *   held-out eval set → deterministic train/val/test split → persisted
+  *   raw docs → PII redaction → boilerplate-line removal → quality /
+  *   OOV / repetition filters → exact dedup → near-dup clusters (keep
+  *   one) → decontamination vs a held-out eval set → deterministic
+  *   train/val/test split → token-budget shard packing → persisted
   *   minhash index for the NEXT ingest batch.
   *
   * Run: `sbt "runMain graft.examples.CurationTour"` — prints one
@@ -40,6 +41,19 @@ object CurationTour {
     check("redaction preserves every row and is idempotent") {
       scrubbed.count() == n0 &&
         scrubbed.filter(TextOps.piiCount(col("text")) =!= 0).count() == 0
+    }
+
+    // 1b. strip corpus-level boilerplate lines (C4-style), windowed
+    // segmentation since the fixture is a flat token stream
+    val lineCleaned = TextOps.dropBoilerplateLines(
+        TextOps.linesByTokenWindow(scrubbed, tokensPerLine = 8), minDf = 3, sep = " ")
+      .withColumnRenamed("cleaned", "text")
+      .join(scrubbed.select("doc_id", "lang"), "doc_id").cache()
+    check("boilerplate-line removal keeps every doc and only ever shrinks text") {
+      lineCleaned.count() == n0 &&
+        lineCleaned.filter(col("n_removed") > 0).count() >= 0 &&
+        lineCleaned.join(scrubbed.select(col("doc_id"), length(col("text")).as("len0")), "doc_id")
+          .filter(length(col("text")) > col("len0")).count() == 0
     }
 
     // 2. filter: quality floor, OOV ceiling, repetition ceiling
@@ -85,6 +99,15 @@ object CurationTour {
         .filter(col("split") === "train")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       split.count() == train0.count() && ids.nonEmpty && ids == again
+    }
+
+    // 5b. pack the train set into ~equal-token shards for the trainer
+    check("shard packing covers every train doc with contiguous token-budget shards") {
+      val shards = graft.ops.PrefixSum.tokenBudgetShards(
+          train.select("doc_id", "text"), budget = 2048L)
+        .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ids = shards.map(_._2).distinct.sorted
+      shards.length == train.count() && ids.sameElements(ids.min to ids.max)
     }
 
     // 6. persist the corpus index the NEXT ingest batch will probe
