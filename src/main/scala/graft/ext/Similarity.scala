@@ -397,15 +397,34 @@ object Similarity {
     * included — replayable by a SQL oracle (the s04 gate).
     */
   def semanticDupPairs(vectors: DataFrame, minSim: Double, nCentroids: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      joinAssign: Boolean = false): DataFrame = {
     GraftFunctions.ensureRegistered(vectors.sparkSession)
     val c = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
       .withColumn("norm", sqrt(graftDot(col("vec"), col("vec"))))
-    val cb = c.orderBy(graft.functions.Cols.md5Uint32(col("id").cast("string")), col("id"))
-      .limit(nCentroids).collect()
-    val assigned = c.withColumn("centroid_id",
-      element_at(nearestCentroidsExpr(cb, "vec", "norm", 1, rounded = true), 1)
-        .getField("centroid_id"))
+    val cbDf = c.orderBy(graft.functions.Cols.md5Uint32(col("id").cast("string")), col("id"))
+      .limit(nCentroids)
+    // assignment: the literal-codebook expression (narrow, codegen'd,
+    // zero joins) is right while the codebook fits an expression tree —
+    // up to a few hundred centroids. Real SemDeDup at corpus scale runs
+    // ~10^4–10^5 clusters: `joinAssign` switches to a broadcast join +
+    // min_by argmax over the SAME rounded ordering key, identical
+    // output (twin-equality pinned in ExtSpec), O(n·k) work distributed
+    // instead of an O(k) expression per row on the driver's plan.
+    val assigned =
+      if (joinAssign) {
+        val cb = broadcast(cbDf.select(col("id").as("cid"),
+          col("vec").as("cv"), col("norm").as("cn")))
+        c.join(cb)
+          .withColumn("negsim",
+            -round(graftDot(col("vec"), col("cv")) / (col("norm") * col("cn")), 6))
+          .groupBy(col("id"), col("vec"), col("norm"))
+          .agg(min(struct(col("negsim"), col("cid"))).getField("cid").as("centroid_id"))
+      } else {
+        c.withColumn("centroid_id",
+          element_at(nearestCentroidsExpr(cbDf.collect(), "vec", "norm", 1, rounded = true), 1)
+            .getField("centroid_id"))
+      }
     val a = assigned.select(col("centroid_id"), col("id").as("id_a"),
       col("vec").as("va"), col("norm").as("na"))
     val b = assigned.select(col("centroid_id"), col("id").as("id_b"),

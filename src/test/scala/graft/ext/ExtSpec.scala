@@ -556,6 +556,10 @@ class ExtSpec extends AnyFunSuite {
     val brute = pairs(Similarity.cosineDupPairs(emb, minSim = 0.35))
     assert(sem.nonEmpty && sem.subsetOf(brute),
       s"semantic pairs must be within-cluster brute pairs; spurious=${(sem -- brute).take(3)}")
+    // the large-codebook scale path (broadcast join + min_by argmax over
+    // the same rounded key) assigns identically
+    assert(pairs(Similarity.semanticDupPairs(emb, minSim = 0.35, nCentroids = 16,
+      joinAssign = true)) == sem, "join-based assignment diverged from the literal codebook")
     // IDENTICAL vectors provably share a centroid (same rounded sims,
     // same tie-break), so exact-duplicate recall is 1.0 — SemDeDup's
     // core promise; near-boundary NEAR-dups are its documented
