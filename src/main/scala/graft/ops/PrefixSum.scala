@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Distributed prefix sum (the classic two-phase scan), and the
   * training-data operator built on it: token-budget sharding.
@@ -10,35 +11,45 @@ import org.apache.spark.sql.functions._
   * The naive Spark spelling of a global running total —
   * `Window.orderBy(key)` with no partitionBy — collapses the whole
   * dataset into ONE partition on one task: correct at test scale,
-  * a non-starter at 100 TB. The scan here never materializes a
-  * single-partition exchange (pinned in PlanSpec): range-partition on
-  * the order key, partition-LOCAL running totals, then one
-  * driver-collected offsets table (≤ numPartitions rows) broadcast
-  * back — O(rows/partitions) work per task, O(partitions) on the
-  * driver.
+  * a non-starter at 100 TB. The scan here shuffles the data exactly
+  * ONCE (pinned in PlanSpec): range-partition on the order key, then a
+  * partition-LOCAL imperative scan — mapPartitions, the sanctioned
+  * last resort, used deliberately because the declarative spelling
+  * (`Window.partitionBy(spark_partition_id())`) cannot tell Catalyst
+  * the key is a function of the existing partitioning and pays a
+  * SECOND full hash exchange — then one driver-collected offsets table
+  * (≤ numPartitions rows) broadcast back.
   */
 object PrefixSum {
 
-  /** Global running total of `valueCol` in ascending `orderCol` order
-    * (inclusive: the row's own value is counted), as column `outCol`.
-    * `orderCol` must be unique per row — ties straddling a partition
-    * boundary would make "running" ambiguous (any unique id or
-    * (ts, id) composite works; document ids are the normal case).
+  /** Global running total of `valueCol` (cast to long; nulls count 0)
+    * in ascending `orderCol` order (inclusive: the row's own value is
+    * counted), as column `outCol`. `orderCol` must be unique per row —
+    * ties straddling a partition boundary would make "running"
+    * ambiguous (any unique id or (ts, id) composite works; document
+    * ids are the normal case).
     */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String = "running_total"): DataFrame = {
     val spark = df.sparkSession
-    // phase 1: range-partition on the key, local inclusive cumsum.
-    // spark_partition_id is stable here because it is evaluated on the
-    // post-exchange partitioning the window itself requires.
-    val ranged = df.repartitionByRange(col(orderCol))
-      .withColumn("_pid", spark_partition_id())
-    val local = ranged.withColumn("_local",
-      sum(col(valueCol)).over(
-        Window.partitionBy(col("_pid")).orderBy(col(orderCol))))
-      .persist()
+    // phase 1: ONE range exchange, partition-sorted, then a local
+    // inclusive scan. RangePartitioning orders partitions by key, so
+    // TaskContext partition ids follow the global order.
+    val prepared = df
+      .withColumn("_v", coalesce(col(valueCol).cast("long"), lit(0L)))
+      .repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val vIdx = prepared.schema.fieldIndex("_v")
+    val outSchema = prepared.schema.add("_pid", IntegerType).add("_local", LongType)
+    val local = prepared.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var acc = 0L
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ pid :+ acc) }
+    }(Encoders.row(outSchema)).persist()
     // phase 2: per-partition totals -> exclusive offsets (driver-side
-    // scanLeft over <= numPartitions rows), broadcast back
+    // scanLeft over <= numPartitions rows), broadcast back. The agg's
+    // map-side partial reduces each partition to one row before its
+    // exchange, so the data itself never shuffles again.
     val totals = local.groupBy(col("_pid"))
       .agg(max(col("_local")).as("_tot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -48,7 +59,7 @@ object PrefixSum {
     val offsetDf = offsets.toSeq.toDF("_pid", "_offset")
     val out = local.join(broadcast(offsetDf), Seq("_pid"))
       .withColumn(outCol, col("_local") + col("_offset"))
-      .drop("_pid", "_local", "_offset")
+      .drop("_pid", "_local", "_offset", "_v")
     local.unpersist()
     out
   }

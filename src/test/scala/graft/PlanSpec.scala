@@ -185,19 +185,23 @@ class PlanSpec extends AnyFunSuite {
     assert(explodes == 1, s"expected 1 explode (eval side only), got $explodes:\n$plan")
   }
 
-  test("t13: distributed prefix sum never materializes a single-partition exchange") {
-    val df = SparkEntry.queries("t13_token_shards")(spark, sf)
-    // drop the final presentation orderBy (a global sort IS a range
-    // exchange, fine); the SCAN itself must stay partition-parallel
+  test("t13: distributed prefix sum shuffles the data exactly once") {
+    // the raw operator, without the gate query's presentation orderBy
+    // (a global sort IS a legitimate extra range exchange)
     val plan = graft.ops.PrefixSum.tokenBudgetShards(
       Tables.documents(spark, sf).select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text")), budget = 512L)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange SinglePartition"),
-      s"prefix sum collapsed to one partition — the naive Window.orderBy shape:\n$plan")
-    assert(plan.contains("rangepartitioning"), s"expected a range exchange:\n$plan")
-    assert(df.queryExecution.executedPlan.toString.contains("Window"),
-      "partition-local cumsum should still be a window")
+    val exchanges = "Exchange [a-z]+".r.findAllIn(plan).toList
+    assert(exchanges == List("Exchange rangepartitioning"),
+      s"prefix sum must shuffle the data ONCE (range); got $exchanges:\n$plan")
+    // in particular: no single-partition collapse (the naive
+    // Window.orderBy shape) and no second hash exchange on the
+    // partition id (the naive declarative two-phase shape)
+    assert(!plan.contains("SinglePartition") && !plan.contains("hashpartitioning"),
+      s"extra exchange crept into the scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets must join back as a broadcast, not a shuffle:\n$plan")
   }
 
   test("d05: per-side norms are computed below the pair join") {
