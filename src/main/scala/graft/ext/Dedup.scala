@@ -543,24 +543,79 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     bandSignature(minhashSignatures(docs, n, k, textCol, idCol), k, bands)
 
+  /** The shingle/signature parameters a minhash index was built with.
+    * Band hashes are a pure function of them: a probe with mismatched
+    * (n, k, bands) joins NOTHING — a silently empty candidate set, i.e.
+    * no dedup at all, the worst failure mode for a dedup gate. Same
+    * footgun class as [[graft.ext.Similarity.LshParams]]; same cure.
+    */
+  case class MinhashParams(n: Int, k: Int, bands: Int)
+
+  private def mhParamsPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_minhash_params.json")
+
   /** Persist [[minhashIndex]] as parquet, laid out for the probe join:
     * repartitioned on (band, bandHash) — the candidate join's key — so
     * an ingest batch's broadcast/shuffle probe reads co-located buckets,
-    * and a full rebuild never shuffles at probe time.
+    * and a full rebuild never shuffles at probe time. (n, k, bands) are
+    * recorded in an underscore-prefixed sidecar (skipped by parquet
+    * readers, like `_SUCCESS`) for [[minhashDedupNewPairsAt]].
     */
   def writeMinhashIndex(docs: DataFrame, path: String,
       n: Int = 3, k: Int = 32, bands: Int = 16,
-      textCol: String = "text", idCol: String = "doc_id"): Unit =
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
     minhashIndex(docs, n, k, bands, textCol, idCol)
       .repartition(col("band"), col("bandHash"))
       .write.mode("overwrite").parquet(path)
+    writeMinhashParams(docs.sparkSession, path, MinhashParams(n, k, bands))
+  }
+
+  private[ext] def writeMinhashParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, p: MinhashParams): Unit = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    val out = fs.create(mhParamsPath(path), true)
+    try out.write(s"""{"n":${p.n},"k":${p.k},"bands":${p.bands}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The [[MinhashParams]] sidecar of a persisted index; None for an
+    * index written before the sidecar existed.
+    */
+  def readMinhashIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[MinhashParams] = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    if (!fs.exists(mhParamsPath(path))) return None
+    val in = fs.open(mhParamsPath(path))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def field(key: String) = s""""$key":(-?[0-9]+)""".r.findFirstMatchIn(txt).map(_.group(1))
+    for { n <- field("n"); k <- field("k"); b <- field("bands") }
+      yield MinhashParams(n.toInt, k.toInt, b.toInt)
+  }
 
   /** Read a persisted [[minhashIndex]] back; pass as `corpusIndex` to
-    * [[minhashDedupNewPairs]]. The reload==recompute consistency is
-    * pinned in ExtSpec.
+    * [[minhashDedupNewPairs]] WITH the sidecar's (n, k, bands) — or use
+    * [[minhashDedupNewPairsAt]], which reads them itself. The
+    * reload==recompute consistency is pinned in ExtSpec.
     */
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** [[minhashDedupNewPairs]] against a persisted index path, signature
+    * parameters taken from the index's own sidecar — the footgun-free
+    * ingest call (a call-site (n, k, bands) literal can't disagree with
+    * the artifact and silently candidate nothing).
+    */
+  def minhashDedupNewPairsAt(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, corpus: DataFrame, path: String,
+      minJaccard: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val p = readMinhashIndexParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no _graft_minhash_params.json sidecar; pass (n, k, bands) explicitly"))
+    minhashDedupNewPairs(newDocs, corpus, p.n, p.k, p.bands, minJaccard,
+      textCol, idCol, corpusIndex = Some(readMinhashIndex(spark, path)))
+  }
 
   // ------------------------------------------------------------- SimHash
 

@@ -79,6 +79,8 @@ object IndexLifecycle {
     Dedup.writeMinhashIndex(docs, rebuild, n, k, bands, textCol, idCol)
     Compactor.doAutoCoalesce(rebuild, requestedSizeMb,
       zorderCols = Seq("band", "bandHash"))
+    // compaction rewrites the folder and its sidecar with it — restore
+    Dedup.writeMinhashParams(spark, rebuild, Dedup.MinhashParams(n, k, bands))
     swapIn(spark, rebuild, livePath)
   }
 

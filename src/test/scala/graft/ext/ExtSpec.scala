@@ -452,6 +452,18 @@ class ExtSpec extends AnyFunSuite {
       n = 3, k = 32, bands = 16, minJaccard = 0.5, corpusIndex = Some(fullIndex)))
     assert(!reingested.exists(p => p._1 == p._2), "self-pair from stale index rows")
     assert(reingested == direct, "superseded index rows changed the pair set")
+    // params sidecar: round-trips, and the sidecar-driven probe equals
+    // the explicit-parameter call (a call-site (n,k,bands) literal
+    // disagreeing with the artifact silently candidates NOTHING — the
+    // LSH-seed footgun's text twin; exhibit below)
+    assert(Dedup.readMinhashIndexParams(spark, s"$dir/idx")
+      .contains(Dedup.MinhashParams(3, 32, 16)), "minhash params sidecar did not round-trip")
+    assert(pairSet(Dedup.minhashDedupNewPairsAt(spark, newDocs, corpus,
+      s"$dir/idx", minJaccard = 0.5)) == direct)
+    val mismatched = Dedup.minhashDedupNewPairs(newDocs, corpus,
+      n = 4, k = 32, bands = 16, minJaccard = 0.5, corpusIndex = Some(reloaded))
+    assert(!mismatched.collect().exists(p => p.getLong(1) % 10 != 0),
+      "mismatched (n,k,bands) should find no corpus candidates — if this fires, the footgun exhibit is stale")
   }
 
   test("clusters: transitive chains merge, components match driver union-find, keep-one works") {
