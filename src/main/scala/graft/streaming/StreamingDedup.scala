@@ -73,4 +73,29 @@ object StreamingDedup {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** [[start]] against a persisted index PATH, re-resolving files AND
+    * the (n, k, bands) sidecar per micro-batch — the text twin of
+    * [[StreamingSimilarity.startAt]]: an
+    * [[graft.ext.IndexLifecycle.rebuildMinhashIndex]] swap landing
+    * between micro-batches is picked up by the next batch with no
+    * stream restart, and a rebuild that changed the signature
+    * parameters re-tunes the probe side automatically.
+    */
+  def startAt(docsStream: DataFrame, corpus: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, minJaccard: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val spark = docsStream.sparkSession
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.minhashDedupNewPairsAt(spark, batch, corpus, indexPath, minJaccard,
+            textCol, idCol)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }

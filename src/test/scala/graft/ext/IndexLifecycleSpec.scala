@@ -109,6 +109,52 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(s"${mhLive}_rebuild")) && !fs.exists(new Path(s"${mhLive}_swap_bak")))
   }
 
+  test("minhash serving crosses a rebuild+swap: stream == batch on both sides") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("graft_mh_cycle").toFile.getAbsolutePath
+    val live = s"$root/mh_index"
+    val docs = Tables.documents(spark, sf)
+    // v1 corpus: a SUBSET — so the v2 rebuild genuinely changes answers
+    val corpusV1 = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0)
+    val corpusV2 = docs.filter(col("doc_id") % 10 =!= 0)
+    IndexLifecycle.rebuildMinhashIndex(corpusV1, live)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectV1 = pairSet(Dedup.minhashDedupNewPairsAt(spark,
+      spark.createDataFrame(batch.toIndexedSeq).toDF("doc_id", "text"), corpusV1, live,
+      minJaccard = 0.5))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // serve corpus v2 text but index v1/v2 across the swap: the spec
+    // streams batch 1 against v1, swaps, streams batch 2 (salted ids)
+    // against v2 — same running query throughout
+    val served = graft.streaming.StreamingDedup.startAt(
+      input.toDF().toDF("doc_id", "text"), corpusV2, live,
+      s"$root/out", s"$root/ckpt", minJaccard = 0.5)
+    try {
+      input.addData(batch.toIndexedSeq)
+      served.processAllAvailable()
+      IndexLifecycle.rebuildMinhashIndex(corpusV2, live)
+      input.addData(batch.map { case (id, t) => (id + 1000000L, t) }.toIndexedSeq)
+      served.processAllAvailable()
+    } finally served.stop()
+    val out = spark.read.parquet(s"$root/out")
+    // batch 1 (pre-swap): candidates from the v1 index only. Corpus
+    // TEXT was v2 throughout, but candidates gate the pairs — v1 pins
+    // that pre-swap answers came from the old artifact.
+    assert(pairSet(out.filter(col("id_a") < 1000000L)) == expectV1,
+      "pre-swap stream drifted from batch against the v1 index")
+    val expectV2 = pairSet(Dedup.minhashDedupNewPairsAt(spark,
+      spark.createDataFrame(batch.map { case (id, t) => (id + 1000000L, t) }.toIndexedSeq)
+        .toDF("doc_id", "text"), corpusV2, live, minJaccard = 0.5))
+    assert(pairSet(out.filter(col("id_a") >= 1000000L)) == expectV2,
+      "post-swap stream drifted from batch against the v2 index")
+    assert(expectV2.size > expectV1.size,
+      "fixture: the v2 rebuild should surface MORE corpus pairs than v1")
+  }
+
   test("recoverSwap: completes a crash between renames; restores from bak when rebuild is lost") {
     val root = Files.createTempDirectory("graft_idx_recover").toFile.getAbsolutePath
     val fs = Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, root)
