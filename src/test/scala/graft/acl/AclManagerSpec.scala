@@ -61,12 +61,17 @@ class AclManagerSpec extends AnyFunSuite with BeforeAndAfterEach {
       .map { case (k, v) => k -> v.map(_.toString).sorted }
     val driverState = snapshot()
     InMemAclFileSystem.clear()
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
     AclManager.modifyFolderAclDistributed(root, perm, conf)
     // side-effect-only caller must release every retry-loop pin
-    // (ADVICE r2: two datasets leaked per call, one row per path)
-    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
-      "modifyFolderAclDistributed leaked persisted datasets")
+    // (ADVICE r2: two datasets leaked per call, one row per path).
+    // Compare RDD ID SETS, not counts: the ContextCleaner may
+    // concurrently unpersist GC'd RDDs from earlier suites, so a
+    // count-equality assert flakes under suite churn — only NEW
+    // surviving ids are leaks of THIS call.
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds
+    assert(leaked.isEmpty,
+      s"modifyFolderAclDistributed leaked persisted datasets: rdd ids $leaked")
     val distState = snapshot()
     assert(distState.nonEmpty)
     assert(distState == driverState,
