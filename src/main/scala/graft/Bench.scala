@@ -141,6 +141,8 @@ object Bench {
         dim = 64, bitsPerTable = 12, tables = 4)),
       "ivf_serve" -> (n => Similarity.ivfTopK(queries(n), embAt(n), k = 5,
         nCentroids = 16, nProbe = 4)),
+      "token_shards" -> (n => graft.ops.PrefixSum.tokenBudgetShards(
+        docsAt(n).select(col("doc_id"), col("text")), budget = 512L)),
     )
     val rows = probes.flatMap { case (name, fn) =>
       try {
