@@ -236,6 +236,67 @@ object TextOps {
         sum(when(col("keep"), 0L).otherwise(1L)).cast("long").as("n_removed"))
   }
 
+  // ------------------------------------------- repeated-span removal
+
+  /** Cross-document repeated-span removal — the removal half of
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499), at token
+    * granularity: every token covered by ANY word n-gram that occurs in
+    * ≥ `minDocs` DISTINCT documents is cut, survivors reassembled in
+    * order. Complements [[repetitionRatio]] (within-doc) and
+    * [[dropBoilerplateLines]] (whole-line): this catches verbatim
+    * cross-doc spans at arbitrary offsets, the license-header /
+    * quoted-chunk case line boundaries miss.
+    *
+    * Shuffle profile: one gram-keyed df aggregation (corpus-scale,
+    * map-side combined; hashes shuffle, not text), one gram-keyed join
+    * of the instances, a coverage explode bounded by n per repeated
+    * instance, and one per-doc reassembly aggregation. Docs shorter
+    * than n tokens have no grams and pass through untouched. Output one
+    * row per input doc: (idCol, cleaned, n_tokens, n_removed).
+    */
+  def removeRepeatedSpans(docs: DataFrame, n: Int = 5, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n > 0 && minDocs > 1, "need n > 0 and a cross-doc threshold minDocs > 1")
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol)))).withColumnRenamed("col", "tok")
+      // split of an empty/whitespace-only doc yields one "" token — the
+      // only way an empty token arises; dropping it keeps n_kept
+      // consistent with the guarded n_tokens
+      .filter(col("tok") =!= "")
+    // sliding gram at each start position (docs with < n tokens yield none)
+    val tokArr = tokens(col(textCol))
+    val grams = docs
+      .select(col(idCol), posexplode(
+        when(size(tokArr) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(tokArr) - n),
+            i => concat_ws(" ", slice(tokArr, i + 1, lit(n)))))))
+      .withColumnRenamed("col", "gram")
+    val repeated = grams.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("gdf"))
+      .filter(col("gdf") >= minDocs)
+      .select(col("gram"))
+    // covered token indices per doc: each repeated instance spans [p, p+n-1]
+    val covered = grams.join(repeated, "gram")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    // reassemble in order; docs losing everything survive as "" (one
+    // row per input doc — dropping rows is the caller's policy)
+    docs.select(col(idCol),
+        when(length(trim(col(textCol))) === 0, lit(0))
+          .otherwise(size(tokArr)).cast("long").as("n_tokens"))
+      .join(kept.groupBy(col(idCol))
+        .agg(concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("cleaned"),
+          count(lit(1)).cast("long").as("n_kept")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** PII scrubbing patterns — deliberately RE2-safe (no lookarounds, no
     * backrefs) so a Go/Rust/SQL scrubber replays them byte-identically;
     * the t10 gate pins exactly that. Narrow regexp_replace chain:

@@ -343,6 +343,19 @@ object Pipeline {
         minDf = 3, sep = " ")
       .orderBy(col("doc_id"))
 
+  /** Cross-document repeated-span removal
+    * ([[TextOps.removeRepeatedSpans]], the Lee-et-al substring-dedup
+    * removal step) under the gate: every token covered by a 5-gram
+    * occurring in ≥ 2 distinct docs is cut; the oracle replays gram
+    * positions, cross-doc df, interval coverage, and ordered
+    * reassembly on the full cleaned TEXT — so an off-by-one in the
+    * span arithmetic or a within-doc/cross-doc df mix-up
+    * hash-mismatches.
+    */
+  def t14SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    TextOps.removeRepeatedSpans(Tables.documents(spark, dir), n = 5, minDocs = 2)
+      .orderBy(col("doc_id"))
+
   /** Token-budget training shards ([[graft.ops.PrefixSum
     * .tokenBudgetShards]]): pack the corpus into ≈512-token shards by a
     * distributed two-phase prefix sum — NO single-partition window
@@ -932,6 +945,41 @@ object Pipeline {
         |  floor((count(*) - count(top.token)) / CAST(count(*) AS DOUBLE) * 1e6) / 1e6 AS oov_rate
         |FROM t LEFT JOIN top ON t.token = top.token
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // sliding 5-gram positions, df over DISTINCT docs, interval
+    // coverage [p, p+4], anti-join surviving tokens, ordered reassembly
+    "t14_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), tok AS (
+        |  SELECT doc_id, i.i AS pos, w[i.i + 1] AS t
+        |  FROM toks, LATERAL (SELECT unnest(range(0, len(w))) AS i) i
+        |  WHERE w[i.i + 1] <> ''
+        |), grams AS (
+        |  SELECT doc_id, i.i AS pos, array_to_string(w[i.i+1 : i.i+5], ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(w) - 4, 0))) AS i) i
+        |), rep AS (
+        |  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + o.o AS pos
+        |  FROM grams g JOIN rep USING (gram),
+        |    LATERAL (SELECT unnest(range(0, 5)) AS o) o
+        |), kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.t
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |  WHERE cov.pos IS NULL
+        |), agg AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS cleaned, count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |), base AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT base.doc_id, coalesce(agg.cleaned, '') AS cleaned, base.n_tokens,
+        |  base.n_tokens - coalesce(agg.n_kept, 0) AS n_removed
+        |FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
     // ordinary SQL running total; the Spark side must reproduce it with
     // its two-phase distributed scan exactly
     "t13_token_shards" ->
@@ -1074,6 +1122,7 @@ object Pipeline {
     "t11_repetition"     -> t11Repetition _,
     "t12_line_dedup"     -> t12LineDedup _,
     "t13_token_shards"   -> t13TokenShards _,
+    "t14_span_dedup"     -> t14SpanDedup _,
     "d05_embedding_dups" -> d05EmbeddingDups _,
     "d08_embedding_dups_new" -> d08EmbeddingDupsNew _,
     "s01_sim_topk"       -> s01SimTopK _,

@@ -754,6 +754,30 @@ class ExtSpec extends AnyFunSuite {
       val d = direct.find(_._1 == id).get; nl == d._3 && nr <= d._4 })
   }
 
+  test("repeated-span removal: cross-doc spans cut at any offset, within-doc repeats kept") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha beta the quick brown fox jumps gamma delta"), // span at pos 2
+      (2L, "the quick brown fox jumps over stuff"),             // same span at pos 0
+      (3L, "foo bar foo bar foo bar foo bar foo bar"),          // WITHIN-doc only
+      (4L, "tiny doc"),                                         // < n tokens
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextOps.removeRepeatedSpans(fixture, n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("alpha beta gamma delta", 9L, 5L)),
+      s"mid-doc span not cut exactly: ${got(1L)}")
+    assert(got(2L) == (("over stuff", 7L, 5L)), s"doc-start span not cut: ${got(2L)}")
+    assert(got(3L) == (("foo bar foo bar foo bar foo bar foo bar", 10L, 0L)),
+      "within-doc repetition must NOT be cut by the cross-doc operator")
+    assert(got(4L) == (("tiny doc", 2L, 0L)), "short docs have no grams, pass through")
+    assert(got(5L) == (("", 0L, 0L)), "empty doc survives as empty")
+    // real fixture: near-dup docs share 5-gram spans, so removal is
+    // non-trivial and every row survives
+    val corpus = TextOps.removeRepeatedSpans(docs, n = 5, minDocs = 2)
+    assert(corpus.count() == docs.count())
+    assert(corpus.filter(col("n_removed") > 0).count() > 0, "no cross-doc spans found on fixture")
+  }
+
   test("clusters converge in O(log diameter) rounds on a 2k path graph; checkpoint blocks bounded") {
     import spark.implicits._
     // adversarial long chain: 2001 nodes, diameter 2000 — plain
