@@ -264,14 +264,28 @@ object TextOps {
       // only way an empty token arises; dropping it keeps n_kept
       // consistent with the guarded n_tokens
       .filter(col("tok") =!= "")
-    // sliding gram at each start position (docs with < n tokens yield none)
-    val tokArr = tokens(col(textCol))
-    val grams = docs
-      .select(col(idCol), posexplode(
-        when(size(tokArr) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(tokArr) - n),
-            i => concat_ws(" ", slice(tokArr, i + 1, lit(n)))))))
-      .withColumnRenamed("col", "gram")
+    // sliding gram at each start position (docs with < n tokens yield
+    // none). Imperative per-row emission on purpose: the declarative
+    // spelling — posexplode(transform(sequence, i => concat_ws(slice(
+    // split(text))))) — runs the nested lambda INTERPRETED, re-splitting
+    // the text per gram (measured 20× slower than this one-pass loop,
+    // and the grams subplan feeds two consumers so it runs twice).
+    val base = docs.select(col(idCol), col(textCol))
+    val gramSchema = org.apache.spark.sql.types.StructType(Seq(
+      base.schema.head,
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("gram", org.apache.spark.sql.types.StringType)))
+    val grams = base.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val text = if (r.isNullAt(1)) "" else r.getString(1)
+        // same tokenization as tokens(): split of the trimmed text on \s+
+        val w = text.trim.split("\\s+")
+        if (w.length < n) Iterator.empty
+        else (0 to w.length - n).iterator.map { p =>
+          org.apache.spark.sql.Row(r.get(0), p, w.slice(p, p + n).mkString(" "))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(gramSchema))
     val repeated = grams.groupBy(col("gram"))
       .agg(countDistinct(col(idCol)).as("gdf"))
       .filter(col("gdf") >= minDocs)
@@ -285,7 +299,7 @@ object TextOps {
     // row per input doc — dropping rows is the caller's policy)
     docs.select(col(idCol),
         when(length(trim(col(textCol))) === 0, lit(0))
-          .otherwise(size(tokArr)).cast("long").as("n_tokens"))
+          .otherwise(size(tokens(col(textCol)))).cast("long").as("n_tokens"))
       .join(kept.groupBy(col(idCol))
         .agg(concat_ws(" ", transform(
             sort_array(collect_list(struct(col("pos"), col("tok")))),
