@@ -31,6 +31,10 @@ object PrefixSum {
     */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String = "running_total"): DataFrame = {
+    val reserved = Seq("_v", "_pid", "_local", "_offset", outCol)
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"runningTotal uses ${clash.mkString(", ")} internally; rename the input column(s)")
     val spark = df.sparkSession
     // phase 1: ONE range exchange, partition-sorted, then a local
     // inclusive scan. RangePartitioning orders partitions by key, so
