@@ -238,6 +238,50 @@ object TextOps {
 
   // ------------------------------------------- repeated-span removal
 
+  /** (idCol, pos, gram) sliding word n-grams per document — imperative
+    * per-row emission on purpose: the declarative spelling —
+    * posexplode(transform(sequence, i => concat_ws(slice(split(
+    * text))))) — runs the nested lambda INTERPRETED, re-splitting the
+    * text per gram (measured 20× slower than this one-pass loop, and
+    * the grams stage feeds two consumers so it would run twice).
+    */
+  private def slidingGrams(docs: DataFrame, n: Int,
+      textCol: String, idCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol))
+    val gramSchema = org.apache.spark.sql.types.StructType(Seq(
+      base.schema.head,
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("gram", org.apache.spark.sql.types.StringType)))
+    base.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val text = if (r.isNullAt(1)) "" else r.getString(1)
+        // same tokenization as tokens(): split of the trimmed text on \s+
+        val w = text.trim.split("\\s+")
+        if (w.length < n) Iterator.empty
+        else (0 to w.length - n).iterator.map { p =>
+          org.apache.spark.sql.Row(r.get(0), p, w.slice(p, p + n).mkString(" "))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(gramSchema))
+  }
+
+  /** The `(gram)` set of word n-grams occurring in ≥ `minDocs` distinct
+    * documents — [[removeRepeatedSpans]]' corpus-scale side as a
+    * persistable parquet artifact (the contaminationIndex pattern:
+    * compute once per corpus snapshot, probe per batch; same "as of
+    * build" staleness semantics — spans repeated only via NEWER docs
+    * stay until a rebuild).
+    */
+  def repeatedGramTable(docs: DataFrame, n: Int = 5, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minDocs > 1, "cross-doc threshold minDocs must be > 1")
+    slidingGrams(docs, n, textCol, idCol)
+      .groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("gdf"))
+      .filter(col("gdf") >= minDocs)
+      .select(col("gram"))
+  }
+
   /** Cross-document repeated-span removal — the removal half of
     * substring dedup (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better", arXiv:2107.06499), at token
@@ -249,14 +293,17 @@ object TextOps {
     * quoted-chunk case line boundaries miss.
     *
     * Shuffle profile: one gram-keyed df aggregation (corpus-scale,
-    * map-side combined; hashes shuffle, not text), one gram-keyed join
-    * of the instances, a coverage explode bounded by n per repeated
-    * instance, and one per-doc reassembly aggregation. Docs shorter
-    * than n tokens have no grams and pass through untouched. Output one
-    * row per input doc: (idCol, cleaned, n_tokens, n_removed).
+    * map-side combined — SKIPPED entirely when a persisted
+    * [[repeatedGramTable]] is passed as `repeatedGrams`), one
+    * gram-keyed join of the instances, a coverage explode bounded by n
+    * per repeated instance, and one per-doc reassembly aggregation.
+    * Docs shorter than n tokens have no grams and pass through
+    * untouched. Output one row per input doc:
+    * (idCol, cleaned, n_tokens, n_removed).
     */
   def removeRepeatedSpans(docs: DataFrame, n: Int = 5, minDocs: Int = 2,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      repeatedGrams: Option[DataFrame] = None): DataFrame = {
     require(n > 0 && minDocs > 1, "need n > 0 and a cross-doc threshold minDocs > 1")
     val toks = docs.select(col(idCol),
       posexplode(tokens(col(textCol)))).withColumnRenamed("col", "tok")
@@ -264,32 +311,11 @@ object TextOps {
       // only way an empty token arises; dropping it keeps n_kept
       // consistent with the guarded n_tokens
       .filter(col("tok") =!= "")
-    // sliding gram at each start position (docs with < n tokens yield
-    // none). Imperative per-row emission on purpose: the declarative
-    // spelling — posexplode(transform(sequence, i => concat_ws(slice(
-    // split(text))))) — runs the nested lambda INTERPRETED, re-splitting
-    // the text per gram (measured 20× slower than this one-pass loop,
-    // and the grams subplan feeds two consumers so it runs twice).
-    val base = docs.select(col(idCol), col(textCol))
-    val gramSchema = org.apache.spark.sql.types.StructType(Seq(
-      base.schema.head,
-      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("gram", org.apache.spark.sql.types.StringType)))
-    val grams = base.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val text = if (r.isNullAt(1)) "" else r.getString(1)
-        // same tokenization as tokens(): split of the trimmed text on \s+
-        val w = text.trim.split("\\s+")
-        if (w.length < n) Iterator.empty
-        else (0 to w.length - n).iterator.map { p =>
-          org.apache.spark.sql.Row(r.get(0), p, w.slice(p, p + n).mkString(" "))
-        }
-      }
-    }(org.apache.spark.sql.Encoders.row(gramSchema))
-    val repeated = grams.groupBy(col("gram"))
-      .agg(countDistinct(col(idCol)).as("gdf"))
-      .filter(col("gdf") >= minDocs)
-      .select(col("gram"))
+    val grams = slidingGrams(docs, n, textCol, idCol)
+    // the corpus-scale side — pass a persisted [[repeatedGramTable]] to
+    // skip re-aggregating the corpus per batch
+    val repeated = repeatedGrams.map(_.select(col("gram")))
+      .getOrElse(repeatedGramTable(docs, n, minDocs, textCol, idCol))
     // covered token indices per doc: each repeated instance spans [p, p+n-1]
     val covered = grams.join(repeated, "gram")
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))

@@ -773,9 +773,17 @@ class ExtSpec extends AnyFunSuite {
     assert(got(5L) == (("", 0L, 0L)), "empty doc survives as empty")
     // real fixture: near-dup docs share 5-gram spans, so removal is
     // non-trivial and every row survives
-    val corpus = TextOps.removeRepeatedSpans(docs, n = 5, minDocs = 2)
-    assert(corpus.count() == docs.count())
-    assert(corpus.filter(col("n_removed") > 0).count() > 0, "no cross-doc spans found on fixture")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val corpus = rows(TextOps.removeRepeatedSpans(docs, n = 5, minDocs = 2))
+    assert(corpus.size == docs.count())
+    assert(corpus.exists(_._4 > 0), "no cross-doc spans found on fixture")
+    // persisted repeated-gram artifact: probe == recompute
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_grams").toFile.getAbsolutePath
+    TextOps.repeatedGramTable(docs, n = 5, minDocs = 2).write.parquet(s"$dir/grams")
+    assert(rows(TextOps.removeRepeatedSpans(docs, n = 5, minDocs = 2,
+      repeatedGrams = Some(spark.read.parquet(s"$dir/grams")))) == corpus,
+      "persisted repeated-gram probe drifted from inline recompute")
   }
 
   test("clusters converge in O(log diameter) rounds on a 2k path graph; checkpoint blocks bounded") {
