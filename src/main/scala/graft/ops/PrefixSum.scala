@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -11,61 +10,102 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * The naive Spark spelling of a global running total —
   * `Window.orderBy(key)` with no partitionBy — collapses the whole
   * dataset into ONE partition on one task: correct at test scale,
-  * a non-starter at 100 TB. The scan here shuffles the data exactly
-  * ONCE (pinned in PlanSpec): range-partition on the order key, then a
-  * partition-LOCAL imperative scan — mapPartitions, the sanctioned
-  * last resort, used deliberately because the declarative spelling
-  * (`Window.partitionBy(spark_partition_id())`) cannot tell Catalyst
-  * the key is a function of the existing partitioning and pays a
-  * SECOND full hash exchange — then one driver-collected offsets table
-  * (≤ numPartitions rows) broadcast back.
+  * a non-starter at 100 TB. The scan here runs two jobs:
+  *
+  *   1. ONE range exchange on the order key, reduced map-side to
+  *      ≤ numPartitions `(minKey, partitionTotal)` rows on the driver
+  *      (an exact `sum`, so negative values are handled — `max` of a
+  *      local scan would not be).
+  *   2. Each row is assigned a dense bucket id by comparing the order
+  *      key against the job-1 min-key boundaries as LITERALS, then ONE
+  *      hash exchange on the bucket, a partition-local scan that
+  *      resets per bucket (mapPartitions — the sanctioned last resort,
+  *      used because the declarative spelling pays a second full
+  *      exchange for a window), and a broadcast join of the
+  *      ≤ numPartitions exclusive offsets.
+  *
+  * Keying the offsets on literal-derived buckets rather than physical
+  * partition ids makes the result independent of recomputation:
+  * Spark's range partitioner samples with an RDD-id-derived seed, so a
+  * recomputed exchange may draw DIFFERENT boundaries — offsets keyed
+  * on physical partition ids silently shift under recompute unless the
+  * intermediate is pinned in cache. Boundaries collected once and
+  * re-applied as literals are consistent by construction, which also
+  * removes the need to persist a full-width 100 TB intermediate (the
+  * price: the source is scanned once per job, from pruned columns in
+  * job 1).
   */
 object PrefixSum {
 
-  /** Global running total of `valueCol` (cast to long; nulls count 0)
-    * in ascending `orderCol` order (inclusive: the row's own value is
-    * counted), as column `outCol`. `orderCol` must be unique per row —
-    * ties straddling a partition boundary would make "running"
-    * ambiguous (any unique id or (ts, id) composite works; document
-    * ids are the normal case).
+  /** Global running total of `valueCol` (cast to long; nulls count 0,
+    * negative values are summed exactly) in ascending `orderCol` order
+    * (inclusive: the row's own value is counted), as column `outCol`.
+    * `orderCol` must be unique and non-null per row — ties straddling
+    * a bucket boundary would make "running" ambiguous (any unique id
+    * or (ts, id) composite works; document ids are the normal case).
     */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String = "running_total"): DataFrame = {
-    val reserved = Seq("_v", "_pid", "_local", "_offset", outCol)
+    val reserved = Seq("_v", "_pid", "_bucket", "_local", "_offset", outCol)
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty,
       s"runningTotal uses ${clash.mkString(", ")} internally; rename the input column(s)")
     val spark = df.sparkSession
-    // phase 1: ONE range exchange, partition-sorted, then a local
-    // inclusive scan. RangePartitioning orders partitions by key, so
-    // TaskContext partition ids follow the global order.
+    import spark.implicits._
     val prepared = df
       .withColumn("_v", coalesce(col(valueCol).cast("long"), lit(0L)))
-      .repartitionByRange(col(orderCol))
-      .sortWithinPartitions(col(orderCol))
-    val vIdx = prepared.schema.fieldIndex("_v")
-    val outSchema = prepared.schema.add("_pid", IntegerType).add("_local", LongType)
-    val local = prepared.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    // job 1: range-exchange once, then collapse each partition to a
+    // single (minKey, total) row before the tiny final agg. Reads only
+    // (orderCol, valueCol) thanks to column pruning. The partition
+    // count is pinned explicitly: AQE would coalesce a small exchange
+    // to one partition (one bucket = a single-partition job 2), and
+    // coalescing buys nothing here since the agg output is one row per
+    // partition regardless.
+    val numBuckets = spark.sessionState.conf.numShufflePartitions
+    val groups = prepared
+      .select(col(orderCol), col("_v"))
+      .repartitionByRange(numBuckets, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .groupBy(col("_pid"))
+      .agg(min(col(orderCol)).as("_min"), sum(col("_v")).as("_tot"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+      .sortBy(_._1) // range-partition ids follow the key order
+    // dense bucket k ⇔ job-1 range partition k; boundaries are the min
+    // keys of buckets 1.. (every key of the SAME df falls back into
+    // its own bucket: k ∈ bucket i ⇔ min_i <= k < min_{i+1})
+    val boundaries = groups.drop(1).map(_._2)
+    val offsets = groups.map(_._3).scanLeft(0L)(_ + _).init
+    val offsetDf = offsets.zipWithIndex
+      .map { case (off, i) => (i, off) }.toSeq.toDF("_bucket", "_offset")
+    val bucketExpr: Column = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) >= lit(b), 1).otherwise(0)
+    }
+    // job 2: ONE hash exchange on the bucket (a bucket must never
+    // split across partitions, which range-sampling could do), sorted
+    // within partitions so co-hashed buckets stay contiguous, then the
+    // local inclusive scan resetting at bucket changes.
+    val nb = math.max(groups.length, 1)
+    val bucketed = prepared
+      .withColumn("_bucket", bucketExpr)
+      .repartition(nb, col("_bucket"))
+      .sortWithinPartitions(col("_bucket"), col(orderCol))
+    val vIdx = bucketed.schema.fieldIndex("_v")
+    val bIdx = bucketed.schema.fieldIndex("_bucket")
+    val outSchema = bucketed.schema.add("_local", LongType)
+    val local = bucketed.mapPartitions { it =>
+      var cur = Int.MinValue
       var acc = 0L
-      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ pid :+ acc) }
-    }(Encoders.row(outSchema)).persist()
-    // phase 2: per-partition totals -> exclusive offsets (driver-side
-    // scanLeft over <= numPartitions rows), broadcast back. The agg's
-    // map-side partial reduces each partition to one row before its
-    // exchange, so the data itself never shuffles again.
-    val totals = local.groupBy(col("_pid"))
-      .agg(max(col("_local")).as("_tot"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
-    import spark.implicits._
-    val offsetDf = offsets.toSeq.toDF("_pid", "_offset")
-    val out = local.join(broadcast(offsetDf), Seq("_pid"))
+      it.map { r =>
+        val b = r.getInt(bIdx)
+        if (b != cur) { cur = b; acc = 0L }
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(Encoders.row(outSchema))
+    local.join(broadcast(offsetDf), Seq("_bucket"))
       .withColumn(outCol, col("_local") + col("_offset"))
-      .drop("_pid", "_local", "_offset", "_v")
-    local.unpersist()
-    out
+      .drop("_bucket", "_local", "_offset", "_v")
   }
 
   /** Pack documents into training shards of ≈ `budget` tokens each:

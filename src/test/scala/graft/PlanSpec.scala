@@ -185,20 +185,26 @@ class PlanSpec extends AnyFunSuite {
     assert(explodes == 1, s"expected 1 explode (eval side only), got $explodes:\n$plan")
   }
 
-  test("t13: distributed prefix sum shuffles the data exactly once") {
+  test("t13: distributed prefix sum shuffles the data exactly once per job") {
     // the raw operator, without the gate query's presentation orderBy
-    // (a global sort IS a legitimate extra range exchange)
+    // (a global sort IS a legitimate extra range exchange). Job 1 (the
+    // boundary/totals collect, a separate tiny-output action) range-
+    // exchanges the pruned (key, value) projection once; the FINAL
+    // plan below must exchange the full-width data exactly once — a
+    // hash exchange on the literal-derived bucket — and join the
+    // driver-built offsets back as a broadcast.
     val plan = graft.ops.PrefixSum.tokenBudgetShards(
       Tables.documents(spark, sf).select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text")), budget = 512L)
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange [a-z]+".r.findAllIn(plan).toList
-    assert(exchanges == List("Exchange rangepartitioning"),
-      s"prefix sum must shuffle the data ONCE (range); got $exchanges:\n$plan")
+    assert(exchanges == List("Exchange hashpartitioning"),
+      s"prefix sum must shuffle the data ONCE (hash on bucket); got $exchanges:\n$plan")
     // in particular: no single-partition collapse (the naive
-    // Window.orderBy shape) and no second hash exchange on the
-    // partition id (the naive declarative two-phase shape)
-    assert(!plan.contains("SinglePartition") && !plan.contains("hashpartitioning"),
+    // Window.orderBy shape) and no range re-sampling of the data in
+    // the output plan (recompute could draw different boundaries than
+    // the ones the offsets were computed for)
+    assert(!plan.contains("SinglePartition") && !plan.contains("rangepartitioning"),
       s"extra exchange crept into the scan:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"offsets must join back as a broadcast, not a shuffle:\n$plan")

@@ -25,6 +25,37 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(got.size == rows.size)
   }
 
+  test("running total is exact with negative values (offsets are sums, not scan maxima)") {
+    import spark.implicits._
+    // signed values make max(localScan) != partitionTotal: any offset
+    // derived from the scan's maximum would shift every later bucket
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((0L until 3000L).toVector).map(id => (id, rnd.nextInt(1000) - 500L))
+    val df = rows.toDF("id", "v").repartition(16)
+    val got = PrefixSum.runningTotal(df, "id", "v", "run")
+      .select("id", "run").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (id, v) =>
+      acc += v
+      assert(got(id) == acc, s"running total diverged at id $id")
+    }
+  }
+
+  test("string order keys: bucket boundaries compare as literals of the key type") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((0 until 2000).toVector)
+      .map(i => (f"doc_$i%06d", rnd.nextInt(100).toLong))
+    val df = rows.toDF("id", "v").repartition(16)
+    val got = PrefixSum.runningTotal(df, "id", "v", "run")
+      .select("id", "run").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (id, v) =>
+      acc += v
+      assert(got(id) == acc, s"running total diverged at id $id")
+    }
+  }
+
   test("token shards: whole docs, contiguous shards, each shard within budget + one doc") {
     import spark.implicits._
     val docs = (0L until 300L)
