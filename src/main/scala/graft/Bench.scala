@@ -103,7 +103,16 @@ object Bench {
     // timing for a query that threw would read as a performance win
     val failed = failedSet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val probeJson = if (scaleK > 1) scaleProbe(spark, sfDir, scaleK) else "{}"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"scale_probe":$probeJson,"sf":"$sfDir"}""")
+    val pairJson = if (scaleK > 1) pairProbe(spark, sfDir, scaleK) else "{}"
+    // the FULL artifact goes to a file: the per-query medians + spread
+    // for 61 queries overflow what a line-driven capture keeps (r6/r7
+    // artifacts ended up with "parsed: null" and a truncated tail), so
+    // stdout carries only a short parseable summary pointing at it
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"scale_probe":$probeJson,"pair_probe":$pairJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"failed":$failed,"sf":"$sfDir","full_artifact":"$outPath"}""")
     spark.stop()
   }
 
@@ -144,6 +153,10 @@ object Bench {
       "token_shards" -> (n => graft.ops.PrefixSum.tokenBudgetShards(
         docsAt(n).select(col("doc_id"), col("text")), budget = 512L)),
     )
+    probeRows(probes, k)
+  }
+
+  private def probeRows(probes: Seq[(String, Int => DataFrame)], k: Int): String = {
     val rows = probes.flatMap { case (name, fn) =>
       try {
         runToNoop(fn(1)) // plan-shape warmup for the probe pair
@@ -157,5 +170,54 @@ object Bench {
       }
     }
     s"""{"factor":$k,${rows.mkString(",")}}"""
+  }
+
+  /** ×1-vs-×k probe for the pair-GENERATING dedup family (d02 naive
+    * all-shared-shingles join, d09 PPJoin prefix filter, d03 MinHash
+    * banding), which the serving probe above deliberately excludes.
+    *
+    * The ×k corpus here is ZIPFIAN-salted, not plain id-salted: each of
+    * the k copies rewrites every content token with a copy-unique
+    * prefix (so cross-copy documents share no content shingles and the
+    * TRUE pair set grows exactly linearly — each copy reproduces the
+    * ×1 pairs under renamed ids), and every document in every copy gets
+    * the same appended boilerplate tail (high-df shingles shared by the
+    * whole ×k corpus, far too few to lift any cross-copy Jaccard near
+    * the 0.5 threshold). That is the shape web corpora actually have —
+    * a head of boilerplate shingles whose document frequency grows with
+    * the corpus — and it is exactly what separates the strategies:
+    * d02's candidate join fans in quadratically on the boilerplate
+    * keys, while d09 keeps boilerplate out of the rarest-shingle
+    * prefixes, so its per-row cost should hold roughly flat. The
+    * expected artifact signature is d09's per_row_ratio well below
+    * d02's at ×k — the crossover the PPJoin scaladoc promises, measured
+    * rather than asserted.
+    *
+    * The probe base is a fixed ~1/16 document sample: the ×k naive arm
+    * is intentionally quadratic, and the probe only needs enough volume
+    * for the ratios to separate, not a minutes-long demonstration.
+    */
+  private def pairProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, k: Int): String = {
+    import graft.ext.Dedup
+    val boiler = " all rights reserved terms of service privacy policy contact us subscribe to our newsletter"
+    def zipfDocs(nCopies: Int): DataFrame = {
+      val base = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 16 === 0)
+        .select(col("doc_id"), col("text"))
+      (0 until nCopies).map { i =>
+        base.select(
+          (col("doc_id") + lit(i * 1000000000L)).as("doc_id"),
+          concat(regexp_replace(col("text"), "(\\w+)", s"c$i$$1"), lit(boiler)).as("text"))
+      }.reduce(_.unionByName(_))
+    }
+    probeRows(Seq(
+      "pairs_naive_d02" -> (n => Dedup.ngramJaccardPairs(
+        zipfDocs(n), n = 3, minJaccard = 0.5)),
+      "pairs_ppjoin_d09" -> (n => Dedup.ngramJaccardPairs(
+        zipfDocs(n), n = 3, minJaccard = 0.5, prefixFilter = true, broadcastDf = true)),
+      "pairs_minhash_d03" -> (n => Dedup.minhashDedupPairs(
+        zipfDocs(n), n = 3, k = 32, bands = 16, minJaccard = 0.5)),
+    ), k)
   }
 }
