@@ -97,7 +97,9 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Int])),
     ("graft_fingerprint", classOf[MinShingleMd5],
       (exprs: Seq[Expression]) => MinShingleMd5(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
+        exprs(1).eval().asInstanceOf[Int])),
+    ("graft_morton", classOf[MortonCode],
+      (exprs: Seq[Expression]) => MortonCode(exprs)))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry
@@ -139,4 +141,12 @@ object GraftFunctions {
   /** One-pass min-md5 shingle fingerprint (requires [[ensureRegistered]]). */
   def graftFingerprint(text: Column, n: Int): Column =
     call_function("graft_fingerprint", text, org.apache.spark.sql.functions.lit(n))
+
+  /** Native Morton code of `cols` under per-column quantile `bounds`
+    * (requires [[ensureRegistered]]).
+    */
+  def graftMorton(bounds: Array[Array[Double]], cols: Seq[Column]): Column =
+    call_function("graft_morton",
+      org.apache.spark.sql.functions.typedLit[Seq[Seq[Double]]](
+        bounds.map(_.toSeq).toSeq) +: cols: _*)
 }

@@ -61,21 +61,13 @@ object ZOrder {
     // of one per column
     val bounds: Array[Array[Double]] = df.stat.approxQuantile(
       cols.toArray, probs, 0.001)
-    val nCols = cols.size
-    // boxed element type: real tables have nullable columns, and the
-    // Seq[Double] deserializer would kill the job on the first null.
-    // Nulls rank 0 — they cluster with the lowest values, which is also
-    // where approxQuantile (null-ignoring) leaves the first boundary.
-    val z = udf((vs: Seq[java.lang.Double]) => {
-      val ranks = new Array[Int](nCols)
-      var i = 0
-      while (i < nCols) {
-        ranks(i) = if (vs(i) == null) 0 else rankOf(bounds(i), vs(i))
-        i += 1
-      }
-      interleave(ranks, nCols)
-    })
-    df.withColumn(zCol, z(array(cols.map(c => col(c).cast("double")): _*)))
+    // native codegen expression, not a UDF: this runs once per row of
+    // every table the compactor re-lays-out. Nulls rank 0 — they
+    // cluster with the lowest values, which is also where approxQuantile
+    // (null-ignoring) leaves the first boundary.
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn(zCol, graft.functions.GraftFunctions.graftMorton(
+      bounds, cols.map(c => col(c).cast("double"))))
   }
 
   /** Repartition + sort `df` along the Morton curve of `cols`: each

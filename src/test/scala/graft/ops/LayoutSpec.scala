@@ -140,4 +140,25 @@ class LayoutSpec extends AnyFunSuite {
       .select("__z").collect().map(_.getLong(0)).toSeq
     assert(zs == zs)
   }
+
+  test("withZValue is a native codegen expression, not a UDF, and matches the reference interleave") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => ((i * 37) % 100, (i * 91) % 100)).toDF("a", "b")
+    val zed = ZOrder.withZValue(df, Seq("a", "b"), bits = 4)
+    // the compaction rewrite path must stay inside whole-stage codegen
+    val plan = zed.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"Morton code regressed to a UDF:\n$plan")
+    // the expression must compute exactly rankOf+interleave: replay each
+    // row through the reference Scala implementation at the same bounds
+    val nBounds = (1 << 4) - 1
+    val probs = (1 to nBounds).map(_.toDouble / (nBounds + 1)).toArray
+    val bounds = df.stat.approxQuantile(Array("a", "b"), probs, 0.001)
+    zed.collect().foreach { r =>
+      val expected = ZOrder.interleave(Array(
+        ZOrder.rankOf(bounds(0), r.getInt(0)),
+        ZOrder.rankOf(bounds(1), r.getInt(1))), 2)
+      assert(r.getAs[Long]("__z") == expected,
+        s"native Morton diverged from reference at row $r")
+    }
+  }
 }
