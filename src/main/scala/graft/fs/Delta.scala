@@ -25,6 +25,24 @@ object Delta {
     pp.substring(rootPath.length + 1)
   }
 
+  /** Column twin of [[rel]], spelled entirely in codegen'd built-ins: a
+    * Scala UDF here would fence whole-stage codegen and hide the
+    * projection from Catalyst on exactly the path that exists for huge
+    * listings (the distributed diff). The scheme[+authority] strip
+    * mirrors `Path.toUri.getPath` for the Hadoop-normalized URIs a
+    * listing yields; the not-under-root invariant keeps the driver
+    * require's semantics via a raise_error branch that never executes
+    * on rooted listings.
+    */
+  private[graft] def relCol(root: String)(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val rootPath = new org.apache.hadoop.fs.Path(root).toUri.getPath.stripSuffix("/")
+    val uriPath = regexp_replace(path, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+    when(substring(uriPath, 1, rootPath.length + 1) === lit(rootPath + "/"),
+      substring(uriPath, rootPath.length + 2, Int.MaxValue))
+      .otherwise(raise_error(concat(
+        lit("listed path "), path, lit(s" is not under root $root"))))
+  }
+
   /** Both directions of the tree diff.
     *
     * @param checkContent when true, files are additionally compared by a
@@ -41,11 +59,10 @@ object Delta {
     val targetUri = targetUri0.stripSuffix("/")
 
     def side(rootUri: String) = {
-      val relOf = rel(rootUri) _
       val listed = spark.createDataset(Fs.list(rootUri).toIndexedSeq
           .map(e => (e.path, e.isDirectory, e.byteSize)))
         .toDF("path", "isDirectory", "byteSize")
-        .withColumn("relPath", udf(relOf).apply($"path"))
+        .withColumn("relPath", relCol(rootUri)($"path"))
       if (!checkContent) listed.withColumn("contentHash", lit(0L))
       else {
         val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
@@ -141,9 +158,9 @@ object Delta {
     val srcList = Fs.listDistributed(spark, sourceUri)
     val trgList = Fs.listDistributed(spark, targetUri)
     val src = withContentHash(srcList, checkContent)
-      .withColumn("relPath", udf(rel(sourceUri) _).apply($"path"))
+      .withColumn("relPath", relCol(sourceUri)($"path"))
     val trg = withContentHash(trgList, checkContent)
-      .withColumn("relPath", udf(rel(targetUri) _).apply($"path"))
+      .withColumn("relPath", relCol(targetUri)($"path"))
     if (!checkContent) {
       (src, trg, () => { srcList.unpersist(); trgList.unpersist(); () })
     } else {

@@ -206,6 +206,38 @@ class MoveCopyDeleteSpec extends AnyFunSuite {
     assert(dist == expected)
   }
 
+  test("relCol matches rel across URI spellings; distributed diff plan is UDF-free") {
+    import spark.implicits._
+    // relCol must agree with the driver-side rel() on every spelling a
+    // caller or a Hadoop listing can produce
+    val cases = Seq(
+      ("file:/tmp/root", "file:/tmp/root/a/b.txt"),
+      ("file:///tmp/root", "file:/tmp/root/a/b.txt"),
+      ("file:/tmp/root/", "file:/tmp/root/deep/x/y/z"),
+      ("/tmp/root", "/tmp/root/plain/path"),
+      ("hdfs://nn:8020/w/t", "hdfs://nn:8020/w/t/part-0"))
+    cases.foreach { case (root, p) =>
+      val got = Seq(p).toDF("path")
+        .select(Delta.relCol(root)($"path")).head.getString(0)
+      assert(got == Delta.rel(root)(p), s"relCol($root)($p) = $got")
+    }
+    // the not-under-root require survives as a raise_error branch
+    val err = intercept[Exception] {
+      Seq("file:/elsewhere/f").toDF("path")
+        .select(Delta.relCol("file:/tmp/root")($"path")).head
+    }
+    assert(err.getMessage.contains("is not under root"), err.getMessage)
+    // the distributed diff — the form that exists for huge listings —
+    // must keep its projections visible to Catalyst/codegen
+    val src = TestTree.newRoot("rc_src"); TestTree.create(src, 5)
+    val trg = TestTree.newRoot("rc_trg")
+    val diff = Delta.getDeltaDataset(src, trg)
+    try {
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF"), s"relPath regressed to a UDF:\n$plan")
+    } finally diff.unpersist()
+  }
+
   test("Delta checkContent catches same-size content drift") {
     val src = TestTree.newRoot("dlc_src"); TestTree.create(src, 11)
     val trg = TestTree.newRoot("dlc_trg")
