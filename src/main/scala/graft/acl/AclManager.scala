@@ -46,16 +46,27 @@ object AclManager {
     * skipped (reference acl/AclManager.scala:57-80); retry ≤5.
     */
   def modifyAcls(paths: Seq[String], permission: FsPermission,
-      threads: Int = Fs.driverPoolSize)(implicit conf: Configuration): Seq[FsOperationResult] = {
-    if (paths.isEmpty) return Seq.empty
+      threads: Int = Fs.driverPoolSize)(implicit conf: Configuration): Seq[FsOperationResult] =
+    modifyAcls(paths, Seq(permission), threads)
+
+  /** Multi-entry [[modifyAcls]] — reference parity (the reference takes
+    * an `Array[FsPermission]`, acl/AclManager.scala:57-76): ALL entries
+    * land in ONE `modifyAclEntries` call per path, so granting
+    * user+group+mask together costs one RPC and applies atomically per
+    * path instead of N calls racing per-entry. Empty `permissions` is a
+    * no-op.
+    */
+  def modifyAcls(paths: Seq[String], permissions: Seq[FsPermission],
+      threads: Int)(implicit conf: Configuration): Seq[FsOperationResult] = {
+    if (paths.isEmpty || permissions.isEmpty) return Seq.empty
     val fs = Fs.getFileSystem(conf, paths.head)
-    val entry = getAclEntry(permission)
+    val entries = permissions.map(getAclEntry).asJava
     val existing = paths.filter(p => fs.exists(new Path(p)))
     Retry.retryFailed[String](
       existing,
       work => withPool(threads) { implicit ec =>
         val fut = work.map { p => Future {
-          val ok = try { fs.modifyAclEntries(new Path(p), Seq(entry).asJava); true }
+          val ok = try { fs.modifyAclEntries(new Path(p), entries); true }
                    catch { case _: Throwable => false }
           FsOperationResult(p, ok)
         }}
@@ -68,16 +79,27 @@ object AclManager {
       repair = failed => failed.filter(p => !fs.exists(new Path(p))))
   }
 
+  def modifyAcls(paths: Seq[String], permissions: Seq[FsPermission])(
+      implicit conf: Configuration): Seq[FsOperationResult] =
+    modifyAcls(paths, permissions, Fs.driverPoolSize)
+
   /** Table ACL: ACCESS+DEFAULT on the table folder, ACCESS on all data
     * files (reference acl/AclManager.scala:32-45).
     */
   def modifyTableAcl(db: String, table: String, permission: FsPermission)(
+      implicit spark: org.apache.spark.sql.SparkSession): Seq[FsOperationResult] =
+    modifyTableAcl(db, table, Seq(permission))
+
+  /** Multi-entry [[modifyTableAcl]]: every entry of each level set rides
+    * one FS call per path.
+    */
+  def modifyTableAcl(db: String, table: String, permissions: Seq[FsPermission])(
       implicit spark: org.apache.spark.sql.SparkSession): Seq[FsOperationResult] = {
     implicit val conf = spark.sessionState.newHadoopConf()
     val location = graft.meta.Meta.getTableLocation(db, table)
     val files = graft.meta.Meta.getListOfTableFiles(db, table)
-    val access = permission.copy(level = "ACCESS")
-    val default = permission.copy(level = "DEFAULT")
+    val access = permissions.map(_.copy(level = "ACCESS"))
+    val default = permissions.map(_.copy(level = "DEFAULT"))
     modifyAcls(Seq(location), access) ++
       modifyAcls(Seq(location), default) ++
       modifyAcls(files.toIndexedSeq, access)
@@ -87,12 +109,19 @@ object AclManager {
     * folders (reference acl/AclManager.scala:110-126).
     */
   def modifyFolderAcl(uri: String, permission: FsPermission)(
+      implicit conf: Configuration): Seq[FsOperationResult] =
+    modifyFolderAcl(uri, Seq(permission))
+
+  /** Multi-entry [[modifyFolderAcl]]: one FS call per path carries the
+    * whole entry set of its level.
+    */
+  def modifyFolderAcl(uri: String, permissions: Seq[FsPermission])(
       implicit conf: Configuration): Seq[FsOperationResult] = {
     val tree = Fs.list(uri)
     val all = uri +: tree.map(_.path).toIndexedSeq
     val folders = uri +: tree.filter(_.isDirectory).map(_.path).toIndexedSeq
-    modifyAcls(all, permission.copy(level = "ACCESS")) ++
-      modifyAcls(folders, permission.copy(level = "DEFAULT"))
+    modifyAcls(all, permissions.map(_.copy(level = "ACCESS"))) ++
+      modifyAcls(folders, permissions.map(_.copy(level = "DEFAULT")))
   }
 
   /** Remove all non-base ACL entries from paths (reference
@@ -129,12 +158,19 @@ object AclManager {
     */
   def modifyAclsDistributed(paths: Dataset[String], permission: FsPermission,
       conf: Configuration)(implicit spark: SparkSession): Dataset[FsOperationResult] =
+    modifyAclsDistributed(paths, Seq(permission), conf)
+
+  /** Multi-entry [[modifyAclsDistributed]]: like the driver-pool form,
+    * the whole entry set rides one `modifyAclEntries` call per path.
+    */
+  def modifyAclsDistributed(paths: Dataset[String], permissions: Seq[FsPermission],
+      conf: Configuration)(implicit spark: SparkSession): Dataset[FsOperationResult] =
     applyAclDistributed(paths, conf) { () =>
-      // entry built once per PARTITION: AclEntry is not Serializable, so
-      // it can't be hoisted into the closure, but per-row rebuilds waste
-      // an allocation+parse on every path
-      val entry = Seq(getAclEntry(permission)).asJava
-      (fs, path) => fs.modifyAclEntries(path, entry)
+      // entries built once per PARTITION: AclEntry is not Serializable,
+      // so it can't be hoisted into the closure, but per-row rebuilds
+      // waste an allocation+parse on every path
+      val entries = permissions.map(getAclEntry).asJava
+      (fs, path) => fs.modifyAclEntries(path, entries)
     }
 
   /** Distributed [[clearAcls]]. */

@@ -50,6 +50,50 @@ class AclManagerSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(dirAcl.exists(_.getScope == AclEntryScope.DEFAULT))
   }
 
+  test("multi-entry modifyAcls applies all entries in ONE FS call per path") {
+    val root = newAclRoot("acl_multi")
+    TestTree.create(root, 7, width = 2)
+    val paths = Fs.list(root).filter(!_.isDirectory).map(_.path).toIndexedSeq
+    val perms = Seq(
+      FsPermission("user", "rwx", "ACCESS", "alice"),
+      FsPermission("group", "r-x", "ACCESS", "eng"),
+      FsPermission("mask", "rwx", "ACCESS"))
+    val res = AclManager.modifyAcls(paths, perms)
+    assert(res.nonEmpty && res.forall(_.success))
+    // the point of the overload: user+group+mask ride one
+    // modifyAclEntries invocation per path — atomic per path, one RPC —
+    // instead of one call per entry
+    val calls = InMemAclFileSystem.modifyCalls.asScala.toList
+    assert(calls.map(_._1).sorted == paths.map(p => new Path(p).toUri.getPath).sorted,
+      s"expected exactly one FS call per path, got ${calls.map(_._1).sorted}")
+    assert(calls.forall(_._2 == perms.size),
+      s"each call must carry all ${perms.size} entries, got ${calls.map(_._2)}")
+    // and all three entries landed
+    val acl = AclManager.getAclEntries(paths.head).getEntries.asScala
+    assert(Seq(AclEntryType.USER, AclEntryType.GROUP, AclEntryType.MASK)
+      .forall(t => acl.exists(_.getType == t)), s"missing entry types in $acl")
+  }
+
+  test("multi-entry modifyFolderAcl batches per level set") {
+    val root = newAclRoot("acl_multi_folder")
+    TestTree.create(root, 5, width = 2)
+    val perms = Seq(
+      FsPermission("user", "rwx", "ACCESS", "alice"),
+      FsPermission("group", "r-x", "ACCESS", "eng"))
+    AclManager.modifyFolderAcl(root, perms)
+    val tree = Fs.list(root)
+    val nFolders = tree.count(_.isDirectory) + 1 // + root
+    val nAll = tree.size + 1
+    val calls = InMemAclFileSystem.modifyCalls.asScala.toList
+    // one ACCESS call per element + one DEFAULT call per folder, each
+    // carrying the full entry set
+    assert(calls.size == nAll + nFolders, s"got ${calls.size} calls")
+    assert(calls.forall(_._2 == perms.size), calls.map(_._2).toString)
+    val dirAcl = AclManager.getAclEntries(tree.find(_.isDirectory).get.path)
+      .getEntries.asScala
+    assert(dirAcl.exists(e => e.getScope == AclEntryScope.DEFAULT && e.getName == "eng"))
+  }
+
   test("distributed folder ACL records the same state as the driver variant") {
     implicit val spark = graft.SparkTestSession.spark
     import scala.jdk.CollectionConverters._

@@ -20,6 +20,7 @@ class InMemAclFileSystem extends RawLocalFileSystem {
   private def key(p: Path): String = p.toUri.getPath
 
   override def modifyAclEntries(path: Path, aclSpec: java.util.List[AclEntry]): Unit = {
+    InMemAclFileSystem.modifyCalls.add((key(path), aclSpec.size))
     val cur = InMemAclFileSystem.acls.getOrDefault(key(path), Nil)
     // replace same (type,name,scope) entries, append new
     val incoming = aclSpec.asScala.toList
@@ -43,7 +44,11 @@ class InMemAclFileSystem extends RawLocalFileSystem {
 
 object InMemAclFileSystem {
   val acls = new ConcurrentHashMap[String, List[AclEntry]]()
-  def clear(): Unit = acls.clear()
+  /** (path, entryCount) per modifyAclEntries invocation — lets specs
+    * assert the multi-entry surface batches N entries into ONE FS call.
+    */
+  val modifyCalls = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+  def clear(): Unit = { acls.clear(); modifyCalls.clear() }
 }
 
 /** [[InMemAclFileSystem]] variant that fails each path's FIRST
