@@ -51,8 +51,9 @@ object Pipeline {
     * ([[Dedup.simhashPairsMd5]]): banding join + Hamming verify over the
     * 32-bit md5 fingerprint d07 already gates — DuckDB recomputes the
     * fingerprints and replays the pair set with `bit_count(xor(...))`.
-    * d04 (the 64-bit xxhash64 scale default) stays rows-only; its
-    * machinery is now cross-checked here.
+    * d04 (the 64-bit xxhash64 scale default) is ALSO fully oracled now
+    * via the generated XXH64 CTE ([[Xxh64Sql]]); this md5 twin stays as
+    * the simpler independent cross-check of the pairing machinery.
     */
   def d10SimhashPairsMd5(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairsMd5(Tables.documents(spark, dir), maxDist = 3)
@@ -542,10 +543,11 @@ object Pipeline {
       .orderBy(col("media_id"))
   }
 
-  /** 32-bit SimHash with an md5-derived token hash — the oracle-gated
-    * twin of the xxhash64-based d04 family (xxhash64 has no DuckDB
-    * counterpart; md5's first 8 hex digits parse to the same 32-bit
-    * integer in both engines). Computed by the one-pass native
+  /** 32-bit SimHash with an md5-derived token hash — the
+    * independently-oracled twin of the xxhash64-based d04 family
+    * (d04's own oracle now replays XXH64 via the generated CTE chain;
+    * md5's first 8 hex digits parse to the same 32-bit integer in both
+    * engines with no generated code at all). Computed by the one-pass native
     * expression ([[graft.functions.SimHashMd5]]): no explode, no
     * shuffle — the plan is scan → project → sort, same shape as t04.
     * The has-a-non-whitespace-char filter reproduces which docs the
@@ -657,6 +659,122 @@ object Pipeline {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Single-statement DuckDB replay of Spark's `xxhash64` (XXH64 with
+    * seed 42 — the algorithm is public: xxHash, Y. Collet, BSD-2) over
+    * each row of a `(doc_id, tok)` source, emitted as a chain of CTE
+    * stages ending in `xh(doc_id, h)`. This closes the last `no_oracle`
+    * registry row: the 64-bit SimHash fingerprint — and therefore the
+    * d04 pair set — is cross-engine replayable, not just its md5 twin
+    * (d07/d10).
+    *
+    * Engine mechanics: DuckDB UBIGINT arithmetic is overflow-CHECKED,
+    * not wrapping, so every mod-2^64 multiply runs through HUGEINT with
+    * a 32-bit split (`a*b mod 2^64 = (aLo*b + ((aHi*b mod 2^32) <<
+    * 32)) mod 2^64` — all partial products fit int128), shifts-left are
+    * spelled as that multiply, and bytes come from `hex(encode(tok))`
+    * so multi-byte UTF-8 hashes exactly like Spark's UTF8String bytes.
+    * Only the `len < 32` tail path is unrolled (fixture tokens are
+    * <= 8 bytes; whitespace-split tokens have no 32-byte stripes to
+    * process) — a token of >= 32 bytes hashes NULL so a future fixture
+    * change fails the hash gate loudly instead of drifting silently.
+    */
+  private object Xxh64Sql {
+    private val M64 = "18446744073709551616"
+    private val P1 = "11400714785074694791"
+    private val P2 = "14029467366897019727"
+    private val P3 = "1609587929392839161"
+    private val P4 = "9650029242287828579"
+    private val P5 = "2870177450012600261"
+
+    private def mul64(a: String, b: String): String =
+      s"(((($a) % 4294967296)::HUGEINT * ($b)::HUGEINT) % $M64" +
+        s" + ((((($a) // 4294967296)::HUGEINT * ($b)::HUGEINT) % 4294967296) * 4294967296)) % $M64"
+    private def mul64u(a: String, b: String): String = s"(${mul64(a, b)})::UBIGINT"
+    private def add64(a: String, b: String): String =
+      s"((($a)::HUGEINT + ($b)::HUGEINT) % $M64)::UBIGINT"
+    private def rotl(x: String, r: Int): String =
+      s"(${mul64u(x, (BigInt(1) << r).toString)} | (($x) >> ${64 - r}))"
+    private def readLe(o: String, nBytes: Int): String = {
+      val parts = (0 until nBytes).reverse
+        .map(j => s"substr(hx, 2*($o+$j)+1, 2)").mkString(" || ")
+      s"('0x' || $parts)::UBIGINT"
+    }
+
+    /** The stage chain: `src` must expose (doc_id, tok). */
+    def cte(src: String): String = {
+      val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+      stages += s"x0 AS (SELECT doc_id, hex(encode(tok)) AS hx, " +
+        s"octet_length(encode(tok)) AS len FROM $src)"
+      val seedP5 = "2870177450012600303" // (42 + P5) mod 2^64
+      stages += s"x1 AS (SELECT doc_id, hx, len, CASE WHEN len >= 32 THEN NULL " +
+        s"ELSE ${add64(seedP5, "len")} END AS acc FROM x0)"
+      var prev = "x1"
+      // up to three 8-byte rounds at offsets 0, 8, 16
+      for (k <- 0 until 3) {
+        val o = 8 * k
+        val cond = s"len >= ${o + 8}"
+        stages += s"x${2 + 3 * k} AS (SELECT doc_id, hx, len, acc, CASE WHEN $cond " +
+          s"THEN ${mul64u(readLe(o.toString, 8), P2)} END AS m$k FROM $prev)"
+        stages += s"x${3 + 3 * k} AS (SELECT doc_id, hx, len, acc, CASE WHEN $cond " +
+          s"THEN xor(acc, ${mul64u(rotl(s"m$k", 31), P1)}) END AS t$k FROM x${2 + 3 * k})"
+        stages += s"x${4 + 3 * k} AS (SELECT doc_id, hx, len, CASE WHEN $cond " +
+          s"THEN ${add64(mul64u(rotl(s"t$k", 27), P1), P4)} ELSE acc END AS acc FROM x${3 + 3 * k})"
+        prev = s"x${4 + 3 * k}"
+      }
+      // one optional 4-byte round at offset (len//8)*8, iff len%8 >= 4
+      stages += s"y0 AS (SELECT doc_id, hx, len, acc, CASE WHEN len % 8 >= 4 " +
+        s"THEN xor(acc, ${mul64u(readLe("(len // 8) * 8", 4), P1)}) END AS t4 FROM $prev)"
+      stages += s"y1 AS (SELECT doc_id, hx, len, CASE WHEN len % 8 >= 4 " +
+        s"THEN ${add64(mul64u(rotl("t4", 23), P2), P3)} ELSE acc END AS acc FROM y0)"
+      prev = "y1"
+      // up to three tail bytes at offset len - len%4 + j, iff len%4 > j
+      for (j <- 0 until 3) {
+        val ob = s"len - (len % 4) + $j"
+        val cond = s"len % 4 > $j"
+        stages += s"z${2 * j} AS (SELECT doc_id, hx, len, acc, CASE WHEN $cond " +
+          s"THEN xor(acc, ${mul64u(readLe(ob, 1), P5)}) END AS b$j FROM $prev)"
+        stages += s"z${2 * j + 1} AS (SELECT doc_id, hx, len, CASE WHEN $cond " +
+          s"THEN ${mul64u(rotl(s"b$j", 11), P1)} ELSE acc END AS acc FROM z${2 * j})"
+        prev = s"z${2 * j + 1}"
+      }
+      stages += s"av1 AS (SELECT doc_id, ${mul64u("xor(acc, acc >> 33)", P2)} AS acc FROM $prev)"
+      stages += s"av2 AS (SELECT doc_id, ${mul64u("xor(acc, acc >> 29)", P3)} AS acc FROM av1)"
+      stages += "xh AS (SELECT doc_id, xor(acc, acc >> 32) AS h FROM av2)"
+      stages.mkString(",\n")
+    }
+  }
+
+  /** d04's oracle CTE: xxhash64-token SimHash over ALL docs — unlike
+    * the md5 twin there is NO empty-token filter and NO doc filter,
+    * because [[graft.functions.SimHash64]] hashes every `\s+`-split
+    * token including the single empty token a whitespace-only doc
+    * yields (its fingerprint degenerates to 0). Bit votes and the
+    * 64-bit reassembly run in UBIGINT (logical shifts; `2^b` as
+    * literals — DuckDB's `<<` overflow-checks at bit 63).
+    */
+  private def simhashXxhCte: String = {
+    val sums = (0 until 64)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
+      .mkString(",\n    ")
+    val fp = (0 until 64)
+      .map(b => s"CASE WHEN s_$b > 0 THEN ${(BigInt(1) << b).toString}::UBIGINT ELSE 0::UBIGINT END")
+      .mkString(" + ")
+    s"""WITH tsrc AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+       |),
+       |${Xxh64Sql.cte("tsrc")},
+       |s AS (SELECT doc_id, $sums FROM xh GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fp AS simhash FROM s)""".stripMargin
+  }
+
+  private def simhashXxhPairsOracle: String =
+    s"""$simhashXxhCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Exact top-5 joined against itself → recall 1.0 per query — the
     * expected output of [[s02LshRecall]]/[[s03IvfRecall]] (whose
     * approximate sets equal the exact set at gate parameters).
@@ -755,6 +873,9 @@ object Pipeline {
        |FROM reach GROUP BY src ORDER BY id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // xxhash64 replayed in DuckDB by the generated XXH64 CTE chain —
+    // the former rows-only registry row is now under the full hash gate
+    "d04_simhash_pairs" -> simhashXxhPairsOracle,
     "d07_simhash_md5" -> simhashMd5Oracle,
     "d10_simhash_pairs_md5" -> simhashMd5PairsOracle,
     "d11_dedup_clusters" -> dedupClustersOracle,
