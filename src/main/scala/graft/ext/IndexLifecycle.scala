@@ -138,6 +138,43 @@ object IndexLifecycle {
     true
   }
 
+  /** Run `body`, retrying briefly while the live index is mid-[[swapIn]]:
+    * between rename(live → bak) and rename(rebuild → live) the live path
+    * does not exist, so a serving micro-batch firing inside that window
+    * would throw and permanently fail its streaming query. The window is
+    * two renames (milliseconds); this parks the batch for up to
+    * `attempts × sleepMs` (default 10 s) on missing-path/missing-sidecar
+    * errors before letting the failure through. Retrying the WHOLE batch
+    * body — including its parquet append — is safe under Spark's default
+    * commit protocol: a job that failed before commit has published no
+    * files, so the re-run appends exactly once.
+    */
+  def retryingDuringSwap[T](attempts: Int = 100, sleepMs: Long = 100)(body: => T): T = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if left > 0 && isTransientMissing(e) =>
+          left -= 1; Thread.sleep(sleepMs)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** A missing live path / params sidecar, anywhere in the cause chain —
+    * what a batch sees when it races [[swapIn]]'s rename pair.
+    */
+  @annotation.tailrec
+  private def isTransientMissing(e: Throwable): Boolean = e match {
+    case null => false
+    case _: java.io.FileNotFoundException => true
+    case t =>
+      val m = Option(t.getMessage).getOrElse("")
+      if (m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
+        m.contains("params sidecar")) true
+      else isTransientMissing(t.getCause)
+  }
+
   private def swapFuse(spark: SparkSession, livePath: String): SafetyFuse = {
     val p = new Path(livePath)
     new SafetyFuse(

@@ -89,9 +89,13 @@ object StreamingDedup {
     val spark = docsStream.sparkSession
     docsStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Dedup.minhashDedupNewPairsAt(spark, batch, corpus, indexPath, minJaccard,
-            textCol, idCol)
-          .write.mode("append").parquet(outPath)
+        // a batch racing swapIn's rename pair parks instead of failing
+        // the query — see IndexLifecycle.retryingDuringSwap
+        graft.ext.IndexLifecycle.retryingDuringSwap() {
+          Dedup.minhashDedupNewPairsAt(spark, batch, corpus, indexPath, minJaccard,
+              textCol, idCol)
+            .write.mode("append").parquet(outPath)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

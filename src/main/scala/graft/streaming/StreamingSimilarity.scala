@@ -82,11 +82,15 @@ object StreamingSimilarity {
     val spark = queriesStream.sparkSession
     queriesStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val p = Similarity.readLshIndexParams(spark, indexPath).getOrElse(
-          throw new IllegalStateException(s"$indexPath lost its params sidecar"))
-        Similarity.lshTopKIndexed(batch, Similarity.readLshIndex(spark, indexPath),
-            k, p, idCol, vecCol)
-          .write.mode("append").parquet(outPath)
+        // a batch racing swapIn's rename pair parks instead of failing
+        // the query — see IndexLifecycle.retryingDuringSwap
+        graft.ext.IndexLifecycle.retryingDuringSwap() {
+          val p = Similarity.readLshIndexParams(spark, indexPath).getOrElse(
+            throw new IllegalStateException(s"$indexPath lost its params sidecar"))
+          Similarity.lshTopKIndexed(batch, Similarity.readLshIndex(spark, indexPath),
+              k, p, idCol, vecCol)
+            .write.mode("append").parquet(outPath)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -187,4 +187,39 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("unfinished swap"))
     fuse.endTransaction()
   }
+
+  test("retryingDuringSwap parks a batch through the rename window, fails on real errors") {
+    val root = Files.createTempDirectory("graft_idx_retry").toFile.getAbsolutePath
+    val live = s"$root/idx"
+    Similarity.writeLshIndex(emb.filter(col("vec_id") < 20), s"${live}_pending", dim = 64)
+    // simulate a serving batch firing mid-swap: the live path appears
+    // only after a few probe attempts (a concurrent thread finishing
+    // swapIn's second rename)
+    val fs = Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, root)
+    val promoter = new Thread(() => {
+      Thread.sleep(300)
+      require(fs.rename(new Path(s"${live}_pending"), new Path(live)))
+    })
+    promoter.start()
+    val n = IndexLifecycle.retryingDuringSwap(attempts = 100, sleepMs = 50) {
+      Similarity.readLshIndex(spark, live).count()
+    }
+    promoter.join()
+    assert(n > 0, "batch did not see the promoted index")
+    // sidecar-missing parks too (readLshIndexParams contract)
+    var calls = 0
+    val v = IndexLifecycle.retryingDuringSwap(attempts = 3, sleepMs = 1) {
+      calls += 1
+      if (calls < 3) throw new IllegalStateException(s"$live lost its params sidecar")
+      42
+    }
+    assert(v == 42 && calls == 3)
+    // a genuine error is NOT swallowed
+    val ex2 = intercept[IllegalArgumentException] {
+      IndexLifecycle.retryingDuringSwap(attempts = 5, sleepMs = 1) {
+        throw new IllegalArgumentException("real bug")
+      }
+    }
+    assert(ex2.getMessage == "real bug")
+  }
 }
