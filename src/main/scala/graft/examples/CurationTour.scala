@@ -49,17 +49,19 @@ object CurationTour {
         TextOps.linesByTokenWindow(scrubbed, tokensPerLine = 8), minDf = 3, sep = " ")
       .withColumnRenamed("cleaned", "text")
       .join(scrubbed.select("doc_id", "lang"), "doc_id").cache()
-    check("boilerplate-line removal keeps every doc and only ever shrinks text") {
+    check("boilerplate-line removal fires on the fixture and only ever shrinks text") {
       lineCleaned.count() == n0 &&
-        lineCleaned.filter(col("n_removed") > 0).count() >= 0 &&
+        lineCleaned.filter(col("n_removed") > 0).count() > 0 &&
         lineCleaned.join(scrubbed.select(col("doc_id"), length(col("text")).as("len0")), "doc_id")
           .filter(length(col("text")) > col("len0")).count() == 0
     }
 
-    // 2. filter: quality floor, OOV ceiling, repetition ceiling
-    val quality = scrubbed.withColumn("quality", TextOps.qualityScore(col("text")))
-    val oov = TextOps.oovRate(scrubbed, topK = 10)
-    val rep = TextOps.repetitionRatio(scrubbed, n = 3)
+    // 2. filter: quality floor, OOV ceiling, repetition ceiling — over
+    // the CLEANED text: the narrative is a chain, each stage consumes
+    // the previous stage's output
+    val quality = lineCleaned.withColumn("quality", TextOps.qualityScore(col("text")))
+    val oov = TextOps.oovRate(lineCleaned, topK = 10)
+    val rep = TextOps.repetitionRatio(lineCleaned, n = 3)
     val filtered = quality.filter(col("quality") >= 0.1)
       .join(oov.filter(col("oov_rate") <= 0.95).select("doc_id"), "doc_id")
       .join(rep.filter(col("dup_ratio") <= 0.5).select("doc_id"), "doc_id")

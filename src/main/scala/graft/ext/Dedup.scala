@@ -366,7 +366,7 @@ object Dedup {
     * is frozen, the normal case for a training snapshot).
     */
   def contaminationIndex(corpus: DataFrame, n: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text"): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     corpus.select(explode(graftShingles(col(textCol), n)).as("shingle")).distinct()
   }
@@ -375,8 +375,8 @@ object Dedup {
     * shingle — the probe join's key.
     */
   def writeContaminationIndex(corpus: DataFrame, path: String, n: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): Unit =
-    contaminationIndex(corpus, n, textCol, idCol)
+      textCol: String = "text"): Unit =
+    contaminationIndex(corpus, n, textCol)
       .repartition(col("shingle"))
       .write.mode("overwrite").parquet(path)
 

@@ -153,6 +153,17 @@ object Fs {
   def getSize(uri: String)(implicit conf: Configuration): FsSizes =
     FsSizes(list(uri))
 
+  /** [[getSize]] from a collapsed listing (reference
+    * `getSize(path, skipFileDetails)`, fs/package.scala:112-119):
+    * `simplified = true` sizes the tree from per-folder `summed_up_files`
+    * rollups — one synthetic element per folder instead of one per file,
+    * so the report of a many-million-file tree fits driver memory.
+    * Totals are identical to the detailed listing's (pinned in FsSpec);
+    * only individual file rows are unavailable.
+    */
+  def getSize(uri: String, simplified: Boolean)(implicit conf: Configuration): FsSizes =
+    FsSizes(list(uri, dropFileDetail = simplified))
+
   /** Human-readable byte size (reference fs/package.scala:70-73). */
   def formatSize(bytes: Double): String = {
     val units = Seq("B", "KB", "MB", "GB", "TB", "PB")

@@ -59,6 +59,15 @@ object Prefilter {
     if (n == 0) return fact.filter(lit(false))
     val bf = dim.stat.bloomFilter(dimKey, n, fpp)
     val bfB = fact.sparkSession.sparkContext.broadcast(bf)
+    // Deliberate UDF, with no public alternative on this Spark: the
+    // codegen'd BloomFilterMightContain expression exists but sits in
+    // org.apache.spark.sql.catalyst (private API, and it expects the
+    // serialized sketch of AggregateBloomFilter — not the public
+    // util.sketch.BloomFilter stat.bloomFilter returns), and Catalyst's
+    // own runtime-filter rewrite only injects it below joins it planned
+    // itself. The probe is one primitive call per row against a
+    // broadcast sketch — the codegen fence costs far less than the scan
+    // it prunes; revisit if BloomFilterMightContain ever goes public.
     val might = keyType match {
       case LongType | IntegerType =>
         udf((k: java.lang.Long) => k != null && bfB.value.mightContainLong(k))

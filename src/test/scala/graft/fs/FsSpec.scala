@@ -26,6 +26,17 @@ class FsSpec extends AnyFunSuite {
     val sizes = Fs.getSize(root)
     assert(sizes.totalBytes == files.map(_.byteSize).sum)
     assert(sizes.getSizeOfPath(dirs.head.path) <= sizes.totalBytes)
+    // simplified mode (reference getSize(path, skipFileDetails)): the
+    // collapsed listing must report identical totals, globally and per
+    // subtree — only individual file rows disappear
+    val simple = Fs.getSize(root, simplified = true)
+    assert(simple.totalBytes == sizes.totalBytes)
+    dirs.foreach { d =>
+      assert(simple.getSizeOfPath(d.path) == sizes.getSizeOfPath(d.path),
+        s"simplified subtree size diverged at ${d.path}")
+    }
+    assert(simple.sizes.filterNot(_.isDirectory)
+      .forall(_.path.endsWith("/summed_up_files")))
   }
 
   test("distributed listing equals driver listing") {
