@@ -60,7 +60,12 @@ object Bench {
     // steady state, not first-compile/first-touch latency (a first
     // measured pass absorbing JIT used to put a 7 s max on a 0.6 s
     // query's spread)
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // dev switch: SPARK_GRAFT_BENCH_ONLY=probes skips the measured
+    // query suite (and its warmup) and runs just the scale/pair probes
+    // — iterating on a probe arm shouldn't cost a 5-minute full bench
+    val probesOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("probes")
+    val names =
+      if (probesOnly) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
     try {
       runToNoop(SparkEntry.entry(spark))
       Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -196,6 +201,15 @@ object Bench {
     * The probe base is a fixed ~1/16 document sample: the ×k naive arm
     * is intentionally quadratic, and the probe only needs enough volume
     * for the ratios to separate, not a minutes-long demonstration.
+    *
+    * d03 runs twice, at the registry's gate parameters (bands=16 →
+    * 2 rows/band) and at a wide-band setting (bands=8 → 4 rows/band).
+    * The narrow gate banding collides the ~0.1-Jaccard boilerplate
+    * tail at ~s² per band, so its candidate set fans in quadratically
+    * on a zipfian corpus (measured per_row_ratio > 1 at ×10) — the
+    * gate tuning buys recall at the 0.5 threshold, not scale. Wide
+    * bands collide the same tail at ~s⁴ and stay linear; banding
+    * width, not MinHash itself, is the 100 TB lever.
     */
   private def pairProbe(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, k: Int): String = {
@@ -218,6 +232,8 @@ object Bench {
         zipfDocs(n), n = 3, minJaccard = 0.5, prefixFilter = true, broadcastDf = true)),
       "pairs_minhash_d03" -> (n => Dedup.minhashDedupPairs(
         zipfDocs(n), n = 3, k = 32, bands = 16, minJaccard = 0.5)),
+      "pairs_minhash_d03_wide" -> (n => Dedup.minhashDedupPairs(
+        zipfDocs(n), n = 3, k = 32, bands = 8, minJaccard = 0.5)),
     ), k)
   }
 }
