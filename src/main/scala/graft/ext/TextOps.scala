@@ -78,7 +78,13 @@ object TextOps {
     "es" -> Seq("el", "los", "es", "y", "con", "para"),
     "zh" -> Seq("的", "是", "在", "了", "和", "我"))
 
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdScored(text).getField("lang")
+
+  /** [[langId]] plus its winning marker-hit count, as a
+    * `struct(hits, lang)` — ties broken by largest language code
+    * (struct ordering under `greatest`), 'en' when nothing matched.
+    */
+  def langIdScored(text: Column): Column = {
     val toks = tokens(lower(text))
     val scores = LangMarkers.toSeq.map { case (lang, markers) =>
       struct(
@@ -91,7 +97,9 @@ object TextOps {
         lit(lang).as("lang"))
     }
     val best = greatest(scores.map(s => struct((s.getField("hits") + s.getField("charHits")).as("h"), s.getField("lang").as("lang"))): _*)
-    when(best.getField("h") > 0, best.getField("lang")).otherwise(lit("en"))
+    struct(
+      best.getField("h").cast("long").as("hits"),
+      when(best.getField("h") > 0, best.getField("lang")).otherwise(lit("en")).as("lang"))
   }
 
   /** Rolling-hash document fingerprint: polynomial rolling hash over the

@@ -442,6 +442,19 @@ object Pipeline {
         (floor(TextOps.qualityScoreRaw(col("text")) * 1e6) / 1e6).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** Marker-table language ID ([[TextOps.langIdScored]]) — the
+    * stopword/character heuristic a curation pipeline runs before any
+    * language-specific filtering. Pure per-row counting over a
+    * broadcast-literal marker table (narrow, codegen, no shuffle), so
+    * the whole heuristic — scores, argmax, tie-break, 'en' fallback —
+    * replays in SQL and sits under the hash gate.
+    */
+  def t15LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.langIdScored(col("text")).as("s"))
+      .select(col("doc_id"), col("s.lang").as("lang_pred"), col("s.hits").as("hits"))
+      .orderBy(col("doc_id"))
+
   /** Sliding windows (1 h length, 15 min slide) over the events table —
     * the batch twin of streaming.EventsStream.sliding. Each event lands
     * in exactly length/slide = 4 windows, produced by a 4-way explode
@@ -1229,6 +1242,44 @@ object Pipeline {
         |       + least(n_punct * 10.0 / greatest(n_tokens, 1), 1.0) * 0.2
         |       + least(stop_ratio * 5.0, 1.0) * 0.3) * 1e6) / 1e6 AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Replays TextOps.langIdScored: per-language marker-token hits over
+    // whitespace tokens of lower(text) (plus zh substring occurrences
+    // over the raw text), argmax with ties to the LARGEST language code
+    // (Spark's greatest over struct(h, lang)), 'en' when nothing hits.
+    // The CASE chain below is that tie-break unrolled: zh>fr>es>en>de.
+    "t15_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(w, x -> x IN ('the','and','of','is','with','for'))) AS h_en,
+        |    len(list_filter(w, x -> x IN ('der','die','und','ist','nicht','mit'))) AS h_de,
+        |    len(list_filter(w, x -> x IN ('le','la','les','est','et','dans'))) AS h_fr,
+        |    len(list_filter(w, x -> x IN ('el','los','es','y','con','para'))) AS h_es,
+        |    len(list_filter(w, x -> x IN ('的','是','在','了','和','我')))
+        |      + (length(text) - length(replace(text, '的', '')))
+        |      + (length(text) - length(replace(text, '是', '')))
+        |      + (length(text) - length(replace(text, '在', '')))
+        |      + (length(text) - length(replace(text, '了', '')))
+        |      + (length(text) - length(replace(text, '和', '')))
+        |      + (length(text) - length(replace(text, '我', ''))) AS h_zh
+        |  FROM t
+        |), m AS (
+        |  SELECT doc_id, h_en, h_de, h_fr, h_es, h_zh,
+        |    greatest(h_en, h_de, h_fr, h_es, h_zh) AS mx
+        |  FROM s
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN mx <= 0 THEN 'en'
+        |       WHEN h_zh = mx THEN 'zh'
+        |       WHEN h_fr = mx THEN 'fr'
+        |       WHEN h_es = mx THEN 'es'
+        |       WHEN h_en = mx THEN 'en'
+        |       ELSE 'de' END AS lang_pred,
+        |  CAST(mx AS BIGINT) AS hits
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1265,6 +1316,7 @@ object Pipeline {
     "e04_sliding"        -> e04Sliding _,
     "t04_fingerprint"    -> t04Fingerprint _,
     "t05_quality"        -> t05Quality _,
+    "t15_langid"         -> t15LangId _,
     "d06_fingerprint_dedup" -> d06FingerprintDedup _,
     "d07_simhash_md5"    -> d07SimhashMd5 _,
     "t06_weighted_sample" -> t06WeightedSample _,
