@@ -343,6 +343,30 @@ object Similarity {
     (codebookDf, lists)
   }
 
+  /** [[ivfIndex]] built on a TRAINED codebook ([[trainCodebook]])
+    * instead of a hash-sampled one — Lloyd's pulls centroids toward
+    * the corpus's actual density, so the inverted lists are tighter
+    * and a probe budget recovers more of the true neighbors. Emits the
+    * exact [[ivfIndex]] shapes ((id, vec, norm) codebook + assigned
+    * lists), so [[writeIvfIndex]]-style persistence, [[ivfTopK]]'s
+    * `corpusIndex`, and the IndexLifecycle rebuild/swap machinery all
+    * apply unchanged.
+    */
+  def ivfIndexTrained(corpus: DataFrame, nCentroids: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", sqrt(graftDot(col("vec"), col("vec"))))
+    val codebookDf = codebookVectors(
+        trainCodebook(corpus, nCentroids, iters, idCol, vecCol))
+      .select(col("centroid_id").as("id"), col("centroid").as("vec"))
+      .withColumn("norm", sqrt(graftDot(col("vec"), col("vec"))))
+    val lists = c.withColumn("centroid_id",
+      element_at(nearestCentroidsExpr(codebookDf.collect(), "vec", "norm", 1), 1)
+        .getField("centroid_id"))
+    (codebookDf, lists)
+  }
+
   /** Persist [[ivfIndex]] as parquet: `path/codebook` + `path/lists`
     * (lists repartitioned on centroid_id — the probe join's key).
     */
@@ -433,6 +457,86 @@ object Similarity {
       .filter(col("id_a") < col("id_b") && pairSim >= minSim)
       .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
   }
+
+  /** Deterministic spherical k-means (Lloyd's) codebook training — the
+    * operator that turns [[ivfIndex]]/[[semanticDupPairs]]'s SAMPLED
+    * codebooks into TRAINED ones. Seeds are the [[semanticDupPairs]]
+    * md5-ordered first `k` corpus rows (reproducible, corpus-order
+    * independent); each iteration assigns every vector to its
+    * nearest centroid by ROUNDED cosine (round 6, ties to the smallest
+    * centroid id — the s04 assignment key, so the whole training loop
+    * replays in a SQL oracle) and recomputes centroids from the
+    * assignment. Clusters that lose all members are dropped (the
+    * standard Lloyd's variant with no re-seeding — deterministic).
+    *
+    * Centroid state is kept EXACT: per-dimension integer micro-sums
+    * `Σ floor(x·1e6)` plus a count, never a floating mean. Summing
+    * longs is order-independent (no FP reassociation across engines or
+    * shuffle orders), and both engines derive the next iteration's
+    * centroid component identically as `sum / (count · 1e6)` — one
+    * IEEE division of exact integers. The returned frame IS that state,
+    * flattened to `(centroid_id, pos, csum, cnt)` integer rows (the s05
+    * gate surface); [[codebookVectors]] turns it back into
+    * `(centroid_id, centroid)` for serving.
+    *
+    * Scale shape per iteration: assignment is a narrow codegen'd
+    * literal-codebook expression (zero joins — right up to a few
+    * hundred centroids; beyond that, the [[semanticDupPairs]]
+    * `joinAssign` broadcast pattern applies); the update is ONE
+    * exchange on (centroid_id, pos) whose map-side partial aggregation
+    * collapses each partition to ≤ k·dim rows, then a k·dim-row driver
+    * collect. Nothing driver-side ever scales with the corpus.
+    */
+  def trainCodebook(vectors: DataFrame, k: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val v = vectors.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", sqrt(graftDot(col("vec"), col("vec"))))
+    val seed = v.orderBy(graft.functions.Cols.md5Uint32(col("id").cast("string")), col("id"))
+      .limit(k).select(col("id"), col("vec")).collect()
+    // state: (centroid_id, per-dim micro-sums, member count)
+    var state: Seq[(Long, Array[Long], Long)] = seed.toSeq.map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray.map(x => math.floor(x * 1e6).toLong), 1L)
+    }
+    for (_ <- 1 to iters) {
+      val sims = state.map { case (cid, sm, cnt) =>
+        val cv = sm.map(s => s / (cnt * 1e6))
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        struct(
+          (-round(graftDot(col("vec"), typedLit(cv)) / (col("norm") * lit(cn)), 6)).as("negsim"),
+          lit(cid).as("cid"))
+      }
+      val assigned = v.withColumn("cid",
+        array_min(array(sims: _*)).getField("cid"))
+      val rows = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(floor(col("x") * 1e6).cast("long")).as("sm"), count(lit(1)).as("cnt"))
+        .collect()
+      state = rows.groupBy(_.getLong(0)).toSeq.map { case (cid, rs) =>
+        val byPos = rs.sortBy(_.getInt(1))
+        (cid, byPos.map(_.getLong(2)).toArray, byPos.head.getLong(3))
+      }.sortBy(_._1)
+    }
+    state.flatMap { case (cid, sm, cnt) =>
+      // pos as long: the oracle derives it from range() (BIGINT), and
+      // the gate checks schemas
+      sm.iterator.zipWithIndex.map { case (s, pos) => (cid, pos.toLong, s, cnt) }
+    }.toDF("centroid_id", "pos", "csum", "cnt")
+  }
+
+  /** A [[trainCodebook]] state frame as `(centroid_id, centroid)`
+    * double vectors — the serving-side codebook shape
+    * ([[ivfIndex]]-style argmax assignment takes it from here).
+    */
+  def codebookVectors(state: DataFrame): DataFrame =
+    state.groupBy("centroid_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("csum"), col("cnt")))),
+        s => s.getField("csum") / (s.getField("cnt") * lit(1e6))).as("centroid"))
 
   /** [[cosineDupPairs]] at corpus scale: random-hyperplane LSH buckets
     * shrink the quadratic stage from n² to Σ(bucket²) — only vectors

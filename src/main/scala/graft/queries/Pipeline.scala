@@ -158,6 +158,16 @@ object Pipeline {
         minSim = 0.35, nCentroids = 16)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Spherical k-means codebook training
+    * ([[Similarity.trainCodebook]]): md5-seeded, rounded-cosine
+    * assignment, exact integer micro-sum centroid state — so three
+    * full Lloyd's iterations, argmax included, replay in SQL and the
+    * gate compares INTEGERS only.
+    */
+  def s05KmeansCodebook(spark: SparkSession, dir: String): DataFrame =
+    Similarity.trainCodebook(Tables.embeddings(spark, dir), k = 8, iters = 3)
+      .orderBy(col("centroid_id"), col("pos"))
+
   def t01TextStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
         col("doc_id"),
@@ -788,6 +798,50 @@ object Pipeline {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Generated Lloyd's-iteration CTE chain replaying
+    * [[graft.ext.Similarity.trainCodebook]] (s05): md5-ordered seeds,
+    * per-iteration centroid components derived as `sum/(count·1e6)`
+    * from the previous EXACT integer state, rounded-cosine argmax
+    * assignment (ties to the smallest centroid id — the s04 key), and
+    * an integer micro-sum re-aggregation. Output is integers only.
+    */
+  private def kmeansCodebookOracle(k: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT centroid_id, list(sm / (cnt * 1000000.0) ORDER BY pos) AS ce
+         |  FROM s${i - 1} GROUP BY centroid_id
+         |), a$i AS (
+         |  SELECT vec_id, e, centroid_id FROM (
+         |    SELECT v.vec_id, v.e, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.centroid_id) AS rn
+         |    FROM v, c$i c) t
+         |  WHERE rn = 1
+         |), s$i AS (
+         |  -- sum(BIGINT) widens to HUGEINT in DuckDB; the gate (and the
+         |  -- Spark twin) carries BIGINT
+         |  SELECT centroid_id, p.p - 1 AS pos,
+         |    CAST(sum(CAST(floor(e[p.p] * 1000000) AS BIGINT)) AS BIGINT) AS sm,
+         |    count(*) AS cnt
+         |  FROM a$i, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS p) p
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |), cb AS (
+       |  SELECT vec_id AS centroid_id, e AS ce FROM v
+       |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id
+       |  LIMIT $k
+       |), s0 AS (
+       |  SELECT centroid_id, p.p - 1 AS pos,
+       |    CAST(floor(ce[p.p] * 1000000) AS BIGINT) AS sm, CAST(1 AS BIGINT) AS cnt
+       |  FROM cb, LATERAL (SELECT unnest(range(1, len(ce) + 1)) AS p) p
+       |), $iterCtes
+       |SELECT centroid_id, pos, sm AS csum, cnt
+       |FROM s$iters ORDER BY centroid_id, pos""".stripMargin
+  }
+
   /** Exact top-5 joined against itself → recall 1.0 per query — the
     * expected output of [[s02LshRecall]]/[[s03IvfRecall]] (whose
     * approximate sets equal the exact set at gate parameters).
@@ -889,6 +943,7 @@ object Pipeline {
     // xxhash64 replayed in DuckDB by the generated XXH64 CTE chain —
     // the former rows-only registry row is now under the full hash gate
     "d04_simhash_pairs" -> simhashXxhPairsOracle,
+    "s05_kmeans_codebook" -> kmeansCodebookOracle(k = 8, iters = 3),
     "d07_simhash_md5" -> simhashMd5Oracle,
     "d10_simhash_pairs_md5" -> simhashMd5PairsOracle,
     "d11_dedup_clusters" -> dedupClustersOracle,
@@ -1301,6 +1356,7 @@ object Pipeline {
     "s02_lsh_recall"     -> s02LshRecall _,
     "s03_ivf_recall"     -> s03IvfRecall _,
     "s04_semantic_dedup" -> s04SemanticDedup _,
+    "s05_kmeans_codebook" -> s05KmeansCodebook _,
     "t01_text_stats"     -> t01TextStats _,
     "t07_bpe_tokens"     -> t07BpeTokens _,
     "t02_text_analyze"   -> t02TextAnalyze _,

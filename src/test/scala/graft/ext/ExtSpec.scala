@@ -264,6 +264,24 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.25, f"IVF recall $recall%.2f too low")
   }
 
+  test("trained IVF codebook serves at least the sampled codebook's recall") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(ci: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) = {
+      val approx = Similarity.ivfTopK(q, emb, 5, nProbe = 6, corpusIndex = Some(ci))
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val sampled = recallOf(Similarity.ivfIndex(emb, nCentroids = 16))
+    val trained = recallOf(Similarity.ivfIndexTrained(emb, nCentroids = 16, iters = 3))
+    // everything here is deterministic, so this is a fixed comparison,
+    // not a flaky statistical bound; small slack for probe-order ties
+    assert(trained >= sampled - 0.05,
+      f"trained codebook recall $trained%.2f fell below sampled $sampled%.2f")
+  }
+
   test("LSH cosine dup pairs == exact pairs on a near-dup corpus") {
     // the raw fixture has no high-similarity pairs (max cosine ~0.5), so
     // build one: each vector gets a perturbed twin (first component
@@ -583,6 +601,42 @@ class ExtSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
     assert(expected.subsetOf(dupPairs),
       s"exact duplicates split across clusters: missing=${(expected -- dupPairs).take(5)}")
+  }
+
+  test("trainCodebook: deterministic Lloyd's — exact integer state, total count, convergence direction") {
+    val s1 = Similarity.trainCodebook(emb, k = 8, iters = 3).collect()
+    val s2 = Similarity.trainCodebook(emb, k = 8, iters = 3).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq,
+      "training is not run-deterministic")
+    // every corpus vector is assigned somewhere: per-centroid counts sum
+    // to the corpus size (read counts at pos 0 only)
+    val n = emb.count()
+    val counts = s1.filter(_.getLong(1) == 0L).map(r => r.getLong(0) -> r.getLong(3))
+    assert(counts.map(_._2).sum == n, s"counts ${counts.toSeq} do not cover corpus $n")
+    assert(counts.length <= 8 && counts.nonEmpty)
+    // codebookVectors inverts the state: k vectors of the corpus dim
+    val cb = Similarity.codebookVectors(
+      Similarity.trainCodebook(emb, k = 8, iters = 3))
+    val vecs = cb.collect()
+    assert(vecs.length == counts.length &&
+      vecs.forall(_.getSeq[Double](1).length == 64))
+    // more iterations never worsen spherical k-means' objective
+    // (mean assigned cosine, the quantity Lloyd's ascends)
+    def objective(iters: Int): Double = {
+      val state = Similarity.trainCodebook(emb, k = 8, iters = iters)
+      val cbv = Similarity.codebookVectors(state)
+        .select(col("centroid_id"), col("centroid"))
+      val v = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("vec"))
+      import graft.functions.GraftFunctions.graftDot
+      v.crossJoin(broadcast(cbv))
+        .withColumn("sim", graftDot(col("vec"), col("centroid")) /
+          (sqrt(graftDot(col("vec"), col("vec"))) * sqrt(graftDot(col("centroid"), col("centroid")))))
+        .groupBy("vec_id").agg(max(col("sim")).as("best"))
+        .agg(avg("best")).collect()(0).getDouble(0)
+    }
+    val o1 = objective(1); val o3 = objective(3)
+    assert(o3 >= o1 - 1e-9, s"objective regressed: iters=1 $o1 -> iters=3 $o3")
   }
 
   test("contamination index: persisted artifact probe == inline recompute, exact and bloom") {
