@@ -231,6 +231,103 @@ object Multimodal {
     }
   }
 
+  val PngSeqFormat = "video/png-seq"
+
+  case class FrameStats(media_id: Long, frame_idx: Int, width: Int, height: Int,
+      checksum: Long)
+
+  /** Length-prefixed frame container: `[int32 nFrames][int32 len, bytes]…`
+    * (big-endian, DataOutputStream) — the minimal seekable video-ish
+    * layout frame sampling needs: a reader can skip a frame in O(1)
+    * without decoding it.
+    */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeInt(frames.length)
+    frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+    dos.flush()
+    out.toByteArray
+  }
+
+  def unpackFrames(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val dis = new java.io.DataInputStream(new ByteArrayInputStream(payload))
+    val n = dis.readInt()
+    require(n >= 0, s"corrupt frame container: count $n")
+    (0 until n).map { _ =>
+      val len = dis.readInt()
+      val buf = new Array[Byte](len)
+      dis.readFully(buf)
+      buf
+    }
+  }
+
+  /** Deterministic synthetic PNG SEQUENCE per id (a tiny "video"):
+    * 2 + id%3 frames of 8+id%9 × 8+id%5, each frame a REAL
+    * ImageIO-encoded PNG whose raster is pure mod arithmetic over
+    * (id, frame, x, y) — so [[extractFrames]]' decoded checksums
+    * replay in SQL (the m03 gate), exactly the m02 pattern lifted to
+    * the frame axis.
+    */
+  def syntheticPngSequence(docs: DataFrame, idCol: String = "doc_id")(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (8 + Math.floorMod(id, 9L)).toInt
+        val h = (8 + Math.floorMod(id, 5L)).toInt
+        val nf = (2 + Math.floorMod(id, 3L)).toInt
+        val frames = (0 until nf).map(f =>
+          MediaCodec.encodePng(w, h, syntheticFrameRaster(id, f, w, h)))
+        MediaRow(id, MediaMeta("video", PngSeqFormat, w, h), packFrames(frames))
+      }
+    }
+  }
+
+  /** The m03 pixel function: [[syntheticRaster]]'s three channels with
+    * a frame term mixed in — still exactly expressible in ANSI SQL.
+    */
+  private[graft] def syntheticFrameRaster(id: Long, f: Int, w: Int, h: Int): Array[Int] = {
+    val rgb = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = Math.floorMod(id * 31 + f * 23 + x * 7 + y * 13, 256L).toInt
+        val g = Math.floorMod(id * 17 + f * 29 + x * 11 + y * 5, 256L).toInt
+        val b = Math.floorMod(id * 13 + f * 37 + x * 3 + y * 19, 256L).toInt
+        rgb(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** Frame sampling over a [[packFrames]] container: parse the frame
+    * table, DECODE only every `stride`-th frame (skipped frames cost a
+    * length read, not a codec pass — the reason the container is
+    * length-prefixed), and report each sampled frame's decoded
+    * (width, height, pixel checksum). Per-partition batch shape like
+    * every codec op here; the output explodes ≤ nFrames/stride rows
+    * per payload, so downstream grouping sees bounded fan-out.
+    */
+  def extractFrames(media: Dataset[MediaRow], stride: Int = 1): Dataset[FrameStats] = {
+    import media.sparkSession.implicits._
+    require(stride > 0, "stride must be positive")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        require(r.meta.format == PngSeqFormat,
+          s"extractFrames needs a $PngSeqFormat container, got ${r.meta.format}")
+        unpackFrames(r.payload).iterator.zipWithIndex.collect {
+          case (png, idx) if idx % stride == 0 =>
+            val (w, h, rgb) = MediaCodec.decodePng(png)
+            FrameStats(r.media_id, idx, w, h, MediaCodec.pixelChecksum(rgb))
+        }
+      }
+    }
+  }
+
   /** Deterministic frame sampling: every nth byte-slice of the payload
     * as a "frame" (the partitioned explode shape video frame
     * extraction uses; the slicing here is byte-level since the

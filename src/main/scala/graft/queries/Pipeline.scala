@@ -566,6 +566,24 @@ object Pipeline {
       .orderBy(col("media_id"))
   }
 
+  /** Frame sampling over a real multi-frame container
+    * ([[graft.ext.Multimodal.syntheticPngSequence]] →
+    * [[graft.ext.Multimodal.extractFrames]] at stride 2): the payload
+    * is a length-prefixed sequence of REAL PNGs, the operator parses
+    * the frame table, decodes only the sampled frames, and the gate
+    * replays each sampled frame's raster arithmetic + position-weighted
+    * checksum in SQL — m02's proof shape lifted to the frame axis.
+    */
+  def m03FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticPngSequence(Tables.documents(spark, dir))
+    graft.ext.Multimodal.extractFrames(media, stride = 2).toDF()
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("checksum"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** 32-bit SimHash with an md5-derived token hash — the
     * independently-oracled twin of the xxhash64-based d04 family
     * (d04's own oracle now replays XXH64 via the generated CTE chain;
@@ -1252,6 +1270,27 @@ object Pipeline {
         |SELECT doc_id AS media_id, CAST(10 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
         |  CAST(sum(rgb * (pos + 1)) % 1000000007 AS BIGINT) AS checksum
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    "m03_frame_sample" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + doc_id % 5 AS sh,
+        |    2 + doc_id % 3 AS nf
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, sw, sh, ff.f AS f
+        |  FROM dims, LATERAL (SELECT unnest(range(0, nf)) AS f) ff
+        |  WHERE ff.f % 2 = 0
+        |), px AS (
+        |  SELECT doc_id, f, sw, sh, yy.y * sw + xx.x AS pos,
+        |      ((doc_id*31 + f*23 + xx.x*7 + yy.y*13) % 256) * 65536
+        |    + ((doc_id*17 + f*29 + xx.x*11 + yy.y*5) % 256) * 256
+        |    + ((doc_id*13 + f*37 + xx.x*3 + yy.y*19) % 256) AS rgb
+        |  FROM fr,
+        |    LATERAL (SELECT unnest(range(0, sw)) AS x) xx,
+        |    LATERAL (SELECT unnest(range(0, sh)) AS y) yy
+        |)
+        |SELECT doc_id AS media_id, f AS frame_idx, sw AS width, sh AS height,
+        |  CAST(sum(rgb * (pos + 1)) % 1000000007 AS BIGINT) AS checksum
+        |FROM px GROUP BY doc_id, f, sw, sh ORDER BY media_id, frame_idx""".stripMargin,
     "t04_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
@@ -1378,5 +1417,6 @@ object Pipeline {
     "t06_weighted_sample" -> t06WeightedSample _,
     "m01_media_features" -> m01MediaFeatures _,
     "m02_media_resize"   -> m02MediaResize _,
+    "m03_frame_sample"   -> m03FrameSample _,
   )
 }

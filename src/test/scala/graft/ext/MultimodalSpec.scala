@@ -81,6 +81,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.filter(col("frame_idx") % 4 =!= 0).count() == 0)
   }
 
+  test("frame container: stride sampling decodes exactly the sampled frames of a real PNG sequence") {
+    val media = Multimodal.syntheticPngSequence(docs.limit(40))
+    // container parses back to per-id frame counts and REAL PNG frames
+    media.collect().foreach { r =>
+      val frames = Multimodal.unpackFrames(r.payload)
+      assert(frames.length == (2 + Math.floorMod(r.media_id, 3L)).toInt)
+      frames.zipWithIndex.foreach { case (png, f) =>
+        assert((png(0) & 0xFF) == 0x89 && png(1) == 'P')
+        val (w, h, rgb) = MediaCodec.decodePng(png)
+        assert(w == r.meta.width && h == r.meta.height)
+        assert(rgb.sameElements(
+          Multimodal.syntheticFrameRaster(r.media_id, f, w, h)))
+      }
+    }
+    // stride semantics: stride 1 = all frames; stride 2 = even indices
+    val all = Multimodal.extractFrames(media, stride = 1).collect()
+    val sampled = Multimodal.extractFrames(media, stride = 2).collect()
+    val byId = all.groupBy(_.media_id)
+    assert(all.length == byId.keys.toSeq.map(id => 2 + Math.floorMod(id, 3L)).sum)
+    assert(sampled.map(s => (s.media_id, s.frame_idx)).toSet ==
+      all.filter(_.frame_idx % 2 == 0).map(s => (s.media_id, s.frame_idx)).toSet)
+    // frames genuinely differ along the frame axis (the sampler isn't
+    // re-reading frame 0)
+    byId.values.filter(_.length > 1).foreach { fs =>
+      assert(fs.map(_.checksum).distinct.length > 1,
+        s"frames of ${fs.head.media_id} all decoded identically")
+    }
+  }
+
   test("identical payloads are found as media duplicates") {
     import spark.implicits._
     val dupDocs = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "different"))
