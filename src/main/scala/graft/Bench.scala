@@ -157,6 +157,9 @@ object Bench {
         nCentroids = 16, nProbe = 4)),
       "token_shards" -> (n => graft.ops.PrefixSum.tokenBudgetShards(
         docsAt(n).select(col("doc_id"), col("text")), budget = 512L)),
+      // iterative but per-iteration linear: assignment is a narrow
+      // literal-codebook pass, the update one k·dim-key exchange
+      "kmeans_train" -> (n => Similarity.trainCodebook(embAt(n), k = 8, iters = 2)),
     )
     probeRows(probes, k)
   }
