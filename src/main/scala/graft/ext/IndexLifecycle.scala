@@ -57,10 +57,19 @@ object IndexLifecycle {
     */
   def rebuildIvfIndex(corpus: DataFrame, livePath: String, nCentroids: Int = 16,
       requestedSizeMb: Int = 100,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainIters: Int = 0): Unit = {
     implicit val spark: SparkSession = corpus.sparkSession
     val rebuild = s"${livePath}_rebuild"
-    Similarity.writeIvfIndex(corpus, rebuild, nCentroids, idCol, vecCol)
+    // trainIters > 0 swaps the hash-sampled codebook for a Lloyd's-
+    // trained one (Similarity.trainCodebook) — same index shapes, the
+    // rebuild just spends trainIters extra linear passes to tighten
+    // the inverted lists before the one-time layout + swap
+    val index =
+      if (trainIters > 0)
+        Similarity.ivfIndexTrained(corpus, nCentroids, trainIters, idCol, vecCol)
+      else Similarity.ivfIndex(corpus, nCentroids, idCol, vecCol)
+    Similarity.writeIvfIndexParts(index, rebuild)
     Compactor.doAutoCoalesce(s"$rebuild/lists", requestedSizeMb,
       zorderCols = Seq("centroid_id"))
     swapIn(spark, rebuild, livePath)

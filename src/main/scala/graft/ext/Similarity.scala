@@ -371,8 +371,14 @@ object Similarity {
     * (lists repartitioned on centroid_id — the probe join's key).
     */
   def writeIvfIndex(corpus: DataFrame, path: String, nCentroids: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val (cb, lists) = ivfIndex(corpus, nCentroids, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    writeIvfIndexParts(ivfIndex(corpus, nCentroids, idCol, vecCol), path)
+
+  /** Persist an already-built (codebook, lists) pair — [[ivfIndex]] or
+    * [[ivfIndexTrained]] — in the [[writeIvfIndex]] layout.
+    */
+  def writeIvfIndexParts(index: (DataFrame, DataFrame), path: String): Unit = {
+    val (cb, lists) = index
     cb.write.mode("overwrite").parquet(s"$path/codebook")
     lists.repartition(col("centroid_id")).write.mode("overwrite").parquet(s"$path/lists")
   }

@@ -92,6 +92,17 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(topk(Some(Similarity.readIvfIndex(spark, ivfLive))) == topk(None),
       "swapped-in IVF index diverged from inline")
     assert(!fs.exists(new Path(s"${ivfLive}_rebuild")) && !fs.exists(new Path(s"${ivfLive}_swap_bak")))
+    // trained-codebook rebuild rides the same lifecycle: swap is clean
+    // and the served index is the ivfIndexTrained pair verbatim
+    IndexLifecycle.rebuildIvfIndex(emb, ivfLive, nCentroids = 16, trainIters = 2)
+    val trained = Similarity.readIvfIndex(spark, ivfLive)
+    val (cbT, listsT) = Similarity.ivfIndexTrained(emb, nCentroids = 16, iters = 2)
+    assert(trained._1.collect().map(_.getLong(0)).sorted.toSeq ==
+      cbT.collect().map(_.getLong(0)).sorted.toSeq,
+      "served trained codebook != fresh training")
+    assert(trained._2.count() == listsT.count())
+    assert(topk(Some(trained)).nonEmpty)
+    assert(!fs.exists(new Path(s"${ivfLive}_rebuild")) && !fs.exists(new Path(s"${ivfLive}_swap_bak")))
     // ---- minhash: banded signatures, z-ordered on the join key ----
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
