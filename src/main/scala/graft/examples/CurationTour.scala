@@ -43,6 +43,17 @@ object CurationTour {
         scrubbed.filter(TextOps.piiCount(col("text")) =!= 0).count() == 0
     }
 
+    // 1a. language ID: tag every doc with the marker-heuristic code —
+    // the gate real pipelines filter on before any language-specific
+    // stage (the fixture's text is English-shaped whatever its label,
+    // so this tags and checks rather than drops)
+    val langTagged = scrubbed.withColumn("lang_pred", TextOps.langId(col("text")))
+    check("language ID tags every doc with a known code") {
+      langTagged.count() == n0 &&
+        langTagged.filter(!col("lang_pred")
+          .isin(TextOps.LangMarkers.keys.toSeq: _*)).count() == 0
+    }
+
     // 1b. strip corpus-level boilerplate lines (C4-style), windowed
     // segmentation since the fixture is a flat token stream
     val lineCleaned = TextOps.dropBoilerplateLines(
