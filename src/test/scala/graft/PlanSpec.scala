@@ -121,6 +121,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("minshinglemd5") || plan.contains("MinShingleMd5"), plan)
   }
 
+  test("t15: language ID is a narrow scan→project→sort — no shuffle, no UDF") {
+    val plan = planOf("t15_langid")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"langid regressed to a shuffle plan:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("m03: frame sampling never shuffles payloads — the only exchange is the final sort") {
+    val plan = planOf("m03_frame_sample")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"frame sampling shuffles the frame rows:\n$plan")
+  }
+
   test("e03: forward as-of is the same no-join single-exchange shape as e02") {
     val plan = planOf("e03_asof_forward")
     assert(!plan.contains("Join"), s"as-of regressed to a join:\n$plan")
