@@ -20,7 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   stopword count over lowered tokens), fingerprint (polynomial
   *   rolling hash mod 1e9+7 of token xxhash64s), lang_pred (marker
   *   heuristic, tie-break = lexicographically largest language, 'en'
-  *   when no marker hits — matching `greatest(struct(h, lang))`).
+  *   when no marker hits — matching `greatest(struct(h, lang))`),
+  *   lang_hits (the winning marker score, 0 when nothing matched —
+  *   the t15 gate column).
   */
 case class TextMetrics(child: Expression) extends UnaryExpression with CodegenFallback {
 
@@ -93,7 +95,7 @@ case class TextMetrics(child: Expression) extends UnaryExpression with CodegenFa
       // code points, not UTF-16 units: the declarative twin's length()
       // counts characters, and a supplementary char (emoji) is 2 units
       nTokens, nSubwords, text.codePointCount(0, text.length), nPunct, stopHits, fingerprint,
-      UTF8String.fromString(bestLang)))
+      UTF8String.fromString(bestLang), bestScore.toLong))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -108,7 +110,8 @@ object TextMetrics {
     StructField("n_punct", IntegerType, nullable = false),
     StructField("stop_hits", IntegerType, nullable = false),
     StructField("fingerprint", LongType, nullable = false),
-    StructField("lang_pred", StringType, nullable = false)))
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("lang_hits", LongType, nullable = false)))
 
   val P = 1000000007L
   val SubwordPattern: Pattern =

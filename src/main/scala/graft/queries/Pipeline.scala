@@ -452,18 +452,25 @@ object Pipeline {
         (floor(TextOps.qualityScoreRaw(col("text")) * 1e6) / 1e6).as("quality"))
       .orderBy(col("doc_id"))
 
-  /** Marker-table language ID ([[TextOps.langIdScored]]) — the
-    * stopword/character heuristic a curation pipeline runs before any
-    * language-specific filtering. Pure per-row counting over a
-    * broadcast-literal marker table (narrow, codegen, no shuffle), so
-    * the whole heuristic — scores, argmax, tie-break, 'en' fallback —
-    * replays in SQL and sits under the hash gate.
+  /** Marker-table language ID — the stopword/character heuristic a
+    * curation pipeline runs before any language-specific filtering.
+    * Served by the fused one-pass native expression
+    * ([[graft.functions.TextMetrics]]'s lang_pred/lang_hits fields;
+    * the declarative [[TextOps.langIdScored]] twin is ~5 interpreted
+    * HOF passes + 6 regex passes over the same text — equality of the
+    * two is pinned in ExtSpec). Narrow, no shuffle, no UDF; the whole
+    * heuristic — scores, argmax, tie-break, 'en' fallback — replays
+    * in SQL and sits under the hash gate.
     */
-  def t15LangId(spark: SparkSession, dir: String): DataFrame =
+  def t15LangId(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), TextOps.langIdScored(col("text")).as("s"))
-      .select(col("doc_id"), col("s.lang").as("lang_pred"), col("s.hits").as("hits"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.graftTextMetrics(col("text")).as("m"))
+      .select(col("doc_id"), col("m.lang_pred").as("lang_pred"),
+        col("m.lang_hits").as("hits"))
       .orderBy(col("doc_id"))
+  }
 
   /** Sliding windows (1 h length, 15 min slide) over the events table —
     * the batch twin of streaming.EventsStream.sliding. Each event lands

@@ -371,6 +371,16 @@ class ExtSpec extends AnyFunSuite {
     assert(a == e, s"diff: ${(e -- a).take(2)} vs ${(a -- e).take(2)}")
   }
 
+  test("langIdScored == fused TextMetrics lang fields (pred AND winning hits)") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val both = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.graftTextMetrics(col("text")).as("m"),
+      TextOps.langIdScored(col("text")).as("s"))
+    assert(both.filter(col("m.lang_pred") =!= col("s.lang") ||
+      col("m.lang_hits") =!= col("s.hits")).count() == 0,
+      "fused language fields diverged from the declarative twin")
+  }
+
   test("token counts: empty and whitespace-only are 0") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("doc_id", "text")
