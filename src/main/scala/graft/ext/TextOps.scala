@@ -382,6 +382,56 @@ object TextOps {
       regexp_count(afterIp, lit(PhonePattern))
   }
 
+  /** BM25-style query-relevance top-k over the corpus — the retrieval
+    * primitive a curation pipeline uses for targeted filtering and
+    * benchmark decontamination ("pull the k documents most relevant to
+    * this eval prompt"). Scoring is a PURE-INTEGER rational BM25
+    * (k1 = 2, b = 0):
+    *
+    *   sat(tf)  = (tf · 3·10⁶) div (tf + 2)            — the tf/(tf+k1)
+    *              saturation, scaled to micro-units
+    *   idf(df)  = min(idfCap, (10⁶ · (2N − 2df + 1)) div (2df + 1))
+    *              — the BM25 (N−df+0.5)/(df+0.5) ratio in halves, no log
+    *   score(d) = Σ_t (sat · idf) div 10⁶
+    *
+    * Every step is integer multiply/divide of positive longs, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree exactly and the
+    * result sits under the hash gate with no float comparison anywhere
+    * (the t08/t09 counting-signal principle). `idfCap` (default 10⁹,
+    * i.e. rarer than ~1/500 of the corpus all weigh the same) bounds the
+    * linear-in-N rational idf so `sat·idf ≤ 3·10¹⁵` never overflows a
+    * long at ANY corpus size — the role log plays in textbook BM25.
+    *
+    * Scale shape: the broadcast-literal `isin(terms)` prune runs IN THE
+    * SCAN (narrow, before any exchange), so the only data-sized shuffle
+    * is the (doc, term) tf aggregation over rows that matched a query
+    * term — for a selective query that is a sliver of the corpus. The
+    * df/N statistics are term-cardinality-sized and broadcast back;
+    * top-k is a TakeOrdered, never a global sort.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      idfCap: Long = 1000000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .where(col("token").isin(terms: _*))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // one row per matched (doc, term) → df = plain row count per term
+    val dfTable = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idfTable = dfTable.crossJoin(nDocs)
+      .withColumn("idf", least(lit(idfCap),
+        expr("(1000000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)")))
+      .select(col("token"), col("idf"))
+    tf.join(broadcast(idfTable), "token")
+      .withColumn("contrib",
+        expr("(((tf * 3000000) div (tf + 2)) * idf) div 1000000"))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** Per-document text metrics via [[graft.functions.TextMetrics]] — ONE
     * pass over each text (the column-primitive formulation above is kept
     * for à-la-carte use; this fused path is ~5× faster and verified

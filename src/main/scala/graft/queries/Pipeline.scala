@@ -472,6 +472,18 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 query-relevance retrieval ([[TextOps.bm25TopK]]) — top-20
+    * documents for the query `dup spark vector merge` (one corpus-rare
+    * term, df≈5%, and three common ones, so the idf weighting — not
+    * just raw tf — decides the ranking). Pure-integer rational scoring
+    * (see the operator's doc): Spark `div` and DuckDB `//` agree
+    * exactly on positive longs, so a log-free BM25 sits fully under
+    * the hash gate. Ties broken by doc_id, so the LIMIT cut is total.
+    */
+  def t16Bm25(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bm25TopK(Tables.documents(spark, dir),
+      Seq("dup", "spark", "vector", "merge"), k = 20)
+
   /** Sliding windows (1 h length, 15 min slide) over the events table —
     * the batch twin of streaming.EventsStream.sliding. Each event lands
     * in exactly length/slide = 4 windows, produced by a 4-way explode
@@ -1100,6 +1112,31 @@ object Pipeline {
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin,
+    // Replays TextOps.bm25TopK's integer-rational BM25 exactly: DuckDB's
+    // flooring // equals Spark's truncating div on the all-positive
+    // operands, so score is bit-identical with no float anywhere.
+    "t16_bm25" ->
+      """WITH q AS (
+        |  SELECT unnest(['dup','spark','vector','merge']) AS token
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks JOIN q USING (token) GROUP BY 1, 2
+        |), df AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), w AS (
+        |  SELECT tf.doc_id,
+        |    (((tf.tf * 3000000) // (tf.tf + 2))
+        |     * least(1000000000, (1000000 * (2 * n.n_docs - 2 * df.df + 1))
+        |                         // (2 * df.df + 1))) // 1000000 AS contrib
+        |  FROM tf JOIN df USING (token) CROSS JOIN n
+        |)
+        |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+        |FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "t09_hash_split" -> hashSplitOracle,
     "t10_redact" ->
       """WITH withpii AS (
@@ -1419,6 +1456,7 @@ object Pipeline {
     "t04_fingerprint"    -> t04Fingerprint _,
     "t05_quality"        -> t05Quality _,
     "t15_langid"         -> t15LangId _,
+    "t16_bm25"           -> t16Bm25 _,
     "d06_fingerprint_dedup" -> d06FingerprintDedup _,
     "d07_simhash_md5"    -> d07SimhashMd5 _,
     "t06_weighted_sample" -> t06WeightedSample _,

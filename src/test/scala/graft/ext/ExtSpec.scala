@@ -371,6 +371,32 @@ class ExtSpec extends AnyFunSuite {
     assert(a == e, s"diff: ${(e -- a).take(2)} vs ${(a -- e).take(2)}")
   }
 
+  test("bm25TopK: integer scoring ranks the rare term above common ones") {
+    // a doc containing the rare query term must out-rank a doc with the
+    // same count of a common term: idf('dup') >> idf('spark') by corpus df
+    val top = TextOps.bm25TopK(docs, Seq("dup", "spark", "vector", "merge"), k = 50)
+      .collect()
+    assert(top.length == 50)
+    // scores strictly ordered (desc, ties by doc_id asc)
+    val scores = top.map(r => (r.getLong(1), r.getLong(0)))
+    assert(scores.sameElements(scores.sortBy { case (s, id) => (-s, id) }))
+    // every doc containing 'dup' beats every dup-free doc in the ranking:
+    // the rare term's capped idf dwarfs the common terms' combined weight
+    val dupDocs = docs.filter(col("text").rlike("(^|\\s)dup(\\s|$)"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val topIds = top.map(_.getLong(0))
+    val lastDup = topIds.lastIndexWhere(dupDocs.contains)
+    val firstNonDup = topIds.indexWhere(!dupDocs.contains(_))
+    assert(dupDocs.forall(topIds.take(lastDup + 1).contains),
+      "a dup-containing doc fell out of the top ranks")
+    assert(firstNonDup > lastDup || firstNonDup == -1,
+      s"dup-free doc ranked above a dup doc: firstNonDup=$firstNonDup lastDup=$lastDup")
+    // determinism: same input, same ranking
+    val again = TextOps.bm25TopK(docs, Seq("dup", "spark", "vector", "merge"), k = 50)
+      .collect().map(_.getLong(0))
+    assert(topIds.sameElements(again))
+  }
+
   test("langIdScored == fused TextMetrics lang fields (pred AND winning hits)") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val both = docs.select(col("doc_id"),
