@@ -508,15 +508,7 @@ object Similarity {
       (r.getLong(0), r.getSeq[Double](1).toArray.map(x => math.floor(x * 1e6).toLong), 1L)
     }
     for (_ <- 1 to iters) {
-      val sims = state.map { case (cid, sm, cnt) =>
-        val cv = sm.map(s => s / (cnt * 1e6))
-        val cn = math.sqrt(cv.map(x => x * x).sum)
-        struct(
-          (-round(graftDot(col("vec"), typedLit(cv)) / (col("norm") * lit(cn)), 6)).as("negsim"),
-          lit(cid).as("cid"))
-      }
-      val assigned = v.withColumn("cid",
-        array_min(array(sims: _*)).getField("cid"))
+      val assigned = v.withColumn("cid", assignCidExpr(state, col("vec"), col("norm")))
       val rows = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
@@ -532,6 +524,177 @@ object Similarity {
       // the gate checks schemas
       sm.iterator.zipWithIndex.map { case (s, pos) => (cid, pos.toLong, s, cnt) }
     }.toDF("centroid_id", "pos", "csum", "cnt")
+  }
+
+  /** Rounded-cosine argmax centroid id over a literal micro-sum state
+    * (ties to the smallest centroid id — the s04/s05 assignment key).
+    * Narrow, codegen'd, zero joins; shared by [[trainCodebook]] and the
+    * PQ family so every consumer replays in SQL identically.
+    */
+  private def assignCidExpr(state: Seq[(Long, Array[Long], Long)],
+      vec: Column, norm: Column): Column = {
+    val sims = state.map { case (cid, sm, cnt) =>
+      val cv = sm.map(s => s / (cnt * 1e6))
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        (-round(graftDot(vec, typedLit(cv)) / (norm * lit(cn)), 6)).as("negsim"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(sims: _*)).getField("cid")
+  }
+
+  /** Per-subspace columns `sub_s` (the s-th slice of the vector) and
+    * `norm_s`, shared by the PQ train/encode paths.
+    */
+  private def withSubspaces(vectors: DataFrame, m: Int, d: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("vec"))
+    (0 until m).foldLeft(base) { (df0, s) =>
+      df0.withColumn(s"sub_$s", slice(col("vec"), s * d + 1, d))
+        .withColumn(s"norm_$s", sqrt(graftDot(col(s"sub_$s"), col(s"sub_$s"))))
+    }
+  }
+
+  private def stateFromRows(rows: Array[org.apache.spark.sql.Row],
+      cidAt: Int, posAt: Int, smAt: Int, cntAt: Int): Seq[(Long, Array[Long], Long)] =
+    rows.groupBy(_.getLong(cidAt)).toSeq.map { case (cid, rs) =>
+      val byPos = rs.sortBy(_.getInt(posAt))
+      (cid, byPos.map(_.getLong(smAt)).toArray, byPos.head.getLong(cntAt))
+    }.sortBy(_._1)
+
+  /** Product-quantization codebook training — [[trainCodebook]]'s
+    * deterministic spherical Lloyd's run independently in each of `m`
+    * subspaces of the vector (the PQ decomposition: a 64-dim corpus
+    * stored as m codes of log2(k) bits each instead of 64 floats —
+    * the 100 TB embedding-store compression lever, ~68× at the
+    * defaults). Seeds are ONE md5-ordered corpus prefix shared by all
+    * subspaces (one tiny collect); every training iteration is FUSED
+    * across subspaces — one corpus pass computes all m assignments
+    * (narrow literal-codebook argmax per subspace), explodes to
+    * (sub, cid, pos, x) and re-aggregates the micro-sum state in ONE
+    * exchange whose map-side partial agg collapses each partition to
+    * ≤ m·k·d rows. Nothing driver-side scales with the corpus; the
+    * wall-clock per iteration is one scan regardless of m.
+    *
+    * Centroid state is the s05 EXACT-integer representation (per-dim
+    * `Σ floor(x·1e6)` + count) per (sub, centroid_id), returned
+    * flattened as `(sub, centroid_id, pos, csum, cnt)` — integers
+    * only, so the whole training replays in a SQL oracle.
+    */
+  def pqTrain(vectors: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val dim = vectors.select(size(col(vecCol))).head.getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val d = dim / m
+    val subs = withSubspaces(vectors, m, d, idCol, vecCol)
+    val seed = subs.orderBy(graft.functions.Cols.md5Uint32(col("id").cast("string")), col("id"))
+      .limit(k).select(col("id") +: (0 until m).map(s => col(s"sub_$s")): _*).collect()
+    var states: Array[Seq[(Long, Array[Long], Long)]] = (0 until m).toArray.map { s =>
+      seed.toSeq.map { r =>
+        (r.getLong(0), r.getSeq[Double](s + 1).toArray.map(x => math.floor(x * 1e6).toLong), 1L)
+      }
+    }
+    for (_ <- 1 to iters) {
+      val perSub = (0 until m).map { s =>
+        struct(lit(s).as("sub"),
+          assignCidExpr(states(s), col(s"sub_$s"), col(s"norm_$s")).as("cid"),
+          col(s"sub_$s").as("sv"))
+      }
+      val rows = subs.select(explode(array(perSub: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cid").as("cid"),
+          posexplode(col("e.sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cid", "pos")
+        .agg(sum(floor(col("x") * 1e6).cast("long")).as("sm"), count(lit(1)).as("cnt"))
+        .collect()
+      states = (0 until m).toArray.map { s =>
+        stateFromRows(rows.filter(_.getInt(0) == s), 1, 2, 3, 4)
+      }
+    }
+    states.zipWithIndex.flatMap { case (st, s) =>
+      st.flatMap { case (cid, sm, cnt) =>
+        sm.iterator.zipWithIndex.map { case (v2, pos) => (s, cid, pos.toLong, v2, cnt) }
+      }
+    }.toSeq.toDF("sub", "centroid_id", "pos", "csum", "cnt")
+  }
+
+  /** Encode every vector as its per-subspace nearest-centroid code
+    * (rounded-cosine argmax, ties to the smallest centroid id — the
+    * same key training used, so exact-duplicate vectors provably get
+    * identical codes). One narrow pass: m literal-codebook argmaxes +
+    * one explode, no joins, no shuffle beyond the caller's sink. Output
+    * `(vec_id, sub, code)` — integers only (the s06 gate surface).
+    */
+  def pqEncode(vectors: DataFrame, state: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val stRows = state.select(col("sub").cast("int"), col("centroid_id").cast("long"),
+      col("pos").cast("int"), col("csum").cast("long"), col("cnt").cast("long")).collect()
+    val bySub = stRows.groupBy(_.getInt(0))
+    val m = bySub.keys.max + 1
+    val states = (0 until m).map(s => stateFromRows(bySub(s), 1, 2, 3, 4))
+    val dim = vectors.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subs = withSubspaces(vectors, m, dim / m, idCol, vecCol)
+    val codes = (0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        assignCidExpr(states(s), col(s"sub_$s"), col(s"norm_$s")).as("code"))
+    }
+    subs.select(col("id").as("vec_id"), explode(array(codes: _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.code").as("code"))
+  }
+
+  /** ADC (asymmetric-distance) top-k over a PQ-encoded corpus: the
+    * probe stays exact, each corpus vector is its reconstruction from
+    * the per-subspace codebooks, and similarity is cosine(probe,
+    * reconstruction) assembled WITHOUT ever materializing the
+    * reconstruction — per (probe, sub, code) partial dot products and
+    * centroid norms² are a |probes|·m·k lookup table built once and
+    * broadcast, so the corpus side touches only its integer codes.
+    * Shuffle profile: codes (m rows per corpus vector, no payload)
+    * broadcast-join the LUT, then ONE exchange on (query_id, vec_id)
+    * whose map-side partial agg collapses the m rows per pair; top-k
+    * per probe via [[rankTopK]]'s custom prune node. The corpus'
+    * floats are never read — at 100 TB the scan input shrinks by the
+    * PQ compression ratio (~68× at m=4, k=8, 64-dim f32).
+    */
+  def pqTopK(probes: DataFrame, codes: DataFrame, state: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = probes.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val stRows = state.select(col("sub").cast("int"), col("centroid_id").cast("long"),
+      col("pos").cast("int"), col("csum").cast("long"), col("cnt").cast("long")).collect()
+    val bySub = stRows.groupBy(_.getInt(0))
+    val m = bySub.keys.max + 1
+    val centroids: Map[(Int, Long), Array[Double]] = bySub.flatMap { case (s, rs) =>
+      stateFromRows(rs, 1, 2, 3, 4).map { case (cid, sm, cnt) =>
+        ((s, cid), sm.map(x => x / (cnt * 1e6)))
+      }
+    }.toMap
+    val pr = probes.select(col(idCol).cast("long").as("query_id"),
+        asDouble(col(vecCol)).as("qv")).collect()
+    // LUT rows: (query_id, sub, code, partial dot, centroid norm², probe norm)
+    val lut = pr.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val d = qv.length / m
+      centroids.map { case ((s, cid), cv) =>
+        val qs = qv.slice(s * d, s * d + d)
+        val pdot = qs.zip(cv).map { case (a, b) => a * b }.sum
+        (qid, s, cid, pdot, cv.map(x => x * x).sum, qn)
+      }
+    }.toSeq.toDF("query_id", "sub", "code", "pdot", "cnorm2", "qn")
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("pdot").as("num"), sum("cnorm2").as("den2"), first("qn").as("qn"))
+      .withColumn("sim", round(col("num") / (col("qn") * sqrt(col("den2"))), 6))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    rankTopK(scored, k)
   }
 
   /** A [[trainCodebook]] state frame as `(centroid_id, centroid)`

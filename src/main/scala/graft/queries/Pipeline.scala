@@ -168,6 +168,21 @@ object Pipeline {
     Similarity.trainCodebook(Tables.embeddings(spark, dir), k = 8, iters = 3)
       .orderBy(col("centroid_id"), col("pos"))
 
+  /** Product-quantization codes ([[Similarity.pqTrain]] +
+    * [[Similarity.pqEncode]]): two fused Lloyd's iterations per
+    * subspace (m = 4 × 16 dims, k = 8) then per-subspace
+    * rounded-argmax encoding. The gate output is integers only
+    * (vec_id, sub, code); the oracle replays seeds, both training
+    * iterations, and the final encode in every subspace as a
+    * generated CTE chain — the s05 proof shape lifted to the PQ
+    * decomposition.
+    */
+  def s06PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.pqEncode(emb, Similarity.pqTrain(emb, m = 4, k = 8, iters = 2))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
   def t01TextStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
         col("doc_id"),
@@ -879,6 +894,67 @@ object Pipeline {
        |FROM s$iters ORDER BY centroid_id, pos""".stripMargin
   }
 
+  /** Replays [[graft.ext.Similarity.pqTrain]]+[[Similarity.pqEncode]]
+    * (s06): ONE md5-ordered seed prefix shared by all subspaces, then
+    * per subspace the s05 chain — exact integer micro-sum state,
+    * rounded-cosine argmax with ties to the smallest centroid id —
+    * ending in the encode argmax. Output is integers only.
+    */
+  private def pqCodesOracle(m: Int, k: Int, iters: Int, subDim: Int): String = {
+    val subCtes = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      val iterCtes = (1 to iters).map { i =>
+        s"""c${i}_$s AS (
+           |  SELECT centroid_id, list(sm / (cnt * 1000000.0) ORDER BY pos) AS ce
+           |  FROM s${i - 1}_$s GROUP BY centroid_id
+           |), a${i}_$s AS (
+           |  SELECT vec_id, e, centroid_id FROM (
+           |    SELECT v.vec_id, v.e, c.centroid_id,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.centroid_id) AS rn
+           |    FROM v_$s v, c${i}_$s c) t
+           |  WHERE rn = 1
+           |), s${i}_$s AS (
+           |  SELECT centroid_id, p.p - 1 AS pos,
+           |    CAST(sum(CAST(floor(e[p.p] * 1000000) AS BIGINT)) AS BIGINT) AS sm,
+           |    count(*) AS cnt
+           |  FROM a${i}_$s, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS p) p
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""v_$s AS (
+         |  SELECT vec_id, e[$lo:$hi] AS e FROM v
+         |), cb_$s AS (
+         |  SELECT v_$s.vec_id AS centroid_id, v_$s.e AS ce
+         |  FROM v_$s JOIN ord USING (vec_id)
+         |), s0_$s AS (
+         |  SELECT centroid_id, p.p - 1 AS pos,
+         |    CAST(floor(ce[p.p] * 1000000) AS BIGINT) AS sm, CAST(1 AS BIGINT) AS cnt
+         |  FROM cb_$s, LATERAL (SELECT unnest(range(1, len(ce) + 1)) AS p) p
+         |), $iterCtes, cf_$s AS (
+         |  SELECT centroid_id, list(sm / (cnt * 1000000.0) ORDER BY pos) AS ce
+         |  FROM s${iters}_$s GROUP BY centroid_id
+         |), enc_$s AS (
+         |  SELECT vec_id, $s AS sub, centroid_id AS code FROM (
+         |    SELECT v.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.centroid_id) AS rn
+         |    FROM v_$s v, cf_$s c) t
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (0 until m).map(s => s"SELECT * FROM enc_$s").mkString(" UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |), ord AS (
+       |  SELECT vec_id FROM v
+       |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id
+       |  LIMIT $k
+       |), $subCtes
+       |SELECT vec_id, sub, code FROM ($union) u ORDER BY vec_id, sub""".stripMargin
+  }
+
   /** Exact top-5 joined against itself → recall 1.0 per query — the
     * expected output of [[s02LshRecall]]/[[s03IvfRecall]] (whose
     * approximate sets equal the exact set at gate parameters).
@@ -981,6 +1057,7 @@ object Pipeline {
     // the former rows-only registry row is now under the full hash gate
     "d04_simhash_pairs" -> simhashXxhPairsOracle,
     "s05_kmeans_codebook" -> kmeansCodebookOracle(k = 8, iters = 3),
+    "s06_pq_codes" -> pqCodesOracle(m = 4, k = 8, iters = 2, subDim = 16),
     "d07_simhash_md5" -> simhashMd5Oracle,
     "d10_simhash_pairs_md5" -> simhashMd5PairsOracle,
     "d11_dedup_clusters" -> dedupClustersOracle,
@@ -1440,6 +1517,7 @@ object Pipeline {
     "s03_ivf_recall"     -> s03IvfRecall _,
     "s04_semantic_dedup" -> s04SemanticDedup _,
     "s05_kmeans_codebook" -> s05KmeansCodebook _,
+    "s06_pq_codes"       -> s06PqCodes _,
     "t01_text_stats"     -> t01TextStats _,
     "t07_bpe_tokens"     -> t07BpeTokens _,
     "t02_text_analyze"   -> t02TextAnalyze _,

@@ -134,6 +134,14 @@ class PlanSpec extends AnyFunSuite {
       s"frame sampling shuffles the frame rows:\n$plan")
   }
 
+  test("s06: PQ encode is a narrow literal-codebook pass — no join, only the final sort exchanges") {
+    val plan = planOf("s06_pq_codes")
+    assert(!plan.contains("Join"), s"PQ encode regressed to a join plan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"PQ encode shuffles the corpus:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("e03: forward as-of is the same no-join single-exchange shape as e02") {
     val plan = planOf("e03_asof_forward")
     assert(!plan.contains("Join"), s"as-of regressed to a join:\n$plan")

@@ -397,6 +397,42 @@ class ExtSpec extends AnyFunSuite {
     assert(topIds.sameElements(again))
   }
 
+  test("pq: identical vectors get identical codes; encode deterministic; ADC finds dup partners") {
+    val state = Similarity.pqTrain(emb, m = 4, k = 8, iters = 2)
+    val codes = Similarity.pqEncode(emb, state).cache()
+    // code word per vector (m rows → one sorted array)
+    val word = codes.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("w"))
+    // exact-duplicate embeddings (same rounded cosine to every centroid,
+    // same tie-break) must land on the SAME code word in every subspace
+    val dupPartner = Similarity.cosineDupPairs(emb, minSim = 1.0)
+      .filter(col("sim") === 1.0)
+    if (dupPartner.count() > 0) {
+      val mismatched = dupPartner
+        .join(word.select(col("vec_id").as("id_a"), col("w").as("wa")), "id_a")
+        .join(word.select(col("vec_id").as("id_b"), col("w").as("wb")), "id_b")
+        .filter(col("wa") =!= col("wb")).count()
+      assert(mismatched == 0, s"$mismatched exact-dup pairs with differing PQ codes")
+    }
+    // determinism: retrain + re-encode reproduces every code
+    val again = Similarity.pqEncode(emb, Similarity.pqTrain(emb, m = 4, k = 8, iters = 2))
+    assert(codes.except(again).count() == 0 && again.except(codes).count() == 0)
+    // ADC serving: for probes that HAVE an exact duplicate, the partner
+    // shares the probe's full code word, so its ADC score ties the
+    // maximum — it must appear in a same-score top slice
+    val probeIds = dupPartner.select(col("id_a")).limit(5).collect().map(_.getLong(0))
+    if (probeIds.nonEmpty) {
+      val probes = emb.filter(col("vec_id").isin(probeIds: _*))
+      val top = Similarity.pqTopK(probes, codes, state, k = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = dupPartner.filter(col("id_a").isin(probeIds: _*))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val missed = expected.filterNot(top.contains)
+      assert(missed.length == 0, s"ADC top-60 missed exact-dup partners: ${missed.take(5).toSeq}")
+    }
+    codes.unpersist()
+  }
+
   test("langIdScored == fused TextMetrics lang fields (pred AND winning hits)") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val both = docs.select(col("doc_id"),
