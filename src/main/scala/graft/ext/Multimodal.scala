@@ -386,4 +386,108 @@ object Multimodal {
   def mediaDupPairs(media: Dataset[MediaRow], minSim: Double = 0.999): DataFrame =
     Similarity.cosineDupPairs(
       extractFeatures(media).toDF().withColumnRenamed("media_id", "vec_id"), minSim)
+
+  // ---------------------------------------------------------------------
+  // Audio modality: REAL WAV codec (javax.sound.sampled — public JDK,
+  // no audio device needed for file encode/decode), same opaque-binary
+  // plumbing as the image path.
+  // ---------------------------------------------------------------------
+
+  val WavFormat = "audio/wav"
+
+  case class AudioFrame(media_id: Long, frame_idx: Int, n_samples: Int,
+      energy: Long, zero_crossings: Long, peak: Int)
+
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Encode signed 16-bit mono PCM as a real RIFF/WAVE payload
+      * (little-endian). Lossless: [[decodeWav]] round-trips the exact
+      * samples.
+      */
+    def encodeWav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode a WAVE payload back to its 16-bit mono PCM samples (the
+      * header, not trust, decides the layout — a real parse).
+      */
+    def decodeWav(payload: Array[Byte]): Array[Short] = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+        s"unsupported PCM layout: $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      Array.tabulate(n)(i => (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort)
+    }
+  }
+
+  /** Deterministic synthetic waveform per id, encoded as a REAL WAV:
+    * `512 + id%384` samples of `s(i) = (id·31 + i·17) mod 65536 −
+    * 32768` — pure integer arithmetic over (id, i), so every decoded
+    * frame statistic replays in SQL (the m02/m03 proof shape on the
+    * audio axis). The variable length exercises the partial tail
+    * frame.
+    */
+  def syntheticWav(docs: DataFrame, idCol: String = "doc_id")(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (512 + Math.floorMod(id, 384L)).toInt
+        val samples = Array.tabulate(n)(i =>
+          (Math.floorMod(id * 31 + i.toLong * 17, 65536L) - 32768L).toShort)
+        MediaRow(id, MediaMeta("audio", WavFormat, 0, 0), AudioCodec.encodeWav(samples))
+      }
+    }
+  }
+
+  /** Frame-level audio features over a decoded WAV payload: per window
+    * of `frame` samples — energy `Σ s²`, zero crossings (sign flips
+    * between CONSECUTIVE samples within the frame; 0 counts as
+    * non-negative), and peak `max |s|`. All integers, exact — the
+    * feature set a speech/music filter thresholds on (silence
+    * trimming, clipping detection) with no float anywhere, so the m04
+    * gate compares integers only. Same per-partition batch shape as
+    * every codec op here; ≤ n/frame rows out per payload.
+    */
+  def extractAudioFrames(media: Dataset[MediaRow], frame: Int = 256): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    require(frame > 0, "frame must be positive")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        require(r.meta.format == WavFormat,
+          s"extractAudioFrames needs a $WavFormat payload, got ${r.meta.format}")
+        val s = AudioCodec.decodeWav(r.payload)
+        val nFrames = (s.length + frame - 1) / frame
+        (0 until nFrames).iterator.map { fi =>
+          val lo = fi * frame
+          val hi = math.min(lo + frame, s.length)
+          var energy = 0L; var zc = 0L; var peak = 0
+          var i = lo
+          while (i < hi) {
+            val v = s(i).toInt
+            energy += v.toLong * v
+            if (i > lo && ((s(i - 1) < 0) != (v < 0))) zc += 1
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            i += 1
+          }
+          AudioFrame(r.media_id, fi, hi - lo, energy, zc, peak)
+        }
+      }
+    }
+  }
 }

@@ -618,6 +618,25 @@ object Pipeline {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Audio frame features over REAL WAV payloads
+    * ([[graft.ext.Multimodal.syntheticWav]] →
+    * [[graft.ext.Multimodal.extractAudioFrames]]): the payload is a
+    * genuine RIFF/WAVE file (javax.sound.sampled) whose decoded
+    * samples are pure (id, i) integer arithmetic, so per-frame energy,
+    * zero crossings, and peak replay exactly in SQL — the m02/m03
+    * codec-under-the-gate proof shape on the audio axis, and the gate
+    * compares integers only.
+    */
+  def m04AudioFrames(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val audio = graft.ext.Multimodal.syntheticWav(Tables.documents(spark, dir))
+    graft.ext.Multimodal.extractAudioFrames(audio, frame = 256).toDF()
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("n_samples").cast("long").as("n_samples"), col("energy"),
+        col("zero_crossings"), col("peak").cast("long").as("peak"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** 32-bit SimHash with an md5-derived token hash — the
     * independently-oracled twin of the xxhash64-based d04 family
     * (d04's own oracle now replays XXH64 via the generated CTE chain;
@@ -1214,6 +1233,29 @@ object Pipeline {
         |)
         |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
         |FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // Replays syntheticWav + extractAudioFrames: regenerate the PCM
+    // samples from the same (id, i) arithmetic the WAV payload carries,
+    // window into 256-sample frames, and recompute energy / frame-local
+    // sign flips / peak — integers end to end.
+    "m04_audio_frames" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents
+        |), samp AS (
+        |  SELECT id, i.i AS i,
+        |    ((id * 31 + i.i * 17) % 65536) - 32768 AS s
+        |  FROM ids, LATERAL (SELECT unnest(range(0, 512 + id % 384)) AS i) i
+        |), f AS (
+        |  SELECT id, i // 256 AS frame_idx, i, s,
+        |    lag(s) OVER (PARTITION BY id ORDER BY i) AS prev
+        |  FROM samp
+        |)
+        |SELECT id AS media_id, frame_idx,
+        |  count(*) AS n_samples,
+        |  CAST(sum(s * s) AS BIGINT) AS energy,
+        |  CAST(count(*) FILTER (WHERE i % 256 <> 0 AND (prev < 0) <> (s < 0)) AS BIGINT)
+        |    AS zero_crossings,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak
+        |FROM f GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin,
     "t09_hash_split" -> hashSplitOracle,
     "t10_redact" ->
       """WITH withpii AS (
@@ -1541,5 +1583,6 @@ object Pipeline {
     "m01_media_features" -> m01MediaFeatures _,
     "m02_media_resize"   -> m02MediaResize _,
     "m03_frame_sample"   -> m03FrameSample _,
+    "m04_audio_frames"   -> m04AudioFrames _,
   )
 }

@@ -110,6 +110,48 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV codec round-trips exact PCM through a real RIFF encode/decode; layout is header-driven") {
+    import graft.ext.Multimodal.AudioCodec
+    val samples = Array.tabulate(1000)(i => ((i * 7919) % 65536 - 32768).toShort)
+    val wav = AudioCodec.encodeWav(samples)
+    // a real RIFF/WAVE container, not pass-through bytes
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE", "payload is not a WAV file")
+    assert(AudioCodec.decodeWav(wav).sameElements(samples))
+    // decode parses the header: a stereo payload is rejected, not misread
+    val fmt2 = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val raw = new Array[Byte](400)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt2, 100L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    intercept[IllegalArgumentException] { AudioCodec.decodeWav(out.toByteArray) }
+  }
+
+  test("audio frames: stats recompute from decoded samples; partial tail frame kept") {
+    import graft.ext.Multimodal
+    val audio = Multimodal.syntheticWav(docs.limit(20))
+    val frames = Multimodal.extractAudioFrames(audio, frame = 256).collect()
+    // every id emits ceil(n/256) frames with the tail frame partial
+    val byId = frames.groupBy(_.media_id)
+    byId.foreach { case (id, fs) =>
+      val n = (512 + Math.floorMod(id, 384L)).toInt
+      assert(fs.length == (n + 255) / 256)
+      assert(fs.map(_.n_samples).sum == n)
+      val tail = fs.maxBy(_.frame_idx)
+      assert(tail.n_samples == (if (n % 256 == 0) 256 else n % 256))
+      // spot-recompute frame 0 of this id straight from the arithmetic
+      val s0 = Array.tabulate(256)(i =>
+        (Math.floorMod(id * 31 + i.toLong * 17, 65536L) - 32768L).toInt)
+      val f0 = fs.find(_.frame_idx == 0).get
+      assert(f0.energy == s0.map(v => v.toLong * v).sum)
+      assert(f0.peak == s0.map(math.abs).max)
+      assert(f0.zero_crossings ==
+        s0.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    }
+  }
+
   test("identical payloads are found as media duplicates") {
     import spark.implicits._
     val dupDocs = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "different"))
