@@ -183,6 +183,20 @@ object Pipeline {
       .orderBy(col("vec_id"), col("sub"))
   }
 
+  /** Bounded-memory heavy hitters ([[graft.ops.Approx.spaceSavingTopK]])
+    * at recall-saturating capacity: 1024 slots ≫ the fixture vocabulary,
+    * so no eviction fires, every counter is exact with error 0, and the
+    * sketch's merged top-15 equals the exact SQL top-15 — the d03/s02
+    * approx==exact gate pattern applied to frequency sketching.
+    * Tight-capacity error bounds are OpsSpec-gated.
+    */
+  def t17HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+    graft.ops.Approx.spaceSavingTopK(toks, "token", k = 15, capacity = 1024)
+  }
+
   def t01TextStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
         col("doc_id"),
@@ -1208,6 +1222,16 @@ object Pipeline {
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin,
+    // At saturating capacity the space-saving sketch IS the exact count:
+    // the oracle replays it as plain top-k token frequencies with err 0.
+    "t17_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents
+        |)
+        |SELECT token, count(*) AS est, CAST(0 AS BIGINT) AS err
+        |FROM toks WHERE token <> ''
+        |GROUP BY token ORDER BY est DESC, token LIMIT 15""".stripMargin,
     // Replays TextOps.bm25TopK's integer-rational BM25 exactly: DuckDB's
     // flooring // equals Spark's truncating div on the all-positive
     // operands, so score is bit-identical with no float anywhere.
@@ -1577,6 +1601,7 @@ object Pipeline {
     "t05_quality"        -> t05Quality _,
     "t15_langid"         -> t15LangId _,
     "t16_bm25"           -> t16Bm25 _,
+    "t17_heavy_hitters"  -> t17HeavyHitters _,
     "d06_fingerprint_dedup" -> d06FingerprintDedup _,
     "d07_simhash_md5"    -> d07SimhashMd5 _,
     "t06_weighted_sample" -> t06WeightedSample _,

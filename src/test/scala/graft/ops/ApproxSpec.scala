@@ -44,4 +44,36 @@ class ApproxSpec extends AnyFunSuite {
     val b = Approx.distinctCustomers(orders).head.getLong(0)
     assert(a == b)
   }
+
+  test("space-saving: exact at saturating capacity; bounds + guarantee hold when tight") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "").cache()
+    val exact = toks.groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    // saturating: capacity >> vocab → every estimate exact, error 0
+    val sat = Approx.spaceSavingTopK(toks, "token", k = 10, capacity = 1024).collect()
+    sat.foreach { r =>
+      assert(r.getLong(2) == 0, s"eviction fired below vocab size: $r")
+      assert(r.getLong(1) == exact(r.getString(0)), s"estimate not exact: $r")
+    }
+    val exactTop = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(10).map(_._1)
+    assert(sat.map(_.getString(0)).sameElements(exactTop))
+    // tight capacity (vocab ~31 >> 8 slots): space-saving bounds must
+    // still hold for every reported token — est−err ≤ true ≤ est —
+    // and any token with true freq > n/capacity must be reported
+    val tight = Approx.spaceSavingTopK(toks, "token", k = 8, capacity = 8).collect()
+    tight.foreach { r =>
+      val (tok, est, err) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val truth = exact.getOrElse(tok, 0L)
+      assert(truth <= est, s"$tok: sketch underestimates ($est < $truth)")
+      assert(est - err <= truth, s"$tok: lower bound broken ($est-$err > $truth)")
+    }
+    val reported = tight.map(_.getString(0)).toSet
+    val mustReport = exact.filter { case (_, c) => c > n / 8 }.keySet
+    assert(mustReport.subsetOf(reported),
+      s"missed guaranteed heavy hitters: ${mustReport -- reported}")
+    toks.unpersist()
+  }
 }
