@@ -183,6 +183,23 @@ object Pipeline {
       .orderBy(col("vec_id"), col("sub"))
   }
 
+  /** Integer PageRank ([[graft.ops.Graph.pageRank]], 3 iterations) over
+    * the symmetric n-gram-Jaccard similarity graph — "which documents
+    * sit at the center of a near-duplicate neighborhood" (the curation
+    * signal for picking cluster representatives). Micro-unit integer
+    * ranks make every iteration exact cross-engine; the oracle chains
+    * the same d02 jpairs CTEs into three unrolled rank updates.
+    */
+  def g01PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    graft.ops.Graph.pageRank(docs.select(col("doc_id").as("id")), edges, iters = 3)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bounded-memory heavy hitters ([[graft.ops.Approx.spaceSavingTopK]])
     * at recall-saturating capacity: 1024 slots ≫ the fixture vocabulary,
     * so no eviction fires, every counter is exact with error 0, and the
@@ -1069,6 +1086,33 @@ object Pipeline {
       |  floor((1 - n_distinct / CAST(n_grams AS DOUBLE)) * 1e6) / 1e6 AS dup_ratio
       |FROM inst JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Replays [[graft.ops.Graph.pageRank]] over the d02 pair graph:
+    * three unrolled integer rank updates (`//` == Spark `div` on the
+    * all-positive operands), dangling nodes receive teleport only.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id, CAST(sum(r${i - 1}.r // g.d) AS BIGINT) AS c
+         |  FROM edges e JOIN r${i - 1} ON r${i - 1}.id = e.src
+         |  JOIN deg g ON g.src = e.src
+         |  GROUP BY 1
+         |), r$i AS (
+         |  SELECT n.id, CAST(150000 + (85 * coalesce(c$i.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM r${i - 1} n LEFT JOIN c$i USING (id)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $ngramJaccardCtes, edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jpairs
+       |  UNION ALL SELECT id_b, id_a FROM jpairs
+       |), deg AS (
+       |  SELECT src, count(*) AS d FROM edges GROUP BY 1
+       |), r0 AS (
+       |  SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM documents
+       |), $iterCtes
+       |SELECT id AS doc_id, r AS rank FROM r$iters ORDER BY doc_id""".stripMargin
+  }
+
   /** Connected components over the exact pair set, in SQL: transitive
     * closure by recursive CTE, cluster_id = min reachable id — what the
     * Spark-side iterative min-label propagation must converge to.
@@ -1091,6 +1135,7 @@ object Pipeline {
     "d04_simhash_pairs" -> simhashXxhPairsOracle,
     "s05_kmeans_codebook" -> kmeansCodebookOracle(k = 8, iters = 3),
     "s06_pq_codes" -> pqCodesOracle(m = 4, k = 8, iters = 2, subDim = 16),
+    "g01_pagerank" -> pageRankOracle(iters = 3),
     "d07_simhash_md5" -> simhashMd5Oracle,
     "d10_simhash_pairs_md5" -> simhashMd5PairsOracle,
     "d11_dedup_clusters" -> dedupClustersOracle,
@@ -1602,6 +1647,7 @@ object Pipeline {
     "t15_langid"         -> t15LangId _,
     "t16_bm25"           -> t16Bm25 _,
     "t17_heavy_hitters"  -> t17HeavyHitters _,
+    "g01_pagerank"       -> g01PageRank _,
     "d06_fingerprint_dedup" -> d06FingerprintDedup _,
     "d07_simhash_md5"    -> d07SimhashMd5 _,
     "t06_weighted_sample" -> t06WeightedSample _,

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("pageRank: hand-computed path graph, hub dominance, isolated node floor") {
+    // path 1—2—3 plus isolated node 4
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val und = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val edges = und.union(und.select(col("dst"), col("src")))
+    val r1 = Graph.pageRank(nodes, edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deg: 1→1, 2→2, 3→1. Iteration 1 from uniform 10⁶:
+    //   node 2 receives 10⁶ + 10⁶          → 150000 + 85·2·10⁶/100 = 1850000
+    //   nodes 1,3 receive 10⁶ div 2 = 5·10⁵ → 150000 + 425000      =  575000
+    //   node 4 receives nothing             → teleport floor          150000
+    assert(r1 == Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L, 4L -> 150000L))
+    // more iterations keep the hub on top and the floor exact
+    val r3 = Graph.pageRank(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(2L) > r3(1L) && r3(1L) == r3(3L) && r3(4L) == 150000L)
+    // determinism
+    val again = Graph.pageRank(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == r3)
+  }
+}
