@@ -160,6 +160,15 @@ object Bench {
       // iterative but per-iteration linear: assignment is a narrow
       // literal-codebook pass, the update one k·dim-key exchange
       "kmeans_train" -> (n => Similarity.trainCodebook(embAt(n), k = 8, iters = 2)),
+      // scan-side isin prune: only query-term rows ever shuffle
+      "bm25" -> (n => TextOps.bm25TopK(docsAt(n),
+        Seq("dup", "spark", "vector", "merge"), k = 20)),
+      // O(capacity) state per partition regardless of input size
+      "heavy_hitters" -> (n => graft.ops.Approx.spaceSavingTopK(
+        docsAt(n).select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+          .filter(col("token") =!= ""), "token", k = 15, capacity = 1024)),
+      // per-iteration cost is ONE fused scan for all m subspaces
+      "pq_train" -> (n => Similarity.pqTrain(embAt(n), m = 4, k = 8, iters = 2)),
     )
     probeRows(probes, k)
   }

@@ -11,9 +11,10 @@ import graft.ext.{Dedup, TextOps}
   *
   *   raw docs → PII redaction → boilerplate-line removal → quality /
   *   OOV / repetition filters → exact dedup → near-dup clusters (keep
-  *   one) → decontamination vs a held-out eval set → deterministic
-  *   train/val/test split → token-budget shard packing → persisted
-  *   minhash index for the NEXT ingest batch.
+  *   one) → decontamination vs a held-out eval set → BM25 retrieval
+  *   for targeted review → deterministic train/val/test split →
+  *   token-budget shard packing → heavy-hitter vocabulary profile →
+  *   persisted minhash index for the NEXT ingest batch.
   *
   * Run: `sbt "runMain graft.examples.CurationTour"` — prints one
   * OK/FAIL line per stage and exits nonzero on any FAIL. Every stage is
@@ -101,6 +102,19 @@ object CurationTour {
         cont.agg(max("contamination")).head.getDouble(0) <= 1.0
     }
 
+    // 4b. targeted retrieval — the decontamination REVIEW tool: rank
+    // the train docs most relevant to an eval-style query with the
+    // integer BM25 ranker (rare terms dominate via idf; deterministic
+    // ties), so a human or judge model reads 10 docs, not the corpus
+    check("BM25 retrieval surfaces a ranked, deterministic review set") {
+      val hits = TextOps.bm25TopK(train0, Seq("dup", "spark", "vector"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val again = TextOps.bm25TopK(train0, Seq("dup", "spark", "vector"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      hits.length == 10 && hits.sameElements(again) &&
+        hits.map(_._2).sameElements(hits.map(_._2).sortBy(-_))
+    }
+
     // 5. split deterministically; the train set is the deliverable
     val split = graft.ops.Sampling.hashSplit(train0, Seq("doc_id"),
       Seq(("train", 0.9), ("val", 0.1)))
@@ -121,6 +135,21 @@ object CurationTour {
         .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1)))
       val ids = shards.map(_._2).distinct.sorted
       shards.length == train.count() && ids.sameElements(ids.min to ids.max)
+    }
+
+    // 5c. corpus vocabulary profile under bounded memory — the
+    // top-token report that seeds the next round's stopword /
+    // boilerplate lists; capacity saturates the fixture vocab, so the
+    // sketch must equal the exact counts
+    check("heavy-hitter vocabulary profile matches exact counts at saturating capacity") {
+      val toks = train.select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+        .filter(col("token") =!= "")
+      val sketch = graft.ops.Approx.spaceSavingTopK(toks, "token", k = 5, capacity = 1024)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(5).collect().map(r => (r.getString(0), r.getLong(1)))
+      sketch.sameElements(exact)
     }
 
     // 6. persist the corpus index the NEXT ingest batch will probe

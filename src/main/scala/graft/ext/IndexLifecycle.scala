@@ -75,6 +75,23 @@ object IndexLifecycle {
     swapIn(spark, rebuild, livePath)
   }
 
+  /** [[rebuildIvfIndex]] for the PQ family: train + encode to
+    * `<livePath>_rebuild`, compact + z-order the codes on the ADC
+    * probe join's (sub, code) key, and promote codebook + codes +
+    * sidecar together under the fuse (the sidecar lives at the index
+    * ROOT, so compacting the codes subfolder can't eat it).
+    */
+  def rebuildPqIndex(corpus: DataFrame, livePath: String, m: Int = 4,
+      k: Int = 8, iters: Int = 2, requestedSizeMb: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    implicit val spark: SparkSession = corpus.sparkSession
+    val rebuild = s"${livePath}_rebuild"
+    Similarity.writePqIndex(corpus, rebuild, m, k, iters, idCol, vecCol)
+    Compactor.doAutoCoalesce(s"$rebuild/codes", requestedSizeMb,
+      zorderCols = Seq("sub", "code"))
+    swapIn(spark, rebuild, livePath)
+  }
+
   /** [[rebuildLshIndex]] for the minhash text family: rebuild the
     * banded-signature index to `<livePath>_rebuild`, compact +
     * z-order on (band, bandHash) — the candidate join's key — and

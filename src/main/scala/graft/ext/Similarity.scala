@@ -707,6 +707,76 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("csum"), col("cnt")))),
         s => s.getField("csum") / (s.getField("cnt") * lit(1e6))).as("centroid"))
 
+  case class PqParams(m: Int, k: Int, iters: Int, dim: Int)
+
+  private def pqParamsPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_pq_params.json")
+
+  private[ext] def writePqParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, p: PqParams): Unit = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    val out = fs.create(pqParamsPath(path), true)
+    try out.write(
+      s"""{"m":${p.m},"k":${p.k},"iters":${p.iters},"dim":${p.dim}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The [[PqParams]] sidecar of a persisted PQ index; None if absent. */
+  def readPqIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[PqParams] = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    if (!fs.exists(pqParamsPath(path))) return None
+    val in = fs.open(pqParamsPath(path))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def field(key: String) = s""""$key":(-?[0-9]+)""".r.findFirstMatchIn(txt).map(_.group(1))
+    for {
+      m <- field("m"); k <- field("k"); i <- field("iters"); d <- field("dim")
+    } yield PqParams(m.toInt, k.toInt, i.toInt, d.toInt)
+  }
+
+  /** Persist a PQ index: train ([[pqTrain]]), encode ([[pqEncode]]),
+    * write the integer codebook state to `<path>/codebook` and the
+    * codes — repartitioned on the ADC probe join's (sub, code) key for
+    * co-located bucket reads — to `<path>/codes`, plus a
+    * `_graft_pq_params.json` sidecar so serving can never probe with
+    * mismatched decomposition parameters (the LSH-seed footgun, PQ
+    * edition: codes are dense small ints, so a wrong (m, k) would
+    * JOIN fine and return garbage).
+    */
+  def writePqIndex(vectors: DataFrame, path: String, m: Int = 4, k: Int = 8,
+      iters: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = vectors.sparkSession
+    val dim = vectors.select(size(col(vecCol))).head.getInt(0)
+    val state = pqTrain(vectors, m, k, iters, idCol, vecCol)
+    state.write.mode("overwrite").parquet(s"$path/codebook")
+    pqEncode(vectors, state, idCol, vecCol)
+      .repartition(col("sub"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    writePqParams(spark, path, PqParams(m, k, iters, dim))
+  }
+
+  /** Read a persisted PQ index back as (codes, codebook state). */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/codes"), spark.read.parquet(s"$path/codebook"))
+
+  /** [[pqTopK]] against a persisted index, with the decomposition
+    * parameters validated from the index's own sidecar — the
+    * footgun-free serving call. Requires the sidecar.
+    */
+  def pqTopKAt(spark: org.apache.spark.sql.SparkSession, probes: DataFrame,
+      k: Int, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = readPqIndexParams(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path has no _graft_pq_params.json sidecar; serve with pqTopK explicitly"))
+    val probeDim = probes.select(size(col(vecCol))).head.getInt(0)
+    require(probeDim == p.dim,
+      s"probe dim $probeDim != index dim ${p.dim} (index at $path)")
+    val (codes, state) = readPqIndex(spark, path)
+    pqTopK(probes, codes, state, k, idCol, vecCol)
+  }
+
   /** [[cosineDupPairs]] at corpus scale: random-hyperplane LSH buckets
     * shrink the quadratic stage from n² to Σ(bucket²) — only vectors
     * sharing a bucket in at least one of `tables` hash tables are

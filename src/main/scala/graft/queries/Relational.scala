@@ -333,6 +333,24 @@ object Relational {
         col("sum_qty"), col("cnt"))
       .orderBy(col("flag"), col("status"))
 
+  /** Q24 explicit GROUPING SETS — the third member of the grouping
+    * family (q11 rollup, q22 cube): two independent single-column
+    * rollups + grand total in ONE pass (Spark 4's native
+    * `groupingSets` API → a single Expand + one exchange, where three
+    * separate groupBys would scan and shuffle three times).
+    */
+  def q24GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"))
+      .orderBy(col("flag"), col("status"))
+
   /** Q23 navigation windows: lag/lead/first_value over the per-customer
     * order timeline — value-passthrough window functions (no arithmetic,
     * so cross-engine exact). One shuffle on o_custkey, one sort.
@@ -502,6 +520,13 @@ object Relational {
         |  sum(l_quantity) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "q24_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin,
     "q23_window_nav" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_totalprice) OVER w AS prev_price,
@@ -536,5 +561,6 @@ object Relational {
     "q21_bloom_join"  -> q21BloomJoin _,
     "q22_cube"        -> q22Cube _,
     "q23_window_nav"  -> q23WindowNav _,
+    "q24_grouping_sets" -> q24GroupingSets _,
   )
 }

@@ -120,6 +120,29 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(s"${mhLive}_rebuild")) && !fs.exists(new Path(s"${mhLive}_swap_bak")))
   }
 
+  test("PQ rebuild swaps atomically; sidecar-validated serving equals inline ADC") {
+    val root = Files.createTempDirectory("graft_pq_idx").toString
+    val fs = Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, root)
+    val live = s"$root/pq"
+    // stale first build, then the real corpus — serving must see the second
+    IndexLifecycle.rebuildPqIndex(emb.filter(col("vec_id") < 50), live, m = 4, k = 4, iters = 1)
+    IndexLifecycle.rebuildPqIndex(emb, live, m = 4, k = 8, iters = 2)
+    assert(!fs.exists(new Path(s"${live}_rebuild")) && !fs.exists(new Path(s"${live}_swap_bak")))
+    // sidecar records the SECOND build's parameters
+    assert(Similarity.readPqIndexParams(spark, live)
+      .contains(Similarity.PqParams(4, 8, 2, 64)))
+    val probes = emb.filter(col("vec_id") < 5)
+    val served = topkRows(Similarity.pqTopKAt(spark, probes, k = 10, live))
+    val state = Similarity.pqTrain(emb, m = 4, k = 8, iters = 2)
+    val inline = topkRows(Similarity.pqTopK(probes, Similarity.pqEncode(emb, state), state, k = 10))
+    assert(served == inline, "served PQ ADC diverged from inline train+encode")
+    // dimension mismatch is refused before any join runs
+    val bad = emb.select(col("vec_id"), expr("slice(embedding, 1, 32)").as("embedding"))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKAt(spark, bad.filter(col("vec_id") < 5), k = 10, live)
+    }
+  }
+
   test("minhash serving crosses a rebuild+swap: stream == batch on both sides") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
