@@ -91,6 +91,38 @@ object Dedup {
     }
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: `|A∩B| / |A|` (and `/ |B|`)
+    * rather than Jaccard — the quote/inclusion detector. A short doc
+    * pasted inside a long one has tiny Jaccard (the union is dominated
+    * by the long doc) but containment ≈ 1.0 in one direction, which is
+    * exactly the near-superset case symmetric dedup misses. Same
+    * inverted-index self-join plan as [[ngramJaccardPairs]]' default
+    * strategy (sizes ride the exploded rows; one pair groupBy), same
+    * single-IEEE-division + round(6) comparison the oracle replays;
+    * pairs survive when EITHER direction clears `minContainment`.
+    * Zipfian corpora want the same PPJoin-style guard as Jaccard —
+    * compose with [[prefixStage]]'s df pruning when the shingle df
+    * head explodes the join key.
+    */
+  def ngramContainmentPairs(docs: DataFrame, n: Int = 3, minContainment: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val sets = docs.select(col(idCol).as("id"), graftShingles(col(textCol), n).as("set"))
+    val sh = sets.select(col("id"), size(col("set")).cast("long").as("setSize"),
+      explode(col("set")).as("shingle"))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.setSize").as("size_a"), col("b.setSize").as("size_b"))
+      .agg(count(lit(1)).as("interSize"))
+      .withColumn("cont_a_in_b", col("interSize").cast("double") / col("size_a"))
+      .withColumn("cont_b_in_a", col("interSize").cast("double") / col("size_b"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a_in_b"), 6).as("cont_a_in_b"),
+        round(col("cont_b_in_a"), 6).as("cont_b_in_a"))
+  }
+
   /** PPJoin strategy of [[ngramJaccardPairs]] (see its scaladoc). */
   private def ngramJaccardPrefix(docs: DataFrame, n: Int, t: Double,
       textCol: String, idCol: String,

@@ -157,3 +157,37 @@ case class MinShingleMd5(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Unicode NFC (canonical composition) normalization — the multilingual
+  * text-cleanup primitive (decomposed accents, unordered combining
+  * marks) Spark has no built-in for. Backed by the JDK's
+  * `java.text.Normalizer` (Unicode-standard canonical composition, so
+  * it agrees with DuckDB's utf8proc-backed `nfc_normalize` — the t18
+  * gate pins that cross-engine equality on real combining sequences).
+  * True codegen (no fallback): one static call per row inside
+  * whole-stage codegen.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc expects a string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "UTF8String.fromString(java.text.Normalizer.normalize(" +
+        s"$c.toString(), java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -99,7 +99,9 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => MinShingleMd5(exprs(0),
         exprs(1).eval().asInstanceOf[Int])),
     ("graft_morton", classOf[MortonCode],
-      (exprs: Seq[Expression]) => MortonCode(exprs)))
+      (exprs: Seq[Expression]) => MortonCode(exprs)),
+    ("graft_nfc", classOf[NfcNormalize],
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry
@@ -141,6 +143,9 @@ object GraftFunctions {
   /** One-pass min-md5 shingle fingerprint (requires [[ensureRegistered]]). */
   def graftFingerprint(text: Column, n: Int): Column =
     call_function("graft_fingerprint", text, org.apache.spark.sql.functions.lit(n))
+
+  /** Unicode NFC normalization, codegen'd (requires [[ensureRegistered]]). */
+  def graftNfc(text: Column): Column = call_function("graft_nfc", text)
 
   /** Native Morton code of `cols` under per-column quantile `bounds`
     * (requires [[ensureRegistered]]).

@@ -27,15 +27,24 @@ object Graph {
     *
     * `nodes` is (id: long); `edges` is (src, dst) — pass both
     * directions for an undirected graph. Per iteration the plan is a
-    * join on src + an aggregation on dst + a left join back to nodes;
-    * the degree table is computed once outside the loop. Plans nest
+    * join on src + an aggregation on dst + a left join back to nodes.
+    * The degree-joined edge frame is loop-INVARIANT but referenced by
+    * every iteration, and Catalyst re-derives a subplan per reference —
+    * if the edges come from something expensive (a similarity join, as
+    * in g01) that cost would be paid `iters`+1 times. `materialize`
+    * (default) eagerly `localCheckpoint`s the frame once so iterations
+    * reuse the materialized partitions; pass false when the input is a
+    * plain scan that's cheaper to re-read than to pin. Rank plans nest
     * linearly in `iters` — for long chains (> ~10) interpose
-    * `localCheckpoint()` on the rank frame to cut lineage.
+    * `localCheckpoint()` on the rank frame too (the
+    * [[graft.ext.Dedup.clusters]] lineage rule).
     */
-  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
+      materialize: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val e = edges.join(deg, "src")
+    val joined = edges.join(deg, "src")
+    val e = if (materialize) joined.localCheckpoint() else joined
     var r = nodes.select(col("id"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = e.join(r.withColumnRenamed("id", "src"), "src")

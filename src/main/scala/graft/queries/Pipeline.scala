@@ -183,6 +183,17 @@ object Pipeline {
       .orderBy(col("vec_id"), col("sub"))
   }
 
+  /** Asymmetric containment pairs ([[Dedup.ngramContainmentPairs]]) —
+    * the quote/inclusion detector Jaccard misses: a doc mostly
+    * contained in another survives on EITHER direction's ratio. Same
+    * exact-pair machinery as d02, different normalizer; the oracle
+    * reuses the shared shingle CTEs with per-side divisions.
+    */
+  def d13Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(Tables.documents(spark, dir), n = 3,
+        minContainment = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Integer PageRank ([[graft.ops.Graph.pageRank]], 3 iterations) over
     * the symmetric n-gram-Jaccard similarity graph — "which documents
     * sit at the center of a near-duplicate neighborhood" (the curation
@@ -212,6 +223,28 @@ object Pipeline {
       .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
       .filter(col("token") =!= "")
     graft.ops.Approx.spaceSavingTopK(toks, "token", k = 15, capacity = 1024)
+  }
+
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], true
+    * codegen): even-id docs get a REAL decomposed combining sequence
+    * appended (`e` + U+0301), which canonical composition must fuse to
+    * a single codepoint (é) — so len shrinks by one and `changed`
+    * flips exactly on the treated half. Pins JDK `java.text.Normalizer`
+    * == DuckDB utf8proc `nfc_normalize` on actual multilingual content,
+    * not just ASCII identity. Narrow scan→project→sort.
+    */
+  def t18Nfc(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val nfc = graft.functions.GraftFunctions.graftNfc _
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(" cafe\u0301")))
+          .otherwise(col("text")).as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(nfc(col("raw"))).cast("long").as("len_nfc"),
+        when(nfc(col("raw")) =!= col("raw"), lit(1L)).otherwise(lit(0L)).as("changed"))
+      .orderBy(col("doc_id"))
   }
 
   def t01TextStats(spark: SparkSession, dir: String): DataFrame =
@@ -1056,6 +1089,20 @@ object Pipeline {
     s"""WITH $ngramJaccardCtes
        |SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b""".stripMargin
 
+  /** Containment over the same shingle CTEs (jpairs rides along
+    * unused): per-side single divisions, round(6), either-direction
+    * threshold — d13. */
+  private val containmentOracle =
+    s"""WITH $ngramJaccardCtes
+       |SELECT ia AS id_a, ib AS id_b,
+       |  round(isz / CAST(sa.sz AS DOUBLE), 6) AS cont_a_in_b,
+       |  round(isz / CAST(sb.sz AS DOUBLE), 6) AS cont_b_in_a
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = ia
+       |JOIN sizes sb ON sb.doc_id = ib
+       |WHERE greatest(isz / CAST(sa.sz AS DOUBLE), isz / CAST(sb.sz AS DOUBLE)) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Eval-vs-corpus shingle containment over the same sh CTE. */
   private val contaminationOracle =
     s"""WITH $ngramJaccardCtes, ev AS (
@@ -1160,6 +1207,7 @@ object Pipeline {
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "d02_ngram_jaccard" -> ngramJaccardOracle,
+    "d13_containment" -> containmentOracle,
     // the PPJoin strategy must equal the naive strategy exactly — same oracle
     "d09_ngram_jaccard_ppjoin" -> ngramJaccardOracle,
     // minhash+LSH output is LSH-candidates verified by exact Jaccard; with
@@ -1267,6 +1315,21 @@ object Pipeline {
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin,
+    // JDK Normalizer and DuckDB utf8proc both implement Unicode
+    // canonical composition; both engines count string length in
+    // CODEPOINTS, so composing e+U+0301 into é shrinks len by exactly 1.
+    "t18_nfc" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN text || ' cafe' || chr(769)
+        |         ELSE text END AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  length(raw) AS len_raw,
+        |  length(nfc_normalize(raw)) AS len_nfc,
+        |  CAST(CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END AS BIGINT) AS changed
+        |FROM r ORDER BY doc_id""".stripMargin,
     // At saturating capacity the space-saving sketch IS the exact count:
     // the oracle replays it as plain top-k token frequencies with err 0.
     "t17_heavy_hitters" ->
@@ -1647,7 +1710,9 @@ object Pipeline {
     "t15_langid"         -> t15LangId _,
     "t16_bm25"           -> t16Bm25 _,
     "t17_heavy_hitters"  -> t17HeavyHitters _,
+    "t18_nfc"            -> t18Nfc _,
     "g01_pagerank"       -> g01PageRank _,
+    "d13_containment"    -> d13Containment _,
     "d06_fingerprint_dedup" -> d06FingerprintDedup _,
     "d07_simhash_md5"    -> d07SimhashMd5 _,
     "t06_weighted_sample" -> t06WeightedSample _,

@@ -97,4 +97,33 @@ object StreamingSimilarity {
       .trigger(trigger)
       .start()
   }
+
+  /** [[startAt]] for a persisted PQ index
+    * ([[graft.ext.Similarity.writePqIndex]] /
+    * [[graft.ext.IndexLifecycle.rebuildPqIndex]]): each micro-batch of
+    * probe vectors is served by sidecar-validated ADC top-k
+    * ([[Similarity.pqTopKAt]]) against the CURRENT index files — a
+    * rebuild+swap landing between batches is picked up with no stream
+    * restart, a batch racing the swap's rename window parks and
+    * retries. The per-batch corpus read is the integer code table, not
+    * the float vectors — the PQ compression applies to the serving
+    * scan too.
+    */
+  def startAtPq(queriesStream: DataFrame, indexPath: String, k: Int,
+      outPath: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val spark = queriesStream.sparkSession
+    queriesStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.IndexLifecycle.retryingDuringSwap() {
+          Similarity.pqTopKAt(spark, batch, k, indexPath, idCol, vecCol)
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -143,6 +143,40 @@ class IndexLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ streaming serving crosses a rebuild+swap: stream == batch on both sides") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("graft_pq_stream").toFile.getAbsolutePath
+    val live = s"$root/pq_index"
+    IndexLifecycle.rebuildPqIndex(emb, live, m = 4, k = 8, iters = 1)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val expectedV1 = topkRows(Similarity.pqTopKAt(spark,
+      emb.filter(col("vec_id") < 5), k = 5, live))
+    val input = MemoryStream[(Long, Array[Float])]
+    val served = StreamingSimilarity.startAtPq(input.toDF().toDF("vec_id", "embedding"),
+      live, k = 5, s"$root/out", s"$root/ckpt")
+    try {
+      input.addData(queries.toIndexedSeq)
+      served.processAllAvailable()
+      // rebuild with MORE training between micro-batches
+      IndexLifecycle.rebuildPqIndex(emb, live, m = 4, k = 8, iters = 2)
+      assert(Similarity.readPqIndexParams(spark, live)
+        .contains(Similarity.PqParams(4, 8, 2, 64)))
+      val queries2 = queries.map { case (id, v) => (id + 1000L, v) }
+      input.addData(queries2.toIndexedSeq)
+      served.processAllAvailable()
+    } finally served.stop()
+    val out = spark.read.parquet(s"$root/out")
+    assert(topkRows(out.filter(col("query_id") < 1000L)) == expectedV1,
+      "pre-swap PQ stream output drifted from batch against the v1 index")
+    val expectedV2 = topkRows(Similarity.pqTopKAt(spark,
+      emb.filter(col("vec_id") < 5).select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+      k = 5, live))
+    assert(topkRows(out.filter(col("query_id") >= 1000L)) == expectedV2,
+      "post-swap PQ stream output drifted from batch against the v2 index")
+  }
+
   test("minhash serving crosses a rebuild+swap: stream == batch on both sides") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
