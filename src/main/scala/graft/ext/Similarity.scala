@@ -707,6 +707,58 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("csum"), col("cnt")))),
         s => s.getField("csum") / (s.getField("cnt") * lit(1e6))).as("centroid"))
 
+  /** Per-dimension corpus stats for [[sqEncode]] as EXACT integer
+    * micro-units: `(pos, mn, mx)` over `floor(x·1e6)` — tiny (dim
+    * rows), broadcast into the encode join.
+    */
+  def sqStats(vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .select(col("pos").cast("long").as("pos"),
+        floor(col("x") * 1e6).cast("long").as("xi"))
+      .groupBy("pos").agg(min("xi").as("mn"), max("xi").as("mx"))
+
+  /** Scalar (int8) quantization: each dimension linearly mapped to
+    * 0..255 against the corpus per-dim min/max — the simple 4× scan
+    * shrink next to [[pqTrain]]'s ~68× (int8 keeps per-dim resolution;
+    * PQ trades it for codebook structure). All arithmetic is positive-
+    * long multiply/divide over the EXACT micro-unit stats
+    * (`code = ((xi − mn)·255) div (mx − mn)`, constant dims → 0), so
+    * the whole encode — stats included — replays in SQL and the s07
+    * gate compares integers only. Plan: one narrow posexplode, ONE
+    * dim-rows aggregate broadcast back, no data-sized shuffle before
+    * the caller's sink. Reconstruction error is bounded by one
+    * quantization step per dim ([[sqDecode]]; bound pinned in
+    * ExtSpec).
+    */
+  def sqEncode(vectors: DataFrame, stats: Option[DataFrame] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val st = stats.getOrElse(sqStats(vectors, idCol, vecCol))
+    vectors
+      .select(col(idCol).cast("long").as("vec_id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        floor(col("x") * 1e6).cast("long").as("xi"))
+      .join(broadcast(st), "pos")
+      .select(col("vec_id"), col("pos"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr("((xi - mn) * 255) div (mx - mn)")).as("code"))
+  }
+
+  /** Midpoint dequantization of [[sqEncode]] codes back to doubles:
+    * code c covers the micro-unit cell `[mn + c·w, mn + (c+1)·w)` with
+    * `w = (mx − mn)/255`, so the midpoint `(mn + (c + 0.5)·w) / 1e6`
+    * sits within half a cell (+1 micro-unit for the stats' floor) of
+    * the original component (bound pinned in ExtSpec; serving-side
+    * approximate search runs on these).
+    */
+  def sqDecode(codes: DataFrame, stats: DataFrame): DataFrame =
+    codes.join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        ((col("mn") + (col("code") + lit(0.5)) * (col("mx") - col("mn")) / lit(255.0))
+          / lit(1e6)).as("x"))
+
   case class PqParams(m: Int, k: Int, iters: Int, dim: Int)
 
   private def pqParamsPath(path: String) =

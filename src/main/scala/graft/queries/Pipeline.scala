@@ -211,6 +211,15 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Scalar int8 quantization ([[Similarity.sqEncode]]): per-dim
+    * min/max in exact integer micro-units, linear map to 0..255 —
+    * integers end to end, so corpus stats AND codes sit under the
+    * hash gate. The 4×-compression sibling of s06's PQ.
+    */
+  def s07SqCodes(spark: SparkSession, dir: String): DataFrame =
+    Similarity.sqEncode(Tables.embeddings(spark, dir))
+      .orderBy(col("vec_id"), col("pos"))
+
   /** Bounded-memory heavy hitters ([[graft.ops.Approx.spaceSavingTopK]])
     * at recall-saturating capacity: 1024 slots ≫ the fixture vocabulary,
     * so no eviction fires, every counter is exact with error 0, and the
@@ -1183,6 +1192,22 @@ object Pipeline {
     "s05_kmeans_codebook" -> kmeansCodebookOracle(k = 8, iters = 3),
     "s06_pq_codes" -> pqCodesOracle(m = 4, k = 8, iters = 2, subDim = 16),
     "g01_pagerank" -> pageRankOracle(iters = 3),
+    // Replays sqStats + sqEncode: integer micro-unit min/max per dim,
+    // positive-long linear map — DuckDB // == Spark div throughout.
+    "s07_sq_codes" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), x AS (
+        |  SELECT vec_id, p.p - 1 AS pos,
+        |    CAST(floor(e[p.p] * 1000000) AS BIGINT) AS xi
+        |  FROM v, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS p) p
+        |), st AS (
+        |  SELECT pos, min(xi) AS mn, max(xi) AS mx FROM x GROUP BY pos
+        |)
+        |SELECT vec_id, pos,
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE ((xi - mn) * 255) // (mx - mn) END AS code
+        |FROM x JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin,
     "d07_simhash_md5" -> simhashMd5Oracle,
     "d10_simhash_pairs_md5" -> simhashMd5PairsOracle,
     "d11_dedup_clusters" -> dedupClustersOracle,
@@ -1692,6 +1717,7 @@ object Pipeline {
     "s04_semantic_dedup" -> s04SemanticDedup _,
     "s05_kmeans_codebook" -> s05KmeansCodebook _,
     "s06_pq_codes"       -> s06PqCodes _,
+    "s07_sq_codes"       -> s07SqCodes _,
     "t01_text_stats"     -> t01TextStats _,
     "t07_bpe_tokens"     -> t07BpeTokens _,
     "t02_text_analyze"   -> t02TextAnalyze _,

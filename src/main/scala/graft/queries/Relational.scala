@@ -351,6 +351,30 @@ object Relational {
         col("sum_qty"), col("cnt"))
       .orderBy(col("flag"), col("status"))
 
+  /** Q25 RANGE window frame — the frame type q12 (rows frame) and q17
+    * (moving avg) don't cover: per customer, revenue and order count
+    * over a trailing 30-DAY value range, not a row count. Ordering is
+    * epoch seconds (integer), so frame membership is integer
+    * comparison in both engines, and RANGE frames are peer-inclusive —
+    * same-timestamp orders see identical frames, so ties are
+    * deterministic with no extra tie-break key. Money through
+    * DecimalType (the q02 exactness rule). One shuffle + one sort.
+    */
+  def q25RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts"))
+      .rangeBetween(-2592000L, Window.currentRow)
+    Tables.orders(spark, dir)
+      // o_orderdate is TIMESTAMP_NTZ — no direct long cast; the session
+      // is pinned UTC (GraftSession), so NTZ→TZ→epoch matches DuckDB's
+      // naive-as-UTC epoch()
+      .withColumn("ts", col("o_orderdate").cast("timestamp").cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("ts"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("rev_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Q23 navigation windows: lag/lead/first_value over the per-customer
     * order timeline — value-passthrough window functions (no arithmetic,
     * so cross-engine exact). One shuffle on o_custkey, one sort.
@@ -520,6 +544,16 @@ object Relational {
         |  sum(l_quantity) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "q25_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS ts,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_30d,
+        |  count(*) OVER w AS n_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q24_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,
@@ -562,5 +596,6 @@ object Relational {
     "q22_cube"        -> q22Cube _,
     "q23_window_nav"  -> q23WindowNav _,
     "q24_grouping_sets" -> q24GroupingSets _,
+    "q25_range_frame" -> q25RangeFrame _,
   )
 }

@@ -433,6 +433,26 @@ class ExtSpec extends AnyFunSuite {
     codes.unpersist()
   }
 
+  test("sq: int8 codes in range; midpoint reconstruction within one quantization step") {
+    val stats = Similarity.sqStats(emb).cache()
+    val codes = Similarity.sqEncode(emb, Some(stats))
+    val rng = codes.agg(min("code"), max("code")).head
+    assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 255L)
+    // midpoint dequantization lands within (mx-mn)/256/1e6 of the original
+    val orig = emb.select(col("vec_id").cast("long").as("vec_id"),
+      posexplode(Similarity.asDouble(col("embedding"))).as(Seq("p", "xorig")))
+      .select(col("vec_id"), col("p").cast("long").as("pos"), col("xorig"))
+    val err = Similarity.sqDecode(codes, stats)
+      .join(orig, Seq("vec_id", "pos"))
+      .join(stats, "pos")
+      .select((abs(col("x") - col("xorig")) -
+        ((col("mx") - col("mn")) / lit(255.0) / lit(2.0) + lit(1.0)) / lit(1e6)).as("excess"))
+      .agg(max("excess")).head.getDouble(0)
+    // half a cell + 1 micro-unit for the floor() in xi itself
+    assert(err <= 0.0, s"reconstruction outside half a quantization cell: excess $err")
+    stats.unpersist()
+  }
+
   test("langIdScored == fused TextMetrics lang fields (pred AND winning hits)") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val both = docs.select(col("doc_id"),
