@@ -388,6 +388,103 @@ object Multimodal {
       extractFeatures(media).toDF().withColumnRenamed("media_id", "vec_id"), minSim)
 
   // ---------------------------------------------------------------------
+  // PNG metadata: tEXt chunks inserted/parsed at the BYTE level per the
+  // PNG spec (length + type + data + CRC32 over type||data) — real
+  // format work, not a library accessor; tagged payloads stay valid
+  // images (ImageIO still decodes them, pinned in spec).
+  // ---------------------------------------------------------------------
+
+  object PngText {
+    private val Signature = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+    private def crc(chunkType: Array[Byte], data: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32()
+      c.update(chunkType); c.update(data)
+      c.getValue.toInt
+    }
+
+    /** Insert `tEXt` chunks (Latin-1 `key\0value`, per spec) right
+      * after IHDR. The rest of the byte stream is untouched, so the
+      * image data and any prior metadata survive verbatim.
+      */
+    def addText(png: Array[Byte], entries: Seq[(String, String)]): Array[Byte] = {
+      require(png.length > 33 && png.take(8).sameElements(Signature), "not a PNG")
+      // IHDR is mandated first: 8 sig + 4 len + 4 type + 13 data + 4 crc
+      val ihdrEnd = 8 + 4 + 4 + 13 + 4
+      val out = new ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.write(png, 0, ihdrEnd)
+      entries.foreach { case (k, v) =>
+        val tpe = "tEXt".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        val data = k.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+          Array(0.toByte) ++ v.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        dos.writeInt(data.length); dos.write(tpe); dos.write(data)
+        dos.writeInt(crc(tpe, data))
+      }
+      dos.write(png, ihdrEnd, png.length - ihdrEnd)
+      dos.flush()
+      out.toByteArray
+    }
+
+    /** Walk the chunk stream and return every `tEXt` (key, value),
+      * CRC-VERIFIED — a corrupted chunk throws rather than yielding
+      * silent garbage.
+      */
+    def readText(png: Array[Byte]): Seq[(String, String)] = {
+      require(png.length > 8 && png.take(8).sameElements(Signature), "not a PNG")
+      val dis = new java.io.DataInputStream(new ByteArrayInputStream(png, 8, png.length - 8))
+      val found = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (!done) {
+        val len = dis.readInt()
+        val tpe = new Array[Byte](4); dis.readFully(tpe)
+        val data = new Array[Byte](len); dis.readFully(data)
+        val storedCrc = dis.readInt()
+        val typeStr = new String(tpe, java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (typeStr == "tEXt") {
+          require(storedCrc == crc(tpe, data), s"tEXt chunk CRC mismatch")
+          val sep = data.indexOf(0.toByte)
+          require(sep > 0, "malformed tEXt chunk: no key separator")
+          found += ((new String(data, 0, sep, java.nio.charset.StandardCharsets.ISO_8859_1),
+            new String(data, sep + 1, data.length - sep - 1,
+              java.nio.charset.StandardCharsets.ISO_8859_1)))
+        }
+        if (typeStr == "IEND") done = true
+      }
+      found.toSeq
+    }
+  }
+
+  /** [[syntheticPng]] with deterministic provenance tags in real tEXt
+    * chunks — the metadata a curation pipeline filters on (source,
+    * license) carried INSIDE the payload the way real image corpora
+    * ship it.
+    */
+  def syntheticPngTagged(docs: DataFrame, idCol: String = "doc_id")(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    syntheticPng(docs, idCol).mapPartitions { rows =>
+      rows.map { r =>
+        val tags = Seq(
+          "source" -> s"src_${Math.floorMod(r.media_id, 7L)}",
+          "license" -> s"cc${Math.floorMod(r.media_id, 3L)}")
+        r.copy(payload = PngText.addText(r.payload, tags))
+      }
+    }
+  }
+
+  /** Explode each payload's tEXt metadata to (media_id, key, value)
+    * rows — the m05 gate surface (CRC-verified parse of the real chunk
+    * stream; values replay from id arithmetic in SQL).
+    */
+  def extractPngText(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      PngText.readText(r.payload).map { case (k, v) => (r.media_id, k, v) }
+    }.toDF("media_id", "key", "value")
+  }
+
+  // ---------------------------------------------------------------------
   // Audio modality: REAL WAV codec (javax.sound.sampled — public JDK,
   // no audio device needed for file encode/decode), same opaque-binary
   // plumbing as the image path.

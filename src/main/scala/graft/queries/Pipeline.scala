@@ -597,6 +597,33 @@ object Pipeline {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** Batch twin of the stream-stream INTERVAL join (the shape
+    * StreamingSpec runs with watermarks): per click, how many views
+    * the same user made in the trailing hour. LEFT join keeps
+    * zero-view clicks (count(vts) ignores the null row); the range
+    * rides the JOIN condition, not a post-filter, so Spark plans one
+    * equi-join on user_id with the interval as a join filter — ts is
+    * epoch-nanos integer arithmetic in both engines.
+    */
+  def e06IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // MICROsecond precision end to end: DuckDB truncates the parquet
+    // TIMESTAMP(NANOS) to micros, so interval membership must be
+    // decided on the same truncated clock in both engines (the e02
+    // epoch_us rule, applied to the join condition too)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vuser"), expr("ts div 1000").as("vts"))
+    clicks.join(views,
+        col("vuser") === col("user_id") &&
+          col("vts") >= col("ts") - lit(3600000000L) && col("vts") <= col("ts"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(count(col("vts")).as("n_views_1h"))
+      .orderBy(col("event_id"))
+  }
+
   /** For each click, the EARLIEST following view by the same user —
     * forward as-of join ([[graft.ops.AsOf.joinForward]]); same
     * single-shuffle union+window plan as e02, time reversed. Oracle:
@@ -708,6 +735,22 @@ object Pipeline {
         col("n_samples").cast("long").as("n_samples"), col("energy"),
         col("zero_crossings"), col("peak").cast("long").as("peak"))
       .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** PNG tEXt provenance metadata round-trip
+    * ([[graft.ext.Multimodal.syntheticPngTagged]] →
+    * [[graft.ext.Multimodal.extractPngText]]): tags are inserted as
+    * REAL spec-conformant chunks (length + type + data + CRC32) into
+    * real ImageIO PNGs and parsed back chunk-by-chunk with CRC
+    * verification; the values are id arithmetic, so the oracle replays
+    * them with plain string concat — byte-level format work under the
+    * hash gate.
+    */
+  def m05PngMeta(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tagged = graft.ext.Multimodal.syntheticPngTagged(Tables.documents(spark, dir))
+    graft.ext.Multimodal.extractPngText(tagged)
+      .orderBy(col("media_id"), col("key"))
   }
 
   /** 32-bit SimHash with an md5-derived token hash — the
@@ -1340,6 +1383,28 @@ object Pipeline {
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin,
+    // Replays the tEXt payload values (pure id arithmetic) — the BYTES
+    // are proven by the Spark side's CRC-verified chunk parse.
+    "m05_png_meta" ->
+      """WITH tags AS (
+        |  SELECT doc_id AS media_id, 'source' AS key,
+        |    'src_' || (doc_id % 7)::VARCHAR AS value FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'license', 'cc' || (doc_id % 3)::VARCHAR FROM documents
+        |)
+        |SELECT media_id, key, value FROM tags ORDER BY media_id, key""".stripMargin,
+    "e06_interval_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT user_id, epoch_us(ts) AS vts FROM events WHERE event_type = 'view'
+        |)
+        |SELECT c.event_id, c.user_id, c.ts, count(v.vts) AS n_views_1h
+        |FROM clicks c LEFT JOIN views v
+        |  ON v.user_id = c.user_id
+        | AND v.vts >= c.ts - 3600000000 AND v.vts <= c.ts
+        |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin,
     // JDK Normalizer and DuckDB utf8proc both implement Unicode
     // canonical composition; both engines count string length in
     // CODEPOINTS, so composing e+U+0301 into é shrinks len by exactly 1.
@@ -1739,6 +1804,7 @@ object Pipeline {
     "t18_nfc"            -> t18Nfc _,
     "g01_pagerank"       -> g01PageRank _,
     "d13_containment"    -> d13Containment _,
+    "e06_interval_join"  -> e06IntervalJoin _,
     "d06_fingerprint_dedup" -> d06FingerprintDedup _,
     "d07_simhash_md5"    -> d07SimhashMd5 _,
     "t06_weighted_sample" -> t06WeightedSample _,
@@ -1746,5 +1812,6 @@ object Pipeline {
     "m02_media_resize"   -> m02MediaResize _,
     "m03_frame_sample"   -> m03FrameSample _,
     "m04_audio_frames"   -> m04AudioFrames _,
+    "m05_png_meta"       -> m05PngMeta _,
   )
 }

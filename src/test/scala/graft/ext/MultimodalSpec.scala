@@ -152,6 +152,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG tEXt: tagged payloads stay decodable images; CRC corruption is rejected") {
+    import graft.ext.Multimodal
+    import graft.ext.Multimodal.PngText
+    val tagged = Multimodal.syntheticPngTagged(docs.limit(10)).collect()
+    tagged.foreach { r =>
+      // still a valid image with the ORIGINAL pixels
+      val (w, h, rgb) = MediaCodec.decodePng(r.payload)
+      assert(rgb.sameElements(Multimodal.syntheticRaster(r.media_id, w, h)))
+      // tags parse back exactly
+      val tags = PngText.readText(r.payload).toMap
+      assert(tags("source") == s"src_${r.media_id % 7}" &&
+        tags("license") == s"cc${r.media_id % 3}")
+    }
+    // flip one byte inside the first tEXt data region → CRC must catch it
+    val p = tagged.head.payload.clone()
+    val ihdrEnd = 8 + 4 + 4 + 13 + 4
+    p(ihdrEnd + 8 + 2) = (p(ihdrEnd + 8 + 2) ^ 0x01).toByte
+    intercept[IllegalArgumentException] { PngText.readText(p) }
+  }
+
   test("identical payloads are found as media duplicates") {
     import spark.implicits._
     val dupDocs = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "different"))
