@@ -29,15 +29,19 @@ object Graph {
     * directions for an undirected graph. Per iteration the plan is a
     * join on src + an aggregation on dst + a left join back to nodes.
     * The degree-joined edge frame is loop-INVARIANT but referenced by
-    * every iteration, and Catalyst re-derives a subplan per reference —
-    * if the edges come from something expensive (a similarity join, as
-    * in g01) that cost would be paid `iters`+1 times. `materialize`
-    * (default) eagerly `localCheckpoint`s the frame once so iterations
-    * reuse the materialized partitions; pass false when the input is a
-    * plain scan that's cheaper to re-read than to pin. Rank plans nest
-    * linearly in `iters` — for long chains (> ~10) interpose
-    * `localCheckpoint()` on the rank frame too (the
-    * [[graft.ext.Dedup.clusters]] lineage rule).
+    * every iteration. Within one action Spark's exchange reuse usually
+    * dedupes the repeated subplan, but that is a physical-planner
+    * OPTIMIZATION, not a contract — it disappears when the caller
+    * materializes ranks across separate actions (convergence checks,
+    * checkpointed chains) and an expensive edge derivation (the d02
+    * similarity join in g01) would then be re-paid per action.
+    * `materialize` (default) eagerly `localCheckpoint`s the frame once
+    * so edge cost is paid exactly once REGARDLESS of how the caller
+    * drives the loop, and the edge lineage is cut for long chains;
+    * pass false when the input is a plain scan that's cheaper to
+    * re-read than to pin. Rank plans nest linearly in `iters` — for
+    * long chains (> ~10) interpose `localCheckpoint()` on the rank
+    * frame too (the [[graft.ext.Dedup.clusters]] lineage rule).
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
       materialize: Boolean = true): DataFrame = {

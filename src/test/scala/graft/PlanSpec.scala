@@ -142,6 +142,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("s07: SQ encode joins only the broadcast stats — no data-sized shuffle before the sort") {
+    val plan = planOf("s07_sq_codes")
+    assert(plan.contains("BroadcastHashJoin"), s"stats not broadcast:\n$plan")
+    // the stats aggregate's own exchange is dim-rows; the corpus rows
+    // must reach the join without a hash exchange of their own
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("m05: tEXt extraction never shuffles payloads — only the final sort exchanges") {
+    val plan = planOf("m05_png_meta")
+    assert(!plan.contains("Exchange hashpartitioning"), s"metadata scan shuffles:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("e06: interval join is ONE equi-join on user with the range as join filter") {
+    val plan = planOf("e06_interval_join")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).length == 1, s"expected exactly one join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join regressed to a product plan:\n$plan")
+  }
+
   test("e03: forward as-of is the same no-join single-exchange shape as e02") {
     val plan = planOf("e03_asof_forward")
     assert(!plan.contains("Join"), s"as-of regressed to a join:\n$plan")
