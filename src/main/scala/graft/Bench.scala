@@ -246,6 +246,14 @@ object Bench {
         zipfDocs(n), n = 3, k = 32, bands = 16, minJaccard = 0.5)),
       "pairs_minhash_d03_wide" -> (n => Dedup.minhashDedupPairs(
         zipfDocs(n), n = 3, k = 32, bands = 8, minJaccard = 0.5)),
+      // the d13 family: the naive containment join fans in on the
+      // boilerplate head exactly like d02; the asymmetric prefix
+      // strategy keeps high-df tokens off the PROBE side
+      "cont_naive_d13" -> (n => Dedup.ngramContainmentPairs(
+        zipfDocs(n), n = 3, minContainment = 0.6)),
+      "cont_prefix_d13" -> (n => Dedup.ngramContainmentPairs(
+        zipfDocs(n), n = 3, minContainment = 0.6,
+        prefixFilter = true, broadcastDf = true)),
     ), k)
   }
 }

@@ -100,24 +100,72 @@ object Dedup {
     * strategy (sizes ride the exploded rows; one pair groupBy), same
     * single-IEEE-division + round(6) comparison the oracle replays;
     * pairs survive when EITHER direction clears `minContainment`.
-    * Zipfian corpora want the same PPJoin-style guard as Jaccard —
-    * compose with [[prefixStage]]'s df pruning when the shingle df
-    * head explodes the join key.
+    * `prefixFilter = true` switches to the asymmetric PPJoin strategy
+    * (see [[ngramContainmentPrefix]]) — the zipfian-corpus scale path,
+    * identical output.
     */
   def ngramContainmentPairs(docs: DataFrame, n: Int = 3, minContainment: Double = 0.8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      prefixFilter: Boolean = false, broadcastDf: Boolean = false,
+      dfTable: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
+    if (prefixFilter)
+      ngramContainmentPrefix(docs, n, minContainment, textCol, idCol, broadcastDf, dfTable)
+    else {
+      val sets = docs.select(col(idCol).as("id"), graftShingles(col(textCol), n).as("set"))
+      val sh = sets.select(col("id"), size(col("set")).cast("long").as("setSize"),
+        explode(col("set")).as("shingle"))
+      val a = sh.as("a"); val b = sh.as("b")
+      a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.setSize").as("size_a"), col("b.setSize").as("size_b"))
+        .agg(count(lit(1)).as("interSize"))
+        .withColumn("cont_a_in_b", col("interSize").cast("double") / col("size_a"))
+        .withColumn("cont_b_in_a", col("interSize").cast("double") / col("size_b"))
+        .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
+        .select(col("id_a"), col("id_b"),
+          round(col("cont_a_in_b"), 6).as("cont_a_in_b"),
+          round(col("cont_b_in_a"), 6).as("cont_b_in_a"))
+    }
+  }
+
+  /** Prefix-filter strategy of [[ngramContainmentPairs]] — the
+    * ASYMMETRIC PPJoin: `cont(A in B) ≥ t` forces `|A∩B| ≥ ⌈t·|A|⌉`,
+    * so A shares a token inside its rarest
+    * `|A| − ⌈t·|A|⌉ + 1` prefix under the global df order — and that
+    * token is in B's FULL set by definition. Joining every doc's
+    * prefix against every doc's full token list therefore finds each
+    * qualifying pair in the direction where the CONTAINED side is the
+    * probe; running all ids as probes covers both directions in one
+    * join. Unlike the symmetric Jaccard prefix join, the index side
+    * must stay un-pruned (a containing superset can be arbitrarily
+    * large, so no length filter applies either) — the saving is that
+    * high-df boilerplate never enters from the PROBE side, which is
+    * what explodes on zipfian corpora. Candidates verify exactly with
+    * one array_intersect per pair (twin-equality with the naive
+    * strategy pinned in ExtSpec).
+    */
+  private def ngramContainmentPrefix(docs: DataFrame, n: Int, t: Double,
+      textCol: String, idCol: String,
+      broadcastDf: Boolean, dfTable: Option[DataFrame]): DataFrame = {
     val sets = docs.select(col(idCol).as("id"), graftShingles(col(textCol), n).as("set"))
-    val sh = sets.select(col("id"), size(col("set")).cast("long").as("setSize"),
-      explode(col("set")).as("shingle"))
-    val a = sh.as("a"); val b = sh.as("b")
-    a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.setSize").as("size_a"), col("b.setSize").as("size_b"))
-      .agg(count(lit(1)).as("interSize"))
+      .withColumn("setSize", size(col("set")).cast("long"))
+    val prefix = prefixStage(sets, t, broadcastDf, dfTable)
+    val full = sets.select(col("id"), explode(col("set")).as("shingle"))
+    val cand = prefix.as("a").join(full.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
+        col("setSize").as("size_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b"),
+        col("setSize").as("size_b")), "id_b")
+      .withColumn("interSize", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("cont_a_in_b", col("interSize").cast("double") / col("size_a"))
       .withColumn("cont_b_in_a", col("interSize").cast("double") / col("size_b"))
-      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= t)
       .select(col("id_a"), col("id_b"),
         round(col("cont_a_in_b"), 6).as("cont_a_in_b"),
         round(col("cont_b_in_a"), 6).as("cont_b_in_a"))

@@ -433,6 +433,16 @@ class ExtSpec extends AnyFunSuite {
     codes.unpersist()
   }
 
+  test("containment: prefix-filter strategy == naive strategy, rows and ratios") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val naive = rows(Dedup.ngramContainmentPairs(docs, 3, 0.6))
+    val prefix = rows(Dedup.ngramContainmentPairs(docs, 3, 0.6, prefixFilter = true))
+    assert(prefix == naive,
+      s"missing=${(naive -- prefix).take(3)} spurious=${(prefix -- naive).take(3)}")
+    assert(naive.nonEmpty, "fixture produced no containment pairs — assertion vacuous")
+  }
+
   test("sq: int8 codes in range; midpoint reconstruction within one quantization step") {
     val stats = Similarity.sqStats(emb).cache()
     val codes = Similarity.sqEncode(emb, Some(stats))
