@@ -432,6 +432,50 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** [[bm25TopK]] with the textbook LENGTH NORMALIZATION (k1 = 2,
+    * b = 3/4) — long documents stop winning on raw term count. The
+    * saturation denominator `tf + k1·(1−b + b·dl/avgdl)` rationalizes
+    * to pure integers: with `A = avgdl` in CENTI-tokens
+    * (`(Σdl·100) div N`, bounded ~10⁴ so no product overflows) and
+    * `d = dl·100`,
+    *
+    *   sat = (6·A·tf·10⁶) div (2·A·tf + A + 3·d)
+    *
+    * equals `10⁶ · tf·(k1+1)/(tf + k1((1−b) + b·dl/avgdl))` to within
+    * integer rounding, identically in both engines — full BM25 with
+    * still NO float anywhere in the gate. Corpus stats (N, Σdl) ride
+    * the same 1-row broadcast as n_docs; dl rides the tf aggregation
+    * as a per-doc max (every token row of a doc carries the same
+    * count, computed in the scan).
+    */
+  def bm25TopKNormalized(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      idfCap: Long = 1000000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val withDl = docs.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("dl"),
+      lower(col(textCol)).as("lc"))
+    val toks = withDl.select(col("doc_id"), col("dl"),
+        explode(tokens(col("lc"))).as("token"))
+      .where(col("token").isin(terms: _*))
+    val tf = toks.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfTable = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val idfTable = dfTable.crossJoin(stats)
+      .withColumn("idf", least(lit(idfCap),
+        expr("(1000000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)")))
+      .withColumn("avgdl_c", expr("(sum_dl * 100) div n_docs"))
+      .select(col("token"), col("idf"), col("avgdl_c"))
+    tf.join(broadcast(idfTable), "token")
+      .withColumn("sat",
+        expr("(6 * avgdl_c * tf * 1000000) div (2 * avgdl_c * tf + avgdl_c + 3 * dl * 100)"))
+      .withColumn("contrib", expr("(sat * idf) div 1000000"))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** Per-document text metrics via [[graft.functions.TextMetrics]] — ONE
     * pass over each text (the column-primitive formulation above is kept
     * for à-la-carte use; this fused path is ~5× faster and verified

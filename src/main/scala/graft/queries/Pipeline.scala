@@ -234,6 +234,16 @@ object Pipeline {
     graft.ops.Approx.spaceSavingTopK(toks, "token", k = 15, capacity = 1024)
   }
 
+  /** Full BM25 with length normalization
+    * ([[TextOps.bm25TopKNormalized]], k1 = 2, b = 3/4): t16's scoring
+    * plus the dl/avgdl denominator, rationalized to pure positive-long
+    * arithmetic with avgdl in centi-tokens — the complete textbook
+    * formula with no float anywhere in the gate.
+    */
+  def t19Bm25Dl(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bm25TopKNormalized(Tables.documents(spark, dir),
+      Seq("dup", "spark", "vector", "merge"), k = 20)
+
   /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], true
     * codegen): even-id docs get a REAL decomposed combining sequence
     * appended (`e` + U+0301), which canonical composition must fuse to
@@ -1430,6 +1440,37 @@ object Pipeline {
         |SELECT token, count(*) AS est, CAST(0 AS BIGINT) AS err
         |FROM toks WHERE token <> ''
         |GROUP BY token ORDER BY est DESC, token LIMIT 15""".stripMargin,
+    // t16 plus the rationalized dl/avgdl saturation (avgdl in
+    // centi-tokens); HUGEINT intermediates are exact, output cast back.
+    "t19_bm25_dl" ->
+      """WITH q AS (
+        |  SELECT unnest(['dup','spark','vector','merge']) AS token
+        |), dt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS dl,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, dl, unnest(w) AS token FROM dt
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+        |  FROM toks JOIN q USING (token) GROUP BY 1, 2
+        |), df AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dt
+        |), w2 AS (
+        |  SELECT tf.doc_id,
+        |    ((6 * ((n.sum_dl * 100) // n.n_docs) * tf.tf * 1000000)
+        |      // (2 * ((n.sum_dl * 100) // n.n_docs) * tf.tf
+        |          + ((n.sum_dl * 100) // n.n_docs) + 3 * tf.dl * 100)) AS sat,
+        |    least(1000000000,
+        |      (1000000 * (2 * n.n_docs - 2 * df.df + 1)) // (2 * df.df + 1)) AS idf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n
+        |)
+        |SELECT doc_id, CAST(sum((sat * idf) // 1000000) AS BIGINT) AS score
+        |FROM w2 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // Replays TextOps.bm25TopK's integer-rational BM25 exactly: DuckDB's
     // flooring // equals Spark's truncating div on the all-positive
     // operands, so score is bit-identical with no float anywhere.
@@ -1802,6 +1843,7 @@ object Pipeline {
     "t16_bm25"           -> t16Bm25 _,
     "t17_heavy_hitters"  -> t17HeavyHitters _,
     "t18_nfc"            -> t18Nfc _,
+    "t19_bm25_dl"        -> t19Bm25Dl _,
     "g01_pagerank"       -> g01PageRank _,
     "d13_containment"    -> d13Containment _,
     "e06_interval_join"  -> e06IntervalJoin _,
