@@ -7,8 +7,10 @@ import graft.streaming.{EventsStream, StreamingAsOf}
 
 /** End-to-end tour of the streaming surface against the events fixture
   * replayed through the file-stream source: windowed aggregation,
-  * bounded-state dedup, stream-stream interval join, and the stateful
-  * streaming as-of — each checked against its batch twin.
+  * bounded-state dedup, stream-stream interval join, the stateful
+  * streaming as-of, index-backed dedup + PQ/ADC similarity serving,
+  * and the cross-batch heavy-hitter summary — each checked against
+  * its batch twin.
   * Run: `sbt "runMain graft.examples.StreamTour"` — prints one OK/FAIL
   * line per operator and exits nonzero on any FAIL.
   */
@@ -121,6 +123,52 @@ object StreamTour {
           n = 3, k = 32, bands = 16, minJaccard = 0.5)
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       streamed.nonEmpty && streamed == expected
+    }
+
+    check("PQ ADC serving from a swapped-in index equals the batch operator") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("streamtour_pq")
+        .toFile.getAbsolutePath
+      val emb = graft.Tables.embeddings(spark, sf)
+      graft.ext.IndexLifecycle.rebuildPqIndex(emb, s"$root/pq", m = 4, k = 8, iters = 1)
+      val probes = emb.filter(col("vec_id") < 5)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.StreamingSimilarity.startAtPq(
+        input.toDF().toDF("vec_id", "embedding"), s"$root/pq", k = 5,
+        s"$root/out", s"$root/ckpt")
+      try {
+        input.addData(probes.select("vec_id", "embedding")
+          .as[(Long, Array[Float])].collect().toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.read.parquet(s"$root/out")
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = graft.ext.Similarity.pqTopKAt(spark, probes, k = 5, s"$root/pq")
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      streamed.nonEmpty && streamed == expected
+    }
+
+    check("cross-batch heavy-hitter summary equals exact counts of the whole stream") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("streamtour_hh")
+        .toFile.getAbsolutePath
+      val toks = graft.Tables.documents(spark, sf)
+        .select(explode(graft.ext.TextOps.tokens(lower(col("text")))).as("token"))
+        .filter(col("token") =!= "").as[String].collect()
+      val (h1, h2) = toks.splitAt(toks.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val q = graft.streaming.StreamingHeavyHitters.startAt(
+        input.toDF().toDF("token"), "token", s"$root/state", s"$root/ckpt",
+        capacity = 1024)
+      try {
+        input.addData(h1.toIndexedSeq); q.processAllAvailable()
+        input.addData(h2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val st = spark.read.parquet(s"$root/state")
+      st.agg(sum("est")).head.getLong(0) == toks.length &&
+        st.agg(max("err")).head.getLong(0) == 0L
     }
 
     println(if (failed == 0) "StreamTour: all checks passed"
