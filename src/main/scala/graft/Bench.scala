@@ -113,7 +113,10 @@ object Bench {
     // for 61 queries overflow what a line-driven capture keeps (r6/r7
     // artifacts ended up with "parsed: null" and a truncated tail), so
     // stdout carries only a short parseable summary pointing at it
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // probes-only dev runs write aside by default: a probe iteration
+    // must never clobber the committed full-suite artifact
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (probesOnly) "bench_probes.json" else "bench_out.json")
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"scale_probe":$probeJson,"pair_probe":$pairJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

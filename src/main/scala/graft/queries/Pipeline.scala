@@ -747,6 +747,64 @@ object Pipeline {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** ORC round trip UNDER THE ORACLE GATE: the lineitem slice is
+    * written through [[graft.sources.Orc]], read back, and aggregated —
+    * the DuckDB oracle computes the same aggregate straight from the
+    * PARQUET table, so a hash match proves the ORC sink+source preserve
+    * values and types exactly (pushdown reaching the ORC scan is
+    * OrcSpec-pinned separately; sums ride DecimalType per the q02
+    * exactness rule). Deterministic tmp target, overwritten per run.
+    */
+  def j02OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_j02_orc"
+    graft.sources.Orc.writeOrc(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+          col("l_extendedprice")),
+      tmp)
+    graft.sources.Orc.readOrc(spark, tmp)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The j02 proof for the TEXT formats, where value fidelity actually
+    * breaks (doubles through string serialization, quoting, header
+    * skew): CSV with an EXPLICIT read schema (j03) and JSONL (j04),
+    * both against the same parquet-side oracle. Spark writes doubles
+    * in shortest-round-trip form, so the string→double re-parse is
+    * bit-exact — which is precisely what the hash gate checks.
+    */
+  def j03CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_j03_csv"
+    val slice = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_extendedprice"))
+    graft.sources.Csv.writeCsv(slice, tmp)
+    graft.sources.Csv.readCsv(spark, tmp, Some(slice.schema))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def j04JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_j04_jsonl"
+    val slice = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_extendedprice"))
+    graft.sources.Jsonl.writeJsonl(slice, tmp)
+    graft.sources.Jsonl.readJsonl(spark, tmp, Some(slice.schema))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** PNG tEXt provenance metadata round-trip
     * ([[graft.ext.Multimodal.syntheticPngTagged]] →
     * [[graft.ext.Multimodal.extractPngText]]): tags are inserted as
@@ -1393,6 +1451,23 @@ object Pipeline {
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin,
+    // The oracle reads PARQUET; the Spark side routed through ORC — a
+    // hash match proves the round trip preserved values and types.
+    "j03_csv_roundtrip" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "j04_jsonl_roundtrip" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "j02_orc_roundtrip" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Replays the tEXt payload values (pure id arithmetic) — the BYTES
     // are proven by the Spark side's CRC-verified chunk parse.
     "m05_png_meta" ->
@@ -1855,5 +1930,8 @@ object Pipeline {
     "m03_frame_sample"   -> m03FrameSample _,
     "m04_audio_frames"   -> m04AudioFrames _,
     "m05_png_meta"       -> m05PngMeta _,
+    "j02_orc_roundtrip"  -> j02OrcRoundtrip _,
+    "j03_csv_roundtrip"  -> j03CsvRoundtrip _,
+    "j04_jsonl_roundtrip" -> j04JsonlRoundtrip _,
   )
 }
