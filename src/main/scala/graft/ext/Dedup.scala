@@ -129,6 +129,28 @@ object Dedup {
     }
   }
 
+  /** The drop policy over [[ngramContainmentPairs]] output: a doc
+    * contained in another (either direction ≥ t) is dropped in favor
+    * of its superset — near-equal pairs (both directions ≥ t) keep the
+    * SMALLEST id (the d-family convention). The drop set is the union
+    * of per-pair decisions, so a doc contained in an itself-dropped
+    * superset still goes (deterministic, no chain-order dependence);
+    * consequently no surviving pair has both endpoints kept (pinned in
+    * ExtSpec). One anti-join; pairs are the expensive input and arrive
+    * precomputed.
+    */
+  def dropContained(docs: DataFrame, pairs: DataFrame, minContainment: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    val t = minContainment
+    val drops = pairs.select(
+      when(col("cont_a_in_b") >= t && col("cont_b_in_a") >= t,
+          greatest(col("id_a"), col("id_b")))
+        .when(col("cont_a_in_b") >= t, col("id_a"))
+        .otherwise(col("id_b")).as("drop_id"))
+      .distinct()
+    docs.join(drops, docs(idCol) === drops("drop_id"), "left_anti")
+  }
+
   /** Prefix-filter strategy of [[ngramContainmentPairs]] — the
     * ASYMMETRIC PPJoin: `cont(A in B) ≥ t` forces `|A∩B| ≥ ⌈t·|A|⌉`,
     * so A shares a token inside its rarest

@@ -194,6 +194,19 @@ object Pipeline {
         minContainment = 0.6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Containment-drop curation policy ([[Dedup.dropContained]]) over
+    * the d13 pair set: contained docs go, supersets stay, near-equal
+    * pairs keep the smallest id; the oracle recomputes drops from the
+    * shared shingle CTEs with the same per-pair CASE.
+    */
+  def d14DropContained(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramContainmentPairs(docs, 3, 0.6, prefixFilter = true,
+      broadcastDf = true)
+    Dedup.dropContained(docs, pairs, 0.6)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Integer PageRank ([[graft.ops.Graph.pageRank]], 3 iterations) over
     * the symmetric n-gram-Jaccard similarity graph — "which documents
     * sit at the center of a near-duplicate neighborhood" (the curation
@@ -1212,6 +1225,26 @@ object Pipeline {
   /** Containment over the same shingle CTEs (jpairs rides along
     * unused): per-side single divisions, round(6), either-direction
     * threshold — d13. */
+  /** d14: the drop-policy CASE over the same containment ratios, then
+    * the kept-id anti-join. */
+  private val dropContainedOracle =
+    s"""WITH $ngramJaccardCtes, conts AS (
+       |  SELECT ia AS id_a, ib AS id_b,
+       |    isz / CAST(sa.sz AS DOUBLE) AS ca,
+       |    isz / CAST(sb.sz AS DOUBLE) AS cb
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = ia
+       |  JOIN sizes sb ON sb.doc_id = ib
+       |), drops AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN ca >= 0.6 AND cb >= 0.6 THEN greatest(id_a, id_b)
+       |         WHEN ca >= 0.6 THEN id_a ELSE id_b END AS drop_id
+       |  FROM conts WHERE ca >= 0.6 OR cb >= 0.6
+       |)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT drop_id FROM drops)
+       |ORDER BY doc_id""".stripMargin
+
   private val containmentOracle =
     s"""WITH $ngramJaccardCtes
        |SELECT ia AS id_a, ib AS id_b,
@@ -1344,6 +1377,7 @@ object Pipeline {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "d02_ngram_jaccard" -> ngramJaccardOracle,
     "d13_containment" -> containmentOracle,
+    "d14_drop_contained" -> dropContainedOracle,
     // the PPJoin strategy must equal the naive strategy exactly — same oracle
     "d09_ngram_jaccard_ppjoin" -> ngramJaccardOracle,
     // minhash+LSH output is LSH-candidates verified by exact Jaccard; with
@@ -1922,6 +1956,7 @@ object Pipeline {
     "g01_pagerank"       -> g01PageRank _,
     "d13_containment"    -> d13Containment _,
     "e06_interval_join"  -> e06IntervalJoin _,
+    "d14_drop_contained" -> d14DropContained _,
     "d06_fingerprint_dedup" -> d06FingerprintDedup _,
     "d07_simhash_md5"    -> d07SimhashMd5 _,
     "t06_weighted_sample" -> t06WeightedSample _,

@@ -433,6 +433,21 @@ class ExtSpec extends AnyFunSuite {
     codes.unpersist()
   }
 
+  test("dropContained: no containment pair survives with both endpoints kept") {
+    val pairs = Dedup.ngramContainmentPairs(docs, 3, 0.6).cache()
+    assert(pairs.count() > 0, "fixture produced no containment pairs — assertion vacuous")
+    val kept = Dedup.dropContained(docs, pairs, 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => kept.contains(a) && kept.contains(b) }
+    assert(survivors.isEmpty, s"both-kept containment pairs: ${survivors.take(5).toSeq}")
+    // every doc is either kept or the drop target of some pair
+    val dropped = docs.select("doc_id").collect().map(_.getLong(0)).toSet -- kept
+    val pairIds = pairs.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(dropped.subsetOf(pairIds), "dropped a doc no pair ever implicated")
+    pairs.unpersist()
+  }
+
   test("containment: prefix-filter strategy == naive strategy, rows and ratios") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
