@@ -388,6 +388,120 @@ object Multimodal {
       extractFeatures(media).toDF().withColumnRenamed("media_id", "vec_id"), minSim)
 
   // ---------------------------------------------------------------------
+  // Perceptual hashing (dHash): the image-dedup primitive — byte-exact
+  // dedup misses re-encodes/resizes, embedding dedup needs a model; the
+  // difference hash catches "same picture, different file" with pure
+  // integer pixel arithmetic, which also makes it SQL-replayable and
+  // therefore gateable (m06/d15).
+  // ---------------------------------------------------------------------
+
+  /** Integer Rec.601-style luma of a packed 0xRRGGBB pixel —
+    * (299·r + 587·g + 114·b) div 1000, truncating, non-negative.
+    */
+  private[graft] def grayLuma(rgb: Int): Int =
+    (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587 + (rgb & 255) * 114) / 1000
+
+  /** 56-bit difference hash: nearest-neighbor scale to an 8×8 luma
+    * grid, bit j = (y·7 + x) set iff gray(x+1, y) > gray(x, y) — the
+    * classic dHash with a 7-comparison row so the hash stays a
+    * POSITIVE long (bit 55 max), keeping every downstream sum/shift
+    * exact in both engines (the t16 overflow-bound principle).
+    */
+  private[graft] def dhash56(w: Int, h: Int, rgb: Array[Int]): Long = {
+    val g = MediaCodec.scaleNearest(w, h, rgb, 8, 8).map(grayLuma)
+    var hsh = 0L
+    var j = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (g(y * 8 + x + 1) > g(y * 8 + x)) hsh |= 1L << j
+        j += 1
+        x += 1
+      }
+      y += 1
+    }
+    hsh
+  }
+
+  /** Class-seeded synthetic PNG fixture: raster seed `id % classes`
+    * (so docs share images — the duplicate structure dHash exists to
+    * find), one noise level per `id div classes` perturbing the (0,0)
+    * red channel (a near-dup, not an exact dup: the perturbation moves
+    * at most one hash bit). REAL ImageIO PNGs, SQL-replayable pixels —
+    * [[syntheticPng]]'s proof shape with controlled duplication.
+    */
+  def syntheticPngClasses(docs: DataFrame, idCol: String = "doc_id",
+      classes: Int = 50, noiseLevels: Int = 3)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = Math.floorMod(id, classes.toLong)
+        val w = (8 + Math.floorMod(img, 9L)).toInt
+        val h = (8 + Math.floorMod(img, 5L)).toInt
+        val rgb = syntheticRaster(img, w, h)
+        val nz = Math.floorMod(id / classes, noiseLevels.toLong).toInt
+        val r0 = ((((rgb(0) >> 16) & 255) + 40 * nz) % 256) << 16
+        rgb(0) = r0 | (rgb(0) & 0xFFFF)
+        MediaRow(id, MediaMeta("image", PngFormat, w, h),
+          MediaCodec.encodePng(w, h, rgb))
+      }
+    }
+  }
+
+  /** Per-image 56-bit dHash over REAL decoded payloads — one codec pass
+    * per partition, narrow, output (media_id, dhash).
+    */
+  def imageDhash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = MediaCodec.decodePng(r.payload)
+        (r.media_id, dhash56(w, h, rgb))
+      }
+    }.toDF("media_id", "dhash")
+  }
+
+  /** Near-dup image pairs by banded Hamming join over dHashes — the
+    * d04/d10 SimHash pairing machinery applied to the image modality.
+    * `maxDist + 1` bands of 56/(maxDist+1) bits: two hashes within
+    * `maxDist` agree on ≥ 1 full band (pigeonhole), so candidates come
+    * from equi-joins on (band, band-bits) — never an all-pairs product
+    * — and are verified with an exact `bit_count(xor)`. All band
+    * extraction is shift/mask built-ins (codegen'd, no UDF).
+    */
+  def dhashPairs(hashes: DataFrame, maxDist: Int = 3,
+      idCol: String = "media_id", hashCol: String = "dhash"): DataFrame = {
+    require(maxDist >= 0 && maxDist < 56, s"maxDist $maxDist out of range")
+    val bands = math.min(maxDist + 1, 56)
+    // disjoint bands covering all 56 bits (band b = bits
+    // [56b/bands, 56(b+1)/bands)) — disjointness + full coverage is
+    // what makes the pigeonhole candidate guarantee hold
+    val bandStructs = (0 until bands).map { b =>
+      val lo = 56 * b / bands
+      val hi = 56 * (b + 1) / bands
+      struct(lit(b).as("band"),
+        shiftright(col("h"), lo)
+          .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bv"))
+    }
+    val banded = hashes
+      .select(col(idCol).as("id"), col(hashCol).as("h"))
+      .select(col("id"), col("h"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("h"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("band"), col("bv"),
+      col("id").as("id_a"), col("h").as("h_a"))
+    val b = banded.select(col("band"), col("bv"),
+      col("id").as("id_b"), col("h").as("h_b"))
+    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(h_a ^ h_b)").cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  // ---------------------------------------------------------------------
   // PNG metadata: tEXt chunks inserted/parsed at the BYTE level per the
   // PNG spec (length + type + data + CRC32 over type||data) — real
   // format work, not a library accessor; tagged payloads stay valid

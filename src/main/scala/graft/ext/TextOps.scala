@@ -67,6 +67,102 @@ object TextOps {
     lenScore * 0.5 + punctScore * 0.2 + stopScore * 0.3
   }
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1, public):
+    * the standard pre-filter every web-scale curation pipeline runs
+    * before any model-based scoring. Per doc, five rules over integer /
+    * micro-unit rational metrics (no float anywhere, so the full table
+    * sits under the cross-engine hash gate):
+    *
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [3, 10] chars (micro-units)
+    *   - symbol-to-word ratio (# / ellipsis) ≤ 0.1
+    *   - ≥ 80% of words contain an alphabetic character
+    *   - ≥ 2 distinct stopwords present (the "stop word filter")
+    *
+    * Output: doc_id + each metric + per-rule flags folded into `keep`.
+    * Plan: a narrow per-row map — no shuffle, no UDF; ratios are
+    * truncating integer `div` on micro-scaled counts so DuckDB's
+    * flooring `//` replays them exactly (all operands non-negative).
+    */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minWords: Int = 30,
+      maxWords: Int = 100000): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nWords = tokenCount(text).cast("long")
+    // Σ word lengths == non-whitespace char count (whitespace tokenizer)
+    val nonWs = length(regexp_replace(text, "\\s", "")).cast("long")
+    val sym = regexp_count(text, lit("#|\\.\\.\\.|…")).cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(array_intersect(
+      tokens(lower(text)), array(StopwordsEn.map(lit): _*))).cast("long")
+    docs.select(col(idCol), nWords.as("n_words"), nonWs.as("_nonws"),
+        sym.as("_sym"), alphaWords.as("_alpha"), stopHits.as("stop_hits"))
+      .select(col(idCol), col("n_words"),
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("_nonws * 1000000 div n_words")).as("mwl_micro"),
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("_sym * 1000000 div n_words")).as("sym_micro"),
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("_alpha * 1000000 div n_words")).as("alpha_micro"),
+        col("stop_hits"))
+      .withColumn("keep",
+        (col("n_words").between(minWords, maxWords) &&
+          col("mwl_micro").between(3000000L, 10000000L) &&
+          col("sym_micro") <= 100000L &&
+          col("alpha_micro") >= 800000L &&
+          col("stop_hits") >= 2L).cast("long"))
+  }
+
+  /** Corpus-trained bigram language-model score per document — the
+    * CCNet-style "LM filter" shape (score docs against a model trained
+    * on the corpus itself / a reference corpus, drop the tail), with
+    * the log-prob sum rationalized to INTEGER micro-units so the whole
+    * table sits under the cross-engine hash gate:
+    *
+    *   p_micro(w1,w2) = ((c2(w1,w2) + 1) · 10⁶) div (c1(w1) + V)
+    *   lm_micro(doc)  = (Σ p_micro over the doc's bigram stream)
+    *                      div n_bigrams
+    *
+    * — add-one smoothing, average per-bigram transition likelihood
+    * (higher = more typical of the corpus). All operands non-negative,
+    * truncating div, no float anywhere.
+    *
+    * Plan at scale: token/bigram count tables are two map-side-combined
+    * aggs; each doc's bigram stream joins the count tables on their
+    * natural keys (hash shuffles on bigram/unigram — vocab-sized, not
+    * corpus-sized, after the combine); V is a one-row broadcast. No
+    * all-pairs anything; docs with < 2 tokens score 0, preserved by
+    * the final left join.
+    */
+  def bigramLmScore(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+        tokens(lower(col(textCol))).as("t"))
+      .withColumn("n", size(col("t")))
+    val bigrams = base.filter(col("n") >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(0, n - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val unigrams = base.select(explode(col("t")).as("w"))
+    val c1 = unigrams.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .withColumnRenamed("w", "w1")
+    val vocab = unigrams.agg(countDistinct(col("w")).as("v"))
+    val perDoc = bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_micro", expr("(c2 + 1) * 1000000 div (c1 + v)"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("s"))
+    base.select(col("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("s div n_bigrams"), lit(0L)).as("lm_micro"))
+  }
+
   /** Character n-gram based language ID over a fixed marker table — the
     * classic stopword/diacritic heuristic. Scores each language by
     * marker-token hits; highest wins, 'en' on tie/none.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Similarity, TextOps}
+import graft.ext.{Dedup, Similarity, TextOps, UrlOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -224,6 +224,26 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-node triangle counts ([[graft.ops.Graph.triangleCounts]]) over
+    * the d02 similarity graph — the clustering-coefficient numerator:
+    * how tightly a doc's near-dup neighborhood is knit (a triangle-rich
+    * neighborhood is one redundant cluster; a triangle-free star is one
+    * doc quoted by many unrelated ones — different curation policies).
+    * The Spark side enumerates via degree-ordered orientation (wedge
+    * fan-out capped at O(√m) out-degree — the power-law survival
+    * trick); the oracle independently enumerates a < b < c id-ordered
+    * triangles off the shared jpairs CTEs. Two different enumeration
+    * orders, same counts — exactly what the gate should pin.
+    */
+  def g02Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.ops.Graph.triangleCounts(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("n_tri"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Scalar int8 quantization ([[Similarity.sqEncode]]): per-dim
     * min/max in exact integer micro-units, linear map to 0..255 —
     * integers end to end, so corpus stats AND codes sit under the
@@ -256,6 +276,86 @@ object Pipeline {
   def t19Bm25Dl(spark: SparkSession, dir: String): DataFrame =
     TextOps.bm25TopKNormalized(Tables.documents(spark, dir),
       Seq("dup", "spark", "vector", "merge"), k = 20)
+
+  /** Perceptual image hashing ([[graft.ext.Multimodal.imageDhash]]):
+    * class-seeded REAL PNGs (doc_id % 50 picks the raster, a per-doc
+    * noise level perturbs one pixel) are decoded with the real codec,
+    * scaled to the 8×8 luma grid, and difference-hashed — the oracle
+    * regenerates every raster from id arithmetic and replays
+    * scale → integer luma → neighbor-compare → bit-pack, so a hash
+    * match proves the whole decode+hash chain bit-for-bit.
+    */
+  def m06ImageDhash(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticPngClasses(Tables.documents(spark, dir))
+    graft.ext.Multimodal.imageDhash(media).orderBy(col("media_id"))
+  }
+
+  /** Image near-dup pairs ([[graft.ext.Multimodal.dhashPairs]]) over
+    * the m06 hashes: banded Hamming join (pigeonhole candidates, exact
+    * `bit_count(xor)` verify — the SimHash pairing machinery on the
+    * image modality). The class-seeded fixture makes the true pair set
+    * rich (same class ⇒ dist ≤ 1 near-dups across noise levels); the
+    * oracle recomputes hashes AND pairs independently.
+    */
+  def d15ImageDhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticPngClasses(Tables.documents(spark, dir))
+    graft.ext.Multimodal.dhashPairs(graft.ext.Multimodal.imageDhash(media), maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Corpus-trained bigram LM scoring ([[TextOps.bigramLmScore]]) —
+    * the CCNet-style LM quality filter with the log-prob sum
+    * rationalized to integer micro-units: add-one-smoothed average
+    * transition likelihood per doc, exact across engines (truncating
+    * div on non-negative longs). The oracle retrains the same counts
+    * (bigram, unigram, vocab) from scratch and replays the arithmetic.
+    */
+  def t22BigramLm(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bigramLmScore(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** URL canonicalization + domain stats ([[UrlOps]]): per-doc
+    * deterministic synthetic crawl URLs (uppercase `WWW.` aliases,
+    * default :443 ports, trailing slashes, `utm_*` tracking params,
+    * fragments — each id-derived, so both engines regenerate them) are
+    * canonicalized and rolled up per registrable domain. The gate pins
+    * every canonical string and the per-domain doc counts; all regexes
+    * are RE2-safe by construction so DuckDB replays them verbatim.
+    */
+  def t21UrlDomains(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      lit("https://"),
+      when(id % 4 === 0, lit("www.")).when(id % 4 === 1, lit("WWW."))
+        .otherwise(lit("")),
+      lit("site"), (id % 23).cast("string"),
+      element_at(array(lit(".com"), lit(".org"), lit(".net")),
+        (id % 3 + 1).cast("int")),
+      when(id % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), id.cast("string"),
+      when(id % 2 === 1, lit("/")).otherwise(lit("")),
+      when(id % 2 === 0, concat(lit("?utm_source=feed&id="), id.cast("string")))
+        .otherwise(concat(lit("?id="), id.cast("string"))),
+      when(id % 7 === 0, lit("#sec")).otherwise(lit("")))
+    UrlOps.withDomainStats(
+        Tables.documents(spark, dir).select(col("doc_id"), url.as("url")),
+        "url")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-rule quality battery ([[TextOps.gopherRules]]): the
+    * standard five-rule web-curation pre-filter, all metrics in
+    * integer micro-units so the FULL table (metrics + keep decision)
+    * hash-matches DuckDB replaying the same truncating-div arithmetic.
+    * The fixture straddles every threshold that can vary here (word
+    * count 10–99 vs the 30 floor; 0–2+ distinct stopwords), so both
+    * keep outcomes are exercised.
+    */
+  def t20GopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
 
   /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], true
     * codegen): even-id docs get a REAL decomposed combining sequence
@@ -1290,6 +1390,38 @@ object Pipeline {
     * three unrolled integer rank updates (`//` == Spark `div` on the
     * all-positive operands), dangling nodes receive teleport only.
     */
+  /** Shared dHash replay (m06/d15): regenerate the class-seeded rasters
+    * from id arithmetic, nearest-neighbor scale to the 8×8 grid, integer
+    * luma, neighbor compares, bit-pack — every step the Spark side runs
+    * on REAL decoded PNGs, replayed here with no codec.
+    */
+  private val dhashCtes =
+    """dims AS (
+      |  SELECT doc_id, doc_id % 50 AS img,
+      |    8 + (doc_id % 50) % 9 AS sw, 8 + (doc_id % 50) % 5 AS sh,
+      |    (doc_id // 50) % 3 AS nz
+      |  FROM documents
+      |), gg AS (
+      |  SELECT doc_id, xx.x AS x, yy.y AS y,
+      |    ((CASE WHEN xx.x = 0 AND yy.y = 0
+      |          THEN ((img * 31) % 256 + 40 * nz) % 256
+      |          ELSE (img*31 + ((xx.x*sw)//8)*7 + ((yy.y*sh)//8)*13) % 256 END) * 299
+      |     + ((img*17 + ((xx.x*sw)//8)*11 + ((yy.y*sh)//8)*5) % 256) * 587
+      |     + ((img*13 + ((xx.x*sw)//8)*3 + ((yy.y*sh)//8)*19) % 256) * 114) // 1000 AS gray
+      |  FROM dims,
+      |    (SELECT unnest(range(0, 8)) AS x) xx,
+      |    (SELECT unnest(range(0, 8)) AS y) yy
+      |), bits AS (
+      |  SELECT a.doc_id, a.y * 7 + a.x AS j,
+      |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+      |  FROM gg a JOIN gg b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 7
+      |), dh AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY doc_id
+      |)""".stripMargin
+
   private def pageRankOracle(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""c$i AS (
@@ -1336,6 +1468,39 @@ object Pipeline {
     "s05_kmeans_codebook" -> kmeansCodebookOracle(k = 8, iters = 3),
     "s06_pq_codes" -> pqCodesOracle(m = 4, k = 8, iters = 2, subDim = 16),
     "g01_pagerank" -> pageRankOracle(iters = 3),
+    "m06_image_dhash" ->
+      s"""WITH $dhashCtes
+         |SELECT media_id, dhash FROM dh ORDER BY media_id""".stripMargin,
+    // Oracle verifies pairs by the naive all-pairs spelling (its d02
+    // role: the quadratic twin lives in the oracle, the banded plan in
+    // the engine).
+    "d15_image_dhash_pairs" ->
+      s"""WITH $dhashCtes
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+         |FROM dh a JOIN dh b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Independent enumeration: id-ordered a<b<c three-way self-join
+    // over the SAME jpairs edge set the Spark side orients by degree.
+    "g02_triangles" ->
+      s"""WITH $ngramJaccardCtes, e AS (
+         |  SELECT id_a AS a, id_b AS b FROM jpairs
+         |), tri AS (
+         |  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+         |  FROM e e1
+         |  JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+         |), pernode AS (
+         |  SELECT id, count(*) AS n_tri FROM (
+         |    SELECT n1 AS id FROM tri
+         |    UNION ALL SELECT n2 FROM tri
+         |    UNION ALL SELECT n3 FROM tri)
+         |  GROUP BY 1
+         |)
+         |SELECT doc_id, CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri
+         |FROM documents LEFT JOIN pernode ON id = doc_id
+         |ORDER BY doc_id""".stripMargin,
     // Replays sqStats + sqEncode: integer micro-unit min/max per dim,
     // positive-long linear map — DuckDB // == Spark div throughout.
     "s07_sq_codes" ->
@@ -1909,6 +2074,121 @@ object Pipeline {
         |       ELSE 'de' END AS lang_pred,
         |  CAST(mx AS BIGINT) AS hits
         |FROM m ORDER BY doc_id""".stripMargin,
+    // Replays the five Gopher rules with the same micro-unit truncating
+    // division (all operands non-negative, so DuckDB // == Spark div).
+    "t20_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nonws,
+        |    len(regexp_extract_all(text, '#|\.\.\.|…')) AS sym,
+        |    string_split_regex(trim(text), '\s+') AS raw_toks,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (nonws * 1000000) // n_words END AS mwl_micro,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (sym * 1000000) // n_words END AS sym_micro,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (len(list_filter(raw_toks,
+        |                x -> regexp_matches(x, '[A-Za-z]'))) * 1000000)
+        |              // n_words END AS alpha_micro,
+        |    len(list_intersect(toks,
+        |      ['the','a','an','and','or','of','to','in','is','it'])) AS stop_hits
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words,
+        |  CAST(mwl_micro AS BIGINT) AS mwl_micro,
+        |  CAST(sym_micro AS BIGINT) AS sym_micro,
+        |  CAST(alpha_micro AS BIGINT) AS alpha_micro,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+        |             AND mwl_micro BETWEEN 3000000 AND 10000000
+        |             AND sym_micro <= 100000
+        |             AND alpha_micro >= 800000
+        |             AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // Regenerates the same id-derived URLs, then replays
+    // UrlOps.canonicalizeUrl / registrableDomain with the identical
+    // RE2 regexes and the same utm_* query-param filter.
+    "t21_url_domains" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'www.'
+        |         WHEN doc_id % 4 = 1 THEN 'WWW.' ELSE '' END ||
+        |    'site' || (doc_id % 23)::VARCHAR ||
+        |    CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |         ELSE '.net' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+        |    '/p/' || doc_id::VARCHAR ||
+        |    CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN '?utm_source=feed&id=' || doc_id::VARCHAR
+        |         ELSE '?id=' || doc_id::VARCHAR END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END AS url
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, url,
+        |    array_to_string(list_filter(
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      x -> NOT starts_with(x, 'utm_')), '&') AS kept_qs
+        |  FROM u
+        |), c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url,
+        |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+        |      ':443$', ''), ':80$', '')
+        |    || regexp_replace(regexp_extract(url,
+        |         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+        |    || CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END
+        |      AS url_canon
+        |  FROM q
+        |), d AS (
+        |  SELECT doc_id, url_canon,
+        |    regexp_replace(lower(regexp_extract(url_canon,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
+        |      '^www\.', '') AS domain
+        |  FROM c
+        |)
+        |SELECT doc_id, url_canon, domain,
+        |  count(*) OVER (PARTITION BY domain) AS dom_docs
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // Retrains the bigram/unigram/vocab counts and replays the add-one
+    // micro-unit arithmetic; DuckDB's flooring // on non-negative
+    // operands == Spark's truncating div, and sum(BIGINT)'s HUGEINT
+    // widening is cast back.
+    "t22_bigram_lm" ->
+      """WITH dt AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM dt, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+        |  WHERE len(t) >= 2
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT unnest(t) AS w FROM dt
+        |), c1 AS (
+        |  SELECT w, count(*) AS c1 FROM uni GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT w) AS v FROM uni
+        |), s AS (
+        |  SELECT b.doc_id, ((c2.c2 + 1) * 1000000) // (c1.c1 + v.v) AS p
+        |  FROM b JOIN c2 USING (w1, w2) JOIN c1 ON b.w1 = c1.w CROSS JOIN v
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, sum(p) AS s
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT dt.doc_id,
+        |  CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(agg.s // agg.n_bigrams, 0) AS BIGINT) AS lm_micro
+        |FROM dt LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1953,7 +2233,11 @@ object Pipeline {
     "t17_heavy_hitters"  -> t17HeavyHitters _,
     "t18_nfc"            -> t18Nfc _,
     "t19_bm25_dl"        -> t19Bm25Dl _,
+    "t20_gopher_rules"   -> t20GopherRules _,
+    "t21_url_domains"    -> t21UrlDomains _,
+    "t22_bigram_lm"      -> t22BigramLm _,
     "g01_pagerank"       -> g01PageRank _,
+    "g02_triangles"      -> g02Triangles _,
     "d13_containment"    -> d13Containment _,
     "e06_interval_join"  -> e06IntervalJoin _,
     "d14_drop_contained" -> d14DropContained _,
@@ -1965,6 +2249,8 @@ object Pipeline {
     "m03_frame_sample"   -> m03FrameSample _,
     "m04_audio_frames"   -> m04AudioFrames _,
     "m05_png_meta"       -> m05PngMeta _,
+    "m06_image_dhash"    -> m06ImageDhash _,
+    "d15_image_dhash_pairs" -> d15ImageDhashPairs _,
     "j02_orc_roundtrip"  -> j02OrcRoundtrip _,
     "j03_csv_roundtrip"  -> j03CsvRoundtrip _,
     "j04_jsonl_roundtrip" -> j04JsonlRoundtrip _,

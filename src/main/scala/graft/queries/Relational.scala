@@ -375,6 +375,29 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Q26 unpivot (melt): a wide per-flag aggregate spread back to long
+    * (measure, value) rows — the inverse of q16's pivot, via Spark's
+    * native `unpivot` (ONE Expand node over the aggregated rows — no
+    * UNION rescan of the fact table; a UNION ALL spelling would scan
+    * lineitem once per measure). Sums run in Decimal first (the q02
+    * exactness rule) so the melted doubles are partition-order
+    * independent; the oracle melts with a values-list UNION over the
+    * same one-pass aggregate CTE.
+    */
+  def q26Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("price"),
+        sum(col("l_discount").cast(DecimalType(18, 2))).cast("double").as("disc"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
   /** Q23 navigation windows: lag/lead/first_value over the per-customer
     * order timeline — value-passthrough window functions (no arithmetic,
     * so cross-engine exact). One shuffle on o_custkey, one sort.
@@ -569,6 +592,21 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // The melt itself is engine-side (Expand); the oracle spells it as a
+    // measure-list cross join over the SAME one-pass aggregate CTE.
+    "q26_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, m.measure,
+        |  CASE m.measure WHEN 'qty' THEN qty WHEN 'price' THEN price
+        |       ELSE disc END AS value
+        |FROM wide CROSS JOIN (VALUES ('qty'), ('price'), ('disc')) AS m(measure)
+        |ORDER BY l_returnflag, measure""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -597,5 +635,6 @@ object Relational {
     "q23_window_nav"  -> q23WindowNav _,
     "q24_grouping_sets" -> q24GroupingSets _,
     "q25_range_frame" -> q25RangeFrame _,
+    "q26_unpivot"     -> q26Unpivot _,
   )
 }

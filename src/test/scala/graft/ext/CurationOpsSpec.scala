@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Round-9 curation operators: URL canonicalization, Gopher rules,
+  * bigram LM scoring. The full-table cross-engine proofs live in the
+  * t20/t21/t22 oracle gates; these specs pin the EDGE semantics the
+  * fixture can't reach.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("canonicalizeUrl: case, ports, utm params, fragments, trailing slashes") {
+    val cases = Seq(
+      // lowercased scheme+host, default https port stripped
+      ("HTTPS://WWW.Example.COM:443/Path", "https://www.example.com/Path"),
+      // http default port stripped; non-default kept
+      ("http://a.com:80/x", "http://a.com/x"),
+      ("http://a.com:8080/x", "http://a.com:8080/x"),
+      // fragment dropped, trailing slash stripped
+      ("https://a.com/x/#frag", "https://a.com/x"),
+      // utm params removed, others kept in order
+      ("https://a.com/p?utm_source=x&id=1&utm_medium=y&q=2", "https://a.com/p?id=1&q=2"),
+      // all params are utm → no query at all
+      ("https://a.com/p?utm_source=x", "https://a.com/p"),
+      // root path collapses to bare authority
+      ("https://a.com/", "https://a.com"),
+      // path case is PRESERVED (only scheme/host fold)
+      ("https://A.com/CaseSensitive?Q=V", "https://a.com/CaseSensitive?Q=V"))
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in)")
+    }
+  }
+
+  test("registrableDomain strips one www label and the port") {
+    val got = Seq("https://WWW.news.example.org:443/a", "https://example.org/b",
+        "https://www.www.x.com/c")
+      .toDF("url").select(UrlOps.registrableDomain(col("url")))
+      .collect().map(_.getString(0))
+    assert(got.sameElements(Array("news.example.org", "example.org", "www.x.com")))
+  }
+
+  test("gopherRules: each rule fires independently; empty text is safe") {
+    val docs = Seq(
+      (1L, Array.fill(40)("the good word of it").mkString(" ")), // passes all
+      (2L, "too short the a"),                                   // word-count floor
+      (3L, Array.fill(40)("antidisestablishmentarianism " +
+        "pneumonoultramicroscopicsilicovolcanoconiosis the a of").mkString(" ")), // mean wlen
+      (4L, Array.fill(40)("the of a word### longish# wordies## tokens#").mkString(" ")), // symbol ratio
+      (5L, Array.fill(40)("1234 5678 the word of list").mkString(" ")), // alpha fraction
+      (6L, Array.fill(40)("word list with zero stop tokens").mkString(" ")), // stopwords
+      (7L, ""))                                                  // degenerate
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L,
+      6L -> 0L, 7L -> 0L))
+  }
+
+  test("bigramLmScore: hand-computed counts; short docs score zero") {
+    // corpus: "a b a b" (d1), "a b" (d2), "c" (d3)
+    // unigrams: a:3 b:3 c:1, V=3
+    // bigrams: (a,b):3, (b,a):1
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val got = TextOps.bigramLmScore(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // p(a,b) = (3+1)*1e6 div (3+3) = 666666; p(b,a) = (1+1)*1e6 div (3+3) = 333333
+    // d1: (666666 + 333333 + 666666) div 3 = 555555 ; d2: 666666 ; d3: no bigrams
+    assert(got(0) == ((1L, 3L, 555555L)))
+    assert(got(1) == ((2L, 1L, 666666L)))
+    assert(got(2) == ((3L, 0L, 0L)))
+  }
+}

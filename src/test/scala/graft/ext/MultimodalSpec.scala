@@ -172,6 +172,31 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { PngText.readText(p) }
   }
 
+  test("dHash: banded pairs equal brute-force pairs; class near-dups found") {
+    import spark.implicits._
+    val media = Multimodal.syntheticPngClasses(docs.limit(120))
+    val hashes = Multimodal.imageDhash(media).cache()
+    // hashes are 56-bit non-negative
+    assert(hashes.filter(col("dhash") < 0 || col("dhash") >= (1L << 56)).count() == 0)
+    // banded join == brute-force O(n²) Hamming filter (pigeonhole is
+    // a guarantee, not a heuristic)
+    val brute = hashes.as("a").crossJoin(hashes.as("b"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("bit_count(a.dhash ^ b.dhash)").cast("long").as("dist"))
+      .filter(col("dist") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Multimodal.dhashPairs(hashes, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    // same class + same noise level ⇒ identical image ⇒ dist 0 pair
+    assert(banded.exists(_._3 == 0L))
+    // the fixture's 120 docs span 50 classes; cross-class rasters are
+    // unrelated, so the pair set must stay far below all-pairs
+    assert(banded.size < 120 * 119 / 2 / 4)
+    hashes.unpersist()
+  }
+
   test("identical payloads are found as media duplicates") {
     import spark.implicits._
     val dupDocs = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "different"))

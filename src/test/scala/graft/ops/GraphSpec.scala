@@ -30,4 +30,26 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == r3)
   }
+
+  test("triangleCounts: hand graph, orientation invariance, duplicate tolerance") {
+    // K4 on 1..4 (every node in C(3,2)=3 triangles) plus a pendant 5
+    // and an isolated 6
+    val nodes = (1L to 6L).toDF("id")
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 :+ ((4L, 5L))).toDF("src", "dst")
+    val got = Graph.triangleCounts(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L, 6L -> 0L))
+    // reversed + duplicated edge rows must not change counts
+    val messy = edges.select(col("dst").as("src"), col("src").as("dst"))
+      .union(edges).union(edges)
+    val got2 = Graph.triangleCounts(nodes, messy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+    // triangle-free star: all zero
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val got3 = Graph.triangleCounts(nodes, star)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3.values.forall(_ == 0L))
+  }
 }
