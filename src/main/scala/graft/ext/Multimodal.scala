@@ -472,15 +472,27 @@ object Multimodal {
     * extraction is shift/mask built-ins (codegen'd, no UDF).
     */
   def dhashPairs(hashes: DataFrame, maxDist: Int = 3,
-      idCol: String = "media_id", hashCol: String = "dhash"): DataFrame = {
-    require(maxDist >= 0 && maxDist < 56, s"maxDist $maxDist out of range")
-    val bands = math.min(maxDist + 1, 56)
-    // disjoint bands covering all 56 bits (band b = bits
-    // [56b/bands, 56(b+1)/bands)) — disjointness + full coverage is
-    // what makes the pigeonhole candidate guarantee hold
+      idCol: String = "media_id", hashCol: String = "dhash"): DataFrame =
+    hammingPairs(hashes, bits = 56, maxDist = maxDist, idCol, hashCol)
+
+  /** Near-dup pairs by banded Hamming join over any ≤ 62-bit hash
+    * column — the shared engine behind [[dhashPairs]] (56-bit image
+    * dHash) and [[audioFingerprint]] pairing (31-bit energy-profile
+    * fingerprints). `maxDist + 1` DISJOINT bands covering all `bits`
+    * (band b = bits [bits·b/bands, bits·(b+1)/bands)): two hashes
+    * within `maxDist` must agree on ≥ 1 full band (pigeonhole), so
+    * candidates come from equi-joins on (band, band-bits) — never an
+    * all-pairs product — verified with an exact `bit_count(xor)`.
+    * Shift/mask built-ins only (codegen'd, no UDF).
+    */
+  def hammingPairs(hashes: DataFrame, bits: Int, maxDist: Int,
+      idCol: String, hashCol: String): DataFrame = {
+    require(bits > 0 && bits <= 62, s"bits $bits out of range")
+    require(maxDist >= 0 && maxDist < bits, s"maxDist $maxDist out of range")
+    val bands = math.min(maxDist + 1, bits)
     val bandStructs = (0 until bands).map { b =>
-      val lo = 56 * b / bands
-      val hi = 56 * (b + 1) / bands
+      val lo = bits * b / bands
+      val hi = bits * (b + 1) / bands
       struct(lit(b).as("band"),
         shiftright(col("h"), lo)
           .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bv"))
@@ -499,6 +511,72 @@ object Multimodal {
         expr("bit_count(h_a ^ h_b)").cast("long").as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
+  }
+
+  /** Class-seeded synthetic WAV fixture ([[syntheticWav]]'s proof
+    * shape with controlled duplication, the audio twin of
+    * [[syntheticPngClasses]]): PCM seed `id % classes`, one noise
+    * level per `id div classes` folded into sample 0 INSIDE the mod
+    * (so the perturbed sample stays a valid short and both engines
+    * replay it exactly).
+    */
+  def syntheticWavClasses(docs: DataFrame, idCol: String = "doc_id",
+      classes: Int = 50, noiseLevels: Int = 3)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = Math.floorMod(id, classes.toLong)
+        val nz = Math.floorMod(id / classes, noiseLevels.toLong)
+        val n = (512 + Math.floorMod(img, 384L)).toInt
+        // per-class chirp: class-dependent step + quadratic sweep, so
+        // energy profiles (and hence fingerprints) separate classes —
+        // a plain linear ramp gives every class the same delta-sign
+        // profile and the fingerprint would match everything
+        val samples = Array.tabulate(n) { i =>
+          val base =
+            if (i == 0) img * 31 + 101 * nz
+            else img * 31 + i.toLong * (257 + img * 13) + 3L * i * i
+          (Math.floorMod(base, 65536L) - 32768L).toShort
+        }
+        MediaRow(id, MediaMeta("audio", WavFormat, 0, 0), AudioCodec.encodeWav(samples))
+      }
+    }
+  }
+
+  /** Energy-profile audio fingerprint (Chromaprint-flavored, integer
+    * end to end): decode the WAV, take the first `windows · window`
+    * samples (every payload must cover them), per-window energy
+    * `Σ s²`, bit j set iff energy(j+1) > energy(j) — a
+    * `windows - 1`-bit non-negative long. The robust-to-small-noise
+    * sketch that blocks audio near-dup pairing the way dHash blocks
+    * image pairing.
+    */
+  def audioFingerprint(media: Dataset[MediaRow], window: Int = 16,
+      windows: Int = 32): DataFrame = {
+    import media.sparkSession.implicits._
+    require(window > 0 && windows > 1 && windows <= 63, "bad fingerprint shape")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val s = AudioCodec.decodeWav(r.payload)
+        require(s.length >= window * windows,
+          s"payload ${r.media_id} has ${s.length} samples, needs ${window * windows}")
+        val e = Array.tabulate(windows) { w =>
+          var acc = 0L
+          var i = w * window
+          val hi = i + window
+          while (i < hi) { val v = s(i).toLong; acc += v * v; i += 1 }
+          acc
+        }
+        var fp = 0L
+        var j = 0
+        while (j < windows - 1) {
+          if (e(j + 1) > e(j)) fp |= 1L << j
+          j += 1
+        }
+        (r.media_id, fp)
+      }
+    }.toDF("media_id", "afp")
   }
 
   // ---------------------------------------------------------------------

@@ -305,6 +305,33 @@ object Pipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Audio fingerprinting ([[graft.ext.Multimodal.audioFingerprint]]):
+    * class-seeded REAL WAV payloads decoded with the real codec, first
+    * 512 samples → 32 window energies → 31-bit delta-sign profile —
+    * the oracle regenerates the PCM from id arithmetic and replays
+    * energy → compare → bit-pack, proving the decode+sketch chain.
+    */
+  def m07AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticWavClasses(Tables.documents(spark, dir))
+    graft.ext.Multimodal.audioFingerprint(media).orderBy(col("media_id"))
+  }
+
+  /** Audio near-dup pairs: banded Hamming join over the m07
+    * fingerprints ([[graft.ext.Multimodal.hammingPairs]], 31 bits,
+    * maxDist 2) — the image-dHash pairing machinery on the audio
+    * modality; the oracle recomputes fingerprints and verifies pairs
+    * by the naive all-pairs spelling.
+    */
+  def d16AudioFpPairs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticWavClasses(Tables.documents(spark, dir))
+    graft.ext.Multimodal.hammingPairs(
+        graft.ext.Multimodal.audioFingerprint(media),
+        bits = 31, maxDist = 2, idCol = "media_id", hashCol = "afp")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Corpus-trained bigram LM scoring ([[TextOps.bigramLmScore]]) —
     * the CCNet-style LM quality filter with the log-prob sum
     * rationalized to integer micro-units: add-one-smoothed average
@@ -1422,6 +1449,34 @@ object Pipeline {
       |  FROM bits GROUP BY doc_id
       |)""".stripMargin
 
+  /** Shared audio-fingerprint replay (m07/d16): regenerate the
+    * class-seeded PCM from id arithmetic (noise folded into sample 0's
+    * mod), window energies over the first 512 samples, delta-sign bits.
+    */
+  private val audioFpCtes =
+    """dims AS (
+      |  SELECT doc_id, doc_id % 50 AS img, (doc_id // 50) % 3 AS nz
+      |  FROM documents
+      |), samp AS (
+      |  SELECT doc_id, i.i AS i,
+      |    CASE WHEN i.i = 0 THEN ((img * 31 + 101 * nz) % 65536) - 32768
+      |         ELSE ((img * 31 + i.i * (257 + img * 13) + 3 * i.i * i.i)
+      |               % 65536) - 32768 END AS s
+      |  FROM dims, LATERAL (SELECT unnest(range(0, 512)) AS i) i
+      |), en AS (
+      |  SELECT doc_id, i // 16 AS w, sum(s * s) AS e
+      |  FROM samp GROUP BY 1, 2
+      |), abits AS (
+      |  SELECT a.doc_id, a.w AS j,
+      |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      |  WHERE a.w < 31
+      |), afp_t AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS afp
+      |  FROM abits GROUP BY doc_id
+      |)""".stripMargin
+
   private def pageRankOracle(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""c$i AS (
@@ -1480,6 +1535,16 @@ object Pipeline {
          |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
          |FROM dh a JOIN dh b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "m07_audio_fingerprint" ->
+      s"""WITH $audioFpCtes
+         |SELECT media_id, afp FROM afp_t ORDER BY media_id""".stripMargin,
+    "d16_audio_fp_pairs" ->
+      s"""WITH $audioFpCtes
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS dist
+         |FROM afp_t a JOIN afp_t b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.afp, b.afp)) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
     // Independent enumeration: id-ordered a<b<c three-way self-join
     // over the SAME jpairs edge set the Spark side orients by degree.
@@ -2251,6 +2316,8 @@ object Pipeline {
     "m05_png_meta"       -> m05PngMeta _,
     "m06_image_dhash"    -> m06ImageDhash _,
     "d15_image_dhash_pairs" -> d15ImageDhashPairs _,
+    "m07_audio_fingerprint" -> m07AudioFingerprint _,
+    "d16_audio_fp_pairs" -> d16AudioFpPairs _,
     "j02_orc_roundtrip"  -> j02OrcRoundtrip _,
     "j03_csv_roundtrip"  -> j03CsvRoundtrip _,
     "j04_jsonl_roundtrip" -> j04JsonlRoundtrip _,

@@ -214,6 +214,40 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(funnel).length == 2, funnel)
   }
 
+  test("t20/t21: rule battery is a pure narrow map; URL rollup shuffles once on domain") {
+    // Gopher rules: scan → project → sort, nothing else — the filter
+    // must stay free at 100 TB
+    val gopher = planOf("t20_gopher_rules")
+    assert(!gopher.contains("Exchange hashpartitioning"),
+      s"gopher rules shuffled:\n$gopher")
+    assert(!gopher.contains("ScalaUDF"), s"gopher rules fell off codegen:\n$gopher")
+    // URL domains: exactly ONE hash exchange (the per-domain window);
+    // canonicalization itself must stay narrow and UDF-free
+    val url = planOf("t21_url_domains")
+    assert("Exchange hashpartitioning".r.findAllIn(url).length == 1, url)
+    assert(!url.contains("ScalaUDF"), s"url ops fell off codegen:\n$url")
+  }
+
+  test("q26: unpivot is ONE Expand over the aggregate — no per-measure rescan") {
+    val plan = planOf("q26_unpivot")
+    assert("Expand".r.findAllIn(plan).length == 1, plan)
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"unpivot rescanned the fact table:\n$plan")
+  }
+
+  test("d15/g02: dHash pairing and triangle counting never go cartesian") {
+    Seq("d15_image_dhash_pairs", "d16_audio_fp_pairs", "g02_triangles").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q went cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q nested-loop joined:\n$plan")
+    }
+    // t22's only nested-loop join is the ONE-ROW vocab-size broadcast
+    // (the correct way to attach a scalar); the count joins stay hashed
+    val lm = planOf("t22_bigram_lm")
+    assert(!lm.contains("CartesianProduct"), s"t22 went cartesian:\n$lm")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(lm).length == 1, lm)
+  }
+
   test("d12: corpus side reads the persisted contamination artifact, not a re-derivation") {
     val plan = planOf("d12_contamination")
     // the probe join's right side must be a plain parquet scan of the

@@ -197,6 +197,29 @@ class MultimodalSpec extends AnyFunSuite {
     hashes.unpersist()
   }
 
+  test("audio fingerprint: banded pairs equal brute force; noise never moves the sketch") {
+    import spark.implicits._
+    val media = Multimodal.syntheticWavClasses(docs.limit(120))
+    val fps = Multimodal.audioFingerprint(media).cache()
+    assert(fps.filter(col("afp") < 0 || col("afp") >= (1L << 31)).count() == 0)
+    val brute = fps.as("a").crossJoin(fps.as("b"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("bit_count(a.afp ^ b.afp)").cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Multimodal.hammingPairs(fps, bits = 31, maxDist = 2,
+        idCol = "media_id", hashCol = "afp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    // the energy sketch is noise-robust by design: same class, any
+    // noise level ⇒ identical fingerprint ⇒ dist-0 pairs exist
+    assert(banded.exists(_._3 == 0L))
+    // ...and class-discriminative: nowhere near all-pairs
+    assert(banded.size < 120 * 119 / 2 / 2)
+    fps.unpersist()
+  }
+
   test("identical payloads are found as media duplicates") {
     import spark.implicits._
     val dupDocs = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "different"))
