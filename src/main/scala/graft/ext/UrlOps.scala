@@ -54,6 +54,18 @@ object UrlOps {
   def registrableDomain(url: Column): Column =
     regexp_replace(host(url), "^www\\.", "")
 
+  /** URL-keyed exact dedup — crawl dedup STEP ONE (before any content
+    * hashing): group on the canonical form, keep the smallest id. Raw
+    * variants that differ only in case / default port / tracking
+    * params / trailing slash / fragment collapse to one row. One
+    * map-side-combinable agg on the canonical key.
+    */
+  def urlDedup(docs: DataFrame, urlCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(canonicalizeUrl(col(urlCol)).as("url_canon"), col(idCol))
+      .groupBy(col("url_canon"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
   /** Per-document canonical url + domain, plus the domain's doc count
     * (the per-domain-cap / blocklist join key and its weight) — ONE
     * narrow map and ONE window exchange on domain.

@@ -109,4 +109,54 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Training-data MIXTURE construction: draw `total` docs with
+    * per-domain quotas proportional to `weightCol` (a per-row column
+    * that must be constant within a domain), apportioned by the
+    * largest-remainder method — the standard way to turn float mixture
+    * ratios ("20% code, 30% web, …") into EXACT integer doc counts
+    * that sum to `total` (floor everyone, then +1 to the largest
+    * remainders, ties broken by domain name):
+    *
+    *   base_d = (total · w_d) div W,  rem_d = (total · w_d) mod W
+    *   quota_d = base_d + 1 on the (total − Σ base) largest rem_d
+    *
+    * capped at the domain's doc count (a short domain yields what it
+    * has — the capped-mixture relaxation). Selection within a domain
+    * is the first `quota_d` rows by `idCol` — deterministic and
+    * replayable, the t09-hash-split philosophy for mixtures.
+    *
+    * Plan at scale: the quota table lives at DOMAIN cardinality — its
+    * windows run on a frame of #domains rows (one tiny exchange); the
+    * corpus pays ONE exchange on domain for the per-domain row_number
+    * and a broadcast join of the quotas. Integer arithmetic only.
+    */
+  def domainMixture(docs: DataFrame, domainCol: String, weightCol: Column,
+      total: Long, idCol: String = "doc_id"): DataFrame = {
+    require(total > 0, "total must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val domains = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("_n"), first(weightCol).cast("long").as("_w"))
+    // domain-cardinality frame: W, base, remainder rank, leftover — all
+    // windows over #domains rows (empty partitionBy is safe HERE only)
+    val all = Window.partitionBy()
+    val rankW = Window.partitionBy().orderBy(col("_rem").desc, col(domainCol))
+    val quotas = domains
+      // NOT "_W": SQL identifiers in expr() are case-insensitive, so
+      // "_w" and "_W" would silently resolve to the same column
+      .withColumn("_wsum", sum(col("_w")).over(all))
+      .withColumn("_base", expr(s"($total * _w) div _wsum"))
+      .withColumn("_rem", expr(s"($total * _w) % _wsum"))
+      .withColumn("_left", lit(total) - sum(col("_base")).over(all))
+      .withColumn("_rank", row_number().over(rankW))
+      .withColumn("_quota",
+        least(col("_base") + when(col("_rank") <= col("_left"), 1L).otherwise(0L),
+          col("_n")))
+      .select(col(domainCol), col("_quota"))
+    val perDomain = Window.partitionBy(col(domainCol)).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(perDomain))
+      .join(broadcast(quotas), Seq(domainCol))
+      .filter(col("_rn") <= col("_quota"))
+      .drop("_rn", "_quota")
+  }
 }

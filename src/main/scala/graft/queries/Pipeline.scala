@@ -305,6 +305,51 @@ object Pipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** URL-keyed dedup ([[UrlOps.urlDedup]]): id-derived raw URLs where
+    * the PAGE identity depends only on `doc_id % 37` but the raw string
+    * varies per doc (scheme case, WWW case, default port, utm params,
+    * trailing slash, fragment) — canonicalization must collapse each
+    * page's variants to ONE row with the right keep_id and dup count.
+    * Crawl dedup step one, before any content hashing.
+    */
+  def d17UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val pid = id % 37
+    val www = when(pid % 4 === 0,
+      when(id % 2 === 0, lit("www.")).otherwise(lit("WWW."))).otherwise(lit(""))
+    val url = concat(
+      when(id % 3 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      www,
+      lit("site"), (pid % 11).cast("string"),
+      element_at(array(lit(".com"), lit(".org")), (pid % 2 + 1).cast("int")),
+      when(id % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), pid.cast("string"),
+      when(id % 2 === 1, lit("/")).otherwise(lit("")),
+      when(id % 2 === 0, concat(lit("?utm_c=9&sid="), pid.cast("string")))
+        .otherwise(concat(lit("?sid="), pid.cast("string"))),
+      when(id % 7 === 0, lit("#f")).otherwise(lit("")))
+    UrlOps.urlDedup(
+        Tables.documents(spark, dir).select(col("doc_id"), url.as("url")), "url")
+      .orderBy(col("keep_id"))
+  }
+
+  /** Mixture construction ([[graft.ops.Sampling.domainMixture]]):
+    * 110 docs apportioned across the 20 sources by largest-remainder
+    * quotas on weight `1 + (srcnum % 4)` — total 110 is chosen so the
+    * remainder ranking actually fires (floor quotas sum to 100, the
+    * ten largest remainders get +1). Exact integer apportionment +
+    * deterministic within-domain selection ⇒ the full sample sits
+    * under the hash gate.
+    */
+  def t23DomainMixture(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.domainMixture(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "source",
+        expr("1 + CAST(substring(source, 4) AS INT) % 4"),
+        total = 110L)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** Audio fingerprinting ([[graft.ext.Multimodal.audioFingerprint]]):
     * class-seeded REAL WAV payloads decoded with the real codec, first
     * 512 samples → 32 window energies → 31-bit delta-sign profile —
@@ -1539,6 +1584,72 @@ object Pipeline {
     "m07_audio_fingerprint" ->
       s"""WITH $audioFpCtes
          |SELECT media_id, afp FROM afp_t ORDER BY media_id""".stripMargin,
+    // Rebuilds the raw variants and replays canonicalization + the
+    // keep-min/count dedup.
+    "d17_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id % 37 AS pid,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |    (CASE WHEN (doc_id % 37) % 4 = 0
+        |          THEN CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'WWW.' END
+        |          ELSE '' END) ||
+        |    'site' || ((doc_id % 37) % 11)::VARCHAR ||
+        |    (CASE WHEN (doc_id % 37) % 2 = 0 THEN '.com' ELSE '.org' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p/' || (doc_id % 37)::VARCHAR ||
+        |    (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_c=9&sid=' ELSE '?sid=' END)
+        |      || (doc_id % 37)::VARCHAR ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#f' ELSE '' END) AS url
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, url,
+        |    array_to_string(list_filter(
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      x -> NOT starts_with(x, 'utm_')), '&') AS kept_qs
+        |  FROM u
+        |), c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url,
+        |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+        |      ':443$', ''), ':80$', '')
+        |    || regexp_replace(regexp_extract(url,
+        |         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+        |    || CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END
+        |      AS url_canon
+        |  FROM q
+        |)
+        |SELECT url_canon, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM c GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // Replays largest-remainder apportionment + deterministic
+    // within-domain selection.
+    "t23_domain_mixture" ->
+      """WITH w AS (
+        |  SELECT source, count(*) AS n,
+        |    min(1 + (CAST(substr(source, 4) AS INT) % 4)) AS w
+        |  FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(w) AS tw FROM w
+        |), q1 AS (
+        |  SELECT source, n, (110 * w) // tw AS base, (110 * w) % tw AS rem
+        |  FROM w CROSS JOIN tot
+        |), q2 AS (
+        |  SELECT source, n, base,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rnk,
+        |    110 - sum(base) OVER () AS leftover
+        |  FROM q1
+        |), q AS (
+        |  SELECT source,
+        |    least(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END, n) AS quota
+        |  FROM q2
+        |), sel AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, source FROM sel JOIN q USING (source)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
     "d16_audio_fp_pairs" ->
       s"""WITH $audioFpCtes
          |SELECT a.media_id AS id_a, b.media_id AS id_b,
@@ -2318,6 +2429,8 @@ object Pipeline {
     "d15_image_dhash_pairs" -> d15ImageDhashPairs _,
     "m07_audio_fingerprint" -> m07AudioFingerprint _,
     "d16_audio_fp_pairs" -> d16AudioFpPairs _,
+    "d17_url_dedup"      -> d17UrlDedup _,
+    "t23_domain_mixture" -> t23DomainMixture _,
     "j02_orc_roundtrip"  -> j02OrcRoundtrip _,
     "j03_csv_roundtrip"  -> j03CsvRoundtrip _,
     "j04_jsonl_roundtrip" -> j04JsonlRoundtrip _,

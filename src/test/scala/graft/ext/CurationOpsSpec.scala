@@ -64,6 +64,27 @@ class CurationOpsSpec extends AnyFunSuite {
       6L -> 0L, 7L -> 0L))
   }
 
+  test("domainMixture: largest-remainder quotas, caps, determinism") {
+    import graft.ops.Sampling
+    // domains a(w=3, 5 docs), b(w=1, 5 docs), c(w=1, 2 docs); total 7
+    // W=5 → base = (7w) div 5 = a:4 r1, b:1 r2, c:1 r2 ; leftover 1 →
+    // rank by (rem desc, name): b first → quotas a:4 b:2 c:1
+    val docs = (
+      (1L to 5L).map(i => (i, "a")) ++
+      (11L to 15L).map(i => (i, "b")) ++
+      (21L to 22L).map(i => (i, "c"))).toDF("doc_id", "domain")
+    val w = when(col("domain") === "a", 3L).otherwise(1L)
+    val got = Sampling.domainMixture(docs, "domain", w, total = 7L)
+      .select("doc_id", "domain")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (11L, "b"), (12L, "b"), (21L, "c")))
+    // cap: ask for more than c has → c yields its 2, total shrinks
+    val capped = Sampling.domainMixture(docs, "domain", w, total = 12L)
+      .select("domain").collect().map(_.getString(0))
+    assert(capped.count(_ == "c") == 2)
+  }
+
   test("bigramLmScore: hand-computed counts; short docs score zero") {
     // corpus: "a b a b" (d1), "a b" (d2), "c" (d3)
     // unigrams: a:3 b:3 c:1, V=3
