@@ -9,10 +9,12 @@ import graft.ext.{Dedup, TextOps}
   * narrative — every stage a graft operator, chained the way a 100 TB
   * curation job runs them:
   *
-  *   raw docs → PII redaction → boilerplate-line removal → quality /
-  *   OOV / repetition filters → exact dedup → near-dup clusters (keep
-  *   one) → decontamination vs a held-out eval set → BM25 retrieval
-  *   for targeted review → deterministic train/val/test split →
+  *   raw docs → PII redaction → language ID → boilerplate-line
+  *   removal → Gopher rule battery → quality / OOV / repetition
+  *   filters → exact dedup → near-dup clusters (keep one) →
+  *   decontamination vs a held-out eval set → BM25 retrieval for
+  *   targeted review → deterministic train/val/test split → bigram-LM
+  *   typicality report → largest-remainder domain mixture →
   *   token-budget shard packing → heavy-hitter vocabulary profile →
   *   persisted minhash index for the NEXT ingest batch.
   *
@@ -68,12 +70,26 @@ object CurationTour {
           .filter(length(col("text")) > col("len0")).count() == 0
     }
 
+    // 1c. Gopher rule battery — the cheap structural pre-filter that
+    // runs before any scoring: word-count floor, mean word length,
+    // symbol ratio, alpha fraction, stopword presence. Integer
+    // micro-unit metrics, keep = all five rules
+    val gopher = TextOps.gopherRules(lineCleaned).cache()
+    val gopherKept = lineCleaned
+      .join(gopher.filter(col("keep") === 1L).select("doc_id"), "doc_id")
+      .cache()
+    check("Gopher rules keep a nonempty strict subset; every keeper clears the word floor") {
+      val k = gopherKept.count()
+      k > 0 && k < n0 &&
+        gopher.filter(col("keep") === 1L && col("n_words") < 30).count() == 0
+    }
+
     // 2. filter: quality floor, OOV ceiling, repetition ceiling — over
-    // the CLEANED text: the narrative is a chain, each stage consumes
-    // the previous stage's output
-    val quality = lineCleaned.withColumn("quality", TextOps.qualityScore(col("text")))
-    val oov = TextOps.oovRate(lineCleaned, topK = 10)
-    val rep = TextOps.repetitionRatio(lineCleaned, n = 3)
+    // the GOPHER-KEPT cleaned text: the narrative is a chain, each
+    // stage consumes the previous stage's output
+    val quality = gopherKept.withColumn("quality", TextOps.qualityScore(col("text")))
+    val oov = TextOps.oovRate(gopherKept, topK = 10)
+    val rep = TextOps.repetitionRatio(gopherKept, n = 3)
     val filtered = quality.filter(col("quality") >= 0.1)
       .join(oov.filter(col("oov_rate") <= 0.95).select("doc_id"), "doc_id")
       .join(rep.filter(col("dup_ratio") <= 0.5).select("doc_id"), "doc_id")
@@ -126,6 +142,43 @@ object CurationTour {
         .filter(col("split") === "train")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       split.count() == train0.count() && ids.nonEmpty && ids == again
+    }
+
+    // 5a. corpus-typicality report: the bigram LM score every CCNet-ish
+    // pipeline thresholds on — here a report stage (the fixture is
+    // uniform word salad, so a fixed cut would be arbitrary), checked
+    // for totality + determinism; production sets a percentile floor
+    check("bigram LM scores cover every train doc deterministically") {
+      val s1 = TextOps.bigramLmScore(train).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+      val s2 = TextOps.bigramLmScore(train).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+      s1.length == train.count() && s1.sameElements(s2) &&
+        s1.forall(_._2 >= 0)
+    }
+
+    // 5a2. mixture: apportion a fixed-size sample across sources by
+    // integer largest-remainder quotas — the "data mixing" step that
+    // turns ratio targets into exact doc counts
+    check("domain mixture draws the apportioned total with per-source quotas") {
+      val withSource = train.join(raw.select("doc_id", "source"), "doc_id")
+      val mix = graft.ops.Sampling.domainMixture(
+        withSource.select(col("doc_id"), col("source")), "source",
+        lit(1L), total = 40L)
+      // replicate the uniform-weight apportionment on the driver: base
+      // per present source, +1 to the first `leftover` by name (the
+      // rem-tie order), capped at availability
+      val counts = withSource.groupBy("source").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val w = counts.length.toLong
+      val base = 40L / w
+      val leftover = 40L - base * w
+      val expected = counts.zipWithIndex.map { case ((_, n), i) =>
+        math.min(base + (if (i < leftover) 1L else 0L), n)
+      }.sum
+      mix.count() == expected &&
+        mix.groupBy("source").count()
+          .agg(max("count")).head.getLong(0) <= base + 1
     }
 
     // 5b. pack the train set into ~equal-token shards for the trainer
