@@ -257,6 +257,22 @@ object Bench {
       "cont_prefix_d13" -> (n => Dedup.ngramContainmentPairs(
         zipfDocs(n), n = 3, minContainment = 0.6,
         prefixFilter = true, broadcastDf = true)),
+      // dHash modality chain at constant dup-group size: classes scale
+      // WITH the corpus (50·n) so the true pair set stays linear and
+      // the probe measures whether codec + banded pairing stay linear
+      // as the corpus grows — the image-ingest scaling question
+      "pairs_dhash_d15" -> { n =>
+        implicit val s: org.apache.spark.sql.SparkSession = spark
+        val base = Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 16 === 0).select(col("doc_id"))
+        val docsN = (0 until n).map(i =>
+            base.select((col("doc_id") + lit(i * 1000000000L)).as("doc_id")))
+          .reduce(_.unionByName(_))
+        graft.ext.Multimodal.dhashPairs(
+          graft.ext.Multimodal.imageDhash(
+            graft.ext.Multimodal.syntheticPngClasses(docsN, classes = 50 * n)),
+          maxDist = 3)
+      },
     ), k)
   }
 }

@@ -513,6 +513,54 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Incremental banded-Hamming pairs: NEW hashes vs an existing
+    * corpus index plus new-vs-new — but never corpus-vs-corpus (the
+    * [[graft.ext.Dedup.minhashDedupNewPairs]] ingest shape on the
+    * fingerprint modality). Batch rows supersede corpus rows sharing
+    * an id (anti-join up front, so no self-pairs and no stale
+    * orientation flips). Per batch the cost is O(|new| · bucket
+    * fan-in): the corpus side only ever flows through band extraction
+    * — in production a PRE-BANDED persisted index — and the candidate
+    * join probes it with the batch's bands. Output rows are
+    * (id_new, id_other, dist), new-new pairs once (id_new < id_other).
+    */
+  def hammingPairsNew(newHashes: DataFrame, corpusHashes: DataFrame,
+      bits: Int, maxDist: Int, idCol: String, hashCol: String): DataFrame = {
+    require(bits > 0 && bits <= 62, s"bits $bits out of range")
+    require(maxDist >= 0 && maxDist < bits, s"maxDist $maxDist out of range")
+    val corpusOnly = corpusHashes
+      .join(newHashes.select(col(idCol)), Seq(idCol), "left_anti")
+    def band(df: DataFrame): DataFrame = {
+      val bands = math.min(maxDist + 1, bits)
+      val bandStructs = (0 until bands).map { b =>
+        val lo = bits * b / bands
+        val hi = bits * (b + 1) / bands
+        struct(lit(b).as("band"),
+          shiftright(col("h"), lo)
+            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bv"))
+      }
+      df.select(col(idCol).as("id"), col(hashCol).as("h"))
+        .select(col("id"), col("h"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("id"), col("h"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+    }
+    val newBanded = band(newHashes)
+    val allBanded = band(corpusOnly).withColumn("_new", lit(false))
+      .union(newBanded.withColumn("_new", lit(true)))
+    val a = newBanded.select(col("band"), col("bv"),
+      col("id").as("id_new"), col("h").as("h_a"))
+    val b = allBanded.select(col("band"), col("bv"),
+      col("id").as("id_other"), col("h").as("h_b"), col("_new"))
+    a.join(b, Seq("band", "bv"))
+      // corpus partner: any; new partner: orient once (id_new < id_other)
+      .filter(!col("_new") || col("id_new") < col("id_other"))
+      .filter(col("id_new") =!= col("id_other"))
+      .select(col("id_new"), col("id_other"),
+        expr("bit_count(h_a ^ h_b)").cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Class-seeded synthetic WAV fixture ([[syntheticWav]]'s proof
     * shape with controlled duplication, the audio twin of
     * [[syntheticPngClasses]]): PCM seed `id % classes`, one noise

@@ -305,6 +305,24 @@ object Pipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental image dedup
+    * ([[graft.ext.Multimodal.hammingPairsNew]]): `doc_id % 10 == 0`
+    * plays the incoming batch, the rest the corpus — pairs touch the
+    * batch on at least one side, never corpus×corpus (the d08 ingest
+    * shape on the dHash modality). Oracle re-derives exactly the
+    * batch-touching pair set from the replayed hashes.
+    */
+  def d18ImageDhashNew(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticPngClasses(Tables.documents(spark, dir))
+    val hashes = graft.ext.Multimodal.imageDhash(media)
+    graft.ext.Multimodal.hammingPairsNew(
+        hashes.filter(col("media_id") % 10 === 0),
+        hashes.filter(col("media_id") % 10 =!= 0),
+        bits = 56, maxDist = 3, idCol = "media_id", hashCol = "dhash")
+      .orderBy(col("id_new"), col("id_other"))
+  }
+
   /** URL-keyed dedup ([[UrlOps.urlDedup]]): id-derived raw URLs where
     * the PAGE identity depends only on `doc_id % 37` but the raw string
     * varies per doc (scheme case, WWW case, default port, utm params,
@@ -1657,6 +1675,18 @@ object Pipeline {
          |FROM afp_t a JOIN afp_t b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.afp, b.afp)) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
+    "d18_image_dhash_new" ->
+      s"""WITH $dhashCtes, nw AS (
+         |  SELECT * FROM dh WHERE media_id % 10 = 0
+         |), oth AS (
+         |  SELECT media_id, dhash, media_id % 10 = 0 AS isnew FROM dh
+         |)
+         |SELECT a.media_id AS id_new, b.media_id AS id_other,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+         |FROM nw a JOIN oth b ON a.media_id <> b.media_id
+         |  AND (NOT b.isnew OR a.media_id < b.media_id)
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY id_new, id_other""".stripMargin,
     // Independent enumeration: id-ordered a<b<c three-way self-join
     // over the SAME jpairs edge set the Spark side orients by degree.
     "g02_triangles" ->
@@ -2430,6 +2460,7 @@ object Pipeline {
     "m07_audio_fingerprint" -> m07AudioFingerprint _,
     "d16_audio_fp_pairs" -> d16AudioFpPairs _,
     "d17_url_dedup"      -> d17UrlDedup _,
+    "d18_image_dhash_new" -> d18ImageDhashNew _,
     "t23_domain_mixture" -> t23DomainMixture _,
     "j02_orc_roundtrip"  -> j02OrcRoundtrip _,
     "j03_csv_roundtrip"  -> j03CsvRoundtrip _,

@@ -220,6 +220,38 @@ class MultimodalSpec extends AnyFunSuite {
     fps.unpersist()
   }
 
+  test("hammingPairsNew: equals full pairs restricted to the batch; batch supersedes") {
+    import spark.implicits._
+    val media = Multimodal.syntheticPngClasses(docs.limit(100))
+    val hashes = Multimodal.imageDhash(media).cache()
+    val batch = hashes.filter(col("media_id") % 10 === 0)
+    val corpus = hashes.filter(col("media_id") % 10 =!= 0)
+    val inc = Multimodal.hammingPairsNew(batch, corpus, bits = 56, maxDist = 3,
+        idCol = "media_id", hashCol = "dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // full pair set restricted to pairs touching the batch, re-oriented
+    // the incremental way (batch id first; new-new once, smaller first)
+    val full = Multimodal.dhashPairs(hashes, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = full.flatMap { case (a, b, d) =>
+      (a % 10 == 0, b % 10 == 0) match {
+        case (true, true)   => Seq((a, b, d))
+        case (true, false)  => Seq((a, b, d))
+        case (false, true)  => Seq((b, a, d))
+        case (false, false) => Seq.empty
+      }
+    }.toSet
+    assert(inc == expected)
+    // a corpus row whose id reappears in the batch is superseded: no
+    // self-pair, and the stale hash never pairs
+    val stale = batch.limit(1).withColumn("dhash", lit(0L))
+    val withStale = Multimodal.hammingPairsNew(batch, corpus.union(stale),
+        bits = 56, maxDist = 3, idCol = "media_id", hashCol = "dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(withStale == inc)
+    hashes.unpersist()
+  }
+
   test("identical payloads are found as media duplicates") {
     import spark.implicits._
     val dupDocs = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "different"))
