@@ -632,6 +632,34 @@ object Dedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** The quality-aware variant of [[dropNearDuplicates]]'s min-id
+    * policy, as a MANIFEST: one representative per near-dup cluster —
+    * the member with the most tokens (the most complete variant of the
+    * duplicated content), ties to the smallest id — plus the cluster
+    * size, so a curation pipeline can keep the best copy instead of an
+    * arbitrary one AND audit how much each cluster collapsed.
+    *
+    * Plan: [[clusters]] (pointer-jumping, O(log diameter) rounds) →
+    * broadcast-friendly join with per-doc token counts → one window
+    * exchange keyed on cluster_id (cluster sizes are post-threshold
+    * near-dup groups — bounded, never the corpus). All-integer, so the
+    * full manifest sits under the oracle gate.
+    */
+  def clusterRepresentatives(docs: DataFrame, pairs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val byQuality = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("id"))
+    val members = Window.partitionBy(col("cluster_id"))
+    clusters(pairs).join(toks, "id")
+      .withColumn("n_members", count(lit(1)).over(members))
+      .withColumn("_rn", row_number().over(byQuality))
+      .filter(col("_rn") === 1)
+      .select(col("cluster_id"), col("id").as("keep_id"),
+        col("n_tokens").as("keep_tokens"), col("n_members"))
+  }
+
   /** The banded signature index rows `(id, band, bandHash)` for a
     * corpus — the artifact [[minhashDedupNewPairs]] probes every ingest
     * batch. Computable once and PERSISTED (plain parquet via

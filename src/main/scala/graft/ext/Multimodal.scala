@@ -487,6 +487,24 @@ object Multimodal {
     */
   def hammingPairs(hashes: DataFrame, bits: Int, maxDist: Int,
       idCol: String, hashCol: String): DataFrame = {
+    val banded = bandExtract(hashes, bits, maxDist, idCol, hashCol)
+    val a = banded.select(col("band"), col("bv"),
+      col("id").as("id_a"), col("h").as("h_a"))
+    val b = banded.select(col("band"), col("bv"),
+      col("id").as("id_b"), col("h").as("h_b"))
+    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(h_a ^ h_b)").cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** The one banding definition both pairing shapes share (so band
+    * boundaries can never drift between them): explode each hash into
+    * `min(maxDist+1, bits)` disjoint bands → (id, h, band, bv).
+    */
+  private def bandExtract(hashes: DataFrame, bits: Int, maxDist: Int,
+      idCol: String, hashCol: String): DataFrame = {
     require(bits > 0 && bits <= 62, s"bits $bits out of range")
     require(maxDist >= 0 && maxDist < bits, s"maxDist $maxDist out of range")
     val bands = math.min(maxDist + 1, bits)
@@ -497,20 +515,10 @@ object Multimodal {
         shiftright(col("h"), lo)
           .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bv"))
     }
-    val banded = hashes
-      .select(col(idCol).as("id"), col(hashCol).as("h"))
+    hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
       .select(col("id"), col("h"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("h"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val a = banded.select(col("band"), col("bv"),
-      col("id").as("id_a"), col("h").as("h_a"))
-    val b = banded.select(col("band"), col("bv"),
-      col("id").as("id_b"), col("h").as("h_b"))
-    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(h_a ^ h_b)").cast("long").as("dist"))
-      .distinct()
-      .filter(col("dist") <= maxDist)
   }
 
   /** Incremental banded-Hamming pairs: NEW hashes vs an existing
@@ -526,24 +534,10 @@ object Multimodal {
     */
   def hammingPairsNew(newHashes: DataFrame, corpusHashes: DataFrame,
       bits: Int, maxDist: Int, idCol: String, hashCol: String): DataFrame = {
-    require(bits > 0 && bits <= 62, s"bits $bits out of range")
-    require(maxDist >= 0 && maxDist < bits, s"maxDist $maxDist out of range")
     val corpusOnly = corpusHashes
       .join(newHashes.select(col(idCol)), Seq(idCol), "left_anti")
-    def band(df: DataFrame): DataFrame = {
-      val bands = math.min(maxDist + 1, bits)
-      val bandStructs = (0 until bands).map { b =>
-        val lo = bits * b / bands
-        val hi = bits * (b + 1) / bands
-        struct(lit(b).as("band"),
-          shiftright(col("h"), lo)
-            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bv"))
-      }
-      df.select(col(idCol).as("id"), col(hashCol).as("h"))
-        .select(col("id"), col("h"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col("id"), col("h"),
-          col("bb.band").as("band"), col("bb.bv").as("bv"))
-    }
+    def band(df: DataFrame): DataFrame =
+      bandExtract(df, bits, maxDist, idCol, hashCol)
     val newBanded = band(newHashes)
     val allBanded = band(corpusOnly).withColumn("_new", lit(false))
       .union(newBanded.withColumn("_new", lit(true)))

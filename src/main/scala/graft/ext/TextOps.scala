@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokenization. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(trim(text), "[ \\t\\n\\f\\r]+")
 
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
@@ -21,7 +21,7 @@ object TextOps {
     */
   def subwordCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^a-zA-Z0-9\\s])")))
+      .otherwise(size(split(trim(text), "[ \\t\\n\\f\\r]+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^a-zA-Z0-9 \\t\\n\\f\\r])")))
 
   /** GPT-style pre-tokenizer alternation, RE2-safe: optional-space
     * letter runs / digit runs / punctuation runs, residual space runs.
@@ -35,6 +35,38 @@ object TextOps {
     * GPT-ish token count (t07 gate).
     */
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
+  /** Sliding token-window chunking — the context-length prep step of
+    * every RAG / training pipeline: each doc becomes ⌈n/stride⌉ chunks
+    * of ≤ `window` tokens starting every `stride` tokens (overlap =
+    * window − stride). Zero-token docs yield zero chunks. One narrow
+    * per-row explode — the fan-out is the output size itself, no
+    * shuffle, no UDF; `slice` + `array_join` are codegen built-ins, so
+    * a 100 TB corpus chunks at scan speed.
+    *
+    * Output: (idCol, chunk_id, chunk_start, chunk_len, chunk_text) —
+    * chunk_start is the 0-based token offset, chunk_text the
+    * space-joined window (tokens carry no whitespace, so the join is
+    * lossless and cross-engine exact).
+    */
+  def chunkTokens(docs: DataFrame, window: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(stride > 0 && stride <= window,
+      s"stride $stride must be in [1, window=$window]")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_t"),
+        tokenCount(col(textCol)).cast("long").as("_n"))
+      .filter(col("_n") > 0)
+      .select(col(idCol), col("_t"),
+        posexplode(sequence(lit(0L), col("_n") - 1L, lit(stride.toLong))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk_start"),
+        slice(col("_t"), col("col").cast("int") + 1, lit(window)).as("_c"))
+      .select(col(idCol), col("chunk_id"), col("chunk_start"),
+        size(col("_c")).cast("long").as("chunk_len"),
+        array_join(col("_c"), " ").as("chunk_text"))
+  }
 
   /** Quality heuristics (length / punctuation / stopword ratios). */
   def punctCount(text: Column): Column = length(regexp_replace(text, "[^.!?]", ""))
@@ -91,7 +123,7 @@ object TextOps {
     val toks = tokens(text)
     val nWords = tokenCount(text).cast("long")
     // Σ word lengths == non-whitespace char count (whitespace tokenizer)
-    val nonWs = length(regexp_replace(text, "\\s", "")).cast("long")
+    val nonWs = length(regexp_replace(text, "[ \\t\\n\\f\\r]", "")).cast("long")
     val sym = regexp_count(text, lit("#|\\.\\.\\.|…")).cast("long")
     val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
     val stopHits = size(array_intersect(
@@ -359,8 +391,9 @@ object TextOps {
     base.mapPartitions { rows =>
       rows.flatMap { r =>
         val text = if (r.isNullAt(1)) "" else r.getString(1)
-        // same tokenization as tokens(): split of the trimmed text on \s+
-        val w = text.trim.split("\\s+")
+        // same tokenization as tokens(): split of the trimmed text on the
+        // explicit whitespace class (Java/RE2-identical spelling of \s+)
+        val w = text.trim.split("[ \\t\\n\\f\\r]+")
         if (w.length < n) Iterator.empty
         else (0 to w.length - n).iterator.map { p =>
           org.apache.spark.sql.Row(r.get(0), p, w.slice(p, p + n).mkString(" "))

@@ -34,8 +34,11 @@ object UrlOps {
     val path = regexp_replace(
       regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1),
       "/+$", "")
-    // query string without the fragment, utm_* params filtered out
-    val rawQs = regexp_extract(url, "\\?([^#]*)", 1)
+    // query string without the fragment, utm_* params filtered out.
+    // The fragment is stripped FIRST: a '?' after '#' (…/p#frag?x=1)
+    // is fragment content, not a query, and must vanish with it.
+    val rawQs = regexp_extract(
+      regexp_replace(url, "#.*$", ""), "\\?([^#]*)", 1)
     val keptQs = array_join(
       filter(split(rawQs, "&"), p => !p.startsWith("utm_")), "&")
     concat(authority, path,

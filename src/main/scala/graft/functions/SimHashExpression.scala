@@ -30,7 +30,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 
   override def nullSafeEval(input: Any): Any = {
     // ShingleWalk.tokens, NOT Java trim/split: must tokenize exactly
-    // like the declarative twin's split(trim(text), "\\s+")
+    // like the declarative twin's split(trim(text), "[ \\t\\n\\f\\r]+")
     val toks = ShingleWalk.tokens(input.asInstanceOf[UTF8String].toString)
     val sums = new Array[Int](64)
     var t = 0

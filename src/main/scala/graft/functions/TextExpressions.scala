@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared tokenize-and-window walk for the shingle expressions,
-  * replicating the DECLARATIVE twin `split(trim(text), "\\s+")` +
+  * replicating the DECLARATIVE twin `split(trim(text), "[ \\t\\n\\f\\r]+")` +
   * [[graft.ext.TextOps.shingles]] exactly — which is also what the
   * DuckDB oracles compute:
   *   - trim strips SPACES only (Spark/DuckDB `trim`), not all
@@ -44,10 +44,10 @@ private[functions] object ShingleWalk {
     text.substring(b, e)
   }
 
-  /** `split(trim(text), "\\s+")` with Spark semantics (limit -1 keeps
+  /** `split(trim(text), "[ \\t\\n\\f\\r]+")` with Spark semantics (limit -1 keeps
     * trailing empty tokens).
     */
-  def tokens(text: String): Array[String] = sparkTrim(text).split("\\s+", -1)
+  def tokens(text: String): Array[String] = sparkTrim(text).split("[ \\t\\n\\f\\r]+", -1)
 
   /** Apply `f` to each word n-gram (space-joined); a text with fewer
     * than n tokens yields its full token join once.

@@ -39,7 +39,7 @@ case class TextMetrics(child: Expression) extends UnaryExpression with CodegenFa
     // column-primitive twin strips spaces only and keeps trailing empty
     // tokens, and the fused path must count identically
     val trimmed = ShingleWalk.sparkTrim(text)
-    val toks = trimmed.split("\\s+", -1)
+    val toks = trimmed.split("[ \\t\\n\\f\\r]+", -1)
     val empty = trimmed.isEmpty
 
     val nTokens = if (empty) 0 else toks.length
@@ -115,7 +115,7 @@ object TextMetrics {
 
   val P = 1000000007L
   val SubwordPattern: Pattern =
-    Pattern.compile("\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^a-zA-Z0-9\\s])")
+    Pattern.compile("[ \\t\\n\\f\\r]+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^a-zA-Z0-9 \\t\\n\\f\\r])")
   val Stopwords: Set[String] =
     Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
   // keep in sync with graft.ext.TextOps.LangMarkers

@@ -121,4 +121,45 @@ object Graph {
     nodes.select(col("id")).join(perNode, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Link-prediction scores over an UNDIRECTED simple graph: for every
+    * unordered node pair sharing at least one neighbor (the 2-hop
+    * candidate set — never all-pairs), the common-neighbor count plus
+    * neighborhood Jaccard in exact integer micro-units:
+    *
+    *   jacc_micro = (10⁶ · |N(a)∩N(b)|) div (|N(a)| + |N(b)| − |N(a)∩N(b)|)
+    *
+    * The classic "these two docs share near-dup neighbors — are THEY
+    * redundant?" signal that catches pairs every pairwise hash gate
+    * misses (no direct edge required).
+    *
+    * `edges` is (src, dst) in either orientation. Plan: canonicalize +
+    * distinct, ONE degree agg, one self-join on the shared-neighbor
+    * pivot (the wedge join — fan-out is Σ deg², the inherent candidate
+    * count), one agg on the pair, two broadcast-friendly degree joins.
+    * Skew note: a hub of degree d contributes O(d²) wedge rows; in a
+    * thresholded near-dup graph d is bounded by cluster sizes, but on
+    * raw power-law graphs cap hubs upstream (or sample neighbors) —
+    * the same survival condition g02's orientation trick buys for
+    * triangles, unavailable here because BOTH endpoints' full
+    * neighborhoods define the score.
+    */
+  def commonNeighbors(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val full = und.select(col("a").as("id"), col("b").as("x"))
+      .union(und.select(col("b").as("id"), col("a").as("x")))
+    val deg = full.groupBy("id").agg(count(lit(1)).as("deg"))
+    val cn = full.select(col("id").as("id_a"), col("x"))
+      .join(full.select(col("id").as("id_b"), col("x")), "x")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("cn"))
+    cn.join(deg.select(col("id").as("id_a"), col("deg").as("deg_a")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("deg_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("cn"), col("deg_a"), col("deg_b"),
+        expr("(1000000 * cn) div (deg_a + deg_b - cn)").as("jacc_micro"))
+  }
 }

@@ -129,4 +129,32 @@ object PrefixSum {
       .withColumn("shard", expr(s"(_run - n_tokens) div $budget"))
       .drop("_run")
   }
+
+  /** GPT-style sequence-packing manifest (concat-and-chunk): docs are
+    * laid end to end in id order into one global token stream, which is
+    * cut into fixed `seqLen` training sequences; each doc reports the
+    * sequences it lands in. Unlike [[tokenBudgetShards]] (docs stay
+    * whole, shards stretch), here the SEQUENCES stay fixed-length and
+    * docs SPLIT across them — the packing used when every training row
+    * must be exactly the context length.
+    *
+    * Output: input columns + n_tokens, `offset` (global 0-based start
+    * of the doc's tokens), `first_seq`/`last_seq` (the sequence range
+    * the doc spans; a zero-token doc degenerates to the sequence at its
+    * offset). Built on [[runningTotal]]'s two-phase scan — no
+    * single-partition window — and all-integer, so the full manifest
+    * sits under the oracle gate.
+    */
+  def seqPack(docs: DataFrame, seqLen: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val withTokens = docs.withColumn("n_tokens",
+      graft.ext.TextOps.tokenCount(col(textCol)).cast("long"))
+    runningTotal(withTokens, idCol, "n_tokens", "_run")
+      .withColumn("offset", col("_run") - col("n_tokens"))
+      .withColumn("first_seq", expr(s"offset div $seqLen"))
+      .withColumn("last_seq",
+        expr(s"(offset + greatest(n_tokens - 1, 0)) div $seqLen"))
+      .drop("_run")
+  }
 }

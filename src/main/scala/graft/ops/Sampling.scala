@@ -136,7 +136,19 @@ object Sampling {
     require(total > 0, "total must be positive")
     import org.apache.spark.sql.expressions.Window
     val domains = docs.groupBy(col(domainCol))
-      .agg(count(lit(1)).as("_n"), first(weightCol).cast("long").as("_w"))
+      .agg(count(lit(1)).as("_n"), first(weightCol).cast("long").as("_w"),
+        min(weightCol).cast("long").as("_wlo"), max(weightCol).cast("long").as("_whi"))
+      // misuse fails loudly instead of returning an empty/arbitrary
+      // sample: weights must be constant within a domain, and at least
+      // one domain must carry positive weight (else _wsum = 0 and the
+      // div/% below would null out every quota). assert_true runs on
+      // the #domains-row frame only and lives in a filter so column
+      // pruning can't drop it; it returns NULL on success.
+      .filter(coalesce(
+        assert_true(col("_wlo") === col("_whi"),
+          concat(lit("domainMixture: non-constant weight in domain "),
+            col(domainCol))), lit(true)))
+      .drop("_wlo", "_whi")
     // domain-cardinality frame: W, base, remainder rank, leftover — all
     // windows over #domains rows (empty partitionBy is safe HERE only)
     val all = Window.partitionBy()
@@ -145,6 +157,10 @@ object Sampling {
       // NOT "_W": SQL identifiers in expr() are case-insensitive, so
       // "_w" and "_W" would silently resolve to the same column
       .withColumn("_wsum", sum(col("_w")).over(all))
+      .filter(coalesce(
+        assert_true(col("_wsum") > 0L,
+          lit("domainMixture: total domain weight must be positive")),
+        lit(true)))
       .withColumn("_base", expr(s"($total * _w) div _wsum"))
       .withColumn("_rem", expr(s"($total * _w) % _wsum"))
       .withColumn("_left", lit(total) - sum(col("_base")).over(all))

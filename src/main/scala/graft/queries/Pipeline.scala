@@ -1036,7 +1036,7 @@ object Pipeline {
     * no rows to group there, so it must not appear here either. rlike
     * "\\S", NOT length(trim(..)) > 0 — Spark trim strips only spaces,
     * so a tab/newline-only doc would pass a trim filter while its
-    * \s+-split tokens are all empty.
+    * whitespace-split tokens are all empty.
     */
   def d07SimhashMd5(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
@@ -1113,7 +1113,7 @@ object Pipeline {
       .map(b => s"CASE WHEN s_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
       .mkString(" + ")
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+')) AS tok FROM documents
        |), h AS (
        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
        |  FROM toks WHERE tok <> ''
@@ -1227,7 +1227,7 @@ object Pipeline {
 
   /** d04's oracle CTE: xxhash64-token SimHash over ALL docs — unlike
     * the md5 twin there is NO empty-token filter and NO doc filter,
-    * because [[graft.functions.SimHash64]] hashes every `\s+`-split
+    * because [[graft.functions.SimHash64]] hashes every whitespace-split
     * token including the single empty token a whitespace-only doc
     * yields (its fingerprint degenerates to 0). Bit votes and the
     * 64-bit reassembly run in UBIGINT (logical shifts; `2^b` as
@@ -1241,7 +1241,7 @@ object Pipeline {
       .map(b => s"CASE WHEN s_$b > 0 THEN ${(BigInt(1) << b).toString}::UBIGINT ELSE 0::UBIGINT END")
       .mkString(" + ")
     s"""WITH tsrc AS (
-       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+')) AS tok FROM documents
        |),
        |${Xxh64Sql.cte("tsrc")},
        |s AS (SELECT doc_id, $sums FROM xh GROUP BY doc_id),
@@ -1387,7 +1387,7 @@ object Pipeline {
     */
   private val ngramJaccardCtes =
     """toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w FROM documents
       |), sh AS (
       |  SELECT DISTINCT doc_id,
       |    CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
@@ -1461,7 +1461,7 @@ object Pipeline {
 
   private val repetitionOracle =
     """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w FROM documents
       |), inst AS (
       |  SELECT doc_id, greatest(len(w) - 2, 1) AS n_grams FROM toks
       |), sh AS (
@@ -1623,7 +1623,8 @@ object Pipeline {
         |), q AS (
         |  SELECT doc_id, url,
         |    array_to_string(list_filter(
-        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      string_split(regexp_extract(
+        |        regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1), '&'),
         |      x -> NOT starts_with(x, 'utm_')), '&') AS kept_qs
         |  FROM u
         |), c AS (
@@ -1734,7 +1735,7 @@ object Pipeline {
       """WITH t AS (
         |  SELECT doc_id,
         |    (CASE WHEN length(trim(text)) = 0 THEN 0
-        |          ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS w,
+        |          ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END)::DOUBLE AS w,
         |    ('0x' || substr(md5('graft:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
         |  FROM documents
         |), p AS (
@@ -1820,10 +1821,10 @@ object Pipeline {
       """WITH t AS (
         |  SELECT doc_id, text,
         |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS n_tokens,
         |    length(text) AS n_chars,
         |    length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct,
-        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |    string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS toks
         |  FROM documents
         |), s AS (
         |  SELECT doc_id, n_tokens, n_chars, n_punct,
@@ -1846,13 +1847,13 @@ object Pipeline {
     "t01_text_stats" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |       ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS n_tokens,
         |  length(text) AS len_chars,
         |  length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t03_vocab" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS token
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin,
@@ -1914,7 +1915,7 @@ object Pipeline {
     // the oracle replays it as plain top-k token frequencies with err 0.
     "t17_heavy_hitters" ->
       """WITH toks AS (
-        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS token
         |  FROM documents
         |)
         |SELECT token, count(*) AS est, CAST(0 AS BIGINT) AS err
@@ -1928,8 +1929,8 @@ object Pipeline {
         |), dt AS (
         |  SELECT doc_id,
         |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS dl,
-        |    string_split_regex(trim(lower(text)), '\s+') AS w
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS dl,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS w
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, dl, unnest(w) AS token FROM dt
@@ -1958,7 +1959,7 @@ object Pipeline {
       """WITH q AS (
         |  SELECT unnest(['dup','spark','vector','merge']) AS token
         |), toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS token
         |  FROM documents
         |), tf AS (
         |  SELECT doc_id, token, count(*) AS tf
@@ -2028,7 +2029,7 @@ object Pipeline {
     // is NULL where Spark's concat_ws over an empty array is ''
     "t12_line_dedup" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w FROM documents
         |), lines AS (
         |  SELECT doc_id, i.i AS pos,
         |    array_to_string(w[i.i*8+1 : i.i*8+8], ' ') AS line
@@ -2044,7 +2045,7 @@ object Pipeline {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t08_oov_rate" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS token
         |  FROM documents
         |), t AS (
         |  SELECT doc_id, token FROM toks WHERE token <> ''
@@ -2062,7 +2063,7 @@ object Pipeline {
     // coverage [p, p+4], anti-join surviving tokens, ordered reassembly
     "t14_span_dedup" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w FROM documents
         |), tok AS (
         |  SELECT doc_id, i.i AS pos, w[i.i + 1] AS t
         |  FROM toks, LATERAL (SELECT unnest(range(0, len(w))) AS i) i
@@ -2086,7 +2087,7 @@ object Pipeline {
         |), base AS (
         |  SELECT doc_id,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS BIGINT) AS n_tokens
         |  FROM documents
         |)
         |SELECT base.doc_id, coalesce(agg.cleaned, '') AS cleaned, base.n_tokens,
@@ -2099,7 +2100,7 @@ object Pipeline {
       """WITH t AS (
         |  SELECT doc_id,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS BIGINT) AS n_tokens
         |  FROM documents
         |)
         |SELECT doc_id, n_tokens,
@@ -2199,7 +2200,7 @@ object Pipeline {
         |FROM px GROUP BY doc_id, f, sw, sh ORDER BY media_id, frame_idx""".stripMargin,
     "t04_fingerprint" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS w FROM documents
         |), sh AS (
         |  SELECT doc_id,
         |    CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
@@ -2210,7 +2211,7 @@ object Pipeline {
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d06_fingerprint_dedup" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS w FROM documents
         |), sh AS (
         |  SELECT doc_id,
         |    CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
@@ -2225,9 +2226,9 @@ object Pipeline {
       """WITH t AS (
         |  SELECT doc_id, text,
         |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS n_tokens,
         |    length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct,
-        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |    string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS toks
         |  FROM documents
         |), s AS (
         |  SELECT doc_id, n_tokens, n_punct, length(text) AS n_chars,
@@ -2250,7 +2251,7 @@ object Pipeline {
     "t15_langid" ->
       """WITH t AS (
         |  SELECT doc_id, text,
-        |    string_split_regex(trim(lower(text)), '\s+') AS w
+        |    string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS w
         |  FROM documents
         |), s AS (
         |  SELECT doc_id,
@@ -2286,11 +2287,11 @@ object Pipeline {
       """WITH t AS (
         |  SELECT doc_id,
         |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
-        |    length(regexp_replace(text, '\s', '', 'g')) AS nonws,
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS n_words,
+        |    length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) AS nonws,
         |    len(regexp_extract_all(text, '#|\.\.\.|…')) AS sym,
-        |    string_split_regex(trim(text), '\s+') AS raw_toks,
-        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |    string_split_regex(trim(text), '[ \t\n\f\r]+') AS raw_toks,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS toks
         |  FROM documents
         |), m AS (
         |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
@@ -2340,7 +2341,8 @@ object Pipeline {
         |), q AS (
         |  SELECT doc_id, url,
         |    array_to_string(list_filter(
-        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      string_split(regexp_extract(
+        |        regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1), '&'),
         |      x -> NOT starts_with(x, 'utm_')), '&') AS kept_qs
         |  FROM u
         |), c AS (
@@ -2370,7 +2372,7 @@ object Pipeline {
     // widening is cast back.
     "t22_bigram_lm" ->
       """WITH dt AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS t
         |  FROM documents
         |), b AS (
         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
