@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through RAW (no "[info] " prefix): the
+// bench driver parses the ONE JSON line Bench prints, and sbt's default
+// logged output strategy prefixes it into unparseability (BENCH_r06-r09
+// all carry "parsed: null" for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

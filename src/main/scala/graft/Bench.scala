@@ -54,7 +54,12 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     val scaleK = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "10").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the artifact's stdout tail otherwise fills with
+    // benign-but-noisy executor warnings (e.g. WindowExec's
+    // single-partition advisory fired by the DOMAIN-cardinality windows
+    // of Sampling.domainMixture, which are bounded by design) and
+    // crowds out the JSON summary line the driver captures
+    spark.sparkContext.setLogLevel("ERROR")
     // ---- warmup (unmeasured): flagship + table scans + ONE full pass
     // of the suite at the bench SF — the measured passes then time
     // steady state, not first-compile/first-touch latency (a first

@@ -195,6 +195,66 @@ object TextOps {
         coalesce(expr("s div n_bigrams"), lit(0L)).as("lm_micro"))
   }
 
+  /** CCNet-style per-language typicality bucketing over
+    * [[bigramLmScore]]: rank every document within its language by LM
+    * typicality (lm_micro desc, doc_id as the total tie-break) and cut
+    * the ranking into `nBuckets` equal NTILE buckets — bucket 1 = the
+    * "head" (most corpus-typical), bucket `nBuckets` = the "tail" a
+    * curation pipeline drops or down-samples.
+    *
+    * Scale design — NO per-language global window. `ntile() OVER
+    * (PARTITION BY lang)` puts an entire language in one task; at
+    * 100 TB a dominant language is half the corpus, so that spelling
+    * dies on the biggest partition. Instead the exact rank is assembled
+    * from two bounded pieces (the t13 prefix-sum philosophy):
+    *
+    *   1. a (lang, lm_micro) HISTOGRAM — score cardinality, not corpus
+    *      cardinality — whose cumulative counts give every doc the
+    *      number of strictly-higher-scored docs in its language, via a
+    *      window over histogram rows only;
+    *   2. a row_number over (lang, lm_micro) — the tie group, which is
+    *      score-collision-sized, never language-sized.
+    *
+    * rank = higher + tie_rn, and the NTILE bucket is then pure integer
+    * arithmetic on (rank, langN): with q = N div n, rem = N mod n, the
+    * first `rem` buckets take q+1 rows — bucket = ⌈r/(q+1)⌉ in the
+    * oversized prefix, rem + ⌈(r − rem·(q+1))/q⌉ after. Identical to
+    * SQL NTILE (gated against DuckDB's), with every exchange keyed on
+    * (lang, lm_micro) or histogram-sized.
+    */
+  def lmTypicalityBuckets(docs: DataFrame, nBuckets: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col(idCol), col(langCol))
+      .join(bigramLmScore(docs, textCol, idCol).select(col(idCol), col("lm_micro")),
+        Seq(idCol))
+    val hist = scored.groupBy(col(langCol), col("lm_micro"))
+      .agg(count(lit(1)).as("_c"))
+    val cumW = Window.partitionBy(col(langCol)).orderBy(col("lm_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("_higher", coalesce(sum(col("_c")).over(cumW), lit(0L)))
+      .withColumn("_langN",
+        sum(col("_c")).over(Window.partitionBy(col(langCol))))
+      .select(col(langCol), col("lm_micro"), col("_higher"), col("_langN"))
+    val tieW = Window.partitionBy(col(langCol), col("lm_micro")).orderBy(col(idCol))
+    scored.join(cum, Seq(langCol, "lm_micro"))
+      .withColumn("_rank", col("_higher") + row_number().over(tieW))
+      .withColumn("_q", expr(s"_langN div $nBuckets"))
+      .withColumn("_rem", col("_langN") % nBuckets)
+      // ceil(a/b) on non-negative longs = (a + b - 1) div b; the CASE
+      // short-circuits, so _q = 0 (language smaller than nBuckets)
+      // never reaches the ELSE's div _q — every rank sits in the
+      // oversized prefix when rem = N
+      .withColumn("bucket", expr(
+        "CAST(CASE WHEN _rank <= _rem * (_q + 1) " +
+          "THEN (_rank + _q) div (_q + 1) " +
+          "ELSE _rem + (_rank - _rem * (_q + 1) + _q - 1) div _q END AS BIGINT)"))
+      .select(col(idCol), col(langCol), col("lm_micro"), col("bucket"))
+  }
+
   /** Character n-gram based language ID over a fixed marker table — the
     * classic stopword/diacritic heuristic. Scores each language by
     * marker-token hits; highest wins, 'en' on tie/none.

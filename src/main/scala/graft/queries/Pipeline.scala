@@ -69,6 +69,33 @@ object Pipeline {
     Dedup.clusters(Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, minJaccard = 0.5))
       .orderBy(col("id"))
 
+  /** The END-TO-END near-dup removal a pipeline actually ships
+    * ([[Dedup.dropNearDuplicates]]): pairs → connected components →
+    * drop every non-representative member, singletons untouched. The
+    * oracle replays the full composition (recursive-CTE components +
+    * min-id keep policy + anti-join) — gating the surviving CORPUS,
+    * not just the pair/cluster intermediates d02/d11 already pin.
+    */
+  def d19ClusterDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.dropNearDuplicates(docs,
+        Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-aware cluster manifest ([[Dedup.clusterRepresentatives]]):
+    * one representative per near-dup cluster — most tokens wins, ties
+    * to the smallest id — plus the cluster size. All-integer output, so
+    * the keep-the-best-copy POLICY itself sits under the hash gate.
+    */
+  def d20ClusterReps(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.clusterRepresentatives(docs,
+        Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5))
+      .orderBy(col("cluster_id"))
+  }
+
   def d05EmbeddingDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineDupPairs(Tables.embeddings(spark, dir), minSim = 0.35)
       .orderBy(col("id_a"), col("id_b"))
@@ -404,6 +431,19 @@ object Pipeline {
     */
   def t22BigramLm(spark: SparkSession, dir: String): DataFrame =
     TextOps.bigramLmScore(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** CCNet-style per-language typicality terciles
+    * ([[TextOps.lmTypicalityBuckets]]): rank each doc within its
+    * language by t22's integer LM score, cut into head/middle/tail.
+    * The Spark side computes the NTILE bucket WITHOUT a per-language
+    * global window (histogram prefix-sum + tie row_number — the
+    * spelling that survives a language owning half the corpus); the
+    * DuckDB oracle uses literal `ntile(3)`, so the gate proves the
+    * distributed rank assembly IS ntile.
+    */
+  def t24PerplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lmTypicalityBuckets(Tables.documents(spark, dir), nBuckets = 3)
       .orderBy(col("doc_id"))
 
   /** URL canonicalization + domain stats ([[UrlOps]]): per-doc
@@ -1579,6 +1619,85 @@ object Pipeline {
        |SELECT src AS id, least(src, min(dst)) AS cluster_id
        |FROM reach GROUP BY src ORDER BY id""".stripMargin
 
+  /** Shared recursive-CTE fragment: `labels(id, cluster_id)` over the
+    * exact jpairs graph — the d11 components, reused by the d19/d20
+    * end-to-end policies.
+    */
+  private val clusterLabelCtes =
+    s"""$ngramJaccardCtes, edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jpairs
+       |  UNION SELECT id_b, id_a FROM jpairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), labels AS (
+       |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |)""".stripMargin
+
+  /** Bigram-LM CTE chain ending in `lmscored(doc_id, n_bigrams,
+    * lm_micro)` — retrains the t22 counts (bigram, unigram, vocab) and
+    * replays the add-one micro-unit arithmetic; DuckDB's flooring `//`
+    * on non-negative operands == Spark's truncating div, and
+    * sum(BIGINT)'s HUGEINT widening is cast back. Shared by t22/t24.
+    */
+  private val bigramLmCtes =
+    """dt AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS t
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM dt, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+      |  WHERE len(t) >= 2
+      |), c2 AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT unnest(t) AS w FROM dt
+      |), c1 AS (
+      |  SELECT w, count(*) AS c1 FROM uni GROUP BY 1
+      |), v AS (
+      |  SELECT count(DISTINCT w) AS v FROM uni
+      |), s AS (
+      |  SELECT b.doc_id, ((c2.c2 + 1) * 1000000) // (c1.c1 + v.v) AS p
+      |  FROM b JOIN c2 USING (w1, w2) JOIN c1 ON b.w1 = c1.w CROSS JOIN v
+      |), agg AS (
+      |  SELECT doc_id, count(*) AS n_bigrams, sum(p) AS s
+      |  FROM s GROUP BY 1
+      |), lmscored AS (
+      |  SELECT dt.doc_id,
+      |    CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |    CAST(coalesce(agg.s // agg.n_bigrams, 0) AS BIGINT) AS lm_micro
+      |  FROM dt LEFT JOIN agg USING (doc_id)
+      |)""".stripMargin
+
+  /** d19: components → drop non-representatives → surviving corpus. */
+  private val clusterDedupOracle =
+    s"""WITH RECURSIVE $clusterLabelCtes
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM labels WHERE cluster_id != id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** d20: components joined with token counts, best-copy row per
+    * cluster (n_tokens desc, id) + member count — literal window
+    * functions here; the Spark side's windows are cluster-sized.
+    */
+  private val clusterRepsOracle =
+    s"""WITH RECURSIVE $clusterLabelCtes, toksz AS (
+       |  SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+       |    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+')) END AS n_tokens
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT l.cluster_id, l.id, t.n_tokens,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY t.n_tokens DESC, l.id) AS rn,
+       |    count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+       |  FROM labels l JOIN toksz t ON t.doc_id = l.id
+       |)
+       |SELECT cluster_id, id AS keep_id,
+       |  CAST(n_tokens AS BIGINT) AS keep_tokens, n_members
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // xxhash64 replayed in DuckDB by the generated XXH64 CTE chain —
     // the former rows-only registry row is now under the full hash gate
@@ -1727,6 +1846,8 @@ object Pipeline {
     "d07_simhash_md5" -> simhashMd5Oracle,
     "d10_simhash_pairs_md5" -> simhashMd5PairsOracle,
     "d11_dedup_clusters" -> dedupClustersOracle,
+    "d19_cluster_dedup" -> clusterDedupOracle,
+    "d20_cluster_reps" -> clusterRepsOracle,
     "d12_contamination" -> contaminationOracle,
     "t11_repetition" -> repetitionOracle,
     // priority = w / u, u = (h+1)/2^32 — all IEEE-exact ops, so the
@@ -2371,32 +2492,18 @@ object Pipeline {
     // operands == Spark's truncating div, and sum(BIGINT)'s HUGEINT
     // widening is cast back.
     "t22_bigram_lm" ->
-      """WITH dt AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS t
-        |  FROM documents
-        |), b AS (
-        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-        |  FROM dt, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
-        |  WHERE len(t) >= 2
-        |), c2 AS (
-        |  SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2
-        |), uni AS (
-        |  SELECT unnest(t) AS w FROM dt
-        |), c1 AS (
-        |  SELECT w, count(*) AS c1 FROM uni GROUP BY 1
-        |), v AS (
-        |  SELECT count(DISTINCT w) AS v FROM uni
-        |), s AS (
-        |  SELECT b.doc_id, ((c2.c2 + 1) * 1000000) // (c1.c1 + v.v) AS p
-        |  FROM b JOIN c2 USING (w1, w2) JOIN c1 ON b.w1 = c1.w CROSS JOIN v
-        |), agg AS (
-        |  SELECT doc_id, count(*) AS n_bigrams, sum(p) AS s
-        |  FROM s GROUP BY 1
-        |)
-        |SELECT dt.doc_id,
-        |  CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  CAST(coalesce(agg.s // agg.n_bigrams, 0) AS BIGINT) AS lm_micro
-        |FROM dt LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+      s"""WITH $bigramLmCtes
+         |SELECT doc_id, n_bigrams, lm_micro
+         |FROM lmscored ORDER BY doc_id""".stripMargin,
+    // literal ntile(3) vs the Spark side's histogram-prefix-sum rank
+    // assembly — the gate proves the distributed spelling IS ntile
+    "t24_perplexity_buckets" ->
+      s"""WITH $bigramLmCtes
+         |SELECT l.doc_id, d.lang, l.lm_micro,
+         |  CAST(ntile(3) OVER (PARTITION BY d.lang
+         |    ORDER BY l.lm_micro DESC, l.doc_id) AS BIGINT) AS bucket
+         |FROM lmscored l JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2407,6 +2514,8 @@ object Pipeline {
     "d04_simhash_pairs"  -> d04SimhashPairs _,
     "d10_simhash_pairs_md5" -> d10SimhashPairsMd5 _,
     "d11_dedup_clusters" -> d11DedupClusters _,
+    "d19_cluster_dedup"  -> d19ClusterDedup _,
+    "d20_cluster_reps"   -> d20ClusterReps _,
     "d12_contamination"  -> d12Contamination _,
     "t11_repetition"     -> t11Repetition _,
     "t12_line_dedup"     -> t12LineDedup _,
@@ -2444,6 +2553,7 @@ object Pipeline {
     "t20_gopher_rules"   -> t20GopherRules _,
     "t21_url_domains"    -> t21UrlDomains _,
     "t22_bigram_lm"      -> t22BigramLm _,
+    "t24_perplexity_buckets" -> t24PerplexityBuckets _,
     "g01_pagerank"       -> g01PageRank _,
     "g02_triangles"      -> g02Triangles _,
     "d13_containment"    -> d13Containment _,

@@ -398,6 +398,36 @@ object Relational {
       .orderBy(col("l_returnflag"), col("measure"))
   }
 
+  /** Q27 bucketed co-located join ([[graft.ops.Bucketing]]): both join
+    * sides are written `bucketBy(8, key).sortBy(key)` ONCE per session
+    * (amortized over every later join on the key — the 100 TB answer
+    * to a repeated fact⋈fact join), then the sort-merge join reads the
+    * catalog's bucket spec and shuffles NEITHER side (no Exchange on
+    * either join input — pinned in PlanSpec). The gate compares the
+    * join's aggregate against the plain-SQL join, proving the bucketed
+    * layout is execution-strategy-invisible to results.
+    */
+  def q27BucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Bucketing
+    // table names carry the sf-dir fingerprint so sessions touching
+    // several SFs (tests) never read a stale layout
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (ot, ct) = (s"graft_b_orders_$tag", s"graft_b_customer_$tag")
+    if (!spark.catalog.tableExists(ot))
+      Bucketing.writeBucketed(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        ot, "o_custkey", 8)
+    if (!spark.catalog.tableExists(ct))
+      Bucketing.writeBucketed(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        ct, "c_custkey", 8)
+    Bucketing.bucketedJoin(spark, ot, "o_custkey", ct, "c_custkey")
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .orderBy(col("mktsegment"))
+  }
+
   /** Q23 navigation windows: lag/lead/first_value over the per-customer
     * order timeline — value-passthrough window functions (no arithmetic,
     * so cross-engine exact). One shuffle on o_custkey, one sort.
@@ -607,6 +637,12 @@ object Relational {
         |       ELSE disc END AS value
         |FROM wide CROSS JOIN (VALUES ('qty'), ('price'), ('disc')) AS m(measure)
         |ORDER BY l_returnflag, measure""".stripMargin,
+    // the bucketed layout must be result-invisible: plain join oracle
+    "q27_bucket_join" ->
+      """SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY mktsegment ORDER BY mktsegment""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -636,5 +672,6 @@ object Relational {
     "q24_grouping_sets" -> q24GroupingSets _,
     "q25_range_frame" -> q25RangeFrame _,
     "q26_unpivot"     -> q26Unpivot _,
+    "q27_bucket_join" -> q27BucketJoin _,
   )
 }

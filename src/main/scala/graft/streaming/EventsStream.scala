@@ -14,24 +14,26 @@ import graft.functions.Cols
   */
 object EventsStream {
 
-  /** Parquet schema of the events fixture; ts is LongType because the
-    * file stores TIMESTAMP(NANOS) (see GraftSession).
+  /** Parquet schema of the events fixture; ts is TIMESTAMP_NTZ — the
+    * driver fixtures store parquet TIMESTAMP(MICROS) (see
+    * [[graft.Tables.events]] for the batch-side normalization).
     */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** Streaming read of an events parquet DIRECTORY (file-stream sources
-    * monitor directories), ts converted to a real timestamp for
-    * event-time semantics.
+    * monitor directories), ts cast to an instant (session timezone is
+    * pinned UTC) for event-time semantics — watermarks and windows need
+    * TimestampType, not NTZ.
     */
   def read(spark: SparkSession, eventsDir: String): DataFrame =
     spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", Cols.nanosToTs(col("ts")))
+      .withColumn("ts", col("ts").cast(TimestampType))
 
   /** Stage the single-file events fixture into a temp directory so the
     * file-stream source can monitor it; returns the directory.

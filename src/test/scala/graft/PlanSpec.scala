@@ -296,4 +296,19 @@ class PlanSpec extends AnyFunSuite {
     assert(joinIdx >= 0 && normIdx > joinIdx,
       s"norms not pushed below the join:\n$plan")
   }
+
+  test("q27: bucketed join inputs are co-partitioned — join shuffles NEITHER side") {
+    val plan = planOf("q27_bucket_join")
+    assert(plan.contains("SortMergeJoin"),
+      s"bucketed join must stay a sort-merge join (broadcast would hide co-location):\n$plan")
+    // the ONLY hash exchange is the post-join groupBy(mktsegment);
+    // the two join inputs read the catalog bucket spec directly. An
+    // un-bucketed SMJ would show three.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"expected exactly 1 hash exchange (the agg), got $hashEx:\n$plan")
+    // bucketed scans declare their output partitioning: SelectedBucketsCount
+    assert(plan.contains("SelectedBucketsCount"),
+      s"join inputs are not bucket scans:\n$plan")
+  }
 }

@@ -99,4 +99,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 1L, 666666L)))
     assert(got(2) == ((3L, 0L, 0L)))
   }
+
+  test("lmTypicalityBuckets: distributed rank assembly == literal ntile; tiny-language edge") {
+    import org.apache.spark.sql.expressions.Window
+    // en: 5 docs with a score TIE (identical texts) — exercises the
+    // tie row_number path; fr: 2 docs < nBuckets — exercises the
+    // q = 0 arm of the bucket arithmetic; de: singleton
+    val docs = Seq(
+      (1L, "a b a b", "en"), (2L, "a b a b", "en"), (3L, "a b c d", "en"),
+      (4L, "x y", "de"), (5L, "p q r s t", "en"), (6L, "a a a a", "en"),
+      (7L, "z", "fr"), (8L, "z z", "fr")).toDF("doc_id", "text", "lang")
+    val got = TextOps.lmTypicalityBuckets(docs, nBuckets = 3)
+      .orderBy("doc_id").collect().toSeq
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(TextOps.bigramLmScore(docs).select(col("doc_id"), col("lm_micro")),
+        Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lm_micro").desc, col("doc_id"))
+    val want = scored
+      .select(col("doc_id"), col("lang"), col("lm_micro"),
+        ntile(3).over(w).cast("long").as("bucket"))
+      .orderBy("doc_id").collect().toSeq
+    assert(got == want)
+  }
 }
