@@ -398,6 +398,16 @@ object Relational {
       .orderBy(col("l_returnflag"), col("measure"))
   }
 
+  /** Q28 one-pass column profile ([[graft.ops.Profiler]]): per-column
+    * nulls / exact distincts / serialized min-max over orders, in ONE
+    * scan (the N count-distincts plan as a single Expand with partial
+    * aggs — not N scans). The oracle recomputes every stat per column
+    * and unions them in the same (column, stats) shape.
+    */
+  def q28ColumnProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.profile(Tables.orders(spark, dir))
+      .orderBy(col("column"))
+
   /** Q27 bucketed co-located join ([[graft.ops.Bucketing]]): both join
     * sides are written `bucketBy(8, key).sortBy(key)` ONCE per session
     * (amortized over every later join on the key — the 100 TB answer
@@ -637,6 +647,37 @@ object Relational {
         |       ELSE disc END AS value
         |FROM wide CROSS JOIN (VALUES ('qty'), ('price'), ('disc')) AS m(measure)
         |ORDER BY l_returnflag, measure""".stripMargin,
+    // per-column stats recomputed independently and unioned into the
+    // same long shape; doubles via DECIMAL(18,2), timestamps via
+    // strftime — the Profiler's cross-engine serialization contract
+    "q28_column_profile" ->
+      """WITH w AS (
+        |  SELECT count(*) AS n,
+        |    count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+        |      CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+        |    count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2,
+        |      CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+        |    count(o_orderstatus) AS nn3, count(DISTINCT o_orderstatus) AS nd3,
+        |      min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+        |    count(o_totalprice) AS nn4, count(DISTINCT o_totalprice) AS nd4,
+        |      CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn4,
+        |      CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx4,
+        |    count(o_orderdate) AS nn5, count(DISTINCT o_orderdate) AS nd5,
+        |      strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn5,
+        |      strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx5,
+        |    count(o_orderpriority) AS nn6, count(DISTINCT o_orderpriority) AS nd6,
+        |      min(o_orderpriority) AS mn6, max(o_orderpriority) AS mx6
+        |  FROM orders
+        |)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS "column", n AS n_rows, n - nn1 AS n_nulls,
+        |         nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM w
+        |  UNION ALL SELECT 'o_custkey', n, n - nn2, nd2, mn2, mx2 FROM w
+        |  UNION ALL SELECT 'o_orderstatus', n, n - nn3, nd3, mn3, mx3 FROM w
+        |  UNION ALL SELECT 'o_totalprice', n, n - nn4, nd4, mn4, mx4 FROM w
+        |  UNION ALL SELECT 'o_orderdate', n, n - nn5, nd5, mn5, mx5 FROM w
+        |  UNION ALL SELECT 'o_orderpriority', n, n - nn6, nd6, mn6, mx6 FROM w
+        |) ORDER BY "column"""".stripMargin,
     // the bucketed layout must be result-invisible: plain join oracle
     "q27_bucket_join" ->
       """SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
@@ -673,5 +714,6 @@ object Relational {
     "q25_range_frame" -> q25RangeFrame _,
     "q26_unpivot"     -> q26Unpivot _,
     "q27_bucket_join" -> q27BucketJoin _,
+    "q28_column_profile" -> q28ColumnProfile _,
   )
 }

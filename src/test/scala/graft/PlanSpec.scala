@@ -311,4 +311,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SelectedBucketsCount"),
       s"join inputs are not bucket scans:\n$plan")
   }
+
+  test("q28: column profile is ONE table scan — count-distincts share a single Expand") {
+    val plan = planOf("q28_column_profile")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"profile must read the table once, got $scans scans:\n$plan")
+    assert(plan.contains("Expand"),
+      s"multi count-distinct should plan as one Expand:\n$plan")
+  }
 }
