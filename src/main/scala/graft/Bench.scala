@@ -177,6 +177,10 @@ object Bench {
           .filter(col("token") =!= ""), "token", k = 15, capacity = 1024)),
       // per-iteration cost is ONE fused scan for all m subspaces
       "pq_train" -> (n => Similarity.pqTrain(embAt(n), m = 4, k = 8, iters = 2)),
+      // one scan + single Expand regardless of width; distinct-value
+      // sets are content-bound, so growth is scan-bound
+      "column_profile" -> (n => graft.ops.Profiler.profile(
+        scaledBy(Tables.orders(spark, sfDir), "o_orderkey", n))),
     )
     probeRows(probes, k)
   }

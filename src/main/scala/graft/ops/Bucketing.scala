@@ -32,6 +32,15 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    // an in-memory catalog dies with the JVM but the managed location
+    // does not: a fresh session would hit LOCATION_ALREADY_EXISTS on
+    // the orphaned directory, so drop both the entry and the leftover
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet") // managed: lives under spark.sql.warehouse.dir
