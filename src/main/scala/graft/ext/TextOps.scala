@@ -195,6 +195,76 @@ object TextOps {
         coalesce(expr("s div n_bigrams"), lit(0L)).as("lm_micro"))
   }
 
+  /** One learned BPE merge: `step` is 1-based rank order. */
+  private[graft] case class BpeMerge(step: Long, lhs: String, rhs: String,
+      merged: String, pair_count: Long)
+
+  /** BPE tokenizer MERGE TRAINING — the standard byte-pair-encoding
+    * loop (count adjacent symbol pairs, merge the most frequent,
+    * repeat) in its scale-correct VOCAB-TABLE formulation: the corpus
+    * is touched exactly ONCE (the word-frequency aggregation); every
+    * iteration after that runs on the vocab table (|V| rows — millions
+    * at 100 TB, never the corpus), with pair counts weighted by word
+    * frequency. Per iteration: one vocab-sized aggregation + a 1-row
+    * argmax collect (ties broken (count desc, lhs, rhs) so training is
+    * deterministic), then a literal in-place merge of the winning pair.
+    *
+    * Symbols are tracked as a sentinel-wrapped string
+    * (U+001C sym U+001D per symbol): a literal `replace` of
+    * `⟨lhs⟩⟨rhs⟩ → ⟨lhsrhs⟩` is then EXACTLY one greedy left-to-right
+    * BPE merge pass — per-symbol sentinels mean no boundary characters
+    * are shared between adjacent matches, so non-overlapping
+    * left-to-right `replace` (same semantics in Spark and DuckDB)
+    * cannot miss or double-apply a merge. Assumes the corpus contains
+    * no U+001C/U+001D (true of any sane text fixture; assert upstream
+    * if ingesting binary-ish data).
+    *
+    * Returns (step, lhs, rhs, merged, pair_count) — all strings +
+    * integers, so k full training iterations sit under the
+    * cross-engine hash gate (the DuckDB oracle replays every iteration
+    * as a generated CTE chain).
+    */
+  def bpeMerges(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = docs.sparkSession
+    val S = "\u001C"; val E = "\u001D"
+    var vocab = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      // wrap every character: "the" -> ⟨t⟩⟨h⟩⟨e⟩
+      .select(regexp_replace(col("w"), "(.)", s"$S$$1$E").as("s"), col("c"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var step = 1
+    while (step <= k) {
+      val best = vocab
+        .select(regexp_extract_all(col("s"), lit(s"$S([^$E]*)$E"), lit(1)).as("sy"),
+          col("c"))
+        .filter(size(col("sy")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(sy) - 2), j -> struct(sy[j] AS l, sy[j+1] AS r))")).as("p"),
+          col("c"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect() // bounded: ONE row per iteration
+      if (best.isEmpty) { step = k + 1 } // fully merged corpus: stop early
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += BpeMerge(step.toLong, l, r, l + r, cnt)
+        val next = vocab
+          .withColumn("s", replace(col("s"), lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E")))
+          .persist()
+        next.count() // materialize before freeing the previous round
+        vocab.unpersist(blocking = false)
+        vocab = next
+        step += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    spark.createDataFrame(merges.toSeq)
+  }
+
   /** CCNet-style per-language typicality bucketing over
     * [[bigramLmScore]]: rank every document within its language by LM
     * typicality (lm_micro desc, doc_id as the total tie-break) and cut

@@ -446,6 +446,18 @@ object Pipeline {
     TextOps.lmTypicalityBuckets(Tables.documents(spark, dir), nBuckets = 3)
       .orderBy(col("doc_id"))
 
+  /** BPE tokenizer merge TRAINING ([[TextOps.bpeMerges]]): 8 full
+    * byte-pair-encoding iterations — pair count, argmax with the
+    * (count desc, lhs, rhs) tie-break, greedy merge application — on
+    * the frequency-weighted vocab table. The oracle replays every
+    * iteration as a generated CTE chain (the s05/g01 precedent), so
+    * the LEARNED MERGES themselves sit under the hash gate, not just
+    * summary statistics.
+    */
+  def t25BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeMerges(Tables.documents(spark, dir), k = 8)
+      .orderBy(col("step"))
+
   /** URL canonicalization + domain stats ([[UrlOps]]): per-doc
     * deterministic synthetic crawl URLs (uppercase `WWW.` aliases,
     * default :443 ports, trailing slashes, `utm_*` tracking params,
@@ -1671,6 +1683,43 @@ object Pipeline {
       |  FROM dt LEFT JOIN agg USING (doc_id)
       |)""".stripMargin
 
+  /** Generated BPE-training oracle: k unrolled iterations. Symbols are
+    * sentinel-wrapped (chr(28) sym chr(29)) exactly as
+    * [[graft.ext.TextOps.bpeMerges]] wraps them, so DuckDB's literal
+    * non-overlapping left-to-right `replace` IS one greedy merge pass;
+    * each iteration recounts adjacent pairs off the current vocab,
+    * takes the same (cnt desc, l, r) argmax, and applies it.
+    */
+  private def bpeMergesOracle(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""sy$i AS (
+         |  SELECT regexp_extract_all(s, '\\x1c([^\\x1d]*)\\x1d', 1) AS sy, c FROM v${i - 1}
+         |), p$i AS (
+         |  SELECT sy[j] AS l, sy[j + 1] AS r, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM sy$i, LATERAL (SELECT unnest(range(1, len(sy))) AS j) rr
+         |  WHERE len(sy) >= 2 GROUP BY 1, 2
+         |), m$i AS (
+         |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1
+         |), v$i AS (
+         |  SELECT replace(v.s, chr(28) || m.l || chr(29) || chr(28) || m.r || chr(29),
+         |                 chr(28) || m.l || m.r || chr(29)) AS s, v.c
+         |  FROM v${i - 1} v, m$i m
+         |)""".stripMargin
+    }.mkString(", ")
+    val rows = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM m$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH v0 AS (
+       |  SELECT regexp_replace(w, '(.)', chr(28) || '\\1' || chr(29), 'g') AS s, c FROM (
+       |    SELECT word AS w, count(*) AS c FROM (
+       |      SELECT unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS word
+       |      FROM documents) t WHERE word != '' GROUP BY 1)
+       |), $iters
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY step""".stripMargin
+  }
+
   /** d19: components → drop non-representatives → surviving corpus. */
   private val clusterDedupOracle =
     s"""WITH RECURSIVE $clusterLabelCtes
@@ -1848,6 +1897,7 @@ object Pipeline {
     "d11_dedup_clusters" -> dedupClustersOracle,
     "d19_cluster_dedup" -> clusterDedupOracle,
     "d20_cluster_reps" -> clusterRepsOracle,
+    "t25_bpe_merges" -> bpeMergesOracle(k = 8),
     "d12_contamination" -> contaminationOracle,
     "t11_repetition" -> repetitionOracle,
     // priority = w / u, u = (h+1)/2^32 — all IEEE-exact ops, so the
@@ -2554,6 +2604,7 @@ object Pipeline {
     "t21_url_domains"    -> t21UrlDomains _,
     "t22_bigram_lm"      -> t22BigramLm _,
     "t24_perplexity_buckets" -> t24PerplexityBuckets _,
+    "t25_bpe_merges"     -> t25BpeMerges _,
     "g01_pagerank"       -> g01PageRank _,
     "g02_triangles"      -> g02Triangles _,
     "d13_containment"    -> d13Containment _,

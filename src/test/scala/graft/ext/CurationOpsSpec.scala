@@ -100,6 +100,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 0L, 0L)))
   }
 
+  test("bpeMerges: hand-computed merge sequence, greedy application, deterministic ties") {
+    // corpus: "aaab" x3, "aab" x2  (as repeated words in docs)
+    // vocab: aaab:3 aab:2
+    // iter1 pairs: (a,a): aaab has 2 overlapping + aab has 1 -> 2*3+1*2=8
+    //              (a,b): 3+2=5  -> merge (a,a)->aa  [greedy: aaab->(aa,a,b), aab->(aa,b)]
+    // iter2 pairs: (aa,a):3  (a,b):3  (aa,b):2
+    //   tie 3==3 broken lexicographically: (a,b) < (aa,a) -> merge (a,b)->ab
+    //   [aaab->(aa,ab); aab unchanged: (aa,b)]
+    // iter3 pairs: (aa,ab):3  (aa,b):2 -> merge (aa,ab)->aaab
+    val docs = Seq((1L, "aaab aaab aaab aab aab")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, k = 3)
+      .orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got(0) == ((1L, "a", "a", "aa", 8L)))
+    assert(got(1) == ((2L, "a", "b", "ab", 3L)))
+    assert(got(2) == ((3L, "aa", "ab", "aaab", 3L)))
+  }
+
   test("lmTypicalityBuckets: distributed rank assembly == literal ntile; tiny-language edge") {
     import org.apache.spark.sql.expressions.Window
     // en: 5 docs with a score TIE (identical texts) — exercises the
