@@ -328,6 +328,43 @@ object Multimodal {
     }
   }
 
+  /** SHOT-BOUNDARY detection over a frame container: per-frame 56-bit
+    * dHash (one codec pass per partition, like [[extractFrames]]),
+    * then the Hamming distance between each frame and its predecessor
+    * — a boundary is a consecutive pair whose perceptual hashes differ
+    * by ≥ `threshold` bits (the classic hash-difference shot cut
+    * detector). Output one row per non-first frame:
+    * (media_id, frame_idx, hamming, is_boundary).
+    *
+    * Plan: frame hashes explode ≤ nFrames rows per payload; the
+    * consecutive pairing is a lag window partitioned by media_id —
+    * frame counts per medium are bounded (a 2-hour film is ~200k
+    * frames), so the window partition never approaches corpus scale.
+    * Payload bytes are dropped before the shuffle: only (id, idx,
+    * 8-byte hash) rows move.
+    */
+  def shotBoundaries(media: Dataset[MediaRow], threshold: Int = 10): DataFrame = {
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frameHashes = media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        require(r.meta.format == PngSeqFormat,
+          s"shotBoundaries needs a $PngSeqFormat container, got ${r.meta.format}")
+        unpackFrames(r.payload).iterator.zipWithIndex.map { case (png, idx) =>
+          val (w, h, rgb) = MediaCodec.decodePng(png)
+          (r.media_id, idx.toLong, dhash56(w, h, rgb))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "dhash")
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frameHashes
+      .withColumn("_prev", lag(col("dhash"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select(col("media_id"), col("frame_idx"),
+        bit_count(expr("_prev ^ dhash")).cast("long").as("hamming"))
+      .withColumn("is_boundary", (col("hamming") >= threshold).cast("long"))
+  }
+
   /** Deterministic frame sampling: every nth byte-slice of the payload
     * as a "frame" (the partitioned explode shape video frame
     * extraction uses; the slicing here is byte-level since the

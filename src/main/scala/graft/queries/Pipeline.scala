@@ -458,6 +458,17 @@ object Pipeline {
     TextOps.bpeMerges(Tables.documents(spark, dir), k = 8)
       .orderBy(col("step"))
 
+  /** Sliding token-window chunking ([[TextOps.chunkTokens]]) — the
+    * context-length prep of every RAG/training pipeline: ≤32-token
+    * chunks every 24 tokens (8-token overlap). The oracle replays the
+    * stride arithmetic and 1-based list slicing in DuckDB; chunk text
+    * is the space-joined window (whitespace tokens are lossless), so
+    * offsets, lengths AND content all hash-match.
+    */
+  def t26ChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunkTokens(Tables.documents(spark, dir), window = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** URL canonicalization + domain stats ([[UrlOps]]): per-doc
     * deterministic synthetic crawl URLs (uppercase `WWW.` aliases,
     * default :443 ports, trailing slashes, `utm_*` tracking params,
@@ -980,6 +991,22 @@ object Pipeline {
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"), col("checksum"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** Shot-boundary detection over the m03 frame containers
+    * ([[graft.ext.Multimodal.shotBoundaries]]): per-frame dHash from
+    * REAL decoded PNGs, lag-window Hamming between consecutive frames,
+    * boundary at ≥ 10 differing bits. The oracle replays the per-FRAME
+    * raster (the m03 arithmetic), the 8×8 nearest-neighbor dHash grid
+    * (the m06 arithmetic), and the consecutive xor/bit_count — the
+    * whole detector, pixels to cuts, under the hash gate.
+    */
+  def m08ShotBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticPngSequence(Tables.documents(spark, dir))
+    graft.ext.Multimodal.shotBoundaries(media, threshold = 10)
+      .select(col("media_id"), col("frame_idx"), col("hamming"), col("is_boundary"))
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
@@ -1898,6 +1925,23 @@ object Pipeline {
     "d19_cluster_dedup" -> clusterDedupOracle,
     "d20_cluster_reps" -> clusterRepsOracle,
     "t25_bpe_merges" -> bpeMergesOracle(k = 8),
+    // stride arithmetic + 1-based list slicing; n>0 docs only, chunk
+    // count = ((n-1) // stride) + 1, start = j*stride, window clamp by
+    // slice bounds — mirrors chunkTokens(window=32, stride=24)
+    "t26_chunk_windows" ->
+      """WITH dt AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS t,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(k.j AS BIGINT) AS chunk_id,
+        |  CAST(k.j * 24 AS BIGINT) AS chunk_start,
+        |  CAST(len(t[k.j * 24 + 1 : k.j * 24 + 32]) AS BIGINT) AS chunk_len,
+        |  array_to_string(t[k.j * 24 + 1 : k.j * 24 + 32], ' ') AS chunk_text
+        |FROM dt, LATERAL (SELECT unnest(range(0, (n - 1) // 24 + 1)) AS j) k
+        |WHERE n > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "d12_contamination" -> contaminationOracle,
     "t11_repetition" -> repetitionOracle,
     // priority = w / u, u = (h+1)/2^32 — all IEEE-exact ops, so the
@@ -2369,6 +2413,41 @@ object Pipeline {
         |SELECT doc_id AS media_id, f AS frame_idx, sw AS width, sh AS height,
         |  CAST(sum(rgb * (pos + 1)) % 1000000007 AS BIGINT) AS checksum
         |FROM px GROUP BY doc_id, f, sw, sh ORDER BY media_id, frame_idx""".stripMargin,
+    // per-FRAME rasters (m03 arithmetic) → 8x8 nearest-neighbor dHash
+    // grid (m06 arithmetic) → consecutive xor/bit_count: pixels to
+    // cuts, fully replayed
+    "m08_shot_boundaries" ->
+      """WITH fdims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + doc_id % 5 AS sh,
+        |    2 + doc_id % 3 AS nf
+        |  FROM documents
+        |), fg AS (
+        |  SELECT doc_id, ff.f AS f, xx.x AS x, yy.y AS y,
+        |    (((doc_id*31 + ff.f*23 + ((xx.x*sw)//8)*7 + ((yy.y*sh)//8)*13) % 256) * 299
+        |     + ((doc_id*17 + ff.f*29 + ((xx.x*sw)//8)*11 + ((yy.y*sh)//8)*5) % 256) * 587
+        |     + ((doc_id*13 + ff.f*37 + ((xx.x*sw)//8)*3 + ((yy.y*sh)//8)*19) % 256) * 114) // 1000 AS gray
+        |  FROM fdims,
+        |    LATERAL (SELECT unnest(range(0, nf)) AS f) ff,
+        |    (SELECT unnest(range(0, 8)) AS x) xx,
+        |    (SELECT unnest(range(0, 8)) AS y) yy
+        |), fbits AS (
+        |  SELECT a.doc_id, a.f, a.y * 7 + a.x AS j,
+        |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |  FROM fg a JOIN fg b ON b.doc_id = a.doc_id AND b.f = a.f
+        |    AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 7
+        |), fdh AS (
+        |  SELECT doc_id AS media_id, f AS frame_idx,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS dhash
+        |  FROM fbits GROUP BY 1, 2
+        |)
+        |SELECT a.media_id, CAST(a.frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming,
+        |  CAST(CASE WHEN bit_count(xor(a.dhash, b.dhash)) >= 10
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_boundary
+        |FROM fdh a JOIN fdh b
+        |  ON b.media_id = a.media_id AND b.frame_idx = a.frame_idx - 1
+        |ORDER BY a.media_id, a.frame_idx""".stripMargin,
     "t04_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS w FROM documents
@@ -2605,6 +2684,7 @@ object Pipeline {
     "t22_bigram_lm"      -> t22BigramLm _,
     "t24_perplexity_buckets" -> t24PerplexityBuckets _,
     "t25_bpe_merges"     -> t25BpeMerges _,
+    "t26_chunk_windows"  -> t26ChunkWindows _,
     "g01_pagerank"       -> g01PageRank _,
     "g02_triangles"      -> g02Triangles _,
     "d13_containment"    -> d13Containment _,
@@ -2616,6 +2696,7 @@ object Pipeline {
     "m01_media_features" -> m01MediaFeatures _,
     "m02_media_resize"   -> m02MediaResize _,
     "m03_frame_sample"   -> m03FrameSample _,
+    "m08_shot_boundaries" -> m08ShotBoundaries _,
     "m04_audio_frames"   -> m04AudioFrames _,
     "m05_png_meta"       -> m05PngMeta _,
     "m06_image_dhash"    -> m06ImageDhash _,
