@@ -312,6 +312,29 @@ class PlanSpec extends AnyFunSuite {
       s"join inputs are not bucket scans:\n$plan")
   }
 
+  test("t26: chunking is a narrow explode — no shuffle before the presentation sort") {
+    val plan = planOf("t26_chunk_windows")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking shuffles chunk rows:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("m08: shot detection shuffles 8-byte hashes, never frame payloads") {
+    val df = SparkEntry.queries("m08_shot_boundaries")(spark, sf)
+    // the lag window's required distribution IS the shuffle; its
+    // child's output is exactly what crosses the wire (physical
+    // exchanges are hidden from collect() by the AQE leaf wrapper)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, df.queryExecution.optimizedPlan.toString.take(4000))
+    windows.foreach { w =>
+      val cols = w.child.output.map(_.name).toSet
+      assert(!cols.contains("payload") && !cols.contains("meta"),
+        s"payload bytes cross the wire: ${w.child.output}")
+    }
+  }
+
   test("q28: column profile is ONE table scan — count-distincts share a single Expand") {
     val plan = planOf("q28_column_profile")
     val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
