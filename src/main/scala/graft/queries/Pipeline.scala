@@ -631,6 +631,30 @@ object Pipeline {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention — the classic product-analytics rollup: each
+    * user joins the cohort of their FIRST activity week; the report
+    * counts distinct users per (cohort_week, week_offset) — the
+    * retention-curve matrix. Integer day/week arithmetic on epoch-ns
+    * (`ts` is non-negative, so truncating div == flooring //).
+    *
+    * Plan at scale: per-user first-day is ONE map-side-combined
+    * aggregation (user cardinality, not event cardinality); the
+    * events⋈first-day join is co-keyed on user_id (one shuffle each
+    * side, AQE may broadcast the smaller); the final matrix agg is
+    * partial-combined into a frame of #cohorts × #offsets rows.
+    */
+  def e07CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(firstDay, Seq("user_id"))
+      .groupBy(expr("cohort_day div 7").as("cohort_week"),
+        expr("(day - cohort_day) div 7").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Deterministic 80/10/10 split assignment
     * ([[graft.ops.Sampling.hashSplit]]): the label is a pure function of
     * the id hash with INTEGER thresholds, so the full assignment table
@@ -2335,6 +2359,18 @@ object Pipeline {
         |)
         |SELECT user_id, count(*) AS n_funnels FROM pc WHERE view_id IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // epoch-ns is non-negative, so Spark's truncating div == DuckDB //
+    "e07_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), fd AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
+        |)
+        |SELECT fd.cohort_day // 7 AS cohort_week,
+        |  (ev.day - fd.cohort_day) // 7 AS week_offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN fd USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "j01_json_extract" ->
       """SELECT event_type, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -2667,6 +2703,7 @@ object Pipeline {
     "t09_hash_split"     -> t09HashSplit _,
     "t10_redact"         -> t10Redact _,
     "e05_funnel"         -> e05Funnel _,
+    "e07_cohort_retention" -> e07CohortRetention _,
     "j01_json_extract"   -> j01JsonExtract _,
     "e01_event_windows"  -> e01EventWindows _,
     "e02_asof_join"      -> e02AsofJoin _,
