@@ -71,6 +71,34 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Metadata-FILTERED exact top-k — the "filtered vector search"
+    * pattern every serving stack needs (top-k among candidates that
+    * also satisfy a structured predicate; here: share the query's
+    * label). The label equi-join IS the filter pushdown: both sides
+    * co-key on the label BEFORE any similarity math, so each query
+    * scores only its group — Σ group² work, never |queries|·|corpus|,
+    * and a selective label prunes proportionally. Post-filtering a
+    * plain top-k would instead under-fill k whenever the global
+    * neighborhood is label-diverse; pre-filtering is the correct
+    * semantics AND the correct plan.
+    */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("_lbl"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(graftDot(col("qv"), col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("_lbl"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(graftDot(col("cv"), col("cv"))))
+    val scored = q.join(c, Seq("_lbl"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    rankTopK(scored, k)
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits. Hyperplanes are
     * seeded gaussian literal arrays evaluated through the native dot
     * product (codegen'd — the signature of a billion vectors is `bits`

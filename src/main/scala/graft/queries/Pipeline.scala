@@ -118,6 +118,18 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Metadata-filtered vector search ([[Similarity.filteredTopK]]):
+    * top-5 among same-LABEL candidates only — the label equi-join
+    * prunes before any similarity math (pre-filter semantics, never an
+    * under-filled post-filter). Oracle replays the label-constrained
+    * exact top-k.
+    */
+  def s08FilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.filteredTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact top-5 (query_id, neighbor_id) set shared by the two ANN
     * recall gates — [[Similarity.bruteForceTopK]], the surface s01
     * already proves hash-identical to the DuckDB exact top-k.
@@ -2027,6 +2039,19 @@ object Pipeline {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
         |  WHERE a.vec_id < 20) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the label constraint joins in BEFORE ranking (pre-filter
+    // semantics) — same shape as s01 plus the equality predicate
+    "s08_filtered_topk" ->
+      """SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |               b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id != b.vec_id AND a.label = b.label
+        |  WHERE a.vec_id < 20) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // the recall joins replay in SQL as exact-top-k ⋈ exact-top-k: at the
     // registered gate parameters the approximate candidate set provably
     // (IVF: structurally; LSH: saturating tables) contains every exact
@@ -2689,6 +2714,7 @@ object Pipeline {
     "d05_embedding_dups" -> d05EmbeddingDups _,
     "d08_embedding_dups_new" -> d08EmbeddingDupsNew _,
     "s01_sim_topk"       -> s01SimTopK _,
+    "s08_filtered_topk"  -> s08FilteredTopK _,
     "s02_lsh_recall"     -> s02LshRecall _,
     "s03_ivf_recall"     -> s03IvfRecall _,
     "s04_semantic_dedup" -> s04SemanticDedup _,
