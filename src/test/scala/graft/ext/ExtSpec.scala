@@ -301,6 +301,22 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${(exact -- lsh).take(5)} of ${exact.size}")
   }
 
+  test("filteredTopK: label pre-filter excludes a closer cross-label neighbor") {
+    import spark.implicits._
+    // q's NEAREST vector overall (v99, cosine ~1) carries a different
+    // label: pre-filter semantics must surface the same-label v2/v3
+    // instead; a post-filtered global top-k would return nothing
+    def vec(head: Float) = Array.tabulate(8)(i => if (i == 0) head else 0.1f)
+    val emb = Seq(
+      (1L, vec(1.0f), 0),   // the query
+      (99L, vec(1.01f), 1), // closest, WRONG label
+      (2L, vec(0.8f), 0), (3L, vec(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.filteredTopK(emb.filter(col("vec_id") === 1L), emb, k = 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L), s"expected same-label neighbors, got $got")
+  }
+
   test("langId classifies real multilingual samples; valid codes on fixture") {
     import spark.implicits._
     // note: the fixture's lang label is random (text is the same synthetic

@@ -87,4 +87,38 @@ class SkewAndBucketSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join still shuffles:\n$plan")
     assert(joined.count() == o.join(c, o("o_custkey") === c("c_custkey")).count())
   }
+
+  test("writeBucketed recovers an orphaned managed-table location (cross-JVM rerun)") {
+    val n = Tables.nation(spark, sf)
+    Bucketing.writeBucketed(n, "graft_bspec_nation", "n_nationkey", 4)
+    // simulate the fresh-JVM state the r10 bug hit: the in-memory
+    // catalog forgets the table but its managed directory survives
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_bspec_nation")
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    spark.sessionState.catalog.dropTable(
+      org.apache.spark.sql.catalyst.TableIdentifier("graft_bspec_nation"),
+      ignoreIfNotExists = false, purge = false)
+    fs.mkdirs(loc) // orphan dir back in place (dropTable purged it)
+    fs.create(new org.apache.hadoop.fs.Path(loc, "junk")).close()
+    // without the cleanup this threw LOCATION_ALREADY_EXISTS
+    Bucketing.writeBucketed(n, "graft_bspec_nation", "n_nationkey", 4)
+    assert(spark.table("graft_bspec_nation").count() == n.count())
+    spark.sql("DROP TABLE graft_bspec_nation")
+  }
+
+  test("Profiler: nulls, distincts and dtype serialization on a null-bearing frame") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "a", 1.5), (2L, null, 2.25), (3L, "a", null), (null, "b", 2.25))
+      .toDF("id", "s", "v")
+    val rows = Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    // n_rows counts every row; n_nulls the per-column gaps; n_distinct
+    // excludes nulls; doubles serialize through DECIMAL(18,2)
+    assert(rows("id") == ((4L, 1L, 3L, "1", "3")))
+    assert(rows("s") == ((4L, 1L, 2L, "a", "b")))
+    assert(rows("v") == ((4L, 1L, 2L, "1.50", "2.25")))
+  }
 }
