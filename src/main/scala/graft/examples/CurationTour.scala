@@ -115,7 +115,7 @@ object CurationTour {
     check("decontamination scan flags eval overlap without dropping train rows") {
       val cont = Dedup.ngramContamination(evalSet, train0, n = 3)
       cont.count() == evalSet.count() &&
-        cont.agg(max("contamination")).head.getDouble(0) <= 1.0
+        cont.agg(max("contamination")).head().getDouble(0) <= 1.0
     }
 
     // 4b. targeted retrieval — the decontamination REVIEW tool: rank
@@ -178,7 +178,7 @@ object CurationTour {
       }.sum
       mix.count() == expected &&
         mix.groupBy("source").count()
-          .agg(max("count")).head.getLong(0) <= base + 1
+          .agg(max("count")).head().getLong(0) <= base + 1
     }
 
     // 5b. pack the train set into ~equal-token shards for the trainer

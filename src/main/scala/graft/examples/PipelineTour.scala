@@ -66,7 +66,7 @@ object PipelineTour {
       // (the fixture's 500 texts produce ~388 — near-dups sharing their
       // rarest shingle DO collide, which is the winnowing point)
       fps.groupBy("lt").agg(countDistinct("fp").as("nfp"))
-        .agg(max("nfp")).head.getLong(0) == 1L &&
+        .agg(max("nfp")).head().getLong(0) == 1L &&
         fps.select("fp").distinct().count() > 100
     }
 

@@ -36,7 +36,7 @@ object PromotionTour {
     li.write.partitionBy("m").option("path", s"$root/trg").saveAsTable(s"$db.trg")
 
     def q(t: String, m: String) = spark.table(s"$db.$t")
-      .where(s"m = '$m'").agg(sum("l_quantity")).head.getDouble(0)
+      .where(s"m = '$m'").agg(sum("l_quantity")).head().getDouble(0)
 
     check("partition promote doubles the quantity") {
       val before = q("trg", "2001-05")
