@@ -1,0 +1,35 @@
+package graft
+
+/** Dev-loop timing harness: times a subset of registered queries by name
+  * (args) against SPARK_GRAFT_SF_DIR, printing per-pass seconds — the
+  * single-query feedback loop Bench's 10-minute full suite is too slow
+  * for. `--explain` additionally prints each query's formatted physical
+  * plan (the shape the full Bench never shows).
+  */
+object DevBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val explain = args.contains("--explain")
+    val names = args.filterNot(_.startsWith("--"))
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      if (explain) {
+        println(s"==== $name plan ====")
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+      val times = (0 to passes).map { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        if (i > 0) println(f"$name pass $i: $t%.3f s") // pass 0 = warmup
+        t
+      }
+      println(f"$name median: ${Bench.median(times.drop(1))}%.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -523,6 +523,94 @@ object Dedup {
           / col("n_shingles") * 1e6) / 1e6).as("contamination"))
   }
 
+  // ---------------------------------------------------------- pair graph
+
+  /** The parameters a persisted pair graph was computed under. `kind`
+    * is "jaccard" or "containment"; `threshold` the min similarity /
+    * containment. Like [[MinhashParams]], these ride a sidecar so a
+    * consumer can't silently interpret an artifact built at one
+    * threshold as another.
+    */
+  case class PairGraphParams(kind: String, n: Int, threshold: Double)
+
+  private def pgParamsPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_pair_graph_params.json")
+
+  /** The exact near-dup PAIR GRAPH as a persisted corpus-level artifact
+    * — the [[contaminationIndex]]/[[minhashIndex]] pattern applied to
+    * the most-shared intermediate in a curation pipeline. Clustering
+    * ([[clusters]]), end-to-end dedup ([[dropNearDuplicates]]),
+    * representative selection ([[clusterRepresentatives]]), and
+    * graph analytics (PageRank / triangle counts over the similarity
+    * graph) all consume the SAME (id_a, id_b, jaccard) pair set;
+    * recomputing the shingle → inverted-index → verify chain per
+    * consumer multiplies the single most expensive stage of the whole
+    * pipeline by the number of consumers. At corpus scale the pair
+    * graph is computed once per corpus snapshot, persisted, and read
+    * by every downstream policy. STALENESS: like
+    * [[contaminationIndex]], the artifact answers "pairs as of the
+    * snapshot" — rebuild on corpus growth, reuse freely while frozen
+    * (the normal case for a training snapshot).
+    *
+    * Layout: repartitioned on id_a — the key every consumer's first
+    * join/groupBy touches — so reads start co-located.
+    */
+  def writePairGraph(docs: DataFrame, path: String, n: Int = 3,
+      minJaccard: Double = 0.5, textCol: String = "text", idCol: String = "doc_id",
+      prefixFilter: Boolean = false, broadcastDf: Boolean = false): Unit = {
+    ngramJaccardPairs(docs, n, minJaccard, textCol, idCol, prefixFilter, broadcastDf)
+      .repartition(col("id_a"))
+      .write.mode("overwrite").parquet(path)
+    writePairGraphParams(docs.sparkSession, path, PairGraphParams("jaccard", n, minJaccard))
+  }
+
+  /** [[writePairGraph]] for the asymmetric CONTAINMENT pair set
+    * ([[ngramContainmentPairs]] — columns id_a, id_b, cont_a_in_b,
+    * cont_b_in_a): the artifact behind a [[dropContained]] curation
+    * policy and any quote/inclusion analytics downstream of it.
+    */
+  def writeContainmentPairGraph(docs: DataFrame, path: String, n: Int = 3,
+      minContainment: Double = 0.6, textCol: String = "text", idCol: String = "doc_id",
+      prefixFilter: Boolean = false, broadcastDf: Boolean = false): Unit = {
+    ngramContainmentPairs(docs, n, minContainment, textCol, idCol, prefixFilter, broadcastDf)
+      .repartition(col("id_a"))
+      .write.mode("overwrite").parquet(path)
+    writePairGraphParams(docs.sparkSession, path,
+      PairGraphParams("containment", n, minContainment))
+  }
+
+  private def writePairGraphParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, p: PairGraphParams): Unit = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    val out = fs.create(pgParamsPath(path), true)
+    try out.write(s"""{"kind":"${p.kind}","n":${p.n},"threshold":${p.threshold}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a persisted pair graph back ([[writePairGraph]] /
+    * [[writeContainmentPairGraph]]); artifact == recompute is pinned
+    * both in ExtSpec and cross-engine (the registered d22 row gates
+    * the read-back artifact against the from-scratch DuckDB oracle).
+    */
+  def readPairGraph(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The [[PairGraphParams]] sidecar of a persisted pair graph; None
+    * for a pre-sidecar artifact.
+    */
+  def readPairGraphParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[PairGraphParams] = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    if (!fs.exists(pgParamsPath(path))) return None
+    val in = fs.open(pgParamsPath(path))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val kind = """"kind":"([a-z]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    val n = """"n":([0-9]+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    val t = """"threshold":([0-9.eE+-]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+    for { k <- kind; nn <- n; tt <- t } yield PairGraphParams(k, nn, tt)
+  }
+
   // ---------------------------------------------------------- clustering
 
   /** Connected components over an undirected near-dup pair graph —
