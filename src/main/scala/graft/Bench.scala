@@ -181,6 +181,10 @@ object Bench {
       // sets are content-bound, so growth is scan-bound
       "column_profile" -> (n => graft.ops.Profiler.profile(
         scaledBy(Tables.orders(spark, sfDir), "o_orderkey", n))),
+      // the 100× profile path: HLL sketches, ONE plain-agg scan, no
+      // Expand — growth should be pure scan cost
+      "column_profile_approx" -> (n => graft.ops.Profiler.profileApprox(
+        scaledBy(Tables.orders(spark, sfDir), "o_orderkey", n))),
     )
     probeRows(probes, k)
   }

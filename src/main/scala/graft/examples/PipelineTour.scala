@@ -38,8 +38,10 @@ object PipelineTour {
 
     val nearPairs = Dedup.minhashDedupPairs(docs, n = 3, k = 32, bands = 16, minJaccard = 0.5)
     check("minhash near-dup pairs found and verified >= threshold") {
-      val rows = nearPairs.collect()
-      rows.nonEmpty && rows.forall(_.getDouble(2) >= 0.5)
+      // aggregate checks, not a full collect: at sf0.1+ the pair set is
+      // an operator OUTPUT, not a driver-sized summary
+      nearPairs.count() > 0 &&
+        nearPairs.filter(col("jaccard") < 0.5).count() == 0
     }
 
     check("ANN top-5 agrees with brute force on top-1 for most queries") {
@@ -76,31 +78,36 @@ object PipelineTour {
           .as("embedding"))
       val corpus = emb.select("vec_id", "embedding").unionByName(twins)
       val pairs = Similarity.cosineDupPairsLsh(corpus, minSim = 0.95, dim = 64)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      pairs.nonEmpty && pairs.forall { case (a, b) => b == a + 100000L }
+      // planted-twin structure checked as a filter, not a collected set
+      pairs.count() > 0 &&
+        pairs.filter(col("id_b") =!= col("id_a") + 100000L).count() == 0
     }
 
     check("stratified sample is exact and reproducible") {
       val s1 = graft.ops.Sampling.perKeyExact(docs, Seq("lang"), Seq("doc_id"), k = 5)
       val s2 = graft.ops.Sampling.perKeyExact(docs, Seq("lang"), Seq("doc_id"), k = 5)
-      s1.collect().map(_.toSeq).toSet == s2.collect().map(_.toSeq).toSet &&
-        s1.groupBy("lang").count().collect().forall(_.getLong(1) <= 5)
+      // set equality via symmetric exceptAll — no driver materialization
+      s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty &&
+        s1.groupBy("lang").count().filter(col("count") > 5).count() == 0
     }
 
     check("incremental ingest dedup: batch-vs-corpus only, both text and embedding") {
       val newDocs = docs.filter(col("doc_id") % 7 === 0)
       val docCorpus = docs.filter(col("doc_id") % 7 =!= 0)
       val textPairs = Dedup.minhashDedupNewPairs(newDocs, docCorpus,
-        n = 3, k = 32, bands = 16, minJaccard = 0.5).collect()
+        n = 3, k = 32, bands = 16, minJaccard = 0.5)
       val newVecs = emb.filter(col("vec_id") % 7 === 0)
       val vecPairs = Similarity.cosineDupPairsNew(newVecs,
-        emb.filter(col("vec_id") % 7 =!= 0), minSim = 0.35).collect()
-      val newDocIds = newDocs.select("doc_id").collect().map(_.getLong(0)).toSet
-      val newVecIds = newVecs.select("vec_id").collect().map(_.getLong(0)).toSet
-      // every pair touches the batch on the left — never corpus-vs-corpus;
-      // both paths must actually find pairs (forall alone passes vacuously)
-      textPairs.nonEmpty && textPairs.forall(r => newDocIds(r.getLong(0))) &&
-        vecPairs.nonEmpty && vecPairs.forall(r => newVecIds(r.getLong(0)))
+        emb.filter(col("vec_id") % 7 =!= 0), minSim = 0.35)
+      // every pair touches the batch on the left — never corpus-vs-corpus
+      // (anti-join against the batch ids finds any violator); both paths
+      // must actually find pairs (the anti-join alone passes vacuously)
+      textPairs.count() > 0 &&
+        textPairs.join(newDocs.select(col("doc_id").as("id_a")), Seq("id_a"),
+          "left_anti").count() == 0 &&
+        vecPairs.count() > 0 &&
+        vecPairs.join(newVecs.select(col("vec_id").as("id_a")), Seq("id_a"),
+          "left_anti").count() == 0
     }
 
     check("persisted minhash index: build once, probe every batch") {
@@ -116,20 +123,21 @@ object PipelineTour {
       val idx = Dedup.readMinhashIndex(spark, s"$idxDir/idx")
       val indexed = Dedup.minhashDedupNewPairs(newDocs, docCorpus,
           n = 3, k = 32, bands = 16, minJaccard = 0.5, corpusIndex = Some(idx))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .select("id_a", "id_b")
       val direct = Dedup.minhashDedupNewPairs(newDocs, docCorpus,
           n = 3, k = 32, bands = 16, minJaccard = 0.5)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      indexed.nonEmpty && indexed == direct
+        .select("id_a", "id_b")
+      indexed.count() > 0 &&
+        indexed.exceptAll(direct).isEmpty && direct.exceptAll(indexed).isEmpty
     }
 
     check("near-dup pairs -> clusters -> keep one representative per group") {
       val pairs = Dedup.minhashDedupPairs(docs, n = 3, k = 32, bands = 16, minJaccard = 0.5)
-      val groups = Dedup.clusters(pairs).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val clusters = Dedup.clusters(pairs)
       val kept = Dedup.dropNearDuplicates(docs, pairs).count()
       // every cluster keeps exactly its min-id member; singletons untouched
-      groups.nonEmpty &&
-        kept == docs.count() - groups.count { case (id, c) => id != c }
+      clusters.count() > 0 &&
+        kept == docs.count() - clusters.filter(col("id") =!= col("cluster_id")).count()
     }
 
     check("reproducible corpus curation: split + quality + OOV filters compose") {
@@ -138,22 +146,24 @@ object PipelineTour {
       val oov = TextOps.oovRate(docs, topK = 10)
       val curated = splits.filter(col("split") === "train")
         .join(oov.filter(col("oov_rate") < 0.9), Seq("doc_id"))
+        .select("doc_id")
       // deterministic end-to-end: the same curation re-derives exactly
       val again = graft.ops.Sampling.hashSplit(docs, Seq("doc_id"),
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .filter(col("split") === "train")
         .join(TextOps.oovRate(docs, topK = 10).filter(col("oov_rate") < 0.9), Seq("doc_id"))
-      val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
-      ids.nonEmpty && ids == again.select("doc_id").collect().map(_.getLong(0)).toSet
+        .select("doc_id")
+      curated.count() > 0 &&
+        curated.exceptAll(again).isEmpty && again.exceptAll(curated).isEmpty
     }
 
     check("weighted sample is deterministic and favors heavy docs") {
       val weighted = docs.withColumn("w", length(col("text")).cast("double"))
       val s1 = graft.ops.Sampling.weightedPriority(weighted, "w", Seq("doc_id"), m = 50)
-        .select("doc_id").collect().map(_.getLong(0)).toSet
+        .select("doc_id")
       val s2 = graft.ops.Sampling.weightedPriority(weighted, "w", Seq("doc_id"), m = 50)
-        .select("doc_id").collect().map(_.getLong(0)).toSet
-      s1 == s2 && s1.size == 50
+        .select("doc_id")
+      s1.count() == 50 && s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty
     }
 
     check("BPE-ish token count is >= whitespace token count on every real doc") {
@@ -164,6 +174,37 @@ object PipelineTour {
         .select(TextOps.tokenCount(col("text")).as("ws"),
           TextOps.bpeTokenCount(col("text")).as("bpe"))
         .filter(col("bpe") < col("ws")).count() == 0
+    }
+
+    check("bucketed layout joins quality stats back with no shuffle on either side") {
+      // the repeated corpus⋈stats rollup of a curation loop: bucket BOTH
+      // sides on doc_id ONCE (the write-time shuffle amortized over
+      // every later join), then the sort-merge join reads co-located
+      // buckets — the executed join plan contains no Exchange at all
+      graft.ops.Bucketing.writeBucketed(
+        docs.select("doc_id", "lang"), "tour_docs_b", "doc_id", buckets = 8)
+      graft.ops.Bucketing.writeBucketed(
+        analyzed.select(col("doc_id").as("stat_id"), col("quality")),
+        "tour_stats_b", "stat_id", buckets = 8)
+      val joined = graft.ops.Bucketing.bucketedJoin(spark,
+        "tour_docs_b", "doc_id", "tour_stats_b", "stat_id")
+      val noExchange = !joined.queryExecution.executedPlan.toString.contains("Exchange")
+      noExchange && joined.count() == docs.count()
+    }
+
+    check("cohort retention matrix: offset-0 anchors every cohort's maximum") {
+      // the engagement rollup over the events table (the e07 registry
+      // query), consumed as a pipeline stage: every user lands in the
+      // cohort of their first activity week, so each cohort's
+      // week_offset=0 row exists and no later offset can exceed it
+      val matrix = graft.queries.Pipeline.e07CohortRetention(spark, dir).cache()
+      val perCohort = matrix.groupBy("cohort_week").agg(
+        sum(when(col("week_offset") === 0, 1).otherwise(0)).as("has_zero"),
+        max(col("n_users")).as("mx"),
+        max(when(col("week_offset") === 0, col("n_users"))).as("at_zero"))
+      matrix.count() > 0 &&
+        perCohort.filter(col("has_zero") =!= 1 || col("mx") =!= col("at_zero"))
+          .count() == 0
     }
 
     check("z-order layout sharpens per-file pruning on a second column") {
@@ -180,3 +221,4 @@ object PipelineTour {
     println("PipelineTour: all checks passed")
   }
 }
+

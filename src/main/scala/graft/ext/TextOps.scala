@@ -215,9 +215,11 @@ object TextOps {
     * BPE merge pass — per-symbol sentinels mean no boundary characters
     * are shared between adjacent matches, so non-overlapping
     * left-to-right `replace` (same semantics in Spark and DuckDB)
-    * cannot miss or double-apply a merge. Assumes the corpus contains
-    * no U+001C/U+001D (true of any sane text fixture; assert upstream
-    * if ingesting binary-ish data).
+    * cannot miss or double-apply a merge. The corpus must contain no
+    * U+001C/U+001D — true of any sane text fixture, and ENFORCED here
+    * (one cheap filter-assert riding the word aggregation): a
+    * binary-ish document would otherwise silently corrupt the learned
+    * merges rather than fail loudly.
     *
     * Returns (step, lhs, rhs, merged, pair_count) — all strings +
     * integers, so k full training iterations sit under the
@@ -231,37 +233,51 @@ object TextOps {
     var vocab = docs
       .select(explode(tokens(lower(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
+      // sentinel guard: a word containing U+001C/U+001D would alias
+      // the symbol delimiters and corrupt every later merge — fail
+      // loudly here instead. assert_true returns NULL on success, so
+      // the coalesce'd filter passes every clean row and the check
+      // rides the existing aggregation scan (no extra pass).
+      .filter(coalesce(
+        assert_true(!col("w").rlike(s"[$S$E]"),
+          concat(lit("bpeMerges: input contains the U+001C/U+001D sentinel bytes: "),
+            col("w"))), lit(true)))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       // wrap every character: "the" -> ⟨t⟩⟨h⟩⟨e⟩
       .select(regexp_replace(col("w"), "(.)", s"$S$$1$E").as("s"), col("c"))
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
-    var step = 1
-    while (step <= k) {
-      val best = vocab
-        .select(regexp_extract_all(col("s"), lit(s"$S([^$E]*)$E"), lit(1)).as("sy"),
-          col("c"))
-        .filter(size(col("sy")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(sy) - 2), j -> struct(sy[j] AS l, sy[j+1] AS r))")).as("p"),
-          col("c"))
-        .groupBy(col("p.l"), col("p.r")).agg(sum(col("c")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect() // bounded: ONE row per iteration
-      if (best.isEmpty) { step = k + 1 } // fully merged corpus: stop early
-      else {
-        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += BpeMerge(step.toLong, l, r, l + r, cnt)
-        val next = vocab
-          .withColumn("s", replace(col("s"), lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E")))
-          .persist()
-        next.count() // materialize before freeing the previous round
-        vocab.unpersist(blocking = false)
-        vocab = next
-        step += 1
+    // try/finally: a mid-loop failure (the per-iteration collect/count
+    // below are actions) must not leave the live vocab generation
+    // pinned in the block cache for the rest of the session
+    try {
+      var step = 1
+      while (step <= k) {
+        val best = vocab
+          .select(regexp_extract_all(col("s"), lit(s"$S([^$E]*)$E"), lit(1)).as("sy"),
+            col("c"))
+          .filter(size(col("sy")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(sy) - 2), j -> struct(sy[j] AS l, sy[j+1] AS r))")).as("p"),
+            col("c"))
+          .groupBy(col("p.l"), col("p.r")).agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect() // bounded: ONE row per iteration
+        if (best.isEmpty) { step = k + 1 } // fully merged corpus: stop early
+        else {
+          val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += BpeMerge(step.toLong, l, r, l + r, cnt)
+          val next = vocab
+            .withColumn("s", replace(col("s"), lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E")))
+            .persist()
+          try next.count() // materialize before freeing the previous round
+          catch { case e: Throwable => next.unpersist(blocking = false); throw e }
+          vocab.unpersist(blocking = false)
+          vocab = next
+          step += 1
+        }
       }
-    }
-    vocab.unpersist(blocking = false)
+    } finally vocab.unpersist(blocking = false)
     spark.createDataFrame(merges.toSeq)
   }
 

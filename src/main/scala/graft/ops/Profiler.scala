@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * aggregation before the shuffle, where the naive per-column loop
   * would scan the table N times. The wide one-row result is then
   * exploded to one row per column — driver-free, output is
-  * #columns rows. For quick-look profiling at 100 TB swap the exact
-  * `countDistinct` for `approx_count_distinct` (HLL, no Expand): the
-  * exact spelling is the default because it is oracle-checkable.
+  * #columns rows. For quick-look profiling at 100 TB use
+  * [[profileApprox]] (`approx_count_distinct` — HLL, no Expand, one
+  * plain-aggregation scan): the exact spelling is the default because
+  * it is oracle-checkable; the approx twin is spec-gated to ≤ 2%
+  * distinct-count error on the fixtures and probed for scale shape by
+  * the bench's `column_profile_approx` arm.
   *
   * min/max serialization is dtype-driven so the output schema stays
   * uniform (strings) and cross-engine stable: integers/strings print
@@ -27,7 +30,25 @@ import org.apache.spark.sql.types._
   */
 object Profiler {
 
-  def profile(df: DataFrame): DataFrame = {
+  def profile(df: DataFrame): DataFrame =
+    profileWith(df, c => countDistinct(c))
+
+  /** [[profile]] with `approx_count_distinct` (HLL++, relative sd
+    * `rsd`) in place of the exact distinct counts — the 100 TB
+    * quick-look path: the plan is ONE scan with plain partial
+    * aggregation and NO Expand at all (the exact plan's Expand
+    * multiplies the scanned rows by N+1 aggregate streams — the
+    * dominant cost of q28's measured profile). Same output schema;
+    * `n_distinct` carries the estimate. rsd is a STANDARD DEVIATION,
+    * not a bound — the default 0.01 (a ~10⁴-register, few-KB sketch
+    * per column) leaves the fixture-pinned ≤ 2% per-column error in
+    * SkewAndBucketSpec two sigmas of headroom.
+    */
+  def profileApprox(df: DataFrame, rsd: Double = 0.01): DataFrame =
+    profileWith(df, c => approx_count_distinct(c, rsd))
+
+  private def profileWith(df: DataFrame,
+      distinctAgg: Column => Column): DataFrame = {
     def ser(c: Column, dt: DataType): Column = dt match {
       case DoubleType | FloatType => c.cast(DecimalType(18, 2)).cast("string")
       case TimestampType | TimestampNTZType | DateType =>
@@ -38,7 +59,7 @@ object Profiler {
     val aggs = cols.flatMap { f =>
       Seq(
         count(col(f.name)).as(s"nn_${f.name}"),
-        countDistinct(col(f.name)).as(s"nd_${f.name}"),
+        distinctAgg(col(f.name)).as(s"nd_${f.name}"),
         ser(min(col(f.name)), f.dataType).as(s"mn_${f.name}"),
         ser(max(col(f.name)), f.dataType).as(s"mx_${f.name}"))
     }

@@ -130,10 +130,22 @@ object Sampling {
     * windows run on a frame of #domains rows (one tiny exchange); the
     * corpus pays ONE exchange on domain for the per-domain row_number
     * and a broadcast join of the quotas. Integer arithmetic only.
+    *
+    * The single-partition quota windows are safe ONLY because the frame
+    * is #domains rows, and `maxDomains` makes that bound enforced
+    * rather than assumed: a caller who passes a high-cardinality
+    * column (a doc id, a URL) as `domainCol` gets a loud error from
+    * the same assert_true machinery as the weight checks — not a
+    * silent all-on-one-task window over the corpus. The default
+    * admits any real mixture config (training mixtures have tens of
+    * domains) with orders of magnitude to spare; raise it explicitly
+    * if a legitimate domain space is bigger, and reconsider the
+    * broadcast join below at the same time.
     */
   def domainMixture(docs: DataFrame, domainCol: String, weightCol: Column,
-      total: Long, idCol: String = "doc_id"): DataFrame = {
+      total: Long, idCol: String = "doc_id", maxDomains: Long = 100000L): DataFrame = {
     require(total > 0, "total must be positive")
+    require(maxDomains > 0, "maxDomains must be positive")
     import org.apache.spark.sql.expressions.Window
     val domains = docs.groupBy(col(domainCol))
       .agg(count(lit(1)).as("_n"), first(weightCol).cast("long").as("_w"),
@@ -157,10 +169,17 @@ object Sampling {
       // NOT "_W": SQL identifiers in expr() are case-insensitive, so
       // "_w" and "_W" would silently resolve to the same column
       .withColumn("_wsum", sum(col("_w")).over(all))
+      .withColumn("_ndom", count(lit(1)).over(all))
+      .filter(coalesce(
+        assert_true(col("_ndom") <= maxDomains,
+          concat(lit("domainMixture: domain cardinality "), col("_ndom"),
+            lit(s" exceeds maxDomains=$maxDomains — is '$domainCol' really a domain column?"))),
+        lit(true)))
       .filter(coalesce(
         assert_true(col("_wsum") > 0L,
           lit("domainMixture: total domain weight must be positive")),
         lit(true)))
+      .drop("_ndom")
       .withColumn("_base", expr(s"($total * _w) div _wsum"))
       .withColumn("_rem", expr(s"($total * _w) % _wsum"))
       .withColumn("_left", lit(total) - sum(col("_base")).over(all))

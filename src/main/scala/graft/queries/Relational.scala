@@ -403,10 +403,25 @@ object Relational {
     * scan (the N count-distincts plan as a single Expand with partial
     * aggs — not N scans). The oracle recomputes every stat per column
     * and unions them in the same (column, stats) shape.
+    *
+    * SCHEMA COUPLING: the oracle SQL hardcodes the six orders columns
+    * while [[graft.ops.Profiler.profile]] derives the column set from
+    * the live fixture schema — a regenerated fixture that adds/drops an
+    * orders column would surface as an opaque row-count mismatch. The
+    * assert below turns that into a descriptive error at the query
+    * instead (fixture schema drift is a known recurring event; the
+    * events.ts encoding has already flipped once).
     */
-  def q28ColumnProfile(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Profiler.profile(Tables.orders(spark, dir))
+  def q28ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val expected = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    require(orders.columns.toSeq == expected,
+      s"q28 oracle SQL hardcodes orders columns $expected but the fixture has " +
+        s"${orders.columns.toSeq} — update the q28_column_profile oracle to match")
+    graft.ops.Profiler.profile(orders)
       .orderBy(col("column"))
+  }
 
   /** Q27 bucketed co-located join ([[graft.ops.Bucketing]]): both join
     * sides are written `bucketBy(8, key).sortBy(key)` ONCE per session

@@ -14,26 +14,45 @@ import graft.functions.Cols
   */
 object EventsStream {
 
-  /** Parquet schema of the events fixture; ts is TIMESTAMP_NTZ — the
-    * driver fixtures store parquet TIMESTAMP(MICROS) (see
-    * [[graft.Tables.events]] for the batch-side normalization).
+  /** The events schema with `ts` at a given encoding. File-stream
+    * sources need a user-supplied schema, and the driver fixtures have
+    * ALREADY flipped ts encoding once (TIMESTAMP(NANOS)→LongType in
+    * one generation, TIMESTAMP(MICROS)→NTZ in the next) — so the
+    * streaming path discovers the encoding per directory exactly like
+    * batch [[graft.Tables.events]] does, instead of hardcoding the one
+    * the current generation happens to use.
     */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def schemaFor(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+  /** The MICROS-generation fixture schema (ts TIMESTAMP_NTZ) — kept for
+    * callers staging their own directories.
+    */
+  val schema: StructType = schemaFor(TimestampNTZType)
 
   /** Streaming read of an events parquet DIRECTORY (file-stream sources
-    * monitor directories), ts cast to an instant (session timezone is
-    * pinned UTC) for event-time semantics — watermarks and windows need
-    * TimestampType, not NTZ.
+    * monitor directories), ts normalized to an INSTANT (session timezone
+    * is pinned UTC) for event-time semantics — watermarks and windows
+    * need TimestampType. The on-disk ts encoding is discovered from the
+    * directory's existing footers (one batch metadata read), so both
+    * fixture generations — LongType epoch-nanos under `nanosAsLong`,
+    * and TIMESTAMP(MICROS)/NTZ — stream identically; see
+    * [[graft.Tables.events]] for the batch twin of this normalization.
     */
-  def read(spark: SparkSession, eventsDir: String): DataFrame =
-    spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", col("ts").cast(TimestampType))
+  def read(spark: SparkSession, eventsDir: String): DataFrame = {
+    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
+    val raw = spark.readStream.schema(schemaFor(tsType)).parquet(eventsDir)
+    tsType match {
+      case LongType => raw.withColumn("ts", Cols.nanosToTs(col("ts")))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Stage the single-file events fixture into a temp directory so the
     * file-stream source can monitor it; returns the directory.

@@ -121,4 +121,29 @@ class SkewAndBucketSpec extends AnyFunSuite {
     assert(rows("s") == ((4L, 1L, 2L, "a", "b")))
     assert(rows("v") == ((4L, 1L, 2L, "1.50", "2.25")))
   }
+
+  test("profileApprox: HLL distincts within 2% of exact on the fixtures; no Expand") {
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    def byCol(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = byCol(Profiler.profile(orders))
+    val approx = byCol(Profiler.profileApprox(orders))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      // nulls and min/max are exact in both variants; only the distinct
+      // count is estimated — the 2% bound is the advertised error of
+      // the default rsd, checked per column on real fixture data
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2))
+      assert(a.getString(4) == e.getString(4) && a.getString(5) == e.getString(5))
+      val (nd, ndA) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(ndA - nd) <= 0.02 * nd + 1,
+        s"column $c: approx distinct $ndA vs exact $nd")
+    }
+    // the scale point: the approx plan aggregates in ONE pass with no
+    // Expand node (the exact plan's N+1-stream Expand is its cost)
+    val plan = Profiler.profileApprox(orders).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"))
+    assert(Profiler.profile(orders).queryExecution.executedPlan.toString.contains("Expand"))
+  }
 }
