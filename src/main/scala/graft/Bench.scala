@@ -147,6 +147,16 @@ object Bench {
     def queries(n: Int) = embAt(n).filter(col("vec_id") < 20)
     def evalDocs(n: Int) = docsAt(n)
       .filter(col("doc_id") < 1000000000L && col("doc_id") % 17 === 0)
+    // prebuilt IVF indexes for the ivf_serve_indexed arm — built and
+    // cached OUTSIDE the timed fns: serving probes measure per-batch
+    // cost; the corpus assignment is amortized setup (the persisted-
+    // index production path, Similarity.writeIvfIndex)
+    val ivfIdx: Map[Int, (DataFrame, DataFrame)] = Seq(1, k).map { n =>
+      val (cb, lists) = Similarity.ivfIndex(embAt(n), 16)
+      val cbC = cb.persist(); val listsC = lists.persist()
+      cbC.count(); listsC.count()
+      n -> ((cbC: DataFrame, listsC: DataFrame))
+    }.toMap
     val probes: Seq[(String, Int => DataFrame)] = Seq(
       "exact_dedup" -> (n => Dedup.exactDedup(docsAt(n))),
       "simhash_fp" -> (n => Dedup.simhash64(docsAt(n))),
@@ -161,8 +171,18 @@ object Bench {
         evalDocs(n), docsAt(n), n = 3, fpp = 0.01)),
       "lsh_serve" -> (n => Similarity.lshTopK(queries(n), embAt(n), k = 5,
         dim = 64, bitsPerTable = 12, tables = 4)),
+      // full rebuild per call: TWO whole-corpus passes (codebook
+      // TakeOrdered + list assignment) dominate its ×1 run, so the
+      // per-row ratio floors near (10c+o)/(10(c+o)) ≈ 0.6 without any
+      // super-linear work — the marginal slope is flat (measured 0.27
+      // s/unit ×1→×10 vs 0.25 ×10→×20; see Similarity.ivfTopK). The
+      // indexed arm below isolates true serving cost.
       "ivf_serve" -> (n => Similarity.ivfTopK(queries(n), embAt(n), k = 5,
         nCentroids = 16, nProbe = 4)),
+      // the production path: probe a PREBUILT index — per-batch work is
+      // probe hashing + the nProbe/nCentroids candidate join + rank
+      "ivf_serve_indexed" -> (n => Similarity.ivfTopK(queries(n), embAt(n), k = 5,
+        nProbe = 4, corpusIndex = Some(ivfIdx(n)))),
       "token_shards" -> (n => graft.ops.PrefixSum.tokenBudgetShards(
         docsAt(n).select(col("doc_id"), col("text")), budget = 512L)),
       // iterative but per-iteration linear: assignment is a narrow
@@ -186,7 +206,11 @@ object Bench {
       "column_profile_approx" -> (n => graft.ops.Profiler.profileApprox(
         scaledBy(Tables.orders(spark, sfDir), "o_orderkey", n))),
     )
-    probeRows(probes, k)
+    val out = probeRows(probes, k)
+    ivfIdx.values.foreach { case (cb, lists) =>
+      cb.unpersist(blocking = false); lists.unpersist(blocking = false)
+    }
+    out
   }
 
   private def probeRows(probes: Seq[(String, Int => DataFrame)], k: Int): String = {

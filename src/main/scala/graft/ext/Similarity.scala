@@ -307,6 +307,22 @@ object Similarity {
     * The candidate join broadcasts the probe side; the corpus shuffles
     * only for the final per-query ranking. Classic IVF trade-off: scan
     * nProbe/nCentroids of the corpus.
+    *
+    * SCALE SHAPE (why the bench's `ivf_serve` per-row ratio floors
+    * near 0.6 while the rest of the serving family reads ~0.3): with
+    * `corpusIndex = None` every call pays TWO whole-corpus passes —
+    * the codebook TakeOrdered and the list-assignment projection —
+    * before any serving work, so the ×1 run is compute-bound rather
+    * than job-overhead-bound. The probe ratio t(×k)/(k·t(×1)) then
+    * tends to (k·c + o)/(k·(c + o)) → 1 as the linear per-unit cost c
+    * dominates the fixed overhead o, NOT because any stage is
+    * super-linear: the measured marginal cost is flat (0.27 s per
+    * corpus unit over ×1→×10 vs 0.25 over ×10→×20 on the sf0.1
+    * fixtures). The production serving path passes a prebuilt
+    * `corpusIndex` ([[writeIvfIndex]]), amortizing both corpus passes
+    * across query batches — the bench's `ivf_serve_indexed` arm
+    * measures exactly that and is the number to compare against the
+    * other serving arms.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
@@ -615,7 +631,7 @@ object Similarity {
     val spark = vectors.sparkSession
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
-    val dim = vectors.select(size(col(vecCol))).head.getInt(0)
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
     val d = dim / m
     val subs = withSubspaces(vectors, m, d, idCol, vecCol)
@@ -664,7 +680,7 @@ object Similarity {
     val bySub = stRows.groupBy(_.getInt(0))
     val m = bySub.keys.max + 1
     val states = (0 until m).map(s => stateFromRows(bySub(s), 1, 2, 3, 4))
-    val dim = vectors.select(size(col(vecCol))).head.getInt(0)
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subs = withSubspaces(vectors, m, dim / m, idCol, vecCol)
     val codes = (0 until m).map { s =>
@@ -827,7 +843,7 @@ object Similarity {
   def writePqIndex(vectors: DataFrame, path: String, m: Int = 4, k: Int = 8,
       iters: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = vectors.sparkSession
-    val dim = vectors.select(size(col(vecCol))).head.getInt(0)
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     val state = pqTrain(vectors, m, k, iters, idCol, vecCol)
     state.write.mode("overwrite").parquet(s"$path/codebook")
     pqEncode(vectors, state, idCol, vecCol)
@@ -850,7 +866,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val p = readPqIndexParams(spark, path).getOrElse(throw new IllegalStateException(
       s"$path has no _graft_pq_params.json sidecar; serve with pqTopK explicitly"))
-    val probeDim = probes.select(size(col(vecCol))).head.getInt(0)
+    val probeDim = probes.select(size(col(vecCol))).head().getInt(0)
     require(probeDim == p.dim,
       s"probe dim $probeDim != index dim ${p.dim} (index at $path)")
     val (codes, state) = readPqIndex(spark, path)
