@@ -183,6 +183,16 @@ object Bench {
       // probe hashing + the nProbe/nCentroids candidate join + rank
       "ivf_serve_indexed" -> (n => Similarity.ivfTopK(queries(n), embAt(n), k = 5,
         nProbe = 4, corpusIndex = Some(ivfIdx(n)))),
+      // coarse-to-fine serving: 16-dim prefix pool + full-width rerank —
+      // the corpus-sized stage touches d'/d of the bytes; growth should
+      // stay scan-bound like the other serving arms
+      "trunc_rerank" -> (n => Similarity.truncatedRerankTopK(queries(n), embAt(n),
+        k = 5, dPrime = 16, candidates = 64)),
+      // incremental exact pairing: fixed batch vs ×n corpus — the
+      // batch's shingles broadcast, so growth is the corpus-side scan +
+      // candidate verify, never corpus²
+      "incr_pairs" -> (n => Dedup.ngramJaccardNewPairs(
+        evalDocs(n), docsAt(n), n = 3, minJaccard = 0.5)),
       "token_shards" -> (n => graft.ops.PrefixSum.tokenBudgetShards(
         docsAt(n).select(col("doc_id"), col("text")), budget = 512L)),
       // iterative but per-iteration linear: assignment is a narrow

@@ -127,6 +127,33 @@ object CurationTour {
         reps.agg(sum("n_members")).head().getLong(0) == labels.count()
     }
 
+    // 3b. the artifact EVOLVES with the corpus: fold an ingest batch in
+    // at batch-cost (only batch-touching pairs are computed — the
+    // corpus never re-pairs against itself), then propagate a takedown
+    // so the artifact stops mentioning deleted documents. Both
+    // mutations land through the fuse-guarded atomic swap; both must
+    // equal the from-scratch rebuild they replace.
+    check("pair-graph lifecycle: incremental ingest + takedown == rebuild") {
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pgDir = java.nio.file.Files.createTempDirectory("curation_pairs_life")
+        .toFile.getAbsolutePath
+      val p = s"$pgDir/pairs"
+      val base = exactKept.filter(col("doc_id") % 10 =!= 0)
+      val batch = exactKept.filter(col("doc_id") % 10 === 0)
+      Dedup.writePairGraph(base, p, n = 3, minJaccard = 0.5)
+      Dedup.updatePairGraph(batch, base, p)
+      val afterIngest = pairSet(Dedup.readPairGraph(spark, p)) ==
+        pairSet(Dedup.ngramJaccardPairs(exactKept, 3, 0.5))
+      val takedown = exactKept.filter(col("doc_id") % 13 === 1).select("doc_id")
+      Dedup.forgetDocs(spark, p, takedown)
+      val afterForget = pairSet(Dedup.readPairGraph(spark, p)) ==
+        pairSet(Dedup.ngramJaccardPairs(
+          exactKept.filter(col("doc_id") % 13 =!= 1), 3, 0.5))
+      afterIngest && afterForget
+    }
+
     // 4. decontaminate against a held-out eval slice
     val evalSet = deduped.filter(col("doc_id") % 17 === 0)
     val train0 = deduped.filter(col("doc_id") % 17 =!= 0)

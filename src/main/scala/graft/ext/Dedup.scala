@@ -611,6 +611,136 @@ object Dedup {
     for { k <- kind; nn <- n; tt <- t } yield PairGraphParams(k, nn, tt)
   }
 
+  /** Exact n-gram Jaccard pairs TOUCHING an ingest batch — the
+    * incremental twin of [[ngramJaccardPairs]], cost O(|batch| ·
+    * shingle fan-in) instead of corpus²: only the batch's shingles
+    * enter the probe side of the inverted-index join, so the corpus
+    * pairs itself against nothing. Batch rows are authoritative for
+    * shared ids (a corpus row whose id reappears in the batch is
+    * superseded before any shingle work — the
+    * [[minhashDedupNewPairs]] convention). With `broadcastBatch`
+    * (default) the exploded batch shingles broadcast, so the
+    * corpus-side explode is a streamed scan — nothing corpus-sized
+    * shuffles; disable when the batch itself is beyond broadcast
+    * size and accept one corpus-keyed exchange.
+    *
+    * Output matches [[ngramJaccardPairs]]: (id_a, id_b, jaccard),
+    * id_a < id_b, each batch-touching pair exactly once.
+    */
+  def ngramJaccardNewPairs(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
+      minJaccard: Double = 0.5, textCol: String = "text", idCol: String = "doc_id",
+      broadcastBatch: Boolean = true): DataFrame = {
+    GraftFunctions.ensureRegistered(newDocs.sparkSession)
+    val corpusOnly = corpus.join(newDocs.select(col(idCol)), Seq(idCol), "left_anti")
+    val all = newDocs.select(col(idCol), col(textCol))
+      .unionByName(corpusOnly.select(col(idCol), col(textCol)))
+    val sets = all.select(col(idCol).as("id"), graftShingles(col(textCol), n).as("set"))
+      .withColumn("setSize", size(col("set")).cast("long"))
+    val probe0 = newDocs
+      .select(col(idCol).as("id"), explode(graftShingles(col(textCol), n)).as("shingle"))
+    val probe = if (broadcastBatch) broadcast(probe0) else probe0
+    val index = sets.select(col("id"), explode(col("set")).as("shingle"))
+    // batch-batch pairs surface from both orientations, batch-corpus
+    // from one — least/greatest + distinct normalizes either way
+    val cand = probe.as("a").join(index.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sets, minJaccard)
+  }
+
+  /** Incremental maintenance of a persisted Jaccard pair graph
+    * ([[writePairGraph]]): fold an ingest batch into the artifact
+    * WITHOUT re-pairing the corpus. The updated pair set is
+    *
+    *   kept   = old pairs touching no batch id (stale pairs of a
+    *            re-ingested id are dropped — its text may have changed)
+    *   fresh  = [[ngramJaccardNewPairs]](batch, corpus)
+    *
+    * and lands via the index family's fuse-guarded atomic swap
+    * ([[IndexLifecycle.swapIn]]) — readers keep consuming the live
+    * artifact until the rename; a crash mid-swap is recoverable with
+    * [[IndexLifecycle.recoverSwap]]. Parameters (n, threshold) come
+    * from the live sidecar, so an update can't silently reinterpret
+    * the artifact under different settings; the sidecar is rewritten
+    * unchanged on the new build. `corpus` must be the SNAPSHOT the
+    * live artifact was built from (pre-batch) — the invariant
+    * `update(base artifact, batch) == rebuild(base ⊎ batch)` is
+    * pinned in ExtSpec and cross-engine by the registered d23 row.
+    */
+  def updatePairGraph(newDocs: DataFrame, corpus: DataFrame, path: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      broadcastBatch: Boolean = true): Unit = {
+    val spark = newDocs.sparkSession
+    val p = readPairGraphParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no pair-graph sidecar at $path"))
+    require(p.kind == "jaccard", s"updatePairGraph expects a jaccard artifact, found ${p.kind}")
+    val batchIds = newDocs.select(col(idCol).as("id"))
+    val kept = readPairGraph(spark, path)
+      .join(batchIds.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_anti")
+      .join(batchIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val fresh = ngramJaccardNewPairs(newDocs, corpus, p.n, p.threshold,
+      textCol, idCol, broadcastBatch)
+    val rebuild = s"${path}_rebuild"
+    kept.unionByName(fresh)
+      .repartition(col("id_a"))
+      .write.mode("overwrite").parquet(rebuild)
+    writePairGraphParams(spark, rebuild, p)
+    IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
+  /** Copy a persisted pair graph (rows + sidecar) to a new location —
+    * environment promotion, or seeding a scratch artifact to mutate
+    * ([[updatePairGraph]]/[[forgetDocs]]) without touching the live one.
+    */
+  def copyPairGraph(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String): Unit = {
+    val p = readPairGraphParams(spark, from).getOrElse(
+      throw new IllegalArgumentException(s"no pair-graph sidecar at $from"))
+    readPairGraph(spark, from)
+      .repartition(col("id_a"))
+      .write.mode("overwrite").parquet(to)
+    writePairGraphParams(spark, to, p)
+  }
+
+  /** Remove pairs touching any of `forgetIds` — the pure policy under
+    * [[forgetDocs]]. Two anti-joins; the pair columns pass through
+    * untouched, so it applies to Jaccard and containment graphs alike.
+    */
+  def forgetPairs(pairs: DataFrame, forgetIds: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val ids = forgetIds.select(col(idCol).as("id"))
+    pairs
+      .join(ids.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_anti")
+      .join(ids.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_anti")
+  }
+
+  /** Deletion propagation for a persisted pair graph: when documents
+    * are removed from the corpus (takedown, opt-out, retention expiry),
+    * the corpus-level artifacts that MENTION them must forget them too
+    * — the artifact is otherwise a retained copy of signal about
+    * deleted content. Drops every pair touching a forgotten id and
+    * promotes the purged build over the live artifact under the same
+    * fuse-guarded swap as [[updatePairGraph]]; sidecar params carry
+    * over unchanged (forgetting changes membership, not semantics).
+    * `forget(artifact, ids) == rebuild(corpus minus ids)` is pinned in
+    * ExtSpec; the registered d24 row gates the purged pair set
+    * cross-engine.
+    */
+  def forgetDocs(spark: org.apache.spark.sql.SparkSession, path: String,
+      forgetIds: DataFrame, idCol: String = "doc_id"): Unit = {
+    val p = readPairGraphParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no pair-graph sidecar at $path"))
+    val rebuild = s"${path}_rebuild"
+    forgetPairs(readPairGraph(spark, path), forgetIds, idCol)
+      .repartition(col("id_a"))
+      .write.mode("overwrite").parquet(rebuild)
+    writePairGraphParams(spark, rebuild, p)
+    IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
   // ---------------------------------------------------------- clustering
 
   /** Connected components over an undirected near-dup pair graph —

@@ -99,6 +99,56 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Exact cosine top-k over the first `dPrime` dimensions only — the
+    * Matryoshka/truncated-embedding serving pattern (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS'22): embeddings
+    * trained front-loaded can be sliced to a prefix and re-normalized,
+    * cutting both the flops AND the bytes of the scoring join by
+    * d′/d while keeping neighbor quality. The slice happens BEFORE the
+    * pair join, so only d′-element arrays ever enter the O(n·q) stage
+    * — at 100 TB the corpus side ships d′/d of the data it otherwise
+    * would. Exact within the truncated space (it IS brute force over
+    * the sliced vectors), which is what the s09 oracle replays.
+    */
+  def truncatedTopK(queries: DataFrame, corpus: DataFrame, k: Int, dPrime: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def trunc(df: DataFrame) =
+      df.select(col(idCol), slice(col(vecCol), 1, dPrime).as(vecCol))
+    bruteForceTopK(trunc(queries), trunc(corpus), k, idCol, vecCol)
+  }
+
+  /** Two-stage truncated-then-rerank serving: a WIDE candidate pool
+    * (`candidates` ≥ k per query) ranked cheaply in the d′-dim prefix
+    * space, then ONE exact full-dimension pass over just those
+    * candidates. Per query the full-width vectors are touched
+    * `candidates` times instead of |corpus| times — the standard
+    * coarse-to-fine serving shape (same economics as IVF/PQ + rerank,
+    * but with no trained structure to maintain: the "index" is the
+    * embedding layout itself). Output matches [[bruteForceTopK]]
+    * whenever the truncated space's top-`candidates` contains the true
+    * top-k — a property of PREFIX-TRAINED embeddings; in the
+    * saturation limit `candidates == |corpus|` the match is
+    * unconditional (pinned in ExtSpec). The registered s10 row gates
+    * the two-stage computation itself cross-engine: the oracle replays
+    * candidate selection AND rerank, tie orders included.
+    */
+  def truncatedRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dPrime: Int, candidates: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val cand = truncatedTopK(queries, corpus, candidates, dPrime, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = normedSide(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val c = normedSide(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    // candidate list is |queries|·candidates rows of two longs — it
+    // broadcasts; the full-width corpus streams through one hash join,
+    // and the query join's left side is already candidate-sized
+    val scored = broadcast(cand).join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .withColumn("sim", round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    rankTopK(scored, k)
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits. Hyperplanes are
     * seeded gaussian literal arrays evaluated through the native dot
     * product (codegen'd — the signature of a billion vectors is `bits`

@@ -75,6 +75,59 @@ object Pipeline {
     jaccardPairGraph(spark, dir)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Incremental pair-graph maintenance under the oracle gate
+    * ([[Dedup.updatePairGraph]]): docs with doc_id % 10 == 0 play the
+    * ingest batch, the rest the base snapshot. Once per process: build
+    * the BASE artifact, then fold the batch in — only batch-touching
+    * pairs are computed ([[Dedup.ngramJaccardNewPairs]], broadcast
+    * batch shingles, nothing corpus-sized shuffles) and the result
+    * lands via the fuse-guarded atomic swap. The returned artifact must
+    * hash-equal DuckDB's from-scratch pair set over the FULL corpus —
+    * `update(base, batch) == rebuild(base ⊎ batch)` pinned
+    * cross-engine, parquet round-trip and swap lifecycle included. At
+    * 100 TB this is how the pair graph actually evolves: a daily crawl
+    * is folded in at batch × fan-in cost, never corpus² again.
+    */
+  def d23PairGraphUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val path = pairGraphDir.computeIfAbsent((dir, "jaccard_incr"), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_pair_graph")
+        .toFile.getAbsolutePath + "/pairs"
+      val docs = Tables.documents(spark, dir)
+      Dedup.writePairGraph(docs.filter(col("doc_id") % 10 =!= 0), p, n = 3, minJaccard = 0.5)
+      Dedup.updatePairGraph(docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0), p)
+      p
+    })
+    Dedup.readPairGraph(spark, path).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Deletion propagation under the oracle gate ([[Dedup.forgetDocs]]):
+    * docs with doc_id % 11 == 7 are taken down, and the pair-graph
+    * artifact must forget every pair that mentions them — a corpus
+    * artifact otherwise retains signal about deleted content. Once per
+    * process: seed a scratch copy of the shared artifact
+    * ([[Dedup.copyPairGraph]] — the live graph d11/d19/d20/g01/g02
+    * read stays untouched), purge via the fuse-guarded swap, read
+    * back. DuckDB recomputes the pair set over the surviving corpus,
+    * so `forget(artifact, ids) == rebuild(corpus minus ids)` is pinned
+    * cross-engine.
+    */
+  def d24PairGraphForget(spark: SparkSession, dir: String): DataFrame = {
+    jaccardPairGraph(spark, dir) // materialize the shared artifact FIRST
+    // (outside the computeIfAbsent below — same-map recursive updates
+    // are illegal on ConcurrentHashMap)
+    val shared = pairGraphDir.get((dir, "jaccard"))
+    val path = pairGraphDir.computeIfAbsent((dir, "jaccard_forget"), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_pair_graph")
+        .toFile.getAbsolutePath + "/pairs"
+      Dedup.copyPairGraph(spark, shared, p)
+      Dedup.forgetDocs(spark, p,
+        Tables.documents(spark, dir).filter(col("doc_id") % 11 === 7))
+      p
+    })
+    Dedup.readPairGraph(spark, path).orderBy(col("id_a"), col("id_b"))
+  }
+
   def d04SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
@@ -157,6 +210,37 @@ object Pipeline {
   def s08FilteredTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.filteredTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Truncated-dimension (Matryoshka) serving
+    * ([[Similarity.truncatedTopK]]): exact top-5 in the 16-dim prefix
+    * space — the oracle slices the same prefix in SQL, so the d′-dim
+    * scoring (the cheap first stage of coarse-to-fine serving, d′/d of
+    * the flops and bytes) sits fully under the hash gate.
+    */
+  def s09TruncTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.truncatedTopK(emb.filter(col("vec_id") < 20), emb, k = 5, dPrime = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Truncated-then-rerank two-stage serving
+    * ([[Similarity.truncatedRerankTopK]]): 64 candidates ranked in the
+    * 16-dim prefix, exact full-width rerank to top-5. The oracle
+    * replays the two-stage algorithm itself (sliced-space top-64, then
+    * full-width rerank of just those candidates), so BOTH stages —
+    * candidate selection tie order included — sit under the hash gate
+    * with no recall assumption about the embedding distribution.
+    * (Recall vs the exact top-k is a property of the embeddings being
+    * prefix-trained, which the synthetic fixtures are not; the
+    * saturation limit `candidates == |corpus|` == exact is pinned in
+    * ExtSpec.)
+    */
+  def s10TruncRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.truncatedRerankTopK(emb.filter(col("vec_id") < 20), emb,
+        k = 5, dPrime = 16, candidates = 64)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -2087,6 +2171,16 @@ object Pipeline {
     "d21_minhash_wide" -> ngramJaccardOracle,
     // the artifact read back must equal the from-scratch recompute
     "d22_pair_graph" -> ngramJaccardOracle,
+    // incremental update(base, batch) == from-scratch over the full
+    // corpus — the oracle never sees the split, only the end state
+    "d23_pair_graph_update" -> ngramJaccardOracle,
+    // forget(artifact, ids) == rebuild over the surviving corpus: every
+    // pair mentioning a taken-down id must be gone
+    "d24_pair_graph_forget" ->
+      s"""WITH $ngramJaccardCtes
+         |SELECT id_a, id_b, jaccard FROM jpairs
+         |WHERE id_a % 11 != 7 AND id_b % 11 != 7
+         |ORDER BY id_a, id_b""".stripMargin,
     "d05_embedding_dups" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
@@ -2118,6 +2212,44 @@ object Pipeline {
         |               b.vec_id) AS rank
         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
         |  WHERE a.vec_id < 20) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the d'=16 prefix slice replayed in SQL — exact within the
+    // truncated space, so the whole cheap-stage scoring is hash-gated
+    "s09_trunc_topk" ->
+      """SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity((a.embedding::DOUBLE[])[1:16], (b.embedding::DOUBLE[])[1:16]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity((a.embedding::DOUBLE[])[1:16], (b.embedding::DOUBLE[])[1:16]), 6) DESC,
+        |               b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        |  WHERE a.vec_id < 20) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the oracle replays the TWO-STAGE algorithm itself: top-64
+    // candidates in the 16-dim prefix space (same round(6) + id tie
+    // order as the Spark candidate stage), then full-width rerank of
+    // just those — no recall assumption anywhere, so the gate holds on
+    // any embedding distribution
+    "s10_trunc_rerank" ->
+      """WITH cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_cosine_similarity((a.embedding::DOUBLE[])[1:16], (b.embedding::DOUBLE[])[1:16]), 6) DESC,
+        |                 b.vec_id) AS crank
+        |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        |    WHERE a.vec_id < 20) t
+        |  WHERE crank <= 64
+        |)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |               c.neighbor_id) AS rank
+        |  FROM cand c
+        |  JOIN embeddings a ON a.vec_id = c.query_id
+        |  JOIN embeddings b ON b.vec_id = c.neighbor_id) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // the label constraint joins in BEFORE ranking (pre-filter
     // semantics) — same shape as s01 plus the equality predicate
@@ -2783,6 +2915,8 @@ object Pipeline {
     "d03_minhash_pairs"  -> d03MinhashPairs _,
     "d21_minhash_wide"   -> d21MinhashWide _,
     "d22_pair_graph"     -> d22PairGraph _,
+    "d23_pair_graph_update" -> d23PairGraphUpdate _,
+    "d24_pair_graph_forget" -> d24PairGraphForget _,
     "d04_simhash_pairs"  -> d04SimhashPairs _,
     "d10_simhash_pairs_md5" -> d10SimhashPairsMd5 _,
     "d11_dedup_clusters" -> d11DedupClusters _,
@@ -2797,6 +2931,8 @@ object Pipeline {
     "d08_embedding_dups_new" -> d08EmbeddingDupsNew _,
     "s01_sim_topk"       -> s01SimTopK _,
     "s08_filtered_topk"  -> s08FilteredTopK _,
+    "s09_trunc_topk"     -> s09TruncTopK _,
+    "s10_trunc_rerank"   -> s10TruncRerank _,
     "s02_lsh_recall"     -> s02LshRecall _,
     "s03_ivf_recall"     -> s03IvfRecall _,
     "s04_semantic_dedup" -> s04SemanticDedup _,

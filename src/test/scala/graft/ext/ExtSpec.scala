@@ -994,4 +994,105 @@ class ExtSpec extends AnyFunSuite {
     assert(after - before <= 2,
       s"leaked checkpoint RDDs: $before -> $after over $rounds rounds")
   }
+
+  private def pairRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("incremental exact pairs == full pair set restricted to batch-touching pairs") {
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val full = pairRows(Dedup.ngramJaccardPairs(docs, 3, 0.5))
+    val newIds = newDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = full.filter { case (a, b, _) => newIds(a) || newIds(b) }
+    assert(expected.nonEmpty, "fixture produced no pairs touching the batch")
+    assert(pairRows(Dedup.ngramJaccardNewPairs(newDocs, corpus, 3, 0.5)) == expected)
+    // the un-broadcast twin (corpus-keyed exchange path) is identical
+    assert(pairRows(Dedup.ngramJaccardNewPairs(newDocs, corpus, 3, 0.5,
+      broadcastBatch = false)) == expected)
+  }
+
+  test("updatePairGraph folds a batch in == rebuild from scratch; supersede included") {
+    import spark.implicits._
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg_upd").toFile.getAbsolutePath
+    val p = s"$dir/pairs"
+    Dedup.writePairGraph(base, p, n = 3, minJaccard = 0.5)
+    Dedup.updatePairGraph(batch, base, p)
+    assert(pairRows(Dedup.readPairGraph(spark, p)) ==
+      pairRows(Dedup.ngramJaccardPairs(docs, 3, 0.5)),
+      "update(base, batch) != rebuild(base + batch)")
+    // sidecar params survive the swap
+    assert(Dedup.readPairGraphParams(spark, p).contains(Dedup.PairGraphParams("jaccard", 3, 0.5)))
+    // supersede: a re-ingested id with CHANGED text — its stale pairs
+    // must drop and its new pairs appear
+    val someId = batch.select("doc_id").orderBy("doc_id").limit(1).head.getLong(0)
+    val changed = Seq((someId, "entirely new replacement words sharing nothing with anything"))
+      .toDF("doc_id", "text")
+    val currentCorpus = docs // someId's old row still rides along: supersede drops it
+    Dedup.updatePairGraph(changed, currentCorpus, p)
+    val afterDocs = docs.filter(col("doc_id") =!= someId)
+      .select("doc_id", "text").unionByName(changed)
+    assert(pairRows(Dedup.readPairGraph(spark, p)) ==
+      pairRows(Dedup.ngramJaccardPairs(afterDocs, 3, 0.5)),
+      "supersede: stale pairs of a re-ingested id survived the update")
+  }
+
+  test("forgetDocs purges every pair touching a taken-down id; live copy untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg_forget").toFile.getAbsolutePath
+    val live = s"$dir/live"; val scratch = s"$dir/scratch"
+    Dedup.writePairGraph(docs, live, n = 3, minJaccard = 0.5)
+    val beforeAll = pairRows(Dedup.readPairGraph(spark, live))
+    Dedup.copyPairGraph(spark, live, scratch)
+    val forgetIds = docs.filter(col("doc_id") % 11 === 7).select("doc_id")
+    Dedup.forgetDocs(spark, scratch, forgetIds)
+    val gone = forgetIds.collect().map(_.getLong(0)).toSet
+    val got = pairRows(Dedup.readPairGraph(spark, scratch))
+    assert(got == beforeAll.filterNot { case (a, b, _) => gone(a) || gone(b) })
+    // == rebuild over the surviving corpus (pairs among survivors unchanged)
+    assert(got == pairRows(Dedup.ngramJaccardPairs(
+      docs.filter(col("doc_id") % 11 =!= 7), 3, 0.5)))
+    // sidecar carried over; the live artifact kept everything
+    assert(Dedup.readPairGraphParams(spark, scratch)
+      .contains(Dedup.PairGraphParams("jaccard", 3, 0.5)))
+    assert(pairRows(Dedup.readPairGraph(spark, live)) == beforeAll)
+    // pure-policy twin agrees with the artifact path
+    assert(pairRows(Dedup.forgetPairs(Dedup.readPairGraph(spark, live),
+      forgetIds.toDF("doc_id"))) == got)
+  }
+
+  test("truncated rerank: saturation == exact; pool really comes from the prefix space") {
+    def ranks(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val q = emb.filter(col("vec_id") < 20)
+    // saturation limit: a corpus-sized candidate pool makes the rerank
+    // unconditionally exact, whatever the embedding distribution
+    val exact = ranks(Similarity.bruteForceTopK(q, emb, k = 5))
+    assert(ranks(Similarity.truncatedRerankTopK(q, emb, k = 5, dPrime = 16,
+      candidates = emb.count().toInt)) == exact,
+      "saturated rerank drifted from brute force")
+    // at serving parameters every result must come from the truncated
+    // top-64 pool, reranked by FULL-width sim (composition semantics;
+    // cross-engine the s10 oracle replays both stages)
+    val pool = Similarity.truncatedTopK(q, emb, k = 64, dPrime = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = Similarity.truncatedRerankTopK(q, emb, k = 5, dPrime = 16, candidates = 64)
+    assert(served.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).forall(pool),
+      "rerank surfaced a neighbor outside its candidate pool")
+    // full-width sims, descending per query (the rerank really re-scored)
+    val perQuery = served.select("query_id", "sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).values
+    assert(perQuery.forall(rows =>
+      rows.sortBy(_._3).map(_._2).sliding(2).forall(p => p.head >= p.last)))
+    // a candidate pool below k is a caller bug, loudly
+    intercept[IllegalArgumentException] {
+      Similarity.truncatedRerankTopK(q, emb, k = 5, dPrime = 16, candidates = 4)
+    }
+  }
 }
