@@ -949,6 +949,54 @@ object Dedup {
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Incremental maintenance of a persisted [[minhashIndex]]: fold an
+    * ingest batch's banded signatures in WITHOUT re-signaturing the
+    * corpus — stale rows of re-ingested ids drop first (their text may
+    * have changed; a stale band would keep candidating against the old
+    * content), the batch's signatures compute in one narrow pass, and
+    * the merged index promotes through the fuse-guarded
+    * [[IndexLifecycle.swapIn]]. Parameters come from the live sidecar
+    * (a call-site (n, k, bands) literal can't disagree with the
+    * artifact) and are rewritten unchanged. `update == rebuild` over
+    * the grown corpus is pinned in ExtSpec.
+    */
+  def updateMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, path: String,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val p = readMinhashIndexParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no _graft_minhash_params.json sidecar — not an index this can update"))
+    val kept = readMinhashIndex(spark, path)
+      .join(newDocs.select(col(idCol).as("id")), Seq("id"), "left_anti")
+    val fresh = minhashIndex(newDocs, p.n, p.k, p.bands, textCol, idCol)
+    val rebuild = s"${path}_rebuild"
+    kept.unionByName(fresh)
+      .repartition(col("band"), col("bandHash"))
+      .write.mode("overwrite").parquet(rebuild)
+    writeMinhashParams(spark, rebuild, p)
+    IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
+  /** Deletion propagation for a persisted [[minhashIndex]]: drop every
+    * signature row of the forgotten ids and swap the purged build in —
+    * the [[forgetDocs]] policy applied to the signature artifact (the
+    * band hashes are derived from deleted content and must go with it).
+    * `forget == rebuild(minus ids)` is pinned in ExtSpec.
+    */
+  def forgetMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, forgetIds: DataFrame, idCol: String = "doc_id"): Unit = {
+    val p = readMinhashIndexParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no _graft_minhash_params.json sidecar — not an index this can update"))
+    val rebuild = s"${path}_rebuild"
+    readMinhashIndex(spark, path)
+      .join(forgetIds.select(col(idCol).as("id")), Seq("id"), "left_anti")
+      .repartition(col("band"), col("bandHash"))
+      .write.mode("overwrite").parquet(rebuild)
+    writeMinhashParams(spark, rebuild, p)
+    IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
   /** [[minhashDedupNewPairs]] against a persisted index path, signature
     * parameters taken from the index's own sidecar — the footgun-free
     * ingest call (a call-site (n, k, bands) literal can't disagree with

@@ -266,6 +266,52 @@ object Similarity {
   def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Incremental maintenance of a persisted [[lshIndex]]: bucket an
+    * ingest batch with the LIVE sidecar's hyperplanes (the only ones
+    * the existing rows were hashed with), drop stale rows of
+    * re-ingested ids, and promote kept ∪ fresh through the
+    * fuse-guarded [[IndexLifecycle.swapIn]] — a vector upsert costs
+    * batch-side hashing plus one merge write, never a corpus re-hash.
+    * `update == rebuild` over the grown corpus is pinned in ExtSpec.
+    */
+  def updateLshIndex(spark: org.apache.spark.sql.SparkSession,
+      newVectors: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val p = readLshIndexParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no _graft_lsh_params.json sidecar — not an index this can update"))
+    val kept = readLshIndex(spark, path)
+      .join(newVectors.select(col(idCol).as("id")), Seq("id"), "left_anti")
+    val fresh = lshIndex(newVectors, p.dim, p.bitsPerTable, p.tables, p.seedBase,
+      idCol, vecCol)
+    val rebuild = s"${path}_rebuild"
+    kept.unionByName(fresh)
+      .repartition(col("table"), col("bucket"))
+      .write.mode("overwrite").parquet(rebuild)
+    writeLshParams(spark, rebuild, p)
+    IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
+  /** Deletion propagation for a persisted [[lshIndex]]: the embedding
+    * VECTORS of taken-down ids live verbatim in the index rows, so a
+    * takedown must purge them — drop every row of the forgotten ids and
+    * swap the purged build in. `forget == rebuild(minus ids)` is pinned
+    * in ExtSpec.
+    */
+  def forgetLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, forgetIds: DataFrame, idCol: String = "vec_id"): Unit = {
+    val p = readLshIndexParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no _graft_lsh_params.json sidecar — not an index this can update"))
+    val rebuild = s"${path}_rebuild"
+    readLshIndex(spark, path)
+      .join(forgetIds.select(col(idCol).as("id")), Seq("id"), "left_anti")
+      .repartition(col("table"), col("bucket"))
+      .write.mode("overwrite").parquet(rebuild)
+    writeLshParams(spark, rebuild, p)
+    IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
   /** [[lshTopK]] against a persisted index path, hash parameters taken
     * from the index's own sidecar — the footgun-free serving call (no
     * way to probe with mismatched planes). Requires the sidecar.
@@ -482,6 +528,67 @@ object Similarity {
     */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/codebook"), spark.read.parquet(s"$path/lists"))
+
+  /** Assign vectors to their nearest centroid of an EXISTING codebook —
+    * the list-side computation of [[ivfIndex]] factored out so
+    * incremental maintenance can reuse a live coarse quantizer. The
+    * codebook collects to a literal argmax (k·dim driver state, the
+    * documented bounded-collect pattern of this file) and assignment is
+    * one narrow codegen pass over the batch.
+    */
+  def ivfAssign(vectors: DataFrame, codebook: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val c = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", sqrt(graftDot(col("vec"), col("vec"))))
+    c.withColumn("centroid_id",
+      element_at(nearestCentroidsExpr(codebook.collect(), "vec", "norm", 1), 1)
+        .getField("centroid_id"))
+  }
+
+  /** Incremental maintenance of a persisted [[ivfIndex]]: assign the
+    * ingest batch against the LIVE codebook, drop stale list rows of
+    * re-ingested ids, and promote (same codebook, kept ∪ fresh lists)
+    * through the fuse-guarded [[IndexLifecycle.swapIn]]. The codebook
+    * deliberately does NOT retrain on upsert — the coarse quantizer
+    * answers "as of train time", and membership changes are exactly
+    * what the lists absorb; rebuild ([[IndexLifecycle.rebuildIvfIndex]])
+    * when the vector DISTRIBUTION drifts enough that list balance
+    * degrades (the FAISS operational convention). `update ==
+    * (live codebook, reassign(grown))` is pinned in IndexLifecycleSpec.
+    */
+  def updateIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      newVectors: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (cb, lists) = readIvfIndex(spark, path)
+    val kept = lists.join(newVectors.select(col(idCol).as("id")), Seq("id"), "left_anti")
+    val fresh = ivfAssign(newVectors, cb, idCol, vecCol)
+    val rebuild = s"${path}_rebuild"
+    cb.write.mode("overwrite").parquet(s"$rebuild/codebook")
+    kept.unionByName(fresh)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").parquet(s"$rebuild/lists")
+    IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
+  /** Deletion propagation for a persisted [[ivfIndex]]: list rows carry
+    * the raw vectors of their ids, so a takedown must purge them; the
+    * codebook keeps serving (its centroids are corpus-derived summary
+    * state, and a forgotten id that seeded a hash-sampled centroid
+    * leaves only a cluster anchor, not recoverable content — retrain
+    * via rebuild if policy demands even that). `forget ==
+    * (live codebook, lists minus ids)` is pinned in IndexLifecycleSpec.
+    */
+  def forgetIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, forgetIds: DataFrame, idCol: String = "vec_id"): Unit = {
+    val (cb, lists) = readIvfIndex(spark, path)
+    val rebuild = s"${path}_rebuild"
+    cb.write.mode("overwrite").parquet(s"$rebuild/codebook")
+    lists.join(forgetIds.select(col(idCol).as("id")), Seq("id"), "left_anti")
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").parquet(s"$rebuild/lists")
+    IndexLifecycle.swapIn(spark, rebuild, path)
+  }
 
   /** Nearest `keep` centroids of a collected codebook as a sorted
     * literal-array argmax — narrow, codegen'd, embedded straight into

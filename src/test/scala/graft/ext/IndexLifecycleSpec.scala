@@ -290,4 +290,108 @@ class IndexLifecycleSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage == "real bug")
   }
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("LSH index upsert + forget == full rebuild; supersede drops stale buckets") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_idx_upd").toFile.getAbsolutePath
+    val live = s"$root/ann"; val ref = s"$root/ref"
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    Similarity.writeLshIndex(base, live, dim = 64, bitsPerTable = 6, tables = 8,
+      seedBase = 777L)
+    // the ingest batch: the held-out rows PLUS one re-ingested id with a
+    // CHANGED vector — its old bucket rows must not survive
+    val changedId = base.select(min("vec_id")).head.getLong(0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") === changedId)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+    Similarity.updateLshIndex(spark, batch, live)
+    val grown = emb.filter(col("vec_id") =!= changedId)
+      .select(col("vec_id"), col("embedding")).unionByName(
+        batch.filter(col("vec_id") === changedId))
+    Similarity.writeLshIndex(grown, ref, dim = 64, bitsPerTable = 6, tables = 8,
+      seedBase = 777L)
+    assert(sameRows(Similarity.readLshIndex(spark, live),
+      Similarity.readLshIndex(spark, ref)), "LSH upsert drifted from full rebuild")
+    assert(Similarity.readLshIndexParams(spark, live)
+      .contains(Similarity.LshParams(64, 6, 8, 777L)))
+    // takedown: every row of the forgotten ids leaves the artifact
+    val gone = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    Similarity.forgetLshIndex(spark, live, gone)
+    val refForget = s"$root/ref_forget"
+    Similarity.writeLshIndex(grown.join(gone, Seq("vec_id"), "left_anti"), refForget,
+      dim = 64, bitsPerTable = 6, tables = 8, seedBase = 777L)
+    assert(sameRows(Similarity.readLshIndex(spark, live),
+      Similarity.readLshIndex(spark, refForget)), "LSH forget drifted from rebuild")
+    // serving works against the updated artifact (sidecar + layout intact)
+    assert(Similarity.lshTopKAt(spark, emb.filter(col("vec_id") < 5), k = 3, live)
+      .count() > 0)
+  }
+
+  test("IVF index upsert + forget: codebook stable, lists == reassign(grown/minus ids)") {
+    val root = Files.createTempDirectory("graft_ivf_upd").toFile.getAbsolutePath
+    val live = s"$root/ivf"
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    Similarity.writeIvfIndex(base, live, nCentroids = 16)
+    val cbBefore = Similarity.readIvfIndex(spark, live)._1
+      .select("id").collect().map(_.getLong(0)).toSet
+    // batch: held-out rows + one re-ingested id with a changed vector
+    val changedId = base.select(min("vec_id")).head.getLong(0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") === changedId)
+        .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding")))
+    Similarity.updateIvfIndex(spark, batch, live)
+    val (cb, lists) = Similarity.readIvfIndex(spark, live)
+    // the coarse quantizer did not retrain on upsert
+    assert(cb.select("id").collect().map(_.getLong(0)).toSet == cbBefore)
+    val grown = emb.filter(col("vec_id") =!= changedId)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(batch.filter(col("vec_id") === changedId))
+    assert(sameRows(lists, Similarity.ivfAssign(grown, cb)),
+      "IVF upsert lists drifted from reassignment under the live codebook")
+    // takedown drops list rows; codebook keeps serving
+    val gone = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    Similarity.forgetIvfIndex(spark, live, gone)
+    val (cb2, lists2) = Similarity.readIvfIndex(spark, live)
+    assert(cb2.select("id").collect().map(_.getLong(0)).toSet == cbBefore)
+    assert(sameRows(lists2,
+      Similarity.ivfAssign(grown.join(gone, Seq("vec_id"), "left_anti"), cb2)))
+    val goneSet = gone.collect().map(_.getLong(0)).toSet
+    assert(lists2.select("id").collect().map(_.getLong(0)).forall(!goneSet(_)))
+    // serving against the maintained artifact
+    assert(Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 3,
+      nProbe = 4, corpusIndex = Some((cb2, lists2))).count() > 0)
+  }
+
+  test("minhash index upsert + forget == full rebuild") {
+    val docs = Tables.documents(spark, sf)
+    val root = Files.createTempDirectory("graft_mh_upd").toFile.getAbsolutePath
+    val live = s"$root/mh"; val ref = s"$root/ref"
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    Dedup.writeMinhashIndex(base, live, n = 3, k = 32, bands = 16)
+    Dedup.updateMinhashIndex(spark, batch, live)
+    Dedup.writeMinhashIndex(docs, ref, n = 3, k = 32, bands = 16)
+    assert(sameRows(Dedup.readMinhashIndex(spark, live),
+      Dedup.readMinhashIndex(spark, ref)), "minhash upsert drifted from full rebuild")
+    assert(Dedup.readMinhashIndexParams(spark, live)
+      .contains(Dedup.MinhashParams(3, 32, 16)))
+    val gone = docs.filter(col("doc_id") % 11 === 7).select("doc_id")
+    Dedup.forgetMinhashIndex(spark, live, gone)
+    val refForget = s"$root/ref_forget"
+    Dedup.writeMinhashIndex(docs.join(gone, Seq("doc_id"), "left_anti"), refForget,
+      n = 3, k = 32, bands = 16)
+    assert(sameRows(Dedup.readMinhashIndex(spark, live),
+      Dedup.readMinhashIndex(spark, refForget)), "minhash forget drifted from rebuild")
+    // the ingest probe still runs against the maintained artifact
+    assert(Dedup.minhashDedupNewPairsAt(spark,
+      docs.filter(col("doc_id") % 13 === 0), docs, live, minJaccard = 0.5)
+      .columns.sameElements(Array("id_a", "id_b", "jaccard")))
+  }
 }
