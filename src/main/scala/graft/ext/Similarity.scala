@@ -1014,6 +1014,60 @@ object Similarity {
       path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/codes"), spark.read.parquet(s"$path/codebook"))
 
+  /** Incremental maintenance of a persisted PQ index: encode the
+    * ingest batch with the LIVE per-subspace codebooks, drop stale code
+    * rows of re-ingested ids, and promote (same codebook state,
+    * kept ∪ fresh codes) through the fuse-guarded
+    * [[IndexLifecycle.swapIn]]. Like [[updateIvfIndex]], the trained
+    * structure does not move on upsert — quantization error for the
+    * batch is whatever the existing codebooks give it, and retraining
+    * is a rebuild decision ([[IndexLifecycle.rebuildPqIndex]]) taken on
+    * distribution drift. Batch dimensionality is validated against the
+    * sidecar. `update == (live state, re-encode(grown))` is pinned in
+    * IndexLifecycleSpec.
+    */
+  def updatePqIndex(spark: org.apache.spark.sql.SparkSession,
+      newVectors: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val p = readPqIndexParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no _graft_pq_params.json sidecar — not an index this can update"))
+    val batchDim = newVectors.select(size(col(vecCol))).head().getInt(0)
+    require(batchDim == p.dim,
+      s"batch dim $batchDim != index dim ${p.dim} — encoding would be garbage")
+    val (codes, state) = readPqIndex(spark, path)
+    val kept = codes.join(newVectors.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_anti")
+    val fresh = pqEncode(newVectors, state, idCol, vecCol)
+    val rebuild = s"${path}_rebuild"
+    state.write.mode("overwrite").parquet(s"$rebuild/codebook")
+    kept.unionByName(fresh)
+      .repartition(col("sub"), col("code"))
+      .write.mode("overwrite").parquet(s"$rebuild/codes")
+    writePqParams(spark, rebuild, p)
+    IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
+  /** Deletion propagation for a persisted PQ index: drop every code
+    * row of the forgotten ids (codes are a lossy encoding of the
+    * deleted vectors — still the id's content, still purged) and swap;
+    * codebook state and sidecar carry over. `forget == (live state,
+    * codes minus ids)` is pinned in IndexLifecycleSpec.
+    */
+  def forgetPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, forgetIds: DataFrame, idCol: String = "vec_id"): Unit = {
+    val p = readPqIndexParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no _graft_pq_params.json sidecar — not an index this can update"))
+    val (codes, state) = readPqIndex(spark, path)
+    val rebuild = s"${path}_rebuild"
+    state.write.mode("overwrite").parquet(s"$rebuild/codebook")
+    codes.join(forgetIds.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_anti")
+      .repartition(col("sub"), col("code"))
+      .write.mode("overwrite").parquet(s"$rebuild/codes")
+    writePqParams(spark, rebuild, p)
+    IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
   /** [[pqTopK]] against a persisted index, with the decomposition
     * parameters validated from the index's own sidecar — the
     * footgun-free serving call. Requires the sidecar.

@@ -369,6 +369,43 @@ class IndexLifecycleSpec extends AnyFunSuite {
       nProbe = 4, corpusIndex = Some((cb2, lists2))).count() > 0)
   }
 
+  test("PQ index upsert + forget: codebook state stable, codes == re-encode") {
+    val root = Files.createTempDirectory("graft_pq_upd").toFile.getAbsolutePath
+    val live = s"$root/pq"
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    Similarity.writePqIndex(base, live, m = 4, k = 8, iters = 2)
+    val stateBefore = Similarity.readPqIndex(spark, live)._2.collect()
+      .map(_.toString).sorted.toSeq
+    val changedId = base.select(min("vec_id")).head.getLong(0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") === changedId)
+        .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding")))
+    Similarity.updatePqIndex(spark, batch, live)
+    val (codes, state) = Similarity.readPqIndex(spark, live)
+    // the per-subspace codebooks did not retrain on upsert
+    assert(state.collect().map(_.toString).sorted.toSeq == stateBefore)
+    val grown = emb.filter(col("vec_id") =!= changedId)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(batch.filter(col("vec_id") === changedId))
+    assert(sameRows(codes, Similarity.pqEncode(grown, state)),
+      "PQ upsert codes drifted from re-encoding under the live codebooks")
+    // dimension mismatch is refused loudly, not encoded as garbage
+    intercept[IllegalArgumentException] {
+      Similarity.updatePqIndex(spark,
+        emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")), live)
+    }
+    val gone = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    Similarity.forgetPqIndex(spark, live, gone)
+    val (codes2, state2) = Similarity.readPqIndex(spark, live)
+    assert(state2.collect().map(_.toString).sorted.toSeq == stateBefore)
+    assert(sameRows(codes2,
+      Similarity.pqEncode(grown.join(gone, Seq("vec_id"), "left_anti"), state2)))
+    // sidecar-validated serving still works on the maintained artifact
+    assert(Similarity.pqTopKAt(spark, emb.filter(col("vec_id") < 5), k = 3, live)
+      .count() > 0)
+  }
+
   test("minhash index upsert + forget == full rebuild") {
     val docs = Tables.documents(spark, sf)
     val root = Files.createTempDirectory("graft_mh_upd").toFile.getAbsolutePath
