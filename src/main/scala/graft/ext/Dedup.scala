@@ -455,6 +455,33 @@ object Dedup {
         (floor(hits.cast("double") / count(lit(1)) * 1e6) / 1e6).as("contamination"))
   }
 
+  /** First-seen novelty attribution: for each document, the fraction of
+    * its DISTINCT word n-grams that appear in no document with a
+    * smaller id — "what does this doc contribute that the corpus (in
+    * ingest order) didn't already have?". The inverse signal of
+    * [[ngramContamination]]: contamination asks how much of a doc is
+    * already elsewhere, novelty credits the FIRST occurrence. Useful as
+    * a curation score (drop low-novelty stragglers instead of
+    * clustering them) and as a dataset-attribution report. One explode,
+    * one shingle-keyed min groupBy (map-side combined), one join back,
+    * one per-doc aggregate — same shuffle profile as the contamination
+    * scan. Output: (idCol, n_shingles, n_novel, novelty) with novelty
+    * floor-scaled for cross-engine hash equality.
+    */
+  def noveltyScores(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val sh = docs.select(col(idCol).as("id"),
+      explode(graftShingles(col(textCol), n)).as("shingle"))
+    val first = sh.groupBy("shingle").agg(min(col("id")).as("first_id"))
+    val novel = sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        novel.cast("long").as("n_novel"),
+        (floor(novel.cast("double") / count(lit(1)) * 1e6) / 1e6).as("novelty"))
+  }
+
   /** The corpus-distinct shingle set `(shingle)` behind
     * [[ngramContamination]] — the corpus-sized work of every
     * decontamination scan, factored into a PERSISTED artifact exactly

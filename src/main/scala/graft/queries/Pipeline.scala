@@ -597,6 +597,17 @@ object Pipeline {
     TextOps.chunkTokens(Tables.documents(spark, dir), window = 32, stride = 24)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** First-seen novelty attribution ([[Dedup.noveltyScores]]): per doc,
+    * the fraction of its distinct 3-grams no smaller-id document has —
+    * the inverse of the d12 contamination signal, as a curation score
+    * (drop low-novelty stragglers cheaply) and a contribution report.
+    * Pure counting over the shared shingle definition, so the score
+    * itself hash-matches.
+    */
+  def t27Novelty(spark: SparkSession, dir: String): DataFrame =
+    Dedup.noveltyScores(Tables.documents(spark, dir), n = 3)
+      .orderBy(col("doc_id"))
+
   /** URL canonicalization + domain stats ([[UrlOps]]): per-doc
     * deterministic synthetic crawl URLs (uppercase `WWW.` aliases,
     * default :443 ports, trailing slashes, `utm_*` tracking params,
@@ -2138,6 +2149,18 @@ object Pipeline {
         |WHERE n > 0
         |ORDER BY doc_id, chunk_id""".stripMargin,
     "d12_contamination" -> contaminationOracle,
+    // first-seen attribution over the shared sh CTE (jpairs rides
+    // along unused); SUM(CASE) cast to BIGINT to match Spark's long
+    "t27_novelty" ->
+      s"""WITH $ngramJaccardCtes, fs AS (
+         |  SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY shingle
+         |)
+         |SELECT sh.doc_id AS doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  floor(sum(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END)
+         |        / CAST(count(*) AS DOUBLE) * 1e6) / 1e6 AS novelty
+         |FROM sh JOIN fs USING (shingle)
+         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
     "t11_repetition" -> repetitionOracle,
     // priority = w / u, u = (h+1)/2^32 — all IEEE-exact ops, so the
     // DOUBLE priorities hash-match bit-for-bit across engines
@@ -2966,6 +2989,7 @@ object Pipeline {
     "t24_perplexity_buckets" -> t24PerplexityBuckets _,
     "t25_bpe_merges"     -> t25BpeMerges _,
     "t26_chunk_windows"  -> t26ChunkWindows _,
+    "t27_novelty"        -> t27Novelty _,
     "g01_pagerank"       -> g01PageRank _,
     "g02_triangles"      -> g02Triangles _,
     "d13_containment"    -> d13Containment _,

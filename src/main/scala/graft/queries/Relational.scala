@@ -423,6 +423,34 @@ object Relational {
       .orderBy(col("column"))
   }
 
+  /** Q29 correlated aggregate (the "above the group's norm" shape SQL
+    * writes as a correlated subquery): customers whose lifetime order
+    * value exceeds 2× their NATION's per-customer average. Decorrelated
+    * into two aggregations + a broadcast join — the plan Catalyst's
+    * subquery decorrelation would produce, declared directly: per-
+    * customer totals (one map-side-combined agg over orders), per-
+    * nation (sum, count) of those totals (nation-cardinality, tiny →
+    * broadcast), and the avg comparison cross-multiplied to
+    * `total · n_cust > 2 · nation_sum` so the filter stays in EXACT
+    * decimal arithmetic — no division, no float drift for boundary
+    * customers. Money follows the q02 convention: per-row cast to
+    * DECIMAL(18,2), exact decimal sum, double only on output.
+    */
+  def q29Correlated(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("cust_total"))
+    val joined = totals.join(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+      col("o_custkey") === col("c_custkey"))
+    val natAgg = joined.groupBy(col("c_nationkey"))
+      .agg(sum(col("cust_total")).as("nat_sum"), count(lit(1)).as("n_cust"))
+    joined.join(broadcast(natAgg), Seq("c_nationkey"))
+      .filter(col("cust_total") * col("n_cust") > col("nat_sum") * lit(2))
+      .select(col("c_custkey"), col("cust_total").cast("double").as("cust_total"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Q27 bucketed co-located join ([[graft.ops.Bucketing]]): both join
     * sides are written `bucketBy(8, key).sortBy(key)` ONCE per session
     * (amortized over every later join on the key — the 100 TB answer
@@ -699,6 +727,21 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY mktsegment ORDER BY mktsegment""".stripMargin,
+    // the correlated form of the same predicate — DuckDB decorrelates
+    // it; the Spark side declares the decorrelated plan directly, and
+    // the avg comparison stays in exact decimal via cross-multiply
+    "q29_correlated" ->
+      """WITH ct AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_total
+        |  FROM orders GROUP BY o_custkey
+        |), j AS (
+        |  SELECT c_custkey, c_nationkey, cust_total
+        |  FROM ct JOIN customer ON c_custkey = o_custkey
+        |)
+        |SELECT c_custkey, CAST(cust_total AS DOUBLE) AS cust_total FROM j
+        |WHERE cust_total * (SELECT count(*) FROM j j2 WHERE j2.c_nationkey = j.c_nationkey)
+        |      > 2 * (SELECT sum(cust_total) FROM j j3 WHERE j3.c_nationkey = j.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -730,5 +773,6 @@ object Relational {
     "q26_unpivot"     -> q26Unpivot _,
     "q27_bucket_join" -> q27BucketJoin _,
     "q28_column_profile" -> q28ColumnProfile _,
+    "q29_correlated" -> q29Correlated _,
   )
 }

@@ -343,4 +343,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Expand"),
       s"multi count-distinct should plan as one Expand:\n$plan")
   }
+
+  test("q29: nation aggregate joins broadcast; no per-row correlated subquery survives") {
+    val plan = planOf("q29_correlated")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation-cardinality aggregate should broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"decorrelation left a per-row subquery:\n$plan")
+  }
+
+  test("s09/s10: prefix slice happens BEFORE the pair join — full vectors never enter it") {
+    // the join operand projections must carry the slice; if the slice
+    // migrated above the join, the corpus would ship full-width vectors
+    val p9 = planOf("s09_trunc_topk")
+    assert("slice\\(".r.findAllIn(p9).size >= 2,
+      s"truncation must apply on both join inputs:\n${p9.take(4000)}")
+    val p10 = planOf("s10_trunc_rerank")
+    assert(p10.contains("BroadcastHashJoin"),
+      s"rerank candidate join should be a broadcast hash join:\n${p10.take(4000)}")
+  }
 }

@@ -1095,4 +1095,30 @@ class ExtSpec extends AnyFunSuite {
       Similarity.truncatedRerankTopK(q, emb, k = 5, dPrime = 16, candidates = 4)
     }
   }
+
+  test("noveltyScores: first occurrence gets full credit, an exact later copy gets zero") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"),      // all 4 shingles first seen here
+      (2L, "a b c d e f"),      // exact copy — zero novelty
+      (3L, "x y z a b c"),      // 4 shingles: "x y z","y z a","z a b" new, "a b c" seen
+      (4L, "p q")               // short doc: one 2-word shingle, novel
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(d, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 4L, 1.0)))
+    assert(got(2L) == ((4L, 0L, 0.0)))
+    assert(got(3L) == ((4L, 3L, 0.75)))
+    assert(got(4L) == ((1L, 1L, 1.0)))
+    // totality: every doc scored, novel counts partition the distinct
+    // shingle universe (each distinct shingle credited exactly once)
+    val docs500 = docs
+    val scores = Dedup.noveltyScores(docs500, n = 3)
+    assert(scores.count() == docs500.count())
+    val universe = docs500.select(explode(
+      graft.functions.GraftFunctions.graftShingles(col("text"), 3)).as("s"))
+      .distinct().count()
+    assert(scores.agg(sum("n_novel")).head.getLong(0) == universe,
+      "every distinct shingle must be credited to exactly one (first) doc")
+  }
 }
