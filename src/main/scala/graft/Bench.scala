@@ -193,6 +193,9 @@ object Bench {
       // candidate verify, never corpus²
       "incr_pairs" -> (n => Dedup.ngramJaccardNewPairs(
         evalDocs(n), docsAt(n), n = 3, minJaccard = 0.5)),
+      // first-seen attribution: shingle-keyed min + join-back — the
+      // contamination scan's shuffle profile, growth should be linear
+      "novelty" -> (n => Dedup.noveltyScores(docsAt(n))),
       "token_shards" -> (n => graft.ops.PrefixSum.tokenBudgetShards(
         docsAt(n).select(col("doc_id"), col("text")), budget = 512L)),
       // iterative but per-iteration linear: assignment is a narrow

@@ -794,6 +794,27 @@ object Pipeline {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Event-type transition matrix (the Markov/Sankey view of user
+    * behavior): per user, order events by (ts, event_id) and count each
+    * adjacent (prev → next) type pair. One window pass keyed on
+    * user_id (the q23 lag machinery), then a tiny
+    * type²-cardinality aggregate — the corpus-sized exchange is the
+    * user partitioning, everything after is map-side combined. The
+    * (ts, event_id) tie-break makes the sequence — and so the matrix —
+    * deterministic cross-engine.
+    */
+  def e08Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   /** Deterministic 80/10/10 split assignment
     * ([[graft.ops.Sampling.hashSplit]]): the label is a pure function of
     * the id hash with INTEGER thresholds, so the full assignment table
@@ -2631,6 +2652,18 @@ object Pipeline {
         |  count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN fd USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // one lag window per user (ts, event_id tie-break), then the tiny
+    // type-pair aggregate; COUNT(*) is BIGINT in both engines
+    "e08_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type, count(*) AS n
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin,
     "j01_json_extract" ->
       """SELECT event_type, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -2971,6 +3004,7 @@ object Pipeline {
     "t10_redact"         -> t10Redact _,
     "e05_funnel"         -> e05Funnel _,
     "e07_cohort_retention" -> e07CohortRetention _,
+    "e08_transitions"    -> e08Transitions _,
     "j01_json_extract"   -> j01JsonExtract _,
     "e01_event_windows"  -> e01EventWindows _,
     "e02_asof_join"      -> e02AsofJoin _,

@@ -423,6 +423,38 @@ object Relational {
       .orderBy(col("column"))
   }
 
+  /** Q30 — the TPC-H Q3 "shipping priority" shape: three-table
+    * fact⋈fact⋈dim join with selective predicates on EVERY input
+    * (segment on customer, date cutoffs on orders and lineitem), a
+    * revenue aggregate per order, and a top-10. The plan the 100 TB
+    * version needs is exactly what Catalyst produces from this
+    * declaration: all three filters push to the parquet scans
+    * (lineitem's shipdate cutoff prunes the fact scan BEFORE the join),
+    * the segment-filtered customer broadcasts, and the top-10 runs as
+    * TakeOrdered, never a global sort. Revenue follows the q02 decimal
+    * convention; the order date is surfaced as an epoch-day long (the
+    * q17 pattern) so the output is cross-engine-stable; ties at the
+    * limit boundary break on l_orderkey in both engines.
+    */
+  def q30ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("o_day"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** Q29 correlated aggregate (the "above the group's norm" shape SQL
     * writes as a correlated subquery): customers whose lifetime order
     * value exceeds 2× their NATION's per-customer average. Decorrelated
@@ -742,6 +774,20 @@ object Relational {
         |WHERE cust_total * (SELECT count(*) FROM j j2 WHERE j2.c_nationkey = j.c_nationkey)
         |      > 2 * (SELECT sum(cust_total) FROM j j3 WHERE j3.c_nationkey = j.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
+    // TPC-H Q3 shape; epoch-day long for the date, decimal revenue cast
+    // to double at the end, deterministic limit-boundary tie-break
+    "q30_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_day,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_day
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -774,5 +820,6 @@ object Relational {
     "q27_bucket_join" -> q27BucketJoin _,
     "q28_column_profile" -> q28ColumnProfile _,
     "q29_correlated" -> q29Correlated _,
+    "q30_shipping_priority" -> q30ShippingPriority _,
   )
 }

@@ -352,6 +352,20 @@ class PlanSpec extends AnyFunSuite {
       s"decorrelation left a per-row subquery:\n$plan")
   }
 
+  test("q30: predicates reach all three scans, customer broadcasts, top-10 is TakeOrdered") {
+    val plan = planOf("q30_shipping_priority")
+    assert(plan.contains("GreaterThan(l_shipdate"),
+      s"lineitem date cutoff not pushed to the fact scan:\n$plan")
+    assert(plan.contains("LessThan(o_orderdate"),
+      s"orders date cutoff not pushed:\n$plan")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed to the customer scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered customer should broadcast:\n$plan")
+    assert(plan.contains("TakeOrdered"),
+      s"top-10 must not global-sort:\n$plan")
+  }
+
   test("s09/s10: prefix slice happens BEFORE the pair join — full vectors never enter it") {
     // the join operand projections must carry the slice; if the slice
     // migrated above the join, the corpus would ship full-width vectors

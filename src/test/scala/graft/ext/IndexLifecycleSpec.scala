@@ -223,6 +223,43 @@ class IndexLifecycleSpec extends AnyFunSuite {
       "fixture: the v2 rebuild should surface MORE corpus pairs than v1")
   }
 
+  test("minhash serving crosses an UPSERT swap: next batch candidates against the grown index") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("graft_mh_upsert_stream").toFile.getAbsolutePath
+    val live = s"$root/mh_index"
+    val docs = Tables.documents(spark, sf)
+    val corpusV1 = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0)
+    val corpusV2 = docs.filter(col("doc_id") % 10 =!= 0)
+    IndexLifecycle.rebuildMinhashIndex(corpusV1, live)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val served = graft.streaming.StreamingDedup.startAt(
+      input.toDF().toDF("doc_id", "text"), corpusV2, live,
+      s"$root/out", s"$root/ckpt", minJaccard = 0.5)
+    try {
+      input.addData(batch.toIndexedSeq)
+      served.processAllAvailable()
+      // UPSERT (not rebuild): fold the missing corpus rows in — same
+      // swap mechanics, so the running stream must pick it up too
+      Dedup.updateMinhashIndex(spark,
+        corpusV2.join(corpusV1.select("doc_id"), Seq("doc_id"), "left_anti"), live)
+      input.addData(batch.map { case (id, t) => (id + 1000000L, t) }.toIndexedSeq)
+      served.processAllAvailable()
+    } finally served.stop()
+    val out = spark.read.parquet(s"$root/out")
+    val expectV2 = pairSet(Dedup.minhashDedupNewPairsAt(spark,
+      spark.createDataFrame(batch.map { case (id, t) => (id + 1000000L, t) }.toIndexedSeq)
+        .toDF("doc_id", "text"), corpusV2, live, minJaccard = 0.5))
+    assert(pairSet(out.filter(col("id_a") >= 1000000L)) == expectV2,
+      "post-upsert stream drifted from batch against the upserted index")
+    assert(pairSet(out.filter(col("id_a") < 1000000L)).size < expectV2.size,
+      "fixture: the upsert should surface MORE corpus pairs than v1")
+  }
+
   test("recoverSwap: completes a crash between renames; restores from bak when rebuild is lost") {
     val root = Files.createTempDirectory("graft_idx_recover").toFile.getAbsolutePath
     val fs = Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, root)
