@@ -455,6 +455,28 @@ object Dedup {
         (floor(hits.cast("double") / count(lit(1)) * 1e6) / 1e6).as("contamination"))
   }
 
+  /** Corpus snapshot diff: classify every doc id across two snapshots
+    * as added / removed / changed / unchanged by direct content
+    * comparison on a full outer id join. This is the operator that
+    * DRIVES the artifact lifecycle: `added ∪ changed` is the ingest
+    * batch [[updatePairGraph]] / the index upserts fold in, `removed`
+    * is the takedown set [[forgetDocs]] propagates — one diff per
+    * snapshot pair, consumed by every maintained artifact. Only ids
+    * and a same/differs bit shuffle beyond the scan; with both
+    * snapshots bucketed on the id the join needs no exchange at all.
+    */
+  def corpusDiff(before: DataFrame, after: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val a = before.select(col(idCol).as("id"), col(textCol).as("a_text"))
+    val b = after.select(col(idCol).as("id"), col(textCol).as("b_text"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("a_text").isNull, "added")
+          .when(col("b_text").isNull, "removed")
+          .when(col("a_text") =!= col("b_text"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** First-seen novelty attribution: for each document, the fraction of
     * its DISTINCT word n-grams that appear in no document with a
     * smaller id — "what does this doc contribute that the corpus (in
@@ -606,7 +628,7 @@ object Dedup {
       PairGraphParams("containment", n, minContainment))
   }
 
-  private def writePairGraphParams(spark: org.apache.spark.sql.SparkSession,
+  private[ext] def writePairGraphParams(spark: org.apache.spark.sql.SparkSession,
       path: String, p: PairGraphParams): Unit = {
     val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
     val out = fs.create(pgParamsPath(path), true)
@@ -742,6 +764,9 @@ object Dedup {
     pairs
       .join(ids.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_anti")
       .join(ids.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_anti")
+      // using-joins move their key to the front — restore the artifact's
+      // column order so a rewritten graph keeps its schema layout
+      .select(pairs.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Deletion propagation for a persisted pair graph: when documents

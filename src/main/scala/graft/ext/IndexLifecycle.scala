@@ -110,6 +110,30 @@ object IndexLifecycle {
     swapIn(spark, rebuild, livePath)
   }
 
+  /** [[rebuildMinhashIndex]] for the near-dup pair-graph artifact
+    * ([[Dedup.writePairGraph]]): full recompute to `<livePath>_rebuild`,
+    * compacted (z-ordered on id_a — every consumer's first join/groupBy
+    * key, so cluster/representative/graph reads touch contiguous row
+    * groups), sidecar restored, fuse-guarded swap. The full-rebuild
+    * member of the pair-graph lifecycle ([[Dedup.updatePairGraph]] /
+    * [[Dedup.forgetDocs]] are the incremental ones): run it on snapshot
+    * boundaries or when incremental drift warrants a clean base.
+    */
+  def rebuildPairGraph(docs: DataFrame, livePath: String, n: Int = 3,
+      minJaccard: Double = 0.5, requestedSizeMb: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id",
+      prefixFilter: Boolean = false, broadcastDf: Boolean = false): Unit = {
+    implicit val spark: SparkSession = docs.sparkSession
+    val rebuild = s"${livePath}_rebuild"
+    Dedup.writePairGraph(docs, rebuild, n, minJaccard, textCol, idCol,
+      prefixFilter, broadcastDf)
+    Compactor.doAutoCoalesce(rebuild, requestedSizeMb, zorderCols = Seq("id_a"))
+    // compaction rewrites the folder and its sidecar with it — restore
+    Dedup.writePairGraphParams(spark, rebuild,
+      Dedup.PairGraphParams("jaccard", n, minJaccard))
+    swapIn(spark, rebuild, livePath)
+  }
+
   /** Fuse-guarded atomic swap: promote `rebuildPath` over `livePath`.
     * Marker content records the rebuild path so [[recoverSwap]] can
     * verify an open transaction is its own before touching anything.

@@ -128,6 +128,27 @@ object Pipeline {
     Dedup.readPairGraph(spark, path).orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Corpus snapshot diff ([[Dedup.corpusDiff]]): the operator that
+    * drives the whole artifact lifecycle — `added ∪ changed` is the
+    * ingest batch d23 folds in, `removed` the takedown set d24
+    * propagates. Snapshot B is derived deterministically from the
+    * fixture (both engines regenerate it): doc_id % 7 == 3 rows
+    * dropped, % 5 == 0 texts amended, % 13 == 0 re-added under new
+    * ids. Output is the non-trivial diff rows.
+    */
+  def d25CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val after = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" amended")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.corpusDiff(docs, after)
+      .filter(col("status") =!= "unchanged")
+      .orderBy(col("doc_id"))
+  }
+
   def d04SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
@@ -2218,6 +2239,27 @@ object Pipeline {
     // incremental update(base, batch) == from-scratch over the full
     // corpus — the oracle never sees the split, only the end state
     "d23_pair_graph_update" -> ngramJaccardOracle,
+    // snapshot B rebuilt in SQL from the same deterministic rules; the
+    // diff replays as a full outer join + CASE
+    "d25_corpus_diff" ->
+      """WITH after AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' amended' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 != 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0
+        |)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text != b.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents a FULL OUTER JOIN after b ON a.doc_id = b.doc_id
+        |WHERE (CASE WHEN a.doc_id IS NULL THEN 'added'
+        |            WHEN b.doc_id IS NULL THEN 'removed'
+        |            WHEN a.text != b.text THEN 'changed'
+        |            ELSE 'unchanged' END) != 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
     // forget(artifact, ids) == rebuild over the surviving corpus: every
     // pair mentioning a taken-down id must be gone
     "d24_pair_graph_forget" ->
@@ -2973,6 +3015,7 @@ object Pipeline {
     "d22_pair_graph"     -> d22PairGraph _,
     "d23_pair_graph_update" -> d23PairGraphUpdate _,
     "d24_pair_graph_forget" -> d24PairGraphForget _,
+    "d25_corpus_diff"    -> d25CorpusDiff _,
     "d04_simhash_pairs"  -> d04SimhashPairs _,
     "d10_simhash_pairs_md5" -> d10SimhashPairsMd5 _,
     "d11_dedup_clusters" -> d11DedupClusters _,

@@ -332,6 +332,51 @@ class IndexLifecycleSpec extends AnyFunSuite {
       b: org.apache.spark.sql.DataFrame): Boolean =
     a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
 
+  test("pair-graph rebuild: compacted + z-ordered + swapped, artifact == direct write") {
+    val docs = Tables.documents(spark, sf)
+    val root = Files.createTempDirectory("graft_pg_rebuild").toFile.getAbsolutePath
+    val live = s"$root/pairs"; val ref = s"$root/ref"
+    // seed a v1 so the rebuild exercises the move-aside path
+    Dedup.writePairGraph(docs.filter(col("doc_id") % 3 === 0), live, n = 3, minJaccard = 0.5)
+    IndexLifecycle.rebuildPairGraph(docs, live)
+    Dedup.writePairGraph(docs, ref, n = 3, minJaccard = 0.5)
+    assert(sameRows(Dedup.readPairGraph(spark, live), Dedup.readPairGraph(spark, ref)))
+    assert(Dedup.readPairGraphParams(spark, live)
+      .contains(Dedup.PairGraphParams("jaccard", 3, 0.5)),
+      "compaction must not eat the sidecar")
+    val fs = Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, live)
+    assert(!fs.exists(new Path(s"${live}_rebuild")) && !fs.exists(new Path(s"${live}_swap_bak")))
+    // lifecycle composes: incremental mutations apply to the rebuilt base
+    Dedup.forgetDocs(spark, live, docs.filter(col("doc_id") % 11 === 7).select("doc_id"))
+    assert(Dedup.readPairGraph(spark, live).count() <
+      Dedup.readPairGraph(spark, ref).count())
+  }
+
+  test("pair-graph guards: kind mismatch refused; empty batch and unknown ids are no-ops") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val root = Files.createTempDirectory("graft_pg_guard").toFile.getAbsolutePath
+    val cont = s"$root/cont"; val jac = s"$root/jac"
+    Dedup.writeContainmentPairGraph(docs, cont, n = 3, minContainment = 0.6)
+    // a jaccard update against a containment artifact would silently
+    // mix semantics — refused on the sidecar kind
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.updatePairGraph(docs.limit(1), docs, cont)
+    }
+    assert(ex.getMessage.contains("containment"))
+    Dedup.writePairGraph(docs, jac, n = 3, minJaccard = 0.5)
+    val before = Dedup.readPairGraph(spark, jac).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // empty ingest batch: kept == everything, fresh == nothing
+    Dedup.updatePairGraph(docs.filter(lit(false)), docs, jac)
+    def rows() = Dedup.readPairGraph(spark, jac).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows() == before, "empty-batch update must be an identity")
+    // forgetting ids the graph never mentions changes nothing
+    Dedup.forgetDocs(spark, jac, Seq(-1L, -2L).toDF("doc_id"))
+    assert(rows() == before, "forgetting unknown ids must be an identity")
+  }
+
   test("LSH index upsert + forget == full rebuild; supersede drops stale buckets") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_idx_upd").toFile.getAbsolutePath
