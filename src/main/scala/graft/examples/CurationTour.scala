@@ -127,31 +127,40 @@ object CurationTour {
         reps.agg(sum("n_members")).head().getLong(0) == labels.count()
     }
 
-    // 3b. the artifact EVOLVES with the corpus: fold an ingest batch in
-    // at batch-cost (only batch-touching pairs are computed — the
-    // corpus never re-pairs against itself), then propagate a takedown
-    // so the artifact stops mentioning deleted documents. Both
-    // mutations land through the fuse-guarded atomic swap; both must
-    // equal the from-scratch rebuild they replace.
-    check("pair-graph lifecycle: incremental ingest + takedown == rebuild") {
+    // 3b. the artifact EVOLVES with the corpus, and the SNAPSHOT DIFF
+    // drives it: corpusDiff classifies the new snapshot's rows, the
+    // added∪changed set folds in as the ingest batch (only
+    // batch-touching pairs are computed — the corpus never re-pairs
+    // against itself), the removed set propagates as a takedown. Both
+    // mutations land through the fuse-guarded atomic swap, and the end
+    // state must equal the from-scratch rebuild of the new snapshot.
+    check("pair-graph lifecycle: diff-driven ingest + takedown == rebuild of snapshot B") {
       def pairSet(df: org.apache.spark.sql.DataFrame) =
         df.select("id_a", "id_b", "jaccard").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val pgDir = java.nio.file.Files.createTempDirectory("curation_pairs_life")
         .toFile.getAbsolutePath
       val p = s"$pgDir/pairs"
-      val base = exactKept.filter(col("doc_id") % 10 =!= 0)
-      val batch = exactKept.filter(col("doc_id") % 10 === 0)
-      Dedup.writePairGraph(base, p, n = 3, minJaccard = 0.5)
-      Dedup.updatePairGraph(batch, base, p)
-      val afterIngest = pairSet(Dedup.readPairGraph(spark, p)) ==
-        pairSet(Dedup.ngramJaccardPairs(exactKept, 3, 0.5))
-      val takedown = exactKept.filter(col("doc_id") % 13 === 1).select("doc_id")
-      Dedup.forgetDocs(spark, p, takedown)
-      val afterForget = pairSet(Dedup.readPairGraph(spark, p)) ==
-        pairSet(Dedup.ngramJaccardPairs(
-          exactKept.filter(col("doc_id") % 13 =!= 1), 3, 0.5))
-      afterIngest && afterForget
+      val snapA = exactKept.select(col("doc_id"), col("text"))
+      // snapshot B: some docs gone, some texts amended, some new docs
+      val snapB = snapA.filter(col("doc_id") % 13 =!= 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" amended copy")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(snapA.filter(col("doc_id") % 17 === 2)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      Dedup.writePairGraph(snapA, p, n = 3, minJaccard = 0.5)
+      val diff = Dedup.corpusDiff(snapA, snapB).cache()
+      val batch = snapB.join(
+        diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+        Seq("doc_id"))
+      val removed = diff.filter(col("status") === "removed").select("doc_id")
+      // order matters only for cost: forget first so the batch never
+      // re-pairs against rows the diff already declared gone
+      Dedup.forgetDocs(spark, p, removed)
+      Dedup.updatePairGraph(batch, snapA.join(removed, Seq("doc_id"), "left_anti"), p)
+      pairSet(Dedup.readPairGraph(spark, p)) ==
+        pairSet(Dedup.ngramJaccardPairs(snapB, 3, 0.5))
     }
 
     // 4. decontaminate against a held-out eval slice

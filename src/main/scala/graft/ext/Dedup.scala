@@ -699,24 +699,68 @@ object Dedup {
     verifyJaccard(cand, sets, minJaccard)
   }
 
-  /** Incremental maintenance of a persisted Jaccard pair graph
-    * ([[writePairGraph]]): fold an ingest batch into the artifact
-    * WITHOUT re-pairing the corpus. The updated pair set is
+  /** Batch-touching CONTAINMENT pairs — [[ngramJaccardNewPairs]] for
+    * the asymmetric [[ngramContainmentPairs]] semantics: only the
+    * batch's shingles probe the corpus index (broadcast by default),
+    * supersede-by-id first, candidates verified exactly with one
+    * array_intersect per pair. Output matches the full operator:
+    * (id_a, id_b, cont_a_in_b, cont_b_in_a), id_a < id_b, either
+    * direction clearing the threshold.
+    */
+  def ngramContainmentNewPairs(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
+      minContainment: Double = 0.6, textCol: String = "text", idCol: String = "doc_id",
+      broadcastBatch: Boolean = true): DataFrame = {
+    GraftFunctions.ensureRegistered(newDocs.sparkSession)
+    val corpusOnly = corpus.join(newDocs.select(col(idCol)), Seq(idCol), "left_anti")
+    val all = newDocs.select(col(idCol), col(textCol))
+      .unionByName(corpusOnly.select(col(idCol), col(textCol)))
+    val sets = all.select(col(idCol).as("id"), graftShingles(col(textCol), n).as("set"))
+      .withColumn("setSize", size(col("set")).cast("long"))
+    val probe0 = newDocs
+      .select(col(idCol).as("id"), explode(graftShingles(col(textCol), n)).as("shingle"))
+    val probe = if (broadcastBatch) broadcast(probe0) else probe0
+    val index = sets.select(col("id"), explode(col("set")).as("shingle"))
+    val cand = probe.as("a").join(index.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
+        col("setSize").as("size_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b"),
+        col("setSize").as("size_b")), "id_b")
+      .withColumn("interSize", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("cont_a_in_b", col("interSize").cast("double") / col("size_a"))
+      .withColumn("cont_b_in_a", col("interSize").cast("double") / col("size_b"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a_in_b"), 6).as("cont_a_in_b"),
+        round(col("cont_b_in_a"), 6).as("cont_b_in_a"))
+  }
+
+  /** Incremental maintenance of a persisted pair graph
+    * ([[writePairGraph]] / [[writeContainmentPairGraph]]): fold an
+    * ingest batch into the artifact WITHOUT re-pairing the corpus. The
+    * updated pair set is
     *
     *   kept   = old pairs touching no batch id (stale pairs of a
     *            re-ingested id are dropped — its text may have changed)
-    *   fresh  = [[ngramJaccardNewPairs]](batch, corpus)
+    *   fresh  = batch-touching pairs under the SIDECAR's semantics
+    *            ([[ngramJaccardNewPairs]] or
+    *            [[ngramContainmentNewPairs]], dispatched on kind)
     *
     * and lands via the index family's fuse-guarded atomic swap
     * ([[IndexLifecycle.swapIn]]) — readers keep consuming the live
     * artifact until the rename; a crash mid-swap is recoverable with
-    * [[IndexLifecycle.recoverSwap]]. Parameters (n, threshold) come
-    * from the live sidecar, so an update can't silently reinterpret
-    * the artifact under different settings; the sidecar is rewritten
-    * unchanged on the new build. `corpus` must be the SNAPSHOT the
-    * live artifact was built from (pre-batch) — the invariant
-    * `update(base artifact, batch) == rebuild(base ⊎ batch)` is
-    * pinned in ExtSpec and cross-engine by the registered d23 row.
+    * [[IndexLifecycle.recoverSwap]]. Parameters (kind, n, threshold)
+    * come from the live sidecar, so an update can't silently
+    * reinterpret the artifact under different settings; the sidecar is
+    * rewritten unchanged on the new build. `corpus` must be the
+    * SNAPSHOT the live artifact was built from (pre-batch) — the
+    * invariant `update(base artifact, batch) == rebuild(base ⊎ batch)`
+    * is pinned in ExtSpec for both kinds and cross-engine by the
+    * registered d23 row.
     */
   def updatePairGraph(newDocs: DataFrame, corpus: DataFrame, path: String,
       textCol: String = "text", idCol: String = "doc_id",
@@ -724,14 +768,20 @@ object Dedup {
     val spark = newDocs.sparkSession
     val p = readPairGraphParams(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no pair-graph sidecar at $path"))
-    require(p.kind == "jaccard", s"updatePairGraph expects a jaccard artifact, found ${p.kind}")
     val batchIds = newDocs.select(col(idCol).as("id"))
-    val kept = readPairGraph(spark, path)
+    val live = readPairGraph(spark, path)
+    val kept = live
       .join(batchIds.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_anti")
       .join(batchIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_anti")
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    val fresh = ngramJaccardNewPairs(newDocs, corpus, p.n, p.threshold,
-      textCol, idCol, broadcastBatch)
+      .select(live.columns.map(col).toIndexedSeq: _*)
+    val fresh = p.kind match {
+      case "jaccard" => ngramJaccardNewPairs(newDocs, corpus, p.n, p.threshold,
+        textCol, idCol, broadcastBatch)
+      case "containment" => ngramContainmentNewPairs(newDocs, corpus, p.n, p.threshold,
+        textCol, idCol, broadcastBatch)
+      case other => throw new IllegalArgumentException(
+        s"unknown pair-graph kind '$other' at $path")
+    }
     val rebuild = s"${path}_rebuild"
     kept.unionByName(fresh)
       .repartition(col("id_a"))

@@ -352,18 +352,27 @@ class IndexLifecycleSpec extends AnyFunSuite {
       Dedup.readPairGraph(spark, ref).count())
   }
 
-  test("pair-graph guards: kind mismatch refused; empty batch and unknown ids are no-ops") {
+  test("pair-graph guards: containment updates under its OWN semantics; identities hold") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
     val root = Files.createTempDirectory("graft_pg_guard").toFile.getAbsolutePath
     val cont = s"$root/cont"; val jac = s"$root/jac"
-    Dedup.writeContainmentPairGraph(docs, cont, n = 3, minContainment = 0.6)
-    // a jaccard update against a containment artifact would silently
-    // mix semantics — refused on the sidecar kind
-    val ex = intercept[IllegalArgumentException] {
-      Dedup.updatePairGraph(docs.limit(1), docs, cont)
-    }
-    assert(ex.getMessage.contains("containment"))
+    // the sidecar kind dispatches the incremental semantics: an update
+    // against a containment artifact computes CONTAINMENT pairs — fold
+    // a batch into a base containment graph and it must equal the
+    // from-scratch containment rebuild
+    Dedup.writeContainmentPairGraph(docs.filter(col("doc_id") % 10 =!= 0), cont,
+      n = 3, minContainment = 0.6)
+    Dedup.updatePairGraph(docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0), cont)
+    def contRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(contRows(Dedup.readPairGraph(spark, cont)) ==
+      contRows(Dedup.ngramContainmentPairs(docs, 3, 0.6)),
+      "containment update(base, batch) != containment rebuild")
+    assert(Dedup.readPairGraphParams(spark, cont)
+      .contains(Dedup.PairGraphParams("containment", 3, 0.6)))
     Dedup.writePairGraph(docs, jac, n = 3, minJaccard = 0.5)
     val before = Dedup.readPairGraph(spark, jac).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
