@@ -836,6 +836,36 @@ object Pipeline {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  /** Top session paths — the behavioral-pattern report on top of
+    * sessionization: 30-min gaps-and-islands sessions (the q13
+    * machinery with an explicit (ts, event_id) tie-break, since PATH
+    * CONTENT — unlike q13's counts — depends on event order), each
+    * session's ordered event-type sequence joined into a path string,
+    * top-20 paths by session count. collect_list is order-nondetermin-
+    * istic under shuffle, so the path assembles via array_sort over
+    * (ts, event_id, type) structs — deterministic on any partitioning;
+    * DuckDB replays with ORDER BY inside string_agg.
+    */
+  def e09SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapNs = 1800000000000L
+    val sess = Tables.events(spark, dir)
+      .withColumn("new_session",
+        when(lag(col("ts"), 1).over(byUser).isNull
+          || col("ts") - lag(col("ts"), 1).over(byUser) > gapNs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   /** Deterministic 80/10/10 split assignment
     * ([[graft.ops.Sampling.hashSplit]]): the label is a pure function of
     * the id hash with INTEGER thresholds, so the full assignment table
@@ -2706,6 +2736,26 @@ object Pipeline {
         |FROM seq WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type
         |ORDER BY prev_type, event_type""".stripMargin,
+    // q13's islands with a (ts, event_id) tie-break (paths depend on
+    // order), path via ordered string_agg, deterministic top-20
+    "e09_session_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+        |         OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |), paths AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sessions GROUP BY user_id, session_id
+        |)
+        |SELECT path, count(*) AS n_sessions FROM paths
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "j01_json_extract" ->
       """SELECT event_type, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -3048,6 +3098,7 @@ object Pipeline {
     "e05_funnel"         -> e05Funnel _,
     "e07_cohort_retention" -> e07CohortRetention _,
     "e08_transitions"    -> e08Transitions _,
+    "e09_session_paths"  -> e09SessionPaths _,
     "j01_json_extract"   -> j01JsonExtract _,
     "e01_event_windows"  -> e01EventWindows _,
     "e02_asof_join"      -> e02AsofJoin _,
