@@ -658,6 +658,56 @@ object Multimodal {
     }.toDF("media_id", "afp")
   }
 
+  /** Per-clip audio QUALITY gate — the gopherRules of the audio
+    * modality: decode the full clip once and emit the structural
+    * keep/drop metrics every speech/audio curation pipeline runs
+    * before any model-based scoring:
+    *
+    *   - `peak`: max |sample| (a whole-clip near-zero peak = dead air)
+    *   - `clip_count` / `clip_micro`: samples at the 16-bit rails
+    *     (|s| ≥ 32767) — clipping / hard-limiting damage
+    *   - `energy_per_sample`: Σ s² div n — integer loudness proxy
+    *   - `silence_micro`: fraction of samples under `silenceAbs`
+    *
+    * plus `keep` = not clipped (≤ clipMaxMicro), not mostly silence
+    * (≤ silenceMaxMicro), and audible (peak ≥ minPeak). All integer
+    * arithmetic (truncating div on non-negative operands), so the
+    * whole table — including the decision — is cross-engine exact.
+    * One decode per row inside a mapPartitions (the codec boundary,
+    * same shape as [[audioFingerprint]]); output is narrow, payload
+    * bytes never shuffle.
+    */
+  def audioQualityRules(media: Dataset[MediaRow], silenceAbs: Int = 1024,
+      clipMaxMicro: Long = 10000L, silenceMaxMicro: Long = 500000L,
+      minPeak: Long = 256L): DataFrame = {
+    import media.sparkSession.implicits._
+    require(silenceAbs > 0, "silenceAbs must be positive")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val s = AudioCodec.decodeWav(r.payload)
+        require(s.nonEmpty, s"payload ${r.media_id} decodes to zero samples")
+        var energy = 0L; var peak = 0L; var clip = 0L; var silent = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = math.abs(s(i).toLong)
+          energy += v * v
+          if (v > peak) peak = v
+          if (v >= 32767L) clip += 1
+          if (v < silenceAbs) silent += 1
+          i += 1
+        }
+        val n = s.length.toLong
+        val clipMicro = clip * 1000000L / n
+        val silenceMicro = silent * 1000000L / n
+        val keep =
+          if (clipMicro <= clipMaxMicro && silenceMicro <= silenceMaxMicro &&
+            peak >= minPeak) 1L else 0L
+        (r.media_id, n, peak, clip, clipMicro, energy / n, silenceMicro, keep)
+      }
+    }.toDF("media_id", "n_samples", "peak", "clip_count", "clip_micro",
+      "energy_per_sample", "silence_micro", "keep")
+  }
+
   // ---------------------------------------------------------------------
   // PNG metadata: tEXt chunks inserted/parsed at the BYTE level per the
   // PNG spec (length + type + data + CRC32 over type||data) — real

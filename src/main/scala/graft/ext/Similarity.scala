@@ -99,6 +99,30 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Linear-probe classifier inference over the embedding column — the
+    * model-based quality/domain scorer every curation pipeline runs
+    * after the structural filters (a fastText / logistic head distilled
+    * to a weight vector): score = w·x + b, predict by sign. The weights
+    * are DRIVER-side (`dim` doubles) folded into the plan as an array
+    * literal — broadcast-weights inference is a narrow codegen
+    * projection over the corpus, no shuffle, no join, no UDF beyond
+    * the registered graft_dot expression. At 100 TB this runs at scan
+    * speed and is the cheapest model-in-the-loop filter there is.
+    *
+    * `score` is rounded to 6 decimals BEFORE the sign test so the
+    * keep/drop decision is a pure function of the gated score (the s01
+    * float convention); `predicted` is 0/1 long.
+    */
+  def linearProbe(vectors: DataFrame, weights: Seq[Double], bias: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val w = array(weights.map(lit): _*)
+    vectors.select(col(idCol),
+        round(graftDot(asDouble(col(vecCol)), w) + lit(bias), 6).as("score"))
+      .withColumn("predicted", (col("score") > 0.0).cast("long"))
+  }
+
   /** Exact cosine top-k over the first `dPrime` dimensions only — the
     * Matryoshka/truncated-embedding serving pattern (Kusupati et al.,
     * "Matryoshka Representation Learning", NeurIPS'22): embeddings

@@ -281,6 +281,94 @@ object TextOps {
     spark.createDataFrame(merges.toSeq)
   }
 
+  /** Apply `merges` (in step order, as learned by [[bpeMerges]]) to the
+    * corpus — the ENCODE half of the tokenizer: per document, the
+    * whitespace-normalized lowercased text is sentinel-wrapped per
+    * character and the k merges are replayed as a chain of literal
+    * `replace`s, exactly the greedy left-to-right merge the trainer
+    * used (per-symbol sentinels, see [[bpeMerges]]). Merges can never
+    * span a word boundary because the single space BETWEEN words is
+    * left unwrapped — the `⟨l⟩⟨r⟩` pattern requires the two symbols to
+    * be adjacent, so one whole-document pass equals the per-word
+    * replay.
+    *
+    * Scale shape: the merge table is k driver-side rows folded into
+    * the PLAN as literals (a broadcast-weights map, not a join), so
+    * encoding is one narrow codegen projection over the corpus — no
+    * shuffle, no UDF. Output: idCol, n_words (whitespace tokens),
+    * n_subwords (symbols after all merges; == n_chars of the squashed
+    * words at k=0, monotonically non-increasing in k).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[BpeMerge],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val S = "\u001C"; val E = "\u001D"
+    // same loud sentinel guard as the trainer: encoding a document that
+    // contains the delimiter bytes would silently mis-merge
+    val guarded = docs.filter(coalesce(
+      assert_true(!col(textCol).rlike(s"[$S$E]"),
+        concat(lit("bpeEncode: input contains the U+001C/U+001D sentinel bytes, doc "),
+          col(idCol))), lit(true)))
+    val base = regexp_replace(trim(lower(col(textCol))), "[ \\t\\n\\f\\r]+", " ")
+    val wrapped = regexp_replace(base, "([^ ])", s"$S$$1$E")
+    val encoded = merges.sortBy(_.step).foldLeft(wrapped) { (acc, m) =>
+      replace(acc, lit(s"$S${m.lhs}$E$S${m.rhs}$E"), lit(s"$S${m.merged}$E"))
+    }
+    guarded.select(
+      col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_words"),
+      (length(encoded) - length(replace(encoded, lit(S), lit("")))).cast("long")
+        .as("n_subwords"))
+  }
+
+  /** Train k merges with [[bpeMerges]] and immediately [[bpeEncode]]
+    * the same corpus with them — the end-to-end tokenizer round trip
+    * (train on the corpus, tokenize the corpus). */
+  def bpeTrainEncode(docs: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val learned = bpeMerges(docs, k, textCol).collect().map { r =>
+      BpeMerge(r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))
+    }.toSeq // bounded: k rows
+    bpeEncode(docs, learned, textCol, idCol)
+  }
+
+  /** Frequency-threshold vocabulary coverage curve — the tokenizer /
+    * vocab-sizing analytic: for each min-frequency cutoff f, the number
+    * of distinct words with corpus count ≥ f (the vocab you'd keep),
+    * the token occurrences those words cover, and the coverage as an
+    * integer micro-fraction of all occurrences.
+    *
+    * Scale design: deliberately a THRESHOLD curve, not a top-k-rank
+    * curve — rank-k coverage needs a total order over the vocabulary
+    * (a vocab-sized single-task window at 100 TB, and the c=1 tie
+    * group alone is half the vocab), while threshold coverage is pure
+    * aggregation: one word-count groupBy (map-side combined), then a
+    * cutoffs × count-histogram sized rollup. All integer, so the curve
+    * hash-matches the oracle.
+    */
+  def vocabCoverage(docs: DataFrame, cutoffs: Seq[Long],
+      textCol: String = "text"): DataFrame = {
+    require(cutoffs.nonEmpty, "cutoffs must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      // collapse to the COUNT histogram before the cutoff cross join:
+      // (c, n_words, occurrences) is score-cardinality, not vocab-
+      // cardinality, so the per-cutoff rollup never touches the corpus
+      .groupBy(col("c")).agg(count(lit(1)).as("nw"), sum(col("c")).as("occ"))
+    val cuts = cutoffs.distinct.sorted.toDF("cutoff")
+    counts.join(broadcast(cuts), col("c") >= col("cutoff"))
+      .groupBy(col("cutoff"))
+      .agg(sum(col("nw")).as("vocab_size"), sum(col("occ")).as("covered"))
+      .join(broadcast(
+        counts.agg(sum(col("occ")).as("total")).select(col("total"))))
+      .select(col("cutoff"), col("vocab_size"), col("covered"), col("total"),
+        expr("covered * 1000000L div total").as("coverage_micro"))
+  }
+
   /** CCNet-style per-language typicality bucketing over
     * [[bigramLmScore]]: rank every document within its language by LM
     * typicality (lm_micro desc, doc_id as the total tie-break) and cut

@@ -124,7 +124,7 @@ object Fs {
       // materializes the persist AND yields the next level's dir count
       dirCount = level.toDF().agg(
         org.apache.spark.sql.functions.count_if(org.apache.spark.sql.functions.col("isDirectory")))
-        .head.getLong(0)
+        .head().getLong(0)
       result = result.union(level)
       dirs = level.filter(_.isDirectory).map(_.path)
     }

@@ -571,6 +571,19 @@ object Pipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Per-clip audio quality gate ([[graft.ext.Multimodal
+    * .audioQualityRules]]): decode the full WAV once, emit peak /
+    * clipping / loudness / silence metrics and the keep decision —
+    * gopherRules for the audio modality. The oracle regenerates the
+    * full per-class chirp PCM (not just the fingerprint's 512-sample
+    * prefix) and replays every metric in integer arithmetic.
+    */
+  def m09AudioQuality(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticWavClasses(Tables.documents(spark, dir))
+    graft.ext.Multimodal.audioQualityRules(media).orderBy(col("media_id"))
+  }
+
   /** Corpus-trained bigram LM scoring ([[TextOps.bigramLmScore]]) —
     * the CCNet-style LM quality filter with the log-prob sum
     * rationalized to integer micro-units: add-one-smoothed average
@@ -628,6 +641,67 @@ object Pipeline {
   def t27Novelty(spark: SparkSession, dir: String): DataFrame =
     Dedup.noveltyScores(Tables.documents(spark, dir), n = 3)
       .orderBy(col("doc_id"))
+
+  /** GPT-style concat-and-chunk sequence packing
+    * ([[graft.ops.PrefixSum.seqPack]]): docs laid end to end in id
+    * order into one global token stream cut into fixed 64-token
+    * training sequences; each doc reports its global token offset and
+    * the sequence range it spans. The offset comes from the
+    * distributed two-phase prefix sum (t13's machinery — NO
+    * single-partition window), and the whole manifest is integer
+    * arithmetic, so it hash-matches the oracle's ordinary running
+    * total. `offset` is aliased `tok_offset` (OFFSET is a SQL
+    * keyword).
+    */
+  def t28SeqPack(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.PrefixSum.seqPack(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        seqLen = 64L)
+      .select(col("doc_id"), col("n_tokens"),
+        col("offset").as("tok_offset"), col("first_seq"), col("last_seq"))
+      .orderBy(col("doc_id"))
+
+  /** BPE tokenizer ENCODE ([[TextOps.bpeTrainEncode]]): train the same
+    * 8 merges t25 gates, then apply them to the corpus as a chain of
+    * literal replaces folded into the plan (broadcast-weights
+    * inference shape — one narrow codegen projection, no shuffle).
+    * The oracle re-learns the merges AND replays the encode chain per
+    * document, so the per-doc subword counts — the tokenizer's actual
+    * output statistic — sit under the hash gate.
+    */
+  def t29BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrainEncode(Tables.documents(spark, dir), k = 8)
+      .orderBy(col("doc_id"))
+
+  /** Frequency-threshold vocabulary coverage curve
+    * ([[TextOps.vocabCoverage]]): for each min-count cutoff, the kept
+    * vocab size and the fraction of token occurrences it covers — the
+    * vocab-sizing analytic, spelled as pure aggregation (threshold
+    * curve, not rank-k: no vocab-sized window anywhere).
+    */
+  def t30VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextOps.vocabCoverage(Tables.documents(spark, dir),
+        cutoffs = Seq(1L, 2L, 3L, 5L, 8L))
+      .orderBy(col("cutoff"))
+
+  /** Deterministic linear-probe weights shared by the s11 query and its
+    * oracle: w_j = ((37·j mod 21) − 10) / 10 over the 64 fixture dims —
+    * spans [−1, 1] with exact one-decimal literals both engines parse
+    * to the same double.
+    */
+  private[queries] val ProbeWeights: Seq[Double] =
+    (0 until 64).map(j => ((j * 37) % 21 - 10) / 10.0)
+
+  /** Linear-probe classifier inference ([[Similarity.linearProbe]]):
+    * the model-based quality/domain scorer (a logistic head distilled
+    * to weights) applied to every embedding as a broadcast-weights
+    * codegen projection. Score rounded to 6 before the sign test (the
+    * s01 float convention) so the keep/drop decision is gate-stable.
+    */
+  def s11LinearProbe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.linearProbe(Tables.embeddings(spark, dir),
+        weights = ProbeWeights, bias = 0.05)
+      .orderBy(col("vec_id"))
 
   /** URL canonicalization + domain stats ([[UrlOps]]): per-doc
     * deterministic synthetic crawl URLs (uppercase `WWW.` aliases,
@@ -1995,7 +2069,12 @@ object Pipeline {
     * each iteration recounts adjacent pairs off the current vocab,
     * takes the same (cnt desc, l, r) argmax, and applies it.
     */
-  private def bpeMergesOracle(k: Int): String = {
+  /** The shared BPE training CTE chain: v0 (sentinel-wrapped word
+    * vocab) and per-iteration sy_i/p_i/m_i/v_i — m_i holds iteration
+    * i's learned merge. Used by the t25 (merges) and t29 (encode)
+    * oracles.
+    */
+  private def bpeIterCtes(k: Int): String = {
     val iters = (1 to k).map { i =>
       s"""sy$i AS (
          |  SELECT regexp_extract_all(s, '\\x1c([^\\x1d]*)\\x1d', 1) AS sy, c FROM v${i - 1}
@@ -2011,18 +2090,50 @@ object Pipeline {
          |  FROM v${i - 1} v, m$i m
          |)""".stripMargin
     }.mkString(", ")
-    val rows = (1 to k).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM m$i"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT regexp_replace(w, '(.)', chr(28) || '\\1' || chr(29), 'g') AS s, c FROM (
        |    SELECT word AS w, count(*) AS c FROM (
        |      SELECT unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS word
        |      FROM documents) t WHERE word != '' GROUP BY 1)
-       |), $iters
+       |), $iters""".stripMargin
+  }
+
+  private def bpeMergesOracle(k: Int): String = {
+    val rows = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM m$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${bpeIterCtes(k)}
        |SELECT * FROM (
        |  $rows
        |) ORDER BY step""".stripMargin
+  }
+
+  /** t29: re-learn the k merges (same chain as t25), then replay the
+    * encode on every DOCUMENT — whitespace-normalize, sentinel-wrap
+    * each non-space char, apply the k merges in order as literal
+    * replaces, count the surviving symbols (= chr(28) occurrences).
+    */
+  private def bpeEncodeOracle(k: Int): String = {
+    val encChain = (1 to k).map { i =>
+      s"""e$i AS (
+         |  SELECT doc_id, replace(e.s, chr(28) || m.l || chr(29) || chr(28) || m.r || chr(29),
+         |                 chr(28) || m.l || m.r || chr(29)) AS s
+         |  FROM e${i - 1} e, m$i m
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${bpeIterCtes(k)}, e0 AS (
+       |  SELECT doc_id,
+       |    regexp_replace(
+       |      regexp_replace(trim(lower(text)), '[ \\t\\n\\f\\r]+', ' ', 'g'),
+       |      '([^ ])', chr(28) || '\\1' || chr(29), 'g') AS s
+       |  FROM documents
+       |), $encChain
+       |SELECT d.doc_id AS doc_id,
+       |  CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+       |       ELSE len(string_split_regex(trim(d.text), '[ \\t\\n\\f\\r]+')) END AS BIGINT) AS n_words,
+       |  CAST(length(e.s) - length(replace(e.s, chr(28), '')) AS BIGINT) AS n_subwords
+       |FROM e$k e JOIN documents d USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** d19: components → drop non-representatives → surviving corpus. */
@@ -2197,12 +2308,86 @@ object Pipeline {
         |  CASE WHEN mx = mn THEN 0
         |       ELSE ((xi - mn) * 255) // (mx - mn) END AS code
         |FROM x JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin,
+    // full-clip PCM replay (n = 512 + img % 384, not the fingerprint's
+    // 512 prefix); all metrics integer, // on non-negative operands
+    "m09_audio_quality" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 50 AS img, (doc_id // 50) % 3 AS nz
+        |  FROM documents
+        |), samp AS (
+        |  SELECT doc_id, i.i AS i,
+        |    CASE WHEN i.i = 0 THEN ((img * 31 + 101 * nz) % 65536) - 32768
+        |         ELSE ((img * 31 + i.i * (257 + img * 13) + 3 * i.i * i.i)
+        |               % 65536) - 32768 END AS s
+        |  FROM dims, LATERAL (SELECT unnest(range(0, 512 + img % 384)) AS i) i
+        |), m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(max(abs(s)) AS BIGINT) AS peak,
+        |    CAST(sum(CASE WHEN abs(s) >= 32767 THEN 1 ELSE 0 END) AS BIGINT) AS clip_count,
+        |    CAST((sum(CASE WHEN abs(s) >= 32767 THEN 1 ELSE 0 END) * 1000000)
+        |         // count(*) AS BIGINT) AS clip_micro,
+        |    CAST(sum(s * s) // count(*) AS BIGINT) AS energy_per_sample,
+        |    CAST((sum(CASE WHEN abs(s) < 1024 THEN 1 ELSE 0 END) * 1000000)
+        |         // count(*) AS BIGINT) AS silence_micro
+        |  FROM samp GROUP BY doc_id
+        |)
+        |SELECT media_id, n_samples, peak, clip_count, clip_micro,
+        |  energy_per_sample, silence_micro,
+        |  CAST(CASE WHEN clip_micro <= 10000 AND silence_micro <= 500000
+        |            AND peak >= 256 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m ORDER BY media_id""".stripMargin,
     "d07_simhash_md5" -> simhashMd5Oracle,
     "d10_simhash_pairs_md5" -> simhashMd5PairsOracle,
     "d11_dedup_clusters" -> dedupClustersOracle,
     "d19_cluster_dedup" -> clusterDedupOracle,
     "d20_cluster_reps" -> clusterRepsOracle,
     "t25_bpe_merges" -> bpeMergesOracle(k = 8),
+    "t29_bpe_encode" -> bpeEncodeOracle(k = 8),
+    // the ordinary-SQL running total IS the oracle; the engine side is
+    // the two-phase distributed scan (t13's machinery)
+    "t28_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS tok_offset
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  CAST(tok_offset // 64 AS BIGINT) AS first_seq,
+        |  CAST((tok_offset + greatest(n_tokens - 1, 0)) // 64 AS BIGINT) AS last_seq
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // threshold coverage is pure aggregation in both engines; // on
+    // non-negative HUGEINT == Spark's decimal div
+    "t30_vocab_coverage" ->
+      """WITH wc AS (
+        |  SELECT word AS w, count(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS word
+        |    FROM documents) t WHERE word != '' GROUP BY 1
+        |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM wc)
+        |SELECT CAST(k.cutoff AS BIGINT) AS cutoff,
+        |  count(*) AS vocab_size,
+        |  CAST(sum(c) AS BIGINT) AS covered,
+        |  CAST(any_value(total) AS BIGINT) AS total,
+        |  CAST((sum(c) * 1000000) // any_value(total) AS BIGINT) AS coverage_micro
+        |FROM wc, tot, (VALUES (1), (2), (3), (5), (8)) k(cutoff)
+        |WHERE c >= k.cutoff
+        |GROUP BY k.cutoff ORDER BY cutoff""".stripMargin,
+    // broadcast-weights inference: the weight list is rendered from the
+    // SAME ProbeWeights constant the Spark side folds into its plan
+    "s11_linear_probe" ->
+      s"""SELECT vec_id, score,
+         |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+         |FROM (
+         |  SELECT vec_id,
+         |    round(list_dot_product(embedding::DOUBLE[],
+         |      [${ProbeWeights.mkString(", ")}]::DOUBLE[]) + 0.05, 6) AS score
+         |  FROM embeddings)
+         |ORDER BY vec_id""".stripMargin,
     // stride arithmetic + 1-based list slicing; n>0 docs only, chunk
     // count = ((n-1) // stride) + 1, start = j*stride, window clamp by
     // slice bounds — mirrors chunkTokens(window=32, stride=24)
@@ -3116,6 +3301,10 @@ object Pipeline {
     "t22_bigram_lm"      -> t22BigramLm _,
     "t24_perplexity_buckets" -> t24PerplexityBuckets _,
     "t25_bpe_merges"     -> t25BpeMerges _,
+    "t28_seq_pack"       -> t28SeqPack _,
+    "t29_bpe_encode"     -> t29BpeEncode _,
+    "t30_vocab_coverage" -> t30VocabCoverage _,
+    "s11_linear_probe"   -> s11LinearProbe _,
     "t26_chunk_windows"  -> t26ChunkWindows _,
     "t27_novelty"        -> t27Novelty _,
     "g01_pagerank"       -> g01PageRank _,
@@ -3135,6 +3324,7 @@ object Pipeline {
     "m06_image_dhash"    -> m06ImageDhash _,
     "d15_image_dhash_pairs" -> d15ImageDhashPairs _,
     "m07_audio_fingerprint" -> m07AudioFingerprint _,
+    "m09_audio_quality"  -> m09AudioQuality _,
     "d16_audio_fp_pairs" -> d16AudioFpPairs _,
     "d17_url_dedup"      -> d17UrlDedup _,
     "d18_image_dhash_new" -> d18ImageDhashNew _,

@@ -118,6 +118,62 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(2) == ((3L, "aa", "ab", "aaab", 3L)))
   }
 
+  test("bpeEncode: applies learned merges greedily; whole-doc pass == per-word replay") {
+    // same corpus as the merges test: after (a,a)->aa, (a,b)->ab,
+    // (aa,ab)->aaab the word "aaab" is ONE symbol, "aab" is (aa, b)
+    val docs = Seq(
+      (1L, "aaab aaab aaab aab aab"), // 3·1 + 2·2 = 7 symbols
+      (2L, "aaab"),                   // 1 symbol
+      (3L, "aab b"),                  // (aa,b) + (b) = 3
+      (4L, ""),                       // empty: 0 words, 0 symbols
+      (5L, "  aaab   aab  ")          // whitespace runs squash; 1 + 2 = 3
+    ).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs.filter(col("doc_id") === 1L), k = 3)
+      .collect().map(r => TextOps.BpeMerge(r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    val got = TextOps.bpeEncode(docs, merges)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got(0) == ((1L, 5L, 7L)))
+    assert(got(1) == ((2L, 1L, 1L)))
+    assert(got(2) == ((3L, 2L, 3L)))
+    assert(got(3) == ((4L, 0L, 0L)))
+    assert(got(4) == ((5L, 2L, 3L)))
+  }
+
+  test("bpeEncode: zero merges degenerates to non-whitespace char count; counts non-increasing in k") {
+    val docs = Seq((1L, "abc de f"), (2L, "aaaa aaaa")).toDF("doc_id", "text")
+    val k0 = TextOps.bpeEncode(docs, Seq.empty[TextOps.BpeMerge])
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(k0 == Map(1L -> 6L, 2L -> 8L))
+    val learned = TextOps.bpeMerges(docs, k = 2).collect()
+      .map(r => TextOps.BpeMerge(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    (0 to learned.size).foldLeft(Map.empty[Long, Long]) { (prev, k) =>
+      val cur = TextOps.bpeEncode(docs, learned.take(k))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      if (prev.nonEmpty)
+        cur.foreach { case (id, n) =>
+          assert(n <= prev(id), s"subword count grew at doc $id, k=$k") }
+      cur
+    }
+  }
+
+  test("vocabCoverage: cutoff 1 covers everything; curve monotone; hand-checked counts") {
+    // words: a:4, b:2, c:1  → total 7 occurrences
+    val docs = Seq((1L, "a a b c"), (2L, "a a b")).toDF("doc_id", "text")
+    val got = TextOps.vocabCoverage(docs, cutoffs = Seq(1L, 2L, 4L, 9L))
+      .orderBy("cutoff").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got(0) == ((1L, 3L, 7L, 7L, 1000000L)))
+    assert(got(1) == ((2L, 2L, 6L, 7L, 857142L))) // 6e6 div 7 truncates
+    assert(got(2) == ((4L, 1L, 4L, 7L, 571428L)))
+    assert(got.length == 3, "cutoff above max count yields no row (no word qualifies)")
+    val micros = got.map(_._5)
+    assert(micros.zip(micros.tail).forall { case (a, b) => b <= a },
+      "coverage must be non-increasing in the cutoff")
+  }
+
   test("lmTypicalityBuckets: distributed rank assembly == literal ntile; tiny-language edge") {
     import org.apache.spark.sql.expressions.Window
     // en: 5 docs with a score TIE (identical texts) — exercises the

@@ -317,6 +317,22 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Set(2L, 3L), s"expected same-label neighbors, got $got")
   }
 
+  test("linearProbe: hand-computed scores, sign decision on the ROUNDED value") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f, 0.0f)),   // 0.5·1 + (−0.25)·2 + 0 + b = 0.1 → 1
+      (2L, Array(0.0f, 0.4f, 0.0f)),   // −0.25·0.4 + b = 0.0 → NOT > 0 → 0
+      (3L, Array(-2.0f, 0.0f, 4.0f)))  // −1.0 + 4·1.5 + b = 5.1 → 1
+      .toDF("vec_id", "embedding")
+    val got = Similarity.linearProbe(emb,
+        weights = Seq(0.5, -0.25, 1.5), bias = 0.1)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got(0) == ((1L, 0.1, 1L)))
+    assert(got(1) == ((2L, 0.0, 0L)), "score exactly 0 must predict 0 (not >0)")
+    assert(got(2) == ((3L, 5.1, 1L)))
+  }
+
   test("langId classifies real multilingual samples; valid codes on fixture") {
     import spark.implicits._
     // note: the fixture's lang label is random (text is the same synthetic

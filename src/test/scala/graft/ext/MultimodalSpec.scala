@@ -220,6 +220,43 @@ class MultimodalSpec extends AnyFunSuite {
     fps.unpersist()
   }
 
+  test("audioQualityRules: hand-built clips hit each rule; metrics recompute from PCM") {
+    import spark.implicits._
+    import graft.ext.Multimodal.{AudioCodec, MediaMeta, MediaRow}
+    def clip(id: Long, samples: Array[Short]) =
+      MediaRow(id, MediaMeta("audio", Multimodal.WavFormat, 0, 0),
+        AudioCodec.encodeWav(samples))
+    val media = Seq(
+      // 1: clean mid-level tone — keeps
+      clip(1L, Array.tabulate(100)(i => (2000 + (i % 7) * 100).toShort)),
+      // 2: hard-clipped half the time — dropped by clip_micro
+      clip(2L, Array.tabulate(100)(i =>
+        if (i % 2 == 0) 32767.toShort else 1500.toShort)),
+      // 3: mostly silence (90 quiet of 100) — dropped by silence_micro
+      clip(3L, Array.tabulate(100)(i =>
+        if (i < 10) 5000.toShort else 100.toShort)),
+      // 4: dead air (peak under minPeak) — dropped by peak
+      clip(4L, Array.fill(100)(50.toShort)),
+      // 5: -32768 rail — |s| handling must not overflow/misclassify
+      clip(5L, Array.tabulate(100)(i =>
+        if (i == 0) Short.MinValue else 3000.toShort))
+    ).toDS()
+    val got = Multimodal.audioQualityRules(media)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(1L)._8 == 1L, "clean clip must keep")
+    assert(byId(2L)._4 == 50L && byId(2L)._5 == 500000L && byId(2L)._8 == 0L)
+    assert(byId(3L)._7 == 900000L && byId(3L)._8 == 0L)
+    assert(byId(4L)._3 == 50L && byId(4L)._8 == 0L)
+    // doc 5: one rail sample counts as clipped (1%), peak = 32768
+    assert(byId(5L)._3 == 32768L && byId(5L)._4 == 1L && byId(5L)._5 == 10000L)
+    assert(byId(5L)._8 == 1L, "1% clipping is within the 10000-micro gate")
+    // energy recomputes: doc 4 is exactly 50² per sample
+    assert(byId(4L)._6 == 2500L)
+  }
+
   test("hammingPairsNew: equals full pairs restricted to the batch; batch supersedes") {
     import spark.implicits._
     val media = Multimodal.syntheticPngClasses(docs.limit(100))

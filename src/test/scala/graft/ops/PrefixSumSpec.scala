@@ -78,4 +78,31 @@ class PrefixSumSpec extends AnyFunSuite {
         s"shard $s underfilled: ${ds.map(_._2).sum} of $budget")
     }
   }
+
+  test("seqPack: offsets are the exclusive running total; sequence ranges tile the stream") {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, Seq.fill((i % 13).toInt)("tok").mkString(" "))) // includes 0-token docs
+      .toDF("doc_id", "text").repartition(16)
+    val seqLen = 10L
+    val got = PrefixSum.seqPack(docs, seqLen)
+      .select("doc_id", "n_tokens", "offset", "first_seq", "last_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // offsets: doc k starts exactly where doc k-1 ended
+    var expect = 0L
+    got.foreach { case (id, n, off, first, last) =>
+      assert(off == expect, s"doc $id offset $off != running total $expect")
+      expect += n
+      assert(first == off / seqLen)
+      assert(last == (off + math.max(n - 1, 0)) / seqLen)
+      assert(first <= last)
+      // a doc spans exactly the sequences its token range covers
+      if (n > 0) assert((last - first) * seqLen < off % seqLen + n,
+        s"doc $id claims more sequences than its span")
+    }
+    // total stream length consistent with the last doc
+    val (_, lastN, lastOff, _, _) = got.last
+    assert(lastOff + lastN == got.map(_._2).sum)
+  }
 }
