@@ -248,6 +248,33 @@ object CurationTour {
       agg.getLong(0) == train.count() && agg.getLong(1) == agg.getLong(2)
     }
 
+    // 5b2. the OTHER packing: GPT-style concat-and-chunk manifest —
+    // fixed-length sequences, docs split across them; the manifest
+    // must tile the global token stream exactly
+    check("sequence-pack manifest tiles the global token stream with no gaps") {
+      val packed = graft.ops.PrefixSum.seqPack(
+        train.select("doc_id", "text"), seqLen = 2048L)
+      val agg = packed.agg(count(lit(1)).as("n"), sum("n_tokens").as("tot"),
+        max(col("offset") + col("n_tokens")).as("end")).head()
+      agg.getLong(0) == train.count() && agg.getLong(1) == agg.getLong(2) &&
+        packed.filter(col("first_seq") > col("last_seq")).count() == 0
+    }
+
+    // 5d. tokenizer round trip on the deliverable: train merges, encode
+    // the corpus with them (counts shrink, never grow), and read the
+    // vocab-coverage curve that sizes the final vocabulary
+    check("BPE train+encode shrinks symbol counts; coverage is total at cutoff 1") {
+      val k0 = TextOps.bpeEncode(train, Seq.empty[TextOps.BpeMerge])
+        .withColumnRenamed("n_subwords", "n0")
+      val enc = TextOps.bpeTrainEncode(train, k = 4)
+      val joined = enc.join(k0.select("doc_id", "n0"), "doc_id").cache()
+      val cov = TextOps.vocabCoverage(train, Seq(1L, 5L))
+        .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+      joined.filter(col("n_subwords") > col("n0")).count() == 0 &&
+        joined.filter(col("n_subwords") < col("n0")).count() > 0 &&
+        cov(1L) == 1000000L && cov.getOrElse(5L, 0L) <= 1000000L
+    }
+
     // 5c. corpus vocabulary profile under bounded memory — the
     // top-token report that seeds the next round's stopword /
     // boilerplate lists; capacity saturates the fixture vocab, so the

@@ -59,6 +59,23 @@ object PipelineTour {
       Multimodal.extractFeatures(media).count() == 100
     }
 
+    check("linear probe scores every vector; decision == sign of the rounded score") {
+      val w = Seq.tabulate(64)(j => ((j * 37) % 21 - 10) / 10.0)
+      val probe = Similarity.linearProbe(emb, weights = w, bias = 0.05).cache()
+      probe.count() == emb.count() &&
+        probe.filter((col("score") > 0.0) =!= (col("predicted") === 1L)).count() == 0
+    }
+
+    check("modality quality gates: healthy audio all keeps, image gate splits the corpus") {
+      val aq = Multimodal.audioQualityRules(
+        Multimodal.syntheticWavClasses(docs.limit(200)))
+      val iq = Multimodal.imageQualityRules(
+        Multimodal.syntheticPngClasses(docs.limit(200))).cache()
+      aq.count() == 200 && aq.filter(col("keep") === 0L).count() == 0 &&
+        iq.count() == 200 && iq.filter(col("keep") === 1L).count() > 0 &&
+        iq.filter(col("keep") === 0L).count() > 0
+    }
+
     check("fingerprint is a pure function of the text and non-degenerate") {
       graft.functions.GraftFunctions.ensureRegistered(spark)
       val fps = docs.select(lower(col("text")).as("lt"),

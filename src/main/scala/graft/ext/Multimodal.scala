@@ -658,6 +658,57 @@ object Multimodal {
     }.toDF("media_id", "afp")
   }
 
+  /** Per-image QUALITY gate — the gopherRules of the image modality:
+    * decode the PNG once, compute integer luma per pixel (the shared
+    * Rec.601 truncating formula the dHash uses) and emit the
+    * structural keep/drop metrics of an image curation pipeline:
+    *
+    *   - `mean_luma`: Σ luma div n — exposure proxy, gated to a band
+    *     (too dark / blown-out images drop)
+    *   - `contrast`: max − min luma — flat images (solid fills,
+    *     placeholder tiles) drop below `minContrast`
+    *   - `dark_micro` / `bright_micro`: fraction of pixels at the
+    *     extremes (luma < 16 / > 239) — crush/clip damage
+    *
+    * All integer, truncating div on non-negative operands — the table
+    * and the decision hash-match the oracle's raster replay. One
+    * decode per row in a mapPartitions (the codec boundary); payload
+    * bytes never shuffle.
+    */
+  def imageQualityRules(media: Dataset[MediaRow], minContrast: Long = 150L,
+      lumaMin: Long = 64L, lumaMax: Long = 192L,
+      extremeMaxMicro: Long = 40000L): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = MediaCodec.decodePng(r.payload)
+        val n = (w * h).toLong
+        require(n > 0, s"payload ${r.media_id} decodes to an empty raster")
+        var sum = 0L; var mn = 255L; var mx = 0L; var dark = 0L; var bright = 0L
+        var i = 0
+        while (i < rgb.length) {
+          val l = grayLuma(rgb(i)).toLong
+          sum += l
+          if (l < mn) mn = l
+          if (l > mx) mx = l
+          if (l < 16L) dark += 1
+          if (l > 239L) bright += 1
+          i += 1
+        }
+        val meanLuma = sum / n
+        val contrast = mx - mn
+        val darkMicro = dark * 1000000L / n
+        val brightMicro = bright * 1000000L / n
+        val keep =
+          if (contrast >= minContrast && meanLuma >= lumaMin &&
+            meanLuma <= lumaMax && darkMicro <= extremeMaxMicro &&
+            brightMicro <= extremeMaxMicro) 1L else 0L
+        (r.media_id, n, meanLuma, contrast, darkMicro, brightMicro, keep)
+      }
+    }.toDF("media_id", "n_pixels", "mean_luma", "contrast", "dark_micro",
+      "bright_micro", "keep")
+  }
+
   /** Per-clip audio QUALITY gate — the gopherRules of the audio
     * modality: decode the full clip once and emit the structural
     * keep/drop metrics every speech/audio curation pipeline runs

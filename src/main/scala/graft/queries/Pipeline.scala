@@ -584,6 +584,19 @@ object Pipeline {
     graft.ext.Multimodal.audioQualityRules(media).orderBy(col("media_id"))
   }
 
+  /** Per-image quality gate ([[graft.ext.Multimodal
+    * .imageQualityRules]]): decode the PNG once, integer luma per
+    * pixel, exposure/contrast/extreme-pixel metrics and the keep
+    * decision — gopherRules for the image modality (the m09 audio
+    * twin). The oracle replays the FULL raster (every sw×sh pixel,
+    * not the dHash's 8×8 sample) from the class-seeded generator.
+    */
+  def m10ImageQuality(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticPngClasses(Tables.documents(spark, dir))
+    graft.ext.Multimodal.imageQualityRules(media).orderBy(col("media_id"))
+  }
+
   /** Corpus-trained bigram LM scoring ([[TextOps.bigramLmScore]]) —
     * the CCNet-style LM quality filter with the log-prob sum
     * rationalized to integer micro-units: add-one-smoothed average
@@ -2308,6 +2321,40 @@ object Pipeline {
         |  CASE WHEN mx = mn THEN 0
         |       ELSE ((xi - mn) * 255) // (mx - mn) END AS code
         |FROM x JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin,
+    // FULL-raster luma replay (every sw×sh pixel; the dHash CTEs only
+    // sample an 8×8 grid); noise rides pixel (0,0)'s red channel
+    "m10_image_quality" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 50 AS img,
+        |    8 + (doc_id % 50) % 9 AS sw, 8 + (doc_id % 50) % 5 AS sh,
+        |    (doc_id // 50) % 3 AS nz
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id,
+        |    ((CASE WHEN xx.x = 0 AND yy.y = 0
+        |          THEN ((img * 31) % 256 + 40 * nz) % 256
+        |          ELSE (img*31 + xx.x*7 + yy.y*13) % 256 END) * 299
+        |     + ((img*17 + xx.x*11 + yy.y*5) % 256) * 587
+        |     + ((img*13 + xx.x*3 + yy.y*19) % 256) * 114) // 1000 AS gray
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(range(0, sw)) AS x) xx,
+        |    LATERAL (SELECT unnest(range(0, sh)) AS y) yy
+        |), m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(count(*) AS BIGINT) AS n_pixels,
+        |    CAST(sum(gray) // count(*) AS BIGINT) AS mean_luma,
+        |    CAST(max(gray) - min(gray) AS BIGINT) AS contrast,
+        |    CAST((sum(CASE WHEN gray < 16 THEN 1 ELSE 0 END) * 1000000)
+        |         // count(*) AS BIGINT) AS dark_micro,
+        |    CAST((sum(CASE WHEN gray > 239 THEN 1 ELSE 0 END) * 1000000)
+        |         // count(*) AS BIGINT) AS bright_micro
+        |  FROM px GROUP BY doc_id
+        |)
+        |SELECT media_id, n_pixels, mean_luma, contrast, dark_micro, bright_micro,
+        |  CAST(CASE WHEN contrast >= 150 AND mean_luma BETWEEN 64 AND 192
+        |            AND dark_micro <= 40000 AND bright_micro <= 40000
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m ORDER BY media_id""".stripMargin,
     // full-clip PCM replay (n = 512 + img % 384, not the fingerprint's
     // 512 prefix); all metrics integer, // on non-negative operands
     "m09_audio_quality" ->
@@ -3325,6 +3372,7 @@ object Pipeline {
     "d15_image_dhash_pairs" -> d15ImageDhashPairs _,
     "m07_audio_fingerprint" -> m07AudioFingerprint _,
     "m09_audio_quality"  -> m09AudioQuality _,
+    "m10_image_quality"  -> m10ImageQuality _,
     "d16_audio_fp_pairs" -> d16AudioFpPairs _,
     "d17_url_dedup"      -> d17UrlDedup _,
     "d18_image_dhash_new" -> d18ImageDhashNew _,

@@ -220,6 +220,43 @@ class MultimodalSpec extends AnyFunSuite {
     fps.unpersist()
   }
 
+  test("imageQualityRules: hand-built rasters hit each rule; luma recomputes through the codec") {
+    import spark.implicits._
+    import graft.ext.Multimodal.{MediaCodec, MediaMeta, MediaRow}
+    def img(id: Long, w: Int, h: Int)(px: (Int, Int) => Int) = {
+      val rgb = Array.tabulate(w * h)(i => px(i % w, i / w))
+      MediaRow(id, MediaMeta("image", Multimodal.PngFormat, w, h),
+        MediaCodec.encodePng(w, h, rgb))
+    }
+    def gray(l: Int) = (l << 16) | (l << 8) | l // luma(g,g,g) == g exactly
+    val media = Seq(
+      // 1: half black / half white — contrast 255 but both extremes
+      //    at 500000 micro each → dropped by dark AND bright
+      img(1L, 10, 10)((x, _) => if (x < 5) gray(0) else gray(255)),
+      // 2: mid-gray gradient 64..163 — keeps (contrast 99? no: < 150)
+      //    → dropped by contrast alone (exposure fine)
+      img(2L, 10, 10)((x, y) => gray(64 + x * 10 + (y % 1))),
+      // 3: healthy spread 40..211, mean in band, no extremes — keeps
+      img(3L, 10, 10)((x, y) => gray(40 + x * 17 + y * 2)),
+      // 4: blown out — mean 250 above the band
+      img(4L, 4, 4)((_, _) => gray(250))
+    ).toDS()
+    val got = Multimodal.imageQualityRules(media)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(1L)._4 == 255L && byId(1L)._5 == 500000L &&
+      byId(1L)._6 == 500000L && byId(1L)._7 == 0L)
+    assert(byId(2L)._4 == 90L && byId(2L)._7 == 0L,
+      s"gradient contrast must be 90 (dropped): ${byId(2L)}")
+    assert(byId(3L)._4 == 171L && byId(3L)._5 == 0L && byId(3L)._6 == 0L &&
+      byId(3L)._7 == 1L, s"healthy image must keep: ${byId(3L)}")
+    assert(byId(4L)._3 == 250L && byId(4L)._7 == 0L)
+    // n_pixels reflects the decoded raster, not metadata
+    assert(byId(4L)._2 == 16L)
+  }
+
   test("audioQualityRules: hand-built clips hit each rule; metrics recompute from PCM") {
     import spark.implicits._
     import graft.ext.Multimodal.{AudioCodec, MediaMeta, MediaRow}
