@@ -349,24 +349,36 @@ object TextOps {
   def vocabCoverage(docs: DataFrame, cutoffs: Seq[Long],
       textCol: String = "text"): DataFrame = {
     require(cutoffs.nonEmpty, "cutoffs must be non-empty")
+    require(cutoffs.forall(_ >= 1L), "cutoffs must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    val counts = docs
+    // ONE corpus scan: word counts (map-side combined), collapsed to
+    // the COUNT histogram before the cutoff join — (c, n_words,
+    // occurrences) is count-value cardinality, not vocab cardinality,
+    // so everything after the histogram never touches the corpus
+    val hist = docs
       .select(explode(tokens(lower(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      // collapse to the COUNT histogram before the cutoff cross join:
-      // (c, n_words, occurrences) is score-cardinality, not vocab-
-      // cardinality, so the per-cutoff rollup never touches the corpus
       .groupBy(col("c")).agg(count(lit(1)).as("nw"), sum(col("c")).as("occ"))
-    val cuts = cutoffs.distinct.sorted.toDF("cutoff")
-    counts.join(broadcast(cuts), col("c") >= col("cutoff"))
+    // cutoff 1 rides along even if not requested: every word has c >= 1,
+    // so its covered == total occurrences — the denominator derived
+    // from the SAME single-scan rollup instead of a second aggregation
+    // over the corpus (a naive `counts.agg(sum)` sibling re-scans)
+    val cutsAll = (cutoffs :+ 1L).distinct.sorted.toDF("cutoff")
+    val rolled = hist.join(broadcast(cutsAll), col("c") >= col("cutoff"))
       .groupBy(col("cutoff"))
       .agg(sum(col("nw")).as("vocab_size"), sum(col("occ")).as("covered"))
-      .join(broadcast(
-        counts.agg(sum(col("occ")).as("total")).select(col("total"))))
+    // frame = |cutoffs|+1 rows by construction — bounded, documented
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    rolled
+      .withColumn("total",
+        max(when(col("cutoff") === 1L, col("covered"))).over(w))
+      .filter(col("cutoff").isin(cutoffs.distinct: _*))
+      // decimal div: covered·10⁶ overflows a long past ~9·10¹² tokens
       .select(col("cutoff"), col("vocab_size"), col("covered"), col("total"),
-        expr("covered * 1000000L div total").as("coverage_micro"))
+        expr("cast((cast(covered as decimal(38,0)) * 1000000) div total as bigint)")
+          .as("coverage_micro"))
   }
 
   /** CCNet-style per-language typicality bucketing over

@@ -128,6 +128,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("s11: linear probe is a broadcast-weights narrow pass — no shuffle, no join, codegen dot") {
+    val plan = planOf("s11_linear_probe")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"linear probe regressed to a shuffle plan:\n$plan")
+    assert(!plan.contains("Join"), s"weights must be literals, not a joined table:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("t29: BPE encode stage is a narrow literal-replace chain — no shuffle, no join, no UDF") {
+    // the TRAINED merges fold into the plan as literals; only the
+    // final orderBy may exchange. (Training ran before this plan was
+    // built — bpeTrainEncode collects k rows — so the encode plan
+    // itself must be join-free.)
+    val df = graft.ext.TextOps.bpeTrainEncode(
+      graft.Tables.documents(spark, sf), k = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"BPE encode regressed to a shuffle plan:\n$plan")
+    assert(!plan.contains("Join"), s"merges must be literals:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("m09/m10: modality quality gates never shuffle payload bytes") {
+    for (q <- Seq("m09_audio_quality", "m10_image_quality")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q shuffles the media rows:\n$plan")
+    }
+  }
+
   test("m03: frame sampling never shuffles payloads — the only exchange is the final sort") {
     val plan = planOf("m03_frame_sample")
     assert(!plan.contains("Exchange hashpartitioning"),
