@@ -168,24 +168,43 @@ object TextOps {
     * the final left join.
     */
   def bigramLmScore(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
+      idCol: String = "doc_id"): DataFrame =
+    bigramLmScoreAgainst(docs, docs, textCol, idCol)
+
+  /** [[bigramLmScore]] generalized to a SEPARATE training corpus —
+    * score `docs` against counts trained on `trainDocs`. The add-one
+    * smoothing extends to the cross-corpus case: a scored bigram or
+    * unigram the training set never saw keeps count 0 via LEFT joins
+    * (p_micro = 10⁶ div (c1 + V)), exactly the back-off the smoothing
+    * formula prescribes — an inner join would silently DROP unseen
+    * transitions from the average instead. With `trainDocs eq docs`
+    * this degenerates to the self-trained t22 spelling (the coalesce
+    * arms never fire), which is why [[bigramLmScore]] delegates here.
+    */
+  def bigramLmScoreAgainst(docs: DataFrame, trainDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def toBase(df: DataFrame) = df.select(col(idCol).as("id"),
         tokens(lower(col(textCol))).as("t"))
       .withColumn("n", size(col("t")))
-    val bigrams = base.filter(col("n") >= 2)
+    def toBigrams(base: DataFrame) = base.filter(col("n") >= 2)
       .select(col("id"), explode(expr(
         "transform(sequence(0, n - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val unigrams = base.select(explode(col("t")).as("w"))
+    val base = toBase(docs)
+    val bigrams = toBigrams(base)
+    val trainBase = toBase(trainDocs)
+    val c2 = toBigrams(trainBase).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val unigrams = trainBase.select(explode(col("t")).as("w"))
     val c1 = unigrams.groupBy(col("w")).agg(count(lit(1)).as("c1"))
       .withColumnRenamed("w", "w1")
     val vocab = unigrams.agg(countDistinct(col("w")).as("v"))
     val perDoc = bigrams
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      .withColumn("p_micro", expr("(c2 + 1) * 1000000 div (c1 + v)"))
+      .withColumn("p_micro",
+        expr("(coalesce(c2, 0L) + 1) * 1000000 div (coalesce(c1, 0L) + v)"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("s"))
     base.select(col("id"))
@@ -193,6 +212,32 @@ object TextOps {
       .select(col("id").as(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(expr("s div n_bigrams"), lit(0L)).as("lm_micro"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, public): per doc,
+    * the integer-rationalized log-ratio proxy between a TARGET-domain
+    * LM and the general corpus LM —
+    * `importance_micro = lm_target_micro − lm_corpus_micro` over the
+    * shared bigram stream. Docs whose transitions look more like the
+    * target than like the average corpus score positive and get
+    * up-sampled; the standard data-selection move when you have a
+    * small in-domain seed set and a 100 TB crawl. Both scores come
+    * from [[bigramLmScoreAgainst]] (map-side-combined count tables,
+    * vocab-keyed joins, the V broadcast being the only BNLJ), so the
+    * whole weight table is integer-exact under the oracle gate.
+    */
+  def dsirWeights(docs: DataFrame, targetDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val target = bigramLmScoreAgainst(docs, targetDocs, textCol, idCol)
+      .select(col(idCol), col("n_bigrams"),
+        col("lm_micro").as("lm_target_micro"))
+    val corpus = bigramLmScoreAgainst(docs, docs, textCol, idCol)
+      .select(col(idCol), col("lm_micro").as("lm_corpus_micro"))
+    target.join(corpus, Seq(idCol))
+      .select(col(idCol), col("n_bigrams"), col("lm_target_micro"),
+        col("lm_corpus_micro"),
+        (col("lm_target_micro") - col("lm_corpus_micro"))
+          .as("importance_micro"))
   }
 
   /** One learned BPE merge: `step` is 1-based rank order. */

@@ -697,6 +697,21 @@ object Pipeline {
         cutoffs = Seq(1L, 2L, 3L, 5L, 8L))
       .orderBy(col("cutoff"))
 
+  /** DSIR-style importance weights ([[TextOps.dsirWeights]]): per doc,
+    * target-LM minus corpus-LM typicality over the shared bigram
+    * stream, target = the English slice of the corpus (a deterministic
+    * in-domain seed). The data-selection signal: positive importance =
+    * looks more like the target than like the average crawl. The
+    * oracle retrains BOTH count sets (the parameterized LM chain twice,
+    * prefixed) and replays the integer difference — smoothing at
+    * count 0 for transitions the target never saw included.
+    */
+  def t31DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextOps.dsirWeights(docs, docs.filter(col("lang") === "en"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic linear-probe weights shared by the s11 query and its
     * oracle: w_j = ((37·j mod 21) − 10) / 10 over the 64 fixture dims —
     * spans [−1, 1] with exact one-decimal literals both engines parse
@@ -2046,34 +2061,54 @@ object Pipeline {
     * on non-negative operands == Spark's truncating div, and
     * sum(BIGINT)'s HUGEINT widening is cast back. Shared by t22/t24.
     */
-  private val bigramLmCtes =
-    """dt AS (
-      |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS t
-      |  FROM documents
-      |), b AS (
-      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-      |  FROM dt, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
-      |  WHERE len(t) >= 2
-      |), c2 AS (
-      |  SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2
-      |), uni AS (
-      |  SELECT unnest(t) AS w FROM dt
-      |), c1 AS (
-      |  SELECT w, count(*) AS c1 FROM uni GROUP BY 1
-      |), v AS (
-      |  SELECT count(DISTINCT w) AS v FROM uni
-      |), s AS (
-      |  SELECT b.doc_id, ((c2.c2 + 1) * 1000000) // (c1.c1 + v.v) AS p
-      |  FROM b JOIN c2 USING (w1, w2) JOIN c1 ON b.w1 = c1.w CROSS JOIN v
-      |), agg AS (
-      |  SELECT doc_id, count(*) AS n_bigrams, sum(p) AS s
-      |  FROM s GROUP BY 1
-      |), lmscored AS (
-      |  SELECT dt.doc_id,
-      |    CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-      |    CAST(coalesce(agg.s // agg.n_bigrams, 0) AS BIGINT) AS lm_micro
-      |  FROM dt LEFT JOIN agg USING (doc_id)
-      |)""".stripMargin
+  /** Bigram-LM scoring chain, parameterized by a CTE-name prefix and a
+    * training-set WHERE clause: counts (c2/c1/V) train on the filtered
+    * docs, EVERY doc is scored, unseen transitions keep add-one
+    * smoothing at count 0 via LEFT joins + coalesce (the
+    * [[graft.ext.TextOps.bigramLmScoreAgainst]] semantics; with an
+    * empty filter the coalesce arms never fire and this is t22's
+    * original self-trained spelling). `//` stays on non-negative
+    * operands throughout.
+    */
+  private def bigramLmScoredCtes(p: String, trainWhere: String): String =
+    s"""${p}dt AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS t
+       |  FROM documents
+       |), ${p}tt AS (
+       |  SELECT string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS t
+       |  FROM documents $trainWhere
+       |), ${p}b AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM ${p}dt, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+       |  WHERE len(t) >= 2
+       |), ${p}tb AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2
+       |  FROM ${p}tt, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+       |  WHERE len(t) >= 2
+       |), ${p}c2 AS (
+       |  SELECT w1, w2, count(*) AS c2 FROM ${p}tb GROUP BY 1, 2
+       |), ${p}uni AS (
+       |  SELECT unnest(t) AS w FROM ${p}tt
+       |), ${p}c1 AS (
+       |  SELECT w, count(*) AS c1 FROM ${p}uni GROUP BY 1
+       |), ${p}v AS (
+       |  SELECT count(DISTINCT w) AS v FROM ${p}uni
+       |), ${p}s AS (
+       |  SELECT b.doc_id,
+       |    ((coalesce(c2.c2, 0) + 1) * 1000000) // (coalesce(c1.c1, 0) + v.v) AS p
+       |  FROM ${p}b b LEFT JOIN ${p}c2 c2 USING (w1, w2)
+       |  LEFT JOIN ${p}c1 c1 ON b.w1 = c1.w CROSS JOIN ${p}v v
+       |), ${p}agg AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, sum(p) AS s
+       |  FROM ${p}s GROUP BY 1
+       |), ${p}lmscored AS (
+       |  SELECT dt.doc_id,
+       |    CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |    CAST(coalesce(agg.s // agg.n_bigrams, 0) AS BIGINT) AS lm_micro
+       |  FROM ${p}dt dt LEFT JOIN ${p}agg agg USING (doc_id)
+       |)""".stripMargin
+
+  private val bigramLmCtes = bigramLmScoredCtes("", "")
 
   /** Generated BPE-training oracle: k unrolled iterations. Symbols are
     * sentinel-wrapped (chr(28) sym chr(29)) exactly as
@@ -3277,6 +3312,17 @@ object Pipeline {
       s"""WITH $bigramLmCtes
          |SELECT doc_id, n_bigrams, lm_micro
          |FROM lmscored ORDER BY doc_id""".stripMargin,
+    // both LM chains retrained from scratch (tg_ = English-trained,
+    // cp_ = self-trained), importance = integer difference
+    "t31_dsir_weights" ->
+      s"""WITH ${bigramLmScoredCtes("tg_", "WHERE lang = 'en'")},
+         |${bigramLmScoredCtes("cp_", "")}
+         |SELECT t.doc_id, t.n_bigrams,
+         |  t.lm_micro AS lm_target_micro,
+         |  c.lm_micro AS lm_corpus_micro,
+         |  t.lm_micro - c.lm_micro AS importance_micro
+         |FROM tg_lmscored t JOIN cp_lmscored c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // literal ntile(3) vs the Spark side's histogram-prefix-sum rank
     // assembly — the gate proves the distributed spelling IS ntile
     "t24_perplexity_buckets" ->
@@ -3351,6 +3397,7 @@ object Pipeline {
     "t28_seq_pack"       -> t28SeqPack _,
     "t29_bpe_encode"     -> t29BpeEncode _,
     "t30_vocab_coverage" -> t30VocabCoverage _,
+    "t31_dsir_weights"   -> t31DsirWeights _,
     "s11_linear_probe"   -> s11LinearProbe _,
     "t26_chunk_windows"  -> t26ChunkWindows _,
     "t27_novelty"        -> t27Novelty _,

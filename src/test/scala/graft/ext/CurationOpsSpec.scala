@@ -174,6 +174,42 @@ class CurationOpsSpec extends AnyFunSuite {
       "coverage must be non-increasing in the cutoff")
   }
 
+  test("bigramLmScoreAgainst: unseen transitions smooth at count 0, never drop") {
+    val train = Seq((10L, "a b")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    // train counts: c2(a,b)=1, c1(a)=1, c1(b)=1, V=2
+    // doc 1: p(a,b) = (1+1)e6 div (1+2) = 666666; p(b,c) = 1e6 div 3 = 333333
+    //        lm = (666666+333333) div 2 = 499999   (inner joins would say 666666)
+    // doc 2: both words unseen: p(x,y) = 1e6 div (0+2) = 500000
+    val got = TextOps.bigramLmScoreAgainst(score, train)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got(0) == ((1L, 2L, 499999L)),
+      s"unseen transition must average in smoothed, got ${got(0)}")
+    assert(got(1) == ((2L, 1L, 500000L)))
+  }
+
+  test("dsirWeights: target-typical docs score positive, off-target negative; self-delegate intact") {
+    // target domain: docs that repeat "spark sql"; off-target: "cat dog"
+    val docs = Seq(
+      (1L, "spark sql spark sql spark"), (2L, "spark sql spark"),
+      (3L, "cat dog cat dog cat"), (4L, "spark sql cat")).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") <= 2L)
+    val w = TextOps.dsirWeights(docs, target)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(w(1L) > 0L && w(2L) > 0L, s"in-domain docs must weigh positive: $w")
+    // the robust DSIR claim on a toy corpus is the RANKING: in-domain
+    // strictly above off-target (absolute signs shift with smoothing
+    // mass when the target vocab is tiny)
+    assert(w(1L) > w(3L) && w(2L) > w(3L),
+      s"in-domain docs must outrank the off-target doc: $w")
+    // the self-trained delegate is unchanged semantics: importance of
+    // docs against themselves is identically zero
+    val self = TextOps.dsirWeights(docs, docs)
+      .agg(max(abs(col("importance_micro")))).head().getLong(0)
+    assert(self == 0L)
+  }
+
   test("lmTypicalityBuckets: distributed rank assembly == literal ntile; tiny-language edge") {
     import org.apache.spark.sql.expressions.Window
     // en: 5 docs with a score TIE (identical texts) — exercises the
