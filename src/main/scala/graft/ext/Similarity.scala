@@ -123,6 +123,30 @@ object Similarity {
       .withColumn("predicted", (col("score") > 0.0).cast("long"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009, the standard hybrid-
+    * retrieval combiner): each input ranking contributes
+    * `10⁶ div (kRrf + rank)` per doc, contributions sum, fused order is
+    * (rrf_micro desc, id). Integer end to end, so the fused list —
+    * including every tie decision — sits under the oracle gate. The
+    * inputs are top-k LISTS (each `(idCol, rank)`, rank 1-based), so
+    * the fusion itself is list-sized regardless of corpus scale; the
+    * heavy lifting lives in the arms (BM25, ANN serving), which are
+    * separately gated. `n_arms` reports how many lists surfaced the
+    * doc — the agreement signal hybrid search thresholds on.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Long = 60L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kRrf >= 0L, "kRrf must be non-negative")
+    rankings.map(_.select(col(idCol),
+        expr(s"1000000 div ($kRrf + rank)").as("_c")))
+      .reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("rrf_micro"), count(lit(1)).as("n_arms"))
+      .orderBy(col("rrf_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact cosine top-k over the first `dPrime` dimensions only — the
     * Matryoshka/truncated-embedding serving pattern (Kusupati et al.,
     * "Matryoshka Representation Learning", NeurIPS'22): embeddings

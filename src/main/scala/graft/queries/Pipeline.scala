@@ -712,6 +712,31 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion
+    * ([[Similarity.rrfFuse]]): the BM25 lexical arm (t16's terms,
+    * top-50 with an explicit (score desc, id) rank) fused with the
+    * semantic arm (exact cosine top-50 for query vector 0 — the s01
+    * machinery) at kRrf = 60. All integer: ranks are deterministic in
+    * both engines, contributions are truncating div, fused ties break
+    * by id — the full fused list hash-matches the oracle's replay of
+    * BOTH arms plus the fusion.
+    */
+  def s12HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextOps.bm25TopK(Tables.documents(spark, dir),
+        Seq("dup", "spark", "vector", "merge"), k = 50)
+      // rank over the 50-row list — bounded window by construction
+      .withColumn("rank", row_number().over(
+        Window.partitionBy().orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val sem = Similarity.bruteForceTopK(
+        Tables.embeddings(spark, dir).filter(col("vec_id") === 0L),
+        Tables.embeddings(spark, dir), k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Similarity.rrfFuse(Seq(lex, sem), k = 20)
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+  }
+
   /** Deterministic linear-probe weights shared by the s11 query and its
     * oracle: w_j = ((37·j mod 21) − 10) / 10 over the 64 fixture dims —
     * spans [−1, 1] with exact one-decimal literals both engines parse
@@ -936,6 +961,38 @@ object Pipeline {
       .groupBy(col("prev_type"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  /** Trailing-window spike detection — the ops/observability view of
+    * the event stream: per (event_type, hour), flag hours whose count
+    * exceeds 2× the trailing-24-hour hourly average, spelled as the
+    * integer cross-multiplication `cnt·24 > 2·Σ(trailing 24h)` so the
+    * decision is exact in both engines. The RANGE frame (24 PRECEDING
+    * TO 1 PRECEDING on the integer hour) makes calendar GAPS count as
+    * zero traffic — a row-frame would silently stretch the baseline
+    * past quiet hours. Warm-up hours (< 24h of history per type) are
+    * excluded via a per-type min-hour. Scale: the corpus-sized work is
+    * ONE (type, hour) aggregation (map-side combined); every window
+    * runs on the counts table — types × hours cardinality, time-
+    * bounded, never event-sized.
+    */
+  def e10SpikeDetection(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourNs = 3600000000000L
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"ts div $hourNs").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val trailing = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rangeBetween(-24, -1)
+    val perType = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("baseline", coalesce(sum(col("cnt")).over(trailing), lit(0L)))
+      .withColumn("_min_hour", min(col("hour")).over(perType))
+      .filter(col("hour") >= col("_min_hour") + 24L)
+      .select(col("event_type"), col("hour"), col("cnt"), col("baseline"),
+        (col("cnt") * 24L > col("baseline") * 2L).cast("long").as("spike"))
+      .orderBy(col("event_type"), col("hour"))
   }
 
   /** Top session paths — the behavioral-pattern report on top of
@@ -2459,6 +2516,45 @@ object Pipeline {
         |FROM wc, tot, (VALUES (1), (2), (3), (5), (8)) k(cutoff)
         |WHERE c >= k.cutoff
         |GROUP BY k.cutoff ORDER BY cutoff""".stripMargin,
+    // both arms replayed (BM25 with t16's integer weighting; exact
+    // cosine with the s01 float convention), then the integer fusion
+    "s12_hybrid_rrf" ->
+      """WITH q AS (
+        |  SELECT unnest(['dup','spark','vector','merge']) AS token
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks JOIN q USING (token) GROUP BY 1, 2
+        |), df AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), w AS (
+        |  SELECT tf.doc_id,
+        |    (((tf.tf * 3000000) // (tf.tf + 2))
+        |     * least(1000000000, (1000000 * (2 * n.n_docs - 2 * df.df + 1))
+        |                         // (2 * df.df + 1))) // 1000000 AS contrib
+        |  FROM tf JOIN df USING (token) CROSS JOIN n
+        |), lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY sum(contrib) DESC, doc_id) AS rank
+        |  FROM w GROUP BY doc_id ORDER BY sum(contrib) DESC, doc_id LIMIT 50
+        |), sem AS (
+        |  SELECT b.vec_id AS doc_id,
+        |    row_number() OVER (
+        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |               b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        |  WHERE a.vec_id = 0
+        |  ORDER BY rank LIMIT 50
+        |), c AS (
+        |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM lex
+        |  UNION ALL SELECT doc_id, 1000000 // (60 + rank) FROM sem
+        |)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro, count(*) AS n_arms
+        |FROM c GROUP BY doc_id
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
     // broadcast-weights inference: the weight list is rendered from the
     // SAME ProbeWeights constant the Spark side folds into its plan
     "s11_linear_probe" ->
@@ -2991,6 +3087,24 @@ object Pipeline {
         |  count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN fd USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // RANGE frame on the integer hour so calendar gaps count as zero
+    // traffic; integer cross-multiply for the spike decision
+    "e10_spike_detection" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT event_type, hour, cnt,
+        |    coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY hour
+        |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS baseline,
+        |    min(hour) OVER (PARTITION BY event_type) AS min_hour
+        |  FROM c
+        |)
+        |SELECT event_type, hour, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(baseline AS BIGINT) AS baseline,
+        |  CAST(CASE WHEN cnt * 24 > baseline * 2 THEN 1 ELSE 0 END AS BIGINT) AS spike
+        |FROM b WHERE hour >= min_hour + 24
+        |ORDER BY event_type, hour""".stripMargin,
     // one lag window per user (ts, event_id tie-break), then the tiny
     // type-pair aggregate; COUNT(*) is BIGINT in both engines
     "e08_transitions" ->
@@ -3377,6 +3491,7 @@ object Pipeline {
     "e07_cohort_retention" -> e07CohortRetention _,
     "e08_transitions"    -> e08Transitions _,
     "e09_session_paths"  -> e09SessionPaths _,
+    "e10_spike_detection" -> e10SpikeDetection _,
     "j01_json_extract"   -> j01JsonExtract _,
     "e01_event_windows"  -> e01EventWindows _,
     "e02_asof_join"      -> e02AsofJoin _,
@@ -3399,6 +3514,7 @@ object Pipeline {
     "t30_vocab_coverage" -> t30VocabCoverage _,
     "t31_dsir_weights"   -> t31DsirWeights _,
     "s11_linear_probe"   -> s11LinearProbe _,
+    "s12_hybrid_rrf"     -> s12HybridRrf _,
     "t26_chunk_windows"  -> t26ChunkWindows _,
     "t27_novelty"        -> t27Novelty _,
     "g01_pagerank"       -> g01PageRank _,

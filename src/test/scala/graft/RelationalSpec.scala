@@ -42,6 +42,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == expected, s"only-got=${(got -- expected).take(4)} only-exp=${(expected -- got).take(4)}")
   }
 
+  test("e10 spike baseline is a RANGE frame: calendar gaps count as zero traffic") {
+    import spark.implicits._
+    val hourNs = 3600000000000L
+    val dir = java.nio.file.Files.createTempDirectory("e10gap").toString
+    // hours 0..23: 8 events each; hours 24..46 silent; hour 47: 5 events.
+    // RANGE(24 PRECEDING, 1 PRECEDING) at hour 47 sees only hour 23
+    // (baseline 8) → 5·24 > 8·2 → SPIKE. A ROWS frame would reach back
+    // to hours 0..23 (baseline 192) and call it quiet — the exact bug
+    // the RANGE spelling exists to avoid.
+    val rows = (for (h <- 0 until 24; i <- 0 until 8)
+      yield (h.toLong * 8 + i, h * hourNs + i * 1000L, 1L, "click", 1.0, "{}")) ++
+      (0 until 5).map(i => (900L + i, 47 * hourNs + i * 1000L, 1L, "click", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = queries.Pipeline.e10SpikeDetection(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // warm-up rows (hour < 24) are excluded; the silent hours have no
+    // count rows; so exactly one output row remains
+    assert(got.toSeq == Seq(("click", 47L, 5L, 8L, 1L)),
+      s"expected the single post-gap spike row, got ${got.toSeq}")
+  }
+
   test("q20 session_window merges events exactly gap apart (oracle must use diff > gap)") {
     import spark.implicits._
     val gapNs = 1800L * 1000 * 1000 * 1000 // 30 min, the q20 gap

@@ -333,6 +333,23 @@ class ExtSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 5.1, 1L)))
   }
 
+  test("rrfFuse: hand-computed fusion; agreement outranks either single arm") {
+    import spark.implicits._
+    val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val sem = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    // 1e6 div 61 = 16393, div 62 = 16129
+    val got = Similarity.rrfFuse(Seq(lex, sem), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got(0) == ((2L, 32522L, 2L)), s"both-arms doc must fuse first: ${got.toSeq}")
+    assert(got(1) == ((1L, 16393L, 1L)))
+    assert(got(2) == ((3L, 16129L, 1L)))
+    // exact tie (same rank, single arm each) breaks by id
+    val a = Seq((7L, 1)).toDF("doc_id", "rank")
+    val b = Seq((5L, 1)).toDF("doc_id", "rank")
+    val tied = Similarity.rrfFuse(Seq(a, b), k = 2).collect().map(_.getLong(0))
+    assert(tied.sameElements(Array(5L, 7L)))
+  }
+
   test("langId classifies real multilingual samples; valid codes on fixture") {
     import spark.implicits._
     // note: the fixture's lang label is random (text is the same synthetic
