@@ -171,6 +171,29 @@ object StreamTour {
         st.agg(max("err")).head().getLong(0) == 0L
     }
 
+    check("continuous spike detector state equals the batch hourly counts; report fires") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("streamtour_spike")
+        .toFile.getAbsolutePath
+      val ev = graft.Tables.events(spark, sf)
+        .select(col("event_type"),
+          graft.functions.Cols.nanosToTs(col("ts")).as("ts"))
+        .as[(String, java.sql.Timestamp)].collect()
+      val (h1, h2) = ev.splitAt(ev.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, java.sql.Timestamp)]
+      val q = graft.streaming.StreamingSpike.startAt(
+        input.toDF().toDF("event_type", "ts"), s"$root/state", s"$root/ckpt")
+      try {
+        input.addData(h1.toIndexedSeq); q.processAllAvailable()
+        input.addData(h2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val st = spark.read.parquet(s"$root/state")
+      val report = graft.streaming.StreamingSpike.spikeReport(st)
+      st.agg(sum("cnt")).head().getLong(0) == ev.length &&
+        report.count() > 0
+    }
+
     println(if (failed == 0) "StreamTour: all checks passed"
             else s"StreamTour: $failed check(s) FAILED")
     spark.stop()

@@ -977,22 +977,16 @@ object Pipeline {
     * bounded, never event-sized.
     */
   def e10SpikeDetection(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hourNs = 3600000000000L
     val counts = Tables.events(spark, dir)
       .select(col("event_type"), expr(s"ts div $hourNs").as("hour"))
       .groupBy(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("cnt"))
-    val trailing = Window.partitionBy(col("event_type")).orderBy(col("hour"))
-      .rangeBetween(-24, -1)
-    val perType = Window.partitionBy(col("event_type"))
-    counts
-      .withColumn("baseline", coalesce(sum(col("cnt")).over(trailing), lit(0L)))
-      .withColumn("_min_hour", min(col("hour")).over(perType))
-      .filter(col("hour") >= col("_min_hour") + 24L)
-      .select(col("event_type"), col("hour"), col("cnt"), col("baseline"),
-        (col("cnt") * 24L > col("baseline") * 2L).cast("long").as("spike"))
-      .orderBy(col("event_type"), col("hour"))
+    // the report core is SHARED with the continuous detector
+    // (graft.streaming.StreamingSpike) — stream == batch parity holds
+    // by construction on the arithmetic, and the spec pins it on the
+    // ingested state
+    graft.streaming.StreamingSpike.spikeReport(counts)
   }
 
   /** Top session paths — the behavioral-pattern report on top of
