@@ -483,6 +483,67 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Q31 TPC-H Q18 shape (large-volume orders): `HAVING sum(qty) > K`
+    * over lineitem, then the surviving order keys pull in orders +
+    * customer. Declared as aggregate-THEN-join, which is the scale
+    * shape SQL's `IN (GROUP BY … HAVING …)` decorrelates to: the fact
+    * table is touched once with map-side partial aggregation; the
+    * HAVING filter is applied to the aggregate (order-cardinality, and
+    * selective — ~0.05% of orders at the fixture's quantity
+    * distribution), and only then joined. At 100 TB the filtered key
+    * set is small enough that AQE converts both joins to broadcasts at
+    * runtime — nothing here forces a shuffle of the full orders table.
+    * Quantities are integral-valued doubles; summed in DECIMAL so the
+    * HAVING boundary is exact cross-engine.
+    */
+  def q31LargeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+      .filter(col("qty") > lit(300))
+    bigOrders
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("o_day"),
+        col("o_totalprice"),
+        col("qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q32 TPC-H Q21 shape (sole failing supplier) re-expressed without
+    * the double correlated EXISTS/NOT EXISTS: suppliers who were the
+    * ONLY supplier with a returned line (`l_returnflag = 'R'`) on an
+    * order served by several suppliers. SQL writes this as two
+    * correlated subqueries against lineitem (3 scans); here the same
+    * predicate is per-order arithmetic — collapse lineitem to one row
+    * per (order, supplier) with a "had a return" flag, then count
+    * suppliers and returning suppliers per order in a window, and keep
+    * flag=1 ∧ n_supp≥2 ∧ n_ret=1. ONE scan of the fact table, one
+    * shuffle to the (order,supplier) grain, one to order grain; every
+    * later step runs at supplier-pair cardinality. No self-join of
+    * lineitem survives — the 100 TB difference between this plan and
+    * the textbook EXISTS form.
+    */
+  def q32SoleFailing(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", lit(1)).otherwise(lit(0)))
+        .as("has_r"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_ret", sum(col("has_r")).over(w))
+      .filter(col("has_r") === 1 && col("n_supp") >= 2 && col("n_ret") === 1)
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("suppkey"))
+      .limit(25)
+  }
+
   /** Q27 bucketed co-located join ([[graft.ops.Bucketing]]): both join
     * sides are written `bucketBy(8, key).sortBy(key)` ONCE per session
     * (amortized over every later join on the key — the 100 TB answer
@@ -788,6 +849,37 @@ object Relational {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey, o_day
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    // TPC-H Q18 shape; the HAVING boundary compares exact decimals
+    "q31_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        |)
+        |SELECT c_custkey, o_orderkey,
+        |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_day,
+        |  o_totalprice, CAST(qty AS DOUBLE) AS sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // TPC-H Q21 shape, written here in its correlated-free form too so
+    // the oracle mirrors the per-order arithmetic (DuckDB runs the same
+    // decorrelated plan either way; the grouped form keeps the SQL an
+    // exact spec of the Spark plan)
+    "q32_sole_failing" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+        |  FROM lineitem GROUP BY l_orderkey, l_suppkey
+        |), o AS (
+        |  SELECT l_orderkey, count(*) AS n_supp, sum(has_r) AS n_ret
+        |  FROM ps GROUP BY l_orderkey
+        |)
+        |SELECT l_suppkey AS suppkey, count(*) AS numwait
+        |FROM ps JOIN o USING (l_orderkey)
+        |WHERE has_r = 1 AND n_supp >= 2 AND n_ret = 1
+        |GROUP BY l_suppkey
+        |ORDER BY numwait DESC, suppkey LIMIT 25""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -821,5 +913,7 @@ object Relational {
     "q28_column_profile" -> q28ColumnProfile _,
     "q29_correlated" -> q29Correlated _,
     "q30_shipping_priority" -> q30ShippingPriority _,
+    "q31_large_volume" -> q31LargeVolume _,
+    "q32_sole_failing" -> q32SoleFailing _,
   )
 }

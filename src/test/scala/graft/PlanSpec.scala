@@ -396,6 +396,25 @@ class PlanSpec extends AnyFunSuite {
       s"top-10 must not global-sort:\n$plan")
   }
 
+  test("q31: aggregate-then-join — partial agg below the joins, top-100 is TakeOrdered") {
+    val plan = planOf("q31_large_volume")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 3, s"Q18 shape reads each table once, got $scans scans:\n$plan")
+    assert(plan.contains("partial"),
+      s"lineitem quantity rollup lost its map-side combine:\n$plan")
+    assert(plan.contains("TakeOrdered"),
+      s"top-100 must not global-sort:\n$plan")
+  }
+
+  test("q32: the double-EXISTS shape stays a single lineitem scan + window") {
+    val plan = planOf("q32_sole_failing")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"sole-failing-supplier must not self-join lineitem, got $scans scans:\n$plan")
+    assert(plan.contains("Window"),
+      s"per-order supplier tallies should be a window at (order,supplier) grain:\n$plan")
+  }
+
   test("s09/s10: prefix slice happens BEFORE the pair join — full vectors never enter it") {
     // the join operand projections must carry the slice; if the slice
     // migrated above the join, the corpus would ship full-width vectors
