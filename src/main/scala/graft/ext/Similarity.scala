@@ -147,6 +147,95 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) —
+    * the diversified-retrieval combiner: greedily pick the candidate
+    * maximizing `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)`, so the
+    * returned k trade relevance against redundancy (RAG context
+    * assembly, dedup-at-serve-time).
+    *
+    * Determinism/scale contract mirrors [[rrfFuse]]: the inputs are
+    * LIST-sized — `pool` is each query's candidate list
+    * `(query_id, neighbor_id, sim)` from any gated top-k family
+    * (brute-force here; the ANN index at 100 TB), `pairSims` its
+    * pool×pool cosines — so every iteration joins tables of
+    * queries×pool cardinality, independent of corpus size. Arithmetic
+    * is integer end to end (λ in thousandths over micro-sims →
+    * nano-scores, ties by id), so each greedy pick — including every
+    * tie decision — replays exactly in the oracle's unrolled SQL.
+    * `selected` is localCheckpoint'd per iteration (the d11
+    * pointer-jumping pattern): without it iteration i's plan embeds
+    * 2^i copies of the candidate-generation subtree.
+    */
+  def mmrRerank(pool: DataFrame, pairSims: DataFrame, k: Int,
+      lambdaMilli: Long = 700L): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(lambdaMilli >= 0L && lambdaMilli <= 1000L,
+      s"lambdaMilli is a fraction in thousandths, got $lambdaMilli")
+    val rel = pool.select(col("query_id"), col("neighbor_id"),
+        round(col("sim") * lit(1e6), 0).cast("long").as("rel_micro"))
+      .localCheckpoint()
+    val pairs = pairSims.select(col("query_id"), col("a"), col("b"),
+        col("pair_micro")).localCheckpoint()
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr_nano").desc, col("neighbor_id"))
+    // first pick: pure relevance (no selected set to be redundant with)
+    var selected = rel
+      .withColumn("mmr_nano", lit(lambdaMilli) * col("rel_micro"))
+      .withColumn("_rn", row_number().over(wPick)).filter(col("_rn") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("mmr_rank"), col("rel_micro"), col("mmr_nano"))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val selIds = selected.select(col("query_id").as("_sq"),
+        col("neighbor_id").as("_sid"))
+      val maxPair = pairs
+        .join(selIds, col("query_id") === col("_sq") && col("b") === col("_sid"))
+        .groupBy(col("query_id").as("_mq"), col("a"))
+        .agg(max(col("pair_micro")).as("_max_pair"))
+      val pick = rel
+        .join(selIds, col("query_id") === col("_sq") &&
+          col("neighbor_id") === col("_sid"), "left_anti")
+        .join(maxPair, col("query_id") === col("_mq") &&
+          col("neighbor_id") === col("a"))
+        .withColumn("mmr_nano", lit(lambdaMilli) * col("rel_micro") -
+          lit(1000L - lambdaMilli) * col("_max_pair"))
+        .withColumn("_rn", row_number().over(wPick)).filter(col("_rn") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(i.toLong).as("mmr_rank"), col("rel_micro"), col("mmr_nano"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  /** [[mmrRerank]] over a brute-force candidate pool: generates each
+    * query's `poolSize` exact-cosine candidates (the only corpus-scale
+    * stage — swap in the LSH/IVF/PQ serving path at scale), computes
+    * the pool's pairwise cosines (queries × pool² rows, broadcast-
+    * joined vectors), and greedily diversifies to k. Pair sims carry
+    * the same round(6)→micro convention as the relevance scores.
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      poolSize: Int = 20, lambdaMilli: Long = 700L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val pool = bruteForceTopK(queries, corpus, poolSize, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val vecs = corpus.select(col(idCol).as("_vid"),
+        asDouble(col(vecCol)).as("_vv"))
+      .withColumn("_vn", sqrt(graftDot(col("_vv"), col("_vv"))))
+    val cand = pool.join(vecs, col("neighbor_id") === col("_vid"))
+      .select(col("query_id"), col("neighbor_id"), col("_vv"), col("_vn"))
+    val x = cand.select(col("query_id"), col("neighbor_id").as("a"),
+      col("_vv").as("_av"), col("_vn").as("_an"))
+    val y = cand.select(col("query_id").as("_yq"), col("neighbor_id").as("b"),
+      col("_vv").as("_bv"), col("_vn").as("_bn"))
+    val pairs = x.join(y, col("query_id") === col("_yq") && col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(round(graftDot(col("_av"), col("_bv")) / (col("_an") * col("_bn")), 6)
+          * lit(1e6), 0).cast("long").as("pair_micro"))
+    mmrRerank(pool, pairs, k, lambdaMilli)
+  }
+
   /** Exact cosine top-k over the first `dPrime` dimensions only — the
     * Matryoshka/truncated-embedding serving pattern (Kusupati et al.,
     * "Matryoshka Representation Learning", NeurIPS'22): embeddings

@@ -756,6 +756,77 @@ object Pipeline {
         weights = ProbeWeights, bias = 0.05)
       .orderBy(col("vec_id"))
 
+  /** MMR-diversified retrieval ([[Similarity.mmrRerank]]): each of 8
+    * query vectors gets a 20-candidate exact-cosine pool, then the
+    * greedy λ=0.7 maximal-marginal-relevance selection picks 5 —
+    * relevance traded against redundancy with the already-picked set.
+    * Everything after the (gated, corpus-scale) candidate stage is
+    * integer: micro-sims, thousandths-λ, nano-scores, id ties — so all
+    * five greedy picks per query, tie decisions included, hash-match
+    * the oracle's UNROLLED replay (one CTE per iteration: running
+    * selected set, per-candidate max-redundancy aggregate, arg-max).
+    */
+  def s13MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.mmrTopK(emb.filter(col("vec_id") < 8), emb,
+      k = 5, poolSize = 20, lambdaMilli = 700L)
+  }
+
+  /** The s13 oracle: DuckDB has no iteration-with-aggregation, so the
+    * k greedy MMR picks unroll to one CTE pair per step (selᵢ = the
+    * arg-max against selallᵢ₋₁; selallᵢ = the union) — the same
+    * shared-chain pattern as the t25/t29 BPE oracles. Parameterized so
+    * the SQL is derived from the SAME constants as the Spark query.
+    */
+  private def mmrOracle(nQueries: Int, pool: Int, k: Int, lam: Long): String = {
+    val sim = "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)"
+    val head =
+      s"""WITH pool AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(round(sim*1000000, 0) AS BIGINT) AS rel_micro FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $sim AS sim,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY $sim DESC, b.vec_id) AS rank
+         |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |    WHERE a.vec_id < $nQueries) t
+         |  WHERE rank <= $pool
+         |), pairs AS (
+         |  SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+         |    CAST(round(round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)*1000000, 0) AS BIGINT) AS pair_micro
+         |  FROM pool x JOIN pool y ON x.query_id = y.query_id AND x.neighbor_id != y.neighbor_id
+         |  JOIN embeddings ea ON ea.vec_id = x.neighbor_id
+         |  JOIN embeddings eb ON eb.vec_id = y.neighbor_id
+         |), sel1 AS (
+         |  SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS mmr_rank,
+         |    rel_micro, $lam*rel_micro AS mmr_nano FROM (
+         |    SELECT pool.*, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel_micro DESC, neighbor_id) AS rn FROM pool) s
+         |  WHERE rn = 1
+         |), selall1 AS (SELECT * FROM sel1)""".stripMargin
+    val iters = (2 to k).map { i =>
+      val p = i - 1
+      s"""
+         |, sel$i AS (
+         |  SELECT query_id, neighbor_id, CAST($i AS BIGINT) AS mmr_rank,
+         |    rel_micro, mmr_nano FROM (
+         |    SELECT p.query_id, p.neighbor_id, p.rel_micro,
+         |      $lam*p.rel_micro - ${1000 - lam}*m.max_pair AS mmr_nano,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY $lam*p.rel_micro - ${1000 - lam}*m.max_pair DESC, p.neighbor_id) AS rn
+         |    FROM pool p
+         |    JOIN (SELECT pr.query_id AS mq, pr.a, max(pr.pair_micro) AS max_pair
+         |          FROM pairs pr JOIN selall$p s ON pr.query_id = s.query_id AND pr.b = s.neighbor_id
+         |          GROUP BY pr.query_id, pr.a) m
+         |      ON m.mq = p.query_id AND m.a = p.neighbor_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM selall$p s2
+         |                      WHERE s2.query_id = p.query_id AND s2.neighbor_id = p.neighbor_id)
+         |  ) t WHERE rn = 1
+         |), selall$i AS (SELECT * FROM selall$p UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString
+    head + iters +
+      s"\nSELECT query_id, neighbor_id, mmr_rank, rel_micro, mmr_nano FROM selall$k ORDER BY query_id, mmr_rank"
+  }
+
   /** URL canonicalization + domain stats ([[UrlOps]]): per-doc
     * deterministic synthetic crawl URLs (uppercase `WWW.` aliases,
     * default :443 ports, trailing slashes, `utm_*` tracking params,
@@ -2510,6 +2581,9 @@ object Pipeline {
         |FROM wc, tot, (VALUES (1), (2), (3), (5), (8)) k(cutoff)
         |WHERE c >= k.cutoff
         |GROUP BY k.cutoff ORDER BY cutoff""".stripMargin,
+    // the greedy selection unrolled to one CTE pair per pick — every
+    // iteration's arg-max (ties included) replayed in integer space
+    "s13_mmr_rerank" -> mmrOracle(nQueries = 8, pool = 20, k = 5, lam = 700L),
     // both arms replayed (BM25 with t16's integer weighting; exact
     // cosine with the s01 float convention), then the integer fusion
     "s12_hybrid_rrf" ->
@@ -3509,6 +3583,7 @@ object Pipeline {
     "t31_dsir_weights"   -> t31DsirWeights _,
     "s11_linear_probe"   -> s11LinearProbe _,
     "s12_hybrid_rrf"     -> s12HybridRrf _,
+    "s13_mmr_rerank"     -> s13MmrRerank _,
     "t26_chunk_windows"  -> t26ChunkWindows _,
     "t27_novelty"        -> t27Novelty _,
     "g01_pagerank"       -> g01PageRank _,
