@@ -157,6 +157,16 @@ object Bench {
       cbC.count(); listsC.count()
       n -> ((cbC: DataFrame, listsC: DataFrame))
     }.toMap
+    // prebuilt minhash band indexes for the incr_pairs_idx arm — built
+    // and cached OUTSIDE the timed fn, mirroring ivf_serve_indexed: the
+    // index lifecycle's claim is that an ingest batch never re-signatures
+    // the corpus, so the timed cost is batch signatures + bucket probe +
+    // candidate verify only (the minhashDedupNewPairsAt production path)
+    val mhIdx: Map[Int, DataFrame] = Seq(1, k).map { n =>
+      val idx = Dedup.minhashIndex(docsAt(n), n = 3, k = 32, bands = 16).persist()
+      idx.count()
+      n -> idx
+    }.toMap
     // fixed merge table for the bpe_encode arm — training is amortized
     // setup (the t25 production path); the arm times ENCODE only
     val bpeMergesFixed: Seq[TextOps.BpeMerge] =
@@ -199,6 +209,14 @@ object Bench {
       // candidate verify, never corpus²
       "incr_pairs" -> (n => Dedup.ngramJaccardNewPairs(
         evalDocs(n), docsAt(n), n = 3, minJaccard = 0.5)),
+      // the artifact-backed incremental path the lifecycle actually
+      // runs: fixed batch probed against a PREBUILT minhash band index
+      // — timed work is batch signatures + bucket probe + verify; the
+      // corpus is never re-signatured (vs incr_pairs' from-scratch
+      // re-shingle above)
+      "incr_pairs_idx" -> (n => Dedup.minhashDedupNewPairs(
+        evalDocs(n), docsAt(n), n = 3, k = 32, bands = 16, minJaccard = 0.5,
+        corpusIndex = Some(mhIdx(n)))),
       // first-seen attribution: shingle-keyed min + join-back — the
       // contamination scan's shuffle profile, growth should be linear
       "novelty" -> (n => Dedup.noveltyScores(docsAt(n))),
@@ -249,6 +267,7 @@ object Bench {
     ivfIdx.values.foreach { case (cb, lists) =>
       cb.unpersist(blocking = false); lists.unpersist(blocking = false)
     }
+    mhIdx.values.foreach(_.unpersist(blocking = false))
     out
   }
 

@@ -54,6 +54,25 @@ object PipelineTour {
       hits >= exact.size / 2
     }
 
+    check("serving combiners: RRF fusion agrees on arms' overlap; MMR diversifies it") {
+      // the retrieval tail of a RAG pipeline: two ranked arms fuse by
+      // reciprocal rank (s12), then the fused pool is MMR-diversified
+      // (s13) — both list-sized stages downstream of the gated top-k
+      val q = emb.filter(col("vec_id") < 5)
+      val q0 = emb.filter(col("vec_id") === 0)
+      val lex = Similarity.bruteForceTopK(q0, emb, 10)
+        .select(col("neighbor_id"), col("rank"))
+      val sem = Similarity.truncatedTopK(q0, emb, 10, dPrime = 16)
+        .select(col("neighbor_id"), col("rank"))
+      val fused = Similarity.rrfFuse(Seq(lex, sem), k = 5, idCol = "neighbor_id")
+      val mmr = Similarity.mmrTopK(q, emb, k = 5, poolSize = 20)
+      // every query got its k diversified picks, rank 1..k each
+      val perQuery = mmr.groupBy("query_id")
+        .agg(count(lit(1)).as("n"), max("mmr_rank").as("mx"))
+      fused.count() == 5 &&
+        perQuery.filter(col("n") =!= 5 || col("mx") =!= 5).count() == 0
+    }
+
     check("multimodal features flow into dedup") {
       val media = Multimodal.syntheticMedia(docs.limit(100))
       Multimodal.extractFeatures(media).count() == 100

@@ -857,9 +857,16 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
-  // Audio modality: REAL WAV codec (javax.sound.sampled — public JDK,
-  // no audio device needed for file encode/decode), same opaque-binary
-  // plumbing as the image path.
+  // Audio modality: byte-level RIFF/WAVE codec, same opaque-binary
+  // plumbing as the image path. javax.sound's AudioSystem runs a
+  // synchronized service-provider registry scan on EVERY call, so 32
+  // concurrent tasks serialize on the JDK lock and per-row cost grows
+  // super-linearly with parallelism×rows (the r11 audio_gate probe arm
+  // measured 3.54 per-row at ×10). WAV PCM is a RIFF container — a
+  // 44-byte canonical header plus little-endian samples — so the codec
+  // parses/emits it directly with zero shared state, the same pattern
+  // PngText uses for tEXt chunks. Parity against AudioSystem is
+  // spec-pinned in MultimodalSpec.
   // ---------------------------------------------------------------------
 
   val WavFormat = "audio/wav"
@@ -868,38 +875,83 @@ object Multimodal {
       energy: Long, zero_crossings: Long, peak: Int)
 
   object AudioCodec {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    @inline private def i32le(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    @inline private def i16le(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    @inline private def readI32le(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    @inline private def readU16le(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    @inline private def tag(b: Array[Byte], off: Int): String =
+      if (off + 4 <= b.length) new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII) else ""
 
     /** Encode signed 16-bit mono PCM as a real RIFF/WAVE payload
-      * (little-endian). Lossless: [[decodeWav]] round-trips the exact
-      * samples.
+      * (canonical 44-byte header + little-endian samples). Lossless:
+      * [[decodeWav]] round-trips the exact samples. Pure byte
+      * arithmetic — safe to call per row from 32 concurrent tasks.
       */
     def encodeWav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
-      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
-      val bytes = new Array[Byte](samples.length * 2)
+      val dataSize = samples.length * 2
+      val out = new Array[Byte](44 + dataSize)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      i32le(out, 4, 36 + dataSize)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      i32le(out, 16, 16)            // PCM fmt chunk size
+      i16le(out, 20, 1)             // audio format: PCM
+      i16le(out, 22, 1)             // channels: mono
+      val sr = sampleRate.toInt
+      i32le(out, 24, sr)            // sample rate
+      i32le(out, 28, sr * 2)        // byte rate = sr * blockAlign
+      i16le(out, 32, 2)             // block align
+      i16le(out, 34, 16)            // bits per sample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      i32le(out, 40, dataSize)
       var i = 0
       while (i < samples.length) {
-        bytes(2 * i) = (samples(i) & 0xff).toByte
-        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i16le(out, 44 + 2 * i, samples(i).toInt)
         i += 1
       }
-      val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
-      val out = new ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
-      out.toByteArray
+      out
     }
 
-    /** Decode a WAVE payload back to its 16-bit mono PCM samples (the
-      * header, not trust, decides the layout — a real parse).
+    /** Decode a WAVE payload back to its 16-bit mono PCM samples. A
+      * real chunk-walking parse (the header, not trust, decides the
+      * layout): finds `fmt ` and `data` wherever they sit, skips
+      * unknown chunks with RIFF word alignment, and rejects any
+      * non-PCM / non-16-bit / non-mono layout loudly — so payloads
+      * written by other WAV encoders (including javax.sound) decode
+      * identically, spec-pinned.
       */
     def decodeWav(payload: Array[Byte]): Array[Short] = {
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
-      val fmt = ais.getFormat
-      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
-        s"unsupported PCM layout: $fmt")
-      val bytes = ais.readAllBytes()
-      val n = bytes.length / 2
-      Array.tabulate(n)(i => (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort)
+      require(payload.length >= 44 && tag(payload, 0) == "RIFF" && tag(payload, 8) == "WAVE",
+        s"not a RIFF/WAVE payload (${payload.length} bytes)")
+      var off = 12
+      var audioFormat = -1; var channels = -1; var bits = -1
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= payload.length && (audioFormat < 0 || dataOff < 0)) {
+        val id = tag(payload, off)
+        val size = readI32le(payload, off + 4)
+        require(size >= 0 && off + 8 + size <= payload.length, s"corrupt RIFF chunk '$id' at $off: size $size")
+        if (id == "fmt ") {
+          require(size >= 16, s"fmt chunk too short: $size")
+          audioFormat = readU16le(payload, off + 8)
+          channels = readU16le(payload, off + 10)
+          bits = readU16le(payload, off + 22)
+        } else if (id == "data") {
+          dataOff = off + 8; dataLen = size
+        }
+        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      require(audioFormat >= 0 && dataOff >= 0, "missing fmt/data chunk")
+      require(audioFormat == 1 && bits == 16 && channels == 1,
+        s"unsupported PCM layout: format=$audioFormat bits=$bits channels=$channels")
+      val n = dataLen / 2
+      Array.tabulate(n)(i => readU16le(payload, dataOff + 2 * i).toShort)
     }
   }
 

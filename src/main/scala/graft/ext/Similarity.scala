@@ -25,6 +25,23 @@ object Similarity {
   /** Cast to double once so all downstream arithmetic is f64. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Loud bound on a frame an operator is about to collect to the
+    * driver or broadcast: `limit(max+1).count()` (a CollectLimit — it
+    * stops scanning after max+1 rows, never a full count) and a
+    * `require` with the operator's contract in the message. The
+    * `domainMixture` pattern applied to the serving family: a caller
+    * who passes a corpus-sized frame where a probe/query set belongs
+    * gets this failure, not a driver OOM minutes later. Every caller
+    * exposes the max as an overridable parameter.
+    */
+  private def requireBounded(df: DataFrame, max: Long, what: String, knob: String): Unit = {
+    val n = df.limit((max + 1).min(Int.MaxValue).toInt).count()
+    require(n <= max,
+      s"$what exceeds $max rows — this side is collected/broadcast and must stay " +
+      s"serving-sized (the corpus belongs on the other side); pass $knob explicitly " +
+      "if a larger set is intended")
+  }
+
   /** Rank stage shared by every top-k variant: the custom
     * [[graft.plans.TopKPerKeyNode]] operator prunes to ≤ q·k rows while
     * streaming the sorted shuffle (no window machinery over the full
@@ -147,6 +164,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[rrfFuse]] grouped per query — the serving-batch shape: each arm
+    * is `(queryCol, idCol, rank)` top-k lists for MANY queries at once
+    * (a micro-batch of the hybrid-retrieval stream), fusion and the
+    * final (rrf_micro desc, id) rank happen within each query group.
+    * Everything stays list-sized per query (≤ Σ arms' k candidate rows
+    * per query — the window is bounded by construction, never
+    * corpus-sized), so the per-batch cost is |batch|·k regardless of
+    * corpus scale; the corpus-scale work lives in the arms.
+    */
+  def rrfFusePerQuery(rankings: Seq[DataFrame], k: Int, kRrf: Long = 60L,
+      queryCol: String = "query_id", idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kRrf >= 0L, "kRrf must be non-negative")
+    val fused = rankings.map(_.select(col(queryCol), col(idCol),
+        expr(s"1000000 div ($kRrf + rank)").as("_c")))
+      .reduce(_.unionByName(_))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(sum(col("_c")).as("rrf_micro"), count(lit(1)).as("n_arms"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_micro").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) —
     * the diversified-retrieval combiner: greedily pick the candidate
     * maximizing `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)`, so the
@@ -192,13 +233,20 @@ object Similarity {
         .join(selIds, col("query_id") === col("_sq") && col("b") === col("_sid"))
         .groupBy(col("query_id").as("_mq"), col("a"))
         .agg(max(col("pair_micro")).as("_max_pair"))
+      // LEFT join + coalesce(0), not inner: a pool candidate with no
+      // pairSims entry against any selected item scores with ZERO
+      // redundancy rather than silently dropping out of consideration —
+      // mmrTopK's pool-cross-pool pairs are complete so both joins
+      // agree there, but a caller passing sparse/thresholded pair sims
+      // would otherwise get a shrunken candidate set the hash gate
+      // can't see (the t31 LEFT-join-plus-coalesce hazard)
       val pick = rel
         .join(selIds, col("query_id") === col("_sq") &&
           col("neighbor_id") === col("_sid"), "left_anti")
         .join(maxPair, col("query_id") === col("_mq") &&
-          col("neighbor_id") === col("a"))
+          col("neighbor_id") === col("a"), "left")
         .withColumn("mmr_nano", lit(lambdaMilli) * col("rel_micro") -
-          lit(1000L - lambdaMilli) * col("_max_pair"))
+          lit(1000L - lambdaMilli) * coalesce(col("_max_pair"), lit(0L)))
         .withColumn("_rn", row_number().over(wPick)).filter(col("_rn") === 1)
         .select(col("query_id"), col("neighbor_id"),
           lit(i.toLong).as("mmr_rank"), col("rel_micro"), col("mmr_nano"))
@@ -271,8 +319,15 @@ object Similarity {
     */
   def truncatedRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       dPrime: Int, candidates: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBroadcastRows: Long = 4194304L): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    // the candidate list (|queries|·candidates id pairs) is broadcast
+    // below; bound the query side so a corpus passed as the query frame
+    // fails loudly instead of shipping a corpus-sized broadcast
+    requireBounded(queries, (maxBroadcastRows / candidates.toLong).max(1L),
+      s"truncatedRerankTopK query set (×$candidates candidates each, broadcast)",
+      "maxBroadcastRows")
     GraftFunctions.ensureRegistered(queries.sparkSession)
     val cand = truncatedTopK(queries, corpus, candidates, dPrime, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
@@ -832,7 +887,15 @@ object Similarity {
     * collect. Nothing driver-side ever scales with the corpus.
     */
   def trainCodebook(vectors: DataFrame, k: Int = 16, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCentroids: Int = 4096): DataFrame = {
+    // driver state is k·dim micro-sums and every iteration collects
+    // ≤ k·dim aggregate rows — bounded by construction ONLY while k is
+    // codebook-sized; a corpus-sized k must fail loudly up front
+    require(k >= 1 && k <= maxCentroids,
+      s"trainCodebook k=$k is outside [1, $maxCentroids] — the codebook is driver-side " +
+      "state (k·dim rows per iteration); pass maxCentroids explicitly if a larger " +
+      "codebook is intended")
     val spark = vectors.sparkSession
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
@@ -921,7 +984,14 @@ object Similarity {
     * only, so the whole training replays in a SQL oracle.
     */
   def pqTrain(vectors: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCentroids: Int = 4096): DataFrame = {
+    // driver state is m·k·(dim/m) micro-sums per iteration — bounded
+    // only while k stays codebook-sized (same contract as trainCodebook)
+    require(k >= 1 && k <= maxCentroids,
+      s"pqTrain k=$k is outside [1, $maxCentroids] — per-subspace codebooks are " +
+      "driver-side state (m·k·d rows per iteration); pass maxCentroids explicitly " +
+      "if larger codebooks are intended")
     val spark = vectors.sparkSession
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
@@ -1000,10 +1070,14 @@ object Similarity {
     * PQ compression ratio (~68× at m=4, k=8, 64-dim f32).
     */
   def pqTopK(probes: DataFrame, codes: DataFrame, state: DataFrame, k: Int = 10,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxProbes: Long = 65536L): DataFrame = {
     val spark = probes.sparkSession
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
+    // the probe set is collected (the LUT is |probes|·m·k by design);
+    // a corpus-sized frame here must fail loudly, not OOM the driver
+    requireBounded(probes, maxProbes, "pqTopK probe set", "maxProbes")
     val stRows = state.select(col("sub").cast("int"), col("centroid_id").cast("long"),
       col("pos").cast("int"), col("csum").cast("long"), col("cnt").cast("long")).collect()
     val bySub = stRows.groupBy(_.getInt(0))

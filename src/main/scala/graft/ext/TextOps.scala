@@ -292,9 +292,15 @@ object TextOps {
       .select(regexp_replace(col("w"), "(.)", s"$S$$1$E").as("s"), col("c"))
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
-    // try/finally: a mid-loop failure (the per-iteration collect/count
-    // below are actions) must not leave the live vocab generation
-    // pinned in the block cache for the rest of the session
+    // ONE action per merge step: the pair-count argmax below reads
+    // every partition of the current (freshly-persisted) vocab, so it
+    // BOTH returns the merge and materializes the generation into the
+    // cache — the separate materializing count() this loop used to run
+    // made t25 two jobs per step for no extra information. The
+    // previous generation (what the current one derives from by a
+    // single replace) stays cached until the argmax returns, then is
+    // freed; a mid-loop failure frees both via the try/finally.
+    var prevGen: DataFrame = null
     try {
       var step = 1
       while (step <= k) {
@@ -308,6 +314,8 @@ object TextOps {
           .groupBy(col("p.l"), col("p.r")).agg(sum(col("c")).as("cnt"))
           .orderBy(col("cnt").desc, col("l"), col("r"))
           .limit(1).collect() // bounded: ONE row per iteration
+        // vocab is now fully cached; its parent generation can go
+        if (prevGen != null) { prevGen.unpersist(blocking = false); prevGen = null }
         if (best.isEmpty) { step = k + 1 } // fully merged corpus: stop early
         else {
           val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
@@ -315,14 +323,15 @@ object TextOps {
           val next = vocab
             .withColumn("s", replace(col("s"), lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E")))
             .persist()
-          try next.count() // materialize before freeing the previous round
-          catch { case e: Throwable => next.unpersist(blocking = false); throw e }
-          vocab.unpersist(blocking = false)
+          prevGen = vocab
           vocab = next
           step += 1
         }
       }
-    } finally vocab.unpersist(blocking = false)
+    } finally {
+      if (prevGen != null) prevGen.unpersist(blocking = false)
+      vocab.unpersist(blocking = false)
+    }
     spark.createDataFrame(merges.toSeq)
   }
 

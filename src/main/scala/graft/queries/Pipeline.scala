@@ -810,11 +810,11 @@ object Pipeline {
          |  SELECT query_id, neighbor_id, CAST($i AS BIGINT) AS mmr_rank,
          |    rel_micro, mmr_nano FROM (
          |    SELECT p.query_id, p.neighbor_id, p.rel_micro,
-         |      $lam*p.rel_micro - ${1000 - lam}*m.max_pair AS mmr_nano,
+         |      $lam*p.rel_micro - ${1000 - lam}*coalesce(m.max_pair, 0) AS mmr_nano,
          |      row_number() OVER (PARTITION BY p.query_id
-         |        ORDER BY $lam*p.rel_micro - ${1000 - lam}*m.max_pair DESC, p.neighbor_id) AS rn
+         |        ORDER BY $lam*p.rel_micro - ${1000 - lam}*coalesce(m.max_pair, 0) DESC, p.neighbor_id) AS rn
          |    FROM pool p
-         |    JOIN (SELECT pr.query_id AS mq, pr.a, max(pr.pair_micro) AS max_pair
+         |    LEFT JOIN (SELECT pr.query_id AS mq, pr.a, max(pr.pair_micro) AS max_pair
          |          FROM pairs pr JOIN selall$p s ON pr.query_id = s.query_id AND pr.b = s.neighbor_id
          |          GROUP BY pr.query_id, pr.a) m
          |      ON m.mq = p.query_id AND m.a = p.neighbor_id

@@ -98,6 +98,47 @@ object StreamingSimilarity {
       .start()
   }
 
+  /** Hybrid retrieval served per micro-batch — the streaming twin of
+    * the s12 batch query: the SEMANTIC arm ranks each probe vector
+    * against the persisted LSH index at `indexPath` (sidecar-validated,
+    * swap-aware like [[startAt]]); the LEXICAL arm is a static
+    * per-query ranking `(query_id, doc_id, rank)` maintained elsewhere
+    * (a BM25 serving table — lexical indexes have their own lifecycle),
+    * semi-join-pruned to the micro-batch's query ids so only
+    * batch-sized rows enter the fusion; the two fuse by reciprocal
+    * rank ([[Similarity.rrfFusePerQuery]], integer end to end).
+    * Per-batch cost: the LSH bucket probe (the only corpus-touching
+    * stage) + a |batch|·k-row fusion. An
+    * [[graft.ext.IndexLifecycle]] rebuild+swap landing between batches
+    * is picked up by the next batch with no stream restart; a batch
+    * racing the swap's rename window parks and retries.
+    */
+  def startAtHybrid(queriesStream: DataFrame, indexPath: String,
+      lexArm: DataFrame, k: Int, outPath: String, checkpoint: String,
+      kRrf: Long = 60L, semPool: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val spark = queriesStream.sparkSession
+    queriesStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.IndexLifecycle.retryingDuringSwap() {
+          val p = Similarity.readLshIndexParams(spark, indexPath).getOrElse(
+            throw new IllegalStateException(s"$indexPath lost its params sidecar"))
+          val sem = Similarity.lshTopKIndexed(batch,
+              Similarity.readLshIndex(spark, indexPath), semPool, p, idCol, vecCol)
+            .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+          val lex = lexArm.join(
+            batch.select(col(idCol).as("query_id")), Seq("query_id"), "left_semi")
+          Similarity.rrfFusePerQuery(Seq(sem, lex), k, kRrf)
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** [[startAt]] for a persisted PQ index
     * ([[graft.ext.Similarity.writePqIndex]] /
     * [[graft.ext.IndexLifecycle.rebuildPqIndex]]): each micro-batch of

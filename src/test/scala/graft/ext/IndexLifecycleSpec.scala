@@ -78,6 +78,70 @@ class IndexLifecycleSpec extends AnyFunSuite {
       "post-swap results never surface the rebuilt corpus's twin vectors")
   }
 
+  test("hybrid RRF serving across an index swap: stream == batch on both sides") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("graft_idx_hybrid").toFile.getAbsolutePath
+    val live = s"$root/ann_index"
+    Similarity.writeLshIndex(emb, live, 64, 6, 8, 777L)
+    // static lexical arm: deterministic per-query top-5 doc ranks; the
+    // +1000 post-swap queries have NO lexical rows — the fusion must
+    // serve them semantic-only (n_arms = 1), never drop them
+    val lexArm = spark.range(10).select(col("id").as("query_id"))
+      .crossJoin(spark.range(1, 6).select(col("id").as("rank")))
+      .select(col("query_id"), (col("query_id") * 3 + col("rank") * 7).as("doc_id"),
+        col("rank"))
+      .cache()
+    def hybridBatch(queries: org.apache.spark.sql.DataFrame) = {
+      val p = Similarity.readLshIndexParams(spark, live).get
+      val sem = Similarity.lshTopKIndexed(queries,
+          Similarity.readLshIndex(spark, live), 50, p)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val lex = lexArm.join(queries.select(col("vec_id").as("query_id")),
+        Seq("query_id"), "left_semi")
+      Similarity.rrfFusePerQuery(Seq(sem, lex), k = 5)
+    }
+    def fusedRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "rrf_micro", "n_arms", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val expectedV1 = fusedRows(hybridBatch(emb.filter(col("vec_id") < 10)))
+    assert(expectedV1.exists(_._4 == 2L), "fixture never fuses both arms — weak test")
+    val input = MemoryStream[(Long, Array[Float])]
+    val served = StreamingSimilarity.startAtHybrid(
+      input.toDF().toDF("vec_id", "embedding"), live, lexArm, k = 5,
+      s"$root/out", s"$root/ckpt")
+    try {
+      input.addData(queries.toIndexedSeq)
+      served.processAllAvailable()
+      // corpus grows; rebuild + swap between micro-batches
+      val grown = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding")))
+      IndexLifecycle.rebuildLshIndex(grown, live, 64, 6, 8, 777L)
+      input.addData(queries.map { case (id, v) => (id + 1000L, v) }.toIndexedSeq)
+      served.processAllAvailable()
+    } finally served.stop()
+    val out = spark.read.parquet(s"$root/out")
+    assert(fusedRows(out.filter(col("query_id") < 1000L)) == expectedV1,
+      "pre-swap hybrid stream output drifted from the batch composition")
+    val post = fusedRows(out.filter(col("query_id") >= 1000L))
+    val expectedV2 = fusedRows(hybridBatch(
+      emb.filter(col("vec_id") < 10).select((col("vec_id") + 1000L).as("vec_id"),
+        col("embedding"))))
+    assert(post == expectedV2,
+      "post-swap hybrid stream output drifted from the batch composition")
+    // post-swap fusion really served the grown index AND stayed
+    // semantic-only for queries with no lexical rows
+    assert(post.exists(_._2 >= 100000L),
+      "post-swap hybrid results never surface the rebuilt corpus's twins")
+    assert(post.forall(_._4 == 1L),
+      "queries with no lexical rows must fuse semantic-only (n_arms = 1)")
+  }
+
   test("IVF and minhash rebuilds swap atomically and probe-equal a fresh recompute") {
     val root = Files.createTempDirectory("graft_idx_fam").toFile.getAbsolutePath
     val fs = Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, root)

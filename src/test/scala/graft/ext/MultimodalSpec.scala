@@ -129,6 +129,52 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { AudioCodec.decodeWav(out.toByteArray) }
   }
 
+  test("WAV codec parity vs javax.sound in both directions (byte codec is pinned to the JDK's)") {
+    import graft.ext.Multimodal.AudioCodec
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = Array.tabulate(777)(i => ((i * 7919 + 13) % 65536 - 32768).toShort)
+    // our encode -> JDK decode: the JDK accepts our container and reads back the exact PCM
+    val ours = AudioCodec.encodeWav(samples)
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(ours))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian &&
+      fmt.getSampleRate == 8000f, s"JDK misread our header: $fmt")
+    val bytes = ais.readAllBytes()
+    val jdkDecoded = Array.tabulate(bytes.length / 2)(i =>
+      (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort)
+    assert(jdkDecoded.sameElements(samples))
+    // JDK encode -> our decode: chunk walk handles whatever header the JDK emits
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val jais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+      new AudioFormat(8000f, 16, 1, true, false), samples.length.toLong)
+    val out2 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(jais, AudioFileFormat.Type.WAVE, out2)
+    assert(AudioCodec.decodeWav(out2.toByteArray).sameElements(samples))
+    // chunk walk: an extra LIST chunk between fmt and data is skipped, not misread
+    val data = ours.drop(44)
+    val listBody = "INFOIARTx".getBytes("US-ASCII") // odd-length body exercises word alignment
+    val withList = new java.io.ByteArrayOutputStream()
+    withList.write(ours.slice(0, 36)) // RIFF..fmt chunk
+    withList.write("LIST".getBytes("US-ASCII"))
+    withList.write(Array[Byte]((listBody.length & 0xff).toByte, 0, 0, 0))
+    withList.write(listBody)
+    withList.write(0) // RIFF pad byte after odd-size chunk
+    withList.write(ours.slice(36, 44)) // data header
+    withList.write(data)
+    val padded = withList.toByteArray
+    // fix the RIFF size field for the inserted chunk
+    val total = padded.length - 8
+    padded(4) = (total & 0xff).toByte; padded(5) = ((total >> 8) & 0xff).toByte
+    padded(6) = ((total >> 16) & 0xff).toByte; padded(7) = ((total >> 24) & 0xff).toByte
+    assert(AudioCodec.decodeWav(padded).sameElements(samples))
+  }
+
   test("audio frames: stats recompute from decoded samples; partial tail frame kept") {
     import graft.ext.Multimodal
     val audio = Multimodal.syntheticWav(docs.limit(20))
