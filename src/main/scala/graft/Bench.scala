@@ -109,11 +109,35 @@ object Bench {
       .map { case (k, _, mn, mx) => "\"" + k + "\":[" + f"$mn%.3f" + "," + f"$mx%.3f" + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val probeJson = if (scaleK > 1) scaleProbe(spark, sfDir, scaleK) else "{}"
+    val pairJson = if (scaleK > 1) pairProbe(spark, sfDir, scaleK) else "{}"
+    // continuous gate on the 100× profile path: max per-column relative
+    // distinct-count error of the HLL profile (q28a) vs the exact
+    // profile (q28) at THIS bench SF — the ≤ 2 % bound the fixture spec
+    // pins is re-measured at every scale the bench ever runs at, and a
+    // breach lands in `failed`, not just a number nobody reads
+    val hllErr = try {
+      val orders = Tables.orders(spark, sfDir)
+      val exact = graft.ops.Profiler.profile(orders)
+        .select(col("column"), col("n_distinct").as("nd_exact"))
+      val approx = graft.ops.Profiler.profileApprox(orders)
+        .select(col("column"), col("n_distinct").as("nd_approx"))
+      val err = exact.join(approx, "column")
+        .agg(max(abs(col("nd_approx") - col("nd_exact")).cast("double") /
+          greatest(col("nd_exact").cast("double"), lit(1.0))))
+        .head().getDouble(0)
+      if (err > 0.02) {
+        System.err.println(f"[bench] hll_profile error $err%.4f exceeds the 0.02 bound")
+        failedSet += "hll_profile"
+      }
+      err
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] hll_profile check failed: ${e.getMessage}")
+      failedSet += "hll_profile"; -1.0
+    }
     // failed queries must be visible IN the JSON line — a near-zero
     // timing for a query that threw would read as a performance win
     val failed = failedSet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val probeJson = if (scaleK > 1) scaleProbe(spark, sfDir, scaleK) else "{}"
-    val pairJson = if (scaleK > 1) pairProbe(spark, sfDir, scaleK) else "{}"
     // the FULL artifact goes to a file: the per-query medians + spread
     // for 61 queries overflow what a line-driven capture keeps (r6/r7
     // artifacts ended up with "parsed: null" and a truncated tail), so
@@ -122,7 +146,7 @@ object Bench {
     // must never clobber the committed full-suite artifact
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (probesOnly) "bench_probes.json" else "bench_out.json")
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"scale_probe":$probeJson,"pair_probe":$pairJson,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"scale_probe":$probeJson,"pair_probe":$pairJson,"hll_profile_max_err":$hllErr%.4f,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"failed":$failed,"sf":"$sfDir","full_artifact":"$outPath"}""")

@@ -150,6 +150,43 @@ object StreamTour {
       streamed.nonEmpty && streamed == expected
     }
 
+    check("hybrid RRF serving from the persisted LSH index equals the batch composition") {
+      // the RAG serving tail online: semantic arm off the parquet LSH
+      // index, static lexical arm, reciprocal-rank fusion per micro-batch
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("streamtour_hybrid")
+        .toFile.getAbsolutePath
+      val emb = graft.Tables.embeddings(spark, sf)
+      graft.ext.Similarity.writeLshIndex(emb, s"$root/lsh", 64, 6, 8, 777L)
+      val lexArm = spark.range(5).select(col("id").as("query_id"))
+        .crossJoin(spark.range(1, 6).select(col("id").as("rank")))
+        .select(col("query_id"), (col("query_id") * 3 + col("rank") * 7).as("doc_id"),
+          col("rank")).cache()
+      val probes = emb.filter(col("vec_id") < 5)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.StreamingSimilarity.startAtHybrid(
+        input.toDF().toDF("vec_id", "embedding"), s"$root/lsh", lexArm, k = 5,
+        s"$root/out", s"$root/ckpt")
+      try {
+        input.addData(probes.select("vec_id", "embedding")
+          .as[(Long, Array[Float])].collect().toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.read.parquet(s"$root/out")
+        .select("query_id", "doc_id", "rrf_micro", "n_arms", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val p = graft.ext.Similarity.readLshIndexParams(spark, s"$root/lsh").get
+      val sem = graft.ext.Similarity.lshTopKIndexed(probes,
+          graft.ext.Similarity.readLshIndex(spark, s"$root/lsh"), 50, p)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val lex = lexArm.join(probes.select(col("vec_id").as("query_id")),
+        Seq("query_id"), "left_semi")
+      val expected = graft.ext.Similarity.rrfFusePerQuery(Seq(sem, lex), k = 5)
+        .select("query_id", "doc_id", "rrf_micro", "n_arms", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      streamed.nonEmpty && streamed == expected
+    }
+
     check("cross-batch heavy-hitter summary equals exact counts of the whole stream") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val root = java.nio.file.Files.createTempDirectory("streamtour_hh")

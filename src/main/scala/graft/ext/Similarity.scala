@@ -857,6 +857,28 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
   }
 
+  /** Rounded-cosine nearest-centroid assignment against a
+    * [[trainCodebook]] STATE frame — the s04/s05 assignment key
+    * (round-6 cosine, ties to the smallest centroid id), so the
+    * assignment replays exactly in a SQL oracle; [[ivfAssign]]'s raw
+    * ordering is for serving lists, this one is for gate-stable
+    * cluster semantics (mixture construction, cluster-balanced
+    * sampling). Codebook state is driver-side k·dim integer rows, the
+    * documented bounded-collect pattern; assignment is one narrow
+    * codegen pass. Output: (idCol, centroid_id).
+    */
+  def assignToCodebook(vectors: DataFrame, state: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val st = stateFromRows(state.select(col("centroid_id").cast("long"),
+      col("pos").cast("int"), col("csum").cast("long"), col("cnt").cast("long"))
+      .collect(), 0, 1, 2, 3)
+    vectors.select(col(idCol), asDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", sqrt(graftDot(col("vec"), col("vec"))))
+      .withColumn("centroid_id", assignCidExpr(st, col("vec"), col("norm")))
+      .select(col(idCol), col("centroid_id"))
+  }
+
   /** Deterministic spherical k-means (Lloyd's) codebook training — the
     * operator that turns [[ivfIndex]]/[[semanticDupPairs]]'s SAMPLED
     * codebooks into TRAINED ones. Seeds are the [[semanticDupPairs]]

@@ -827,6 +827,32 @@ object Pipeline {
       s"\nSELECT query_id, neighbor_id, mmr_rank, rel_micro, mmr_nano FROM selall$k ORDER BY query_id, mmr_rank"
   }
 
+  /** Cluster-balanced mixture construction
+    * ([[Similarity.trainCodebook]] + [[Similarity.assignToCodebook]] +
+    * [[graft.ops.Sampling.domainMixture]]): the embedding-space twin
+    * of t23 — train a deterministic k-means codebook, assign every
+    * vector to its cluster by the gate-stable rounded-argmax key, then
+    * apportion a 70-vector sample across the clusters by
+    * largest-remainder quotas on weight `1 + cid % 3` (remainder
+    * ranking fires by construction). This is the data-mixing pattern a
+    * curation pipeline runs to rebalance a corpus by SEMANTIC bucket
+    * rather than by source label: the corpus-scale work is one
+    * codegen assignment pass + one exchange on cluster for the
+    * per-cluster row_number; everything quota-side lives at cluster
+    * cardinality. Integer end to end after the rounded sims, so the
+    * whole chain — training, every assignment tie, apportionment,
+    * within-cluster selection — hash-matches the oracle's replay.
+    */
+  def s14ClusterMixture(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val state = Similarity.trainCodebook(emb, k = 8, iters = 2)
+    val assigned = Similarity.assignToCodebook(emb, state)
+    graft.ops.Sampling.domainMixture(assigned, "centroid_id",
+        lit(1L) + col("centroid_id") % 3, total = 70L, idCol = "vec_id")
+      .select(col("vec_id"), col("centroid_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** URL canonicalization + domain stats ([[UrlOps]]): per-doc
     * deterministic synthetic crawl URLs (uppercase `WWW.` aliases,
     * default :443 ports, trailing slashes, `utm_*` tracking params,
@@ -1844,7 +1870,7 @@ object Pipeline {
     * assignment (ties to the smallest centroid id — the s04 key), and
     * an integer micro-sum re-aggregation. Output is integers only.
     */
-  private def kmeansCodebookOracle(k: Int, iters: Int): String = {
+  private def kmeansChainCtes(k: Int, iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""c$i AS (
          |  SELECT centroid_id, list(sm / (cnt * 1000000.0) ORDER BY pos) AS ce
@@ -1866,7 +1892,7 @@ object Pipeline {
          |  GROUP BY 1, 2
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
        |), cb AS (
        |  SELECT vec_id AS centroid_id, e AS ce FROM v
@@ -1876,10 +1902,56 @@ object Pipeline {
        |  SELECT centroid_id, p.p - 1 AS pos,
        |    CAST(floor(ce[p.p] * 1000000) AS BIGINT) AS sm, CAST(1 AS BIGINT) AS cnt
        |  FROM cb, LATERAL (SELECT unnest(range(1, len(ce) + 1)) AS p) p
-       |), $iterCtes
+       |), $iterCtes""".stripMargin
+  }
+
+  private def kmeansCodebookOracle(k: Int, iters: Int): String =
+    s"""WITH ${kmeansChainCtes(k, iters)}
        |SELECT centroid_id, pos, sm AS csum, cnt
        |FROM s$iters ORDER BY centroid_id, pos""".stripMargin
-  }
+
+  /** Replays [[graft.ext.Similarity.trainCodebook]] +
+    * [[Similarity.assignToCodebook]] + largest-remainder apportionment
+    * (s14): the full k-means chain, the rounded-argmax assignment of
+    * EVERY vector against the final centroids (the s04/s05 key — round
+    * 6, ties to the smallest centroid id), then the t23 mixture CTEs
+    * over centroid_id with per-cluster weight `1 + cid % 3` and
+    * deterministic within-cluster selection by vec_id.
+    */
+  private def clusterMixtureOracle(k: Int, iters: Int, total: Long): String =
+    s"""WITH ${kmeansChainCtes(k, iters)}, cf AS (
+       |  SELECT centroid_id, list(sm / (cnt * 1000000.0) ORDER BY pos) AS ce
+       |  FROM s$iters GROUP BY centroid_id
+       |), asg AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT v.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.centroid_id) AS rn
+       |    FROM v, cf c) t
+       |  WHERE rn = 1
+       |), w AS (
+       |  SELECT centroid_id, count(*) AS n, min(1 + (centroid_id % 3)) AS w
+       |  FROM asg GROUP BY 1
+       |), tot AS (SELECT sum(w) AS tw FROM w
+       |), q1 AS (
+       |  SELECT centroid_id, n, ($total * w) // tw AS base, ($total * w) % tw AS rem
+       |  FROM w CROSS JOIN tot
+       |), q2 AS (
+       |  SELECT centroid_id, n, base,
+       |    row_number() OVER (ORDER BY rem DESC, centroid_id) AS rnk,
+       |    $total - sum(base) OVER () AS leftover
+       |  FROM q1
+       |), q AS (
+       |  SELECT centroid_id,
+       |    least(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END, n) AS quota
+       |  FROM q2
+       |), sel AS (
+       |  SELECT vec_id, centroid_id,
+       |    row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS rn
+       |  FROM asg
+       |)
+       |SELECT vec_id, centroid_id FROM sel JOIN q USING (centroid_id)
+       |WHERE rn <= quota ORDER BY vec_id""".stripMargin
 
   /** Replays [[graft.ext.Similarity.pqTrain]]+[[Similarity.pqEncode]]
     * (s06): ONE md5-ordered seed prefix shared by all subspaces, then
@@ -2584,6 +2656,7 @@ object Pipeline {
     // the greedy selection unrolled to one CTE pair per pick — every
     // iteration's arg-max (ties included) replayed in integer space
     "s13_mmr_rerank" -> mmrOracle(nQueries = 8, pool = 20, k = 5, lam = 700L),
+    "s14_cluster_mixture" -> clusterMixtureOracle(k = 8, iters = 2, total = 70L),
     // both arms replayed (BM25 with t16's integer weighting; exact
     // cosine with the s01 float convention), then the integer fusion
     "s12_hybrid_rrf" ->
@@ -3584,6 +3657,7 @@ object Pipeline {
     "s11_linear_probe"   -> s11LinearProbe _,
     "s12_hybrid_rrf"     -> s12HybridRrf _,
     "s13_mmr_rerank"     -> s13MmrRerank _,
+    "s14_cluster_mixture" -> s14ClusterMixture _,
     "t26_chunk_windows"  -> t26ChunkWindows _,
     "t27_novelty"        -> t27Novelty _,
     "g01_pagerank"       -> g01PageRank _,

@@ -423,6 +423,20 @@ object Relational {
       .orderBy(col("column"))
   }
 
+  /** Q28a — the 100× twin of q28: [[graft.ops.Profiler.profileApprox]]
+    * (HLL++ distinct counts, one plain-agg scan, NO Expand — the plan
+    * q28's scaladoc points large corpora at). Registered rows-only: the
+    * estimates are deterministic for fixed data+rsd but engine-specific,
+    * so there is no DuckDB hash to match; its ≤ 2 % per-column error is
+    * pinned on the fixture in SkewAndBucketSpec AND re-measured against
+    * the exact profile at the bench SF every bench run
+    * (`hll_profile_max_err` in the artifact), so the scale path stays
+    * continuously gated, not just spec'd once.
+    */
+  def q28aProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.profileApprox(Tables.orders(spark, dir))
+      .orderBy(col("column"))
+
   /** Q30 — the TPC-H Q3 "shipping priority" shape: three-table
     * fact⋈fact⋈dim join with selective predicates on EVERY input
     * (segment on customer, date cutoffs on orders and lineitem), a
@@ -911,6 +925,7 @@ object Relational {
     "q26_unpivot"     -> q26Unpivot _,
     "q27_bucket_join" -> q27BucketJoin _,
     "q28_column_profile" -> q28ColumnProfile _,
+    "q28a_profile_approx" -> q28aProfileApprox _,
     "q29_correlated" -> q29Correlated _,
     "q30_shipping_priority" -> q30ShippingPriority _,
     "q31_large_volume" -> q31LargeVolume _,

@@ -400,6 +400,26 @@ class ExtSpec extends AnyFunSuite {
     assert(n5 <= n2, s"plan grew with k: $n2 nodes at k=2 vs $n5 at k=5")
   }
 
+  test("assignToCodebook: total, deterministic, centroids from the state, dup-vectors agree") {
+    import spark.implicits._
+    val state = Similarity.trainCodebook(emb, k = 8, iters = 2)
+    val validCids = state.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val assigned = Similarity.assignToCodebook(emb, state).cache()
+    assert(assigned.count() == emb.count(), "every vector must be assigned")
+    val cids = assigned.select("centroid_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(cids.subsetOf(validCids), s"unknown centroid ids: ${cids -- validCids}")
+    // identical vectors provably agree (rounded sims + smallest-cid ties)
+    val base5 = emb.limit(5).select(col("vec_id"), col("embedding"))
+    val twins = base5.select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val both = Similarity.assignToCodebook(base5.unionByName(twins), state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0 until 5).foreach { i =>
+      val orig = both.keys.filter(_ < 500000L).toSeq.sorted.apply(i)
+      assert(both(orig) == both(orig + 500000L), s"twin of $orig diverged")
+    }
+  }
+
   test("bounded-probe contracts: oversized collected/broadcast sides fail loudly") {
     // each guard trips at a tiny override so the test stays fixture-sized;
     // the corresponding happy path is covered by the s03/s06/s10 gates
