@@ -266,6 +266,10 @@ object Bench {
       // Expand — growth should be pure scan cost
       "column_profile_approx" -> (n => graft.ops.Profiler.profileApprox(
         scaledBy(Tables.orders(spark, sfDir), "o_orderkey", n))),
+      // distribution fingerprint for the drift monitor: one posexplode
+      // + map-side-combined dim-cardinality agg — growth must be pure
+      // scan cost (dim rows out regardless of corpus size)
+      "emb_moments" -> (n => Similarity.embeddingMoments(embAt(n))),
       // broadcast-weights inference: a narrow codegen projection —
       // growth must be pure scan cost
       "linear_probe" -> (n => Similarity.linearProbe(embAt(n),

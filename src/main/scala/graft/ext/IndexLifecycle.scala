@@ -45,6 +45,9 @@ object IndexLifecycle {
       zorderCols = Seq("table", "bucket"))
     Similarity.writeLshParams(spark, rebuild,
       Similarity.LshParams(dim, bitsPerTable, tables, seedBase))
+    // record the build corpus's distribution fingerprint so ingest can
+    // ask driftSinceBuild without keeping the corpus around
+    Similarity.writeMomentsSidecar(vectors, rebuild, vecCol)
     swapIn(spark, rebuild, livePath)
   }
 
@@ -72,6 +75,7 @@ object IndexLifecycle {
     Similarity.writeIvfIndexParts(index, rebuild)
     Compactor.doAutoCoalesce(s"$rebuild/lists", requestedSizeMb,
       zorderCols = Seq("centroid_id"))
+    Similarity.writeMomentsSidecar(corpus, rebuild, vecCol)
     swapIn(spark, rebuild, livePath)
   }
 
@@ -89,6 +93,7 @@ object IndexLifecycle {
     Similarity.writePqIndex(corpus, rebuild, m, k, iters, idCol, vecCol)
     Compactor.doAutoCoalesce(s"$rebuild/codes", requestedSizeMb,
       zorderCols = Seq("sub", "code"))
+    Similarity.writeMomentsSidecar(corpus, rebuild, vecCol)
     swapIn(spark, rebuild, livePath)
   }
 
@@ -132,6 +137,24 @@ object IndexLifecycle {
     Dedup.writePairGraphParams(spark, rebuild,
       Dedup.PairGraphParams("jaccard", n, minJaccard))
     swapIn(spark, rebuild, livePath)
+  }
+
+  /** Drift of an ingest batch against the distribution the LIVE index
+    * was built from ([[Similarity.embeddingDrift]] vs the
+    * `_graft_moments` sidecar every vector rebuild records): the
+    * measured answer to "do the planes/codebooks still describe this
+    * corpus?", thresholded by the caller —
+    * `if (Similarity.maxAbsDrift(driftSinceBuild(...)) > tol)
+    * rebuild…Index(...)`. Dim-row cost on the index side; one
+    * map-side-combined aggregation over the batch.
+    */
+  def driftSinceBuild(spark: SparkSession, livePath: String, batch: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val before = Similarity.readMomentsSidecar(spark, livePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"$livePath has no _graft_moments sidecar — rebuild with the current " +
+        "lifecycle to record the build distribution"))
+    Similarity.embeddingDrift(before, Similarity.embeddingMoments(batch, vecCol))
   }
 
   /** Fuse-guarded atomic swap: promote `rebuildPath` over `livePath`.

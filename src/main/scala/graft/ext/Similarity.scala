@@ -857,6 +857,74 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
   }
 
+  /** Per-dimension first-moment summary of an embedding corpus —
+    * `(pos, cnt, msum)` with `msum = Σ floor(x·1e6)` EXACT integers
+    * (the trainCodebook state convention: long sums are
+    * order-independent across engines and shuffle orders). ONE
+    * posexplode + map-side-combined groupBy on pos; output is dim
+    * rows regardless of corpus size — the cheapest distribution
+    * fingerprint there is, and the input to [[embeddingDrift]].
+    */
+  def embeddingMoments(vectors: DataFrame, vecCol: String = "embedding"): DataFrame =
+    vectors.select(posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("cnt"), sum(floor(col("x") * 1e6).cast("long")).as("msum"))
+
+  /** Per-dimension mean drift between two [[embeddingMoments]] frames —
+    * the operational "when to rebuild" signal the index lifecycle
+    * documents (codebooks/planes answer "as of train time"; rebuild
+    * when the vector DISTRIBUTION drifts): compare the moments sidecar
+    * captured at index-build time against the moments of recent
+    * ingest, and trigger [[IndexLifecycle]] rebuilds when `dmean`
+    * exceeds the corpus's tolerance. Means derive as ONE IEEE division
+    * of exact integers rounded to 6 (the s01 float convention), so the
+    * whole report — dim rows, joins at dim cardinality — replays in a
+    * SQL oracle. Output: (pos, cnt_before, cnt_after, mean_before,
+    * mean_after, dmean).
+    */
+  def embeddingDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = before.select(col("pos"), col("cnt").as("cnt_before"),
+      col("msum").as("msum_before"))
+    val a = after.select(col("pos"), col("cnt").as("cnt_after"),
+      col("msum").as("msum_after"))
+    b.join(a, Seq("pos"))
+      .select(col("pos").cast("long").as("pos"),
+        col("cnt_before"), col("cnt_after"),
+        round(col("msum_before") / (col("cnt_before") * 1e6), 6).as("mean_before"),
+        round(col("msum_after") / (col("cnt_after") * 1e6), 6).as("mean_after"))
+      .withColumn("dmean", round(col("mean_after") - col("mean_before"), 6))
+  }
+
+  /** Scalar worst-case drift of an [[embeddingDrift]] report — the
+    * dim-row driver reduction an ingest job thresholds on
+    * (`if (maxAbsDrift(...) > tol) IndexLifecycle.rebuild...`).
+    */
+  def maxAbsDrift(drift: DataFrame): Double =
+    drift.agg(max(abs(col("dmean")))).head().getDouble(0)
+
+  /** Persist the corpus's [[embeddingMoments]] next to a vector index —
+    * `<path>/_graft_moments` (underscore-prefixed, so index readers
+    * skip it like `_SUCCESS`/the params sidecars). Recorded by the
+    * [[IndexLifecycle]] rebuilds so ingest can ask "has the
+    * distribution drifted since this index was trained?"
+    * ([[IndexLifecycle.driftSinceBuild]]) without keeping the build
+    * corpus around. Dim rows — one file.
+    */
+  def writeMomentsSidecar(vectors: DataFrame, path: String,
+      vecCol: String = "embedding"): Unit =
+    embeddingMoments(vectors, vecCol).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_moments")
+
+  /** The [[writeMomentsSidecar]] frame of an index; None for an index
+    * built before the sidecar existed.
+    */
+  def readMomentsSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_moments")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
   /** Rounded-cosine nearest-centroid assignment against a
     * [[trainCodebook]] STATE frame — the s04/s05 assignment key
     * (round-6 cosine, ties to the smallest centroid id), so the

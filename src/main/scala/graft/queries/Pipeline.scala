@@ -853,6 +853,26 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding distribution drift ([[Similarity.embeddingMoments]] +
+    * [[Similarity.embeddingDrift]]): per-dimension mean drift of the
+    * label-0 subpopulation against the whole corpus — the monitor an
+    * ingest pipeline runs against the moments captured at index-build
+    * time to decide when the LSH planes / IVF codebook / PQ codebooks
+    * need retraining (they answer "as of train time"; the lifecycle's
+    * documented rebuild trigger, now measured rather than assumed).
+    * Corpus-scale work is two map-side-combined dim-cardinality
+    * aggregations; everything downstream lives at dim rows. Exact
+    * integer micro-sums → one rounded IEEE division per mean, so the
+    * full report hash-matches the oracle.
+    */
+  def s15EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.embeddingDrift(
+        Similarity.embeddingMoments(emb),
+        Similarity.embeddingMoments(emb.filter(col("label") === 0)))
+      .orderBy(col("pos"))
+  }
+
   /** URL canonicalization + domain stats ([[UrlOps]]): per-doc
     * deterministic synthetic crawl URLs (uppercase `WWW.` aliases,
     * default :443 ports, trailing slashes, `utm_*` tracking params,
@@ -2657,6 +2677,30 @@ object Pipeline {
     // iteration's arg-max (ties included) replayed in integer space
     "s13_mmr_rerank" -> mmrOracle(nQueries = 8, pool = 20, k = 5, lam = 700L),
     "s14_cluster_mixture" -> clusterMixtureOracle(k = 8, iters = 2, total = 70L),
+    // replays both moment aggregations (exact integer micro-sums) and
+    // the rounded-division means at dim cardinality
+    "s15_embedding_drift" ->
+      """WITH v AS (
+        |  SELECT label, embedding::DOUBLE[] AS e FROM embeddings
+        |), mb AS (
+        |  SELECT p.p - 1 AS pos, count(*) AS cnt,
+        |    CAST(sum(CAST(floor(e[p.p] * 1000000) AS BIGINT)) AS BIGINT) AS msum
+        |  FROM v, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS p) p
+        |  GROUP BY 1
+        |), ma AS (
+        |  SELECT p.p - 1 AS pos, count(*) AS cnt,
+        |    CAST(sum(CAST(floor(e[p.p] * 1000000) AS BIGINT)) AS BIGINT) AS msum
+        |  FROM v, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS p) p
+        |  WHERE label = 0
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(mb.pos AS BIGINT) AS pos,
+        |  mb.cnt AS cnt_before, ma.cnt AS cnt_after,
+        |  round(mb.msum / (mb.cnt * 1000000.0), 6) AS mean_before,
+        |  round(ma.msum / (ma.cnt * 1000000.0), 6) AS mean_after,
+        |  round(round(ma.msum / (ma.cnt * 1000000.0), 6)
+        |      - round(mb.msum / (mb.cnt * 1000000.0), 6), 6) AS dmean
+        |FROM mb JOIN ma USING (pos) ORDER BY pos""".stripMargin,
     // both arms replayed (BM25 with t16's integer weighting; exact
     // cosine with the s01 float convention), then the integer fusion
     "s12_hybrid_rrf" ->
@@ -3658,6 +3702,7 @@ object Pipeline {
     "s12_hybrid_rrf"     -> s12HybridRrf _,
     "s13_mmr_rerank"     -> s13MmrRerank _,
     "s14_cluster_mixture" -> s14ClusterMixture _,
+    "s15_embedding_drift" -> s15EmbeddingDrift _,
     "t26_chunk_windows"  -> t26ChunkWindows _,
     "t27_novelty"        -> t27Novelty _,
     "g01_pagerank"       -> g01PageRank _,

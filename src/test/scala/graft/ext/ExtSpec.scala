@@ -400,6 +400,29 @@ class ExtSpec extends AnyFunSuite {
     assert(n5 <= n2, s"plan grew with k: $n2 nodes at k=2 vs $n5 at k=5")
   }
 
+  test("embeddingDrift: no-shift reports zero everywhere; a planted shift surfaces on its dim only") {
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val m = Similarity.embeddingMoments(base)
+    // identical populations: every dmean is exactly 0 (same integers in,
+    // same rounded division out)
+    val zero = Similarity.embeddingDrift(m, Similarity.embeddingMoments(base))
+    assert(zero.count() == 64)
+    assert(zero.filter(col("dmean") =!= 0.0).count() == 0)
+    assert(Similarity.maxAbsDrift(zero) == 0.0)
+    // plant a +0.25 shift on dim 3 only
+    val shifted = base.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 3, x + lit(0.25f)).otherwise(x)).as("embedding"))
+    val drift = Similarity.embeddingDrift(m, Similarity.embeddingMoments(shifted)).cache()
+    val at3 = drift.filter(col("pos") === 3).head()
+    assert(math.abs(at3.getAs[Double]("dmean") - 0.25) < 1e-3,
+      s"planted shift not recovered: ${at3.getAs[Double]("dmean")}")
+    // every other dim moves at most by the floor-quantization noise
+    assert(drift.filter(col("pos") =!= 3 && abs(col("dmean")) > 1e-4).count() == 0)
+    assert(math.abs(Similarity.maxAbsDrift(drift) - 0.25) < 1e-3)
+  }
+
   test("assignToCodebook: total, deterministic, centroids from the state, dup-vectors agree") {
     import spark.implicits._
     val state = Similarity.trainCodebook(emb, k = 8, iters = 2)

@@ -78,6 +78,35 @@ class IndexLifecycleSpec extends AnyFunSuite {
       "post-swap results never surface the rebuilt corpus's twin vectors")
   }
 
+  test("drift monitor: moments sidecar rides the rebuild+swap; planted shift triggers, same corpus doesn't") {
+    val root = Files.createTempDirectory("graft_idx_drift").toFile.getAbsolutePath
+    val live = s"$root/ann_index"
+    // pre-sidecar index: driftSinceBuild must fail loudly, not guess
+    Similarity.writeLshIndex(emb, live, 64, 6, 8, 777L)
+    val eNo = intercept[IllegalArgumentException] {
+      IndexLifecycle.driftSinceBuild(spark, live, emb)
+    }
+    assert(eNo.getMessage.contains("_graft_moments"), eNo.getMessage)
+    // lifecycle rebuild records the fingerprint; it survives compaction
+    // AND the atomic swap, and the index data reads are unaffected
+    IndexLifecycle.rebuildLshIndex(emb, live, 64, 6, 8, 777L)
+    assert(Similarity.readMomentsSidecar(spark, live).isDefined)
+    assert(Similarity.readLshIndex(spark, live).columns.toSet ==
+      Set("id", "vec", "norm", "table", "bucket"),
+      "moments sidecar leaked into the index read")
+    // same corpus: zero drift everywhere
+    val same = IndexLifecycle.driftSinceBuild(spark, live, emb)
+    assert(same.count() == 64 && Similarity.maxAbsDrift(same) == 0.0)
+    // an ingest batch with a planted +0.25 shift on dim 5 surfaces it
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 5, x + lit(0.25f)).otherwise(x)).as("embedding"))
+    val drift = IndexLifecycle.driftSinceBuild(spark, live, shifted)
+    val at5 = drift.filter(col("pos") === 5).head().getAs[Double]("dmean")
+    assert(math.abs(at5 - 0.25) < 1e-3, s"planted drift not recovered: $at5")
+    assert(math.abs(Similarity.maxAbsDrift(drift) - 0.25) < 1e-3)
+  }
+
   test("hybrid RRF serving across an index swap: stream == batch on both sides") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
