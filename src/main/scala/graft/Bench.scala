@@ -191,6 +191,21 @@ object Bench {
       idx.count()
       n -> idx
     }.toMap
+    // prebuilt LSH bucket indexes for the hybrid_serve arm — the
+    // semantic arm probes a PREBUILT index (the startAtHybrid serving
+    // path); the static lexical arm and the RRF fusion are list-sized
+    val lshParams = graft.ext.Similarity.LshParams(64, 12, 4, 1000L)
+    val lshIdx: Map[Int, DataFrame] = Seq(1, k).map { n =>
+      val idx = Similarity.lshIndex(embAt(n), lshParams.dim,
+        lshParams.bitsPerTable, lshParams.tables, lshParams.seedBase).persist()
+      idx.count()
+      n -> idx
+    }.toMap
+    val lexArmFixed = spark.range(20).selectExpr("id AS query_id")
+      .crossJoin(spark.range(1, 11).selectExpr("id AS rank"))
+      .selectExpr("query_id", "query_id * 3 + rank * 7 AS doc_id", "rank")
+      .persist()
+    lexArmFixed.count()
     // fixed merge table for the bpe_encode arm — training is amortized
     // setup (the t25 production path); the arm times ENCODE only
     val bpeMergesFixed: Seq[TextOps.BpeMerge] =
@@ -266,6 +281,16 @@ object Bench {
       // Expand — growth should be pure scan cost
       "column_profile_approx" -> (n => graft.ops.Profiler.profileApprox(
         scaledBy(Tables.orders(spark, sfDir), "o_orderkey", n))),
+      // hybrid retrieval serving against a PREBUILT LSH index: probe
+      // hashing + bucket join for the semantic arm, list-sized lexical
+      // arm + RRF fusion — per-batch cost must stay bucket-bound as
+      // the corpus grows (the startAtHybrid per-trigger shape)
+      "hybrid_serve" -> { n =>
+        val sem = Similarity.lshTopKIndexed(
+            embAt(n).filter(col("vec_id") < 20), lshIdx(n), 50, lshParams)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        Similarity.rrfFusePerQuery(Seq(sem, lexArmFixed), k = 10)
+      },
       // distribution fingerprint for the drift monitor: one posexplode
       // + map-side-combined dim-cardinality agg — growth must be pure
       // scan cost (dim rows out regardless of corpus size)
@@ -296,6 +321,8 @@ object Bench {
       cb.unpersist(blocking = false); lists.unpersist(blocking = false)
     }
     mhIdx.values.foreach(_.unpersist(blocking = false))
+    lshIdx.values.foreach(_.unpersist(blocking = false))
+    lexArmFixed.unpersist(blocking = false)
     out
   }
 

@@ -374,6 +374,44 @@ class PlanSpec extends AnyFunSuite {
       s"multi count-distinct should plan as one Expand:\n$plan")
   }
 
+  test("q28a: HLL profile is one plain-agg scan — NO Expand (the q28 scale twin's whole point)") {
+    val plan = planOf("q28a_profile_approx")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"approx profile must read the table once, got $scans:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"HLL profile must not multiply the scan through an Expand:\n$plan")
+  }
+
+  test("s14: cluster mixture — codegen assignment (no join to a codebook), quota join broadcasts") {
+    val plan = planOf("s14_cluster_mixture")
+    assert(!plan.contains("CartesianProduct"), s"mixture went cartesian:\n$plan")
+    // the literal-codebook argmax is an expression, not a join: the only
+    // joins in the plan are the broadcast of the cluster-cardinality
+    // quota table back onto the assigned corpus
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj == 0, s"assignment/quota stage must not sort-merge corpus rows:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cluster-cardinality quotas should broadcast:\n$plan")
+  }
+
+  test("s15: drift report joins at DIM cardinality — aggregates below the join, no vector shuffle") {
+    val qe = SparkEntry.queries("s15_embedding_drift")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"drift went cartesian:\n$plan")
+    // both moment aggregations (partial+final) sit BELOW the pos join,
+    // so the join's inputs are dim-row frames, never corpus rows
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0, s"expected a dim-cardinality join:\n$plan")
+    val belowJoin = plan.substring(joinIdx)
+    assert("HashAggregate".r.findAllIn(belowJoin).size >= 4,
+      s"moment aggregates must be below the pos join (dim-row join inputs):\n$plan")
+    // the embedding column never rides an exchange: only pos/cnt/msum do
+    "Exchange[^\\n]*".r.findAllIn(plan).foreach { ex =>
+      assert(!ex.contains("embedding") && !ex.contains(" x#"),
+        s"vector payload crossed an exchange: $ex")
+    }
+  }
+
   test("q29: nation aggregate joins broadcast; no per-row correlated subquery survives") {
     val plan = planOf("q29_correlated")
     assert(plan.contains("BroadcastHashJoin"),

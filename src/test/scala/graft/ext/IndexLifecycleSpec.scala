@@ -107,6 +107,62 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(math.abs(Similarity.maxAbsDrift(drift) - 0.25) < 1e-3)
   }
 
+  test("streaming drift monitor: running moments accumulate across batches; a swap re-baselines") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("graft_stream_drift").toFile.getAbsolutePath
+    val live = s"$root/ann_index"
+    IndexLifecycle.rebuildLshIndex(emb, live, 64, 6, 8, 777L)
+    // ingest drifts: every vector shifted +0.25 on dim 2
+    val shifted = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 2, x + lit(0.25f)).otherwise(x)).as("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val (half1, half2) = shifted.splitAt(shifted.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingDrift.start(
+      input.toDF().toDF("vec_id", "embedding"), live, s"$root/report", s"$root/ckpt")
+    def report() = spark.read.parquet(s"$root/report")
+    try {
+      input.addData(half1.toIndexedSeq)
+      q.processAllAvailable()
+      val r1 = report().filter(col("pos") === 2).head()
+      // 0.01 tolerance: batch 1 is HALF the population, so its mean
+      // differs from the build corpus's by sampling noise (~0.003 on
+      // this fixture) on top of the planted 0.25
+      assert(math.abs(r1.getAs[Double]("dmean") - 0.25) < 0.01,
+        s"batch-1 drift not surfaced: ${r1.getAs[Double]("dmean")}")
+      assert(r1.getAs[Long]("cnt_after") == half1.length, "report must cover batch 1 only")
+      // second batch ACCUMULATES: the report now covers the whole stream
+      input.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      val r2 = report()
+      assert(r2.filter(col("pos") === 2).head().getAs[Long]("cnt_after") == shifted.length,
+        "running moments must accumulate across micro-batches")
+      // report == the batch operator over everything streamed so far
+      val expected = Similarity.embeddingDrift(
+          Similarity.readMomentsSidecar(spark, live).get,
+          Similarity.embeddingMoments(shifted.toSeq.toDF("vec_id", "embedding")))
+        .collect().map(r => (r.getLong(0), r.getAs[Double]("dmean"))).toMap
+      r2.collect().foreach { r =>
+        assert(r.getAs[Double]("dmean") == expected(r.getLong(0)),
+          s"stream != batch at pos ${r.getLong(0)}")
+      }
+      // the index rebuilds on the DRIFTED corpus and swaps mid-stream:
+      // the next trigger re-baselines against the new sidecar, so the
+      // previously-drifting dim reads as (near) zero again
+      IndexLifecycle.rebuildLshIndex(
+        shifted.toSeq.toDF("vec_id", "embedding"), live, 64, 6, 8, 777L)
+      input.addData(Seq(shifted.head))
+      q.processAllAvailable()
+      val r3 = report().filter(col("pos") === 2).head().getAs[Double]("dmean")
+      // the running stream now holds shifted-all + one duplicated row,
+      // vs the sidecar of shifted-all: only the dup row's pull remains
+      assert(math.abs(r3) < 0.01,
+        s"post-swap report must baseline against the NEW sidecar, got $r3")
+    } finally q.stop()
+  }
+
   test("hybrid RRF serving across an index swap: stream == batch on both sides") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
