@@ -306,6 +306,34 @@ object CurationTour {
       viaIdx.exceptAll(direct).isEmpty && direct.exceptAll(viaIdx).isEmpty
     }
 
+    check("drift watch: build-time moments flag a shifted ingest batch, not a faithful one") {
+      // the monitoring tail of the curation loop: the ANN index rebuilt
+      // on the curated corpus records its distribution fingerprint, and
+      // the NEXT ingest batch is compared against it before it is
+      // trusted — rebuild-on-drift instead of rebuild-on-schedule
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val idxDir = java.nio.file.Files.createTempDirectory("curation_drift")
+        .toFile.getAbsolutePath
+      graft.ext.IndexLifecycle.rebuildLshIndex(emb, s"$idxDir/ann", 64, 6, 8, 777L)
+      val faithful = graft.ext.Similarity.maxAbsDrift(
+        graft.ext.IndexLifecycle.driftSinceBuild(spark, s"$idxDir/ann", emb))
+      val shifted = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.3f)).otherwise(x)).as("embedding"))
+      val drifted = graft.ext.Similarity.maxAbsDrift(
+        graft.ext.IndexLifecycle.driftSinceBuild(spark, s"$idxDir/ann", shifted))
+      faithful == 0.0 && drifted > 0.25
+    }
+
+    check("hard-negative triplets: every anchor's negative is outside the near-dup margin") {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val triplets = graft.ext.Similarity.tripletMine(
+        emb.filter(col("vec_id") < 12), emb, poolSize = 20, marginMicro = 50000L)
+      triplets.count() > 0 &&
+        triplets.filter(col("neg_micro") > col("pos_micro") - 50000L).count() == 0 &&
+        triplets.filter(col("neg_id") === col("pos_id")).count() == 0
+    }
+
     println(if (failed == 0) "CurationTour: all checks passed"
             else s"CurationTour: $failed check(s) FAILED")
     spark.stop()

@@ -164,6 +164,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative triplet mining — the contrastive-training data op
+    * (anchor, positive, hard negative) a retrieval/embedding trainer
+    * consumes: per anchor, the positive is its exact top-1 neighbor,
+    * and the hard negative is the HIGHEST-ranked pool candidate whose
+    * similarity sits at least `marginMicro` (micro-units) below the
+    * positive's — close enough to be hard, far enough to dodge the
+    * false-negative trap of treating a near-duplicate as a negative.
+    * Anchors whose pool holds no margin-satisfying candidate emit
+    * nothing (mine with a larger pool or a smaller margin).
+    *
+    * Scale shape: the only corpus-scale stage is the gated top-k pool
+    * (brute force here; swap the LSH/IVF/PQ serving path at 100 TB by
+    * passing `pool`); selection is windows over ≤ poolSize rows per
+    * anchor. Integer micro-sims end to end, ties by id — the mined
+    * triplets hash-match the oracle's replay.
+    */
+  def tripletMine(queries: DataFrame, corpus: DataFrame, poolSize: Int = 20,
+      marginMicro: Long = 50000L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pool: Option[DataFrame] = None): DataFrame = {
+    require(poolSize >= 2, "poolSize must hold at least a positive and a candidate")
+    require(marginMicro >= 0L, "marginMicro must be non-negative")
+    val p = pool.getOrElse(bruteForceTopK(queries, corpus, poolSize, idCol, vecCol))
+      .withColumn("sim_micro", round(col("sim") * 1e6, 0).cast("long"))
+    val pos = p.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"),
+        col("sim_micro").as("pos_micro"))
+    val wFirst = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    p.join(pos, Seq("query_id"))
+      // rank > 1: at marginMicro = 0 the positive itself satisfies the
+      // <= filter and would be mined as its own negative
+      .filter(col("rank") > 1 && col("sim_micro") <= col("pos_micro") - marginMicro)
+      .withColumn("_rn", row_number().over(wFirst))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), col("pos_id"), col("pos_micro"),
+        col("neighbor_id").as("neg_id"), col("sim_micro").as("neg_micro"),
+        col("rank").as("neg_rank"))
+  }
+
   /** [[rrfFuse]] grouped per query — the serving-batch shape: each arm
     * is `(queryCol, idCol, rank)` top-k lists for MANY queries at once
     * (a micro-batch of the hybrid-retrieval stream), fusion and the

@@ -853,6 +853,20 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Hard-negative triplet mining ([[Similarity.tripletMine]]): for
+    * each of 12 anchors, (positive = exact top-1, hard negative =
+    * highest-ranked pool candidate ≥ 0.05 cosine below the positive)
+    * out of a 20-candidate pool — the contrastive-training data op.
+    * Integer micro-sims; the oracle replays the ranked pool and both
+    * selection rules.
+    */
+  def s16TripletMine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.tripletMine(emb.filter(col("vec_id") < 12), emb,
+        poolSize = 20, marginMicro = 50000L)
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding distribution drift ([[Similarity.embeddingMoments]] +
     * [[Similarity.embeddingDrift]]): per-dimension mean drift of the
     * label-0 subpopulation against the whole corpus — the monitor an
@@ -2677,6 +2691,34 @@ object Pipeline {
     // iteration's arg-max (ties included) replayed in integer space
     "s13_mmr_rerank" -> mmrOracle(nQueries = 8, pool = 20, k = 5, lam = 700L),
     "s14_cluster_mixture" -> clusterMixtureOracle(k = 8, iters = 2, total = 70L),
+    // replays the ranked 20-candidate pool (the s01 formulation), the
+    // top-1 positive, and the first-rank-below-margin negative rule
+    "s16_triplet_mine" ->
+      """WITH pool AS (
+        |  SELECT query_id, neighbor_id, rank,
+        |    CAST(round(sim * 1000000, 0) AS BIGINT) AS sim_micro
+        |  FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |                 b.vec_id) AS rank
+        |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        |    WHERE a.vec_id < 12) t
+        |  WHERE rank <= 20
+        |), pos AS (
+        |  SELECT query_id, neighbor_id AS pos_id, sim_micro AS pos_micro
+        |  FROM pool WHERE rank = 1
+        |), neg AS (
+        |  SELECT p.query_id, pos.pos_id, pos.pos_micro,
+        |    p.neighbor_id AS neg_id, p.sim_micro AS neg_micro,
+        |    CAST(p.rank AS BIGINT) AS neg_rank,
+        |    row_number() OVER (PARTITION BY p.query_id ORDER BY p.rank) AS rn
+        |  FROM pool p JOIN pos USING (query_id)
+        |  WHERE p.rank > 1 AND p.sim_micro <= pos.pos_micro - 50000
+        |)
+        |SELECT query_id, pos_id, pos_micro, neg_id, neg_micro, neg_rank
+        |FROM neg WHERE rn = 1 ORDER BY query_id""".stripMargin,
     // replays both moment aggregations (exact integer micro-sums) and
     // the rounded-division means at dim cardinality
     "s15_embedding_drift" ->
@@ -3703,6 +3745,7 @@ object Pipeline {
     "s13_mmr_rerank"     -> s13MmrRerank _,
     "s14_cluster_mixture" -> s14ClusterMixture _,
     "s15_embedding_drift" -> s15EmbeddingDrift _,
+    "s16_triplet_mine"   -> s16TripletMine _,
     "t26_chunk_windows"  -> t26ChunkWindows _,
     "t27_novelty"        -> t27Novelty _,
     "g01_pagerank"       -> g01PageRank _,

@@ -400,6 +400,28 @@ class ExtSpec extends AnyFunSuite {
     assert(n5 <= n2, s"plan grew with k: $n2 nodes at k=2 vs $n5 at k=5")
   }
 
+  test("tripletMine: first-below-margin negative; near-dup candidates skipped; no-candidate anchors drop") {
+    import spark.implicits._
+    // hand pool: anchor 1 — pos .9; rank2 .88 is INSIDE the margin
+    // (near-dup, must be skipped), rank3 .84 is the hard negative.
+    // anchor 2 — pos .7; every candidate within margin ⇒ no triplet.
+    val pool = Seq(
+      (1L, 10L, 0.90, 1L), (1L, 11L, 0.88, 2L), (1L, 12L, 0.84, 3L), (1L, 13L, 0.20, 4L),
+      (2L, 20L, 0.70, 1L), (2L, 21L, 0.68, 2L))
+      .toDF("query_id", "neighbor_id", "sim", "rank")
+    val got = Similarity.tripletMine(null, null, poolSize = 4,
+        marginMicro = 50000L, pool = Some(pool))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5)))
+    assert(got.length == 1, s"anchor 2 has no margin-satisfying candidate: ${got.toSeq}")
+    assert(got(0) == ((1L, 10L, 12L, 3L)),
+      s"expected (anchor 1, pos 10, neg 12 at rank 3): ${got(0)}")
+    // margin 0 admits the rank-2 candidate (equality is allowed: <=)
+    val loose = Similarity.tripletMine(null, null, poolSize = 4,
+        marginMicro = 0L, pool = Some(pool))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(loose(1L) == 11L && loose(2L) == 21L)
+  }
+
   test("embeddingDrift: no-shift reports zero everywhere; a planted shift surfaces on its dim only") {
     import spark.implicits._
     val base = emb.select(col("vec_id"), col("embedding"))
