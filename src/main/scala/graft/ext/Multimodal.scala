@@ -32,6 +32,170 @@ object Multimodal {
 
   val PngFormat = "image/png"
 
+  /** Byte-level PNG codec for the hot loop — the image twin of the
+    * RIFF/WAVE rewrite: encode emits IHDR + one filter-0 deflated IDAT
+    * + IEND (any standard decoder reads it; ImageIO parity is
+    * spec-pinned), decode chunk-walks the container, concatenates IDAT,
+    * inflates, and reconstructs all five PNG row filters (None / Sub /
+    * Up / Average / Paeth) for 8-bit RGB and RGBA non-interlaced
+    * images. Anything else (palette, 16-bit, interlaced, non-PNG)
+    * returns None and the caller falls back to ImageIO — correctness
+    * never narrows, only the common case gets the fast path.
+    */
+  private[ext] object PngBytes {
+    import java.util.zip.{CRC32, Deflater, Inflater}
+
+    private val Sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+    private def i32be(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    private def writeChunk(out: ByteArrayOutputStream, typ: String, body: Array[Byte]): Unit = {
+      val len = body.length
+      out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb, 0, 4)
+      out.write(body, 0, len)
+      val crc = new CRC32()
+      crc.update(tb); crc.update(body)
+      val c = crc.getValue.toInt
+      out.write((c >>> 24) & 0xff); out.write((c >>> 16) & 0xff)
+      out.write((c >>> 8) & 0xff); out.write(c & 0xff)
+    }
+
+    def encode(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+      val stride = width * 3
+      val raw = new Array[Byte]((stride + 1) * height)
+      var y = 0
+      while (y < height) {
+        val ro = y * (stride + 1) // raw(ro) = 0: filter type None
+        var x = 0
+        while (x < width) {
+          val p = rgb(y * width + x)
+          raw(ro + 1 + 3 * x) = ((p >> 16) & 0xff).toByte
+          raw(ro + 2 + 3 * x) = ((p >> 8) & 0xff).toByte
+          raw(ro + 3 + 3 * x) = (p & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+      deflater.setInput(raw); deflater.finish()
+      val zipped = new ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        zipped.write(buf, 0, n)
+      }
+      deflater.end()
+      val ihdr = new Array[Byte](13)
+      ihdr(0) = ((width >>> 24) & 0xff).toByte; ihdr(1) = ((width >>> 16) & 0xff).toByte
+      ihdr(2) = ((width >>> 8) & 0xff).toByte; ihdr(3) = (width & 0xff).toByte
+      ihdr(4) = ((height >>> 24) & 0xff).toByte; ihdr(5) = ((height >>> 16) & 0xff).toByte
+      ihdr(6) = ((height >>> 8) & 0xff).toByte; ihdr(7) = (height & 0xff).toByte
+      ihdr(8) = 8            // bit depth
+      ihdr(9) = 2            // color type: truecolor RGB
+      ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // deflate / adaptive / non-interlaced
+      val out = new ByteArrayOutputStream(zipped.size() + 64)
+      out.write(Sig, 0, 8)
+      writeChunk(out, "IHDR", ihdr)
+      writeChunk(out, "IDAT", zipped.toByteArray)
+      writeChunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (payload.length < 8 + 25 || !(0 until 8).forall(i => payload(i) == Sig(i)))
+        return None
+      var off = 8
+      var w = 0; var h = 0; var bitDepth = -1; var colorType = -1; var interlace = -1
+      val idat = new ByteArrayOutputStream()
+      var done = false
+      while (!done && off + 12 <= payload.length) {
+        val len = i32be(payload, off)
+        if (len < 0 || off + 12 + len > payload.length) return None // corrupt
+        val typ = new String(payload, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        typ match {
+          case "IHDR" =>
+            w = i32be(payload, off + 8); h = i32be(payload, off + 12)
+            bitDepth = payload(off + 16) & 0xff; colorType = payload(off + 17) & 0xff
+            interlace = payload(off + 20) & 0xff
+          case "IDAT" => idat.write(payload, off + 8, len)
+          case "IEND" => done = true
+          case _      => () // tEXt and other ancillary chunks: skip
+        }
+        off += 12 + len
+      }
+      if (bitDepth != 8 || (colorType != 2 && colorType != 6) || interlace != 0 ||
+        w <= 0 || h <= 0 || idat.size() == 0) return None
+      val bpp = if (colorType == 6) 4 else 3
+      val stride = w * bpp
+      val raw = new Array[Byte]((stride + 1) * h)
+      val inflater = new Inflater()
+      inflater.setInput(idat.toByteArray)
+      var got = 0
+      try {
+        while (got < raw.length && !inflater.finished()) {
+          val n = inflater.inflate(raw, got, raw.length - got)
+          if (n == 0 && (inflater.needsInput() || inflater.needsDictionary())) return None
+          got += n
+        }
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inflater.end()
+      if (got < raw.length) return None
+      val out = new Array[Int](w * h)
+      val prev = new Array[Byte](stride)
+      val cur = new Array[Byte](stride)
+      var y = 0
+      while (y < h) {
+        val ro = y * (stride + 1)
+        val ft = raw(ro) & 0xff
+        System.arraycopy(raw, ro + 1, cur, 0, stride)
+        ft match {
+          case 0 => ()
+          case 1 =>
+            var i = bpp
+            while (i < stride) { cur(i) = (cur(i) + cur(i - bpp)).toByte; i += 1 }
+          case 2 =>
+            var i = 0
+            while (i < stride) { cur(i) = (cur(i) + prev(i)).toByte; i += 1 }
+          case 3 =>
+            var i = 0
+            while (i < stride) {
+              val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+              cur(i) = (cur(i) + ((left + (prev(i) & 0xff)) >> 1)).toByte
+              i += 1
+            }
+          case 4 =>
+            var i = 0
+            while (i < stride) {
+              val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+              val b = prev(i) & 0xff
+              val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              cur(i) = (cur(i) + pred).toByte
+              i += 1
+            }
+          case _ => return None
+        }
+        var x = 0
+        while (x < w) {
+          val i = x * bpp
+          out(y * w + x) = ((cur(i) & 0xff) << 16) | ((cur(i + 1) & 0xff) << 8) | (cur(i + 2) & 0xff)
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      Some((w, h, out))
+    }
+  }
+
   object MediaCodec {
     private val P = 1000000007L
 
@@ -50,28 +214,29 @@ object Multimodal {
     }
 
     /** Encode an RGB raster (row-major packed 0xRRGGBB ints) as a real
-      * PNG via ImageIO. Lossless, so [[decodePng]] round-trips the
-      * exact pixels.
+      * PNG — byte-level: IHDR (8-bit RGB, non-interlaced) + one
+      * deflated filter-0 IDAT + IEND, CRC32 per chunk. Lossless, so
+      * [[decodePng]] round-trips the exact pixels, and any standard
+      * decoder (ImageIO parity is spec-pinned) reads it. Like the WAV
+      * codec, the per-row path is pure byte arithmetic — no
+      * BufferedImage, no color-model conversion, no ImageIO plumbing.
       */
     def encodePng(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
       require(rgb.length == width * height, s"raster ${rgb.length} != $width x $height")
-      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-      img.setRGB(0, 0, width, height, rgb, 0, width)
-      val out = new ByteArrayOutputStream()
-      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
-      val writer = pngWriter.get()
-      try {
-        writer.setOutput(ios)
-        writer.write(img)
-      } finally { writer.setOutput(null); ios.close() }
-      out.toByteArray
+      PngBytes.encode(width, height, rgb)
     }
 
-    /** Decode a PNG payload to (width, height, row-major 0xRRGGBB);
-      * falls back to the general (format-sniffing) ImageIO path for
-      * non-PNG image payloads.
+    /** Decode a PNG payload to (width, height, row-major 0xRRGGBB) —
+      * byte-level for the common case (8-bit RGB/RGBA, non-interlaced;
+      * full 5-filter unfilter, chunk walk skips tEXt/ancillary), with
+      * the ImageIO path kept as the fallback for every other layout
+      * and for non-PNG image payloads (format-sniffing). Byte==ImageIO
+      * decode parity on adaptive-filtered writer output is spec-pinned.
       */
-    def decodePng(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    def decodePng(payload: Array[Byte]): (Int, Int, Array[Int]) =
+      PngBytes.decode(payload).getOrElse(decodeViaImageIO(payload))
+
+    private def decodeViaImageIO(payload: Array[Byte]): (Int, Int, Array[Int]) = {
       val img =
         try {
           val iis = new javax.imageio.stream.MemoryCacheImageInputStream(

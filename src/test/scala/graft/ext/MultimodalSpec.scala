@@ -129,6 +129,37 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { AudioCodec.decodeWav(out.toByteArray) }
   }
 
+  test("PNG codec parity vs ImageIO in both directions; unfilter handles adaptive-filtered rows") {
+    import graft.ext.Multimodal.{MediaCodec, PngBytes}
+    // gradient raster big enough for ImageIO's adaptive writer to pick
+    // varied row filters (Sub/Up/Average/Paeth), exercising the
+    // byte decoder's full unfilter set
+    val w = 40; val h = 37
+    val rgb = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (((x * 6) & 0xff) << 16) | (((y * 7) & 0xff) << 8) | ((x * x + y * 3) & 0xff)
+    }
+    // our byte encode -> JDK decode: the JDK reads the exact raster back
+    val ours = MediaCodec.encodePng(w, h, rgb)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(img.getWidth == w && img.getHeight == h, "JDK misread our IHDR")
+    assert(img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF).sameElements(rgb))
+    // JDK encode (adaptive filters) -> our byte decode
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    bi.setRGB(0, 0, w, h, rgb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val viaBytes = PngBytes.decode(bos.toByteArray)
+    assert(viaBytes.isDefined, "byte decoder must accept ImageIO's writer output")
+    val (dw, dh, drgb) = viaBytes.get
+    assert(dw == w && dh == h && drgb.sameElements(rgb))
+    // a truncated payload declines (None) so the fallback handles it —
+    // the byte path never mis-decodes what it can't fully verify
+    // (ImageIO itself tolerates this particular truncation, which is
+    // exactly why declining to the fallback is the right contract)
+    assert(PngBytes.decode(ours.dropRight(20)).isEmpty)
+  }
+
   test("WAV codec parity vs javax.sound in both directions (byte codec is pinned to the JDK's)") {
     import graft.ext.Multimodal.AudioCodec
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
