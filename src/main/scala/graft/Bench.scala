@@ -206,6 +206,24 @@ object Bench {
       .selectExpr("query_id", "query_id * 3 + rank * 7 AS doc_id", "rank")
       .persist()
     lexArmFixed.count()
+    // the d27 record-linkage fixture at bench scale: catalog = the
+    // part string (scaled by id-salting — copies share strings, so
+    // matches multiply linearly), dirty = a FIXED small batch of
+    // md5-position-corrupted copy-0 strings
+    def partsAt(n: Int) = scaledBy(Tables.part(spark, sfDir), "p_partkey", n)
+      .select(col("p_partkey").as("id"),
+        concat(col("p_name"), lit("-"), col("p_brand"), lit("-"),
+          col("p_size").cast("string")).as("s"))
+    val dirtyParts = {
+      val base = partsAt(1).filter(col("id") < 1000000000L && col("id") % 30 === 0)
+      val pos = (conv(substring(md5(col("s")), 1, 4), 16, 10).cast("long")
+        % length(col("s"))).cast("int")
+      val d = base.select(col("id"),
+        concat(col("s").substr(lit(1), pos),
+          col("s").substr(pos + lit(2), length(col("s")))).as("s")).persist()
+      d.count()
+      d
+    }
     // fixed merge table for the bpe_encode arm — training is amortized
     // setup (the t25 production path); the arm times ENCODE only
     val bpeMergesFixed: Seq[TextOps.BpeMerge] =
@@ -308,6 +326,23 @@ object Bench {
       // single-task
       "seq_pack" -> (n => graft.ops.PrefixSum.seqPack(
         docsAt(n).select(col("doc_id"), col("text")), seqLen = 64L)),
+      // KMV corpus sketch: distinct of an 8-byte hash then TakeOrdered
+      // (per-partition k-row heaps, no corpus-sized sort) — growth
+      // must be pure scan + partial-agg cost
+      "kmv_sketch" -> (n => graft.ops.Approx.kmvSketch(
+        docsAt(n), col("text"), 256)),
+      // edit-distance matching, fixed dirty batch vs ×n catalog: the
+      // Ed-Join rare-gram prefix arm must stay candidate-bound (true
+      // matches grow linearly with the salted catalog) while the
+      // band-join naive verifies the whole length cohort every time.
+      // The band arm runs a BATCH/10 subsample (it costs ~60ms per
+      // dirty row against the ×1 catalog — measured 38.5s for the full
+      // 667-row batch); multiply its times by 10 to compare absolute
+      // cost with fuzzy_edjoin's full batch (the ×1 crossover is ~11×)
+      "fuzzy_band" -> (n => graft.ext.Fuzzy.fuzzyJoinBand(
+        dirtyParts.filter(col("id") % 300 === 0), partsAt(n), maxDist = 2)),
+      "fuzzy_edjoin" -> (n => graft.ext.Fuzzy.fuzzyJoin(
+        dirtyParts, partsAt(n), maxDist = 2)),
       // per-clip WAV decode + integer metrics: the codec boundary is
       // the cost; one decode per row, payloads never shuffle
       "audio_gate" -> (n => {
@@ -323,6 +358,7 @@ object Bench {
     mhIdx.values.foreach(_.unpersist(blocking = false))
     lshIdx.values.foreach(_.unpersist(blocking = false))
     lexArmFixed.unpersist(blocking = false)
+    dirtyParts.unpersist(blocking = false)
     out
   }
 

@@ -16,7 +16,8 @@ import graft.ext.{Dedup, TextOps}
   *   targeted review → deterministic train/val/test split → bigram-LM
   *   typicality report → largest-remainder domain mixture →
   *   token-budget shard packing → heavy-hitter vocabulary profile →
-  *   persisted minhash index for the NEXT ingest batch.
+  *   persisted minhash index for the NEXT ingest batch → edit-distance
+  *   metadata reconciliation → KMV sketch survival estimate.
   *
   * Run: `sbt "runMain graft.examples.CurationTour"` — prints one
   * OK/FAIL line per stage and exits nonzero on any FAIL. Every stage is
@@ -332,6 +333,40 @@ object CurationTour {
       triplets.count() > 0 &&
         triplets.filter(col("neg_micro") > col("pos_micro") - 50000L).count() == 0 &&
         triplets.filter(col("neg_id") === col("pos_id")).count() == 0
+    }
+
+    check("metadata reconciliation: every corrupted catalog string resolves by edit distance") {
+      // source-metadata cleanup: scraped/typo'd catalog strings matched
+      // back to the canonical catalog via the Ed-Join filtered
+      // levenshtein join — every single-deletion corruption must
+      // resolve to SOME catalog entry at distance <= 1
+      val cat = Tables.part(spark, sf).select(col("p_partkey").as("id"),
+        concat(col("p_name"), lit("-"), col("p_brand"), lit("-"),
+          col("p_size").cast("string")).as("s"))
+      val pos = (conv(substring(md5(col("s")), 1, 4), 16, 10).cast("long")
+        % length(col("s"))).cast("int")
+      val dirty = cat.filter(col("id") % 3 === 0).select(col("id"),
+        concat(col("s").substr(lit(1), pos),
+          col("s").substr(pos + lit(2), length(col("s")))).as("s"))
+      val nDirty = dirty.count()
+      val matched = graft.ext.Fuzzy.entityMatch(dirty, cat, maxDist = 2).cache()
+      val ok = matched.count() == nDirty &&
+        matched.filter(col("dist") > 1).count() == 0
+      matched.unpersist()
+      nDirty > 0 && ok
+    }
+
+    check("KMV sketches estimate curation survival without joining the corpora") {
+      // "how much of the raw crawl survived curation" answered from two
+      // k-row sketches: train ⊂ raw, so true jaccard = |train|/|raw| —
+      // the estimate must land in its 1/sqrt(k) band
+      val k = 128
+      val skRaw = graft.ops.Approx.kmvSketch(raw, col("text"), k)
+      val skTrain = graft.ops.Approx.kmvSketch(train, col("text"), k)
+      val r = graft.ops.Approx.kmvOverlap(skRaw, skTrain, k).head
+      val trueJ = train.select(col("text")).distinct().count().toDouble /
+        raw.select(col("text")).distinct().count()
+      math.abs(r.getLong(3) / 1e6 - trueJ) <= 3.0 / math.sqrt(k)
     }
 
     println(if (failed == 0) "CurationTour: all checks passed"

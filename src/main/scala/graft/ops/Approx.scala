@@ -93,4 +93,89 @@ object Approx {
       .agg(sum("cnt").as("est"), sum("e").as("err"))
       .orderBy(col("est").desc, col("token")).limit(k)
   }
+
+  // ------------------------------------------------- KMV distinct sketch
+
+  /** 2^60 — the range of [[kmvHash]]; the KMV estimator's hash-space
+    * size M.
+    */
+  val KmvRange: BigDecimal = BigDecimal(BigInt(1) << 60)
+
+  /** 60-bit uniform hash: the first 15 hex chars of md5, as a LONG.
+    * Deterministic and cross-engine — DuckDB replays it as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT` — so every KMV estimate
+    * below is a pure integer function of the input and hash-gates
+    * against the oracle (HLL estimates, by contrast, are
+    * engine-internal and can only be error-banded).
+    */
+  def kmvHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct sketch:
+    * the k smallest DISTINCT hash values of `c` — a k-row DataFrame
+    * (`h` ascending by construction of its consumers' sorts).
+    *
+    * The 100 TB shape: `distinct` of the 8-byte hash (map-side partial)
+    * then a top-k, which Spark executes as TakeOrdered — per-partition
+    * k-row heaps merged on the driver, NO full sort, NO corpus-sized
+    * shuffle. The sketch is mergeable: kmv(A ∪ B) = the k smallest of
+    * kmv(A) ∪ kmv(B) (spec-pinned), so shard sketches combine without
+    * rescanning — the cross-datacenter corpus-comparison shape.
+    */
+  def kmvSketch(df: DataFrame, c: Column, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    df.select(kmvHash(c).as("h")).distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** Corpus-overlap estimates from two KMV sketches, one output row:
+    *
+    *  - `est_a` / `est_b`: distinct-count estimates `(k-1) * M / h_k`
+    *    (the classic unbiased KMV estimator; exact count when the
+    *    sketch holds fewer than k values — the set was smaller than
+    *    the sketch);
+    *  - `est_union`: the same estimator over the MERGED sketch (the k
+    *    smallest of the union — valid because kmv is mergeable);
+    *  - `jaccard_micro`: of the union sketch's k values, the fraction
+    *    present in BOTH input sketches (×10^6, integer) — the standard
+    *    KMV Jaccard estimator;
+    *  - `est_intersection`: `jaccard * est_union`, in integer micros.
+    *
+    * Everything is integer arithmetic over deterministic hashes: the
+    * whole row hash-gates cross-engine. Error ~ 1/sqrt(k) (banded in
+    * OpsSpec against exact counts). The entire computation after the
+    * two sketch scans touches 2k rows — compare d25's full-outer-join
+    * corpus diff: this answers "how much do two 100 TB crawls overlap"
+    * from two single scans + kilobytes.
+    */
+  def kmvOverlap(sketchA: DataFrame, sketchB: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val a = sketchA.select(col("h")).withColumn("in_a", lit(1L))
+    val b = sketchB.select(col("h")).withColumn("in_b", lit(1L))
+    val merged = a.join(b, Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("in_a"), lit(0L)).as("in_a"),
+        coalesce(col("in_b"), lit(0L)).as("in_b"))
+    // the union sketch: k smallest of the merged hash set
+    val unionK = merged.orderBy(col("h")).limit(k)
+    // (k-1) * 2^60 needs ~68 bits: decimal(38,0) with integral `div`
+    // (floor for positive operands — DuckDB replays it as HUGEINT `//`)
+    val kMinus1M = ((BigInt(1) << 60) * (k - 1)).toString
+    def estExpr(nName: String, hName: String): Column =
+      when(col(nName) < k, col(nName).cast("long")).otherwise(
+        expr(s"CAST(CAST('$kMinus1M' AS DECIMAL(38,0)) div " +
+          s"CAST($hName AS DECIMAL(38,0)) AS BIGINT)"))
+    val aAgg = sketchA.agg(count(lit(1)).as("_na"), max(col("h")).as("_ha"))
+    val bAgg = sketchB.agg(count(lit(1)).as("_nb"), max(col("h")).as("_hb"))
+    val uAgg = unionK.agg(count(lit(1)).as("_nu"), max(col("h")).as("_hu"),
+      sum(col("in_a") * col("in_b")).as("_both"))
+    uAgg.crossJoin(aAgg).crossJoin(bAgg)
+      .select(
+        estExpr("_na", "_ha").as("est_a"),
+        estExpr("_nb", "_hb").as("est_b"),
+        estExpr("_nu", "_hu").as("est_union"),
+        expr("(_both * 1000000L) div _nu").as("jaccard_micro"),
+        expr("CAST((CAST((_both * 1000000L) div _nu AS DECIMAL(38,0)) * " +
+          s"CAST(CAST(CASE WHEN _nu < $k THEN _nu ELSE CAST('$kMinus1M' AS DECIMAL(38,0)) div " +
+          "CAST(_hu AS DECIMAL(38,0)) END AS BIGINT) AS DECIMAL(38,0))) div 1000000 AS BIGINT)")
+          .as("est_intersection"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Similarity, TextOps, UrlOps}
+import graft.ext.{Dedup, Fuzzy, Similarity, TextOps, UrlOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -147,6 +147,76 @@ object Pipeline {
     Dedup.corpusDiff(docs, after)
       .filter(col("status") =!= "unchanged")
       .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-overlap estimation from KMV sketches ([[Approx.kmvSketch]] /
+    * [[Approx.kmvOverlap]]): distinct / union / intersection / Jaccard
+    * estimates between snapshot A (the documents fixture) and the
+    * deterministically-derived snapshot B (d25's rules) — the
+    * sketch-sized answer to the question d25 answers with a full outer
+    * join. The 60-bit md5-derived hash makes every estimate a pure
+    * integer function of the input, so the ESTIMATES THEMSELVES
+    * hash-gate against DuckDB replaying the same k-minimum-values
+    * construction (unlike HLL, whose register layout is
+    * engine-internal — q28a is rows-only for exactly that reason).
+    */
+  def d26KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val docs = Tables.documents(spark, dir)
+    val after = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" amended")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0).select(col("text")))
+    graft.ops.Approx.kmvOverlap(
+      graft.ops.Approx.kmvSketch(docs, col("text"), k),
+      graft.ops.Approx.kmvSketch(after, col("text"), k), k)
+  }
+
+  /** The part catalog as entity-resolution fixture material:
+    * `p_name-p_brand-p_size` (≈19–23 chars, diverse enough that edit
+    * distance is non-degenerate — supplier/customer names differ only
+    * in sequential digits, putting EVERY pair within distance 2), plus
+    * a deterministically-corrupted "scraped" side: every third part's
+    * string with one character deleted at an md5-derived position
+    * (both engines regenerate the corruption bit-identically).
+    */
+  private def fuzzyCatalog(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cat = Tables.part(spark, dir).select(col("p_partkey").as("id"),
+      concat(col("p_name"), lit("-"), col("p_brand"), lit("-"),
+        col("p_size").cast("string")).as("s"))
+    val pos = (conv(substring(md5(col("s")), 1, 4), 16, 10).cast("long")
+      % length(col("s"))).cast("int")
+    val dirty = cat.filter(col("id") % 3 === 0)
+      .select(col("id"),
+        concat(col("s").substr(lit(1), pos),
+          col("s").substr(pos + lit(2), length(col("s")))).as("s"))
+    (dirty, cat)
+  }
+
+  /** Edit-distance pair join ([[Fuzzy.fuzzyJoin]]): ALL
+    * (dirty, catalog) pairs within levenshtein 2, found via the
+    * Ed-Join rare-gram prefix filter — the oracle's unfiltered
+    * cross-join replay gates COMPLETENESS of the pruning (a lost
+    * candidate is a missing row, not a slow query).
+    */
+  def d27FuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (dirty, cat) = fuzzyCatalog(spark, dir)
+    Fuzzy.fuzzyJoin(dirty, cat, maxDist = 2)
+      .withColumn("dist", col("dist").cast("long"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Entity resolution ([[Fuzzy.entityMatch]]): each corrupted record's
+    * best catalog match (min distance, ties by catalog id) plus its
+    * candidate count — the canonical-id assignment step of catalog
+    * reconciliation.
+    */
+  def d28EntityMatch(spark: SparkSession, dir: String): DataFrame = {
+    val (dirty, cat) = fuzzyCatalog(spark, dir)
+    Fuzzy.entityMatch(dirty, cat, maxDist = 2)
+      .withColumn("dist", col("dist").cast("long"))
+      .orderBy(col("id_a"))
   }
 
   def d04SimhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -2072,6 +2142,23 @@ object Pipeline {
     * exact n-gram Jaccard pair set d02/d03/d09 gate on, shared with the
     * recursive d11 clustering oracle.
     */
+  /** The d27/d28 record-linkage fixture, shared CTE form: the part
+    * catalog string plus the md5-position single-character deletion
+    * (identical to [[fuzzyCatalog]]'s Spark expressions).
+    */
+  private val fuzzyCatalogCtes =
+    """cat AS (
+      |  SELECT p_partkey AS id,
+      |    p_name || '-' || p_brand || '-' || p_size AS s
+      |  FROM part
+      |),
+      |dirty AS (
+      |  SELECT id AS did,
+      |    concat(substr(s, 1, ('0x' || substr(md5(s), 1, 4))::INT % length(s)),
+      |           substr(s, ('0x' || substr(md5(s), 1, 4))::INT % length(s) + 2)) AS ds
+      |  FROM cat WHERE id % 3 = 0
+      |)""".stripMargin
+
   private val ngramJaccardCtes =
     """toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w FROM documents
@@ -2880,6 +2967,62 @@ object Pipeline {
         |            WHEN a.text != b.text THEN 'changed'
         |            ELSE 'unchanged' END) != 'unchanged'
         |ORDER BY doc_id""".stripMargin,
+    // KMV replay: same 60-bit md5 hash, same k-minimum construction,
+    // same integer estimator arithmetic (HUGEINT // == decimal div
+    // floor for positive operands) — the estimates hash-gate exactly
+    "d26_kmv_overlap" ->
+      """WITH after AS (
+        |  SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' amended' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 != 3
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id % 13 = 0
+        |),
+        |ha AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |       FROM documents ORDER BY h LIMIT 128),
+        |hb AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |       FROM after ORDER BY h LIMIT 128),
+        |merged AS (
+        |  SELECT COALESCE(ha.h, hb.h) AS h,
+        |    CASE WHEN ha.h IS NULL THEN 0 ELSE 1 END AS in_a,
+        |    CASE WHEN hb.h IS NULL THEN 0 ELSE 1 END AS in_b
+        |  FROM ha FULL OUTER JOIN hb ON ha.h = hb.h),
+        |uk AS (SELECT * FROM merged ORDER BY h LIMIT 128),
+        |aagg AS (SELECT count(*) AS na, max(h) AS hamax FROM ha),
+        |bagg AS (SELECT count(*) AS nb, max(h) AS hbmax FROM hb),
+        |uagg AS (SELECT count(*) AS nu, max(h) AS humax,
+        |         sum(in_a * in_b) AS nboth FROM uk)
+        |SELECT
+        |  CASE WHEN na < 128 THEN na
+        |       ELSE (('146421031085069565952'::HUGEINT // hamax::HUGEINT))::BIGINT END AS est_a,
+        |  CASE WHEN nb < 128 THEN nb
+        |       ELSE (('146421031085069565952'::HUGEINT // hbmax::HUGEINT))::BIGINT END AS est_b,
+        |  CASE WHEN nu < 128 THEN nu
+        |       ELSE (('146421031085069565952'::HUGEINT // humax::HUGEINT))::BIGINT END AS est_union,
+        |  ((nboth * 1000000)::HUGEINT // nu::HUGEINT)::BIGINT AS jaccard_micro,
+        |  ((((nboth * 1000000)::HUGEINT // nu::HUGEINT) *
+        |    (CASE WHEN nu < 128 THEN nu
+        |          ELSE (('146421031085069565952'::HUGEINT // humax::HUGEINT))::BIGINT END)::HUGEINT)
+        |   // 1000000)::BIGINT AS est_intersection
+        |FROM uagg, aagg, bagg""".stripMargin,
+    // the oracle is the UNFILTERED cross join: a candidate the Ed-Join
+    // prefix filter loses is a missing row, so the hash gate pins
+    // completeness of the pruning, not just precision of the verify
+    "d27_fuzzy_pairs" ->
+      s"""WITH $fuzzyCatalogCtes
+         |SELECT d.did AS id_a, c.id AS id_b,
+         |  levenshtein(d.ds, c.s) AS dist
+         |FROM dirty d JOIN cat c ON levenshtein(d.ds, c.s) <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d28_entity_match" ->
+      s"""WITH $fuzzyCatalogCtes
+         |SELECT id_a, id_b AS match_id, dist, n_candidates FROM (
+         |  SELECT d.did AS id_a, c.id AS id_b,
+         |    levenshtein(d.ds, c.s) AS dist,
+         |    count(*) OVER (PARTITION BY d.did) AS n_candidates,
+         |    row_number() OVER (PARTITION BY d.did
+         |      ORDER BY levenshtein(d.ds, c.s), c.id) AS rn
+         |  FROM dirty d JOIN cat c ON levenshtein(d.ds, c.s) <= 2) t
+         |WHERE rn = 1 ORDER BY id_a""".stripMargin,
     // forget(artifact, ids) == rebuild over the surviving corpus: every
     // pair mentioning a taken-down id must be gone
     "d24_pair_graph_forget" ->
@@ -3685,6 +3828,9 @@ object Pipeline {
     "d23_pair_graph_update" -> d23PairGraphUpdate _,
     "d24_pair_graph_forget" -> d24PairGraphForget _,
     "d25_corpus_diff"    -> d25CorpusDiff _,
+    "d26_kmv_overlap"    -> d26KmvOverlap _,
+    "d27_fuzzy_pairs"    -> d27FuzzyPairs _,
+    "d28_entity_match"   -> d28EntityMatch _,
     "d04_simhash_pairs"  -> d04SimhashPairs _,
     "d10_simhash_pairs_md5" -> d10SimhashPairsMd5 _,
     "d11_dedup_clusters" -> d11DedupClusters _,

@@ -76,4 +76,60 @@ class ApproxSpec extends AnyFunSuite {
       s"missed guaranteed heavy hitters: ${mustReport -- reported}")
     toks.unpersist()
   }
+
+  test("KMV distinct estimate lands within 3/sqrt(k) of the exact count") {
+    import spark.implicits._
+    val k = 256
+    val vals = (0 until 5000).map(i => s"value_$i").toDF("v")
+    val sk = Approx.kmvSketch(vals, col("v"), k)
+    val est = Approx.kmvOverlap(sk, sk, k).head.getLong(0)
+    val relErr = math.abs(est - 5000).toDouble / 5000
+    assert(relErr <= 3.0 / math.sqrt(k),
+      f"KMV rel err $relErr%.3f (est $est vs exact 5000, bound ${3.0 / math.sqrt(k)}%.3f)")
+  }
+
+  test("KMV is exact below k, and identical sets give jaccard 1.0 with intersection == union") {
+    import spark.implicits._
+    val k = 128
+    val vals = (0 until 50).map(i => s"v$i").toDF("v")
+    val sk = Approx.kmvSketch(vals, col("v"), k)
+    val r = Approx.kmvOverlap(sk, sk, k).head
+    assert(r.getLong(0) == 50L && r.getLong(1) == 50L && r.getLong(2) == 50L,
+      s"sub-k sets must estimate exactly: $r")
+    assert(r.getLong(3) == 1000000L, s"identical sets must give jaccard micro 1e6: $r")
+    assert(r.getLong(4) == r.getLong(2), s"intersection must equal union for identical sets: $r")
+  }
+
+  test("KMV: disjoint sets estimate jaccard 0; merged sketch == sketch of the union (mergeability)") {
+    import spark.implicits._
+    val k = 64
+    val a = (0 until 800).map(i => s"a$i").toDF("v")
+    val b = (0 until 800).map(i => s"b$i").toDF("v")
+    val skA = Approx.kmvSketch(a, col("v"), k)
+    val skB = Approx.kmvSketch(b, col("v"), k)
+    val r = Approx.kmvOverlap(skA, skB, k).head
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L, s"disjoint sets must give jaccard 0: $r")
+    // mergeability — the 100 TB property: shard sketches combine
+    // without rescanning. k smallest of (skA ∪ skB) == sketch of a ∪ b.
+    val mergedFromSketches = skA.unionByName(skB).distinct()
+      .orderBy(col("h")).limit(k).collect().map(_.getLong(0)).toSeq
+    val fromScratch = Approx.kmvSketch(a.unionByName(b), col("v"), k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(mergedFromSketches == fromScratch, "sketch merge != union rescan")
+  }
+
+  test("KMV jaccard estimate tracks the true overlap within the sketch error band") {
+    import spark.implicits._
+    val k = 256
+    // |A|=3000, |B|=3000, |A∩B|=1500 → true J = 1500/4500 = 1/3
+    val a = (0 until 3000).map(i => s"x$i").toDF("v")
+    val b = (1500 until 4500).map(i => s"x$i").toDF("v")
+    val r = Approx.kmvOverlap(
+      Approx.kmvSketch(a, col("v"), k), Approx.kmvSketch(b, col("v"), k), k).head
+    val j = r.getLong(3) / 1e6
+    assert(math.abs(j - 1.0 / 3.0) <= 0.12, s"jaccard est $j too far from 1/3")
+    val inter = r.getLong(4)
+    assert(math.abs(inter - 1500).toDouble / 1500 <= 0.25,
+      s"intersection est $inter too far from 1500")
+  }
 }
