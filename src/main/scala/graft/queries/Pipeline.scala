@@ -219,6 +219,26 @@ object Pipeline {
       .orderBy(col("id_a"))
   }
 
+  /** The d27 pair set served from the PERSISTED catalog index
+    * ([[Fuzzy.writeCatalogIndex]] / [[Fuzzy.fuzzyJoinIndexed]]): built
+    * once per process, probed thereafter — batch prefixes rank under
+    * the index's stored df order and the catalog is never re-grammed.
+    * Gated by the SAME unfiltered cross-join oracle as d27, so
+    * `serve(index) == from-scratch` hash-matches cross-engine.
+    */
+  def d29FuzzyIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val (dirty, cat) = fuzzyCatalog(spark, dir)
+    val path = pairGraphDir.computeIfAbsent((dir, "fuzzy_catalog"), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_fuzzy_idx")
+        .toFile.getAbsolutePath + "/catalog"
+      Fuzzy.writeCatalogIndex(cat, p, maxDist = 2)
+      p
+    })
+    Fuzzy.fuzzyJoinIndexed(spark, dirty, path)
+      .withColumn("dist", col("dist").cast("long"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def d04SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
@@ -3013,6 +3033,14 @@ object Pipeline {
          |  levenshtein(d.ds, c.s) AS dist
          |FROM dirty d JOIN cat c ON levenshtein(d.ds, c.s) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
+    // the indexed serve is gated by the SAME unfiltered cross join as
+    // d27: stored-order prefixes must lose nothing
+    "d29_fuzzy_indexed" ->
+      s"""WITH $fuzzyCatalogCtes
+         |SELECT d.did AS id_a, c.id AS id_b,
+         |  levenshtein(d.ds, c.s) AS dist
+         |FROM dirty d JOIN cat c ON levenshtein(d.ds, c.s) <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
     "d28_entity_match" ->
       s"""WITH $fuzzyCatalogCtes
          |SELECT id_a, id_b AS match_id, dist, n_candidates FROM (
@@ -3831,6 +3859,7 @@ object Pipeline {
     "d26_kmv_overlap"    -> d26KmvOverlap _,
     "d27_fuzzy_pairs"    -> d27FuzzyPairs _,
     "d28_entity_match"   -> d28EntityMatch _,
+    "d29_fuzzy_indexed"  -> d29FuzzyIndexed _,
     "d04_simhash_pairs"  -> d04SimhashPairs _,
     "d10_simhash_pairs_md5" -> d10SimhashPairsMd5 _,
     "d11_dedup_clusters" -> d11DedupClusters _,

@@ -98,4 +98,90 @@ class FuzzySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "cartesian in fuzzyJoin plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in fuzzyJoin plan")
   }
+
+  test("catalog index lifecycle: serve == from-scratch, update == rebuild, forget == rebuild-minus, loud without sidecar") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fuzzy_idx")
+      .toFile.getAbsolutePath
+    val live = s"$root/catalog"
+    val catalog = df(fixture.filter(_._1 % 2 == 1))
+    val dirty = df(fixture.filter(_._1 % 2 == 0))
+    Fuzzy.writeCatalogIndex(catalog, live, maxDist = 2)
+    assert(Fuzzy.readCatalogIndexParams(spark, live).contains(Fuzzy.FuzzyIndexParams(2, 2)))
+    assert(pairSet(Fuzzy.fuzzyJoinIndexed(spark, dirty, live))
+      == pairSet(Fuzzy.fuzzyJoin(dirty, catalog, maxDist = 2)),
+      "indexed serve != from-scratch join on the same catalog")
+
+    // upsert: new entries (copies of dirty strings → guaranteed fresh
+    // matches) + one RE-INGESTED id whose content changed (its old
+    // string's pairs must vanish — stale-row drop)
+    val changedId = fixture.filter(_._1 % 2 == 1).head._1
+    val batch = df(dirty.collect().take(5).zipWithIndex
+      .map { case (r, i) => (10000L + i, r.getString(1)) }
+      .toSeq :+ (changedId, "zzzzzzzzzz"))
+    val grown = catalog.filter(col("id") =!= changedId).unionByName(batch)
+    Fuzzy.updateCatalogIndex(spark, batch, live)
+    assert(pairSet(Fuzzy.fuzzyJoinIndexed(spark, dirty, live))
+      == pairSet(Fuzzy.fuzzyJoin(dirty, grown, maxDist = 2)),
+      "update(index, batch) != rebuild over the grown catalog")
+
+    // takedown: forgotten ids leave the pair set entirely
+    import spark.implicits._
+    val gone = Seq(10000L, 10001L, changedId).toDF("id")
+    Fuzzy.forgetCatalogIndex(spark, live, gone)
+    val afterForget = grown.join(gone, Seq("id"), "left_anti")
+    assert(pairSet(Fuzzy.fuzzyJoinIndexed(spark, dirty, live))
+      == pairSet(Fuzzy.fuzzyJoin(dirty, afterForget, maxDist = 2)),
+      "forget(index, ids) != rebuild over the surviving catalog")
+
+    // not-an-index paths fail loudly, never serve garbage
+    intercept[IllegalArgumentException] {
+      Fuzzy.fuzzyJoinIndexed(spark, dirty, s"$root/nope")
+    }
+    intercept[IllegalArgumentException] {
+      Fuzzy.updateCatalogIndex(spark, batch, s"$root/nope")
+    }
+  }
+
+  test("streaming entity match across a catalog swap: stream == batch on both sides") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_fuzzy_stream")
+      .toFile.getAbsolutePath
+    val live = s"$root/catalog"
+    val catalogV1 = df(fixture.filter(_._1 % 2 == 1))
+    val dirty1 = fixture.filter(t => t._1 % 2 == 0 && t._1 < 60)
+    Fuzzy.writeCatalogIndex(catalogV1, live, maxDist = 2)
+    def matchRows(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "match_id", "dist", "n_candidates").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val expectedV1 = matchRows(Fuzzy.entityMatch(df(dirty1), catalogV1, maxDist = 2))
+    assert(expectedV1.nonEmpty, "fixture batch 1 matches nothing — weak test")
+    val input = MemoryStream[(Long, String)]
+    val served = graft.streaming.StreamingFuzzy.startAt(
+      input.toDF().toDF("id", "s"), live, s"$root/out", s"$root/ckpt")
+    try {
+      input.addData(dirty1)
+      served.processAllAvailable()
+      // catalog grows; upsert + swap lands BETWEEN micro-batches
+      val batch = df(dirty1.take(4).zipWithIndex
+        .map { case ((_, s), i) => (20000L + i, s) })
+      Fuzzy.updateCatalogIndex(spark, batch, live)
+      input.addData(dirty1.map { case (id, s) => (id + 1000L, s) })
+      served.processAllAvailable()
+    } finally served.stop()
+    val out = spark.read.parquet(s"$root/out")
+    assert(matchRows(out.filter(col("id_a") < 1000L)) == expectedV1,
+      "pre-swap stream output drifted from the batch operator")
+    val catalogV2 = catalogV1.unionByName(
+      df(dirty1.take(4).zipWithIndex.map { case ((_, s), i) => (20000L + i, s) }))
+    val expectedV2 = matchRows(Fuzzy.entityMatch(
+      df(dirty1.map { case (id, s) => (id + 1000L, s) }), catalogV2, maxDist = 2))
+    assert(matchRows(out.filter(col("id_a") >= 1000L)) == expectedV2,
+      "post-swap stream output drifted from the batch operator on the grown catalog")
+    // the swap really changed answers: the upserted exact copies give
+    // distance-0 matches that V1 could not
+    assert(expectedV2.exists(_._2 >= 20000L),
+      "post-swap matches never surface the upserted catalog entries — weak fixture")
+  }
 }
