@@ -187,6 +187,36 @@ object StreamTour {
       streamed.nonEmpty && streamed == expected
     }
 
+    check("streaming entity match against the persisted catalog index equals the batch operator") {
+      // online record linkage: scraped/typo'd records resolved per
+      // micro-batch against the swap-aware catalog index
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("streamtour_fuzzy")
+        .toFile.getAbsolutePath
+      val cat = graft.Tables.part(spark, sf).select(col("p_partkey").as("id"),
+        concat(col("p_name"), lit("-"), col("p_brand"), lit("-"),
+          col("p_size").cast("string")).as("s"))
+      graft.ext.Fuzzy.writeCatalogIndex(cat, s"$root/catalog", maxDist = 2)
+      val pos = (conv(substring(md5(col("s")), 1, 4), 16, 10).cast("long")
+        % length(col("s"))).cast("int")
+      val dirty = cat.filter(col("id") % 5 === 0).select(col("id"),
+        concat(col("s").substr(lit(1), pos),
+          col("s").substr(pos + lit(2), length(col("s")))).as("s"))
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingFuzzy.startAt(
+        input.toDF().toDF("id", "s"), s"$root/catalog", s"$root/out", s"$root/ckpt")
+      try {
+        input.addData(dirty.as[(Long, String)].collect().toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.select("id_a", "match_id", "dist", "n_candidates").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+      val streamed = rows(spark.read.parquet(s"$root/out"))
+      streamed.nonEmpty &&
+        streamed == rows(graft.ext.Fuzzy.entityMatchIndexed(spark, dirty, s"$root/catalog"))
+    }
+
     check("cross-batch heavy-hitter summary equals exact counts of the whole stream") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val root = java.nio.file.Files.createTempDirectory("streamtour_hh")
