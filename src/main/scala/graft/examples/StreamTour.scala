@@ -217,6 +217,31 @@ object StreamTour {
         streamed == rows(graft.ext.Fuzzy.entityMatchIndexed(spark, dirty, s"$root/catalog"))
     }
 
+    check("continuous distinct sketch equals the batch sketch of the whole stream") {
+      // "how many distinct documents has this crawl seen" with k rows
+      // of state: mergeability makes the running artifact EQUAL the
+      // batch sketch of everything ingested
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("streamtour_kmv")
+        .toFile.getAbsolutePath
+      val texts = graft.Tables.documents(spark, sf)
+        .select(col("text")).as[String].collect()
+      val (h1, h2) = texts.splitAt(texts.length / 2)
+      graft.ops.Approx.writeKmvSketch(h1.toSeq.toDF("v"), col("v"), 64, s"$root/sketch")
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val q = graft.streaming.StreamingKmv.start(
+        input.toDF().toDF("v"), "v", s"$root/sketch", s"$root/out", s"$root/ckpt")
+      try {
+        input.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.read.parquet(s"$root/sketch")
+        .orderBy(col("h")).collect().map(_.getLong(0)).toSeq
+      val batch = graft.ops.Approx.kmvSketch(texts.toSeq.toDF("v"), col("v"), 64)
+        .collect().map(_.getLong(0)).toSeq
+      streamed == batch
+    }
+
     check("cross-batch heavy-hitter summary equals exact counts of the whole stream") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val root = java.nio.file.Files.createTempDirectory("streamtour_hh")

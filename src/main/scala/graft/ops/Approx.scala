@@ -127,6 +127,78 @@ object Approx {
     df.select(kmvHash(c).as("h")).distinct().orderBy(col("h")).limit(k)
   }
 
+  /** Distinct-count estimate of a sketch frame, one row
+    * `(n_sketch, distinct_est)` — exact when the sketch holds fewer
+    * than k values, `(k-1) * 2^60 / h_k` otherwise (same integer
+    * arithmetic as [[kmvOverlap]]).
+    */
+  def kmvDistinct(sketch: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val kMinus1M = ((BigInt(1) << 60) * (k - 1)).toString
+    sketch.agg(count(lit(1)).as("n_sketch"), max(col("h")).as("_hk"))
+      .select(col("n_sketch"),
+        when(col("n_sketch") < k, col("n_sketch").cast("long")).otherwise(
+          expr(s"CAST(CAST('$kMinus1M' AS DECIMAL(38,0)) div " +
+            "CAST(_hk AS DECIMAL(38,0)) AS BIGINT)")).as("distinct_est"))
+  }
+
+  // --------------------------------------------- persisted KMV sketch
+
+  private def kmvParamsPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_kmv_params.json")
+
+  /** The k recorded in a persisted sketch's sidecar; None when `path`
+    * is not a KMV artifact.
+    */
+  def readKmvParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Int] = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    if (!fs.exists(kmvParamsPath(path))) return None
+    val in = fs.open(kmvParamsPath(path))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"k":(-?[0-9]+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+  }
+
+  private def writeKmvParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int): Unit = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    val out = fs.create(kmvParamsPath(path), true)
+    try out.write(s"""{"k":$k}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Persist a sketch (k-row parquet + sidecar recording k — merges
+    * MUST share k, and the sidecar makes a mismatched call-site literal
+    * impossible, the index-family convention).
+    */
+  def writeKmvSketch(df: DataFrame, c: Column, k: Int, path: String): Unit = {
+    kmvSketch(df, c, k).write.mode("overwrite").parquet(path)
+    writeKmvParams(df.sparkSession, path, k)
+  }
+
+  /** Fold a batch into a persisted sketch at batch cost: sketch the
+    * batch alone, merge with the k stored rows (mergeability — the k
+    * smallest of the union of two sketches IS the sketch of the union),
+    * promote via the fuse-guarded atomic swap. k comes from the
+    * sidecar. The running artifact therefore equals
+    * `kmvSketch(all data ever ingested)` EXACTLY, not approximately —
+    * the stream==batch pin in StreamingKmvSpec is an equality, and the
+    * state is k rows regardless of stream length.
+    */
+  def mergeIntoKmvSketch(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, c: Column, path: String): Unit = {
+    val k = readKmvParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no _graft_kmv_params.json sidecar — not a KMV sketch"))
+    val rebuild = s"${path}_rebuild"
+    spark.read.parquet(path)
+      .unionByName(kmvSketch(batch, c, k))
+      .distinct().orderBy(col("h")).limit(k)
+      .write.mode("overwrite").parquet(rebuild)
+    writeKmvParams(spark, rebuild, k)
+    graft.ext.IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
   /** Corpus-overlap estimates from two KMV sketches, one output row:
     *
     *  - `est_a` / `est_b`: distinct-count estimates `(k-1) * M / h_k`
