@@ -101,7 +101,9 @@ object GraftFunctions {
     ("graft_morton", classOf[MortonCode],
       (exprs: Seq[Expression]) => MortonCode(exprs)),
     ("graft_nfc", classOf[NfcNormalize],
-      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))),
+    ("graft_jaro_winkler", classOf[JaroWinklerSim],
+      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry
@@ -146,6 +148,12 @@ object GraftFunctions {
 
   /** Unicode NFC normalization, codegen'd (requires [[ensureRegistered]]). */
   def graftNfc(text: Column): Column = call_function("graft_nfc", text)
+
+  /** Native Jaro-Winkler similarity, DuckDB-exact semantics (requires
+    * [[ensureRegistered]]).
+    */
+  def graftJaroWinkler(a: Column, b: Column): Column =
+    call_function("graft_jaro_winkler", a, b)
 
   /** Native Morton code of `cols` under per-column quantile `bounds`
     * (requires [[ensureRegistered]]).

@@ -239,6 +239,34 @@ object Pipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Jaro-Winkler re-ranking of the d27 candidate pool
+    * ([[graft.functions.JaroWinklerSim]] — a native codegen Expression;
+    * Spark has no built-in): edit distance is a coarse tie-maker
+    * (every single-char corruption is dist 1 from many catalog
+    * entries), JW's transposition tolerance + common-prefix boost
+    * breaks those ties the way record-linkage systems actually rank.
+    * Scores round(6) BEFORE the ranking in BOTH engines (the s11
+    * round-before-decide convention), so the winner is a pure function
+    * of the rounded score and the hash gate covers the Expression's
+    * DuckDB-exact semantics over every candidate pair.
+    */
+  def d30JwRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val (dirty, cat) = fuzzyCatalog(spark, dir)
+    val pairs = Fuzzy.fuzzyJoin(dirty, cat, maxDist = 2)
+      .join(dirty.select(col("id").as("id_a"), col("s").as("_sa")), "id_a")
+      .join(cat.select(col("id").as("id_b"), col("s").as("_sb")), "id_b")
+      .withColumn("jw", round(
+        graft.functions.GraftFunctions.graftJaroWinkler(col("_sa"), col("_sb")), 6))
+    pairs
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("id_a")).orderBy(col("jw").desc, col("id_b"))))
+      .filter(col("_rn") === 1)
+      .select(col("id_a"), col("id_b").as("match_id"), col("jw"))
+      .orderBy(col("id_a"))
+  }
+
   def d04SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
@@ -3041,6 +3069,21 @@ object Pipeline {
          |  levenshtein(d.ds, c.s) AS dist
          |FROM dirty d JOIN cat c ON levenshtein(d.ds, c.s) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
+    // the native JaroWinklerSim expression's DuckDB-exact semantics,
+    // hash-gated over every candidate pair; round(6) before the rank
+    // in both engines so the winner is a pure function of the gated
+    // score
+    "d30_jw_rank" ->
+      s"""WITH $fuzzyCatalogCtes,
+         |pairs AS (
+         |  SELECT d.did AS id_a, d.ds, c.id AS id_b, c.s
+         |  FROM dirty d JOIN cat c ON levenshtein(d.ds, c.s) <= 2)
+         |SELECT id_a, id_b AS match_id, jw FROM (
+         |  SELECT id_a, id_b, round(jaro_winkler_similarity(ds, s), 6) AS jw,
+         |    row_number() OVER (PARTITION BY id_a
+         |      ORDER BY round(jaro_winkler_similarity(ds, s), 6) DESC, id_b) AS rn
+         |  FROM pairs) t
+         |WHERE rn = 1 ORDER BY id_a""".stripMargin,
     "d28_entity_match" ->
       s"""WITH $fuzzyCatalogCtes
          |SELECT id_a, id_b AS match_id, dist, n_candidates FROM (
@@ -3860,6 +3903,7 @@ object Pipeline {
     "d27_fuzzy_pairs"    -> d27FuzzyPairs _,
     "d28_entity_match"   -> d28EntityMatch _,
     "d29_fuzzy_indexed"  -> d29FuzzyIndexed _,
+    "d30_jw_rank"        -> d30JwRank _,
     "d04_simhash_pairs"  -> d04SimhashPairs _,
     "d10_simhash_pairs_md5" -> d10SimhashPairsMd5 _,
     "d11_dedup_clusters" -> d11DedupClusters _,

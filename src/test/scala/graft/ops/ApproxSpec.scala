@@ -118,6 +118,18 @@ class ApproxSpec extends AnyFunSuite {
     assert(mergedFromSketches == fromScratch, "sketch merge != union rescan")
   }
 
+  test("KMV sketch plan: TakeOrdered (per-partition heaps), never a global sort") {
+    import spark.implicits._
+    val vals = (0 until 2000).map(i => s"v$i").toDF("v")
+    val plan = Approx.kmvSketch(vals, col("v"), 128)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"kmvSketch must plan as TakeOrdered, got:\n$plan")
+    // no full Sort node anywhere: the k smallest must come from heaps,
+    // not a corpus-wide ordering
+    assert(!plan.contains("Sort ["), s"global sort in kmvSketch plan:\n$plan")
+  }
+
   test("KMV jaccard estimate tracks the true overlap within the sketch error band") {
     import spark.implicits._
     val k = 256
