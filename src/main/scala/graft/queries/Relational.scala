@@ -603,6 +603,145 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Q33 TPC-H Q13 shape (customer order-count distribution): how many
+    * customers placed exactly N qualifying orders, INCLUDING N = 0 —
+    * the left-outer-preserving count that a plain `GROUP BY o_custkey`
+    * silently drops. Scale shape: orders is aggregated to customer
+    * grain FIRST (one fact scan, map-side partial agg), and only the
+    * per-customer counts join customer — never a row-explosion join of
+    * customer × orders. The second aggregate runs at distinct-count
+    * cardinality (≤ a few hundred rows at any SF). Counts only, so
+    * every value is cross-engine exact.
+    */
+  def q33CustDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q34 TPC-H Q22 shape (positive-balance outliers with no urgent
+    * orders): customers whose balance beats the global positive-balance
+    * average AND who never placed a '1-URGENT' order, tallied per
+    * nation. Two decorrelation patterns in one plan: the global scalar
+    * subquery becomes a 1-row aggregate broadcast (`crossJoin(
+    * broadcast(...))` — no shuffle, no driver round trip), and the NOT
+    * EXISTS becomes a left anti join against the filtered orders
+    * projection. The average compare is multiplied out (`bal·n >
+    * Σbal`) so it stays in exact DECIMAL arithmetic — a divided
+    * average would hash-mismatch on IEEE rounding.
+    */
+  def q34AcctbalOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+    val glob = cust.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("pos_sum"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(glob))
+      .filter(col("bal") * col("n_pos") > col("pos_sum"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Q35 TPC-H Q15 shape (top supplier by quarter revenue): the
+    * argmax-of-an-aggregate. SQL spells it `revenue = (SELECT max(...)
+    * FROM revenue_view)`; the scale shape is: ONE fact scan builds the
+    * supplier-grain revenue aggregate, its global max is a 1-row
+    * broadcast joined back to the aggregate (supplier cardinality, not
+    * fact), and ties all survive (the = keeps every max-revenue
+    * supplier, matching the view semantics). Revenue sums in
+    * DECIMAL(18,4) — the q30 money convention — so the max equality is
+    * exact cross-engine.
+    */
+  def q35TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).as("total_rev"))
+    rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("max_rev"))))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").as("suppkey"), col("s_name").as("name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy(col("suppkey"))
+  }
+
+  /** Q36 TPC-H Q17 shape (small-quantity revenue): lineitems of one
+    * brand whose quantity is below 20 % of that part's average
+    * quantity. The correlated `l_quantity < 0.2 * (SELECT avg(...)
+    * WHERE l_partkey = ...)` decorrelates to a part-grain aggregate
+    * (sum + count from ONE lineitem scan) joined back to the detail
+    * rows; the brand filter broadcasts into the detail side so only
+    * that brand's lines reach the join. The 0.2·avg compare is
+    * multiplied out (`5·qty·n < Σqty`, all positive) — exact integer/
+    * DECIMAL arithmetic, no division anywhere.
+    */
+  def q36SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty_sum"),
+        count(lit(1)).as("qty_n"))
+    li.join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, Seq("l_partkey"))
+      .filter(col("l_quantity").cast(DecimalType(18, 2)) * lit(5) * col("qty_n")
+        < col("qty_sum"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+        .cast("double").as("total_rev"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q37 TPC-H Q7 shape (bilateral nation volume): revenue shipped
+    * between a nation pair in either direction, by year. The nation
+    * filter is pushed INTO both dimension chains before the fact join
+    * (only the two nations' suppliers/customers survive — ~8 % of each
+    * dim here, the selectivity the textbook plan wastes), so the
+    * lineitem⋈orders fact-fact join is the only real shuffle and both
+    * dim joins broadcast. The OR'd pair condition runs on two tiny
+    * pre-joined columns, not on the raw dims. Year is extracted as
+    * BIGINT on both engines.
+    */
+  def q37NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val natPair = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(natPair), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(natPair), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** Oracle SQL (DuckDB dialect ≡ ANSI) — must alias identically to the above. */
   val oracles: Map[String, String] = Map(
     "q11_rollup" ->
@@ -894,6 +1033,74 @@ object Relational {
         |WHERE has_r = 1 AND n_supp >= 2 AND n_ret = 1
         |GROUP BY l_suppkey
         |ORDER BY numwait DESC, suppkey LIMIT 25""".stripMargin,
+    // TPC-H Q13 shape; the LEFT JOIN preserves zero-order customers
+    "q33_cust_distribution" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
+        |)
+        |SELECT coalesce(n, 0) AS c_count, count(*) AS custdist
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // TPC-H Q22 shape; avg compare multiplied out to exact decimals
+    "q34_acctbal_outliers" ->
+      """WITH cb AS (
+        |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer
+        |), g AS (
+        |  SELECT sum(bal) AS pos_sum, count(*) AS n_pos FROM cb WHERE bal > 0
+        |)
+        |SELECT c_nationkey AS nationkey, count(*) AS numcust,
+        |  CAST(sum(bal) AS DOUBLE) AS totacctbal
+        |FROM cb, g
+        |WHERE bal * n_pos > pos_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // TPC-H Q15 shape; decimal equality keeps every max-revenue tie
+    "q35_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey
+        |), m AS (SELECT max(total_rev) AS max_rev FROM rev)
+        |SELECT s_suppkey AS suppkey, s_name AS name,
+        |  CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev, m JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = max_rev ORDER BY suppkey""".stripMargin,
+    // TPC-H Q17 shape; 0.2*avg multiplied out (5*qty*n < sum)
+    "q36_small_qty_revenue" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+        |    count(*) AS qty_n
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN pp USING (l_partkey)
+        |WHERE p_brand = 'Brand#1'
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_n < qty_sum""".stripMargin,
+    // TPC-H Q7 shape; OR'd bilateral nation pair, year as BIGINT
+    "q37_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year, CAST(sum(vol) AS DOUBLE) AS volume
+        |FROM (
+        |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS vol
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        |     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+        |)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -930,5 +1137,10 @@ object Relational {
     "q30_shipping_priority" -> q30ShippingPriority _,
     "q31_large_volume" -> q31LargeVolume _,
     "q32_sole_failing" -> q32SoleFailing _,
+    "q33_cust_distribution" -> q33CustDistribution _,
+    "q34_acctbal_outliers" -> q34AcctbalOutliers _,
+    "q35_top_supplier" -> q35TopSupplier _,
+    "q36_small_qty_revenue" -> q36SmallQtyRevenue _,
+    "q37_nation_volume" -> q37NationVolume _,
   )
 }

@@ -453,6 +453,57 @@ class PlanSpec extends AnyFunSuite {
       s"per-order supplier tallies should be a window at (order,supplier) grain:\n$plan")
   }
 
+  test("q33: orders pre-aggregates to customer grain — no customer×orders row explosion") {
+    val plan = planOf("q33_cust_distribution")
+    // the left join's orders input must already be an aggregate: a
+    // HashAggregate below the join means per-customer counts, not raw
+    // order rows, cross the join
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && plan.substring(joinIdx).contains("HashAggregate"),
+      s"per-customer counts must aggregate BELOW the left join:\n$plan")
+    assert(plan.contains("partial"),
+      s"order counting lost its map-side combine:\n$plan")
+  }
+
+  test("q34: global scalar is a 1-row broadcast; NOT EXISTS stays a real anti join") {
+    val plan = planOf("q34_acctbal_outliers")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the global positive-balance aggregate should broadcast, not shuffle:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"the no-urgent-orders predicate must compile to an anti join:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      s"scalar compare went cartesian:\n$plan")
+  }
+
+  test("q35: argmax-of-aggregate — one fact scan feeds both the aggregate and its max") {
+    val plan = planOf("q35_top_supplier")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate")
+      || plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"quarter window not pushed to the lineitem scan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row max should broadcast back onto the supplier aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"max compare went cartesian:\n$plan")
+  }
+
+  test("q36: brand filter broadcasts into the detail side; avg compare is join-not-subquery") {
+    val plan = planOf("q36_small_qty_revenue")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered part keys should broadcast into lineitem:\n$plan")
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"decorrelation left a per-row subquery:\n$plan")
+    assert(plan.contains("EqualTo(p_brand,Brand#1)"),
+      s"brand filter not pushed to the part scan:\n$plan")
+  }
+
+  test("q37: nation pair filters before the fact join; dims broadcast; one fact-fact shuffle pair") {
+    val plan = planOf("q37_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"supplier/customer/nation chains should all broadcast:\n$plan")
+    // the only sort-merge/shuffled join allowed is lineitem⋈orders
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1,
+      s"more than the one fact-fact join shuffled:\n$plan")
+  }
+
   test("s09/s10: prefix slice happens BEFORE the pair join — full vectors never enter it") {
     // the join operand projections must carry the slice; if the slice
     // migrated above the join, the corpus would ship full-width vectors
