@@ -357,6 +357,13 @@ object Bench {
       // catalog is never re-grammed
       "fuzzy_serve_indexed" -> (n => graft.ext.Fuzzy.fuzzyJoinIndexed(
         spark, dirtyParts, fuzzyIdx(n))),
+      // one-pass multi-pattern blocklist: the Aho-Corasick expression
+      // scans each text once regardless of pattern count — growth must
+      // be pure scan cost (hit-cardinality rows out)
+      "ac_blocklist" -> (n => TextOps.blocklistHits(docsAt(n), Seq(
+        "fast", "fast table", "table table", "a a", "value part",
+        "slow filter", "big vector", "scan query", "key agg",
+        "merge batch", "customer line", "the row"))),
       // per-clip WAV decode + integer metrics: the codec boundary is
       // the cost; one decode per row, payloads never shuffle
       "audio_gate" -> (n => {

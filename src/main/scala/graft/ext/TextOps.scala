@@ -936,4 +936,27 @@ object TextOps {
       })
       .drop("stop_hits")
   }
+
+  /** Banned-term hits per document via the one-pass Aho-Corasick
+    * expression ([[graft.functions.BlocklistCounts]]): (doc, pattern,
+    * count) rows for every pattern with ≥ 1 greedy non-overlapping
+    * occurrence — the C4-style blocklist primitive. ONE text scan per
+    * row regardless of list size (the naive spelling is |patterns|
+    * `instr` passes); counts follow SQL `replace()` semantics exactly,
+    * so the t32 gate hash-compares every count. Narrow map + explode
+    * at hit cardinality — no shuffle before the caller's presentation
+    * sort.
+    */
+  def blocklistHits(docs: DataFrame, patterns: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .select(col(idCol), posexplode(
+        graft.functions.GraftFunctions.graftBlocklist(col(textCol), patterns))
+        .as(Seq("pattern_id", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("pattern",
+        element_at(lit(patterns.toArray), col("pattern_id") + 1))
+      .select(col(idCol), col("pattern_id"), col("pattern"), col("cnt"))
+  }
 }

@@ -103,7 +103,15 @@ object GraftFunctions {
     ("graft_nfc", classOf[NfcNormalize],
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))),
     ("graft_jaro_winkler", classOf[JaroWinklerSim],
-      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))),
+    ("graft_blocklist", classOf[BlocklistCounts],
+      (exprs: Seq[Expression]) => {
+        require(exprs(1).foldable,
+          "graft_blocklist patterns must be a literal array of strings")
+        val arr = exprs(1).eval().asInstanceOf[ArrayData]
+        BlocklistCounts(exprs(0), (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString))
+      }))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry
@@ -154,6 +162,13 @@ object GraftFunctions {
     */
   def graftJaroWinkler(a: Column, b: Column): Column =
     call_function("graft_jaro_winkler", a, b)
+
+  /** One-pass Aho-Corasick blocklist counts, index-aligned with
+    * `patterns` (requires [[ensureRegistered]]).
+    */
+  def graftBlocklist(text: Column, patterns: Seq[String]): Column =
+    call_function("graft_blocklist", text,
+      org.apache.spark.sql.functions.lit(patterns.toArray))
 
   /** Native Morton code of `cols` under per-column quantile `bounds`
     * (requires [[ensureRegistered]]).

@@ -830,6 +830,28 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Blocklist patterns for t32 — chosen to exercise the count
+    * contract's edges on the fixture vocabulary: a self-overlapping
+    * phrase ("table table": greedy counting visibly differs from
+    * all-occurrences), a pattern nested inside another ("fast" inside
+    * "fast table": independent counting), and plain phrases.
+    */
+  private val t32Patterns = Seq(
+    "fast", "fast table", "table table", "a a", "value part", "slow filter")
+
+  /** Banned-term counts via the one-pass Aho-Corasick expression
+    * ([[TextOps.blocklistHits]] / [[graft.functions.BlocklistCounts]]):
+    * (doc, pattern, count) for every greedy non-overlapping hit. The
+    * oracle replays each count as `(length(t) − length(replace(t, p,
+    * ''))) // length(p)` over a VALUES pattern list — the exact SQL
+    * contract the automaton implements — so the hash gate pins the
+    * matcher against an independent engine on every document,
+    * including the self-overlap and nested-pattern edges.
+    */
+  def t32Blocklist(spark: SparkSession, dir: String): DataFrame =
+    TextOps.blocklistHits(Tables.documents(spark, dir), t32Patterns)
+      .orderBy(col("doc_id"), col("pattern_id"))
+
   /** Hybrid retrieval with reciprocal-rank fusion
     * ([[Similarity.rrfFuse]]): the BM25 lexical arm (t16's terms,
     * top-50 with an explicit (score desc, id) rank) fused with the
@@ -3878,6 +3900,17 @@ object Pipeline {
          |  t.lm_micro - c.lm_micro AS importance_micro
          |FROM tg_lmscored t JOIN cp_lmscored c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // every Aho-Corasick count replayed as replace()-arithmetic — the
+    // exact greedy non-overlap contract, per (doc, pattern)
+    "t32_blocklist" ->
+      """WITH pats(pattern_id, pattern) AS (VALUES
+        |  (0, 'fast'), (1, 'fast table'), (2, 'table table'),
+        |  (3, 'a a'), (4, 'value part'), (5, 'slow filter'))
+        |SELECT doc_id, pattern_id, pattern,
+        |  (length(text) - length(replace(text, pattern, ''))) // length(pattern) AS cnt
+        |FROM documents, pats
+        |WHERE (length(text) - length(replace(text, pattern, ''))) // length(pattern) > 0
+        |ORDER BY doc_id, pattern_id""".stripMargin,
     // literal ntile(3) vs the Spark side's histogram-prefix-sum rank
     // assembly — the gate proves the distributed spelling IS ntile
     "t24_perplexity_buckets" ->
@@ -3959,6 +3992,7 @@ object Pipeline {
     "t29_bpe_encode"     -> t29BpeEncode _,
     "t30_vocab_coverage" -> t30VocabCoverage _,
     "t31_dsir_weights"   -> t31DsirWeights _,
+    "t32_blocklist"      -> t32Blocklist _,
     "s11_linear_probe"   -> s11LinearProbe _,
     "s12_hybrid_rrf"     -> s12HybridRrf _,
     "s13_mmr_rerank"     -> s13MmrRerank _,

@@ -504,6 +504,16 @@ class PlanSpec extends AnyFunSuite {
       s"more than the one fact-fact join shuffled:\n$plan")
   }
 
+  test("t32: blocklist is ONE narrow text pass — only the presentation sort exchanges") {
+    val plan = planOf("t32_blocklist")
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"blocklist matching must not shuffle before the sort:\n$plan")
+    assert(plan.contains("Generate"),
+      s"hits should explode at hit cardinality, not widen the row:\n$plan")
+    assert(!plan.toLowerCase.contains("udf") && !plan.contains("BatchEvalPython"),
+      s"blocklist must be the native expression:\n$plan")
+  }
+
   test("s09/s10: prefix slice happens BEFORE the pair join — full vectors never enter it") {
     // the join operand projections must carry the slice; if the slice
     // migrated above the join, the corpus would ship full-width vectors
