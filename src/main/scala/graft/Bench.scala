@@ -357,6 +357,10 @@ object Bench {
       // catalog is never re-grammed
       "fuzzy_serve_indexed" -> (n => graft.ext.Fuzzy.fuzzyJoinIndexed(
         spark, dirtyParts, fuzzyIdx(n))),
+      // JL sparse random projection: outDim fused codegen dots per row
+      // — growth must be pure scan cost (a narrow pass, no shuffle)
+      "random_projection" -> (n => Similarity.randomProjection(
+        embAt(n), outDim = 16, seed = 7L)),
       // one-pass multi-pattern blocklist: the Aho-Corasick expression
       // scans each text once regardless of pattern count — growth must
       // be pure scan cost (hit-cardinality rows out)

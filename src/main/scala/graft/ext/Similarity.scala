@@ -380,6 +380,96 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Deterministic ±1.0 for input dim `j`, output dim `k`, `seed` —
+    * md5-parity so both engines (and the oracle SQL generator) derive
+    * the identical sign matrix from the three integers alone.
+    */
+  def projectionSign(j: Int, k: Int, seed: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$j:$k:$seed".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((d(0) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Sign matrix for [[randomProjection]]: `outDim` rows of `inDim`
+    * ±1 entries (Achlioptas 2001 — database-friendly random
+    * projections: ±1 signs satisfy the JL lemma like gaussians do, and
+    * the projection becomes signed sums).
+    */
+  def projectionSigns(inDim: Int, outDim: Int, seed: Long): Seq[Seq[Double]] =
+    (0 until outDim).map(k => (0 until inDim).map(j => projectionSign(j, k, seed)))
+
+  /** Johnson-Lindenstrauss sparse random projection: embed `inDim`
+    * vectors into `outDim` dims as signed sums `p_k = Σ_j s(j,k)·v_j`,
+    * the DATA-INDEPENDENT dimensionality reduction (works on any
+    * embedding, unlike the s09 Matryoshka prefix slice which needs
+    * truncation-trained vectors). Distances are preserved within the
+    * JL distortion bound up to the constant `√outDim` (callers
+    * comparing to original distances divide once; rankings don't
+    * care). The sign matrix is driver-side config (outDim·inDim ±1s
+    * folded into the plan as array literals — the s11 broadcast-
+    * weights shape), so the projection is `outDim` fused codegen dots
+    * per row: a narrow scan-speed pass, no shuffle, no UDF. Output is
+    * (id, proj_dim, proj) rows with proj rounded to 6 (the s01 float
+    * convention) — the s17 gate replays every value via
+    * `list_dot_product` on the same literals.
+    */
+  def randomProjection(vectors: DataFrame, outDim: Int, seed: Long,
+      inDim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(outDim > 0 && inDim > 0, "dims must be positive")
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val signs = projectionSigns(inDim, outDim, seed)
+    val v = asDouble(col(vecCol))
+    vectors.select(col(idCol), posexplode(array(signs.map(s =>
+        round(graftDot(v, typedLit(s.toArray)), 6)): _*))
+      .as(Seq("proj_dim", "proj")))
+  }
+
+  /** Projected column helper: the `outDim`-wide projected vector (no
+    * rounding — stage-1 scoring rounds its final cosine instead, the
+    * s09/s10 convention) for [[projectedRerankTopK]].
+    */
+  private def projectedVec(vecCol: Column, inDim: Int, outDim: Int,
+      seed: Long): Column = {
+    val v = asDouble(vecCol)
+    array(projectionSigns(inDim, outDim, seed)
+      .map(s => graftDot(v, typedLit(s.toArray))): _*)
+  }
+
+  /** Coarse-to-fine serving through the JL projection: stage 1 ranks
+    * candidates by cosine in the `outDim`-projected space (the cheap
+    * pass touches outDim/inDim of the bytes per pair — the s10 rerank
+    * economics without needing Matryoshka-trained embeddings), stage 2
+    * re-scores the `candidates` survivors with full-width vectors.
+    * Both stages round(6) before ranking, ties by id, so the whole
+    * cascade is a pure function of gated scores and the s18 oracle
+    * replays it end to end. The candidate list broadcasts
+    * (|queries|·candidates id pairs) under the same loud bound as
+    * [[truncatedRerankTopK]].
+    */
+  def projectedRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      outDim: Int, seed: Long, candidates: Int, inDim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBroadcastRows: Long = 4194304L): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    requireBounded(queries, (maxBroadcastRows / candidates.toLong).max(1L),
+      s"projectedRerankTopK query set (×$candidates candidates each, broadcast)",
+      "maxBroadcastRows")
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    def projSide(df: DataFrame) = df.select(col(idCol),
+      projectedVec(col(vecCol), inDim, outDim, seed).as("embedding"))
+    val cand = bruteForceTopK(projSide(queries), projSide(corpus), candidates,
+        idCol, "embedding")
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(graftDot(col("qv"), col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(graftDot(col("cv"), col("cv"))))
+    val scored = broadcast(cand).join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .withColumn("sim", round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    rankTopK(scored, k)
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits. Hyperplanes are
     * seeded gaussian literal arrays evaluated through the native dot
     * product (codegen'd — the signature of a billion vectors is `bits`

@@ -918,6 +918,15 @@ object Pipeline {
     * shared-chain pattern as the t25/t29 BPE oracles. Parameterized so
     * the SQL is derived from the SAME constants as the Spark query.
     */
+  /** The (64 → 16, seed 7) ±1 sign row for output dim `k` as a DuckDB
+    * DOUBLE[] literal — generated from the SAME
+    * [[Similarity.projectionSign]] the Spark plan folds in, so the
+    * oracle and the engine share the matrix by construction.
+    */
+  private def projSignSql(k: Int): String =
+    Similarity.projectionSigns(64, 16, 7L)(k)
+      .mkString("[", ", ", "]::DOUBLE[]")
+
   private def mmrOracle(nQueries: Int, pool: Int, k: Int, lam: Long): String = {
     val sim = "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)"
     val head =
@@ -1000,6 +1009,32 @@ object Pipeline {
     * Integer micro-sims; the oracle replays the ranked pool and both
     * selection rules.
     */
+  /** Johnson-Lindenstrauss sparse random projection
+    * ([[Similarity.randomProjection]]): every vector's 16 signed sums
+    * under the seed-7 ±1 matrix, rounded 6 — the gate replays each
+    * value via `list_dot_product` on the SAME sign literals (the s11
+    * weights-as-config convention), pinning the projection arithmetic
+    * per (vector, output dim).
+    */
+  def s17RandomProjection(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(Tables.embeddings(spark, dir),
+        outDim = 16, seed = 7L)
+      .orderBy(col("vec_id"), col("proj_dim"))
+
+  /** Coarse-to-fine serving through the projection
+    * ([[Similarity.projectedRerankTopK]]): stage-1 candidates ranked in
+    * the 16-dim projected space, stage-2 full-width rerank — the s10
+    * cascade economics without Matryoshka-trained embeddings. Both
+    * stages round(6) before ranking with id ties, so the oracle
+    * replays candidate selection AND rerank exactly.
+    */
+  def s18ProjRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.projectedRerankTopK(emb.filter(col("vec_id") < 20), emb,
+        k = 5, outDim = 16, seed = 7L, candidates = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def s16TripletMine(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.tripletMine(emb.filter(col("vec_id") < 12), emb,
@@ -2844,6 +2879,39 @@ object Pipeline {
         |FROM wc, tot, (VALUES (1), (2), (3), (5), (8)) k(cutoff)
         |WHERE c >= k.cutoff
         |GROUP BY k.cutoff ORDER BY cutoff""".stripMargin,
+    // the projection arithmetic replayed per (vector, output dim) on
+    // the SAME ±1 literals both engines derive from (64, 16, seed 7)
+    "s17_random_projection" -> (0 until 16).map(k =>
+      "SELECT vec_id, " + k + " AS proj_dim, " +
+        s"round(list_dot_product(embedding::DOUBLE[], ${projSignSql(k)}), 6) AS proj " +
+        "FROM embeddings")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY vec_id, proj_dim"),
+    // stage 1 (candidate top-64 in projected space) and stage 2
+    // (full-width rerank) both replayed with round-6-before-rank
+    "s18_proj_rerank" ->
+      s"""WITH proj AS (
+         |  SELECT vec_id, [${(0 until 16).map(k =>
+              s"list_dot_product(embedding::DOUBLE[], ${projSignSql(k)})").mkString(",\n    ")}] AS pv
+         |  FROM embeddings
+         |), cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round(list_cosine_similarity(a.pv, b.pv), 6) DESC, b.vec_id) AS rnk
+         |    FROM proj a JOIN proj b ON a.vec_id != b.vec_id
+         |    WHERE a.vec_id < 20) t
+         |  WHERE rnk <= 64
+         |)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    round(list_cosine_similarity(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]), 6) AS sim,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY round(list_cosine_similarity(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]), 6) DESC,
+         |               c.neighbor_id) AS rank
+         |  FROM cand c
+         |  JOIN embeddings qa ON c.query_id = qa.vec_id
+         |  JOIN embeddings qb ON c.neighbor_id = qb.vec_id) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // the greedy selection unrolled to one CTE pair per pick — every
     // iteration's arg-max (ties included) replayed in integer space
     "s13_mmr_rerank" -> mmrOracle(nQueries = 8, pool = 20, k = 5, lam = 700L),
@@ -3999,6 +4067,8 @@ object Pipeline {
     "s14_cluster_mixture" -> s14ClusterMixture _,
     "s15_embedding_drift" -> s15EmbeddingDrift _,
     "s16_triplet_mine"   -> s16TripletMine _,
+    "s17_random_projection" -> s17RandomProjection _,
+    "s18_proj_rerank"    -> s18ProjRerank _,
     "t26_chunk_windows"  -> t26ChunkWindows _,
     "t27_novelty"        -> t27Novelty _,
     "g01_pagerank"       -> g01PageRank _,
