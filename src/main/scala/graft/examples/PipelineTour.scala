@@ -73,6 +73,44 @@ object PipelineTour {
         perQuery.filter(col("n") =!= 5 || col("mx") =!= 5).count() == 0
     }
 
+    check("blocklist gate: one-pass AC counts drop exactly the docs with banned phrases") {
+      // the C4-style banned-term filter (t32): count hits in ONE text
+      // pass, drop any doc with a hit, keep the rest
+      val pats = Seq("fast table", "table table", "slow filter")
+      val hits = TextOps.blocklistHits(docs, pats).cache()
+      val banned = hits.select(col("doc_id")).distinct()
+      val kept = docs.join(banned, Seq("doc_id"), "left_anti")
+      val n = docs.count()
+      val nb = banned.count()
+      val ok = nb > 0 && kept.count() == n - nb &&
+        hits.filter(col("cnt") <= 0).count() == 0
+      hits.unpersist(blocking = false); ok
+    }
+
+    check("JL projected cascade agrees with brute force on top-1 for most queries") {
+      // the data-independent scale path (s17/s18): candidates in the
+      // 16-dim projected space, full-width rerank
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, emb, 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val casc = Similarity.projectedRerankTopK(q, emb, k = 5,
+          outDim = 16, seed = 7L, candidates = 64)
+        .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+      val hits = exact.count { case (qid, n1) => casc.getOrElse(qid, Set.empty).contains(n1) }
+      hits >= exact.size / 2
+    }
+
+    check("fuzzy match + Jaro-Winkler rerank: every corrupted record gets one ranked match") {
+      // the d27→d30 record-linkage tail: edit-distance candidates,
+      // JW-prefix-boost tie-breaking, one winner per dirty record
+      val ranked = graft.queries.Pipeline.d30JwRank(spark, dir).cache()
+      val perId = ranked.groupBy("id_a").agg(count(lit(1)).as("n"))
+      val ok = ranked.count() > 0 &&
+        perId.filter(col("n") =!= 1).count() == 0 &&
+        ranked.filter(col("jw") < 0 || col("jw") > 1).count() == 0
+      ranked.unpersist(blocking = false); ok
+    }
+
     check("multimodal features flow into dedup") {
       val media = Multimodal.syntheticMedia(docs.limit(100))
       Multimodal.extractFeatures(media).count() == 100
