@@ -742,6 +742,102 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** Q38 TPC-H Q8 shape (market share): one nation's share of a
+    * region's import volume by year, as the two conditional DECIMAL
+    * sums (numerator + denominator — the ratio is one division away;
+    * emitting both keeps every gated value exact, the q34 multiplied-
+    * out philosophy). All four dimension chains (region→nation→
+    * customer, nation→supplier, filtered part) collapse to broadcasts
+    * BEFORE the fact join; the conditional split is a `when` inside
+    * ONE aggregation — never two scans of the joined fact.
+    */
+  def q38MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    val afrKeys = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "AFRICA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val custAfr = Tables.customer(spark, dir)
+      .join(broadcast(afrKeys), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNat = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(custAfr), col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_retailprice") > 950).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast(DecimalType(18, 4))))
+          .cast("double").as("nation_volume"),
+        sum(vol).cast("double").as("total_volume"))
+      .orderBy(col("l_year"))
+  }
+
+  /** Q39 TPC-H Q16 shape (supplier-count distribution): how many parts
+    * have exactly N distinct qualifying suppliers, by brand —
+    * excluding flagged suppliers (negative balance, the comment-filter
+    * analog) via NOT IN. The scale shape: the exclusion is a broadcast
+    * anti join on the tiny flagged set; the fact table collapses to
+    * DISTINCT (part, supplier) grain in one shuffle; the distinct-
+    * supplier count then runs at that grain, and the final histogram
+    * at (brand, count) cardinality.
+    */
+  def q39SupplierDist(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .distinct()
+    ps.join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .groupBy(col("p_brand"), col("supplier_cnt"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"), col("supplier_cnt"))
+  }
+
+  /** Q40 TPC-H Q19 shape (disjunctive predicates): revenue under an OR
+    * of three (brand, size-band, quantity-band) conjunctions. The
+    * part-only factor of the disjunction — `(brand1 ∧ size ≤ 15) ∨
+    * (brand2 ∧ size ≤ 25) ∨ (brand3 ∧ size ≤ 35)` — is applied to the
+    * part side BEFORE the join (the CNF-factored pushdown SQL engines
+    * derive; stated explicitly here so the filtered part set
+    * broadcasts), and the full mixed predicate runs as the join
+    * output's filter. One fact scan, one broadcast join, one
+    * aggregate.
+    */
+  def q40DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    def arm(brand: String, maxSize: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, maxSize) &&
+        col("l_quantity").between(qLo, qHi)
+    val partArm = (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 25)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(partArm)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(arm("Brand#1", 15, 1, 20) || arm("Brand#2", 25, 10, 30) ||
+        arm("Brand#3", 35, 20, 40))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Oracle SQL (DuckDB dialect ≡ ANSI) — must alias identically to the above. */
   val oracles: Map[String, String] = Map(
     "q11_rollup" ->
@@ -1084,6 +1180,50 @@ object Relational {
         |JOIN pp USING (l_partkey)
         |WHERE p_brand = 'Brand#1'
         |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_n < qty_sum""".stripMargin,
+    // TPC-H Q8 shape; numerator + denominator emitted (ratio = one
+    // division away), conditional split inside ONE aggregation
+    "q38_market_share" ->
+      """SELECT l_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(sum(vol) AS DOUBLE) AS total_volume
+        |FROM (
+        |  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |    ns.n_name AS supp_nation,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS vol
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region r ON nc.n_regionkey = r.r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE r.r_name = 'AFRICA' AND p_retailprice > 950
+        |)
+        |GROUP BY l_year ORDER BY l_year""".stripMargin,
+    // TPC-H Q16 shape; flagged-supplier NOT IN + distinct-count histogram
+    "q39_supplier_dist" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |), cnt AS (
+        |  SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |  FROM ps JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_size
+        |)
+        |SELECT p_brand, supplier_cnt, count(*) AS n_parts
+        |FROM cnt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // TPC-H Q19 shape; the OR of three mixed conjunctions in one WHERE
+    "q40_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     // TPC-H Q7 shape; OR'd bilateral nation pair, year as BIGINT
     "q37_nation_volume" ->
       """SELECT supp_nation, cust_nation, l_year, CAST(sum(vol) AS DOUBLE) AS volume
@@ -1142,5 +1282,8 @@ object Relational {
     "q35_top_supplier" -> q35TopSupplier _,
     "q36_small_qty_revenue" -> q36SmallQtyRevenue _,
     "q37_nation_volume" -> q37NationVolume _,
+    "q38_market_share" -> q38MarketShare _,
+    "q39_supplier_dist" -> q39SupplierDist _,
+    "q40_disjunctive_revenue" -> q40DisjunctiveRevenue _,
   )
 }

@@ -504,6 +504,35 @@ class PlanSpec extends AnyFunSuite {
       s"more than the one fact-fact join shuffled:\n$plan")
   }
 
+  test("q38: every dim chain broadcasts; conditional split lives inside ONE aggregation") {
+    val plan = planOf("q38_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"region/customer, supplier/nation and part chains should broadcast:\n$plan")
+    // lineitem is scanned once: the when() split must not duplicate it
+    val factScans = "Scan parquet [^\\n]*lineitem".r.findAllIn(plan).size
+    assert(factScans == 1, s"Q8 shape reads lineitem once, got $factScans:\n$plan")
+    assert(plan.contains("CASE WHEN"),
+      s"conditional volume must be a when() in the aggregate:\n$plan")
+  }
+
+  test("q39: flagged-supplier exclusion is a broadcast anti join below the distinct") {
+    val plan = planOf("q39_supplier_dist")
+    assert(plan.contains("LeftAnti"),
+      s"NOT IN must compile to an anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the tiny flagged set should broadcast:\n$plan")
+    val factScans = "Scan parquet [^\\n]*lineitem".r.findAllIn(plan).size
+    assert(factScans == 1, s"one lineitem scan expected, got $factScans:\n$plan")
+  }
+
+  test("q40: the part-only factor of the disjunction reaches the part scan; part broadcasts") {
+    val plan = planOf("q40_disjunctive_revenue")
+    assert(plan.contains("PushedFilters: [Or(") || plan.contains("Or(And(EqualTo(p_brand"),
+      s"brand/size disjunction not pushed to the part scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the filtered part side should broadcast:\n$plan")
+  }
+
   test("t32: blocklist is ONE narrow text pass — only the presentation sort exchanges") {
     val plan = planOf("t32_blocklist")
     assert("Exchange".r.findAllIn(plan).size <= 1,
