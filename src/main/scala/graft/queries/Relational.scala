@@ -719,7 +719,7 @@ object Relational {
     */
   def q37NationVolume(spark: SparkSession, dir: String): DataFrame = {
     val natPair = Tables.nation(spark, dir)
-      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .filter(col("n_name").isin("NATION_18", "NATION_19"))
       .select(col("n_nationkey"), col("n_name"))
     val supp = Tables.supplier(spark, dir)
       .join(broadcast(natPair), col("s_nationkey") === col("n_nationkey"))
@@ -733,8 +733,8 @@ object Relational {
     Tables.lineitem(spark, dir)
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -771,7 +771,7 @@ object Relational {
       .join(broadcast(custAfr), col("o_custkey") === col("c_custkey"))
     Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)
-        .filter(col("p_retailprice") > 950).select(col("p_partkey"))),
+        .filter(col("p_size") > 25).select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
       .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -1199,7 +1199,7 @@ object Relational {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
         |  JOIN part ON l_partkey = p_partkey
-        |  WHERE r.r_name = 'AFRICA' AND p_retailprice > 950
+        |  WHERE r.r_name = 'AFRICA' AND p_size > 25
         |)
         |GROUP BY l_year ORDER BY l_year""".stripMargin,
     // TPC-H Q16 shape; flagged-supplier NOT IN + distinct-count histogram
@@ -1237,8 +1237,8 @@ object Relational {
         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation nc ON c_nationkey = nc.n_nationkey
-        |  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
-        |     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+        |  WHERE (ns.n_name = 'NATION_18' AND nc.n_name = 'NATION_19')
+        |     OR (ns.n_name = 'NATION_19' AND nc.n_name = 'NATION_18')
         |)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
   )
