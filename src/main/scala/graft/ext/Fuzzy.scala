@@ -288,15 +288,23 @@ object Fuzzy {
       dirtyCol: String = "s", dirtyId: String = "id"): DataFrame = {
     val p = requireParams(spark, path)
     val dfStored = spark.read.parquet(s"$path/df")
-    val lPre = prefixOf(qgramRows(dirty, p.q, dirtyCol, dirtyId), dfStored,
+    // serving contract: `dirty` is an ingest batch / micro-batch, so
+    // its prefix rows broadcast — the STORED index then streams through
+    // one broadcast hash join and is never shuffled on the gram key
+    // (without the hint Catalyst misestimates the windowed batch side
+    // and sort-merge-joins the whole index; measured 32 s → batch-bound
+    // at the ×10 probe catalog)
+    val lPre = broadcast(
+      prefixOf(qgramRows(dirty, p.q, dirtyCol, dirtyId), dfStored,
         p.q, p.maxDist, dirtyId, dirtyCol)
       .withColumnRenamed(dirtyId, "id_a").withColumnRenamed(dirtyCol, "_sa")
-      .withColumnRenamed("_len", "_la")
+      .withColumnRenamed("_len", "_la"))
     val rPre = spark.read.parquet(s"$path/prefix")
       .select(col("id").as("id_b"), col("s").as("_sb"),
         col("len").as("_lb"), col("gram"), col("occ"))
-    val shortL = dirty.filter(length(col(dirtyCol)) <= shortLen(p.q, p.maxDist))
-      .select(col(dirtyId).as("id_a"), col(dirtyCol).as("_sa"))
+    val shortL = broadcast(
+      dirty.filter(length(col(dirtyCol)) <= shortLen(p.q, p.maxDist))
+      .select(col(dirtyId).as("id_a"), col(dirtyCol).as("_sa")))
     val shortR = spark.read.parquet(s"$path/short")
       .select(col("id").as("id_b"), col("s").as("_sb"))
     pairsFromPrefixes(lPre, rPre, shortL, shortR, p.maxDist)

@@ -187,7 +187,12 @@ object Pipeline {
         col("p_size").cast("string")).as("s"))
     val pos = (conv(substring(md5(col("s")), 1, 4), 16, 10).cast("long")
       % length(col("s"))).cast("int")
-    val dirty = cat.filter(col("id") % 3 === 0)
+    // the dirty side is a FIXED-size ingest batch (absolute id cutoff,
+    // not a fraction of the catalog): an ingest batch doesn't grow with
+    // the corpus, and the fuzzy family's cost model is batch×candidates
+    // — a proportional batch made the whole family quadratic in SF
+    // (measured 18-72 s/query at sf0.1 before the cap)
+    val dirty = cat.filter(col("id") % 3 === 0 && col("id") < 2000)
       .select(col("id"),
         concat(col("s").substr(lit(1), pos),
           col("s").substr(pos + lit(2), length(col("s")))).as("s"))
@@ -2261,7 +2266,7 @@ object Pipeline {
       |  SELECT id AS did,
       |    concat(substr(s, 1, ('0x' || substr(md5(s), 1, 4))::INT % length(s)),
       |           substr(s, ('0x' || substr(md5(s), 1, 4))::INT % length(s) + 2)) AS ds
-      |  FROM cat WHERE id % 3 = 0
+      |  FROM cat WHERE id % 3 = 0 AND id < 2000
       |)""".stripMargin
 
   private val ngramJaccardCtes =
