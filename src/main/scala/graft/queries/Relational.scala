@@ -838,6 +838,190 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Q41 TPC-H Q4 shape (order-priority checking): orders placed in one
+    * quarter that had at least one line shipped more than 60 days after
+    * the order date, counted by priority. The correlated EXISTS — its
+    * predicate compares a lineitem column against the OUTER row's
+    * o_orderdate — decorrelates to a LEFT SEMI join whose equi key
+    * (orderkey) carries the shuffle and whose date comparison rides
+    * along as the join residual; no per-row subquery survives. The
+    * quarter window is pushed to the orders scan, so only ~4 % of
+    * orders reach the semi join's build side at any SF.
+    */
+  def q41OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q42 TPC-H Q5 shape (local-supplier volume): revenue from orders
+    * where the customer and the line's supplier sit in the SAME nation
+    * of one region, by nation. The signature constraint —
+    * `c_nationkey = s_nationkey` — cannot be pushed into either
+    * dimension alone; it runs as a post-join filter on two pre-joined
+    * tiny columns. Scale shape: the region filter collapses
+    * nation→customer and nation→supplier to broadcasts BEFORE the fact
+    * join (only the region's rows survive), the orders date window is
+    * pushed to its scan, and lineitem⋈orders is the only real shuffle.
+    */
+  def q42LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(asiaNat.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(asiaNat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Q43 TPC-H Q10 shape (returned-item ranking): the top 20 customers
+    * by revenue they generated on RETURNED lines in one quarter. The
+    * aggregate runs at customer grain off ONE fact-fact join
+    * (returnflag pushed to the lineitem scan, quarter window to the
+    * orders scan); the name/nation dims join AFTER the aggregate, at
+    * customer-grain cardinality, never against raw fact rows. Revenue
+    * stays DECIMAL through the ORDER BY so the top-20 cutoff is exact
+    * cross-engine (a double sort could flip near-ties), with custkey as
+    * the deterministic tie-break; the global sort is a TakeOrdered
+    * (top-k per partition then k-merge), not a full exchange.
+    */
+  def q43ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("vol"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("vol")).as("rev"))
+    perCust
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("rev").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"),
+        col("rev").cast("double").as("revenue"), col("n_name"))
+  }
+
+  /** Q44 TPC-H Q12 shape (shipping-mode priority split, adapted to this
+    * schema's columns): lines shipped more than 90 days after their
+    * order date in one year, split into urgent vs non-urgent order
+    * counts per line status. The two tallies are `sum(CASE)` arms
+    * inside ONE aggregation over ONE join — never two passes over the
+    * fact. The year window pushes to the lineitem scan; the lateness
+    * predicate (comparing columns of both tables) is the join's
+    * residual filter. Counts are BIGINT on both engines.
+    */
+  def q44LateShipments(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(Tables.lineitem(spark, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus")),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("high_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT", 1L).otherwise(0L))
+          .as("low_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** Q45 TPC-H Q14 shape (promotion share): promo-part revenue vs total
+    * revenue per ship month of one year, emitted as the two conditional
+    * DECIMAL sums (the q38 numerator+denominator convention — the
+    * percentage is one division away and keeping both sums exact is
+    * what lets the hash gate hold). One fact scan with the year window
+    * pushed down, the 2-column part side broadcasts, and the
+    * promo/total split is a `when` inside ONE aggregation.
+    */
+  def q45PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(month(col("l_shipdate")).cast("long").as("l_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0).cast(DecimalType(18, 4))))
+          .cast("double").as("promo_revenue"),
+        sum(vol).cast("double").as("total_revenue"))
+      .orderBy(col("l_month"))
+  }
+
+  /** Q46 TPC-H Q9 shape (product-type profit, adapted: this schema has
+    * no partsupp, so supply cost is modeled as half the part's retail
+    * price — the reference cost column with the same join topology):
+    * profit per supplier nation per year over one part type. Both money
+    * terms are cast to DECIMAL(18,4) PER ROW before the subtraction so
+    * the sum of differences is exact on both engines. The part filter
+    * (p_type) is pushed to its scan and the 2-column survivors
+    * broadcast; supplier and nation broadcast; lineitem is scanned
+    * once and never shuffles before the final nation×year aggregate.
+    */
+  def q46ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val profit = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 4)) -
+      (col("p_retailprice") * lit(0.5) * col("l_quantity"))
+        .cast(DecimalType(18, 4))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(profit).cast("double").as("profit"))
+      .orderBy(col("n_name"), col("l_year"))
+  }
+
   /** Oracle SQL (DuckDB dialect ≡ ANSI) — must alias identically to the above. */
   val oracles: Map[String, String] = Map(
     "q11_rollup" ->
@@ -1241,6 +1425,70 @@ object Relational {
         |     OR (ns.n_name = 'NATION_19' AND nc.n_name = 'NATION_18')
         |)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // TPC-H Q4 shape; EXISTS with a correlated date comparison
+    "q41_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // TPC-H Q5 shape; same-nation customer/supplier constraint
+    "q42_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // TPC-H Q10 shape; top-20 cutoff on exact DECIMAL revenue
+    "q43_returned_items" ->
+      """SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue, n_name
+        |FROM (SELECT o_custkey,
+        |        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |      WHERE l_returnflag = 'R'
+        |        AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        |      GROUP BY 1)
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin,
+    // TPC-H Q12 shape; dual conditional counts in one aggregation
+    "q44_late_shipments" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // TPC-H Q14 shape; promo/total conditional DECIMAL sums by month
+    "q45_promo_share" ->
+      """SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS l_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // TPC-H Q9 shape; per-row DECIMAL casts BEFORE the subtraction
+    "q46_product_profit" ->
+      """SELECT n_name, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |         - CAST(p_retailprice * 0.5 * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'ECONOMY'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1285,5 +1533,11 @@ object Relational {
     "q38_market_share" -> q38MarketShare _,
     "q39_supplier_dist" -> q39SupplierDist _,
     "q40_disjunctive_revenue" -> q40DisjunctiveRevenue _,
+    "q41_order_priority" -> q41OrderPriority _,
+    "q42_local_supplier_volume" -> q42LocalSupplierVolume _,
+    "q43_returned_items" -> q43ReturnedItems _,
+    "q44_late_shipments" -> q44LateShipments _,
+    "q45_promo_share" -> q45PromoShare _,
+    "q46_product_profit" -> q46ProductProfit _,
   )
 }

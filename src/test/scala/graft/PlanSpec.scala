@@ -533,6 +533,68 @@ class PlanSpec extends AnyFunSuite {
       s"the filtered part side should broadcast:\n$plan")
   }
 
+  test("q41: EXISTS decorrelates to a semi join; quarter window pushed to the orders scan") {
+    val plan = planOf("q41_order_priority")
+    assert(plan.contains("LeftSemi"),
+      s"correlated EXISTS must compile to a semi join:\n$plan")
+    assert(!plan.toLowerCase.contains("subqueryexec"),
+      s"decorrelation left a per-row subquery:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"quarter window not pushed to the orders scan:\n$plan")
+  }
+
+  test("q42: region chains broadcast; lineitem joins orders as the only shuffled join") {
+    val plan = planOf("q42_local_supplier_volume")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"supplier/customer nation chains should broadcast:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1,
+      s"more than the one fact-fact join shuffled:\n$plan")
+    val factScans = "Scan parquet [^\\n]*lineitem".r.findAllIn(plan).size
+    assert(factScans == 1, s"one lineitem scan expected, got $factScans:\n$plan")
+  }
+
+  test("q43: top-20 is a TakeOrdered over the customer-grain aggregate; returnflag pushed") {
+    val plan = planOf("q43_returned_items")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must not be a global sort:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed to the lineitem scan:\n$plan")
+    // name/nation dims join AFTER the aggregate: the aggregate must sit
+    // below the broadcast joins, i.e. no c_name column inside any HashAggregate
+    assert(!"HashAggregate[^\\n]*c_name".r.findAllIn(plan).hasNext,
+      s"customer dim joined before the aggregate (fact-side row widening):\n$plan")
+  }
+
+  test("q44: dual priority tallies are CASE arms in ONE aggregation over one join") {
+    val plan = planOf("q44_late_shipments")
+    assert(plan.contains("CASE WHEN"),
+      s"priority split must be when() arms inside the aggregate:\n$plan")
+    val factScans = "Scan parquet [^\\n]*lineitem".r.findAllIn(plan).size
+    assert(factScans == 1, s"one lineitem scan expected, got $factScans:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"year window not pushed to the lineitem scan:\n$plan")
+  }
+
+  test("q45: part side broadcasts with a 2-column ReadSchema; one lineitem scan") {
+    val plan = planOf("q45_promo_share")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 2-column part side should broadcast:\n$plan")
+    assert(plan.contains("ReadSchema: struct<p_partkey:bigint,p_type:string>"),
+      s"part scan not pruned to the 2 needed columns:\n$plan")
+    val factScans = "Scan parquet [^\\n]*lineitem".r.findAllIn(plan).size
+    assert(factScans == 1, s"one lineitem scan expected, got $factScans:\n$plan")
+  }
+
+  test("q46: p_type filter pushed to the part scan; all three dims broadcast") {
+    val plan = planOf("q46_product_profit")
+    assert(plan.contains("EqualTo(p_type,ECONOMY)"),
+      s"part-type filter not pushed to the part scan:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"part/supplier/nation should all broadcast:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size == 0,
+      s"Q9 shape with broadcast dims should not shuffle any join:\n$plan")
+  }
+
   test("t32: blocklist is ONE narrow text pass — only the presentation sort exchanges") {
     val plan = planOf("t32_blocklist")
     assert("Exchange".r.findAllIn(plan).size <= 1,
