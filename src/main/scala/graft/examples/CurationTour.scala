@@ -236,6 +236,41 @@ object CurationTour {
           .agg(max("count")).head().getLong(0) <= base + 1
     }
 
+    // 5a3. temperature mixture: the α = 0.5 rebalancing — quotas ∝ √n
+    // flatten the head source and lift the tail, and because sqrt is
+    // IEEE-exact the quotas are reproducible anywhere
+    check("temperature mixture flattens the head source vs its corpus share") {
+      val withSource = train.join(raw.select("doc_id", "source"), "doc_id").cache()
+      val mix = graft.ops.Sampling.temperatureMixture(
+        withSource.select(col("doc_id"), col("source")), "source", total = 40L)
+      val corpus = withSource.groupBy("source").count().collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val head = corpus.maxBy(_._2)
+      val total = mix.count()
+      val headDrawn = mix.filter(col("source") === head._1).count()
+      val n = corpus.map(_._2).sum
+      // ±1 for largest-remainder rounding
+      total > 0 && total <= 40L &&
+        headDrawn <= (head._2.toDouble / n * total).ceil.toLong + 1
+    }
+
+    // 5c. leakage-safe split: re-key the hash split on the near-dup
+    // COMPONENT so no near-duplicate pair straddles train/val — the
+    // contamination hole a per-doc split leaves open
+    check("leakage-safe split keeps every near-dup component on one side") {
+      val safe = graft.ops.Sampling.leakageSafeSplit(
+        raw.select("doc_id"), pairs, "doc_id",
+        Seq(("train", 0.9), ("val", 0.1)))
+      safe.count() == n0 &&
+        safe.groupBy("group_id")
+          .agg(countDistinct(col("split")).as("nsplits"))
+          .filter(col("nsplits") > 1).count() == 0 &&
+        safe.join(pairs, col("doc_id") === col("id_a"))
+          .select(col("split").as("sa"), col("id_b"))
+          .join(safe.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+          .filter(col("sa") =!= col("sb")).count() == 0
+    }
+
     // 5b. pack the train set into ~equal-token shards for the trainer
     check("shard packing covers every train doc with contiguous token-budget shards") {
       val shards = graft.ops.PrefixSum.tokenBudgetShards(

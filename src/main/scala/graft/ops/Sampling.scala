@@ -142,6 +142,69 @@ object Sampling {
     * if a legitimate domain space is bigger, and reconsider the
     * broadcast join below at the same time.
     */
+  /** Temperature-balanced mixture at α = 0.5 (the multilingual-LM
+    * rebalancing convention: domain quotas ∝ n_d^α flatten the head and
+    * lift the tail; mBERT used α = 0.7, XLM-R α = 0.3, and α = 0.5 is
+    * the square-root schedule) — [[domainMixture]]'s largest-remainder
+    * apportionment driven by a DERIVED weight instead of a configured
+    * one. α is fixed at 0.5 deliberately: `sqrt` is the one power IEEE
+    * 754 specifies as correctly rounded, so the micro-weight
+    * `round(√n_d · 10⁶)` is bit-identical on any engine and the whole
+    * mixture stays under the hash gate — an arbitrary `pow(n, α)` would
+    * be at the mercy of each platform's libm. The count aggregation
+    * runs at domain cardinality off a map-side-combined pass; everything
+    * downstream is [[domainMixture]]'s one-exchange shape.
+    */
+  def temperatureMixture(docs: DataFrame, domainCol: String, total: Long,
+      idCol: String = "doc_id", maxDomains: Long = 100000L): DataFrame = {
+    require(!docs.columns.contains("_tw"),
+      "column name _tw is reserved by Sampling.temperatureMixture")
+    val weights = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("_dn"))
+      .select(col(domainCol),
+        round(sqrt(col("_dn").cast("double")) * lit(1000000.0), 0)
+          .cast("long").as("_tw"))
+    domainMixture(docs.join(broadcast(weights), Seq(domainCol)),
+        domainCol, col("_tw"), total, idCol, maxDomains)
+      .drop("_tw")
+  }
+
+  /** Leakage-safe split: [[hashSplit]] keyed on the near-dup COMPONENT
+    * instead of the document — every member of a connected component
+    * of `pairs` lands in the SAME split, so a near-duplicate of a
+    * training document can never leak into validation or test (the
+    * benchmark-contamination failure mode of naive per-doc splits;
+    * docs with no near-dup partner split on their own id as before,
+    * and because the group key of a singleton IS its id, the label
+    * agrees with plain [[hashSplit]] until the doc gains a partner).
+    *
+    * Scale shape: components come from
+    * [[graft.ext.Dedup.clusters]] (O(log diameter) pointer-jumping
+    * rounds over the pair graph — pairs cardinality, not corpus²); the
+    * corpus pays one hash join against the component labels (near-dup
+    * ids only — the label side is a small fraction of the corpus) and
+    * the split itself stays one hash + one when-chain per row.
+    *
+    * @param pairs near-dup pair graph with `id_a`/`id_b` columns (any
+    *        pairwise dedup output or a persisted pair-graph artifact)
+    * @return docs plus `groupCol` (the split key: component min-id, or
+    *         the doc's own id for singletons) and `splitCol`
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: String = "graft",
+      splitCol: String = "split", groupCol: String = "group_id"): DataFrame = {
+    require(!docs.columns.contains(groupCol),
+      s"column name $groupCol collides with Sampling.leakageSafeSplit's group column")
+    val labels = graft.ext.Dedup.clusters(pairs)
+      .select(col("id").as("_ls_id"), col("cluster_id").as("_ls_cluster"))
+    val grouped = docs
+      .join(labels, col(idCol) === col("_ls_id"), "left")
+      .withColumn(groupCol,
+        coalesce(col("_ls_cluster"), col(idCol).cast("long")))
+      .drop("_ls_id", "_ls_cluster")
+    hashSplit(grouped, Seq(groupCol), splits, seed, splitCol)
+  }
+
   def domainMixture(docs: DataFrame, domainCol: String, weightCol: Column,
       total: Long, idCol: String = "doc_id", maxDomains: Long = 100000L): DataFrame = {
     require(total > 0, "total must be positive")

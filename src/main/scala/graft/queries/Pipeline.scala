@@ -667,6 +667,39 @@ object Pipeline {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-balanced mixture at α = 0.5
+    * ([[graft.ops.Sampling.temperatureMixture]]): quotas ∝ √n_d — the
+    * multilingual-LM rebalancing that flattens the head and lifts the
+    * tail, vs t23's configured weights. α is 0.5 precisely because
+    * IEEE specifies sqrt as correctly rounded: the micro-weight
+    * `round(√n·10⁶)` is bit-identical in DuckDB, so the derived
+    * weights, the largest-remainder apportionment AND the
+    * within-domain selection all sit under the hash gate.
+    */
+  def t33TemperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureMixture(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "source", total = 110L)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Leakage-safe split ([[graft.ops.Sampling.leakageSafeSplit]]):
+    * t09's deterministic hash split keyed on the near-dup COMPONENT
+    * (d11's connected components over the persisted pair graph), so a
+    * near-duplicate of a training doc can never land in val/test —
+    * the benchmark-contamination hole a per-doc split leaves open.
+    * The oracle replays components by recursive transitive closure,
+    * then the md5 threshold arithmetic on the group key — gating
+    * grouping and assignment end to end.
+    */
+  def d31LeakageSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.leakageSafeSplit(
+        Tables.documents(spark, dir).select(col("doc_id")),
+        jaccardPairGraph(spark, dir), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("doc_id"), col("group_id"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** Audio fingerprinting ([[graft.ext.Multimodal.audioFingerprint]]):
     * class-seeded REAL WAV payloads decoded with the real codec, first
     * 512 samples → 32 window energies → 31-bit delta-sign profile —
@@ -2480,6 +2513,29 @@ object Pipeline {
        |  FROM reach GROUP BY src
        |)""".stripMargin
 
+  /** The d31 leakage-safe split: recursive-CTE components (the d11
+    * labels) → group key = component min-id (own id for singletons) →
+    * the t09 md5 integer-threshold assignment on the GROUP key. Bounds
+    * derive with the SAME scanLeft-on-doubles arithmetic as
+    * [[graft.ops.Sampling.hashSplit]].
+    */
+  private def leakageSplitOracle: String = {
+    val bounds = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      .map(c => math.min((c * 4294967296.0).toLong, 4294967296L))
+    s"""WITH RECURSIVE $clusterLabelCtes, grp AS (
+       |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+       |)
+       |SELECT doc_id, group_id,
+       |  CASE WHEN h < ${bounds(0)} THEN 'train'
+       |       WHEN h < ${bounds(1)} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, group_id,
+       |        ('0x' || substr(md5('graft:' || group_id::VARCHAR), 1, 8))::BIGINT AS h
+       |      FROM grp) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Bigram-LM CTE chain ending in `lmscored(doc_id, n_bigrams,
     * lm_micro)` — retrains the t22 counts (bigram, unigram, vocab) and
     * replays the add-one micro-unit arithmetic; DuckDB's flooring `//`
@@ -2726,6 +2782,36 @@ object Pipeline {
         |)
         |SELECT doc_id, source FROM sel JOIN q USING (source)
         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+    // Same largest-remainder chain, weight DERIVED as round(sqrt(n)*1e6)
+    // — sqrt is IEEE-correctly-rounded, so the micro-weight replays
+    // bit-for-bit and the whole temperature mixture hash-gates.
+    "t33_temperature_mixture" ->
+      """WITH w AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000, 0) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(w) AS tw FROM w
+        |), q1 AS (
+        |  SELECT source, n, (110 * w) // tw AS base, (110 * w) % tw AS rem
+        |  FROM w CROSS JOIN tot
+        |), q2 AS (
+        |  SELECT source, n, base,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rnk,
+        |    110 - sum(base) OVER () AS leftover
+        |  FROM q1
+        |), q AS (
+        |  SELECT source,
+        |    least(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END, n) AS quota
+        |  FROM q2
+        |), sel AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, source FROM sel JOIN q USING (source)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+    "d31_leakage_split" -> leakageSplitOracle,
     "d16_audio_fp_pairs" ->
       s"""WITH $audioFpCtes
          |SELECT a.media_id AS id_a, b.media_id AS id_b,
@@ -4099,6 +4185,8 @@ object Pipeline {
     "d17_url_dedup"      -> d17UrlDedup _,
     "d18_image_dhash_new" -> d18ImageDhashNew _,
     "t23_domain_mixture" -> t23DomainMixture _,
+    "t33_temperature_mixture" -> t33TemperatureMixture _,
+    "d31_leakage_split" -> d31LeakageSplit _,
     "j02_orc_roundtrip"  -> j02OrcRoundtrip _,
     "j03_csv_roundtrip"  -> j03CsvRoundtrip _,
     "j04_jsonl_roundtrip" -> j04JsonlRoundtrip _,

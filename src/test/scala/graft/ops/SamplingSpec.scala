@@ -97,4 +97,59 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.hashSplit(docs, Seq("doc_id"), Seq(("a", 0.5), ("b", 0.4)))
     }
   }
+
+  test("temperatureMixture: sqrt-balanced quotas flatten the head and lift the tail") {
+    import spark.implicits._
+    // 64/16/4/1 docs -> sqrt micro-weights 8e6/4e6/2e6/1e6 (W = 15e6)
+    val rows = Seq.tabulate(64)(i => (i.toLong, "A")) ++
+      Seq.tabulate(16)(i => (100L + i, "B")) ++
+      Seq.tabulate(4)(i => (200L + i, "C")) ++ Seq((300L, "D"))
+    val df = rows.toDF("doc_id", "domain")
+    // total 15 divides exactly: quotas must be 8/4/2/1 — the sqrt schedule
+    val q15 = Sampling.temperatureMixture(df, "domain", total = 15L)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q15 == Map("A" -> 8L, "B" -> 4L, "C" -> 2L, "D" -> 1L), q15.toString)
+    // head share shrank vs proportional (64/85 = 0.75 -> 8/15 = 0.53),
+    // tail D lifted (15/85 = 0.18 of a doc -> a whole doc)
+    assert(q15("A").toDouble / 15 < 64.0 / 85)
+    // short domains yield what they have (capped-mixture relaxation)
+    val q90 = Sampling.temperatureMixture(df, "domain", total = 90L)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q90("B") == 16L && q90("C") == 4L && q90("D") == 1L, q90.toString)
+    assert(q90("A") <= 64L)
+    // deterministic rerun
+    val ids1 = Sampling.temperatureMixture(df, "domain", total = 15L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.temperatureMixture(df, "domain", total = 15L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("leakageSafeSplit: components share a label; singletons agree with hashSplit") {
+    import spark.implicits._
+    val ids = (1L to 10L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = Sampling.leakageSafeSplit(ids, pairs, "doc_id", splits)
+      .select("doc_id", "group_id", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // group key = component min id; singletons key on their own id
+    assert(Seq(1L, 2L, 3L).map(got(_)._1).toSet == Set(1L))
+    assert(Seq(7L, 8L).map(got(_)._1).toSet == Set(7L))
+    assert(Seq(4L, 5L, 6L, 9L, 10L).forall(id => got(id)._1 == id))
+    // THE leakage property: no component straddles splits
+    assert(Seq(1L, 2L, 3L).map(got(_)._2).toSet.size == 1)
+    assert(Seq(7L, 8L).map(got(_)._2).toSet.size == 1)
+    // singletons carry exactly the plain hashSplit label — the split
+    // only changes for docs that gained a near-dup partner
+    val plain = Sampling.hashSplit(ids, Seq("doc_id"), splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Seq(4L, 5L, 6L, 9L, 10L).forall(id => got(id)._2 == plain(id)))
+    // grouped members carry the hashSplit label OF THE GROUP KEY
+    assert(got(2L)._2 == plain(1L) && got(3L)._2 == plain(1L))
+    assert(got(8L)._2 == plain(7L))
+  }
 }
