@@ -1022,6 +1022,58 @@ object Relational {
       .orderBy(col("n_name"), col("l_year"))
   }
 
+  /** Q47 TPC-H Q6 shape (forecast revenue change): the pure
+    * scan-predicate aggregate — a year window, a discount band and a
+    * quantity cap, no join anywhere. All three predicates push to the
+    * parquet scan, so at 100 TB this is row-group pruning + a
+    * map-side-combined 1-row aggregate; the discount band compares the
+    * stored double against the same double literals on both engines
+    * (no arithmetic on the bounds, so no representation drift).
+    */
+  def q47SimpleRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q48 TPC-H Q20 shape (excess-share suppliers, adapted: no partsupp
+    * availability in this schema, so the excess test is against the
+    * part's own shipped volume): suppliers who shipped more than 30 %
+    * of a PROMO part's total 1997 volume. The real Q20's nested
+    * IN-chain (supplier IN (... partsupp WHERE availqty > 0.5·SUM(
+    * lineitem ...))) decorrelates the same way: ONE fact scan
+    * aggregates to (part, supplier) grain, the per-part total is a
+    * window over that AGGREGATE grain (never a second fact scan or a
+    * self-join), the share test is multiplied out in exact DECIMAL
+    * (`10·qty_ps > 3·qty_p` — no division), and only the distinct
+    * qualifying suppliers (supplier cardinality) reach the name join.
+    */
+  def q48ExcessShareSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val perPartSupp = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("ps_qty"))
+    perPartSupp
+      .withColumn("p_qty",
+        sum(col("ps_qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("ps_qty") * 10 > col("p_qty") * 3)
+      .select(col("l_suppkey")).distinct()
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Oracle SQL (DuckDB dialect ≡ ANSI) — must alias identically to the above. */
   val oracles: Map[String, String] = Map(
     "q11_rollup" ->
@@ -1489,6 +1541,30 @@ object Relational {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_type = 'ECONOMY'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // TPC-H Q6 shape; pure scan-predicate aggregate, no join
+    "q47_simple_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin,
+    // TPC-H Q20 shape; share test multiplied out in exact DECIMAL
+    "q48_excess_share_suppliers" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS ps_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |  GROUP BY 1, 2
+        |), pt AS (
+        |  SELECT l_partkey, sum(ps_qty) AS p_qty FROM pp GROUP BY 1
+        |)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM pp JOIN pt USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE ps_qty * 10 > p_qty * 3
+        |ORDER BY s_suppkey""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1539,5 +1615,7 @@ object Relational {
     "q44_late_shipments" -> q44LateShipments _,
     "q45_promo_share" -> q45PromoShare _,
     "q46_product_profit" -> q46ProductProfit _,
+    "q47_simple_revenue" -> q47SimpleRevenue _,
+    "q48_excess_share_suppliers" -> q48ExcessShareSuppliers _,
   )
 }

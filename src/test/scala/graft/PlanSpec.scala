@@ -595,6 +595,32 @@ class PlanSpec extends AnyFunSuite {
       s"Q9 shape with broadcast dims should not shuffle any join:\n$plan")
   }
 
+  test("q47: all three predicates reach the lineitem scan; no join anywhere") {
+    // formatted mode: the one-line plan string truncates this scan's
+    // PushedFilters list (4 read columns + 8 pushed predicates)
+    val df = SparkEntry.queries("q47_simple_revenue")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"year window not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.04)"),
+      s"discount band not pushed:\n$plan")
+    assert(plan.contains("LessThan(l_quantity,24.0)"),
+      s"quantity cap not pushed:\n$plan")
+    assert(!plan.contains("Join"), s"Q6 shape must not join:\n$plan")
+  }
+
+  test("q48: per-part total is a window over the AGGREGATE grain — one fact scan") {
+    val plan = planOf("q48_excess_share_suppliers")
+    val factScans = "Scan parquet [^\\n]*lineitem".r.findAllIn(plan).size
+    assert(factScans == 1,
+      s"Q20 decorrelation must not rescan or self-join the fact, got $factScans:\n$plan")
+    assert(plan.contains("Window"),
+      s"per-part total should be a window at (part,supplier) grain:\n$plan")
+    assert(plan.contains("EqualTo(p_type,PROMO)"),
+      s"part-type filter not pushed to the part scan:\n$plan")
+  }
+
   test("t32: blocklist is ONE narrow text pass — only the presentation sort exchanges") {
     val plan = planOf("t32_blocklist")
     assert("Exchange".r.findAllIn(plan).size <= 1,
