@@ -368,6 +368,13 @@ object Bench {
         "fast", "fast table", "table table", "a a", "value part",
         "slow filter", "big vector", "scan query", "key agg",
         "merge batch", "customer line", "the row"))),
+      // Count-Min sketch build: one posexplode (×depth) + one
+      // map-side-combined agg into ≤ depth·width cells — growth must
+      // be scan + partial-agg cost, output stays sketch-sized
+      "cms_sketch" -> (n => graft.ops.Approx.cmsSketch(
+        docsAt(n).select(explode(
+          split(trim(col("text")), "[ \\t\\n\\f\\r]+")).as("token")),
+        "token", depth = 4, width = 512)),
       // per-clip WAV decode + integer metrics: the codec boundary is
       // the cost; one decode per row, payloads never shuffle
       "audio_gate" -> (n => {

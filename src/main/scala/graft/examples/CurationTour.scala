@@ -398,7 +398,7 @@ object CurationTour {
       val k = 128
       val skRaw = graft.ops.Approx.kmvSketch(raw, col("text"), k)
       val skTrain = graft.ops.Approx.kmvSketch(train, col("text"), k)
-      val r = graft.ops.Approx.kmvOverlap(skRaw, skTrain, k).head
+      val r = graft.ops.Approx.kmvOverlap(skRaw, skTrain, k).head()
       val trueJ = train.select(col("text")).distinct().count().toDouble /
         raw.select(col("text")).distinct().count()
       math.abs(r.getLong(3) / 1e6 - trueJ) <= 3.0 / math.sqrt(k)

@@ -509,25 +509,59 @@ object Multimodal {
     * 8-byte hash) rows move.
     */
   def shotBoundaries(media: Dataset[MediaRow], threshold: Int = 10): DataFrame = {
-    import media.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val frameHashes = media.mapPartitions { rows =>
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frameDhashes(media)
+      .withColumn("_prev", lag(col("dhash"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select(col("media_id"), col("frame_idx"),
+        bit_count(expr("_prev ^ dhash")).cast("long").as("hamming"))
+      .withColumn("is_boundary", (col("hamming") >= threshold).cast("long"))
+  }
+
+  /** Per-frame 56-bit dHash table (media_id, frame_idx, dhash) — one
+    * codec pass per partition, payload bytes dropped before any
+    * shuffle. Shared by [[shotBoundaries]] and [[keyframes]].
+    */
+  private def frameDhashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
       rows.flatMap { r =>
         require(r.meta.format == PngSeqFormat,
-          s"shotBoundaries needs a $PngSeqFormat container, got ${r.meta.format}")
+          s"frame hashing needs a $PngSeqFormat container, got ${r.meta.format}")
         unpackFrames(r.payload).iterator.zipWithIndex.map { case (png, idx) =>
           val (w, h, rgb) = MediaCodec.decodePng(png)
           (r.media_id, idx.toLong, dhash56(w, h, rgb))
         }
       }
     }.toDF("media_id", "frame_idx", "dhash")
+  }
+
+  /** KEYFRAME extraction — the sampling step after shot detection:
+    * one representative frame per shot (its first), the frames a
+    * vision-model training pipeline actually keeps from a video. A
+    * shot STARTS at frame 0 and at every [[shotBoundaries]] cut
+    * (consecutive dHash Hamming ≥ `threshold`), so
+    * shot_id = (running count of starts) − 1 and the keyframes are
+    * exactly the start frames. Single-frame media yield their one
+    * frame as shot 0's keyframe.
+    *
+    * Plan: same per-partition hash pass as [[shotBoundaries]]; the
+    * lag and the running sum share ONE window spec (one exchange +
+    * sort at frame grain, bounded per medium — never corpus-wide).
+    */
+  def keyframes(media: Dataset[MediaRow], threshold: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
-    frameHashes
+    frameDhashes(media)
       .withColumn("_prev", lag(col("dhash"), 1).over(w))
-      .filter(col("_prev").isNotNull)
-      .select(col("media_id"), col("frame_idx"),
-        bit_count(expr("_prev ^ dhash")).cast("long").as("hamming"))
-      .withColumn("is_boundary", (col("hamming") >= threshold).cast("long"))
+      .withColumn("_is_start",
+        when(col("_prev").isNull, 1L)
+          .when(bit_count(expr("_prev ^ dhash")) >= threshold, 1L)
+          .otherwise(0L))
+      .withColumn("shot_id", sum(col("_is_start")).over(w) - lit(1L))
+      .filter(col("_is_start") === 1L)
+      .select(col("media_id"), col("shot_id"), col("frame_idx"))
   }
 
   /** Deterministic frame sampling: every nth byte-slice of the payload

@@ -250,4 +250,73 @@ object Approx {
           "CAST(_hu AS DECIMAL(38,0)) END AS BIGINT) AS DECIMAL(38,0))) div 1000000 AS BIGINT)")
           .as("est_intersection"))
   }
+
+  // ------------------------------------------------ Count-Min sketch
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) over a token
+    * column: `depth` hash rows × `width` counters, answering point
+    * frequency queries with the ONE-SIDED guarantee est ≥ true count
+    * (never under), error ≤ εN with ε = e/width at probability
+    * 1 − e^−depth. The complement of [[spaceSavingTopK]]: space-saving
+    * answers "what are the heavy keys", the CMS answers "how often is
+    * THIS key" for keys chosen after the scan — and two sketches over
+    * disjoint corpora merge by cell-wise addition ([[cmsMerge]]), the
+    * property that makes it the streaming/sharded counter of choice.
+    *
+    * Returns the sketch as a (row_i, bucket, cnt) DataFrame of at most
+    * depth·width rows — bounded state, broadcastable to the estimate
+    * join. The bucket hash is [[graft.functions.Cols.md5Uint32]] of
+    * `"i:token"` mod width, so every cell is a pure integer function
+    * of the input: DuckDB replays the SKETCH ITSELF, not just its
+    * answers (e11 gate) — the KMV convention applied to counters.
+    *
+    * Plan: one posexplode (×depth) + ONE map-side-combined aggregation
+    * into ≤ depth·width groups; no per-row state, no driver loop.
+    */
+  def cmsSketch(items: DataFrame, itemCol: String, depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    require(depth > 0 && width > 0, s"need depth/width > 0, got $depth/$width")
+    require(depth.toLong * width <= 4194304L,
+      s"CMS state ${depth}x$width exceeds 4M cells — that is no longer a sketch")
+    val arms = array((0 until depth).map { i =>
+      pmod(graft.functions.Cols.md5Uint32(
+        concat_ws(":", lit(i.toString), col(itemCol).cast("string"))), lit(width.toLong))
+    }: _*)
+    items.select(posexplode(arms).as(Seq("row_i", "bucket")))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `keys` against a [[cmsSketch]]:
+    * re-derive each key's depth buckets, LEFT-join the sketch cells
+    * (an absent cell is a 0 count — the t31 LEFT-join-plus-coalesce
+    * hazard, handled), estimate = min over the depth rows. The sketch
+    * side is ≤ depth·width rows and broadcasts; keys are query-sized.
+    * `depth`/`width` must match the sketch's build parameters — they
+    * are the hash function.
+    */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth > 0 && width > 0, s"need depth/width > 0, got $depth/$width")
+    val arms = array((0 until depth).map { i =>
+      pmod(graft.functions.Cols.md5Uint32(
+        concat_ws(":", lit(i.toString), col(keyCol).cast("string"))), lit(width.toLong))
+    }: _*)
+    keys.select(col("*"), posexplode(arms).as(Seq("row_i", "bucket")))
+      .join(broadcast(sketch), Seq("row_i", "bucket"), "left")
+      .groupBy(keys.columns.toIndexedSeq.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** Cell-wise merge of CMS sketches built with the SAME depth/width:
+    * sketch(A ⊎ B) == merge(sketch(A), sketch(B)) exactly (counters
+    * are sums) — the property that lets shard- or micro-batch-local
+    * sketches combine without rescanning anything (pinned in OpsSpec).
+    */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
 }

@@ -1785,6 +1785,44 @@ object Pipeline {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Keyframe extraction over the m03 frame containers
+    * ([[graft.ext.Multimodal.keyframes]]): shot detection (the m08
+    * dHash-cut detector) → first frame of each shot — the
+    * representative-frame sampling a vision training pipeline keeps
+    * from a video. The oracle replays raster → dHash → lag →
+    * threshold → running start-count, so shot segmentation AND
+    * representative choice sit under the hash gate.
+    */
+  def m11Keyframes(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticPngSequence(Tables.documents(spark, dir))
+    graft.ext.Multimodal.keyframes(media, threshold = 10)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** Count-Min point-frequency estimates
+    * ([[graft.ops.Approx.cmsSketch]]/[[graft.ops.Approx.cmsEstimate]]):
+    * the counter sketch complementing t17's space-saving top-k —
+    * bounded depth×width state, one-sided est ≥ exact guarantee,
+    * cell-wise mergeable across shards/micro-batches (OpsSpec pins
+    * both properties). The bucket hash is md5 integer arithmetic, so
+    * the oracle replays the SKETCH CELLS themselves and the estimates
+    * hash-gate exactly — the d26 KMV convention applied to counters.
+    * Output: the 20 most frequent tokens with exact and CMS counts.
+    */
+  def t34CmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val keys = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+      .limit(20)
+    val sketch = graft.ops.Approx.cmsSketch(toks, "token", depth = 4, width = 512)
+    graft.ops.Approx.cmsEstimate(sketch, keys, "token", depth = 4, width = 512)
+      .orderBy(col("token"))
+  }
+
   /** Audio frame features over REAL WAV payloads
     * ([[graft.ext.Multimodal.syntheticWav]] →
     * [[graft.ext.Multimodal.extractAudioFrames]]): the payload is a
@@ -2513,6 +2551,37 @@ object Pipeline {
        |  FROM reach GROUP BY src
        |)""".stripMargin
 
+  /** Frame-container dHash chain shared by the m08 and m11 oracles:
+    * per-FRAME rasters (the m03 arithmetic) → 8×8 nearest-neighbor
+    * dHash grid (the m06 arithmetic), ending in
+    * `fdh(media_id, frame_idx, dhash)`.
+    */
+  private val frameDhashCtes =
+    """fdims AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + doc_id % 5 AS sh,
+      |    2 + doc_id % 3 AS nf
+      |  FROM documents
+      |), fg AS (
+      |  SELECT doc_id, ff.f AS f, xx.x AS x, yy.y AS y,
+      |    (((doc_id*31 + ff.f*23 + ((xx.x*sw)//8)*7 + ((yy.y*sh)//8)*13) % 256) * 299
+      |     + ((doc_id*17 + ff.f*29 + ((xx.x*sw)//8)*11 + ((yy.y*sh)//8)*5) % 256) * 587
+      |     + ((doc_id*13 + ff.f*37 + ((xx.x*sw)//8)*3 + ((yy.y*sh)//8)*19) % 256) * 114) // 1000 AS gray
+      |  FROM fdims,
+      |    LATERAL (SELECT unnest(range(0, nf)) AS f) ff,
+      |    (SELECT unnest(range(0, 8)) AS x) xx,
+      |    (SELECT unnest(range(0, 8)) AS y) yy
+      |), fbits AS (
+      |  SELECT a.doc_id, a.f, a.y * 7 + a.x AS j,
+      |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+      |  FROM fg a JOIN fg b ON b.doc_id = a.doc_id AND b.f = a.f
+      |    AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 7
+      |), fdh AS (
+      |  SELECT doc_id AS media_id, f AS frame_idx,
+      |    CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS dhash
+      |  FROM fbits GROUP BY 1, 2
+      |)""".stripMargin
+
   /** The d31 leakage-safe split: recursive-CTE components (the d11
     * labels) → group key = component min-id (own id for singletons) →
     * the t09 md5 integer-threshold assignment on the GROUP key. Bounds
@@ -2812,6 +2881,33 @@ object Pipeline {
         |SELECT doc_id, source FROM sel JOIN q USING (source)
         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
     "d31_leakage_split" -> leakageSplitOracle,
+    // Replays the CMS CELLS themselves (md5 bucket arithmetic, depth 4
+    // × width 512), then the min-over-rows estimate — the d26 KMV
+    // convention applied to counters.
+    "t34_cms_counts" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token
+        |  FROM documents
+        |), tk AS (
+        |  SELECT token FROM toks WHERE token <> ''
+        |), keys AS (
+        |  SELECT token, count(*) AS exact_cnt FROM tk GROUP BY 1
+        |  ORDER BY exact_cnt DESC, token LIMIT 20
+        |), cells AS (
+        |  SELECT i.i AS row_i,
+        |    ('0x' || substr(md5(i.i::VARCHAR || ':' || token), 1, 8))::BIGINT % 512 AS bucket,
+        |    count(*) AS cnt
+        |  FROM tk, LATERAL (SELECT unnest(range(0, 4)) AS i) i
+        |  GROUP BY 1, 2
+        |), kb AS (
+        |  SELECT k.token, k.exact_cnt, i.i AS row_i,
+        |    ('0x' || substr(md5(i.i::VARCHAR || ':' || k.token), 1, 8))::BIGINT % 512 AS bucket
+        |  FROM keys k, LATERAL (SELECT unnest(range(0, 4)) AS i) i
+        |)
+        |SELECT kb.token, kb.exact_cnt,
+        |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+        |FROM kb LEFT JOIN cells c ON c.row_i = kb.row_i AND c.bucket = kb.bucket
+        |GROUP BY 1, 2 ORDER BY token""".stripMargin,
     "d16_audio_fp_pairs" ->
       s"""WITH $audioFpCtes
          |SELECT a.media_id AS id_a, b.media_id AS id_b,
@@ -3841,30 +3937,7 @@ object Pipeline {
     // grid (m06 arithmetic) → consecutive xor/bit_count: pixels to
     // cuts, fully replayed
     "m08_shot_boundaries" ->
-      """WITH fdims AS (
-        |  SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + doc_id % 5 AS sh,
-        |    2 + doc_id % 3 AS nf
-        |  FROM documents
-        |), fg AS (
-        |  SELECT doc_id, ff.f AS f, xx.x AS x, yy.y AS y,
-        |    (((doc_id*31 + ff.f*23 + ((xx.x*sw)//8)*7 + ((yy.y*sh)//8)*13) % 256) * 299
-        |     + ((doc_id*17 + ff.f*29 + ((xx.x*sw)//8)*11 + ((yy.y*sh)//8)*5) % 256) * 587
-        |     + ((doc_id*13 + ff.f*37 + ((xx.x*sw)//8)*3 + ((yy.y*sh)//8)*19) % 256) * 114) // 1000 AS gray
-        |  FROM fdims,
-        |    LATERAL (SELECT unnest(range(0, nf)) AS f) ff,
-        |    (SELECT unnest(range(0, 8)) AS x) xx,
-        |    (SELECT unnest(range(0, 8)) AS y) yy
-        |), fbits AS (
-        |  SELECT a.doc_id, a.f, a.y * 7 + a.x AS j,
-        |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
-        |  FROM fg a JOIN fg b ON b.doc_id = a.doc_id AND b.f = a.f
-        |    AND b.y = a.y AND b.x = a.x + 1
-        |  WHERE a.x < 7
-        |), fdh AS (
-        |  SELECT doc_id AS media_id, f AS frame_idx,
-        |    CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS dhash
-        |  FROM fbits GROUP BY 1, 2
-        |)
+      s"""WITH $frameDhashCtes
         |SELECT a.media_id, CAST(a.frame_idx AS BIGINT) AS frame_idx,
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming,
         |  CAST(CASE WHEN bit_count(xor(a.dhash, b.dhash)) >= 10
@@ -3872,6 +3945,27 @@ object Pipeline {
         |FROM fdh a JOIN fdh b
         |  ON b.media_id = a.media_id AND b.frame_idx = a.frame_idx - 1
         |ORDER BY a.media_id, a.frame_idx""".stripMargin,
+    // Same chain, then lag → start marks → running start-count: shot
+    // segmentation AND representative choice replayed end to end.
+    "m11_keyframes" ->
+      s"""WITH $frameDhashCtes, lagged AS (
+        |  SELECT media_id, frame_idx, dhash,
+        |    lag(dhash) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+        |  FROM fdh
+        |), marked AS (
+        |  SELECT media_id, frame_idx,
+        |    CASE WHEN prev IS NULL THEN 1
+        |         WHEN bit_count(xor(prev, dhash)) >= 10 THEN 1 ELSE 0 END AS is_start
+        |  FROM lagged
+        |), shots AS (
+        |  SELECT media_id, frame_idx, is_start,
+        |    sum(is_start) OVER (PARTITION BY media_id ORDER BY frame_idx) - 1 AS shot_id
+        |  FROM marked
+        |)
+        |SELECT media_id, CAST(shot_id AS BIGINT) AS shot_id,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx
+        |FROM shots WHERE is_start = 1
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "t04_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS w FROM documents
@@ -4187,6 +4281,8 @@ object Pipeline {
     "t23_domain_mixture" -> t23DomainMixture _,
     "t33_temperature_mixture" -> t33TemperatureMixture _,
     "d31_leakage_split" -> d31LeakageSplit _,
+    "t34_cms_counts" -> t34CmsCounts _,
+    "m11_keyframes" -> m11Keyframes _,
     "j02_orc_roundtrip"  -> j02OrcRoundtrip _,
     "j03_csv_roundtrip"  -> j03CsvRoundtrip _,
     "j04_jsonl_roundtrip" -> j04JsonlRoundtrip _,

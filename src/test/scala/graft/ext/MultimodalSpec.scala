@@ -110,6 +110,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("keyframes: one start per shot, frame 0 always kept, consistent with shotBoundaries") {
+    val media = Multimodal.syntheticPngSequence(docs.limit(40)).cache()
+    val kf = Multimodal.keyframes(media, threshold = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = kf.groupBy(_._1)
+    // frame 0 opens shot 0 for EVERY medium (single-frame media included)
+    assert(byId.keySet == media.collect().map(_.media_id).toSet)
+    byId.values.foreach { ks =>
+      val sorted = ks.sortBy(_._3)
+      assert(sorted.head._2 == 0L && sorted.head._3 == 0L,
+        s"medium ${sorted.head._1} must open with shot 0 at frame 0")
+      // shot ids are contiguous 0..n-1 in frame order (one keyframe per shot)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong),
+        s"shot ids not contiguous for ${sorted.head._1}: ${sorted.map(_._2).toSeq}")
+    }
+    // keyframes beyond frame 0 are EXACTLY the m08 boundaries
+    val cuts = Multimodal.shotBoundaries(media, threshold = 10)
+      .filter(col("is_boundary") === 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kf.filter(_._3 > 0).map(k => (k._1, k._3)).toSet == cuts,
+      "non-zero keyframes must equal the boundary set")
+    media.unpersist()
+  }
+
   test("WAV codec round-trips exact PCM through a real RIFF encode/decode; layout is header-driven") {
     import graft.ext.Multimodal.AudioCodec
     val samples = Array.tabulate(1000)(i => ((i * 7919) % 65536 - 32768).toShort)

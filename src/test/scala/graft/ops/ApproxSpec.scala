@@ -77,6 +77,38 @@ class ApproxSpec extends AnyFunSuite {
     toks.unpersist()
   }
 
+  test("CMS: one-sided est >= exact for every key; merge == whole-corpus sketch; state bounded") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "").cache()
+    val exact = toks.groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = toks.select("token").distinct()
+    // THE CMS guarantee: never under (collisions only ever add)
+    val sketch = Approx.cmsSketch(toks, "token", depth = 4, width = 256)
+    val est = Approx.cmsEstimate(sketch, keys, "token", depth = 4, width = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t: CMS underestimates (${est(t)} < $c)")
+    }
+    // state bound: at most depth*width cells regardless of corpus size
+    assert(sketch.count() <= 4L * 256)
+    // mergeability: cell-wise sum of two half-corpus sketches == the
+    // whole-corpus sketch, cell for cell (counters are sums)
+    val a = toks.filter(length(col("token")) % 2 === 0)
+    val b = toks.filter(length(col("token")) % 2 =!= 0)
+    val merged = Approx.cmsMerge(
+      Approx.cmsSketch(a, "token", depth = 4, width = 256),
+      Approx.cmsSketch(b, "token", depth = 4, width = 256))
+    assert(merged.exceptAll(sketch).isEmpty && sketch.exceptAll(merged).isEmpty,
+      "merged half-sketches differ from the whole-corpus sketch")
+    // a "sketch" bigger than 4M cells fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Approx.cmsSketch(toks, "token", depth = 64, width = 1 << 20)
+    }
+    toks.unpersist()
+  }
+
   test("KMV distinct estimate lands within 3/sqrt(k) of the exact count") {
     import spark.implicits._
     val k = 256
