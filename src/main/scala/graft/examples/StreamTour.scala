@@ -263,6 +263,36 @@ object StreamTour {
         st.agg(max("err")).head().getLong(0) == 0L
     }
 
+    check("continuous count-min sketch equals the batch sketch; point estimates never under") {
+      // "how often has the crawl seen THIS key" with depth×width cells
+      // of state: counters are sums, so the folded sketch EQUALS the
+      // batch sketch of everything ingested — no streaming error term
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("streamtour_cms")
+        .toFile.getAbsolutePath
+      val toks = graft.Tables.documents(spark, sf)
+        .select(explode(graft.ext.TextOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "").as[String].collect()
+      val (h1, h2) = toks.splitAt(toks.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val q = graft.streaming.StreamingCms.startAt(
+        input.toDF().toDF("token"), "token", s"$root/state", s"$root/ckpt",
+        depth = 4, width = 256)
+      try {
+        input.addData(h1.toIndexedSeq); q.processAllAvailable()
+        input.addData(h2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val state = spark.read.parquet(s"$root/state")
+      val whole = graft.ops.Approx.cmsSketch(
+        toks.toSeq.toDF("token"), "token", depth = 4, width = 256)
+      val exact = toks.groupBy(identity).map { case (t, ts) => t -> ts.length.toLong }
+      val est = graft.ops.Approx.cmsEstimate(state,
+          toks.distinct.toSeq.toDF("token"), "token", depth = 4, width = 256)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      state.exceptAll(whole).isEmpty && whole.exceptAll(state).isEmpty &&
+        exact.forall { case (t, c) => est(t) >= c }
+    }
+
     check("continuous spike detector state equals the batch hourly counts; report fires") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val root = java.nio.file.Files.createTempDirectory("streamtour_spike")
