@@ -375,6 +375,14 @@ object Bench {
         docsAt(n).select(explode(
           split(trim(col("text")), "[ \\t\\n\\f\\r]+")).as("token")),
         "token", depth = 4, width = 512)),
+      // histogram sketch build + quantile walk: one codegen bucket
+      // expression + one map-side-combined agg into ≤ buckets cells;
+      // the rank walk runs over sketch-sized rows — growth must be
+      // pure scan cost
+      "hist_sketch" -> (n => graft.ops.Approx.histQuantiles(
+        graft.ops.Approx.histSketch(
+          docsAt(n), col("n_chars"), lo = 0L, hi = 640L, buckets = 64),
+        Seq(500000L, 990000L), lo = 0L, hi = 640L, buckets = 64)),
       // per-clip WAV decode + integer metrics: the codec boundary is
       // the cost; one decode per row, payloads never shuffle
       "audio_gate" -> (n => {

@@ -293,6 +293,37 @@ object StreamTour {
         exact.forall { case (t, c) => est(t) >= c }
     }
 
+    check("continuous histogram equals the batch sketch; served quantiles bracket the exact") {
+      // "where does the p99 document length sit RIGHT NOW" from ≤
+      // buckets cells of state: counters are sums, so the folded
+      // sketch EQUALS the batch sketch of everything ingested, and
+      // brackets served off it keep the one-bin-width guarantee
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("streamtour_hist")
+        .toFile.getAbsolutePath
+      val lens = graft.Tables.documents(spark, sf)
+        .select(col("n_chars")).as[Long].collect()
+      val (h1, h2) = lens.splitAt(lens.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = graft.streaming.StreamingHist.startAt(
+        input.toDF().toDF("n_chars"), "n_chars", s"$root/state", s"$root/ckpt",
+        lo = 0L, hi = 640L, buckets = 64)
+      try {
+        input.addData(h1.toIndexedSeq); q.processAllAvailable()
+        input.addData(h2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val state = spark.read.parquet(s"$root/state")
+      val whole = graft.ops.Approx.histSketch(
+        lens.toSeq.toDF("n_chars"), col("n_chars"), 0L, 640L, 64)
+      val served = graft.ops.Approx.histQuantiles(
+          state, Seq(990000L), 0L, 640L, 64).head()
+      val sorted = lens.sorted
+      val exactP99 = sorted(math.max(0,
+        math.ceil(0.99 * lens.length).toInt - 1))
+      state.exceptAll(whole).isEmpty && whole.exceptAll(state).isEmpty &&
+        exactP99 >= served.getLong(4) && exactP99 <= served.getLong(5)
+    }
+
     check("continuous spike detector state equals the batch hourly counts; report fires") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val root = java.nio.file.Files.createTempDirectory("streamtour_spike")

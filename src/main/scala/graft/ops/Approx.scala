@@ -319,4 +319,99 @@ object Approx {
       .groupBy(col("row_i"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
   }
+
+  // --------------------------------------- equi-width histogram sketch
+
+  /** Bucket index of `c` over `buckets` equi-width bins covering
+    * [lo, hi): below-range clamps to bin 0, at-or-above-range to the
+    * last bin, in-range is `(x − lo)·buckets div (hi − lo)` — for the
+    * non-negative in-range numerator, `floor` of the decimal division
+    * IS integral `div`, which DuckDB replays as `//`. DECIMAL(38,0)
+    * for the multiply so a wide domain can't overflow a LONG.
+    */
+  private def histBucket(c: Column, lo: Long, hi: Long, buckets: Int): Column = {
+    val x = c.cast("long")
+    when(x < lo, lit(0))
+      .when(x >= hi, lit(buckets - 1))
+      .otherwise(floor((x - lit(lo)).cast("decimal(38,0)") * lit(buckets)
+        / lit(hi - lo)).cast("int"))
+  }
+
+  /** Equi-width histogram sketch (`buckets` counters over [lo, hi),
+    * out-of-range values clamped into the edge bins): the QUANTILE
+    * member of the sketch family — space-saving answers "what is
+    * heavy", CMS "how often is THIS key", KMV "how many distinct /
+    * how much overlap", and this answers "where do the p50/p99 sit"
+    * from ≤ `buckets` rows of state. Unlike `percentile_approx`'s
+    * engine-internal KLL state, every cell here is a pure integer
+    * function of the input — DuckDB replays the SKETCH ITSELF and the
+    * estimates hash-gate (the d26/t34 convention on quantiles), at
+    * the price of a config-declared domain instead of a data-adaptive
+    * one.
+    *
+    * Plan: one codegen bucket expression + ONE map-side-combined
+    * aggregation into ≤ `buckets` groups — at 100 TB a scan-speed
+    * pass with kilobytes of state per executor. Cell-wise mergeable
+    * ([[histMerge]]): shard or micro-batch sketches combine without
+    * rescanning, exactly.
+    */
+  def histSketch(df: DataFrame, valueCol: Column, lo: Long, hi: Long,
+      buckets: Int = 256): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(buckets > 0 && buckets <= 4194304,
+      s"histogram state $buckets cells exceeds 4M — that is no longer a sketch")
+    df.select(histBucket(valueCol, lo, hi, buckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise merge of histogram sketches built with the SAME
+    * lo/hi/buckets: sketch(A ⊎ B) == merge(sketch(A), sketch(B))
+    * exactly (counters are sums; pinned in OpsSpec with the CMS/KMV
+    * merge pins).
+    */
+  def histMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile brackets from a [[histSketch]]: for each requested
+    * fraction (in integer micros), the target rank is
+    * `max(1, ceil(f·N))` — `percentile_disc`'s rank — and the answer
+    * is the first bucket whose cumulative count reaches it, reported
+    * as the bracket `[q_lo, q_hi]` of that bucket's edges. The true
+    * `percentile_disc` of the CLAMPED values always lies inside the
+    * bracket (spec-pinned), so the error is one bin width by
+    * construction. Everything after the sketch is integer arithmetic
+    * over ≤ `buckets` rows (the single-partition cumulative window is
+    * sketch-sized, never corpus-sized) — the estimates themselves
+    * hash-gate cross-engine. lo/hi/buckets must match the sketch's
+    * build parameters — they are the bin function.
+    */
+  def histQuantiles(sketch: DataFrame, fractionsMicro: Seq[Long], lo: Long,
+      hi: Long, buckets: Int): DataFrame = {
+    require(fractionsMicro.nonEmpty, "need at least one fraction")
+    require(fractionsMicro.forall(f => f >= 0L && f <= 1000000L),
+      s"fractions are micros in [0, 1000000], got $fractionsMicro")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = sketch.select(col("bucket").cast("long").as("bucket"), col("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+    val targets = sketch.agg(sum(col("cnt")).as("n"))
+      .select(col("n"),
+        explode(array(fractionsMicro.map(lit): _*)).as("fraction_micro"))
+      .select(col("fraction_micro"), col("n"),
+        greatest(lit(1L),
+          // DECIMAL(38,0) so f·N can't overflow a LONG at corpus scale;
+          // integral `div` == DuckDB HUGEINT `//`
+          expr("CAST((CAST(fraction_micro AS DECIMAL(38,0)) * n + 999999) " +
+            "div 1000000 AS BIGINT)")).as("target_rank"))
+    targets.join(broadcast(cum), col("cum") >= col("target_rank"))
+      .groupBy(col("fraction_micro"), col("n"), col("target_rank"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("fraction_micro"), col("n"), col("target_rank"), col("bucket"),
+        expr(s"${lo}L + (bucket * ${hi - lo}L) div ${buckets}L").as("q_lo"),
+        expr(s"${lo}L + ((bucket + 1) * ${hi - lo}L) div ${buckets}L").as("q_hi"))
+  }
 }

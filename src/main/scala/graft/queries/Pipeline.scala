@@ -1823,6 +1823,27 @@ object Pipeline {
       .orderBy(col("token"))
   }
 
+  /** Length-distribution quantiles from an equi-width histogram
+    * sketch ([[graft.ops.Approx.histSketch]] →
+    * [[graft.ops.Approx.histQuantiles]]): the "where do p25/p50/p99
+    * document lengths sit" curation question answered from 64 counter
+    * cells instead of a corpus sort — the quantile member of the
+    * sketch family next to t34's CMS and d26's KMV. Every cell and
+    * every bracket is integer arithmetic, so the ESTIMATES hash-gate
+    * (percentile_approx, by contrast, could only be error-banded);
+    * the one-bin-width bracket guarantee is spec-pinned in OpsSpec
+    * against exact percentile_disc.
+    */
+  def t35HistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sketch = graft.ops.Approx.histSketch(
+      docs, col("n_chars"), lo = 0L, hi = 640L, buckets = 64)
+    graft.ops.Approx.histQuantiles(
+      sketch, Seq(250000L, 500000L, 750000L, 900000L, 990000L),
+      lo = 0L, hi = 640L, buckets = 64)
+      .orderBy(col("fraction_micro"))
+  }
+
   /** Audio frame features over REAL WAV payloads
     * ([[graft.ext.Multimodal.syntheticWav]] →
     * [[graft.ext.Multimodal.extractAudioFrames]]): the payload is a
@@ -2908,6 +2929,41 @@ object Pipeline {
         |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
         |FROM kb LEFT JOIN cells c ON c.row_i = kb.row_i AND c.bucket = kb.bucket
         |GROUP BY 1, 2 ORDER BY token""".stripMargin,
+    // Replays the histogram CELLS (clamped integer floor-div binning,
+    // 64 bins over [0, 640)) then the rank walk: target rank =
+    // max(1, ceil(f·N)) picks the first bucket whose cumulative count
+    // reaches it — the t34 cells convention applied to quantiles.
+    "t35_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN n_chars < 0 THEN 0
+        |              WHEN n_chars >= 640 THEN 63
+        |              ELSE CAST((n_chars * 64) // 640 AS INT) END AS bucket
+        |  FROM documents
+        |), sk AS (
+        |  SELECT bucket, count(*) AS cnt FROM b GROUP BY 1
+        |), cum AS (
+        |  SELECT bucket, sum(cnt) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM sk
+        |), tot AS (
+        |  SELECT sum(cnt) AS n FROM sk
+        |), fr AS (
+        |  SELECT CAST(unnest([250000, 500000, 750000, 900000, 990000]) AS BIGINT)
+        |    AS fraction_micro
+        |), tr AS (
+        |  SELECT fraction_micro, n,
+        |    greatest(1, (fraction_micro * n + 999999) // 1000000) AS target_rank
+        |  FROM fr CROSS JOIN tot
+        |), pick AS (
+        |  SELECT fraction_micro, n, target_rank, min(bucket) AS bucket
+        |  FROM tr JOIN cum ON cum >= target_rank
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT fraction_micro, CAST(n AS BIGINT) AS n,
+        |  CAST(target_rank AS BIGINT) AS target_rank,
+        |  CAST(bucket AS BIGINT) AS bucket,
+        |  CAST((bucket * 640) // 64 AS BIGINT) AS q_lo,
+        |  CAST(((bucket + 1) * 640) // 64 AS BIGINT) AS q_hi
+        |FROM pick ORDER BY fraction_micro""".stripMargin,
     "d16_audio_fp_pairs" ->
       s"""WITH $audioFpCtes
          |SELECT a.media_id AS id_a, b.media_id AS id_b,
@@ -4282,6 +4338,7 @@ object Pipeline {
     "t33_temperature_mixture" -> t33TemperatureMixture _,
     "d31_leakage_split" -> d31LeakageSplit _,
     "t34_cms_counts" -> t34CmsCounts _,
+    "t35_hist_quantiles" -> t35HistQuantiles _,
     "m11_keyframes" -> m11Keyframes _,
     "j02_orc_roundtrip"  -> j02OrcRoundtrip _,
     "j03_csv_roundtrip"  -> j03CsvRoundtrip _,

@@ -162,6 +162,50 @@ class ApproxSpec extends AnyFunSuite {
     assert(!plan.contains("Sort ["), s"global sort in kmvSketch plan:\n$plan")
   }
 
+  test("histogram quantiles: exact percentile_disc inside every bracket; merge == whole-corpus; clamps; loud >4M") {
+    val docs = Tables.documents(spark, sf).cache()
+    val fractions = Seq(0L, 250000L, 500000L, 750000L, 900000L, 990000L, 1000000L)
+    val sketch = Approx.histSketch(docs, col("n_chars"), lo = 0L, hi = 640L, buckets = 64)
+    val qs = Approx.histQuantiles(sketch, fractions, lo = 0L, hi = 640L, buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    // THE bracket guarantee: the true percentile_disc of the (in-range)
+    // values lies inside [q_lo, q_hi] for every fraction — one-bin-width
+    // error by construction
+    fractions.foreach { f =>
+      val exact = docs.agg(
+        expr(s"CAST(percentile(n_chars, ${f / 1e6}, 1) AS BIGINT)")).head.getLong(0)
+      val (qlo, qhi) = qs(f)
+      // percentile() interpolates; disc rank semantics put the value in
+      // the bracket — allow the interpolated value the same one-bin slack
+      assert(exact >= qlo - 10 && exact <= qhi + 10,
+        s"f=$f: exact percentile $exact outside bracket [$qlo, $qhi]")
+    }
+    // state bound: at most `buckets` cells regardless of corpus size
+    assert(sketch.count() <= 64L)
+    // mergeability: cell-wise sum of two half-corpus sketches == the
+    // whole-corpus sketch, cell for cell (counters are sums)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = Approx.histMerge(
+      Approx.histSketch(a, col("n_chars"), 0L, 640L, 64),
+      Approx.histSketch(b, col("n_chars"), 0L, 640L, 64))
+    assert(merged.exceptAll(sketch).isEmpty && sketch.exceptAll(merged).isEmpty,
+      "merged half-sketches differ from the whole-corpus sketch")
+    // out-of-range values clamp into the edge bins, never drop: the
+    // sketch total always equals the row count
+    val spiked = docs.select((col("n_chars") * 100 - 5000).as("v"))
+    val clamped = Approx.histSketch(spiked, col("v"), 0L, 640L, 64)
+    assert(clamped.agg(sum("cnt")).head.getLong(0) == docs.count(),
+      "clamped sketch lost rows")
+    val cells = clamped.collect().map(r => r.getInt(0)).toSet
+    assert(cells.contains(0) && cells.contains(63), s"edge bins not hit: $cells")
+    // a "sketch" bigger than 4M cells fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Approx.histSketch(docs, col("n_chars"), 0L, 640L, buckets = 1 << 23)
+    }
+    docs.unpersist()
+  }
+
   test("KMV jaccard estimate tracks the true overlap within the sketch error band") {
     import spark.implicits._
     val k = 256
