@@ -73,6 +73,18 @@ object PipelineTour {
         perQuery.filter(col("n") =!= 5 || col("mx") =!= 5).count() == 0
     }
 
+    check("codebook silhouette: every trained cluster rolls up inside the micro range") {
+      // the clustering-quality gate (s19): train, then ask "is this
+      // codebook usable" — counts must cover the corpus, margins must
+      // stay inside [0, 1e6] micros
+      val state = Similarity.trainCodebook(emb, k = 8, iters = 2)
+      val sil = Similarity.codebookSilhouette(emb, state).cache()
+      val ok = sil.agg(sum("n_members")).head.getLong(0) == emb.count() &&
+        sil.filter(col("min_sil_micro") < 0 || col("max_sil_micro") > 1000000L)
+          .count() == 0
+      sil.unpersist(blocking = false); ok
+    }
+
     check("blocklist gate: one-pass AC counts drop exactly the docs with banned phrases") {
       // the C4-style banned-term filter (t32): count hits in ONE text
       // pass, drop any doc with a hit, keep the rest

@@ -1076,6 +1076,61 @@ object Similarity {
       .select(col(idCol), col("centroid_id"))
   }
 
+  /** Simplified silhouette over a [[trainCodebook]] STATE frame — the
+    * clustering-quality metric that turns "did k-means converge to
+    * something usable" (pick k, detect degenerate codebooks, decide a
+    * retrain) into a gated number. Per vector, with cosine DISTANCE
+    * d = 1 − sim: a = distance to the assigned (nearest) centroid,
+    * b = distance to the second-nearest, s = (b − a) / b — the
+    * centroid-based simplification of Rousseeuw 1987 (full silhouette
+    * needs all pairwise distances; against centroids it is k dots per
+    * row, the standard large-scale variant). s ∈ [0, 1e6] micros: 0 =
+    * on the decision boundary, 1e6 = coincides with its centroid; a
+    * cluster whose members average near 0 is not separated from its
+    * neighbor.
+    *
+    * Everything follows the s04/s05 assignment key: round-6 cosine,
+    * micro-integers, integral `div` (== DuckDB `//`), argmax ties to
+    * the smallest centroid id — so per-cluster member counts and
+    * silhouette sums/extremes hash-gate cross-engine. Scale shape:
+    * codebook state is a bounded driver collect (k·dim rows), the
+    * corpus pays ONE narrow codegen pass (k fused dots per row — zero
+    * joins, no shuffle before the k-row rollup), output at cluster
+    * cardinality. Requires k ≥ 2 — silhouette is undefined for a
+    * single cluster.
+    */
+  def codebookSilhouette(vectors: DataFrame, state: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val st = stateFromRows(state.select(col("centroid_id").cast("long"),
+      col("pos").cast("int"), col("csum").cast("long"), col("cnt").cast("long"))
+      .collect(), 0, 1, 2, 3)
+    require(st.size >= 2,
+      s"silhouette needs >= 2 centroids, codebook has ${st.size}")
+    val v = vectors.select(col(idCol), asDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", sqrt(graftDot(col("vec"), col("vec"))))
+    val simMicros = st.map { case (_, sm, cnt) =>
+      val cv = sm.map(s => s / (cnt * 1e6))
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      round(round(graftDot(col("vec"), typedLit(cv)) / (col("norm") * lit(cn)), 6)
+        * 1e6, 0).cast("long")
+    }
+    val sorted = sort_array(array(simMicros: _*), asc = false)
+    v.withColumn("centroid_id", assignCidExpr(st, col("vec"), col("norm")))
+      .withColumn("_a", element_at(sorted, 1))
+      .withColumn("_b", element_at(sorted, 2))
+      // tie (a == b) → 0 by the arithmetic; both sims exactly 1 would
+      // be 0/0 — defined as 0 (the vector sits on two centroids)
+      .withColumn("sil_micro",
+        when(col("_b") === lit(1000000L), lit(0L))
+          .otherwise(expr("((_a - _b) * 1000000L) div (1000000L - _b)")))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("sil_micro")).as("sum_sil_micro"),
+        min(col("sil_micro")).as("min_sil_micro"),
+        max(col("sil_micro")).as("max_sil_micro"))
+  }
+
   /** Deterministic spherical k-means (Lloyd's) codebook training — the
     * operator that turns [[ivfIndex]]/[[semanticDupPairs]]'s SAMPLED
     * codebooks into TRAINED ones. Seeds are the [[semanticDupPairs]]

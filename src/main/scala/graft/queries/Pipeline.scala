@@ -1040,6 +1040,24 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Clustering-quality gate over the trained codebook
+    * ([[graft.ext.Similarity.codebookSilhouette]]): per-cluster
+    * simplified-silhouette rollups (member count, sum/min/max of the
+    * per-vector (b−a)/b margin in micros) — the "is this codebook
+    * usable, which clusters bleed into their neighbors, is it time to
+    * retrain" number downstream of s14's mixture and the index
+    * lifecycle's drift monitor. One narrow codegen pass (k fused dots
+    * per row, zero joins), output at cluster cardinality; the s04/s05
+    * integer-micro key end to end, so the oracle replays training,
+    * top-2 centroid ranking, and the silhouette arithmetic exactly.
+    */
+  def s19Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val state = Similarity.trainCodebook(emb, k = 8, iters = 2)
+    Similarity.codebookSilhouette(emb, state)
+      .orderBy(col("centroid_id"))
+  }
+
   /** Hard-negative triplet mining ([[Similarity.tripletMine]]): for
     * each of 12 anchors, (positive = exact top-1, hard negative =
     * highest-ranked pool candidate ≥ 0.05 cosine below the positive)
@@ -3159,6 +3177,36 @@ object Pipeline {
     // iteration's arg-max (ties included) replayed in integer space
     "s13_mmr_rerank" -> mmrOracle(nQueries = 8, pool = 20, k = 5, lam = 700L),
     "s14_cluster_mixture" -> clusterMixtureOracle(k = 8, iters = 2, total = 70L),
+    // replays the k-means chain, the top-2 centroid ranking per vector
+    // (round-6 cosine, ties to the smallest centroid id), and the
+    // integer silhouette (a_sim - b_sim) * 1e6 // (1e6 - b_sim)
+    "s19_silhouette" ->
+      s"""WITH ${kmeansChainCtes(8, 2)}, cf AS (
+         |  SELECT centroid_id, list(sm / (cnt * 1000000.0) ORDER BY pos) AS ce
+         |  FROM s2 GROUP BY centroid_id
+         |), sims AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    CAST(round(round(list_cosine_similarity(v.e, c.ce), 6) * 1000000, 0) AS BIGINT) AS sim_micro,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.centroid_id) AS rn
+         |  FROM v, cf c
+         |), ab AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+         |    max(CASE WHEN rn = 1 THEN sim_micro END) AS a_sim,
+         |    max(CASE WHEN rn = 2 THEN sim_micro END) AS b_sim
+         |  FROM sims GROUP BY vec_id
+         |), sil AS (
+         |  SELECT vec_id, centroid_id,
+         |    CASE WHEN b_sim = 1000000 THEN 0
+         |         ELSE ((a_sim - b_sim) * 1000000) // (1000000 - b_sim) END AS sil_micro
+         |  FROM ab
+         |)
+         |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(sil_micro) AS BIGINT) AS sum_sil_micro,
+         |  CAST(min(sil_micro) AS BIGINT) AS min_sil_micro,
+         |  CAST(max(sil_micro) AS BIGINT) AS max_sil_micro
+         |FROM sil GROUP BY 1 ORDER BY centroid_id""".stripMargin,
     // replays the ranked 20-candidate pool (the s01 formulation), the
     // top-1 positive, and the first-rank-below-margin negative rule
     "s16_triplet_mine" ->
@@ -4306,6 +4354,7 @@ object Pipeline {
     "s12_hybrid_rrf"     -> s12HybridRrf _,
     "s13_mmr_rerank"     -> s13MmrRerank _,
     "s14_cluster_mixture" -> s14ClusterMixture _,
+    "s19_silhouette" -> s19Silhouette _,
     "s15_embedding_drift" -> s15EmbeddingDrift _,
     "s16_triplet_mine"   -> s16TripletMine _,
     "s17_random_projection" -> s17RandomProjection _,

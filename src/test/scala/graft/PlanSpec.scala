@@ -65,6 +65,14 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("s19: silhouette is a narrow codegen pass — no join, one shuffle for the cluster rollup") {
+    val plan = planOf("s19_silhouette")
+    // the codebook folds in as literals; a Join here means the corpus
+    // is paying a shuffle for k rows of driver-side state
+    assert(!plan.contains("Join"), s"silhouette joined the codebook:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("s01: rank stage uses the custom TopKPerKey operator") {
     val plan = planOf("s01_sim_topk")
     assert(plan.contains("TopKPerKey"), plan)

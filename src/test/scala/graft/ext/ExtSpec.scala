@@ -465,6 +465,49 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("codebookSilhouette: separated scores 1e6, boundary scores 0, counts match assignment; k=1 loud") {
+    import spark.implicits._
+    // hand-built 2-dim codebook state: centroid 0 = (1,0), centroid 1 = (0,1)
+    val state = Seq(
+      (0L, 0L, 1000000L, 1L), (0L, 1L, 0L, 1L),
+      (1L, 0L, 0L, 1L), (1L, 1L, 1000000L, 1L)
+    ).toDF("centroid_id", "pos", "csum", "cnt")
+    val vs = Seq(
+      (1L, Array(1.0, 0.0)), // coincides with centroid 0 → sil 1e6
+      (2L, Array(0.9, 0.1)), // near centroid 0 → 0 < sil < 1e6
+      (3L, Array(1.0, 1.0)), // decision boundary (equal rounded sims) → sil 0
+      (4L, Array(0.0, 1.0))  // coincides with centroid 1 → sil 1e6
+    ).toDF("vec_id", "embedding")
+    val sil = Similarity.codebookSilhouette(vs, state).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // boundary ties to the smallest centroid id → cluster 0 holds 1,2,3
+    assert(sil(0L).getLong(1) == 3L && sil(1L).getLong(1) == 1L,
+      s"membership: ${sil.view.mapValues(_.toString).toMap}")
+    assert(sil(0L).getLong(3) == 0L, s"boundary vector must score 0: ${sil(0L)}")
+    assert(sil(0L).getLong(4) == 1000000L, s"coinciding vector must score 1e6: ${sil(0L)}")
+    assert(sil(1L).getLong(3) == 1000000L && sil(1L).getLong(4) == 1000000L,
+      s"lone coinciding member: ${sil(1L)}")
+    // against the trained codebook: totals match the assignment op,
+    // every rollup stays inside the [0, 1e6] micro range
+    val trained = Similarity.trainCodebook(emb, k = 8, iters = 2)
+    val full = Similarity.codebookSilhouette(emb, trained).cache()
+    val byAssign = Similarity.assignToCodebook(emb, trained)
+      .groupBy("centroid_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    full.collect().foreach { r =>
+      assert(r.getLong(1) == byAssign(r.getLong(0)),
+        s"cluster ${r.getLong(0)}: silhouette n ${r.getLong(1)} != assignment ${byAssign(r.getLong(0))}")
+      assert(r.getLong(3) >= 0L && r.getLong(4) <= 1000000L, s"micro range: $r")
+    }
+    full.unpersist()
+    // silhouette is undefined for one cluster — loud, not garbage
+    val e = intercept[IllegalArgumentException] {
+      Similarity.codebookSilhouette(vs,
+        state.filter(col("centroid_id") === 0L))
+    }
+    assert(e.getMessage.contains("2 centroids"), e.getMessage)
+  }
+
   test("bounded-probe contracts: oversized collected/broadcast sides fail loudly") {
     // each guard trips at a tiny override so the test stays fixture-sized;
     // the corresponding happy path is covered by the s03/s06/s10 gates
