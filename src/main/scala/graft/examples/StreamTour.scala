@@ -293,6 +293,32 @@ object StreamTour {
         exact.forall { case (t, c) => est(t) >= c }
     }
 
+    check("continuous inverted index equals the batch build; retrieval off it matches from-scratch") {
+      // a crawler stream folds into the persisted text index; BM25
+      // served off the folded artifact equals the from-scratch pass
+      // over everything ingested
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("streamtour_ti")
+        .toFile.getAbsolutePath
+      val docs = graft.Tables.documents(spark, sf)
+      val rows = docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingTextIndex.startAt(
+        input.toDF().toDF("doc_id", "text"), s"$root/state", s"$root/ckpt")
+      try {
+        input.addData(h1.toIndexedSeq); q.processAllAvailable()
+        input.addData(h2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val terms = Seq("dup", "spark", "vector", "merge")
+      val served = graft.ext.TextOps.bm25ServeIndexed(
+        spark, s"$root/state", terms, k = 20)
+      val scratch = graft.ext.TextOps.bm25TopK(docs, terms, k = 20)
+      served.exceptAll(scratch).isEmpty && scratch.exceptAll(served).isEmpty
+    }
+
     check("continuous histogram equals the batch sketch; served quantiles bracket the exact") {
       // "where does the p99 document length sit RIGHT NOW" from ≤
       // buckets cells of state: counters are sums, so the folded

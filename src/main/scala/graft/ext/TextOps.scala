@@ -905,6 +905,168 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  // ------------------------------------------------ persisted text index
+
+  private def textParamsPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_text_params.json")
+
+  /** True iff `path` carries the text-index sidecar — the loud-failure
+    * marker every lifecycle entry point checks (a directory that is
+    * not a graft text index must never be served, updated, or
+    * swap-clobbered).
+    */
+  def isTextIndex(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    fs.exists(textParamsPath(path))
+  }
+
+  private def requireTextIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    require(isTextIndex(spark, path),
+      s"$path has no _graft_text_params.json sidecar — not a graft text index")
+
+  /** (postings, docs) frames of a corpus — the build shape shared by
+    * [[writeTextIndex]] and [[updateTextIndex]]'s fresh side. Postings
+    * are (token, doc_id, tf, dl) at matched-(doc, term) grain — tf and
+    * the doc length ride together so BOTH scoring variants serve from
+    * the one artifact; the docs table is (doc_id, dl) at doc grain and
+    * exists so corpus statistics stay EXACT under update/forget (a doc
+    * with no tokens has no postings row but still counts in n_docs —
+    * deriving stats from postings would silently drop it).
+    */
+  private[ext] def textIndexFrames(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val withDl = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("dl"),
+      lower(col(textCol)).as("lc"))
+    val postings = withDl.select(col("doc_id"), col("dl"),
+        explode(tokens(col("lc"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    (postings, withDl.select(col("doc_id"), col("dl")))
+  }
+
+  private def writeTextIndexAt(spark: org.apache.spark.sql.SparkSession,
+      postings: DataFrame, docsT: DataFrame, path: String): Unit = {
+    // column order pinned explicitly: the update path's anti joins move
+    // their key to the front, and a rebuild must be file-comparable to
+    // a fresh build (positional exceptAll in the specs, schema-stable
+    // readers). Range-partitioned + sorted by token: parquet min/max
+    // stats prune a query's term slice to a handful of files — serving
+    // never scans the full postings
+    postings.select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      .repartitionByRange(col("token"))
+      .sortWithinPartitions(col("token"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    docsT.select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+    docsT.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    val out = fs.create(textParamsPath(path), true)
+    try out.write("""{"v":1,"tokenizer":"ws"}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Persist the inverted index of a corpus — the SIXTH index-lifecycle
+    * family (minhash / LSH / IVF / PQ / fuzzy-catalog / this):
+    * `postings/` at matched-(doc, term) grain (token-range-partitioned
+    * and sorted so a term predicate prunes to a file slice), `docs/` at
+    * doc grain, `stats/` as the 1-row (n_docs, Σdl) broadcast side, a
+    * sidecar marking the artifact. [[bm25ServeIndexed]] answers
+    * retrieval/decontamination queries against it WITHOUT re-tokenizing
+    * the corpus — at 100 TB the build is the one corpus-scale pass, and
+    * every query after it touches only its term slice plus two
+    * kilobyte-sized sides. Maintained at batch cost by
+    * [[updateTextIndex]]/[[forgetTextIndex]] under the fuse-guarded
+    * swap; `serve(index) == from-scratch` is the t36 hash gate.
+    */
+  def writeTextIndex(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val (postings, docsT) = textIndexFrames(docs, idCol, textCol)
+    writeTextIndexAt(docs.sparkSession, postings, docsT, path)
+  }
+
+  /** [[bm25TopK]] served from a persisted [[writeTextIndex]] artifact:
+    * identical integer-rational scoring (df of each query term is the
+    * row count of its postings slice — the same number the from-scratch
+    * pass derives, so the two paths are hash-equal), but the corpus
+    * contribution is a PRUNED postings read (token pushdown into the
+    * parquet scan) instead of a tokenize-everything pass. `normalized`
+    * switches to [[bm25TopKNormalized]]'s length-normalized saturation,
+    * served off the same artifact (dl rides the postings, avgdl comes
+    * from `stats/`).
+    */
+  def bm25ServeIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: Seq[String], k: Int = 20, idfCap: Long = 1000000000L,
+      normalized: Boolean = false): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    requireTextIndex(spark, path)
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val tf = spark.read.parquet(s"$path/postings")
+      .where(col("token").isin(terms: _*))
+    val dfTable = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = spark.read.parquet(s"$path/stats")
+    val idfTable = dfTable.crossJoin(stats)
+      .withColumn("idf", least(lit(idfCap),
+        expr("(1000000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)")))
+      .withColumn("avgdl_c", expr("(sum_dl * 100) div n_docs"))
+      .select(col("token"), col("idf"), col("avgdl_c"))
+    val scored = tf.join(broadcast(idfTable), "token")
+      .withColumn("contrib",
+        if (normalized)
+          expr("(((6 * avgdl_c * tf * 1000000) div " +
+            "(2 * avgdl_c * tf + avgdl_c + 3 * dl * 100)) * idf) div 1000000")
+        else expr("(((tf * 3000000) div (tf + 2)) * idf) div 1000000"))
+    scored.groupBy(col("doc_id")).agg(sum(col("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Fold an ingest batch into a persisted text index WITHOUT
+    * re-tokenizing the corpus: stale rows of re-ingested ids drop
+    * first (their text may have changed — a stale posting would keep
+    * scoring the old content), the batch tokenizes in one narrow pass,
+    * stats recompute from the doc-grain table (exact, including
+    * token-less docs), and the merged build promotes through the
+    * fuse-guarded [[IndexLifecycle.swapIn]]. `update == rebuild` over
+    * the grown corpus — supersede included — is spec-pinned.
+    */
+  def updateTextIndex(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    requireTextIndex(spark, path)
+    val newIds = newDocs.select(col(idCol).cast("long").as("doc_id"))
+    val keptP = spark.read.parquet(s"$path/postings")
+      .join(newIds, Seq("doc_id"), "left_anti")
+    val keptD = spark.read.parquet(s"$path/docs")
+      .join(newIds, Seq("doc_id"), "left_anti")
+    val (freshP, freshD) = textIndexFrames(newDocs, idCol, textCol)
+    val rebuild = s"${path}_rebuild"
+    writeTextIndexAt(spark, keptP.unionByName(freshP),
+      keptD.unionByName(freshD), rebuild)
+    graft.ext.IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
+  /** Deletion propagation for a persisted text index: every posting and
+    * doc row of the forgotten ids goes, stats recompute, the purged
+    * build swaps in — `forget == rebuild(minus ids)` is spec-pinned.
+    */
+  def forgetTextIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, forgetIds: DataFrame, idCol: String = "doc_id"): Unit = {
+    requireTextIndex(spark, path)
+    val ids = forgetIds.select(col(idCol).cast("long").as("doc_id"))
+    val keptP = spark.read.parquet(s"$path/postings")
+      .join(ids, Seq("doc_id"), "left_anti")
+    val keptD = spark.read.parquet(s"$path/docs")
+      .join(ids, Seq("doc_id"), "left_anti")
+    val rebuild = s"${path}_rebuild"
+    writeTextIndexAt(spark, keptP, keptD, rebuild)
+    graft.ext.IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
   /** Per-document text metrics via [[graft.functions.TextMetrics]] — ONE
     * pass over each text (the column-primitive formulation above is kept
     * for à-la-carte use; this fused path is ~5× faster and verified

@@ -1641,6 +1641,22 @@ object Pipeline {
     TextOps.bm25TopK(Tables.documents(spark, dir),
       Seq("dup", "spark", "vector", "merge"), k = 20)
 
+  /** t16 served from the persisted inverted index
+    * ([[TextOps.writeTextIndex]] → [[TextOps.bm25ServeIndexed]]) — the
+    * SIXTH index-lifecycle family under the gate. Registered as
+    * build + serve for oracle self-containment (the d29 convention);
+    * the oracle is t16's UNCHANGED from-scratch SQL, so the hash gate
+    * pins `serve(index) == from-scratch` — every posting, df, and the
+    * integer BM25 arithmetic survive the round trip through the
+    * artifact. Deterministic tmp target, overwritten per run.
+    */
+  def t36Bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_t36_text_index"
+    TextOps.writeTextIndex(Tables.documents(spark, dir), path)
+    TextOps.bm25ServeIndexed(spark, path,
+      Seq("dup", "spark", "vector", "merge"), k = 20)
+  }
+
   /** Sliding windows (1 h length, 15 min slide) over the events table —
     * the batch twin of streaming.EventsStream.sliding. Each event lands
     * in exactly length/slide = 4 windows, produced by a 4-way explode
@@ -3754,6 +3770,31 @@ object Pipeline {
         |)
         |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
         |FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // t36 is t16 served from the persisted inverted index; the oracle
+    // is t16's from-scratch SQL UNCHANGED — the hash gate therefore
+    // pins serve(index) == from-scratch across the artifact round trip
+    "t36_bm25_indexed" ->
+      """WITH q AS (
+        |  SELECT unnest(['dup','spark','vector','merge']) AS token
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks JOIN q USING (token) GROUP BY 1, 2
+        |), df AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), w AS (
+        |  SELECT tf.doc_id,
+        |    (((tf.tf * 3000000) // (tf.tf + 2))
+        |     * least(1000000000, (1000000 * (2 * n.n_docs - 2 * df.df + 1))
+        |                         // (2 * df.df + 1))) // 1000000 AS contrib
+        |  FROM tf JOIN df USING (token) CROSS JOIN n
+        |)
+        |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+        |FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // Replays syntheticWav + extractAudioFrames: regenerate the PCM
     // samples from the same (id, i) arithmetic the WAV payload carries,
     // window into 256-sample frames, and recompute energy / frame-local
@@ -4337,6 +4378,7 @@ object Pipeline {
     "t05_quality"        -> t05Quality _,
     "t15_langid"         -> t15LangId _,
     "t16_bm25"           -> t16Bm25 _,
+    "t36_bm25_indexed"   -> t36Bm25Indexed _,
     "t17_heavy_hitters"  -> t17HeavyHitters _,
     "t18_nfc"            -> t18Nfc _,
     "t19_bm25_dl"        -> t19Bm25Dl _,

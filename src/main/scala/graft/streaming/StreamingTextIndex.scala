@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ext.TextOps
+
+/** Continuous inverted-index maintenance: a STREAM of documents folded
+  * into a persisted [[TextOps.writeTextIndex]] artifact — the crawler
+  * tail of the retrieval/decontamination family. The first micro-batch
+  * bootstraps the index; every later one folds in through
+  * [[TextOps.updateTextIndex]] (stale-drop + batch tokenize + exact
+  * stats + fuse-guarded swap), so re-ingested ids supersede their old
+  * content mid-stream exactly as they do in batch. The folded artifact
+  * EQUALS the batch-built index of everything ingested (postings,
+  * docs, and stats — spec-pinned), so [[TextOps.bm25ServeIndexed]]
+  * answers queries off it any time with from-scratch-identical scores.
+  * Per-batch cost is tokenize(batch) + an index rewrite — never a
+  * corpus re-tokenize; the artifact lives on disk, no driver-side
+  * state at all.
+  */
+object StreamingTextIndex {
+
+  def startAt(docsStream: DataFrame, path: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val spark = docsStream.sparkSession
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!TextOps.isTextIndex(spark, path))
+          TextOps.writeTextIndex(batch, path, idCol, textCol)
+        else
+          TextOps.updateTextIndex(spark, batch, path, idCol, textCol)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+}

@@ -646,6 +646,63 @@ class IndexLifecycleSpec extends AnyFunSuite {
       .count() > 0)
   }
 
+  test("text index: serve == from-scratch both variants; upsert/forget == rebuild; supersede; stats count token-less docs; loud non-index") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val root = Files.createTempDirectory("graft_text_idx").toFile.getAbsolutePath
+    val live = s"$root/ti"; val ref = s"$root/ref"
+    val terms = Seq("dup", "spark", "vector", "merge")
+    TextOps.writeTextIndex(docs, live)
+    assert(sameRows(TextOps.bm25ServeIndexed(spark, live, terms, k = 20),
+      TextOps.bm25TopK(docs, terms, k = 20)), "raw serving drifted from scratch")
+    assert(sameRows(
+      TextOps.bm25ServeIndexed(spark, live, terms, k = 20, normalized = true),
+      TextOps.bm25TopKNormalized(docs, terms, k = 20)),
+      "normalized serving drifted from scratch")
+    // upsert == rebuild(grown); supersede: re-ingested ids carry CHANGED
+    // text, their stale postings must go
+    val changed = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" spark spark")))
+    TextOps.updateTextIndex(spark, changed, live)
+    val grown = docs.filter(col("doc_id") % 10 =!= 0).unionByName(changed)
+    TextOps.writeTextIndex(grown, ref)
+    assert(sameRows(spark.read.parquet(s"$live/postings"),
+      spark.read.parquet(s"$ref/postings")), "upsert postings != rebuild")
+    assert(sameRows(spark.read.parquet(s"$live/stats"),
+      spark.read.parquet(s"$ref/stats")), "upsert stats != rebuild")
+    assert(sameRows(TextOps.bm25ServeIndexed(spark, live, terms, k = 20),
+      TextOps.bm25TopK(grown, terms, k = 20)), "serving missed the supersede")
+    // forget == rebuild(minus ids)
+    val gone = docs.filter(col("doc_id") % 11 === 7).select("doc_id")
+    TextOps.forgetTextIndex(spark, live, gone)
+    val refForget = s"$root/ref_forget"
+    TextOps.writeTextIndex(grown.join(gone, Seq("doc_id"), "left_anti"), refForget)
+    assert(sameRows(spark.read.parquet(s"$live/postings"),
+      spark.read.parquet(s"$refForget/postings")), "forget postings != rebuild")
+    assert(sameRows(spark.read.parquet(s"$live/stats"),
+      spark.read.parquet(s"$refForget/stats")), "forget stats != rebuild")
+    // corpus stats come from the doc-grain table: a token-less doc has
+    // no postings row but still counts in n_docs
+    val tiny = Seq((1L, "alpha beta"), (2L, "")).toDF("doc_id", "text")
+    val tinyPath = s"$root/tiny"
+    TextOps.writeTextIndex(tiny, tinyPath)
+    val st = spark.read.parquet(s"$tinyPath/stats").head()
+    assert(st.getLong(0) == 2L && st.getLong(1) == 2L,
+      s"token-less doc dropped from stats: $st")
+    // a directory without the sidecar is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bm25ServeIndexed(spark, s"$root/nope", terms)
+    }
+    assert(e.getMessage.contains("sidecar"), e.getMessage)
+    // the 100 TB contract: the term predicate reaches the postings
+    // parquet scan (token-sorted files + pushed In() = a file-slice
+    // read, never a full postings scan)
+    val plan = TextOps.bm25ServeIndexed(spark, live, terms, k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"term filter not pushed to the postings scan:\n$plan")
+  }
+
   test("minhash index upsert + forget == full rebuild") {
     val docs = Tables.documents(spark, sf)
     val root = Files.createTempDirectory("graft_mh_upd").toFile.getAbsolutePath
