@@ -375,6 +375,65 @@ object Approx {
       .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** [[histSketch]] grouped by a key column — (key, bucket, cnt) at
+    * ≤ |keys|·buckets cells: the per-domain / per-language length
+    * profile a mixture designer reads before setting quotas. Still
+    * ONE map-side-combined aggregation; cells merge per (key, bucket)
+    * with [[histMergeBy]].
+    */
+  def histSketchBy(df: DataFrame, keyCol: String, valueCol: Column, lo: Long,
+      hi: Long, buckets: Int = 256): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(buckets > 0 && buckets <= 4194304,
+      s"histogram state $buckets cells/key exceeds 4M — that is no longer a sketch")
+    df.select(col(keyCol).as("key"),
+        histBucket(valueCol, lo, hi, buckets).as("bucket"))
+      .groupBy(col("key"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise merge of [[histSketchBy]] sketches built with the SAME
+    * lo/hi/buckets (counters are sums, per key).
+    */
+  def histMergeBy(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("key"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** [[histQuantiles]] per key over a [[histSketchBy]] frame: the same
+    * `percentile_disc`-rank bracket walk, windowed by key — every
+    * group gets its own N, rank, and [q_lo, q_hi] with the one-bin
+    * guarantee. All post-sketch work runs at sketch cardinality
+    * (|keys|·buckets rows), never corpus.
+    */
+  def histQuantilesBy(sketch: DataFrame, fractionsMicro: Seq[Long], lo: Long,
+      hi: Long, buckets: Int): DataFrame = {
+    require(fractionsMicro.nonEmpty, "need at least one fraction")
+    require(fractionsMicro.forall(f => f >= 0L && f <= 1000000L),
+      s"fractions are micros in [0, 1000000], got $fractionsMicro")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = sketch.select(col("key"), col("bucket").cast("long").as("bucket"),
+        col("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+    val targets = sketch.groupBy(col("key")).agg(sum(col("cnt")).as("n"))
+      .select(col("key"), col("n"),
+        explode(array(fractionsMicro.map(lit): _*)).as("fraction_micro"))
+      .select(col("key"), col("fraction_micro"), col("n"),
+        greatest(lit(1L),
+          expr("CAST((CAST(fraction_micro AS DECIMAL(38,0)) * n + 999999) " +
+            "div 1000000 AS BIGINT)")).as("target_rank"))
+    targets.join(cum.withColumnRenamed("key", "_ck"),
+        col("_ck") === col("key") && col("cum") >= col("target_rank"))
+      .groupBy(col("key"), col("fraction_micro"), col("n"), col("target_rank"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("key"), col("fraction_micro"), col("n"), col("target_rank"),
+        col("bucket"),
+        expr(s"${lo}L + (bucket * ${hi - lo}L) div ${buckets}L").as("q_lo"),
+        expr(s"${lo}L + ((bucket + 1) * ${hi - lo}L) div ${buckets}L").as("q_hi"))
+  }
+
   /** Quantile brackets from a [[histSketch]]: for each requested
     * fraction (in integer micros), the target rank is
     * `max(1, ceil(f·N))` — `percentile_disc`'s rank — and the answer

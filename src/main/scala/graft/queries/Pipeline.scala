@@ -1878,6 +1878,25 @@ object Pipeline {
       .orderBy(col("fraction_micro"))
   }
 
+  /** Per-source length-distribution quantiles
+    * ([[graft.ops.Approx.histSketchBy]] →
+    * [[graft.ops.Approx.histQuantilesBy]]): t35's histogram sketch
+    * grouped by the source label — the per-domain length profile a
+    * mixture designer (t23/t33) reads before setting quotas, from
+    * ≤ |sources|·64 counter cells. Same integer cells-and-rank-walk
+    * machinery per key, so every group's brackets hash-gate; the
+    * post-sketch walk runs at sketch cardinality, never corpus.
+    */
+  def t37HistBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sketch = graft.ops.Approx.histSketchBy(
+      docs, "source", col("n_chars"), lo = 0L, hi = 640L, buckets = 64)
+    graft.ops.Approx.histQuantilesBy(sketch, Seq(500000L, 990000L),
+      lo = 0L, hi = 640L, buckets = 64)
+      .withColumnRenamed("key", "source")
+      .orderBy(col("source"), col("fraction_micro"))
+  }
+
   /** Audio frame features over REAL WAV payloads
     * ([[graft.ext.Multimodal.syntheticWav]] →
     * [[graft.ext.Multimodal.extractAudioFrames]]): the payload is a
@@ -2998,6 +3017,39 @@ object Pipeline {
         |  CAST((bucket * 640) // 64 AS BIGINT) AS q_lo,
         |  CAST(((bucket + 1) * 640) // 64 AS BIGINT) AS q_hi
         |FROM pick ORDER BY fraction_micro""".stripMargin,
+    // t35's cells + rank walk PARTITIONED by source — every group's
+    // N, target rank, and bracket replay per key
+    "t37_hist_by_source" ->
+      """WITH b AS (
+        |  SELECT source, CASE WHEN n_chars < 0 THEN 0
+        |              WHEN n_chars >= 640 THEN 63
+        |              ELSE CAST((n_chars * 64) // 640 AS INT) END AS bucket
+        |  FROM documents
+        |), sk AS (
+        |  SELECT source, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT source, bucket, sum(cnt) OVER (PARTITION BY source
+        |    ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum FROM sk
+        |), tot AS (
+        |  SELECT source, sum(cnt) AS n FROM sk GROUP BY 1
+        |), fr AS (
+        |  SELECT CAST(unnest([500000, 990000]) AS BIGINT) AS fraction_micro
+        |), tr AS (
+        |  SELECT source, fraction_micro, n,
+        |    greatest(1, (fraction_micro * n + 999999) // 1000000) AS target_rank
+        |  FROM fr CROSS JOIN tot
+        |), pick AS (
+        |  SELECT tr.source, fraction_micro, n, target_rank,
+        |    min(bucket) AS bucket
+        |  FROM tr JOIN cum ON cum.source = tr.source AND cum >= target_rank
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT source, fraction_micro, CAST(n AS BIGINT) AS n,
+        |  CAST(target_rank AS BIGINT) AS target_rank,
+        |  CAST(bucket AS BIGINT) AS bucket,
+        |  CAST((bucket * 640) // 64 AS BIGINT) AS q_lo,
+        |  CAST(((bucket + 1) * 640) // 64 AS BIGINT) AS q_hi
+        |FROM pick ORDER BY source, fraction_micro""".stripMargin,
     "d16_audio_fp_pairs" ->
       s"""WITH $audioFpCtes
          |SELECT a.media_id AS id_a, b.media_id AS id_b,
@@ -4430,6 +4482,7 @@ object Pipeline {
     "d31_leakage_split" -> d31LeakageSplit _,
     "t34_cms_counts" -> t34CmsCounts _,
     "t35_hist_quantiles" -> t35HistQuantiles _,
+    "t37_hist_by_source" -> t37HistBySource _,
     "m11_keyframes" -> m11Keyframes _,
     "j02_orc_roundtrip"  -> j02OrcRoundtrip _,
     "j03_csv_roundtrip"  -> j03CsvRoundtrip _,

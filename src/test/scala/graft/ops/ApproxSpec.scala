@@ -206,6 +206,38 @@ class ApproxSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("per-key histogram quantiles: every group's bracket holds; grouped merge == whole corpus") {
+    val docs = Tables.documents(spark, sf).cache()
+    val sketch = Approx.histSketchBy(docs, "source", col("n_chars"), 0L, 640L, 64)
+    val qs = Approx.histQuantilesBy(sketch, Seq(500000L, 990000L), 0L, 640L, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(4), r.getLong(5))).toMap
+    // bracket guarantee holds PER GROUP
+    val exact = docs.groupBy(col("source"))
+      .agg(expr("CAST(percentile(n_chars, 0.5, 1) AS BIGINT)").as("p50"),
+        expr("CAST(percentile(n_chars, 0.99, 1) AS BIGINT)").as("p99"))
+      .collect()
+    exact.foreach { r =>
+      val src = r.getString(0)
+      Seq((500000L, r.getLong(1)), (990000L, r.getLong(2))).foreach { case (f, ex) =>
+        val (qlo, qhi) = qs((src, f))
+        assert(ex >= qlo - 10 && ex <= qhi + 10,
+          s"$src f=$f: exact $ex outside bracket [$qlo, $qhi]")
+      }
+    }
+    // every key answered for every fraction
+    val nKeys = docs.select("source").distinct().count()
+    assert(qs.size == nKeys * 2, s"${qs.size} brackets for $nKeys keys")
+    // grouped cell-wise merge == whole-corpus grouped sketch
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = Approx.histMergeBy(
+      Approx.histSketchBy(a, "source", col("n_chars"), 0L, 640L, 64),
+      Approx.histSketchBy(b, "source", col("n_chars"), 0L, 640L, 64))
+    assert(merged.exceptAll(sketch).isEmpty && sketch.exceptAll(merged).isEmpty,
+      "grouped merge differs from the whole-corpus sketch")
+    docs.unpersist()
+  }
+
   test("KMV jaccard estimate tracks the true overlap within the sketch error band") {
     import spark.implicits._
     val k = 256
