@@ -142,6 +142,52 @@ object Approx {
             "CAST(_hk AS DECIMAL(38,0)) AS BIGINT)")).as("distinct_est"))
   }
 
+  /** [[kmvSketch]] grouped by a key column — the k smallest DISTINCT
+    * hashes PER KEY, ≤ |keys|·k rows: "distinct users per domain /
+    * distinct tokens per source" at 100 TB from kilobytes of state
+    * per key. The dedup exchange runs on (key, h) with map-side
+    * partial aggregation; the per-key k-smallest truncation is the
+    * custom [[graft.plans.TopKPerKeyNode]] operator (streams each
+    * sorted group, emits k, skips the rest — no window machinery, no
+    * rank column), fed by the already-dedup'd (key, h) rows. Same
+    * mergeability as the flat sketch, per key ([[kmvMergeBy]]).
+    */
+  def kmvSketchBy(df: DataFrame, keyCol: String, c: Column, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    graft.ops.TopK.perKey(
+      df.select(col(keyCol).as("key"), kmvHash(c).as("h")).distinct(),
+      keys = Seq("key"), order = Seq(("h", false)), k = k)
+  }
+
+  /** Per-key distinct-count estimates of a [[kmvSketchBy]] frame —
+    * one row (key, n_sketch, distinct_est) per key: exact when the
+    * key's value set was smaller than k, `(k-1)·2^60 / h_k` otherwise
+    * (the [[kmvDistinct]] estimator, per key; pure integers, so every
+    * estimate hash-gates).
+    */
+  def kmvDistinctBy(sketch: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val kMinus1M = ((BigInt(1) << 60) * (k - 1)).toString
+    sketch.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("_hk"))
+      .select(col("key"), col("n_sketch"),
+        when(col("n_sketch") < k, col("n_sketch").cast("long")).otherwise(
+          expr(s"CAST(CAST('$kMinus1M' AS DECIMAL(38,0)) div " +
+            "CAST(_hk AS DECIMAL(38,0)) AS BIGINT)")).as("distinct_est"))
+  }
+
+  /** Per-key cell-wise merge of [[kmvSketchBy]] sketches sharing k:
+    * the k smallest of each key's union IS that key's sketch of the
+    * union (mergeability, per key — spec-pinned).
+    */
+  def kmvMergeBy(k: Int, sketches: DataFrame*): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    require(sketches.nonEmpty, "need at least one sketch")
+    graft.ops.TopK.perKey(
+      sketches.reduce(_ unionByName _).distinct(),
+      keys = Seq("key"), order = Seq(("h", false)), k = k)
+  }
+
   // --------------------------------------------- persisted KMV sketch
 
   private def kmvParamsPath(path: String) =

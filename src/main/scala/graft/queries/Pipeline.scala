@@ -1878,6 +1878,28 @@ object Pipeline {
       .orderBy(col("fraction_micro"))
   }
 
+  /** Per-source distinct-vocabulary estimates
+    * ([[graft.ops.Approx.kmvSketchBy]] →
+    * [[graft.ops.Approx.kmvDistinctBy]], k = 16): d26's KMV sketch
+    * grouped by the source label — "how many distinct tokens does
+    * each domain contribute" from 16 hash rows per key instead of a
+    * per-key distinct count over the corpus vocabulary. The per-key
+    * k-smallest truncation is the custom TopKPerKey operator; k = 16
+    * is deliberately below the fixture's ~30-token per-source vocab
+    * so the ESTIMATOR path (not the exact sub-k path) is what the
+    * gate pins — estimates are deterministic integers (the d26
+    * convention), so they hash-gate per key.
+    */
+  def d32KmvBySource(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val sk = graft.ops.Approx.kmvSketchBy(toks, "source", col("token"), k = 16)
+    graft.ops.Approx.kmvDistinctBy(sk, k = 16)
+      .withColumnRenamed("key", "source")
+      .orderBy(col("source"))
+  }
+
   /** Per-source length-distribution quantiles
     * ([[graft.ops.Approx.histSketchBy]] →
     * [[graft.ops.Approx.histQuantilesBy]]): t35's histogram sketch
@@ -3467,6 +3489,28 @@ object Pipeline {
     // KMV replay: same 60-bit md5 hash, same k-minimum construction,
     // same integer estimator arithmetic (HUGEINT // == decimal div
     // floor for positive operands) — the estimates hash-gate exactly
+    // replays the per-key KMV: 60-bit md5 hash, k = 16 smallest
+    // distinct per source, the (k-1)·2^60 / h_k estimator in HUGEINT
+    // (DuckDB // == Spark DECIMAL div) — the d26 convention, per key
+    "d32_kmv_by_source" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token
+        |  FROM documents
+        |), h AS (
+        |  SELECT DISTINCT source AS key, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        |  FROM tk WHERE token <> ''
+        |), r AS (
+        |  SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn FROM h
+        |), sk AS (
+        |  SELECT key, h FROM r WHERE rn <= 16
+        |), agg AS (
+        |  SELECT key, count(*) AS n_sketch, max(h) AS hk FROM sk GROUP BY 1
+        |)
+        |SELECT key AS source, CAST(n_sketch AS BIGINT) AS n_sketch,
+        |  CAST(CASE WHEN n_sketch < 16 THEN n_sketch
+        |       ELSE ('17293822569102704640'::HUGEINT // hk::HUGEINT)::BIGINT END
+        |    AS BIGINT) AS distinct_est
+        |FROM agg ORDER BY source""".stripMargin,
     "d26_kmv_overlap" ->
       """WITH after AS (
         |  SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' amended' ELSE text END AS text
@@ -4483,6 +4527,7 @@ object Pipeline {
     "t34_cms_counts" -> t34CmsCounts _,
     "t35_hist_quantiles" -> t35HistQuantiles _,
     "t37_hist_by_source" -> t37HistBySource _,
+    "d32_kmv_by_source" -> d32KmvBySource _,
     "m11_keyframes" -> m11Keyframes _,
     "j02_orc_roundtrip"  -> j02OrcRoundtrip _,
     "j03_csv_roundtrip"  -> j03CsvRoundtrip _,

@@ -238,6 +238,36 @@ class ApproxSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("per-key KMV: exact below k, banded above, per-key merge == union rescan, plans via TopKPerKey") {
+    import spark.implicits._
+    val k = 64
+    // key "small" holds 40 distinct (< k, exact); "big" holds 4000 (> k, estimated)
+    val vals = ((0 until 40).map(i => ("small", s"s$i")) ++
+      (0 until 4000).map(i => ("big", s"b$i"))).toDF("grp", "v")
+    val sk = Approx.kmvSketchBy(vals, "grp", col("v"), k)
+    val est = Approx.kmvDistinctBy(sk, k).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(est("small") == ((40L, 40L)), s"sub-k key must be exact: ${est("small")}")
+    assert(est("big")._1 == k.toLong, s"sketch must hold k rows: ${est("big")}")
+    val relErr = math.abs(est("big")._2 - 4000).toDouble / 4000
+    assert(relErr <= 3.0 / math.sqrt(k),
+      f"per-key KMV rel err $relErr%.3f (est ${est("big")._2} vs 4000)")
+    // per-key mergeability: each key's k smallest of two half-sketches
+    // == that key's sketch of the union
+    val a = vals.filter(length(col("v")) % 2 === 0)
+    val b = vals.filter(length(col("v")) % 2 =!= 0)
+    val merged = Approx.kmvMergeBy(k,
+      Approx.kmvSketchBy(a, "grp", col("v"), k),
+      Approx.kmvSketchBy(b, "grp", col("v"), k))
+    assert(merged.exceptAll(sk).isEmpty && sk.exceptAll(merged).isEmpty,
+      "per-key sketch merge != union rescan")
+    // the truncation is the custom operator, not window machinery
+    val plan = sk.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"per-key truncation lost the custom op:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      s"window machinery crept into the per-key sketch:\n$plan")
+  }
+
   test("KMV jaccard estimate tracks the true overlap within the sketch error band") {
     import spark.implicits._
     val k = 256
