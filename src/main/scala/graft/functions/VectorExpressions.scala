@@ -111,7 +111,10 @@ object GraftFunctions {
         val arr = exprs(1).eval().asInstanceOf[ArrayData]
         BlocklistCounts(exprs(0), (0 until arr.numElements())
           .map(i => arr.getUTF8String(i).toString))
-      }))
+      }),
+    ("graft_gear_chunks", classOf[GearChunks],
+      (exprs: Seq[Expression]) => GearChunks(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry
@@ -169,6 +172,13 @@ object GraftFunctions {
   def graftBlocklist(text: Column, patterns: Seq[String]): Column =
     call_function("graft_blocklist", text,
       org.apache.spark.sql.functions.lit(patterns.toArray))
+
+  /** Content-defined chunk spans `array<struct<start, len>>` via the
+    * gear rolling hash (requires [[ensureRegistered]]).
+    */
+  def graftGearChunks(text: Column, maskBits: Int): Column =
+    call_function("graft_gear_chunks", text,
+      org.apache.spark.sql.functions.lit(maskBits))
 
   /** Native Morton code of `cols` under per-column quantile `bounds`
     * (requires [[ensureRegistered]]).

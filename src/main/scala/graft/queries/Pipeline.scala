@@ -1878,6 +1878,64 @@ object Pipeline {
       .orderBy(col("fraction_micro"))
   }
 
+  /** Content-defined chunking under the gate
+    * ([[graft.functions.GearChunks]]): every document's chunk table
+    * (start, len, content hash) from the gear rolling hash — the
+    * boundary finder behind shift-robust chunk-level dedup. The
+    * recurrence mod 2^31 has an exact 31-codepoint memory, so the
+    * oracle replays every rolling-hash value with a 31-row windowed
+    * self-join (no recursion) and the hash gate pins the BOUNDARY
+    * DECISIONS themselves, not just downstream aggregates. One
+    * codegen pass per row; chunk hashes are the d26 md5-integer
+    * convention so they also gate.
+    */
+  def d33CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(graft.functions.GraftFunctions.graftGearChunks(col("text"), 6)).as("c"))
+      .select(col("doc_id"),
+        col("c.start").cast("long").as("start"),
+        col("c.len").cast("long").as("len"),
+        conv(substring(md5(expr("substring(text, c.start + 1, c.len)")), 1, 15), 16, 10)
+          .cast("long").as("chunk_hash"))
+      .orderBy(col("doc_id"), col("start"))
+  }
+
+  /** THE property content-defined chunking exists for, measured under
+    * the gate: a head insertion shifts every byte offset (fixed-size
+    * blocks would all change), but gear cut points re-align within
+    * ~31 codepoints + one chunk, so the unchanged tail chunks hash
+    * identically again. Every tenth document gets a synthetic head
+    * edit; output = per edited doc, its original's chunk count and
+    * how many of those chunks the edited version still shares —
+    * integers end to end, both chunkings and the overlap join replay
+    * in SQL.
+    */
+  def d34CdcShifted(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+    def chunksOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("text"),
+        explode(graft.functions.GraftFunctions.graftGearChunks(col("text"), 6)).as("c"))
+      .select(col("doc_id"),
+        conv(substring(md5(expr("substring(text, c.start + 1, c.len)")), 1, 15), 16, 10)
+          .cast("long").as("chunk_hash"))
+    val base = chunksOf(docs.filter(col("doc_id") % 10 === 0))
+    val edited = chunksOf(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          concat(lit("EDIT INSERTED HEAD >> "), col("text")).as("text")))
+      .distinct()
+      .withColumnRenamed("doc_id", "_ed").withColumnRenamed("chunk_hash", "_eh")
+    base.join(edited,
+        col("_ed") === col("doc_id") && col("_eh") === col("chunk_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("chunk_hash")).as("n_chunks"),
+        countDistinct(when(col("_eh").isNotNull, col("chunk_hash")))
+          .as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source distinct-vocabulary estimates
     * ([[graft.ops.Approx.kmvSketchBy]] →
     * [[graft.ops.Approx.kmvDistinctBy]], k = 16): d26's KMV sketch
@@ -2251,6 +2309,40 @@ object Pipeline {
     * assignment (ties to the smallest centroid id — the s04 key), and
     * an integer micro-sum re-aggregation. Output is integers only.
     */
+  /** CTE chain replaying [[graft.functions.GearChunks]] over the docs
+    * produced by `src` (must select `doc_id, text`), prefixed `p_`:
+    * per-codepoint 16-bit gears, every rolling-hash value as the
+    * 31-row windowed sum mod 2^31 (the recurrence's exact memory —
+    * see d33), cuts at h % 64 == 0 plus the end of text, chunks
+    * between consecutive cuts with the d26 md5-integer content hash.
+    * Yields `p_ck(doc_id, start, len, chunk_hash)`.
+    */
+  private def cdcChunkCtes(p: String, src: String): String =
+    s"""${p}_d AS ($src),
+       |${p}_c AS (
+       |  SELECT doc_id, i.i AS i,
+       |    ('0x' || substr(md5(unicode(substr(text, i.i, 1))::VARCHAR), 1, 4))::BIGINT AS g
+       |  FROM ${p}_d, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) i
+       |), ${p}_h AS (
+       |  SELECT a.doc_id, a.i,
+       |    CAST(sum(b.g * CAST(power(2, a.i - b.i) AS BIGINT)) % 2147483648 AS BIGINT) AS h
+       |  FROM ${p}_c a JOIN ${p}_c b
+       |    ON b.doc_id = a.doc_id AND b.i BETWEEN a.i - 30 AND a.i
+       |  GROUP BY 1, 2
+       |), ${p}_cut AS (
+       |  SELECT doc_id, i FROM ${p}_h WHERE h % 64 = 0
+       |  UNION
+       |  SELECT doc_id, length(text) AS i FROM ${p}_d WHERE length(text) > 0
+       |), ${p}_sp AS (
+       |  SELECT doc_id, lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS s,
+       |    i AS e
+       |  FROM ${p}_cut
+       |), ${p}_ck AS (
+       |  SELECT sp.doc_id, sp.s AS start, sp.e - sp.s AS len,
+       |    ('0x' || substr(md5(substr(d.text, sp.s + 1, sp.e - sp.s)), 1, 15))::BIGINT AS chunk_hash
+       |  FROM ${p}_sp sp JOIN ${p}_d d USING (doc_id) WHERE sp.e > sp.s
+       |)""".stripMargin
+
   private def kmeansChainCtes(k: Int, iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""c$i AS (
@@ -3489,6 +3581,31 @@ object Pipeline {
     // KMV replay: same 60-bit md5 hash, same k-minimum construction,
     // same integer estimator arithmetic (HUGEINT // == decimal div
     // floor for positive operands) — the estimates hash-gate exactly
+    // the gear recurrence mod 2^31 has an exact 31-codepoint memory
+    // (2^k ≡ 0 mod 2^31 for k ≥ 31), so every rolling-hash value
+    // replays as a 31-row windowed self-join — no recursion; 16-bit
+    // gears keep the un-modded sum < 2^51, overflow-free in BIGINT
+    "d33_cdc_chunks" ->
+      s"""WITH ${cdcChunkCtes("d", "SELECT doc_id, text FROM documents")}
+         |SELECT doc_id, CAST(start AS BIGINT) AS start,
+         |  CAST(len AS BIGINT) AS len, chunk_hash
+         |FROM d_ck ORDER BY doc_id, start""".stripMargin,
+    // both chunkings (original + head-edited) replay via the same
+    // windowed-join CTEs; the overlap join pins shift-robustness
+    "d34_cdc_shifted" ->
+      s"""WITH ${cdcChunkCtes("b",
+             "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0")},
+         |${cdcChunkCtes("e",
+             "SELECT doc_id, 'EDIT INSERTED HEAD >> ' || text AS text " +
+             "FROM documents WHERE doc_id % 10 = 0")},
+         |eh AS (SELECT DISTINCT doc_id, chunk_hash FROM e_ck)
+         |SELECT b.doc_id,
+         |  CAST(count(DISTINCT b.chunk_hash) AS BIGINT) AS n_chunks,
+         |  CAST(count(DISTINCT CASE WHEN eh.chunk_hash IS NOT NULL
+         |    THEN b.chunk_hash END) AS BIGINT) AS n_shared
+         |FROM b_ck b LEFT JOIN eh
+         |  ON eh.doc_id = b.doc_id AND eh.chunk_hash = b.chunk_hash
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // replays the per-key KMV: 60-bit md5 hash, k = 16 smallest
     // distinct per source, the (k-1)·2^60 / h_k estimator in HUGEINT
     // (DuckDB // == Spark DECIMAL div) — the d26 convention, per key
@@ -4528,6 +4645,8 @@ object Pipeline {
     "t35_hist_quantiles" -> t35HistQuantiles _,
     "t37_hist_by_source" -> t37HistBySource _,
     "d32_kmv_by_source" -> d32KmvBySource _,
+    "d33_cdc_chunks" -> d33CdcChunks _,
+    "d34_cdc_shifted" -> d34CdcShifted _,
     "m11_keyframes" -> m11Keyframes _,
     "j02_orc_roundtrip"  -> j02OrcRoundtrip _,
     "j03_csv_roundtrip"  -> j03CsvRoundtrip _,

@@ -73,6 +73,14 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("d33: content-defined chunking is one narrow codegen pass — no shuffle before the output sort") {
+    val plan = planOf("d33_cdc_chunks")
+    // chunk boundaries + hashes are per-row work; a hash exchange here
+    // means the corpus shuffled for a row-local computation
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"CDC chunking shuffled:\n$plan")
+  }
+
   test("s01: rank stage uses the custom TopKPerKey operator") {
     val plan = planOf("s01_sim_topk")
     assert(plan.contains("TopKPerKey"), plan)
