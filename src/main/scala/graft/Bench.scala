@@ -242,6 +242,25 @@ object Bench {
       TextOps.writeTextIndex(docsAt(n), p)
       n -> p
     }.toMap
+    // prebuilt chunk stores for the cdc_serve_indexed arm — built
+    // outside the timed fn (the writeChunkIndex production path): the
+    // lifecycle's claim is that an ingest batch never re-chunks the
+    // corpus, so the timed cost is chunk(batch) + one streamed
+    // artifact scan under a broadcast semi probe
+    val chunkIdx: Map[Int, String] = Seq(1, k).map { n =>
+      val p = java.nio.file.Files.createTempDirectory("graft_bench_chunks")
+        .toFile.getAbsolutePath + "/ci"
+      Dedup.writeChunkIndex(docsAt(n), p)
+      n -> p
+    }.toMap
+    val chunkBatch = {
+      val b = docsAt(1)
+        .filter(col("doc_id") < 1000000000L && col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
+          concat(lit("EDIT >> "), col("text")).as("text")).persist()
+      b.count()
+      b
+    }
     // fixed merge table for the bpe_encode arm — training is amortized
     // setup (the t25 production path); the arm times ENCODE only
     val bpeMergesFixed: Seq[TextOps.BpeMerge] =
@@ -405,8 +424,17 @@ object Bench {
         graft.ext.Multimodal.audioQualityRules(
           graft.ext.Multimodal.syntheticWavClasses(docsAt(n)))
       }),
+      // content-defined chunking: one codegen gear pass per row, no
+      // shuffle — growth must be pure scan cost
+      "cdc_chunks" -> (n => Dedup.chunkTable(docsAt(n))),
+      // chunk-level provenance against a PREBUILT chunk store: fixed
+      // ingest batch, corpus contribution = one streamed artifact scan
+      // under a broadcast semi probe — never a corpus re-chunk
+      "cdc_serve_indexed" -> (n => Dedup.chunkProvenanceIndexed(
+        spark, chunkIdx(n), chunkBatch)),
     )
     val out = probeRows(probes, k)
+    chunkBatch.unpersist(blocking = false)
     ivfIdx.values.foreach { case (cb, lists) =>
       cb.unpersist(blocking = false); lists.unpersist(blocking = false)
     }

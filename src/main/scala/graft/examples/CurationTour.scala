@@ -404,6 +404,30 @@ object CurationTour {
       math.abs(r.getLong(3) / 1e6 - trueJ) <= 3.0 / math.sqrt(k)
     }
 
+    check("chunk store screens a re-crawl batch as already-seen content at shifted offsets") {
+      // ingest screening at sub-document granularity: a re-crawl of
+      // existing pages arrives with banners prepended (every byte
+      // offset shifted) under fresh ids — the persisted chunk store
+      // must still recognize most of the content as seen, while a
+      // genuinely novel batch must not match
+      val root = java.nio.file.Files.createTempDirectory("graft_tour_chunks")
+        .toFile.getAbsolutePath
+      graft.ext.Dedup.writeChunkIndex(raw, s"$root/ci")
+      val recrawl = raw.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 9000000L).as("doc_id"),
+          concat(lit("BANNER COOKIE NOTICE >> "), col("text")).as("text"))
+      val seen = graft.ext.Dedup.chunkProvenanceIndexed(spark, s"$root/ci", recrawl)
+        .agg(sum("n_chunks").cast("long"), sum("n_seen").cast("long")).head()
+      val novel = raw.filter(col("doc_id") % 7 === 1).limit(20)
+        .select((col("doc_id") + 9500000L).as("doc_id"),
+          reverse(col("text")).as("text"))
+      val novelSeen = graft.ext.Dedup.chunkProvenanceIndexed(spark, s"$root/ci", novel)
+        .agg(sum("n_chunks").cast("long"),
+          coalesce(sum("n_seen"), lit(0L)).cast("long")).head()
+      seen.getLong(1) * 2 > seen.getLong(0) &&
+        novelSeen.getLong(1) * 2 < novelSeen.getLong(0)
+    }
+
     println(if (failed == 0) "CurationTour: all checks passed"
             else s"CurationTour: $failed check(s) FAILED")
     spark.stop()

@@ -1303,4 +1303,189 @@ object Dedup {
         sum(col("c") * (col("c") - 1) / 2).cast("long").as("candidate_pairs"))
       .orderBy(col("chunk"))
   }
+
+  // ---------------------------------------------------------- chunk store
+
+  /** Parameters a persisted chunk store ([[writeChunkIndex]]) was
+    * computed under: the gear cut mask width. Rides a sidecar (the
+    * [[PairGraphParams]] convention) so serving and maintenance can't
+    * silently re-chunk a batch under a different boundary rule than
+    * the stored corpus chunks were cut with — mismatched masks produce
+    * disjoint hash spaces and a silent all-novel answer.
+    */
+  case class ChunkIndexParams(maskBits: Int)
+
+  private def ciParamsPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_chunk_index_params.json")
+
+  /** Per-document content-defined chunk table via the gear rolling
+    * hash ([[graft.functions.GearChunks]]): one row per chunk —
+    * (doc_id, start, len, chunk_hash), chunk_hash the d26 60-bit
+    * md5-integer of the chunk's text. ONE codegen pass per row, no
+    * shuffle: the narrow scan under d33/d34 and the build step of the
+    * chunk store. Expected chunk length ~2^maskBits codepoints; cut
+    * points depend only on a 31-codepoint trailing window, so an edit
+    * re-aligns within ~31 codepoints + one chunk (measured under the
+    * gate by d34).
+    */
+  def chunkTable(docs: DataFrame, maskBits: Int = 6,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .select(col("doc_id"), col("_t"),
+        explode(GraftFunctions.graftGearChunks(col("_t"), maskBits)).as("c"))
+      .select(col("doc_id"),
+        col("c.start").cast("long").as("start"),
+        col("c.len").cast("long").as("len"),
+        conv(substring(md5(expr("substring(_t, c.start + 1, c.len)")), 1, 15), 16, 10)
+          .cast("long").as("chunk_hash"))
+  }
+
+  /** The corpus chunk table as a persisted artifact — the SEVENTH
+    * index-lifecycle family: chunk-level provenance/dedup asks "has
+    * this content been seen before, at sub-document granularity", and
+    * answering it from scratch re-chunks the corpus per ingest batch.
+    * The store is written once per snapshot, partitioned on chunk_hash
+    * (the probe key), and maintained at batch cost
+    * ([[updateChunkIndex]] / [[forgetChunkIndex]]) under the family's
+    * fuse-guarded atomic swap. Sidecar carries the mask width.
+    */
+  def writeChunkIndex(docs: DataFrame, path: String, maskBits: Int = 6,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    chunkTable(docs, maskBits, textCol, idCol)
+      .repartition(col("chunk_hash"))
+      .write.mode("overwrite").parquet(path)
+    writeChunkIndexParams(docs.sparkSession, path, ChunkIndexParams(maskBits))
+  }
+
+  private[ext] def writeChunkIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, p: ChunkIndexParams): Unit = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    val out = fs.create(ciParamsPath(path), true)
+    try out.write(s"""{"maskBits":${p.maskBits}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a persisted chunk store back; artifact == [[chunkTable]]
+    * recompute is pinned in ChunkStoreSpec and cross-engine by d35
+    * (serve(index) gates against the from-scratch DuckDB replay).
+    */
+  def readChunkIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The [[ChunkIndexParams]] sidecar; None for a directory that is
+    * not a chunk store.
+    */
+  def readChunkIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[ChunkIndexParams] = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    if (!fs.exists(ciParamsPath(path))) return None
+    val in = fs.open(ciParamsPath(path))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"maskBits":([0-9]+)""".r.findFirstMatchIn(txt)
+      .map(m => ChunkIndexParams(m.group(1).toInt))
+  }
+
+  def isChunkIndex(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    readChunkIndexParams(spark, path).isDefined
+
+  /** Shared provenance rollup: per batch document, how many distinct
+    * chunks it has and how many of those the corpus has already seen.
+    * Scale shape: the batch's distinct hashes BROADCAST into a semi
+    * join against the corpus chunks (the corpus side streams — no
+    * corpus-keyed exchange anywhere); the matched set is batch-sized,
+    * so the final membership join broadcasts too. Corpus rows of ids
+    * being re-ingested are superseded first (a doc never "sees" its
+    * own previous content — the [[ngramJaccardNewPairs]] convention).
+    */
+  private def provenanceOf(batchChunks: DataFrame, corpusChunks: DataFrame): DataFrame = {
+    val probe = batchChunks.select(col("doc_id"), col("chunk_hash"))
+    val corpus = corpusChunks
+      .join(broadcast(probe.select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+    val matched = corpus.select(col("chunk_hash"))
+      .join(broadcast(probe.select(col("chunk_hash")).distinct()),
+        Seq("chunk_hash"), "left_semi")
+      .distinct()
+      .withColumn("_seen", lit(1))
+    probe.join(broadcast(matched), Seq("chunk_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("chunk_hash")).as("n_chunks"),
+        countDistinct(when(col("_seen").isNotNull, col("chunk_hash")))
+          .as("n_seen"))
+  }
+
+  /** Chunk-level provenance of an ingest batch against a corpus, from
+    * scratch: (doc_id, n_chunks, n_seen) per batch doc — n_seen the
+    * distinct batch chunks whose content already exists ANYWHERE in
+    * the corpus. Because chunk boundaries are content-defined, a doc
+    * that quotes/duplicates corpus content at a shifted offset still
+    * matches on the unchanged chunks (d34's measured property) —
+    * fixed-size blocks would miss all of it. The from-scratch twin of
+    * [[chunkProvenanceIndexed]]; both gate against the same oracle.
+    */
+  def chunkProvenance(newDocs: DataFrame, corpus: DataFrame, maskBits: Int = 6,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    provenanceOf(chunkTable(newDocs, maskBits, textCol, idCol),
+      chunkTable(corpus, maskBits, textCol, idCol))
+
+  /** [[chunkProvenance]] served from the persisted chunk store: the
+    * batch is chunked at batch cost under the SIDECAR's mask, the
+    * corpus contribution is one streamed scan of the artifact under a
+    * broadcast semi join — the corpus is never re-chunked. Loud
+    * failure on a directory without a sidecar.
+    */
+  def chunkProvenanceIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val p = readChunkIndexParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no chunk-index sidecar at $path"))
+    provenanceOf(chunkTable(newDocs, p.maskBits, textCol, idCol),
+      readChunkIndex(spark, path))
+  }
+
+  /** Fold an ingest batch into the chunk store WITHOUT re-chunking the
+    * corpus: stale rows of re-ingested ids drop first (their text may
+    * have changed), the batch's chunk table appends, and the new build
+    * lands via the family's fuse-guarded atomic swap. Mask comes from
+    * the live sidecar. `update(artifact, batch) == rebuild(corpus ⊎
+    * batch)` is pinned in ChunkStoreSpec.
+    */
+  def updateChunkIndex(newDocs: DataFrame, path: String,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val spark = newDocs.sparkSession
+    val p = readChunkIndexParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no chunk-index sidecar at $path"))
+    val live = readChunkIndex(spark, path)
+    val kept = live
+      .join(newDocs.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(live.columns.map(col).toIndexedSeq: _*)
+    val rebuild = s"${path}_rebuild"
+    kept.unionByName(chunkTable(newDocs, p.maskBits, textCol, idCol))
+      .repartition(col("chunk_hash"))
+      .write.mode("overwrite").parquet(rebuild)
+    writeChunkIndexParams(spark, rebuild, p)
+    IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
+  /** Deletion propagation for the chunk store (takedown/opt-out): drop
+    * every chunk row of the forgotten ids and swap the purged build in
+    * — the artifact is otherwise a retained fingerprint of deleted
+    * content. `forget(artifact, ids) == rebuild(corpus minus ids)` is
+    * pinned in ChunkStoreSpec; sidecar carries over unchanged.
+    */
+  def forgetChunkIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      forgetIds: DataFrame, idCol: String = "doc_id"): Unit = {
+    val p = readChunkIndexParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no chunk-index sidecar at $path"))
+    val live = readChunkIndex(spark, path)
+    val purged = live
+      .join(forgetIds.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(live.columns.map(col).toIndexedSeq: _*)
+    val rebuild = s"${path}_rebuild"
+    purged
+      .repartition(col("chunk_hash"))
+      .write.mode("overwrite").parquet(rebuild)
+    writeChunkIndexParams(spark, rebuild, p)
+    IndexLifecycle.swapIn(spark, rebuild, path)
+  }
 }

@@ -1889,18 +1889,9 @@ object Pipeline {
     * codegen pass per row; chunk hashes are the d26 md5-integer
     * convention so they also gate.
     */
-  def d33CdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        explode(graft.functions.GraftFunctions.graftGearChunks(col("text"), 6)).as("c"))
-      .select(col("doc_id"),
-        col("c.start").cast("long").as("start"),
-        col("c.len").cast("long").as("len"),
-        conv(substring(md5(expr("substring(text, c.start + 1, c.len)")), 1, 15), 16, 10)
-          .cast("long").as("chunk_hash"))
+  def d33CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.chunkTable(Tables.documents(spark, dir), maskBits = 6)
       .orderBy(col("doc_id"), col("start"))
-  }
 
   /** THE property content-defined chunking exists for, measured under
     * the gate: a head insertion shifts every byte offset (fixed-size
@@ -1915,12 +1906,9 @@ object Pipeline {
   def d34CdcShifted(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val docs = Tables.documents(spark, dir)
-    def chunksOf(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), col("text"),
-        explode(graft.functions.GraftFunctions.graftGearChunks(col("text"), 6)).as("c"))
-      .select(col("doc_id"),
-        conv(substring(md5(expr("substring(text, c.start + 1, c.len)")), 1, 15), 16, 10)
-          .cast("long").as("chunk_hash"))
+    def chunksOf(df: DataFrame): DataFrame =
+      graft.ext.Dedup.chunkTable(df, maskBits = 6)
+        .select(col("doc_id"), col("chunk_hash"))
     val base = chunksOf(docs.filter(col("doc_id") % 10 === 0))
     val edited = chunksOf(docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"),
@@ -1933,6 +1921,30 @@ object Pipeline {
       .agg(countDistinct(col("chunk_hash")).as("n_chunks"),
         countDistinct(when(col("_eh").isNotNull, col("chunk_hash")))
           .as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Chunk-level provenance served from the persisted chunk store
+    * ([[graft.ext.Dedup.writeChunkIndex]] →
+    * [[graft.ext.Dedup.chunkProvenanceIndexed]]) — the SEVENTH
+    * index-lifecycle family under the gate. An ingest batch of
+    * head-edited copies (fresh ids, every byte offset shifted) is
+    * probed against the stored corpus chunks: n_seen counts the batch
+    * chunks whose content the corpus already has — the shift-robust
+    * "have we seen this before, at sub-document granularity" answer
+    * fixed-size blocks cannot give. Registered as build + serve for
+    * oracle self-containment (the d29/t36 convention); the oracle
+    * replays BOTH chunkings from scratch, so the hash gate pins
+    * serve(artifact) == from-scratch for every count.
+    */
+  def d35ChunkProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_d35_chunk_index"
+    graft.ext.Dedup.writeChunkIndex(docs, path, maskBits = 6)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("EDIT INSERTED HEAD >> "), col("text")).as("text"))
+    graft.ext.Dedup.chunkProvenanceIndexed(spark, path, batch)
       .orderBy(col("doc_id"))
   }
 
@@ -3606,6 +3618,23 @@ object Pipeline {
          |FROM b_ck b LEFT JOIN eh
          |  ON eh.doc_id = b.doc_id AND eh.chunk_hash = b.chunk_hash
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // serve(chunk store) == from scratch: the oracle replays the corpus
+    // chunking AND the batch chunking through the same windowed-join
+    // CTEs, then tests batch-chunk membership in the corpus hash set —
+    // every (n_chunks, n_seen) row pins the artifact round trip
+    "d35_chunk_provenance" ->
+      s"""WITH ${cdcChunkCtes("c", "SELECT doc_id, text FROM documents")},
+         |${cdcChunkCtes("n",
+             "SELECT doc_id + 1000000 AS doc_id, " +
+             "'EDIT INSERTED HEAD >> ' || text AS text " +
+             "FROM documents WHERE doc_id % 10 = 0")},
+         |ch AS (SELECT DISTINCT chunk_hash FROM c_ck)
+         |SELECT n.doc_id,
+         |  CAST(count(DISTINCT n.chunk_hash) AS BIGINT) AS n_chunks,
+         |  CAST(count(DISTINCT CASE WHEN ch.chunk_hash IS NOT NULL
+         |    THEN n.chunk_hash END) AS BIGINT) AS n_seen
+         |FROM n_ck n LEFT JOIN ch ON ch.chunk_hash = n.chunk_hash
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // replays the per-key KMV: 60-bit md5 hash, k = 16 smallest
     // distinct per source, the (k-1)·2^60 / h_k estimator in HUGEINT
     // (DuckDB // == Spark DECIMAL div) — the d26 convention, per key
@@ -4647,6 +4676,7 @@ object Pipeline {
     "d32_kmv_by_source" -> d32KmvBySource _,
     "d33_cdc_chunks" -> d33CdcChunks _,
     "d34_cdc_shifted" -> d34CdcShifted _,
+    "d35_chunk_provenance" -> d35ChunkProvenance _,
     "m11_keyframes" -> m11Keyframes _,
     "j02_orc_roundtrip"  -> j02OrcRoundtrip _,
     "j03_csv_roundtrip"  -> j03CsvRoundtrip _,
