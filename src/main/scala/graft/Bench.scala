@@ -427,6 +427,15 @@ object Bench {
       // content-defined chunking: one codegen gear pass per row, no
       // shuffle — growth must be pure scan cost
       "cdc_chunks" -> (n => Dedup.chunkTable(docsAt(n))),
+      // classifier training: each iteration is one map-side-combined
+      // aggregation collecting a single 6-value row — growth must be
+      // scan-bound (two iterations timed, eager by construction)
+      "perceptron_train" -> (n => {
+        val f = graft.ext.Classify.textFeatures(docsAt(n))
+          .withColumn("y", when(col("f3") * 2 >= col("f1"), 1L).otherwise(-1L))
+        graft.ext.Classify.perceptronTrain(f,
+          graft.ext.Classify.textFeatureCols, "y", iters = 2)
+      }),
       // chunk-level provenance against a PREBUILT chunk store: fixed
       // ingest batch, corpus contribution = one streamed artifact scan
       // under a broadcast semi probe — never a corpus re-chunk

@@ -428,6 +428,28 @@ object CurationTour {
         novelSeen.getLong(1) * 2 < novelSeen.getLong(0)
     }
 
+    check("trained lexical-diversity probe: mistakes collapse after iteration 1, predictions track labels") {
+      // model-based curation trained IN the engine: a batch perceptron
+      // learns the diversity rule from integer text features (centered
+      // with corpus-typical offsets — the operator's doc note), then
+      // classifies every doc in one literal-weights codegen pass
+      val cls = graft.ext.Classify
+      val feats = cls.textFeatures(raw)
+        .withColumn("y", when(col("f3") * 2 >= col("f1"), 1L).otherwise(-1L))
+        .select(col("doc_id"), col("f0"),
+          (col("f1") - 56L).as("f1"), (col("f2") - 5L).as("f2"),
+          (col("f3") - 23L).as("f3"), (col("f4") - 2L).as("f4"), col("y"))
+      val cols = cls.textFeatureCols
+      val traj = cls.perceptronTrain(feats, cols, "y", iters = 6)
+        .orderBy("iter").collect()
+      val w = cols.indices.map(j => traj.last.getLong(j + 2))
+      val acc = cls.perceptronClassify(feats, cols, w)
+        .join(feats.select(col("doc_id"), col("y")), "doc_id")
+        .filter(col("pred") === col("y")).count()
+      traj.head.getLong(1) == n0 && traj.last.getLong(1) * 10 < n0 &&
+        acc * 10 > n0 * 9
+    }
+
     println(if (failed == 0) "CurationTour: all checks passed"
             else s"CurationTour: $failed check(s) FAILED")
     spark.stop()

@@ -1948,6 +1948,54 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Integer text features + the lexical-diversity label the perceptron
+    * queries train against: y = +1 iff distinct tokens ≥ half the
+    * tokens (the "repetitious text" boundary as a LINEAR rule over the
+    * feature space — 2·f3 − f1 ≥ 0 — so the data is separable and the
+    * trainer can actually converge, not just iterate).
+    */
+  private def labeledTextFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Classify.textFeatures(Tables.documents(spark, dir))
+      .withColumn("y", when(col("f3") * 2 >= col("f1"), 1L).otherwise(-1L))
+      // center with corpus-typical integer offsets (the operator's doc
+      // note: uncentered counts make the batch update overshoot in the
+      // bias direction — measured: mistakes plateau at 44 % of the
+      // corpus uncentered vs 6 % centered). Constants here; at 100 TB
+      // read them off profileApprox once and fold in the same way.
+      .select(col("doc_id"), col("f0"),
+        (col("f1") - 56L).as("f1"), (col("f2") - 5L).as("f2"),
+        (col("f3") - 23L).as("f3"), (col("f4") - 2L).as("f4"), col("y"))
+
+  /** In-engine classifier training under the gate
+    * ([[graft.ext.Classify.perceptronTrain]]): six batch-perceptron
+    * iterations over integer text features, labels from the
+    * lexical-diversity rule. The output is the TRAINING TRAJECTORY —
+    * per iteration, the mistake count under the previous weights and
+    * the full updated weight vector, all BIGINT — so the oracle
+    * (an unrolled cross-join CTE chain, the Lloyd's-replay convention
+    * applied to a classifier) pins every single update step, not just
+    * the final model. One map-side-combined aggregation per iteration;
+    * driver state is the 5-element weight vector.
+    */
+  def t38PerceptronTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Classify.perceptronTrain(labeledTextFeatures(spark, dir),
+      graft.ext.Classify.textFeatureCols, "y", iters = 6)
+      .orderBy(col("iter"))
+
+  /** Train + classify (the t29 train-and-apply convention): the t38
+    * weights fold into a narrow codegen inference pass as literals —
+    * per document, the integer margin w·x and the sign decision. The
+    * oracle replays training AND inference, so the gate pins the whole
+    * train→deploy path end to end.
+    */
+  def t39PerceptronClassify(spark: SparkSession, dir: String): DataFrame = {
+    val feats = labeledTextFeatures(spark, dir)
+    val cols = graft.ext.Classify.textFeatureCols
+    val w = graft.ext.Classify.trainWeights(feats, cols, "y", iters = 6)
+    graft.ext.Classify.perceptronClassify(feats, cols, w)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source distinct-vocabulary estimates
     * ([[graft.ops.Approx.kmvSketchBy]] →
     * [[graft.ops.Approx.kmvDistinctBy]], k = 16): d26's KMV sketch
@@ -2354,6 +2402,73 @@ object Pipeline {
        |    ('0x' || substr(md5(substr(d.text, sp.s + 1, sp.e - sp.s)), 1, 15))::BIGINT AS chunk_hash
        |  FROM ${p}_sp sp JOIN ${p}_d d USING (doc_id) WHERE sp.e > sp.s
        |)""".stripMargin
+
+  /** Unrolled batch-perceptron CTE chain replaying
+    * [[graft.ext.Classify.perceptronTrain]] over the t38 feature/label
+    * frame (the Lloyd's-replay convention applied to a classifier):
+    * `f` is the integer feature frame with the diversity label; each
+    * iteration i is one cross join of `f` with the 1-row weight CTE
+    * w(i−1) — mistake filter y·(w·x) <= 0, coalesced delta sums, and
+    * the updated 1-row w(i). All values CAST BIGINT (DuckDB widens
+    * integer sums to HUGEINT otherwise). Yields m1..m\$iters and
+    * w0..w\$iters.
+    */
+  private def perceptronCtes(iters: Int): String = {
+    val d = 5
+    val zero = (0 until d).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")
+    val dot = (0 until d).map(j => s"w.w$j * f.f$j").mkString(" + ")
+    val iterCtes = (1 to iters).map { i =>
+      val sums = (0 until d)
+        .map(j => s"CAST(COALESCE(sum(f.y * f.f$j), 0) AS BIGINT) AS d$j")
+        .mkString(", ")
+      val upd = (0 until d)
+        .map(j => s"CAST(w.w$j + m.d$j AS BIGINT) AS w$j").mkString(", ")
+      s"""m$i AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, $sums
+         |  FROM f, w${i - 1} w WHERE f.y * ($dot) <= 0
+         |), w$i AS (SELECT $upd FROM w${i - 1} w, m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""fr AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN trim(text) = '' THEN 0
+       |      ELSE len(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+')) END AS BIGINT) AS f1,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(CASE WHEN trim(text) = '' THEN 0
+       |      ELSE len(list_distinct(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'))) END AS BIGINT) AS f3,
+       |    CAST((length(text) - length(replace(text, 'the', ''))) // 3 AS BIGINT) AS f4
+       |  FROM documents
+       |), fy AS (
+       |  SELECT fr.*, CAST(nc // greatest(f1, 1) AS BIGINT) AS f2,
+       |    CASE WHEN 2 * f3 >= f1 THEN 1 ELSE -1 END AS y
+       |  FROM fr
+       |), f AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS f0,
+       |    CAST(f1 - 56 AS BIGINT) AS f1, CAST(f2 - 5 AS BIGINT) AS f2,
+       |    CAST(f3 - 23 AS BIGINT) AS f3, CAST(f4 - 2 AS BIGINT) AS f4, y
+       |  FROM fy
+       |), w0 AS (SELECT $zero),
+       |$iterCtes""".stripMargin
+  }
+
+  private def perceptronTrainOracle(iters: Int): String = {
+    val rows = (1 to iters).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS iter, m$i.n AS n_mistakes,
+         |    ww.w0 AS w0, ww.w1 AS w1, ww.w2 AS w2, ww.w3 AS w3, ww.w4 AS w4
+         |  FROM m$i, w$i ww""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${perceptronCtes(iters)}
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY iter""".stripMargin
+  }
+
+  private def perceptronClassifyOracle(iters: Int): String = {
+    val dot = (0 until 5).map(j => s"ww.w$j * f.f$j").mkString(" + ")
+    s"""WITH ${perceptronCtes(iters)}
+       |SELECT f.doc_id, CAST($dot AS BIGINT) AS margin,
+       |  CAST(CASE WHEN ($dot) > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+       |FROM f, w$iters ww ORDER BY doc_id""".stripMargin
+  }
 
   private def kmeansChainCtes(k: Int, iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
@@ -3635,6 +3750,14 @@ object Pipeline {
          |    THEN n.chunk_hash END) AS BIGINT) AS n_seen
          |FROM n_ck n LEFT JOIN ch ON ch.chunk_hash = n.chunk_hash
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the whole training trajectory replays as an unrolled CTE chain
+    // (the Lloyd's convention on a classifier): every mistake count
+    // and every weight update is integer arithmetic, so each of the
+    // six (iter, n_mistakes, w0..w4) rows hash-gates
+    "t38_perceptron_train" -> perceptronTrainOracle(6),
+    // training replayed, then one cross join with the 1-row final
+    // weights for the margin + sign decision per document
+    "t39_perceptron_classify" -> perceptronClassifyOracle(6),
     // replays the per-key KMV: 60-bit md5 hash, k = 16 smallest
     // distinct per source, the (k-1)·2^60 / h_k estimator in HUGEINT
     // (DuckDB // == Spark DECIMAL div) — the d26 convention, per key
@@ -4677,6 +4800,8 @@ object Pipeline {
     "d33_cdc_chunks" -> d33CdcChunks _,
     "d34_cdc_shifted" -> d34CdcShifted _,
     "d35_chunk_provenance" -> d35ChunkProvenance _,
+    "t38_perceptron_train" -> t38PerceptronTrain _,
+    "t39_perceptron_classify" -> t39PerceptronClassify _,
     "m11_keyframes" -> m11Keyframes _,
     "j02_orc_roundtrip"  -> j02OrcRoundtrip _,
     "j03_csv_roundtrip"  -> j03CsvRoundtrip _,
