@@ -912,6 +912,28 @@ object Dedup {
       maxIter: Int = 50): DataFrame =
     clustersWithRounds(pairs, idA, idB, maxIter)._1
 
+  /** Incremental clustering: fold an ingest batch's pairs into an
+    * EXISTING labeling without re-clustering the corpus pair graph.
+    * The old labels re-enter as edges — (id, cluster_id) connects every
+    * member to its label node, and the label IS a member id — so
+    * connected components over (label edges ∪ new pairs) have exactly
+    * the membership AND the same min-id cluster ids as components over
+    * (old pairs ∪ new pairs), at |labels| + |batch pairs| edge cost
+    * instead of re-propagating the full pair set. The composition
+    * partner of [[updatePairGraph]]: after each artifact update, the
+    * labeling follows at batch cost too. `updateClusters(labels(old),
+    * newPairs) == clusters(old ∪ new)` is pinned in ExtSpec and gated
+    * cross-engine by d37 (whose oracle is the FULL-graph recursive
+    * CTE — it never sees the split).
+    */
+  def updateClusters(labels: DataFrame, newPairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val labelEdges = labels.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idA), col("cluster_id").as(idB))
+    clusters(labelEdges.unionByName(newPairs.select(col(idA), col(idB))),
+      idA, idB, maxIter)
+  }
+
   /** [[clusters]] plus the number of propagation rounds it took —
     * exposed so PropertySpec can pin the O(log diameter) convergence
     * claim on an adversarial long-chain graph.
@@ -1441,6 +1463,33 @@ object Dedup {
       throw new IllegalArgumentException(s"no chunk-index sidecar at $path"))
     provenanceOf(chunkTable(newDocs, p.maskBits, textCol, idCol),
       readChunkIndex(spark, path))
+  }
+
+  /** Chunk-level dedup rollup — the punchline of content-defined
+    * chunking: how many chunks (and characters) each document would
+    * contribute if the corpus kept ONE copy of every distinct chunk
+    * content. Keeper = the first occurrence in (doc_id, start) order
+    * per chunk_hash; every other occurrence (cross-doc duplicates AND
+    * within-doc repeats) is deduplicated storage/training text.
+    * Returns per document: n_chunks, n_kept, chars (total chunk
+    * bytes), chars_kept — all BIGINT, so the savings numbers
+    * themselves sit under the hash gate (d36). Because boundaries are
+    * content-defined, shared content at SHIFTED offsets still dedups
+    * (the d34 property); fixed-size blocks would keep every shifted
+    * copy. One exchange on chunk_hash (the window's partition key);
+    * accepts a precomputed chunk table so the persisted store can
+    * feed it directly.
+    */
+  def chunkDedupStats(chunks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("start"))
+    chunks.withColumn("_rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("_rn") === 1, 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(col("len")).cast("long").as("chars"),
+        sum(when(col("_rn") === 1, col("len")).otherwise(0L)).cast("long")
+          .as("chars_kept"))
   }
 
   /** Fold an ingest batch into the chunk store WITHOUT re-chunking the

@@ -1948,6 +1948,42 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental clustering under the gate
+    * ([[graft.ext.Dedup.updateClusters]]): an existing labeling (built
+    * over the base three-quarters of the persisted pair graph) folds
+    * in the batch-touching pairs WITHOUT re-propagating the corpus —
+    * old labels re-enter as (member, label) edges, so components over
+    * (label edges ∪ new pairs) equal components over the full pair set
+    * in both membership and min-id. The composition partner of d23's
+    * pair-graph update: after each artifact fold, the labeling follows
+    * at |labels| + |batch pairs| cost. The oracle is d11's FULL-graph
+    * recursive CTE — it never sees the split, so the hash gate pins
+    * update == rebuild exactly.
+    */
+  def d37ClusterUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairGraph(spark, dir)
+    val baseLabels = Dedup.clusters(
+      pairs.filter(col("id_a") % 4 =!= 3 && col("id_b") % 4 =!= 3))
+    Dedup.updateClusters(baseLabels,
+      pairs.filter(col("id_a") % 4 === 3 || col("id_b") % 4 === 3))
+      .orderBy(col("id"))
+  }
+
+  /** Chunk-level dedup savings under the gate
+    * ([[graft.ext.Dedup.chunkDedupStats]]): per document, the chunks
+    * and characters that survive keeping ONE copy of every distinct
+    * chunk content corpus-wide (keeper = first occurrence in
+    * (doc_id, start) order — a total order, so the rollup is exact
+    * integers and every savings number hash-gates). The answer to
+    * "how much storage / how many training tokens does chunk-level
+    * dedup buy on this corpus", shift-robust where fixed blocks are
+    * not. One exchange on chunk_hash.
+    */
+  def d36ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.chunkDedupStats(
+      graft.ext.Dedup.chunkTable(Tables.documents(spark, dir), maskBits = 6))
+      .orderBy(col("doc_id"))
+
   /** Integer text features + the lexical-diversity label the perceptron
     * queries train against: y = +1 iff distinct tokens ≥ half the
     * tokens (the "repetitious text" boundary as a LINEAR rule over the
@@ -3754,6 +3790,24 @@ object Pipeline {
     // (the Lloyd's convention on a classifier): every mistake count
     // and every weight update is integer arithmetic, so each of the
     // six (iter, n_mistakes, w0..w4) rows hash-gates
+    // update == rebuild: the oracle is d11's full-graph transitive
+    // closure, blind to the base/batch split the Spark side folds
+    "d37_cluster_update" -> dedupClustersOracle,
+    // the keeper rule is a row_number over a TOTAL order (doc_id,
+    // start) per chunk hash, so every per-doc savings integer replays
+    "d36_chunk_dedup" ->
+      s"""WITH ${cdcChunkCtes("d", "SELECT doc_id, text FROM documents")},
+         |r AS (
+         |  SELECT doc_id, len,
+         |    row_number() OVER (PARTITION BY chunk_hash
+         |      ORDER BY doc_id, start) AS rn
+         |  FROM d_ck
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(len) AS BIGINT) AS chars,
+         |  CAST(sum(CASE WHEN rn = 1 THEN len ELSE 0 END) AS BIGINT) AS chars_kept
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "t38_perceptron_train" -> perceptronTrainOracle(6),
     // training replayed, then one cross join with the 1-row final
     // weights for the margin + sign decision per document
@@ -4800,6 +4854,8 @@ object Pipeline {
     "d33_cdc_chunks" -> d33CdcChunks _,
     "d34_cdc_shifted" -> d34CdcShifted _,
     "d35_chunk_provenance" -> d35ChunkProvenance _,
+    "d36_chunk_dedup" -> d36ChunkDedup _,
+    "d37_cluster_update" -> d37ClusterUpdate _,
     "t38_perceptron_train" -> t38PerceptronTrain _,
     "t39_perceptron_classify" -> t39PerceptronClassify _,
     "m11_keyframes" -> m11Keyframes _,

@@ -103,6 +103,29 @@ class ChunkStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sidecar"), s"wrong failure: ${e.getMessage}")
   }
 
+  test("chunkDedupStats: hand-checked keeper rule; artifact-fed stats == from-scratch") {
+    import spark.implicits._
+    // A and B share their text exactly; C is unique. Every chunk of B
+    // loses the (doc_id, start) race to A's copy.
+    val textA = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val textC = (1 to 80).map(i => s"other$i").mkString(" ")
+    val corpus = Seq((1L, textA), (2L, textA), (3L, textC)).toDF("doc_id", "text")
+    val stats = Dedup.chunkDedupStats(Dedup.chunkTable(corpus))
+      .orderBy("doc_id").collect()
+    assert(stats(0).getLong(1) == stats(0).getLong(2) &&
+      stats(0).getLong(3) == stats(0).getLong(4), s"doc 1 must keep everything: ${stats(0)}")
+    assert(stats(1).getLong(2) == 0L && stats(1).getLong(4) == 0L,
+      s"doc 2 is a pure duplicate — keeps nothing: ${stats(1)}")
+    assert(stats(2).getLong(1) == stats(2).getLong(2),
+      s"doc 3 is unique — keeps everything: ${stats(2)}")
+    // the persisted store feeds the same rollup
+    val root = Files.createTempDirectory("graft_chunkstore").toFile.getAbsolutePath
+    Dedup.writeChunkIndex(corpus, s"$root/ci")
+    assert(sameRows(Dedup.chunkDedupStats(Dedup.readChunkIndex(spark, s"$root/ci")),
+      Dedup.chunkDedupStats(Dedup.chunkTable(corpus))),
+      "artifact-fed stats != from-scratch")
+  }
+
   test("plan: serving never shuffles the corpus — broadcast semi probe, no sort-merge join") {
     val root = Files.createTempDirectory("graft_chunkstore").toFile.getAbsolutePath
     Dedup.writeChunkIndex(docs, s"$root/ci")

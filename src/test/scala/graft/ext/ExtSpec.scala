@@ -876,6 +876,26 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.count() == docs.count() - nonReps)
   }
 
+  test("updateClusters == full rebuild: batch merges two old components, adds fresh nodes, singleton-safe") {
+    import spark.implicits._
+    // old graph: components {1,2,3} and {10,11}; batch pairs BRIDGE the
+    // two (3~10), add a fresh node to an old one (11~20), and create a
+    // brand-new component (30~31)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val newPairs = Seq((3L, 10L), (11L, 20L), (30L, 31L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusters(oldPairs)
+    val got = Dedup.updateClusters(labels, newPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Dedup.clusters(oldPairs.unionByName(newPairs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == full, s"update != rebuild: got=$got full=$full")
+    assert(got(10L) == 1L && got(20L) == 1L && got(31L) == 30L, got)
+    // empty batch: labeling survives unchanged through the label-edge round trip
+    val noop = Dedup.updateClusters(labels, Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(noop == labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap, noop)
+  }
+
   test("LSH index: reload == recompute; indexed incremental dedup and top-k == direct") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toFile.getAbsolutePath
     // planted twins (cosine ~0.999) — the regime where hyperplane-LSH
