@@ -1361,6 +1361,44 @@ object Pipeline {
     * (ts, event_id, type) structs — deterministic on any partitioning;
     * DuckDB replays with ORDER BY inside string_agg.
     */
+  /** Ordered funnel analysis — the product-analytics staple: per user,
+    * the earliest view, the earliest click STRICTLY AFTER that view,
+    * and the earliest purchase strictly after that click, plus the
+    * funnel stage reached (0–3). Sequential dependence is spelled as
+    * LAYERED RUNNING MINIMA over one (user, ts, event_id) sort: vrun =
+    * running min of view times, a click qualifies when ts > vrun at
+    * its own position (an earlier view exists), crun = running min of
+    * qualified clicks, a purchase qualifies against crun — so the
+    * whole funnel is two window passes + one aggregate over a SINGLE
+    * exchange (plan-pinned), never a per-stage self-join chain. Times
+    * are epoch-nanos integers; ties on equal ts break by event_id
+    * identically in both engines (ROWS frame, unique order key).
+    */
+  def e11Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("view_t", when(col("event_type") === "view", col("ts")))
+      .withColumn("vrun", min(col("view_t")).over(w))
+      .withColumn("click_t",
+        when(col("event_type") === "click" && col("ts") > col("vrun"), col("ts")))
+      .withColumn("crun", min(col("click_t")).over(w))
+      .withColumn("purchase_t",
+        when(col("event_type") === "purchase" && col("ts") > col("crun"), col("ts")))
+      .groupBy(col("user_id"))
+      .agg(min(col("view_t")).as("first_view"),
+        min(col("click_t")).as("first_click"),
+        min(col("purchase_t")).as("first_purchase"))
+      .withColumn("stage",
+        when(col("first_purchase").isNotNull, 3L)
+          .when(col("first_click").isNotNull, 2L)
+          .when(col("first_view").isNotNull, 1L).otherwise(0L))
+      .orderBy(col("user_id"))
+  }
+
   def e09SessionPaths(spark: SparkSession, dir: String): DataFrame = {
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -4399,6 +4437,33 @@ object Pipeline {
         |FROM seq WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type
         |ORDER BY prev_type, event_type""".stripMargin,
+    // layered running minima over the same (user, ts, event_id) sort —
+    // strictly-after semantics and tie handling are identical by
+    // construction (ROWS frame, unique order key); times epoch-nanos
+    "e11_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS t,
+        |    CASE WHEN event_type = 'view' THEN epoch_ns(ts) END AS view_t
+        |  FROM events
+        |), l1 AS (
+        |  SELECT *, min(view_t) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vrun FROM e
+        |), l2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND t > vrun THEN t END AS click_t
+        |  FROM l1
+        |), l3 AS (
+        |  SELECT *, min(click_t) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crun FROM l2
+        |), l4 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND t > crun THEN t END AS purchase_t
+        |  FROM l3
+        |)
+        |SELECT user_id, min(view_t) AS first_view, min(click_t) AS first_click,
+        |  min(purchase_t) AS first_purchase,
+        |  CAST(CASE WHEN min(purchase_t) IS NOT NULL THEN 3
+        |       WHEN min(click_t) IS NOT NULL THEN 2
+        |       WHEN min(view_t) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM l4 GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q13's islands with a (ts, event_id) tie-break (paths depend on
     // order), path via ordered string_agg, deterministic top-20
     "e09_session_paths" ->
@@ -4787,6 +4852,7 @@ object Pipeline {
     "e07_cohort_retention" -> e07CohortRetention _,
     "e08_transitions"    -> e08Transitions _,
     "e09_session_paths"  -> e09SessionPaths _,
+    "e11_funnel"         -> e11Funnel _,
     "e10_spike_detection" -> e10SpikeDetection _,
     "j01_json_extract"   -> j01JsonExtract _,
     "e01_event_windows"  -> e01EventWindows _,

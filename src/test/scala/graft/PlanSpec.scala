@@ -469,6 +469,19 @@ class PlanSpec extends AnyFunSuite {
       s"per-order supplier tallies should be a window at (order,supplier) grain:\n$plan")
   }
 
+  test("e11: the whole funnel rides ONE user exchange — layered windows, no per-stage self-join") {
+    val plan = planOf("e11_funnel")
+    assert(!plan.contains("Join"),
+      s"funnel must not chain per-stage self-joins:\n$plan")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"funnel reads events once, got $scans scans:\n$plan")
+    // both running-min windows share the (user_id, ts, event_id) sort:
+    // exactly one user-keyed exchange below the final aggregate's
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"layered windows should reuse one user exchange (+1 for the agg), got $exchanges:\n$plan")
+  }
+
   test("q33: orders pre-aggregates to customer grain — no customer×orders row explosion") {
     val plan = planOf("q33_cust_distribution")
     // the left join's orders input must already be an aggregate: a
