@@ -319,6 +319,34 @@ object StreamTour {
       served.exceptAll(scratch).isEmpty && scratch.exceptAll(served).isEmpty
     }
 
+    check("continuous chunk store equals the batch build; provenance off it matches from-scratch") {
+      // a crawler stream folds into the persisted chunk store; an
+      // ingest batch screened against the folded artifact gets the
+      // same (n_chunks, n_seen) answer as a from-scratch re-chunk of
+      // everything ingested
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("streamtour_chunks")
+        .toFile.getAbsolutePath
+      val docs = graft.Tables.documents(spark, sf)
+      val rows = docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingChunks.startAt(
+        input.toDF().toDF("doc_id", "text"), s"$root/state", s"$root/ckpt")
+      try {
+        input.addData(h1.toIndexedSeq); q.processAllAvailable()
+        input.addData(h2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val probe = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("EDIT >> "), col("text")).as("text"))
+      val served = graft.ext.Dedup.chunkProvenanceIndexed(spark, s"$root/state", probe)
+      val scratch = graft.ext.Dedup.chunkProvenance(probe, docs)
+      served.exceptAll(scratch).isEmpty && scratch.exceptAll(served).isEmpty
+    }
+
     check("continuous histogram equals the batch sketch; served quantiles bracket the exact") {
       // "where does the p99 document length sit RIGHT NOW" from ≤
       // buckets cells of state: counters are sums, so the folded
