@@ -33,6 +33,29 @@ object Sampling {
       .drop("_sample_order")
   }
 
+  /** [[perKeyExact]] with the 60-bit md5 priority instead of xxhash64
+    * — the oracle-replayable TWIN (the d07/d04 convention: md5 replays
+    * as one `substr(md5(...))` expression in SQL, where multi-column
+    * long-typed xxhash64 would need the hashLong chain). Same
+    * selection machinery: seeded hash rank with id tie-break,
+    * truncated by the custom [[graft.plans.TopKPerKeyNode]] operator —
+    * one exchange on the key, streamed k-row heaps, ≤ |keys|·k rows
+    * out regardless of corpus size. Gated end-to-end by t40.
+    */
+  def perKeyExactMd5(df: DataFrame, keyCol: String, idCol: String, k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("_sample_order"),
+      "column name _sample_order is reserved by Sampling.perKeyExactMd5")
+    val pri = conv(substring(md5(
+        concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    TopK.perKey(df.withColumn("_sample_order", pri),
+      keys = Seq(keyCol), order = Seq(("_sample_order", false), (idCol, false)),
+      k = k)
+      .drop("_sample_order")
+  }
+
   /** Weight-proportional sampling without replacement — priority
     * sampling (Duffield/Lund/Thorup, JACM 2007): each row gets priority
     * w / u for a per-row uniform u in (0,1], and the m highest

@@ -1431,6 +1431,23 @@ object Pipeline {
       .select(col("doc_id"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic k-per-key sample under the gate
+    * ([[graft.ops.Sampling.perKeyExactMd5]] — the md5 twin of the
+    * xxhash64 [[graft.ops.Sampling.perKeyExact]], bringing the
+    * stratified-draw family under a full oracle): five documents per
+    * source, ranked by the seeded 60-bit md5 priority of the id with
+    * id tie-break — the "k examples per domain" eval-set draw,
+    * reproducible across engines by construction. The truncation runs
+    * on the custom TopKPerKey operator (one exchange, streamed k-row
+    * heaps, ≤ |sources|·k rows out); the oracle replays priority +
+    * rank in SQL, so the exact sampled id set hash-gates.
+    */
+  def t40PerKeySample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.perKeyExactMd5(
+        Tables.documents(spark, dir).select(col("source"), col("doc_id")),
+        "source", "doc_id", k = 5)
+      .orderBy(col("source"), col("doc_id"))
+
   /** PII scrubbing under the gate ([[TextOps.redactPii]]): the fixture
     * text carries no PII, so the query INJECTS a deterministic contact
     * line (email + phone + IP derived from doc_id) and then redacts —
@@ -3831,6 +3848,20 @@ object Pipeline {
     // update == rebuild: the oracle is d11's full-graph transitive
     // closure, blind to the base/batch split the Spark side folds
     "d37_cluster_update" -> dedupClustersOracle,
+    // same 60-bit md5 priority, same (priority, id) rank — the exact
+    // sampled id set replays
+    "t40_per_key_sample" ->
+      """WITH pri AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5('graft:' || doc_id::VARCHAR), 1, 15))::BIGINT AS p
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY p, doc_id) AS rn
+        |  FROM pri
+        |)
+        |SELECT source, doc_id FROM r WHERE rn <= 5
+        |ORDER BY source, doc_id""".stripMargin,
     // the keeper rule is a row_number over a TOTAL order (doc_id,
     // start) per chunk hash, so every per-doc savings integer replays
     "d36_chunk_dedup" ->
@@ -4853,6 +4884,7 @@ object Pipeline {
     "e08_transitions"    -> e08Transitions _,
     "e09_session_paths"  -> e09SessionPaths _,
     "e11_funnel"         -> e11Funnel _,
+    "t40_per_key_sample" -> t40PerKeySample _,
     "e10_spike_detection" -> e10SpikeDetection _,
     "j01_json_extract"   -> j01JsonExtract _,
     "e01_event_windows"  -> e01EventWindows _,

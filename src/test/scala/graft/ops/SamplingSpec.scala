@@ -28,6 +28,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(sample.columns.toSeq == docs.columns.toSeq) // helper column dropped
   }
 
+  test("perKeyExactMd5: equals the window formulation; plan is TopKPerKey, not Window") {
+    val got = Sampling.perKeyExactMd5(
+      docs.select(col("source"), col("doc_id")), "source", "doc_id", k = 5)
+    val pri = conv(substring(md5(concat(lit("graft:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(pri, col("doc_id"))
+    val want = docs.select(col("source"), col("doc_id"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 5)
+      .drop("_rn")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "md5 per-key sample != window formulation")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey") && !plan.contains("Window"),
+      s"expected the custom operator, not window machinery:\n$plan")
+  }
+
   test("weightedPriority: deterministic, weight-biased, never samples w <= 0") {
     import spark.implicits._
     // one whale (w=10000) among 200 minnows (w=1): the whale's priority
