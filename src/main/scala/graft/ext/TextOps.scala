@@ -214,6 +214,53 @@ object TextOps {
         coalesce(expr("s div n_bigrams"), lit(0L)).as("lm_micro"))
   }
 
+  /** Top-k collocations by pointwise mutual information — the
+    * corpus-analytics staple (Church & Hanks 1990) for finding
+    * multiword units ("new york", "machine learning") worth treating
+    * as single tokens: rank adjacent bigrams by p(xy)/(p(x)p(y)).
+    * PMI's log is monotone, so the RANKING needs no float anywhere —
+    * the score is the integer rational `c_xy·N·10⁶ div (c_x·c_y)`
+    * computed through DECIMAL(38) (Spark decimal `div` == DuckDB
+    * HUGEINT `//` floor on positive operands, the d26 convention), so
+    * every emitted score hash-gates and the top-k cutoff is exact
+    * (ties break by the bigram itself). `minCount` suppresses the
+    * classic PMI pathology — a hapax pair of two hapax words scores
+    * maximal PMI on zero evidence.
+    *
+    * Plan at scale: bigram + unigram count tables are map-side-combined
+    * aggs (vocab-sized after the combine); the score joins run on
+    * vocab keys; N is a 1-row broadcast; the cutoff is a TakeOrdered,
+    * never a global sort. Token/bigram spelling matches
+    * [[bigramLmScoreAgainst]] exactly, so the two vocabularies agree.
+    */
+  def collocationsPmi(docs: DataFrame, k: Int = 20, minCount: Long = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val base = docs.select(col(idCol).as("id"),
+        tokens(lower(col(textCol))).as("t"))
+      .withColumn("n", size(col("t")))
+    val bigrams = base.filter(col("n") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, n - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val c1 = base.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTotal = bigrams.agg(count(lit(1)).as("n_bigrams"))
+    c2.filter(col("c_xy") >= minCount)
+      .join(c1.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(c1.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("pmi_micro",
+        expr("CAST(CAST(c_xy AS DECIMAL(38,0)) * n_bigrams * 1000000" +
+          " div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("pmi_micro"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, public): per doc,
     * the integer-rationalized log-ratio proxy between a TARGET-domain
     * LM and the general corpus LM —

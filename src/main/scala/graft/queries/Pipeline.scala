@@ -1448,6 +1448,18 @@ object Pipeline {
         "source", "doc_id", k = 5)
       .orderBy(col("source"), col("doc_id"))
 
+  /** Top-20 collocations by PMI ([[TextOps.collocationsPmi]], min
+    * count 5): the multiword-unit miner, ranked WITHOUT logs — PMI's
+    * log is monotone, so the integer rational `c_xy·N·10⁶ div
+    * (c_x·c_y)` (exact through DECIMAL(38) == DuckDB HUGEINT floor)
+    * orders identically, every score hash-gates, and the top-k cutoff
+    * is deterministic with (score desc, bigram) ties. Count tables
+    * are map-side-combined; the cutoff is a TakeOrdered.
+    */
+  def t41Collocations(spark: SparkSession, dir: String): DataFrame =
+    TextOps.collocationsPmi(Tables.documents(spark, dir), k = 20, minCount = 5)
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+
   /** PII scrubbing under the gate ([[TextOps.redactPii]]): the fixture
     * text carries no PII, so the query INJECTS a deterministic contact
     * line (email + phone + IP derived from doc_id) and then redacts —
@@ -3848,6 +3860,32 @@ object Pipeline {
     // update == rebuild: the oracle is d11's full-graph transitive
     // closure, blind to the base/batch split the Spark side folds
     "d37_cluster_update" -> dedupClustersOracle,
+    // the t22 token/bigram CTE spelling; the rank is the integer
+    // rational (HUGEINT // == Spark DECIMAL div), ties by the bigram —
+    // the exact top-20 cut replays
+    "t41_collocations" ->
+      """WITH dt AS (
+        |  SELECT string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM dt, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+        |  WHERE len(t) >= 2
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM dt) GROUP BY 1
+        |), nt AS (SELECT count(*) AS n_bigrams FROM bg)
+        |SELECT c2.w1, c2.w2, CAST(c2.c_xy AS BIGINT) AS c_xy,
+        |  CAST(cx.c AS BIGINT) AS c_x, CAST(cy.c AS BIGINT) AS c_y,
+        |  CAST((c2.c_xy::HUGEINT * nt.n_bigrams * 1000000)
+        |    // (cx.c::HUGEINT * cy.c) AS BIGINT) AS pmi_micro
+        |FROM c2
+        |JOIN c1 cx ON cx.w = c2.w1
+        |JOIN c1 cy ON cy.w = c2.w2
+        |CROSS JOIN nt
+        |WHERE c2.c_xy >= 5
+        |ORDER BY pmi_micro DESC, c2.w1, c2.w2 LIMIT 20""".stripMargin,
     // same 60-bit md5 priority, same (priority, id) rank — the exact
     // sampled id set replays
     "t40_per_key_sample" ->
@@ -4885,6 +4923,7 @@ object Pipeline {
     "e09_session_paths"  -> e09SessionPaths _,
     "e11_funnel"         -> e11Funnel _,
     "t40_per_key_sample" -> t40PerKeySample _,
+    "t41_collocations"   -> t41Collocations _,
     "e10_spike_detection" -> e10SpikeDetection _,
     "j01_json_extract"   -> j01JsonExtract _,
     "e01_event_windows"  -> e01EventWindows _,

@@ -85,6 +85,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(capped.count(_ == "c") == 2)
   }
 
+  test("collocationsPmi: hand-computed rationals; minCount kills the hapax pathology; TakeOrdered cut") {
+    // corpus: "x y" always adjacent (perfect collocation), "a" common
+    // and promiscuous, "q z" a hapax pair of hapax words
+    val docs = Seq(
+      (1L, "x y a x y a"), (2L, "a x y a a x y"), (3L, "x y a a q z"))
+      .toDF("doc_id", "text")
+    val got = TextOps.collocationsPmi(docs, k = 10, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // N = 16 bigrams; c(x y) = 5, c_x = 5, c_y = 5 -> 5*16e6/25 = 3.2e6
+    val xy = got.find(t => t._1 == "x" && t._2 == "y").get
+    assert(xy == ("x", "y", 5L, 5L, 5L, 3200000L), xy.toString)
+    // the hapax pair never appears despite maximal raw PMI
+    assert(!got.exists(t => t._1 == "q" || t._2 == "z"),
+      s"minCount must suppress hapax pairs: ${got.mkString("; ")}")
+    // perfect collocation outranks every 'a' pairing
+    assert(got.head._1 == "x" && got.head._2 == "y", got.head.toString)
+    // the cutoff is a TakeOrdered, never a global sort
+    val plan = TextOps.collocationsPmi(docs, k = 10, minCount = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrdered cut:\n$plan")
+  }
+
   test("bigramLmScore: hand-computed counts; short docs score zero") {
     // corpus: "a b a b" (d1), "a b" (d2), "c" (d3)
     // unigrams: a:3 b:3 c:1, V=3
