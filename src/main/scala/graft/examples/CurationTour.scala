@@ -135,7 +135,7 @@ object CurationTour {
     // against itself), the removed set propagates as a takedown. Both
     // mutations land through the fuse-guarded atomic swap, and the end
     // state must equal the from-scratch rebuild of the new snapshot.
-    check("pair-graph lifecycle: diff-driven ingest + takedown == rebuild of snapshot B") {
+    check("pair-graph lifecycle: ingest + takedown == rebuild; labeling folds at batch cost") {
       def pairSet(df: org.apache.spark.sql.DataFrame) =
         df.select("id_a", "id_b", "jaccard").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -160,8 +160,23 @@ object CurationTour {
       // re-pairs against rows the diff already declared gone
       Dedup.forgetDocs(spark, p, removed)
       Dedup.updatePairGraph(batch, snapA.join(removed, Seq("doc_id"), "left_anti"), p)
-      pairSet(Dedup.readPairGraph(spark, p)) ==
+      val artifactOk = pairSet(Dedup.readPairGraph(spark, p)) ==
         pairSet(Dedup.ngramJaccardPairs(snapB, 3, 0.5))
+      // the labeling follows the artifact at batch cost too: fold the
+      // batch-touching pairs into snapshot A's labeling and compare
+      // with a full re-cluster of the updated graph
+      val bIds = batch.select(col("doc_id"))
+      val updated = Dedup.readPairGraph(spark, p)
+      val oldLabels = Dedup.clusters(
+        updated.join(bIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_anti")
+          .join(bIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_anti"))
+      val newPairs = updated.join(bIds.withColumnRenamed("doc_id", "id_a"),
+          Seq("id_a"), "left_semi")
+        .unionByName(updated.join(bIds.withColumnRenamed("doc_id", "id_b"),
+          Seq("id_b"), "left_semi")).distinct()
+      val folded = Dedup.updateClusters(oldLabels, newPairs)
+      val full = Dedup.clusters(updated)
+      artifactOk && folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty
     }
 
     // 4. decontaminate against a held-out eval slice
