@@ -61,6 +61,38 @@ object Graph {
     r
   }
 
+  /** Weight-proportional PageRank — [[pageRank]] with each node's rank
+    * split across out-edges BY EDGE WEIGHT instead of uniformly: on a
+    * similarity graph, a 0.9-Jaccard near-duplicate should pull far
+    * more of a doc's centrality than a 0.5 borderline pair, which is
+    * exactly the difference between "hub of one redundant cluster" and
+    * "quoted once by many unrelated docs". Same exact integer
+    * recurrence as the unweighted form with `rank·w div W_src`
+    * replacing `rank div d` (weights are integer micros, W_src their
+    * per-source sum — products stay ≤ ~10¹³, overflow-free in BIGINT),
+    * so every iteration replays in SQL and the whole trajectory
+    * hash-gates. Per iteration: one weighted-edge join + one dst
+    * aggregation; the weight-sum table is computed once and rides the
+    * (optionally checkpointed) edge frame.
+    */
+  def pageRankWeighted(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
+      weightCol: String = "w", materialize: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val wsum = edges.groupBy("src").agg(sum(col(weightCol)).as("ws"))
+    val joined = edges.join(wsum, "src")
+    val e = if (materialize) joined.localCheckpoint() else joined
+    var r = nodes.select(col("id"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr(s"rank * $weightCol div ws").as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      r = nodes.select(col("id")).join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("rank"))
+    }
+    r
+  }
+
   /** Per-node triangle participation counts over an UNDIRECTED simple
     * graph, by degree-ordered edge orientation — the standard
     * distributed formulation (each triangle is enumerated exactly once

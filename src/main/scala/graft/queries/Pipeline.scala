@@ -548,6 +548,30 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted PageRank ([[graft.ops.Graph.pageRankWeighted]]) over the
+    * persisted pair graph with Jaccard-micro edge weights: a strong
+    * near-duplicate pulls proportionally more of its partner's
+    * centrality than a borderline pair — the similarity-graph
+    * centrality a curation policy actually wants (g01 is the uniform
+    * twin). Weights are `round(jaccard·10⁶)` off the artifact's
+    * rounded-6 similarity, so both engines derive identical integers;
+    * the whole iteration trajectory is integer arithmetic and the
+    * oracle replays it (weighted contributions, 85/100 damping) from
+    * the same from-scratch pair set.
+    */
+  def g03PageRankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = jaccardPairGraph(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(round(jaccard * 1000000) AS BIGINT)").as("w"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
+    graft.ops.Graph.pageRankWeighted(docs.select(col("doc_id").as("id")),
+        edges, iters = 3)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-node triangle counts ([[graft.ops.Graph.triangleCounts]]) over
     * the d02 similarity graph — the clustering-coefficient numerator:
     * how tightly a doc's near-dup neighborhood is knit (a triangle-rich
@@ -2938,6 +2962,31 @@ object Pipeline {
       |  FROM abits GROUP BY doc_id
       |)""".stripMargin
 
+  private def pageRankWeightedOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id, CAST(sum(r${i - 1}.r * e.w // g.ws) AS BIGINT) AS c
+         |  FROM wedges e JOIN r${i - 1} ON r${i - 1}.id = e.src
+         |  JOIN wsum g ON g.src = e.src
+         |  GROUP BY 1
+         |), r$i AS (
+         |  SELECT n.id, CAST(150000 + (85 * coalesce(c$i.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM r${i - 1} n LEFT JOIN c$i USING (id)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $ngramJaccardCtes, wedges AS (
+       |  SELECT id_a AS src, id_b AS dst,
+       |    CAST(round(jaccard * 1000000) AS BIGINT) AS w FROM jpairs
+       |  UNION ALL SELECT id_b, id_a,
+       |    CAST(round(jaccard * 1000000) AS BIGINT) FROM jpairs
+       |), wsum AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS ws FROM wedges GROUP BY 1
+       |), r0 AS (
+       |  SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM documents
+       |), $iterCtes
+       |SELECT id AS doc_id, r AS rank FROM r$iters ORDER BY doc_id""".stripMargin
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""c$i AS (
@@ -3211,6 +3260,9 @@ object Pipeline {
     "s05_kmeans_codebook" -> kmeansCodebookOracle(k = 8, iters = 3),
     "s06_pq_codes" -> pqCodesOracle(m = 4, k = 8, iters = 2, subDim = 16),
     "g01_pagerank" -> pageRankOracle(iters = 3),
+    // same damping/floor recurrence with rank*w // ws contributions;
+    // weights = round(jaccard*1e6) on the identical rounded-6 double
+    "g03_pagerank_weighted" -> pageRankWeightedOracle(iters = 3),
     "m06_image_dhash" ->
       s"""WITH $dhashCtes
          |SELECT media_id, dhash FROM dh ORDER BY media_id""".stripMargin,
@@ -4985,6 +5037,7 @@ object Pipeline {
     "t26_chunk_windows"  -> t26ChunkWindows _,
     "t27_novelty"        -> t27Novelty _,
     "g01_pagerank"       -> g01PageRank _,
+    "g03_pagerank_weighted" -> g03PageRankWeighted _,
     "g02_triangles"      -> g02Triangles _,
     "d13_containment"    -> d13Containment _,
     "e06_interval_join"  -> e06IntervalJoin _,

@@ -31,6 +31,32 @@ class GraphSpec extends AnyFunSuite {
     assert(again == r3)
   }
 
+  test("pageRankWeighted: hand-computed star; weights split rank where uniform cannot; uniform weights == pageRank") {
+    // star from A(1): strong edge to B(2) at 0.9, weak to C(3) at 0.1
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val und = Seq((1L, 2L, 900000L), (1L, 3L, 100000L)).toDF("src", "dst", "w")
+    val edges = und.union(und.select(col("dst"), col("src"), col("w")))
+    val r1 = Graph.pageRankWeighted(nodes, edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // A receives B's and C's whole rank (their only edge): 2·10⁶
+    //   → 150000 + 85·2·10⁶/100 = 1850000
+    // B receives 10⁶·9·10⁵ div 10⁶ = 900000 → 150000 + 765000 = 915000
+    // C receives 10⁶·10⁵ div 10⁶   = 100000 → 150000 +  85000 = 235000
+    assert(r1 == Map(1L -> 1850000L, 2L -> 915000L, 3L -> 235000L), r1)
+    // the uniform operator cannot tell B from C on this graph
+    val u1 = Graph.pageRank(nodes, edges.select("src", "dst"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(u1(2L) == u1(3L) && r1(2L) > r1(3L))
+    // equal weights degenerate to the uniform recurrence exactly
+    val eq = und.select(col("src"), col("dst"), lit(7L).as("w"))
+    val eqEdges = eq.union(eq.select(col("dst"), col("src"), col("w")))
+    val w3 = Graph.pageRankWeighted(nodes, eqEdges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p3 = Graph.pageRank(nodes, eqEdges.select("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w3 == p3, s"uniform-weight degenerate mismatch: $w3 vs $p3")
+  }
+
   test("triangleCounts: hand graph, orientation invariance, duplicate tolerance") {
     // K4 on 1..4 (every node in C(3,2)=3 triangles) plus a pendant 5
     // and an isolated 6
