@@ -319,6 +319,40 @@ object StreamTour {
       served.exceptAll(scratch).isEmpty && scratch.exceptAll(served).isEmpty
     }
 
+    check("continuous funnel equals the batch layered-minima query on everything ingested") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val all = graft.Tables.events(spark, sf)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .collect()
+        .map(r => graft.streaming.StreamingFunnel.Ev(r.getLong(0),
+          new java.sql.Timestamp(r.getLong(1) / 1000000L), r.getLong(1),
+          r.getLong(2), r.getString(3)))
+      val (h1, h2) = all.partition(_.eventId % 2 == 0)
+      val maxSec = all.map(_.tsNanos).max / 1000000000L
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.StreamingFunnel.Ev]
+      val evs = input.toDS().withWatermark("ts", "30 days")
+        .as[graft.streaming.StreamingFunnel.Ev]
+      val q = graft.streaming.StreamingFunnel.funnel(evs)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("tour_funnel").start()
+      try {
+        input.addData(h1.toIndexedSeq); q.processAllAvailable()
+        input.addData(h2.toIndexedSeq); q.processAllAvailable()
+        input.addData(graft.streaming.StreamingFunnel.Ev(999999L,
+          new java.sql.Timestamp((maxSec + 62L * 86400) * 1000), 0L, 0L, "noop"))
+        graft.streaming.StreamingAsOf.drainToFixpoint(
+          q, () => spark.table("tour_funnel").count())
+      } finally q.stop()
+      val got = spark.table("tour_funnel").filter(col("userId") =!= 999999L)
+        .groupBy("userId")
+        .agg(min("firstView").as("first_view"), min("firstClick").as("first_click"),
+          min("firstPurchase").as("first_purchase"), max("stage").as("stage"))
+        .withColumnRenamed("userId", "user_id")
+      val batch = graft.queries.Pipeline.all("e11_funnel")(spark, sf)
+      got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty
+    }
+
     check("continuous chunk store equals the batch build; provenance off it matches from-scratch") {
       // a crawler stream folds into the persisted chunk store; an
       // ingest batch screened against the folded artifact gets the
