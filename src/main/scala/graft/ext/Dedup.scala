@@ -1420,9 +1420,19 @@ object Dedup {
     * so the final membership join broadcasts too. Corpus rows of ids
     * being re-ingested are superseded first (a doc never "sees" its
     * own previous content — the [[ngramJaccardNewPairs]] convention).
+    * The batch side is broadcast, so it must stay ingest-sized: a
+    * caller pointing a corpus at the probe side gets the loud
+    * bounded-probe failure, not a silent executor OOM (`maxProbeChunks`
+    * is the explicit override).
     */
-  private def provenanceOf(batchChunks: DataFrame, corpusChunks: DataFrame): DataFrame = {
+  private def provenanceOf(batchChunks: DataFrame, corpusChunks: DataFrame,
+      maxProbeChunks: Long = 5000000L): DataFrame = {
     val probe = batchChunks.select(col("doc_id"), col("chunk_hash"))
+    val probeCount = probe.limit((maxProbeChunks + 1).min(Int.MaxValue).toInt).count()
+    require(probeCount <= maxProbeChunks,
+      s"provenance probe side exceeds $maxProbeChunks chunk rows — the batch is " +
+      "broadcast and must stay ingest-sized (the corpus belongs on the store side); " +
+      "pass maxProbeChunks explicitly if a larger batch is intended")
     val corpus = corpusChunks
       .join(broadcast(probe.select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
     val matched = corpus.select(col("chunk_hash"))
@@ -1447,9 +1457,10 @@ object Dedup {
     * [[chunkProvenanceIndexed]]; both gate against the same oracle.
     */
   def chunkProvenance(newDocs: DataFrame, corpus: DataFrame, maskBits: Int = 6,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+      textCol: String = "text", idCol: String = "doc_id",
+      maxProbeChunks: Long = 5000000L): DataFrame =
     provenanceOf(chunkTable(newDocs, maskBits, textCol, idCol),
-      chunkTable(corpus, maskBits, textCol, idCol))
+      chunkTable(corpus, maskBits, textCol, idCol), maxProbeChunks)
 
   /** [[chunkProvenance]] served from the persisted chunk store: the
     * batch is chunked at batch cost under the SIDECAR's mask, the
@@ -1458,11 +1469,12 @@ object Dedup {
     * failure on a directory without a sidecar.
     */
   def chunkProvenanceIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
-      newDocs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      newDocs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      maxProbeChunks: Long = 5000000L): DataFrame = {
     val p = readChunkIndexParams(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no chunk-index sidecar at $path"))
     provenanceOf(chunkTable(newDocs, p.maskBits, textCol, idCol),
-      readChunkIndex(spark, path))
+      readChunkIndex(spark, path), maxProbeChunks)
   }
 
   /** Chunk-level dedup rollup — the punchline of content-defined

@@ -103,6 +103,25 @@ class ChunkStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sidecar"), s"wrong failure: ${e.getMessage}")
   }
 
+  test("bounded probe: a corpus-sized batch fails loud, not with an executor OOM") {
+    val root = Files.createTempDirectory("graft_chunkstore").toFile.getAbsolutePath
+    Dedup.writeChunkIndex(docs, s"$root/ci")
+    val eFrom = intercept[IllegalArgumentException] {
+      Dedup.chunkProvenance(batchOf(docs), docs, maxProbeChunks = 1L)
+    }
+    assert(eFrom.getMessage.contains("maxProbeChunks"),
+      s"wrong failure: ${eFrom.getMessage}")
+    val eServed = intercept[IllegalArgumentException] {
+      Dedup.chunkProvenanceIndexed(spark, s"$root/ci", batchOf(docs),
+        maxProbeChunks = 1L)
+    }
+    assert(eServed.getMessage.contains("broadcast"),
+      s"wrong failure: ${eServed.getMessage}")
+    // the override admits the same batch the default admits
+    assert(Dedup.chunkProvenanceIndexed(spark, s"$root/ci", batchOf(docs),
+      maxProbeChunks = 100000000L).count() > 0)
+  }
+
   test("chunkDedupStats: hand-checked keeper rule; artifact-fed stats == from-scratch") {
     import spark.implicits._
     // A and B share their text exactly; C is unique. Every chunk of B
