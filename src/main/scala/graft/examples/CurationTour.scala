@@ -179,6 +179,45 @@ object CurationTour {
       artifactOk && folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty
     }
 
+    // 3c. graph analytics over the same persisted pair set: label
+    // propagation splits weakly-bridged clusters where CC over-merges
+    // (its partition always REFINES the components — labels travel
+    // only along edges), and link prediction surfaces 2-hop candidates
+    // the pairwise gate never compared. The skew advisor closes the
+    // loop: before any of these self-joins runs at 100 TB, the report
+    // says which keys need salt — computed without joining fact rows.
+    check("graph analytics: communities refine components; link prediction stays 2-hop; skew advisor exact") {
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      val both = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = exactKept.select(col("doc_id").as("id"))
+      val comm = graft.ops.Graph.labelPropagation(nodes, both, iters = 3)
+      val cc = Dedup.clusters(pairs)
+      // same community ⇒ same connected component (refinement), and
+      // majority vote never yields FEWER groups than reachability
+      val joined = comm.join(cc, Seq("id"), "left")
+        .select(col("community"), coalesce(col("cluster_id"), col("id")).as("comp"))
+      val refines = joined.groupBy("community")
+        .agg(countDistinct("comp").as("k")).agg(max("k")).head().getLong(0) <= 1L
+      val nComm = comm.select("community").distinct().count()
+      val nComp = cc.select("cluster_id").distinct().count() +
+        (nodes.count() - cc.count()) // singletons are their own component
+      val linked = graft.ops.Graph.commonNeighbors(edges)
+      val inGraph = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id"))).distinct()
+      val twoHopOnly = linked.select(col("id_a").as("id"))
+        .union(linked.select(col("id_b").as("id")))
+        .join(inGraph, Seq("id"), "left_anti").count() == 0
+      val report = graft.ops.Skew.joinSkewReport(raw, raw, "lang",
+        targetRowsPerTask = 1000L, topN = 3).collect()
+      val top = raw.groupBy("lang").count().orderBy(col("count").desc, col("lang"))
+        .head()
+      val advisorExact = report.nonEmpty &&
+        report(0).getString(0) == top.getString(0) &&
+        report(0).getLong(3) == top.getLong(1) * top.getLong(1) &&
+        report(0).getLong(4) == (report(0).getLong(3) + 999L) / 1000L
+      refines && nComm >= nComp && twoHopOnly && advisorExact
+    }
+
     // 4. decontaminate against a held-out eval slice
     val evalSet = deduped.filter(col("doc_id") % 17 === 0)
     val train0 = deduped.filter(col("doc_id") % 17 =!= 0)

@@ -154,6 +154,56 @@ object Graph {
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Synchronous label propagation — community detection over an
+    * UNDIRECTED graph in `iters` fixed rounds of deterministic integer
+    * state (the s05/g01 exact-trajectory principle): every node starts
+    * labeled with its own id; each round it adopts the label that the
+    * MOST neighbors currently carry, ties broken toward the SMALLEST
+    * label, nodes with no neighbors keep their label. Unlike
+    * [[graft.ext.Dedup.clusters]] (connected components = "reachable at
+    * all"), majority vote splits a weakly-bridged graph at its thin
+    * cuts — two dense near-dup clusters joined by one borderline pair
+    * stay two communities, which is the grouping a curation policy
+    * wants when CC over-merges.
+    *
+    * Determinism: the per-node argmax is `min(struct(-count, label))` —
+    * one aggregation, no window machinery — which is exactly
+    * "count DESC, label ASC pick-first" (negating the always-positive
+    * count keeps the trick valid for ANY label domain), so the whole
+    * trajectory replays in SQL and hash-gates. Fixed `iters` (no
+    * convergence check) keeps the replay finite; synchronous LPA can
+    * oscillate on bipartite structures, but a pinned iteration count
+    * makes the output well-defined regardless.
+    *
+    * `nodes` is (id: long); `edges` is (src, dst) — pass both
+    * directions for an undirected graph. Per round: one join on src +
+    * two aggregations keyed on the receiving node + one left join back
+    * (absent votes keep the old label). The edge frame is loop-invariant
+    * and `materialize` pins it once, the [[pageRank]] contract; labels
+    * are `localCheckpoint`ed per round so plan depth stays constant in
+    * `iters` (the [[graft.ext.Dedup.clusters]] lineage rule).
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
+      materialize: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = if (materialize) edges.select("src", "dst").localCheckpoint()
+            else edges.select("src", "dst")
+    var l = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = e.join(l.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val pick = votes
+        .groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("id"), col("m.label").as("picked"))
+      l = l.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("picked"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    l.select(col("id"), col("label").as("community"))
+  }
+
   /** Link-prediction scores over an UNDIRECTED simple graph: for every
     * unordered node pair sharing at least one neighbor (the 2-hop
     * candidate set — never all-pairs), the common-neighbor count plus

@@ -34,6 +34,36 @@ object Skew {
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
   }
 
+  /** Pre-join skew report — the diagnostic you run BEFORE committing a
+    * 100 TB equi-join: per join-key value, both sides' row counts, the
+    * key's exact inner-join output contribution (`n_left · n_right`),
+    * and the salt factor [[saltedJoin]] would need to hold that key's
+    * output under `targetRowsPerTask` rows per task
+    * (`ceil(est_out / target)` in pure integer arithmetic). Keys are
+    * ranked by contribution (ties by key) and cut to `topN` — the
+    * hot-key shortlist that decides between broadcast, AQE skew split,
+    * and explicit salting.
+    *
+    * Scale shape: the fact rows are never joined — each side collapses
+    * to a (key, count) table first (partial aggregation makes the
+    * shuffle carry one row per key per map partition), the join runs at
+    * KEY cardinality, and the top-N cut is a TakeOrderedAndProject, not
+    * a global sort. Everything is BIGINT, so the report itself
+    * hash-gates.
+    */
+  def joinSkewReport(left: DataFrame, right: DataFrame, key: String,
+      targetRowsPerTask: Long = 1000000L, topN: Int = 20): DataFrame = {
+    require(targetRowsPerTask >= 1, "targetRowsPerTask must be >= 1")
+    val lc = left.groupBy(col(key)).agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(col(key)).agg(count(lit(1)).as("n_right"))
+    lc.join(rc, key)
+      .withColumn("est_out", col("n_left") * col("n_right"))
+      .withColumn("salt_buckets",
+        expr(s"(est_out + ${targetRowsPerTask - 1}L) div ${targetRowsPerTask}L"))
+      .orderBy(col("est_out").desc, col(key))
+      .limit(topN)
+  }
+
   /** Skewed equi-join: the large (skewed) side gets a deterministic salt,
     * the small side is replicated once per salt value; the join key
     * becomes (key, salt) so a hot key spreads over `buckets` tasks.

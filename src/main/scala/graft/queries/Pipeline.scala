@@ -572,6 +572,58 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Link prediction ([[graft.ops.Graph.commonNeighbors]]) over the
+    * persisted pair graph: for every doc pair sharing at least one
+    * near-dup neighbor (the 2-hop candidate set — never all-pairs),
+    * the common-neighbor count and neighborhood Jaccard in exact
+    * integer micros — the "these two share near-dup company, are THEY
+    * redundant?" signal that surfaces pairs the pairwise hash misses
+    * (no direct edge required, so it complements d02/d03 rather than
+    * re-finding them). The oracle re-derives neighborhoods, degrees,
+    * and the wedge join from the shared jpairs CTEs.
+    */
+  def g04LinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairGraph(spark, dir)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.ops.Graph.commonNeighbors(pairs)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Community detection ([[graft.ops.Graph.labelPropagation]], 3
+    * synchronous rounds of deterministic majority vote) over the
+    * persisted pair graph — the grouping that splits weakly-bridged
+    * near-dup clusters where connected components (d11) over-merges:
+    * one borderline pair linking two dense clusters cannot outvote
+    * either cluster's internal majority. Integer label state end to
+    * end; the oracle replays all three voting rounds (count DESC,
+    * label ASC argmax via QUALIFY) from the same from-scratch pair set.
+    */
+  def g05Communities(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = jaccardPairGraph(spark, dir).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    graft.ops.Graph.labelPropagation(docs.select(col("doc_id").as("id")),
+        edges, iters = 3)
+      .select(col("id").as("doc_id"), col("community"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pre-join skew report ([[graft.ops.Skew.joinSkewReport]]) on the
+    * sessionization self-join every e-family query implies: per
+    * user_id, both sides' event counts, the exact inner-join output
+    * contribution n_left·n_right, and the salt factor that holds the
+    * key under 1000 output rows per task — the broadcast/AQE/salt
+    * decision table, computed WITHOUT joining a single fact row (both
+    * sides collapse to key-cardinality count tables first). Pure
+    * BIGINT arithmetic, so the advisor itself sits under the hash gate.
+    */
+  def e12JoinSkew(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    graft.ops.Skew.joinSkewReport(ev, ev, "user_id",
+      targetRowsPerTask = 1000L, topN = 10)
+  }
+
   /** Per-node triangle counts ([[graft.ops.Graph.triangleCounts]]) over
     * the d02 similarity graph — the clustering-coefficient numerator:
     * how tightly a doc's near-dup neighborhood is knit (a triangle-rich
@@ -3010,6 +3062,73 @@ object Pipeline {
        |SELECT id AS doc_id, r AS rank FROM r$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Link-prediction replay: neighborhoods, degrees, and the wedge
+    * self-join re-derived from the shared jpairs CTEs — integer micros
+    * for the neighborhood Jaccard, same positive-long `//`.
+    */
+  private val linkPredictOracle =
+    s"""WITH $ngramJaccardCtes, fulln AS (
+       |  SELECT id_a AS id, id_b AS x FROM jpairs
+       |  UNION ALL SELECT id_b, id_a FROM jpairs
+       |), deg AS (
+       |  SELECT id, count(*) AS deg FROM fulln GROUP BY 1
+       |), cn AS (
+       |  SELECT l.id AS id_a, r.id AS id_b, count(*) AS cn
+       |  FROM fulln l JOIN fulln r ON l.x = r.x AND l.id < r.id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT cn.id_a, cn.id_b, cn.cn,
+       |  da.deg AS deg_a, db.deg AS deg_b,
+       |  (1000000 * cn.cn) // (da.deg + db.deg - cn.cn) AS jacc_micro
+       |FROM cn
+       |JOIN deg da ON da.id = cn.id_a
+       |JOIN deg db ON db.id = cn.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Label-propagation replay: each round's votes (neighbor labels
+    * arriving at dst), the deterministic argmax (count DESC, label ASC
+    * via QUALIFY), and the keep-old-label left join — the exact
+    * trajectory [[graft.ops.Graph.labelPropagation]] walks.
+    */
+  private def labelPropagationOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""v$i AS (
+         |  SELECT e.dst AS id, l.label, count(*) AS c
+         |  FROM edges e JOIN l${i - 1} l ON l.id = e.src
+         |  GROUP BY 1, 2
+         |), p$i AS (
+         |  SELECT id, label FROM v$i
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) = 1
+         |), l$i AS (
+         |  SELECT l.id, coalesce(p$i.label, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN p$i ON p$i.id = l.id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $ngramJaccardCtes, edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jpairs
+       |  UNION ALL SELECT id_b, id_a FROM jpairs
+       |), l0 AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |), $iterCtes
+       |SELECT id AS doc_id, label AS community FROM l$iters ORDER BY doc_id""".stripMargin
+  }
+
+  /** Join-skew replay: both sides collapse to (key, count), inner join
+    * at key cardinality, exact contribution + integer-ceil salt factor,
+    * deterministic top-10 cut.
+    */
+  private val joinSkewOracle =
+    """WITH lc AS (
+      |  SELECT user_id, count(*) AS n_left FROM events GROUP BY 1
+      |), rc AS (
+      |  SELECT user_id, count(*) AS n_right FROM events GROUP BY 1
+      |)
+      |SELECT lc.user_id, n_left, n_right,
+      |  n_left * n_right AS est_out,
+      |  (n_left * n_right + 999) // 1000 AS salt_buckets
+      |FROM lc JOIN rc ON rc.user_id = lc.user_id
+      |ORDER BY est_out DESC, lc.user_id LIMIT 10""".stripMargin
+
   /** Connected components over the exact pair set, in SQL: transitive
     * closure by recursive CTE, cluster_id = min reachable id — what the
     * Spark-side iterative min-label propagation must converge to.
@@ -3263,6 +3382,9 @@ object Pipeline {
     // same damping/floor recurrence with rank*w // ws contributions;
     // weights = round(jaccard*1e6) on the identical rounded-6 double
     "g03_pagerank_weighted" -> pageRankWeightedOracle(iters = 3),
+    "g04_link_predict" -> linkPredictOracle,
+    "g05_communities" -> labelPropagationOracle(iters = 3),
+    "e12_join_skew" -> joinSkewOracle,
     "m06_image_dhash" ->
       s"""WITH $dhashCtes
          |SELECT media_id, dhash FROM dh ORDER BY media_id""".stripMargin,
@@ -5039,6 +5161,9 @@ object Pipeline {
     "g01_pagerank"       -> g01PageRank _,
     "g03_pagerank_weighted" -> g03PageRankWeighted _,
     "g02_triangles"      -> g02Triangles _,
+    "g04_link_predict"   -> g04LinkPredict _,
+    "g05_communities"    -> g05Communities _,
+    "e12_join_skew"      -> e12JoinSkew _,
     "d13_containment"    -> d13Containment _,
     "e06_interval_join"  -> e06IntervalJoin _,
     "d14_drop_contained" -> d14DropContained _,

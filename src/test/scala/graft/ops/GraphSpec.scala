@@ -57,6 +57,67 @@ class GraphSpec extends AnyFunSuite {
     assert(w3 == p3, s"uniform-weight degenerate mismatch: $w3 vs $p3")
   }
 
+  test("labelPropagation: bridged triangles split where CC merges; isolated keeps label; deterministic") {
+    // triangles {1,2,3} and {4,5,6} joined by the single bridge 3–4,
+    // plus isolated 7 — connected components puts 1..6 in ONE cluster;
+    // majority vote must keep the two dense triangles apart
+    val nodes = (1L to 7L).toDF("id")
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val edges = und.union(und.select(col("dst"), col("src")))
+    val got = Graph.labelPropagation(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-walked trajectory (count DESC, label ASC argmax each round):
+    // r1: 1→2 2→1 3→1 4→3 5→4 6→4 ; r2: 1→1 2→1 3→1 4→4 5→3 6→3 ;
+    // r3: 1→1 2→1 3→1 4→3 5→3 6→3
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 7L), got)
+    // CC on the same graph over-merges — the property g05 exists for
+    val cc = graft.ext.Dedup.clusters(
+      und.select(col("src").as("id_a"), col("dst").as("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).map(cc).toSet.size == 1, s"CC should merge the bridge: $cc")
+    assert(got.values.toSet.size == 3, s"LPA should keep 3 groups: $got")
+    // determinism across reruns
+    val again = Graph.labelPropagation(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
+  test("labelPropagation: synchronous two-node oscillation is pinned by the iteration count") {
+    // a single edge oscillates under synchronous update: odd iters swap,
+    // even iters restore — the fixed-iters contract makes both exact
+    val nodes = Seq(1L, 2L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val odd = Graph.labelPropagation(nodes, e, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(odd == Map(1L -> 2L, 2L -> 1L), odd)
+    val even = Graph.labelPropagation(nodes, e, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(even == Map(1L -> 1L, 2L -> 2L), even)
+  }
+
+  test("commonNeighbors: hand graphs — path, square, K3 micros") {
+    // path 1—2—3: only (1,3) share a neighbor; deg 1 each → jacc 10⁶
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.commonNeighbors(path).collect()
+    assert(p.length == 1)
+    assert(p(0).getLong(0) == 1L && p(0).getLong(1) == 3L &&
+      p(0).getLong(2) == 1L && p(0).getLong(5) == 1000000L, p(0))
+    // square 1-2-3-4-1: diagonals share BOTH corners (cn=2, deg 2+2-2
+    // → jacc 10⁶); adjacent pairs share nothing on C4
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val s = Graph.commonNeighbors(sq)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    assert(s == Map((1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))), s)
+    // K3: each pair shares exactly the third vertex; 10⁶·1/(2+2−1)
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val k = Graph.commonNeighbors(k3).collect()
+    assert(k.length == 3 && k.forall(r => r.getLong(2) == 1L &&
+      r.getLong(5) == 333333L), k.mkString(","))
+  }
+
   test("triangleCounts: hand graph, orientation invariance, duplicate tolerance") {
     // K4 on 1..4 (every node in C(3,2)=3 triangles) plus a pendant 5
     // and an isolated 6

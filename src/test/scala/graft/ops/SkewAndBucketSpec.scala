@@ -31,6 +31,30 @@ class SkewAndBucketSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("joinSkewReport: hand-checked contributions, integer-ceil salt, top-N cut, no fact-row join") {
+    import spark.implicits._
+    val left = (Seq.fill(3)("a") ++ Seq("b")).toDF("k")
+    val right = (Seq.fill(2)("a") ++ Seq.fill(5)("b") ++ Seq.fill(7)("c")).toDF("k")
+    val rep = Skew.joinSkewReport(left, right, "k", targetRowsPerTask = 4L, topN = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a: 3·2=6 → ceil(6/4)=2; b: 1·5=5 → 2; c only on the right → absent
+    assert(rep == Map("a" -> ((3L, 2L, 6L, 2L)), "b" -> ((1L, 5L, 5L, 2L))), rep)
+    // topN keeps the largest contributor (ties broken by key)
+    val top1 = Skew.joinSkewReport(left, right, "k", targetRowsPerTask = 4L, topN = 1)
+      .collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "a", top1.mkString(","))
+    // scale shape: the fact frames are aggregated BEFORE the join (the
+    // join runs at key cardinality) and the cut is a TakeOrdered, not a
+    // global sort
+    val plan = Skew.joinSkewReport(left, right, "k").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-N operator:\n$plan")
+    val joinIdx = plan.indexOf("Join")
+    val aggBelow = plan.substring(joinIdx).contains("HashAggregate")
+    assert(joinIdx < 0 || aggBelow, s"join must consume aggregated sides:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (the no-salt scale path)") {
     import spark.implicits._
     // manual salting (above) is the explicit skew tool; AQE's skew-join
