@@ -125,6 +125,33 @@ object StreamTour {
       streamed.nonEmpty && streamed == expected
     }
 
+    check("continuous labeling folds streamed pairs; a late bridge merges clusters exactly as batch") {
+      // the tail of the streaming-dedup chain: pairs found per
+      // micro-batch fold into a PERSISTED labeling at |labels|+|batch|
+      // cost — the corpus pair set is never re-propagated
+      implicit val sql = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("tour_sclusters")
+        .toFile.getAbsolutePath
+      val docs = graft.Tables.documents(spark, sf)
+      val pairs = graft.ext.Dedup.ngramJaccardPairs(docs, 3, 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      val (b1, b2) = pairs.zipWithIndex.partition(_._2 % 2 == 0)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val q = graft.streaming.StreamingClusters.startAt(
+        input.toDF().toDF("id_a", "id_b"), s"$root/labels", s"$root/ckpt")
+      try {
+        input.addData(b1.map(_._1).toIndexedSeq)
+        q.processAllAvailable()
+        input.addData(b2.map(_._1).toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.read.parquet(s"$root/labels").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.ext.Dedup.clusters(pairs.toSeq.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      streamed.nonEmpty && streamed == batch
+    }
+
     check("PQ ADC serving from a swapped-in index equals the batch operator") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val root = java.nio.file.Files.createTempDirectory("streamtour_pq")
