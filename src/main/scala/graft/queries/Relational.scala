@@ -1074,8 +1074,49 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** The FULL TPC-H Q1 pricing summary (q02 is its reduced early-round
+    * twin): shipdate cutoff, both discounted-money rollups, and the
+    * line count, grouped on (returnflag, linestatus). The three Q1
+    * averages are each ONE division away from the emitted sums/count —
+    * emitted as sums because cross-engine average rounding is the one
+    * part of Q1 that does NOT hash-gate (the multiplied-out convention).
+    * Money goes through DECIMAL(18,4) per row before summing (the q02
+    * rule: double-sum association must never reach the gate); the
+    * cutoff predicate is a plain comparison so it pushes to the scan.
+    */
+  def q49PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")))
+          .cast(DecimalType(18, 4))).cast("double").as("sum_charge"),
+        sum(col("l_discount").cast(DecimalType(18, 4)))
+          .cast("double").as("sum_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   /** Oracle SQL (DuckDB dialect ≡ ANSI) — must alias identically to the above. */
   val oracles: Map[String, String] = Map(
+    // TPC-H Q1 shape; sums in per-row DECIMAL, averages one division away
+    "q49_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q11_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,
@@ -1617,5 +1658,6 @@ object Relational {
     "q46_product_profit" -> q46ProductProfit _,
     "q47_simple_revenue" -> q47SimpleRevenue _,
     "q48_excess_share_suppliers" -> q48ExcessShareSuppliers _,
+    "q49_pricing_summary" -> q49PricingSummary _,
   )
 }

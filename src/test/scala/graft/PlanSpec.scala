@@ -24,6 +24,16 @@ class PlanSpec extends AnyFunSuite {
       s"columns not pruned:\n$plan")
   }
 
+  test("q49: Q1 cutoff pushes to the scan; one scan, partial-then-final aggregate") {
+    val plan = planOf("q49_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"cutoff not pushed:\n$plan")
+    assert(!plan.contains("Join"), s"Q1 must be join-free:\n$plan")
+    // map-side combine: a partial_sum aggregate below the exchange
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"no partial aggregation:\n$plan")
+  }
+
   test("q03/q04: dimension joins are broadcast, not shuffled") {
     assert(planOf("q03_join_agg").contains("BroadcastHashJoin"))
     val p4 = planOf("q04_star_join")
