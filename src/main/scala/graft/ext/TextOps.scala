@@ -146,6 +146,30 @@ object TextOps {
           col("stop_hits") >= 2L).cast("long"))
   }
 
+  /** Explainable filtering: [[gopherRules]]' verdict with the FIRST
+    * failing rule named per document — the audit log a production
+    * curation pipeline keeps so every dropped doc is attributable
+    * ("why did coverage fall 3 % this ingest?" is answerable by a
+    * groupBy(reason), not a re-run). The rule ORDER is part of the
+    * contract (a doc failing several rules reports the earliest), so
+    * the reason strings are deterministic and the whole table
+    * hash-gates. Same single-pass metric derivation as gopherRules —
+    * one projection chain, no joins, no extra scan.
+    */
+  def filterReasons(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minWords: Int = 30,
+      maxWords: Int = 100000): DataFrame =
+    gopherRules(docs, textCol, idCol, minWords, maxWords)
+      .select(col(idCol), col("keep"),
+        when(col("n_words") < minWords, "too_few_words")
+          .when(col("n_words") > maxWords, "too_many_words")
+          .when(col("mwl_micro") < 3000000L || col("mwl_micro") > 10000000L,
+            "word_length")
+          .when(col("sym_micro") > 100000L, "symbol_ratio")
+          .when(col("alpha_micro") < 800000L, "alpha_ratio")
+          .when(col("stop_hits") < 2L, "stopwords")
+          .otherwise("keep").as("reason"))
+
   /** Corpus-trained bigram language-model score per document — the
     * CCNet-style "LM filter" shape (score docs against a model trained
     * on the corpus itself / a reference corpus, drop the tail), with

@@ -609,6 +609,29 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Personalized PageRank ([[graft.ops.Graph.pageRankPersonalized]])
+    * over the persisted pair graph, seeded on the eval slice
+    * (doc_id % 17 == 0 — the same slice d12 decontaminates against):
+    * rank flows from the seeds through near-dup structure, scoring
+    * every doc by graph proximity to the labeled set — seed expansion
+    * along similarity, the transitive step top-k cosine cannot take.
+    * Non-seed docs unreachable from every seed hold EXACTLY 0 (the
+    * conditional-floor contract); the oracle replays the seeded
+    * trajectory from the same from-scratch pair CTEs.
+    */
+  def g06PagerankSeeded(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = jaccardPairGraph(spark, dir).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val seeds = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("id"))
+    graft.ops.Graph.pageRankPersonalized(docs.select(col("doc_id").as("id")),
+        edges, seeds, iters = 3)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pre-join skew report ([[graft.ops.Skew.joinSkewReport]]) on the
     * sessionization self-join every e-family query implies: per
     * user_id, both sides' event counts, the exact inner-join output
@@ -1259,6 +1282,51 @@ object Pipeline {
   def t20GopherRules(spark: SparkSession, dir: String): DataFrame =
     TextOps.gopherRules(Tables.documents(spark, dir))
       .orderBy(col("doc_id"))
+
+  /** Explainable filtering ([[TextOps.filterReasons]]): t20's verdict
+    * with the FIRST failing rule named per doc — the audit log that
+    * makes a coverage drop attributable by `groupBy(reason)` instead
+    * of a re-run. Rule ORDER is part of the contract; the oracle
+    * replays the identical CASE chain over the same metric CTEs, so
+    * every reason string hash-gates.
+    */
+  def t42FilterReasons(spark: SparkSession, dir: String): DataFrame =
+    TextOps.filterReasons(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** Per-source curation funnel — the WHOLE filter chain's survival
+    * report under one hash gate: per source, docs in, docs clearing
+    * gopher, docs additionally surviving exact dedup (first-id keeper
+    * per text), docs additionally surviving near-dup clustering (the
+    * persisted pair graph's cluster representative). Progressive
+    * conjunction — each stage counts only what the previous admitted —
+    * so the row IS the funnel a pipeline dashboard shows per ingest.
+    * The oracle recomposes all three stages (gopher metric CTEs, the
+    * keeper window, the recursive-CTE components) from scratch, so the
+    * gate pins the COMPOSITION, not just each operator alone.
+    */
+  def t43CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val g = TextOps.gopherRules(docs).select(col("doc_id"), col("keep").as("g_keep"))
+    val keeper = docs.groupBy(col("text")).agg(min(col("doc_id")).as("_keeper"))
+    val exact = docs.select(col("doc_id"), col("text"))
+      .join(keeper, Seq("text"))
+      .select(col("doc_id"), (col("doc_id") === col("_keeper")).cast("long").as("e_keep"))
+    val labels = Dedup.clusters(jaccardPairGraph(spark, dir))
+    val near = docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .cast("long").as("n_keep"))
+    docs.select(col("doc_id"), col("source"))
+      .join(g, "doc_id").join(exact, "doc_id").join(near, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("g_keep")).as("n_gopher"),
+        sum(col("g_keep") * col("e_keep")).as("n_exact"),
+        sum(col("g_keep") * col("e_keep") * col("n_keep")).as("n_unique"))
+      .orderBy(col("source"))
+  }
 
   /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], true
     * codegen): even-id docs get a REAL decomposed combining sequence
@@ -3062,6 +3130,36 @@ object Pipeline {
        |SELECT id AS doc_id, r AS rank FROM r$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Personalized-PageRank replay: the seeded start vector and the
+    * conditional teleport floor over the same unrolled iteration CTEs.
+    */
+  private def pageRankSeededOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id, CAST(sum(r${i - 1}.r // g.d) AS BIGINT) AS c
+         |  FROM edges e JOIN r${i - 1} ON r${i - 1}.id = e.src
+         |  JOIN deg g ON g.src = e.src
+         |  GROUP BY 1
+         |), r$i AS (
+         |  SELECT n.id, n.s,
+         |    CAST(n.s * 150000 + (85 * coalesce(c$i.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM r${i - 1} n LEFT JOIN c$i USING (id)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $ngramJaccardCtes, edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jpairs
+       |  UNION ALL SELECT id_b, id_a FROM jpairs
+       |), deg AS (
+       |  SELECT src, count(*) AS d FROM edges GROUP BY 1
+       |), r0 AS (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS s,
+       |    CAST(CASE WHEN doc_id % 17 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+       |  FROM documents
+       |), $iterCtes
+       |SELECT id AS doc_id, r AS rank FROM r$iters ORDER BY doc_id""".stripMargin
+  }
+
   /** Link-prediction replay: neighborhoods, degrees, and the wedge
     * self-join re-derived from the shared jpairs CTEs — integer micros
     * for the neighborhood Jaccard, same positive-long `//`.
@@ -3161,6 +3259,60 @@ object Pipeline {
        |  SELECT src AS id, least(src, min(dst)) AS cluster_id
        |  FROM reach GROUP BY src
        |)""".stripMargin
+
+  /** Curation-funnel replay: gopher metric CTEs + the exact-keeper
+    * window + the recursive-CTE components, conjoined progressively —
+    * the oracle recomposes the whole chain from scratch.
+    */
+  private val curationFunnelOracle =
+    s"""WITH RECURSIVE $clusterLabelCtes, gt AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+')) END AS n_words,
+       |    length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')) AS nonws,
+       |    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS sym,
+       |    string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') AS raw_toks,
+       |    string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS ltoks
+       |  FROM documents
+       |), gm AS (
+       |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |    CASE WHEN n_words = 0 THEN 0
+       |         ELSE (nonws * 1000000) // n_words END AS mwl_micro,
+       |    CASE WHEN n_words = 0 THEN 0
+       |         ELSE (sym * 1000000) // n_words END AS sym_micro,
+       |    CASE WHEN n_words = 0 THEN 0
+       |         ELSE (len(list_filter(raw_toks,
+       |                x -> regexp_matches(x, '[A-Za-z]'))) * 1000000)
+       |              // n_words END AS alpha_micro,
+       |    len(list_intersect(ltoks,
+       |      ['the','a','an','and','or','of','to','in','is','it'])) AS stop_hits
+       |  FROM gt
+       |), gk AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_words BETWEEN 30 AND 100000
+       |          AND mwl_micro BETWEEN 3000000 AND 10000000
+       |          AND sym_micro <= 100000
+       |          AND alpha_micro >= 800000
+       |          AND stop_hits >= 2 THEN 1 ELSE 0 END AS g_keep
+       |  FROM gm
+       |), ek AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+       |         THEN 1 ELSE 0 END AS e_keep
+       |  FROM documents
+       |), nk AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN l.cluster_id IS NULL OR l.cluster_id = d.doc_id
+       |         THEN 1 ELSE 0 END AS n_keep
+       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+       |)
+       |SELECT d.source, count(*) AS n_total,
+       |  CAST(sum(g_keep) AS BIGINT) AS n_gopher,
+       |  CAST(sum(g_keep * e_keep) AS BIGINT) AS n_exact,
+       |  CAST(sum(g_keep * e_keep * n_keep) AS BIGINT) AS n_unique
+       |FROM documents d
+       |JOIN gk USING (doc_id) JOIN ek USING (doc_id) JOIN nk USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** Frame-container dHash chain shared by the m08 and m11 oracles:
     * per-FRAME rasters (the m03 arithmetic) → 8×8 nearest-neighbor
@@ -3384,6 +3536,8 @@ object Pipeline {
     "g03_pagerank_weighted" -> pageRankWeightedOracle(iters = 3),
     "g04_link_predict" -> linkPredictOracle,
     "g05_communities" -> labelPropagationOracle(iters = 3),
+    "g06_pagerank_seeded" -> pageRankSeededOracle(iters = 3),
+    "t43_curation_funnel" -> curationFunnelOracle,
     "e12_join_skew" -> joinSkewOracle,
     "m06_image_dhash" ->
       s"""WITH $dhashCtes
@@ -4983,6 +5137,45 @@ object Pipeline {
         |             AND alpha_micro >= 800000
         |             AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // t20's metric CTEs + the ordered first-failing-rule CASE chain
+    "t42_filter_reasons" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS n_words,
+        |    length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) AS nonws,
+        |    len(regexp_extract_all(text, '#|\.\.\.|…')) AS sym,
+        |    string_split_regex(trim(text), '[ \t\n\f\r]+') AS raw_toks,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (nonws * 1000000) // n_words END AS mwl_micro,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (sym * 1000000) // n_words END AS sym_micro,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (len(list_filter(raw_toks,
+        |                x -> regexp_matches(x, '[A-Za-z]'))) * 1000000)
+        |              // n_words END AS alpha_micro,
+        |    len(list_intersect(toks,
+        |      ['the','a','an','and','or','of','to','in','is','it'])) AS stop_hits
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+        |             AND mwl_micro BETWEEN 3000000 AND 10000000
+        |             AND sym_micro <= 100000
+        |             AND alpha_micro >= 800000
+        |             AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        |  CASE WHEN n_words < 30 THEN 'too_few_words'
+        |       WHEN n_words > 100000 THEN 'too_many_words'
+        |       WHEN mwl_micro < 3000000 OR mwl_micro > 10000000 THEN 'word_length'
+        |       WHEN sym_micro > 100000 THEN 'symbol_ratio'
+        |       WHEN alpha_micro < 800000 THEN 'alpha_ratio'
+        |       WHEN stop_hits < 2 THEN 'stopwords'
+        |       ELSE 'keep' END AS reason
+        |FROM m ORDER BY doc_id""".stripMargin,
     // Regenerates the same id-derived URLs, then replays
     // UrlOps.canonicalizeUrl / registrableDomain with the identical
     // RE2 regexes and the same utm_* query-param filter.
@@ -5138,6 +5331,8 @@ object Pipeline {
     "t18_nfc"            -> t18Nfc _,
     "t19_bm25_dl"        -> t19Bm25Dl _,
     "t20_gopher_rules"   -> t20GopherRules _,
+    "t42_filter_reasons" -> t42FilterReasons _,
+    "t43_curation_funnel" -> t43CurationFunnel _,
     "t21_url_domains"    -> t21UrlDomains _,
     "t22_bigram_lm"      -> t22BigramLm _,
     "t24_perplexity_buckets" -> t24PerplexityBuckets _,
@@ -5163,6 +5358,7 @@ object Pipeline {
     "g02_triangles"      -> g02Triangles _,
     "g04_link_predict"   -> g04LinkPredict _,
     "g05_communities"    -> g05Communities _,
+    "g06_pagerank_seeded" -> g06PagerankSeeded _,
     "e12_join_skew"      -> e12JoinSkew _,
     "d13_containment"    -> d13Containment _,
     "e06_interval_join"  -> e06IntervalJoin _,

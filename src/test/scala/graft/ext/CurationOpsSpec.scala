@@ -64,6 +64,32 @@ class CurationOpsSpec extends AnyFunSuite {
       6L -> 0L, 7L -> 0L))
   }
 
+  test("filterReasons: every reason branch fires; first-failing-rule order; keep matches gopherRules") {
+    val docs = Seq(
+      (1L, Array.fill(40)("the good word of it").mkString(" ")),
+      (2L, "too short the a"),
+      (3L, Array.fill(40)("antidisestablishmentarianism " +
+        "pneumonoultramicroscopicsilicovolcanoconiosis the a of").mkString(" ")),
+      (4L, Array.fill(40)("the of a word### longish# wordies## tokens#").mkString(" ")),
+      (5L, Array.fill(40)("1234 5678 the word of list").mkString(" ")),
+      (6L, Array.fill(40)("word list with zero stop tokens").mkString(" ")),
+      (7L, ""),
+      // fails BOTH alpha and stopwords → must report alpha (earlier rule)
+      (8L, Array.fill(40)("1234 5678 9012 3456").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.filterReasons(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == Map(
+      1L -> ((1L, "keep")), 2L -> ((0L, "too_few_words")),
+      3L -> ((0L, "word_length")), 4L -> ((0L, "symbol_ratio")),
+      5L -> ((0L, "alpha_ratio")), 6L -> ((0L, "stopwords")),
+      7L -> ((0L, "too_few_words")), 8L -> ((0L, "alpha_ratio"))), got)
+    // the keep flag is gopherRules' verdict verbatim
+    val g = TextOps.gopherRules(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(got.view.mapValues(_._1).toMap == g)
+  }
+
   test("domainMixture: largest-remainder quotas, caps, determinism") {
     import graft.ops.Sampling
     // domains a(w=3, 5 docs), b(w=1, 5 docs), c(w=1, 2 docs); total 7

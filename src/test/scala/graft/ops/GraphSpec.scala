@@ -57,6 +57,32 @@ class GraphSpec extends AnyFunSuite {
     assert(w3 == p3, s"uniform-weight degenerate mismatch: $w3 vs $p3")
   }
 
+  test("pageRankPersonalized: hand-computed seeded path; unreachable nodes hold exactly 0; all-seeds == pageRank") {
+    // path 1—2—3—4 with component {5,6}; seed = {1}
+    val nodes = (1L to 6L).toDF("id")
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val edges = und.union(und.select(col("dst"), col("src")))
+    val seeds = Seq(1L).toDF("id")
+    val r1 = Graph.pageRankPersonalized(nodes, edges, seeds, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // start: 1→10⁶, rest 0. deg: 1→1, 2→2, 3→2, 4→1, 5→1, 6→1.
+    //   node 1: seed floor 150000 + 85%·(0 div 2) = 150000
+    //   node 2: 85%·(10⁶ div 1) = 850000; nodes 3,4: 0
+    //   component {5,6}: unreachable from the seed — exactly 0
+    assert(r1 == Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L, 4L -> 0L,
+      5L -> 0L, 6L -> 0L), r1)
+    // iteration 3 reaches node 4; {5,6} still exactly 0
+    val r3 = Graph.pageRankPersonalized(nodes, edges, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(4L) > 0L && r3(5L) == 0L && r3(6L) == 0L, r3)
+    // seeding EVERY node degenerates to the global recurrence exactly
+    val all = Graph.pageRankPersonalized(nodes, edges, nodes, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val glob = Graph.pageRank(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == glob, s"all-seeds degenerate mismatch: $all vs $glob")
+  }
+
   test("labelPropagation: bridged triangles split where CC merges; isolated keeps label; deterministic") {
     // triangles {1,2,3} and {4,5,6} joined by the single bridge 3–4,
     // plus isolated 7 — connected components puts 1..6 in ONE cluster;
