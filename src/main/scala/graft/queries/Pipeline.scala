@@ -609,6 +609,58 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted community detection
+    * ([[graft.ops.Graph.labelPropagationWeighted]]) over the persisted
+    * pair graph with Jaccard-micro vote weights — the g01/g03 pattern
+    * (uniform twin + weighted upgrade) applied to g05: a doc bridged
+    * between a STRONG clique and a larger-but-weak one lands with the
+    * strong side, which is the grouping a near-dup policy wants when
+    * member count and similarity strength disagree. Integer weight
+    * sums end to end; the oracle replays all three weighted voting
+    * rounds from the same from-scratch pair CTEs.
+    */
+  def g07CommunitiesWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = jaccardPairGraph(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(round(jaccard * 1000000) AS BIGINT)").as("w"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
+    graft.ops.Graph.labelPropagationWeighted(
+        docs.select(col("doc_id").as("id")), edges, iters = 3)
+      .select(col("id").as("doc_id"), col("community"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Duplication profile ([[Dedup.clusters]] rolled up to a cluster-size
+    * histogram): per size k, how many near-dup clusters and how many
+    * docs they hold — the one-line answer to "how redundant is this
+    * corpus, and is the mass in pairs or in giant clusters?" that
+    * decides whether keep-one dedup (d14) or per-cluster sampling is
+    * the right policy. Singletons (docs in NO pair) enter as the k=1
+    * bucket so the doc column sums to the corpus. Exact integers; the
+    * oracle recomposes sizes + histogram + singleton bucket off the
+    * recursive-CTE components.
+    */
+  def d38DupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val labels = Dedup.clusters(jaccardPairGraph(spark, dir))
+    val hist = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("k").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("k")).as("n_docs"))
+    val nSingles = docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(col("n"))
+    val singles = nSingles.filter(col("n") > 0)
+      .select(lit(1L).as("cluster_size"), col("n").as("n_clusters"),
+        col("n").as("n_docs"))
+    hist.unionByName(singles)
+      .groupBy(col("cluster_size"))
+      .agg(sum(col("n_clusters")).as("n_clusters"), sum(col("n_docs")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Personalized PageRank ([[graft.ops.Graph.pageRankPersonalized]])
     * over the persisted pair graph, seeded on the eval slice
     * (doc_id % 17 == 0 — the same slice d12 decontaminates against):
@@ -3211,6 +3263,57 @@ object Pipeline {
        |SELECT id AS doc_id, label AS community FROM l$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Weighted-LPA replay: the same QUALIFY argmax with `sum(w)` votes
+    * over Jaccard-micro edge weights.
+    */
+  private def labelPropagationWeightedOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""v$i AS (
+         |  SELECT e.dst AS id, l.label, CAST(sum(e.w) AS BIGINT) AS c
+         |  FROM wedges e JOIN l${i - 1} l ON l.id = e.src
+         |  GROUP BY 1, 2
+         |), p$i AS (
+         |  SELECT id, label FROM v$i
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) = 1
+         |), l$i AS (
+         |  SELECT l.id, coalesce(p$i.label, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN p$i ON p$i.id = l.id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $ngramJaccardCtes, wedges AS (
+       |  SELECT id_a AS src, id_b AS dst,
+       |    CAST(round(jaccard * 1000000) AS BIGINT) AS w FROM jpairs
+       |  UNION ALL SELECT id_b, id_a,
+       |    CAST(round(jaccard * 1000000) AS BIGINT) FROM jpairs
+       |), l0 AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |), $iterCtes
+       |SELECT id AS doc_id, label AS community FROM l$iters ORDER BY doc_id""".stripMargin
+  }
+
+  /** Duplication-profile replay: sizes + histogram + the singleton
+    * bucket off the recursive-CTE components. (`lazy`: declared above
+    * [[clusterLabelCtes]] — eager init would capture null.)
+    */
+  private lazy val dupProfileOracle =
+    s"""WITH RECURSIVE $clusterLabelCtes, csizes AS (
+       |  SELECT cluster_id, count(*) AS k FROM labels GROUP BY 1
+       |), hist AS (
+       |  SELECT k AS cluster_size, count(*) AS n_clusters,
+       |    CAST(sum(k) AS BIGINT) AS n_docs
+       |  FROM csizes GROUP BY 1
+       |), singles AS (
+       |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+       |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM labels) AS n_clusters,
+       |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM labels) AS n_docs
+       |), unioned AS (
+       |  SELECT * FROM hist
+       |  UNION ALL SELECT * FROM singles WHERE n_clusters > 0
+       |)
+       |SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs
+       |FROM unioned GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   /** Join-skew replay: both sides collapse to (key, count), inner join
     * at key cardinality, exact contribution + integer-ceil salt factor,
     * deterministic top-10 cut.
@@ -3537,6 +3640,8 @@ object Pipeline {
     "g04_link_predict" -> linkPredictOracle,
     "g05_communities" -> labelPropagationOracle(iters = 3),
     "g06_pagerank_seeded" -> pageRankSeededOracle(iters = 3),
+    "g07_communities_weighted" -> labelPropagationWeightedOracle(iters = 3),
+    "d38_dup_profile" -> dupProfileOracle,
     "t43_curation_funnel" -> curationFunnelOracle,
     "e12_join_skew" -> joinSkewOracle,
     "m06_image_dhash" ->
@@ -5359,6 +5464,8 @@ object Pipeline {
     "g04_link_predict"   -> g04LinkPredict _,
     "g05_communities"    -> g05Communities _,
     "g06_pagerank_seeded" -> g06PagerankSeeded _,
+    "g07_communities_weighted" -> g07CommunitiesWeighted _,
+    "d38_dup_profile"    -> d38DupProfile _,
     "e12_join_skew"      -> e12JoinSkew _,
     "d13_containment"    -> d13Containment _,
     "e06_interval_join"  -> e06IntervalJoin _,

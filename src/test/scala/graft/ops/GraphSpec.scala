@@ -123,6 +123,33 @@ class GraphSpec extends AnyFunSuite {
     assert(even == Map(1L -> 1L, 2L -> 2L), even)
   }
 
+  test("labelPropagationWeighted: strong edge outvotes two weak ones; equal weights == uniform") {
+    // node 4's neighbors: weak 1 and 2 (w=1 each) and strong 6 (w=10).
+    // Round 1 uniform: all vote-counts tie at 1 → min label 1 (the weak
+    // side). Weighted: {1:1, 2:1, 6:10} → 6 (the strong side). The two
+    // operators provably disagree on the same graph.
+    val nodes = (1L to 6L).toDF("id")
+    val und = Seq((1L, 4L, 1L), (2L, 4L, 1L), (4L, 6L, 10L))
+      .toDF("src", "dst", "w")
+    val edges = und.union(und.select(col("dst"), col("src"), col("w")))
+    val w1 = Graph.labelPropagationWeighted(nodes, edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val u1 = Graph.labelPropagation(nodes, edges.select("src", "dst"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1(4L) == 6L && u1(4L) == 1L,
+      s"weight should flip node 4: weighted $w1 vs uniform $u1")
+    // isolated nodes keep their labels under both
+    assert(w1(3L) == 3L && w1(5L) == 5L && u1(3L) == 3L && u1(5L) == 5L)
+    // equal weights degenerate to the uniform operator exactly
+    val eq = und.select(col("src"), col("dst"), lit(7L).as("w"))
+    val eqEdges = eq.union(eq.select(col("dst"), col("src"), col("w")))
+    val we = Graph.labelPropagationWeighted(nodes, eqEdges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ue = Graph.labelPropagation(nodes, eqEdges.select("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(we == ue, s"equal-weight degenerate mismatch: $we vs $ue")
+  }
+
   test("commonNeighbors: hand graphs — path, square, K3 micros") {
     // path 1—2—3: only (1,3) share a neighbor; deg 1 each → jacc 10⁶
     val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
