@@ -218,6 +218,30 @@ object CurationTour {
       refines && nComm >= nComp && twoHopOnly && advisorExact
     }
 
+    // 3d. the pipeline's OBSERVABILITY surface: every drop attributable
+    // (first failing rule), the whole chain's survival as one funnel
+    // row per source, and the skew advisor's output consumed directly
+    // as a per-key salting plan
+    check("filter audit attributes every drop; funnel is monotone; advisor-driven salting is lossless") {
+      val reasons = TextOps.filterReasons(raw).cache()
+      val attributable = reasons.filter(col("keep") === 0 &&
+        col("reason") === "keep").count() == 0 &&
+        reasons.filter(col("keep") === 1 && col("reason") =!= "keep").count() == 0
+      val funnel = graft.queries.Pipeline.t43CurationFunnel(spark, sf).collect()
+      val monotone = funnel.forall(r => r.getLong(1) >= r.getLong(2) &&
+        r.getLong(2) >= r.getLong(3) && r.getLong(3) >= r.getLong(4))
+      val report = graft.ops.Skew.joinSkewReport(raw, raw, "lang",
+        targetRowsPerTask = 500L)
+      val adaptive = graft.ops.Skew.adaptiveSaltedJoin(
+        raw.select(col("doc_id"), col("lang")),
+        raw.select(col("lang"), col("source")).distinct(), "lang", report)
+      val direct = raw.select(col("doc_id"), col("lang"))
+        .join(raw.select(col("lang"), col("source")).distinct(), "lang")
+      val lossless = adaptive.count() == direct.count() &&
+        adaptive.exceptAll(direct).isEmpty
+      attributable && monotone && lossless
+    }
+
     // 4. decontaminate against a held-out eval slice
     val evalSet = deduped.filter(col("doc_id") % 17 === 0)
     val train0 = deduped.filter(col("doc_id") % 17 =!= 0)

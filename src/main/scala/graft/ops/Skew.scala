@@ -76,4 +76,39 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLarge.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Measurement-driven salting: [[saltedJoin]] with a PER-KEY salt
+    * factor taken from a [[joinSkewReport]] instead of one global
+    * bucket count — the advisor's output consumed as the plan input.
+    * Hot keys spread over exactly their recommended `salt_buckets`
+    * tasks; keys absent from the report (below the top-N cut, or
+    * report computed on a sample) default to 1 — unsalted, no
+    * replication cost. [[saltedJoin]]'s uniform factor pays
+    * `buckets ×` replication on EVERY small-side row; this pays it
+    * only where measurement says it helps, which is the difference
+    * between "salting the join" and "salting the three keys that
+    * matter" on a 100 TB zipfian key set.
+    *
+    * `report` needs (key, salt_buckets); it is broadcast (top-N sized
+    * by construction). Inner-join semantics are unchanged vs the
+    * direct join (spec-pinned); the salt is deterministic whole-row
+    * hash, stable across retries.
+    */
+  def adaptiveSaltedJoin(large: DataFrame, small: DataFrame, key: String,
+      report: DataFrame): DataFrame = {
+    val factors = broadcast(report.select(col(key),
+      col("salt_buckets").cast("long").as("__nb")))
+    val saltedLarge = large
+      .join(factors, Seq(key), "left")
+      .withColumn("__nbf", coalesce(col("__nb"), lit(1L)))
+      .withColumn("__salt",
+        pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), col("__nbf")))
+      .drop("__nb", "__nbf")
+    val replicatedSmall = small
+      .join(factors, Seq(key), "left")
+      .withColumn("__salt",
+        explode(sequence(lit(0L), coalesce(col("__nb"), lit(1L)) - 1L)))
+      .drop("__nb")
+    saltedLarge.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
 }

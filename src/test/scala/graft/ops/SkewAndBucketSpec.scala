@@ -55,6 +55,38 @@ class SkewAndBucketSpec extends AnyFunSuite {
     assert(joinIdx < 0 || aggBelow, s"join must consume aggregated sides:\n$plan")
   }
 
+  test("adaptiveSaltedJoin == direct join; hot keys spread, cold keys unreplicated") {
+    import spark.implicits._
+    val large = ((1 to 60).map(i => ("hot", i.toLong)) ++
+      (1 to 5).map(i => ("cold", i.toLong))).toDF("k", "v")
+    val small = Seq(("hot", 100L), ("hot", 200L), ("cold", 300L),
+      ("unmatched", 400L)).toDF("k", "w")
+    val report = Skew.joinSkewReport(large, small, "k", targetRowsPerTask = 30L)
+    // hot: 60·2=120 → ceil(120/30)=4 buckets; cold: 5·1=5 → 1
+    val factors = report.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(factors == Map("hot" -> 4L, "cold" -> 1L), factors)
+    val adaptive = Skew.adaptiveSaltedJoin(large, small, "k", report)
+      .select("k", "v", "w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val direct = large.join(small, "k")
+      .select("k", "v", "w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(adaptive.sameElements(direct), "adaptive salting changed join semantics")
+    // the hot key actually spreads: its large-side salt takes > 1 value
+    val salts = large.join(broadcast(report.select(col("k"),
+        col("salt_buckets").cast("long").as("__nb"))), Seq("k"), "left")
+      .withColumn("s", pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*),
+        coalesce(col("__nb"), lit(1L))))
+      .filter(col("k") === "hot").select("s").distinct().count()
+    assert(salts > 1, s"hot key never spread: $salts salt value(s)")
+    // a report computed on a SAMPLE (missing keys) still joins correctly
+    val partial = report.filter(col("k") === "hot")
+    val adaptivePartial = Skew.adaptiveSaltedJoin(large, small, "k", partial)
+      .select("k", "v", "w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(adaptivePartial.sameElements(direct), "missing-key default broke the join")
+  }
+
   test("AQE splits a skewed join partition at runtime (the no-salt scale path)") {
     import spark.implicits._
     // manual salting (above) is the explicit skew tool; AQE's skew-join
