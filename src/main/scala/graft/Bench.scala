@@ -441,6 +441,24 @@ object Bench {
       // under a broadcast semi probe — never a corpus re-chunk
       "cdc_serve_indexed" -> (n => Dedup.chunkProvenanceIndexed(
         spark, chunkIdx(n), chunkBatch)),
+      // label propagation over an ×n path graph (consecutive ids within
+      // each salted copy): per round ONE src join + two dst-keyed aggs,
+      // so growth must be edge-linear — iterative but never super-linear
+      "lpa" -> (n => {
+        val nodes = docsAt(n).select(col("doc_id").as("id"))
+        val fwd = nodes.select(col("id").as("src"), (col("id") + 1L).as("dst"))
+          .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        graft.ops.Graph.labelPropagation(nodes, edges, iters = 2,
+          materialize = false)
+      }),
+      // the pre-join skew advisor at ×n fact size: both sides collapse
+      // to key-cardinality count tables (map-side combined), the join
+      // never touches fact rows — growth must be pure scan cost
+      "skew_report" -> (n => graft.ops.Skew.joinSkewReport(
+        scaledBy(Tables.events(spark, sfDir), "event_id", n),
+        scaledBy(Tables.events(spark, sfDir), "event_id", n),
+        "user_id", targetRowsPerTask = 1000L, topN = 10)),
     )
     val out = probeRows(probes, k)
     chunkBatch.unpersist(blocking = false)
