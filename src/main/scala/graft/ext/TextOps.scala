@@ -146,6 +146,38 @@ object TextOps {
           col("stop_hits") >= 2L).cast("long"))
   }
 
+  /** Per-source distinctive vocabulary: for each source, the top-k
+    * tokens by SHARE of that token's corpus-wide mass concentrated in
+    * the source (`tf_source·10⁶ div tf_global` — a token appearing
+    * ONLY in one source scores 10⁶, an evenly-spread token scores
+    * 1/n_sources of that), hapax noise suppressed by `minCount`. The
+    * "what makes this source different" report a mixture policy reads
+    * before reweighting. Integer rational end to end; ties broken
+    * (share DESC, tf_source DESC, token ASC) — a total order, so the
+    * cut hash-gates. Plan: two map-side-combined count aggs (vocab-
+    * keyed, never corpus-row shuffles), one vocab-keyed join, and the
+    * custom [[graft.ops.TopK.perKey]] operator for the per-source cut
+    * (streamed k-row heaps, ≤ |sources|·k rows out — no window
+    * machinery over the full vocabulary).
+    */
+  def distinctiveTerms(docs: DataFrame, k: Int = 10, minCount: Long = 5,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val bySource = toks.groupBy("source", "token")
+      .agg(count(lit(1)).as("tf_source"))
+    val global = bySource.groupBy("token")
+      .agg(sum(col("tf_source")).as("tf_global"))
+    val scored = bySource.join(global, "token")
+      .filter(col("tf_source") >= minCount)
+      .withColumn("share_micro", expr("tf_source * 1000000 div tf_global"))
+    graft.ops.TopK.perKey(scored, Seq("source"),
+        Seq(("share_micro", true), ("tf_source", true), ("token", false)), k)
+      .select(col("source"), col("token"), col("tf_source"),
+        col("tf_global"), col("share_micro"))
+  }
+
   /** Explainable filtering: [[gopherRules]]' verdict with the FIRST
     * failing rule named per document — the audit log a production
     * curation pipeline keeps so every dropped doc is attributable

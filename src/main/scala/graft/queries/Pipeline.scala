@@ -1380,6 +1380,19 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Per-source distinctive vocabulary ([[TextOps.distinctiveTerms]]):
+    * top-10 tokens per source by share of corpus-wide mass, hapaxes
+    * suppressed — the "what makes this source different" report read
+    * before mixture reweighting, cut by the custom TopKPerKey operator
+    * (t40's plan shape applied to vocabulary). The oracle replays
+    * counts + integer share + the QUALIFY cut under the same total
+    * order.
+    */
+  def t44SourceTerms(spark: SparkSession, dir: String): DataFrame =
+    TextOps.distinctiveTerms(Tables.documents(spark, dir), k = 10, minCount = 5)
+      .orderBy(col("source"), col("share_micro").desc, col("tf_source").desc,
+        col("token"))
+
   /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], true
     * codegen): even-id docs get a REAL decomposed combining sequence
     * appended (`e` + U+0301), which canonical composition must fuse to
@@ -5281,6 +5294,31 @@ object Pipeline {
         |       WHEN stop_hits < 2 THEN 'stopwords'
         |       ELSE 'keep' END AS reason
         |FROM m ORDER BY doc_id""".stripMargin,
+    // counts + integer share + the QUALIFY cut, same total order
+    "t44_source_terms" ->
+      """WITH stoks AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS token
+        |  FROM documents
+        |), stok2 AS (
+        |  SELECT source, token FROM stoks WHERE token <> ''
+        |), bysrc AS (
+        |  SELECT source, token, count(*) AS tf_source FROM stok2 GROUP BY 1, 2
+        |), gtot AS (
+        |  SELECT token, CAST(sum(tf_source) AS BIGINT) AS tf_global
+        |  FROM bysrc GROUP BY 1
+        |), scored AS (
+        |  SELECT b.source, b.token, b.tf_source, g.tf_global,
+        |    (b.tf_source * 1000000) // g.tf_global AS share_micro
+        |  FROM bysrc b JOIN gtot g USING (token)
+        |  WHERE b.tf_source >= 5
+        |)
+        |SELECT source, token, tf_source, tf_global,
+        |  CAST(share_micro AS BIGINT) AS share_micro
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY share_micro DESC, tf_source DESC, token ASC) <= 10
+        |ORDER BY source, share_micro DESC, tf_source DESC, token""".stripMargin,
     // Regenerates the same id-derived URLs, then replays
     // UrlOps.canonicalizeUrl / registrableDomain with the identical
     // RE2 regexes and the same utm_* query-param filter.
@@ -5438,6 +5476,7 @@ object Pipeline {
     "t20_gopher_rules"   -> t20GopherRules _,
     "t42_filter_reasons" -> t42FilterReasons _,
     "t43_curation_funnel" -> t43CurationFunnel _,
+    "t44_source_terms"   -> t44SourceTerms _,
     "t21_url_domains"    -> t21UrlDomains _,
     "t22_bigram_lm"      -> t22BigramLm _,
     "t24_perplexity_buckets" -> t24PerplexityBuckets _,

@@ -90,6 +90,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.view.mapValues(_._1).toMap == g)
   }
 
+  test("distinctiveTerms: hand shares, hapax suppression, TopKPerKey plan (no Window)") {
+    // source A: 'aaa' ×6 exclusive (share 10⁶), 'common' ×5 of 10 global
+    // (share 5·10⁵); 'rare' ×2 is suppressed by minCount=5
+    val docs = Seq(
+      (1L, "A", ("aaa " * 6 + "common " * 5 + "rare rare").trim),
+      (2L, "B", ("bbb " * 7 + "common " * 5).trim))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.distinctiveTerms(docs, k = 10, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("A", "aaa") -> ((6L, 6L, 1000000L)),
+      ("A", "common") -> ((5L, 10L, 500000L)),
+      ("B", "bbb") -> ((7L, 7L, 1000000L)),
+      ("B", "common") -> ((5L, 10L, 500000L))), got)
+    // k cuts per source under the total order, via the custom operator
+    val top1 = TextOps.distinctiveTerms(docs, k = 1, minCount = 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top1 == Map("A" -> "aaa", "B" -> "bbb"), top1)
+    val plan = TextOps.distinctiveTerms(docs, k = 1, minCount = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey") && !plan.contains("Window"),
+      s"expected the custom operator, not window machinery:\n$plan")
+  }
+
   test("domainMixture: largest-remainder quotas, caps, determinism") {
     import graft.ops.Sampling
     // domains a(w=3, 5 docs), b(w=1, 5 docs), c(w=1, 2 docs); total 7
