@@ -684,6 +684,30 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** RFM profile per user — recency (hours since the user's last event,
+    * measured against the corpus-wide max so the answer is
+    * reproducible), frequency (event count), monetary (decimal-exact
+    * value sum): the classic behavioral-segmentation triple, all from
+    * ONE map-side-combined aggregation plus a broadcast single-row
+    * cross join for the global clock. Recency in integer hours off the
+    * epoch-nanos timeline (the e-family ts convention), money through
+    * DECIMAL — every column hash-gates.
+    */
+  def e13Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("_lt"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("monetary"))
+    val clock = ev.agg(max(col("ts")).as("_mx"))
+    perUser.crossJoin(broadcast(clock))
+      .select(col("user_id"),
+        expr("(_mx - _lt) div 3600000000000").as("recency_hours"),
+        col("frequency"), col("monetary"))
+      .orderBy(col("user_id"))
+  }
+
   /** Pre-join skew report ([[graft.ops.Skew.joinSkewReport]]) on the
     * sessionization self-join every e-family query implies: per
     * user_id, both sides' event counts, the exact inner-join output
@@ -3657,6 +3681,17 @@ object Pipeline {
     "d38_dup_profile" -> dupProfileOracle,
     "t43_curation_funnel" -> curationFunnelOracle,
     "e12_join_skew" -> joinSkewOracle,
+    // one grouped agg + the global clock; integer hours, DECIMAL money
+    "e13_rfm" ->
+      """WITH m AS (SELECT max(epoch_ns(ts)) AS mx FROM events),
+        |u AS (
+        |  SELECT user_id, max(epoch_ns(ts)) AS lt, count(*) AS frequency,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT user_id, (m.mx - u.lt) // 3600000000000 AS recency_hours,
+        |  frequency, monetary
+        |FROM u, m ORDER BY user_id""".stripMargin,
     "m06_image_dhash" ->
       s"""WITH $dhashCtes
          |SELECT media_id, dhash FROM dh ORDER BY media_id""".stripMargin,
@@ -5506,6 +5541,7 @@ object Pipeline {
     "g07_communities_weighted" -> g07CommunitiesWeighted _,
     "d38_dup_profile"    -> d38DupProfile _,
     "e12_join_skew"      -> e12JoinSkew _,
+    "e13_rfm"            -> e13Rfm _,
     "d13_containment"    -> d13Containment _,
     "e06_interval_join"  -> e06IntervalJoin _,
     "d14_drop_contained" -> d14DropContained _,
