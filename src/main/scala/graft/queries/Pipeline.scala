@@ -644,7 +644,7 @@ object Pipeline {
     */
   def d38DupProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val labels = Dedup.clusters(jaccardPairGraph(spark, dir))
+    val labels = clusterLabels(spark, dir)
     val hist = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("k"))
       .groupBy(col("k").as("cluster_size"))
@@ -1388,7 +1388,7 @@ object Pipeline {
     val exact = docs.select(col("doc_id"), col("text"))
       .join(keeper, Seq("text"))
       .select(col("doc_id"), (col("doc_id") === col("_keeper")).cast("long").as("e_keep"))
-    val labels = Dedup.clusters(jaccardPairGraph(spark, dir))
+    val labels = clusterLabels(spark, dir)
     val near = docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1771,6 +1771,29 @@ object Pipeline {
       p
     })
     Dedup.readPairGraph(spark, path)
+  }
+
+  /** The clustering of the persisted pair graph as a per-process
+    * artifact — the pair-graph pattern one level up: the labeling is
+    * computed ONCE per corpus snapshot (it is exactly what
+    * [[Dedup.updateClusters]] maintains incrementally at ingest time)
+    * and every downstream REPORT reads it instead of re-propagating
+    * components per registration. d11 keeps its from-scratch
+    * registration so the propagation op itself stays measured, and
+    * d19/d20 keep clustering inside their compositions (the gated
+    * policies); pure consumers (d38, t43) read this.
+    */
+  private val clusterLabelsDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val path = clusterLabelsDir.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_cluster_labels")
+        .toFile.getAbsolutePath + "/labels"
+      Dedup.clusters(jaccardPairGraph(spark, dir))
+        .select(col("id"), col("cluster_id"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
   }
 
   /** The persisted d13 containment pair graph (n=3, t ≥ 0.6). Built
