@@ -1418,6 +1418,34 @@ object Similarity {
     * quantization step per dim ([[sqDecode]]; bound pinned in
     * ExtSpec).
     */
+  /** Element-wise mean pooling — per group, the centroid of its
+    * vectors in exact integer micros: the building block every
+    * embedding reducer uses (chunk→document pooling, cluster
+    * centroids, class prototypes), exposed and gated in its own right.
+    * Components go through the s07 `floor(x·10⁶)` micro convention;
+    * the mean is the FLOOR mean, computed as
+    * `(Σxi + n·F) div n − F` with a large positive offset F so the
+    * dividend is always positive — Spark's `div` truncates toward zero
+    * while SQL `//` floors, and they only agree on non-negative
+    * operands (components are signed, so the naive `Σxi div n` would
+    * hash-split the engines on any negative-sum dimension).
+    *
+    * Plan: one posexplode + one map-side-combined (group, pos)
+    * aggregation — dim·|groups| rows out, no join, nothing
+    * corpus-sized on the driver.
+    */
+  def meanPool(vectors: DataFrame, groupCol: org.apache.spark.sql.Column,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(groupCol.as("group_id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .select(col("group_id"), col("pos").cast("long").as("pos"),
+        floor(col("x") * 1e6).cast("long").as("xi"))
+      .groupBy("group_id", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"))
+      .select(col("group_id"), col("pos"), col("n"),
+        expr("(sx + n * 1000000000) div n - 1000000000").as("centroid_micro"))
+
   def sqEncode(vectors: DataFrame, stats: Option[DataFrame] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val st = stats.getOrElse(sqStats(vectors, idCol, vecCol))

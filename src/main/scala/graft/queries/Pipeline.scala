@@ -743,6 +743,31 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Element-wise mean pooling ([[Similarity.meanPool]]): groups of
+    * five consecutive vec_ids pool to their centroid in exact integer
+    * micros — the chunk→document/centroid building block gated in its
+    * own right (s05/s14/s19 use it inside training; this pins the
+    * arithmetic itself, including the floor-mean offset trick that
+    * keeps signed sums engine-identical). One posexplode + one
+    * map-side-combined aggregation, dim·|groups| rows out.
+    */
+  def s20MeanPool(spark: SparkSession, dir: String): DataFrame =
+    Similarity.meanPool(Tables.embeddings(spark, dir), expr("vec_id div 5"))
+      .orderBy(col("group_id"), col("pos"))
+
+  /** Pair-similarity histogram off the persisted pair graph: pairs per
+    * 0.05-wide Jaccard bucket (integer micros div 50000 — the rounded-6
+    * similarity makes the bucket exact) — the threshold-tuning report:
+    * where the mass sits decides whether minJaccard moves, read at
+    * artifact cost.
+    */
+  def d39PairHistogram(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairGraph(spark, dir)
+      .select(expr("CAST(round(jaccard * 1000000) AS BIGINT) div 50000").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+
   /** Scalar int8 quantization ([[Similarity.sqEncode]]): per-dim
     * min/max in exact integer micro-units, linear map to 0..255 —
     * integers end to end, so corpus stats AND codes sit under the
@@ -3964,6 +3989,27 @@ object Pipeline {
          |ORDER BY doc_id""".stripMargin,
     // Replays sqStats + sqEncode: integer micro-unit min/max per dim,
     // positive-long linear map — DuckDB // == Spark div throughout.
+    // floor micros + offset floor-mean, replayed per (group, dim)
+    "s20_mean_pool" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), x AS (
+        |  SELECT vec_id // 5 AS group_id, p.p - 1 AS pos,
+        |    CAST(floor(e[p.p] * 1000000) AS BIGINT) AS xi
+        |  FROM v, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS p) p
+        |), g AS (
+        |  SELECT group_id, pos, count(*) AS n, CAST(sum(xi) AS BIGINT) AS sx
+        |  FROM x GROUP BY 1, 2
+        |)
+        |SELECT group_id, pos, n,
+        |  (sx + n * 1000000000) // n - 1000000000 AS centroid_micro
+        |FROM g ORDER BY group_id, pos""".stripMargin,
+    // bucket = exact integer micros div 50000 off the shared pair CTEs
+    "d39_pair_histogram" ->
+      s"""WITH $ngramJaccardCtes
+         |SELECT CAST(round(jaccard * 1000000) AS BIGINT) // 50000 AS bucket,
+         |  count(*) AS n_pairs
+         |FROM jpairs GROUP BY 1 ORDER BY bucket""".stripMargin,
     "s07_sq_codes" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
@@ -5563,6 +5609,8 @@ object Pipeline {
     "g06_pagerank_seeded" -> g06PagerankSeeded _,
     "g07_communities_weighted" -> g07CommunitiesWeighted _,
     "d38_dup_profile"    -> d38DupProfile _,
+    "d39_pair_histogram" -> d39PairHistogram _,
+    "s20_mean_pool"      -> s20MeanPool _,
     "e12_join_skew"      -> e12JoinSkew _,
     "e13_rfm"            -> e13Rfm _,
     "d13_containment"    -> d13Containment _,

@@ -693,6 +693,28 @@ class ExtSpec extends AnyFunSuite {
     assert(naive.nonEmpty, "fixture produced no containment pairs — assertion vacuous")
   }
 
+  test("meanPool: hand centroid with a negative-sum dim is the FLOOR mean; singleton group == own micros") {
+    import spark.implicits._
+    // group 0: (1.0,-0.5),(0.0,-0.5),(0.5,0.2) → pos0 mean 5·10⁵;
+    // pos1 sum −8·10⁵ over 3 → FLOOR −266667, where truncating div
+    // would give −266666 (the offset trick's whole point)
+    val vecs = Seq(
+      (0L, Array(1.0f, -0.5f)), (1L, Array(0.0f, -0.5f)),
+      (2L, Array(0.5f, 0.2f)), (10L, Array(-0.3f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.meanPool(vecs, expr("vec_id div 5"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got((0L, 0L)) == ((3L, 500000L)), got)
+    assert(got((0L, 1L)) == ((3L, -266667L)),
+      s"negative-sum dim must floor, not truncate: ${got((0L, 1L))}")
+    // singleton group: centroid == the vector's own floor micros
+    // (float widening is part of the contract: -0.3f ≈ -0.3000000119
+    // floors to -300001, 0.7f ≈ 0.6999999881 floors to 699999)
+    assert(got((2L, 0L)) == ((1L, math.floor(-0.3f.toDouble * 1e6).toLong)) &&
+      got((2L, 1L)) == ((1L, math.floor(0.7f.toDouble * 1e6).toLong)), got)
+  }
+
   test("sq: int8 codes in range; midpoint reconstruction within one quantization step") {
     val stats = Similarity.sqStats(emb).cache()
     val codes = Similarity.sqEncode(emb, Some(stats))
