@@ -150,6 +150,35 @@ class GraphSpec extends AnyFunSuite {
     assert(we == ue, s"equal-weight degenerate mismatch: $we vs $ue")
   }
 
+  test("labelPropagation refines connected components on seeded random graphs") {
+    // labels travel only along edges, so two nodes sharing a community
+    // MUST share a component — for any graph, any iteration count.
+    // Three seeded Erdős–Rényi-ish instances (different densities)
+    // check the invariant beyond the hand cases.
+    for ((seed, pmod) <- Seq((1L, 12), (2L, 25), (3L, 7))) {
+      val n = 30L
+      val nodes = (1L to n).toDF("id")
+      val und = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        // deterministic pseudo-random edge: hash of (seed, a, b)
+        if ((a * 2654435761L + b * 40503L + seed * 9973L) % pmod) == 0
+      } yield (a, b)).toDF("src", "dst")
+      val edges = und.union(und.select(col("dst"), col("src")))
+      for (iters <- Seq(1, 3)) {
+        val comm = Graph.labelPropagation(nodes, edges, iters = iters)
+        val cc = graft.ext.Dedup.clusters(
+          und.select(col("src").as("id_a"), col("dst").as("id_b")))
+        val joined = comm.join(cc, Seq("id"), "left")
+          .select(col("community"),
+            coalesce(col("cluster_id"), col("id")).as("comp"))
+        val maxCompsPerCommunity = joined.groupBy("community")
+          .agg(countDistinct("comp").as("k")).agg(max("k")).head().getLong(0)
+        assert(maxCompsPerCommunity <= 1L,
+          s"seed=$seed iters=$iters: a community spans components")
+      }
+    }
+  }
+
   test("commonNeighbors: hand graphs — path, square, K3 micros") {
     // path 1—2—3: only (1,3) share a neighbor; deg 1 each → jacc 10⁶
     val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
