@@ -100,6 +100,36 @@ object Bench {
       }
       timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
     }
+    // ---- tail stabilization (r12 verdict task 4): a query whose
+    // pass-to-pass spread exceeds half its median gets extra measured
+    // passes — median-of-3 is noise for the expensive tail (t24/d11/d13
+    // showed 2.5–6× spread in r12), and a stabilized median is what
+    // lets PERF_DELTA.md tell a real regression from interference.
+    val extraPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "4").toInt
+    def spreadRatio(ts: Vector[Double]): Double = {
+      val med = median(ts)
+      if (ts.isEmpty || med <= 0) 0.0 else (ts.max - ts.min) / med
+    }
+    val stabilized =
+      if (extraPasses <= 0 || probesOnly) Seq.empty[String]
+      else {
+        val noisy = names.filter { case (name, _) =>
+          !failedSet(name) && spreadRatio(timings(name)) > 0.5
+        }
+        if (noisy.nonEmpty) System.err.println(
+          s"[bench] stabilizing ${noisy.size} noisy queries (+$extraPasses " +
+            s"passes): ${noisy.map(_._1).mkString(",")}")
+        for (_ <- 1 to extraPasses; (name, fn) <- noisy) {
+          val t0 = System.nanoTime()
+          try { runToNoop(fn(spark, sfDir)) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failedSet += name
+          }
+          timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
+        }
+        noisy.map(_._1)
+      }
     val results = names.map { case (name, _) =>
       (name, median(timings(name)), timings(name).min, timings(name).max)
     }
@@ -146,7 +176,8 @@ object Bench {
     // must never clobber the committed full-suite artifact
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (probesOnly) "bench_probes.json" else "bench_out.json")
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"scale_probe":$probeJson,"pair_probe":$pairJson,"hll_profile_max_err":$hllErr%.4f,"sf":"$sfDir"}"""
+    val stabJson = stabilized.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"stabilized":$stabJson,"failed":$failed,"scale_probe":$probeJson,"pair_probe":$pairJson,"hll_profile_max_err":$hllErr%.4f,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"failed":$failed,"sf":"$sfDir","full_artifact":"$outPath"}""")
@@ -167,6 +198,15 @@ object Bench {
     import graft.ext.{Dedup, Similarity, TextOps}
     def docsAt(n: Int) = scaledBy(Tables.documents(spark, sfDir), "doc_id", n)
     def embAt(n: Int) = scaledBy(Tables.embeddings(spark, sfDir), "vec_id", n)
+    // zipfian fact + non-broadcastable dim for the salted_join arms:
+    // event_id parity survives scaledBy's even 1e9 offsets, so user 0
+    // stays the hot key in every copy (count n·|events|/2)
+    def skewedFact(n: Int) = scaledBy(Tables.events(spark, sfDir), "event_id", n)
+      .withColumn("user_id",
+        when(col("event_id") % 2 === 0, lit(0L)).otherwise(col("user_id")))
+    val userPadDim = Tables.events(spark, sfDir).select(col("user_id")).distinct()
+      .withColumn("pad", lpad(lit("x"), 8192, "x")).persist()
+    userPadDim.count()
     // fixed probe/eval sets: only copy-0 ids pass these filters
     def queries(n: Int) = embAt(n).filter(col("vec_id") < 20)
     def evalDocs(n: Int) = docsAt(n)
@@ -459,6 +499,26 @@ object Bench {
         scaledBy(Tables.events(spark, sfDir), "event_id", n),
         scaledBy(Tables.events(spark, sfDir), "event_id", n),
         "user_id", targetRowsPerTask = 1000L, topN = 10)),
+      // the advisor CLOSING its own loop (r12 verdict task 6): a
+      // zipfian fact (half of all events collapse onto one hot user)
+      // joins a dim too wide to broadcast (8 KB pad per user → ~12 MB,
+      // above the 10 MB AQE threshold, so the join genuinely shuffles).
+      // `plain` funnels the hot key's n/2 rows into ONE task;
+      // `adaptive` spends the advisor's two count-aggs, then spreads
+      // exactly the advised keys over their recommended salt_buckets.
+      // The gated claim: adaptive per_row_ratio ≤ plain at ×k.
+      "salted_join_plain" -> (n => skewedFact(n)
+        .join(userPadDim, Seq("user_id"))
+        .groupBy().agg(count(lit(1)).as("n"),
+          sum(length(col("pad"))).as("pad_bytes"))),
+      "salted_join_adaptive" -> (n => {
+        val f = skewedFact(n)
+        val rep = graft.ops.Skew.joinSkewReport(f, userPadDim, "user_id",
+          targetRowsPerTask = 5000L, topN = 10)
+        graft.ops.Skew.adaptiveSaltedJoin(f, userPadDim, "user_id", rep)
+          .groupBy().agg(count(lit(1)).as("n"),
+            sum(length(col("pad"))).as("pad_bytes"))
+      }),
     )
     val out = probeRows(probes, k)
     chunkBatch.unpersist(blocking = false)
@@ -469,6 +529,7 @@ object Bench {
     lshIdx.values.foreach(_.unpersist(blocking = false))
     lexArmFixed.unpersist(blocking = false)
     dirtyParts.unpersist(blocking = false)
+    userPadDim.unpersist(blocking = false)
     out
   }
 

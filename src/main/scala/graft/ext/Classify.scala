@@ -46,6 +46,7 @@ object Classify {
     */
   def textFeatures(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    val esc = textCol.replace("`", "``")
     val t = trim(col(textCol))
     val toks = split(t, "[ \\t\\n\\f\\r]+")
     docs.select(col(idCol).as("doc_id"),
@@ -53,7 +54,11 @@ object Classify {
       length(col(textCol)).cast("long").as("_chars"),
       when(length(t) === 0, 0L)
         .otherwise(size(array_distinct(toks)).cast("long")).as("f3"),
-      expr(s"CAST((length($textCol) - length(regexp_replace($textCol, 'the', ''))) div 3 AS BIGINT)")
+      // Column-function spelling except the integral `div` (no Column
+      // API for it) — the interpolated identifier is backtick-quoted so
+      // a column name with spaces/dots/metacharacters parses (r12
+      // ADVICE; the backtick itself is escaped by doubling).
+      expr(s"CAST((length(`$esc`) - length(regexp_replace(`$esc`, 'the', ''))) div 3 AS BIGINT)")
         .as("f4"))
       .select(col("doc_id"), lit(1L).as("f0"), col("f1"),
         expr("CAST(_chars div greatest(f1, 1) AS BIGINT)").as("f2"),

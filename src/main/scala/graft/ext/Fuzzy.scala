@@ -45,12 +45,18 @@ object Fuzzy {
     */
   private[ext] def qgramRows(df: DataFrame, q: Int, strCol: String,
       idCol: String): DataFrame = {
+    val esc = strCol.replace("`", "``")
     val withLen = df.select(col(idCol), col(strCol),
       length(col(strCol)).as("_len"))
+    // strings shorter than q yield NO gram rows: sequence(1, 0) would
+    // descend to [1, 0] and emit two bogus grams per short string,
+    // polluting the persisted df/prefix index artifacts (r12 ADVICE).
     withLen
       .select(col(idCol), col(strCol), col("_len"),
-        explode(expr(s"transform(sequence(1, greatest(_len - ${q - 1}, 0)), " +
-          s"p -> substring($strCol, p, $q))")).as("gram"))
+        explode(expr(s"CASE WHEN _len >= $q THEN " +
+          s"transform(sequence(1, _len - ${q - 1}), " +
+          s"p -> substring(`$esc`, p, $q)) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("gram"))
       .withColumn("occ", row_number().over(
         Window.partitionBy(col(idCol), col("gram")).orderBy(col("gram"))))
   }

@@ -371,16 +371,21 @@ object Approx {
   /** Bucket index of `c` over `buckets` equi-width bins covering
     * [lo, hi): below-range clamps to bin 0, at-or-above-range to the
     * last bin, in-range is `(x − lo)·buckets div (hi − lo)` — for the
-    * non-negative in-range numerator, `floor` of the decimal division
-    * IS integral `div`, which DuckDB replays as `//`. DECIMAL(38,0)
-    * for the multiply so a wide domain can't overflow a LONG.
+    * non-negative in-range numerator the division MUST be Spark's
+    * integral `div` (DuckDB's `//`): decimal `/` rounds HALF_UP at
+    * result scale 6, so for wide domains (hi−lo ≳ 2e6) a value just
+    * below a bin edge would round UP one bin, and near `hi` could even
+    * yield `buckets` — outside the clamp contract (the r12 ADVICE
+    * finding). DECIMAL(38,0) for the multiply so a wide domain can't
+    * overflow a LONG.
     */
   private def histBucket(c: Column, lo: Long, hi: Long, buckets: Int): Column = {
     val x = c.cast("long")
     when(x < lo, lit(0))
       .when(x >= hi, lit(buckets - 1))
-      .otherwise(floor((x - lit(lo)).cast("decimal(38,0)") * lit(buckets)
-        / lit(hi - lo)).cast("int"))
+      .otherwise(call_function("div",
+        (x - lit(lo)).cast("decimal(38,0)") * lit(buckets),
+        lit(hi - lo)).cast("int"))
   }
 
   /** Equi-width histogram sketch (`buckets` counters over [lo, hi),

@@ -285,6 +285,61 @@ object Graph {
     l.select(col("id"), col("label").as("community"))
   }
 
+  /** [[labelPropagation]] / [[labelPropagationWeighted]] with
+    * CONVERGENCE DETECTION: the same deterministic vote rule (majority,
+    * ties to the smallest label, `sum(w)` votes when `weightCol` is
+    * set), but rounds stop as soon as NO label changed — capped at
+    * `maxIters`. Returns (labels, roundsRun): roundsRun < maxIters
+    * means round roundsRun was a no-op (the stable point), so the
+    * result equals the fixed-iter operator at EVERY iters >= roundsRun
+    * — the pinned iteration count the fixed-round spelling can't give
+    * you. roundsRun == maxIters means the cap fired first: either a
+    * genuinely deep component (raise the cap) or a synchronous-LPA
+    * oscillation (bipartite structures 2-cycle forever under any
+    * synchronous rule — add self-loop edges to give every node an
+    * inertia vote, which makes tie-breaking monotone toward the
+    * component minimum and guarantees convergence in diameter rounds).
+    *
+    * Why it exists (r12 verdict task 7): a fixed iters=3 on a 100 TB
+    * pair graph with one long path component silently under-propagates
+    * — labels stop 3 hops out and the community split looks plausible.
+    * Detection costs one node-sized anti-join per round against the
+    * previous (localCheckpointed) labels — noise next to the round's
+    * own edge join, and it BOUNDS total rounds by the actual label
+    * diameter instead of a guess.
+    */
+  def labelPropagationConverged(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 32, weightCol: Option[String] = None,
+      materialize: Boolean = true): (DataFrame, Int) = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val e0 = weightCol match {
+      case Some(w) => edges.select(col("src"), col("dst"), col(w).as("_w"))
+      case None    => edges.select(col("src"), col("dst"), lit(1L).as("_w"))
+    }
+    val e = if (materialize) e0.localCheckpoint() else e0
+    var l = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var rounds = 0
+    var stable = false
+    while (rounds < maxIters && !stable) {
+      val votes = e.join(l.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(sum(col("_w")).as("c"))
+      val pick = votes
+        .groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("id"), col("m.label").as("picked"))
+      val next = l.join(pick, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("picked"), col("label")).as("label"),
+          col("label").as("_prev"))
+        .localCheckpoint()
+      rounds += 1
+      stable = next.filter(col("label") =!= col("_prev")).isEmpty
+      l = next.select(col("id"), col("label"))
+    }
+    (l.select(col("id"), col("label").as("community")), rounds)
+  }
+
   /** Link-prediction scores over an UNDIRECTED simple graph: for every
     * unordered node pair sharing at least one neighbor (the 2-hop
     * candidate set — never all-pairs), the common-neighbor count plus

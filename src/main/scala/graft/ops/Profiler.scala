@@ -47,14 +47,66 @@ object Profiler {
   def profileApprox(df: DataFrame, rsd: Double = 0.01): DataFrame =
     profileWith(df, c => approx_count_distinct(c, rsd))
 
+  /** Cross-engine-stable string form of a value (see the object
+    * scaladoc); also the hash INPUT for [[profileKmv]], where DuckDB
+    * must md5 the identical bytes.
+    */
+  private def ser(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType => c.cast(DecimalType(18, 2)).cast("string")
+    case TimestampType | TimestampNTZType | DateType =>
+      date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _ => c.cast("string")
+  }
+
+  /** [[profile]] with KMV distinct ESTIMATES (the k smallest 60-bit
+    * md5 hashes of the serialized value — [[Approx.kmvSketch]]) in
+    * place of the exact counts: the ORACLE-GATED approx twin. Unlike
+    * [[profileApprox]]'s HLL++ (engine-internal registers — only
+    * error-bandable), every estimate here is a pure integer function
+    * of the input that DuckDB replays hash-exactly (the d26 KMV
+    * convention), so the approx path itself sits under the driver's
+    * rows+schema+hash gate.
+    *
+    * The 100 TB shape: one plain-agg scan for rows/nulls/min/max (no
+    * Expand), plus per column a COLUMN-PRUNED scan → distinct of the
+    * 8-byte hash (map-side partial) → TakeOrdered(k) per-partition
+    * heaps. N single-column scans of a columnar format read ~the same
+    * bytes as the exact plan's one all-column scan, and nothing
+    * shuffles more than k·partitions hash rows. Estimates are distinct
+    * counts of the SERIALIZED form — injective on real data (doubles
+    * are money-2dp, timestamps second-grain) and identical cross-engine.
+    */
+  def profileKmv(df: DataFrame, k: Int = 1024): DataFrame = {
+    val cols = df.schema.fields.toSeq
+    val aggs = cols.flatMap { f =>
+      Seq(
+        count(col(f.name)).as(s"nn_${f.name}"),
+        ser(min(col(f.name)), f.dataType).as(s"mn_${f.name}"),
+        ser(max(col(f.name)), f.dataType).as(s"mx_${f.name}"))
+    }
+    val wide = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val entries = cols.map { f =>
+      struct(
+        lit(f.name).as("column"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"nn_${f.name}")).as("n_nulls"),
+        col(s"mn_${f.name}").as("min_val"),
+        col(s"mx_${f.name}").as("max_val"))
+    }
+    val base = wide.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+    val ests = cols.map { f =>
+      Approx.kmvDistinct(
+          Approx.kmvSketch(df.filter(col(f.name).isNotNull),
+            ser(col(f.name), f.dataType), k), k)
+        .select(lit(f.name).as("column"), col("distinct_est").as("n_distinct"))
+    }.reduce(_ unionByName _)
+    base.join(ests, Seq("column"))
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
   private def profileWith(df: DataFrame,
       distinctAgg: Column => Column): DataFrame = {
-    def ser(c: Column, dt: DataType): Column = dt match {
-      case DoubleType | FloatType => c.cast(DecimalType(18, 2)).cast("string")
-      case TimestampType | TimestampNTZType | DateType =>
-        date_format(c, "yyyy-MM-dd HH:mm:ss")
-      case _ => c.cast("string")
-    }
     val cols = df.schema.fields.toSeq
     val aggs = cols.flatMap { f =>
       Seq(

@@ -2021,10 +2021,13 @@ object Pipeline {
     * the oracle is t16's UNCHANGED from-scratch SQL, so the hash gate
     * pins `serve(index) == from-scratch` — every posting, df, and the
     * integer BM25 arithmetic survive the round trip through the
-    * artifact. Deterministic tmp target, overwritten per run.
+    * artifact. Per-process temp target (the fuzzyPairSet pattern) so
+    * two concurrent runs on one host can't race each other's
+    * write+swap against reads (r12 ADVICE).
     */
   def t36Bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_t36_text_index"
+    val path = java.nio.file.Files.createTempDirectory("graft_t36_text_index")
+      .toString
     TextOps.writeTextIndex(Tables.documents(spark, dir), path)
     TextOps.bm25ServeIndexed(spark, path,
       Seq("dup", "spark", "vector", "merge"), k = 20)
@@ -2312,7 +2315,9 @@ object Pipeline {
     */
   def d35ChunkProvenance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_d35_chunk_index"
+    // per-process temp dir — see t36Bm25Indexed (r12 ADVICE race fix)
+    val path = java.nio.file.Files.createTempDirectory("graft_d35_chunk_index")
+      .toString
     graft.ext.Dedup.writeChunkIndex(docs, path, maskBits = 6)
     val batch = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -28,6 +28,36 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
+  // ── Money in the exact decimal domain (the r12 q49 rounding-tie fix) ──
+  // Every testdata money double round-trips DECIMAL(18,2) exactly
+  // (verified for l_extendedprice / l_discount / l_tax / l_quantity /
+  // o_totalprice / c_acctbal / p_retailprice / events.value), so casting
+  // a RAW COLUMN to decimal is tie-free on both engines. What is NOT
+  // tie-free is casting a double PRODUCT: Spark rounds the shortest
+  // decimal string of the double (HALF_UP) while DuckDB rounds the
+  // binary value, and products can land on a .00005 scale-4 boundary —
+  // that divergence was the q49 hash red. The convention below multiplies
+  // IN the decimal domain instead: factors cast first (tie-free),
+  // products exact (scale 4 for two factors, 6 for three), sums exact.
+  // The only rounding left is one HALF_UP rescale per GROUP for scale-6
+  // sums — Spark's decimal cast and DuckDB's round(x, 4) are both
+  // half-away-from-zero on the same exact decimal, so they agree — and
+  // the final decimal→double casts stay below 2^53 unscaled, where both
+  // engines produce the identical correctly-rounded double.
+  private val Money = DecimalType(18, 2)
+  private val Pct = DecimalType(4, 2)
+  private def asMoney(c: Column): Column = c.cast(Money)
+  /** 1 − pct and 1 + pct as exact DECIMAL(5,2). */
+  private def oneMinusPct(c: Column): Column = lit(1).cast(Pct) - c.cast(Pct)
+  private def onePlusPct(c: Column): Column = lit(1).cast(Pct) + c.cast(Pct)
+  /** l_extendedprice · (1 − l_discount) — DECIMAL(24,4), exact per row. */
+  private def discPrice: Column =
+    asMoney(col("l_extendedprice")) * oneMinusPct(col("l_discount"))
+  // The oracle SQL twin of discPrice is spelled inline in each oracle:
+  //   CAST(l_extendedprice AS DECIMAL(18,2))
+  //     * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+  // — same exact decimal value on DuckDB.
+
   /** Q1 scan + filter + project; filter and both columns push to parquet. */
   def q01ScanFilter(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -41,8 +71,7 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        sum(discPrice).cast("double").as("revenue"),
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -423,18 +452,20 @@ object Relational {
       .orderBy(col("column"))
   }
 
-  /** Q28a — the 100× twin of q28: [[graft.ops.Profiler.profileApprox]]
-    * (HLL++ distinct counts, one plain-agg scan, NO Expand — the plan
-    * q28's scaladoc points large corpora at). Registered rows-only: the
-    * estimates are deterministic for fixed data+rsd but engine-specific,
-    * so there is no DuckDB hash to match; its ≤ 2 % per-column error is
-    * pinned on the fixture in SkewAndBucketSpec AND re-measured against
-    * the exact profile at the bench SF every bench run
-    * (`hll_profile_max_err` in the artifact), so the scale path stays
-    * continuously gated, not just spec'd once.
+  /** Q28a — the 100× twin of q28: an APPROX profile with NO Expand.
+    * r13: now [[graft.ops.Profiler.profileKmv]] (KMV distinct
+    * estimates over the 60-bit md5 hash — pure integer functions of
+    * the input) instead of HLL++, so the approx path itself is
+    * rows+schema+hash gated against a DuckDB replay (the d26 KMV
+    * convention) — no more rows-only `no_oracle` row in the
+    * correctness artifact. The HLL++ spelling
+    * ([[graft.ops.Profiler.profileApprox]]) stays in the library as
+    * the sketch-size-optimal variant; its ≤ 2 % per-column error is
+    * still pinned in SkewAndBucketSpec and re-measured against the
+    * exact profile every bench run (`hll_profile_max_err`).
     */
   def q28aProfileApprox(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Profiler.profileApprox(Tables.orders(spark, dir))
+    graft.ops.Profiler.profileKmv(Tables.orders(spark, dir))
       .orderBy(col("column"))
 
   /** Q30 — the TPC-H Q3 "shipping priority" shape: three-table
@@ -463,8 +494,7 @@ object Relational {
       .groupBy(col("l_orderkey"),
         datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
           .cast("long").as("o_day"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -669,8 +699,7 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 4))).as("total_rev"))
+      .agg(sum(discPrice).as("total_rev"))
     rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("max_rev"))))
       .filter(col("total_rev") === col("max_rev"))
       .join(broadcast(Tables.supplier(spark, dir)
@@ -737,8 +766,7 @@ object Relational {
         (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 4))).cast("double").as("volume"))
+      .agg(sum(discPrice).cast("double").as("volume"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
@@ -752,8 +780,7 @@ object Relational {
     * ONE aggregation — never two scans of the joined fact.
     */
   def q38MarketShare(spark: SparkSession, dir: String): DataFrame = {
-    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-      .cast(DecimalType(18, 4))
+    val vol = discPrice
     val afrKeys = Tables.nation(spark, dir)
       .join(broadcast(Tables.region(spark, dir)
         .filter(col("r_name") === "AFRICA").select(col("r_regionkey"))),
@@ -778,7 +805,7 @@ object Relational {
       .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(
         sum(when(col("supp_nation") === "NATION_3", vol)
-          .otherwise(lit(0).cast(DecimalType(18, 4))))
+          .otherwise(lit(0).cast(DecimalType(24, 4))))
           .cast("double").as("nation_volume"),
         sum(vol).cast("double").as("total_volume"))
       .orderBy(col("l_year"))
@@ -833,8 +860,7 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .filter(arm("Brand#1", 15, 1, 20) || arm("Brand#2", 25, 10, 30) ||
         arm("Brand#3", 35, 20, 40))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+      .agg(sum(discPrice).cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -896,8 +922,7 @@ object Relational {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
       .orderBy(col("n_name"))
   }
 
@@ -915,9 +940,7 @@ object Relational {
   def q43ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.lineitem(spark, dir)
       .filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 4)).as("vol"))
+      .select(col("l_orderkey"), discPrice.as("vol"))
       .join(Tables.orders(spark, dir)
           .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
@@ -974,8 +997,7 @@ object Relational {
     * promo/total split is a `when` inside ONE aggregation.
     */
   def q45PromoShare(spark: SparkSession, dir: String): DataFrame = {
-    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-      .cast(DecimalType(18, 4))
+    val vol = discPrice
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
@@ -985,7 +1007,7 @@ object Relational {
       .groupBy(month(col("l_shipdate")).cast("long").as("l_month"))
       .agg(
         sum(when(col("p_type") === "PROMO", vol)
-          .otherwise(lit(0).cast(DecimalType(18, 4))))
+          .otherwise(lit(0).cast(DecimalType(24, 4))))
           .cast("double").as("promo_revenue"),
         sum(vol).cast("double").as("total_revenue"))
       .orderBy(col("l_month"))
@@ -1002,10 +1024,11 @@ object Relational {
     * once and never shuffles before the final nation×year aggregate.
     */
   def q46ProductProfit(spark: SparkSession, dir: String): DataFrame = {
-    val profit = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-      .cast(DecimalType(18, 4)) -
-      (col("p_retailprice") * lit(0.5) * col("l_quantity"))
-        .cast(DecimalType(18, 4))
+    // cost = retail(18,2)·0.5(2,1)·qty(6,2) — DECIMAL(28,5), exact;
+    // profit = discPrice(24,4) − cost → scale-5, still exact per row.
+    val profit = discPrice -
+      asMoney(col("p_retailprice")) * lit(BigDecimal("0.5")).cast(DecimalType(2, 1)) *
+        col("l_quantity").cast(DecimalType(6, 2))
     Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)
         .filter(col("p_type") === "ECONOMY")
@@ -1036,8 +1059,8 @@ object Relational {
         col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
         col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
         col("l_quantity") < 24)
-      .agg(sum((col("l_extendedprice") * col("l_discount"))
-        .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+      .agg(sum(asMoney(col("l_extendedprice")) * col("l_discount").cast(Pct))
+        .cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -1080,9 +1103,12 @@ object Relational {
     * averages are each ONE division away from the emitted sums/count —
     * emitted as sums because cross-engine average rounding is the one
     * part of Q1 that does NOT hash-gate (the multiplied-out convention).
-    * Money goes through DECIMAL(18,4) per row before summing (the q02
-    * rule: double-sum association must never reach the gate); the
-    * cutoff predicate is a plain comparison so it pushes to the scan.
+    * Money multiplies IN the decimal domain (see the object-level
+    * convention note): factors are tie-free raw-column casts, products
+    * exact, and the one rounding anywhere is the GROUP-level HALF_UP
+    * rescale of sum_charge from scale 6 to 4 — replayed in DuckDB as
+    * round(sum, 4). The cutoff predicate is a plain comparison so it
+    * pushes to the scan.
     */
   def q49PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -1092,25 +1118,80 @@ object Relational {
         sum(col("l_quantity")).as("sum_qty"),
         sum(col("l_extendedprice").cast(DecimalType(18, 2)))
           .cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-            (lit(1.0) + col("l_tax")))
-          .cast(DecimalType(18, 4))).cast("double").as("sum_charge"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        // three factors → exact DECIMAL(30,6) per row; the ONE rounding
+        // is the group-level HALF_UP rescale to scale 4 (≡ DuckDB
+        // round(sum, 4)), which also keeps the unscaled value < 2^53 so
+        // the decimal→double cast is the same correctly-rounded value on
+        // both engines.
+        sum(discPrice * onePlusPct(col("l_tax")))
+          .cast(DecimalType(38, 4)).cast("double").as("sum_charge"),
         sum(col("l_discount").cast(DecimalType(18, 4)))
           .cast("double").as("sum_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** q28a oracle: DuckDB replay of the KMV profile — per column, the k
+    * smallest 60-bit md5 hashes of the SERIALIZED value (byte-identical
+    * to [[graft.ops.Profiler]]'s ser), estimate (k−1)·2^60 // h_k (the
+    * d26 HUGEINT convention), exact rows/nulls/min/max from the same
+    * q28 w-CTE.
+    */
+  private val q28aOracleSql: String = {
+    val k = 1024
+    val kM1M = ((BigInt(1) << 60) * (k - 1)).toString
+    // (name, hash input, min/max serialization) — ser conventions of q28
+    val cols = Seq(
+      ("o_orderkey", "CAST(o_orderkey AS VARCHAR)",
+        (a: String) => s"CAST($a AS VARCHAR)"),
+      ("o_custkey", "CAST(o_custkey AS VARCHAR)",
+        (a: String) => s"CAST($a AS VARCHAR)"),
+      ("o_orderstatus", "o_orderstatus", (a: String) => a),
+      ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)",
+        (a: String) => s"CAST(CAST($a AS DECIMAL(18,2)) AS VARCHAR)"),
+      ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+        (a: String) => s"strftime($a, '%Y-%m-%d %H:%M:%S')"),
+      ("o_orderpriority", "o_orderpriority", (a: String) => a))
+    val wCols = cols.zipWithIndex.map { case ((n, _, mm), i0) =>
+      val i = i0 + 1
+      s"count($n) AS nn$i, ${mm(s"min($n)")} AS mn$i, ${mm(s"max($n)")} AS mx$i"
+    }.mkString(",\n    ")
+    val kmvCtes = cols.zipWithIndex.map { case ((n, h, _), i0) =>
+      val i = i0 + 1
+      s"""h$i AS (SELECT DISTINCT ('0x' || substr(md5($h), 1, 15))::BIGINT AS h
+         |  FROM orders WHERE $n IS NOT NULL ORDER BY h LIMIT $k),
+         |e$i AS (SELECT CASE WHEN count(*) < $k THEN count(*)
+         |  ELSE (('$kM1M'::HUGEINT // max(h)::HUGEINT))::BIGINT END AS nd FROM h$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val selects = cols.zipWithIndex.map { case ((n, _, _), i0) =>
+      val i = i0 + 1
+      val head = if (i == 1) s"SELECT '$n' AS \"column\", n AS n_rows, n - nn$i AS n_nulls, " +
+        s"(SELECT nd FROM e$i) AS n_distinct, mn$i AS min_val, mx$i AS max_val FROM w"
+      else s"UNION ALL SELECT '$n', n, n - nn$i, (SELECT nd FROM e$i), mn$i, mx$i FROM w"
+      s"  $head"
+    }.mkString("\n")
+    s"""WITH w AS (
+       |  SELECT count(*) AS n,
+       |    $wCols
+       |  FROM orders
+       |),
+       |$kmvCtes
+       |SELECT * FROM (
+       |$selects
+       |) ORDER BY "column"""".stripMargin
+  }
+
   /** Oracle SQL (DuckDB dialect ≡ ANSI) — must alias identically to the above. */
   val oracles: Map[String, String] = Map(
+    "q28a_profile_approx" -> q28aOracleSql,
     // TPC-H Q1 shape; sums in per-row DECIMAL, averages one division away
     "q49_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))), 4) AS DOUBLE) AS sum_charge,
         |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
         |  count(*) AS count_order
         |FROM lineitem
@@ -1150,7 +1231,7 @@ object Relational {
     "q02_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -1366,7 +1447,7 @@ object Relational {
     "q30_shipping_priority" ->
       """SELECT l_orderkey,
         |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_day,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1434,7 +1515,7 @@ object Relational {
     "q35_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total_rev
+        |    sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))) AS total_rev
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |    AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -1467,7 +1548,7 @@ object Relational {
         |FROM (
         |  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
         |    ns.n_name AS supp_nation,
-        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS vol
+        |    (CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS vol
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
@@ -1495,7 +1576,7 @@ object Relational {
     // TPC-H Q19 shape; the OR of three mixed conjunctions in one WHERE
     "q40_disjunctive_revenue" ->
       """SELECT
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -1507,7 +1588,7 @@ object Relational {
         |FROM (
         |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
         |    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS vol
+        |    (CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS vol
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN supplier ON l_suppkey = s_suppkey
@@ -1530,7 +1611,7 @@ object Relational {
     // TPC-H Q5 shape; same-nation customer/supplier constraint
     "q42_local_supplier_volume" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -1544,7 +1625,7 @@ object Relational {
     "q43_returned_items" ->
       """SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue, n_name
         |FROM (SELECT o_custkey,
-        |        sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev
+        |        sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))) AS rev
         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |      WHERE l_returnflag = 'R'
         |        AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
@@ -1565,17 +1646,17 @@ object Relational {
     "q45_promo_share" ->
       """SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS l_month,
         |  CAST(sum(CASE WHEN p_type = 'PROMO'
-        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |    THEN (CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
         |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS total_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // TPC-H Q9 shape; per-row DECIMAL casts BEFORE the subtraction
     "q46_product_profit" ->
       """SELECT n_name, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
-        |         - CAST(p_retailprice * 0.5 * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |  CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |         - (CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(2,1)) * CAST(l_quantity AS DECIMAL(6,2)))) AS DOUBLE) AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -1585,7 +1666,7 @@ object Relational {
     // TPC-H Q6 shape; pure scan-predicate aggregate, no join
     "q47_simple_revenue" ->
       """SELECT
-        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'

@@ -400,12 +400,32 @@ class PlanSpec extends AnyFunSuite {
       s"multi count-distinct should plan as one Expand:\n$plan")
   }
 
-  test("q28a: HLL profile is one plain-agg scan — NO Expand (the q28 scale twin's whole point)") {
+  test("q28a: KMV profile — NO Expand; one all-column scan + per-column PRUNED scans + TakeOrdered heaps") {
+    // r13: q28a is the KMV profile (oracle-gated). Its scale contract:
+    // the q28 Expand (rows × N+1) is gone; instead ONE plain-agg scan
+    // feeds rows/nulls/min/max and each column's distinct estimate is
+    // its own COLUMN-PRUNED scan → distinct-of-hash → TakeOrdered(k)
+    // per-partition heaps — on a columnar store the N single-column
+    // scans read ~the bytes of q28's one wide scan, without the Expand.
     val plan = planOf("q28a_profile_approx")
-    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
-    assert(scans == 1, s"approx profile must read the table once, got $scans:\n$plan")
     assert(!plan.contains("Expand"),
-      s"HLL profile must not multiply the scan through an Expand:\n$plan")
+      s"KMV profile must not multiply the scan through an Expand:\n$plan")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    val nCols = 6 // orders columns; the require() in q28 guards drift
+    assert(scans == nCols + 1,
+      s"expected 1 stats scan + $nCols pruned KMV scans, got $scans:\n$plan")
+    // every KMV scan is pruned to ONE column
+    // schemas can be TRUNCATED by the plan printer (no closing '>'),
+    // so stop the capture at end-of-line, not at '>'
+    val readSchemas = "ReadSchema: struct<([^>\n]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val pruned = readSchemas.count(s => !s.contains(","))
+    assert(pruned >= nCols,
+      s"KMV scans must each read exactly one column, schemas: $readSchemas")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-min must be TakeOrdered per-partition heaps, not a global sort:\n$plan")
+    assert(!plan.contains("Sort ") || plan.contains("TakeOrderedAndProject"),
+      s"no global sort in the sketch path:\n$plan")
   }
 
   test("s14: cluster mixture — codegen assignment (no join to a codebook), quota join broadcasts") {

@@ -92,6 +92,35 @@ class RelationalSpec extends AnyFunSuite {
     ), s"got $got")
   }
 
+  test("q49 money rounding-tie: decimal-domain charge rounds the exact tie UP on both engines") {
+    // The r12 q49 red: ext=1.15, disc=0.05, tax=0.02 has EXACT charge
+    // 1.15·0.95·1.02 = 1.114350 — a genuine .00005 scale-4 tie. The
+    // decimal-domain convention rounds the exact value HALF_UP → 1.1144,
+    // and DuckDB's round(sum, 4) replays the same (pinned by the literal
+    // below). The old double-product→DECIMAL(18,4) spelling FAILS this
+    // spec: the double is 1.1143499999999997, whose shortest-string
+    // HALF_UP is 1.1143.
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("q49tie").toString
+    Seq((1L, 1L, 1L, 1, 1.0, 1.15, 0.05, 0.02, "N", "O",
+        Timestamp.valueOf("1997-01-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val row = queries.Relational.q49PricingSummary(spark, dir).collect()
+    assert(row.length == 1)
+    val r = row.head
+    // DuckDB-replayed literals: exact decimal arithmetic, round(·,4)
+    assert(r.getAs[Double]("sum_charge") == 1.1144,
+      s"sum_charge ${r.getAs[Double]("sum_charge")} != 1.1144 (exact 1.114350 must round HALF_UP)")
+    assert(r.getAs[Double]("sum_disc_price") == 1.0925,
+      s"sum_disc_price ${r.getAs[Double]("sum_disc_price")} != exact 1.15*0.95")
+    // and the boundary fact itself stays true (guards fixture relevance)
+    assert(1.15 * (1.0 - 0.05) * (1.0 + 0.02) == 1.1143499999999997)
+  }
+
   test("q02 aggregates reconcile with raw scan") {
     val li = Tables.lineitem(spark, sf)
     val total = queries.Relational.q02AggGroup(spark, sf)

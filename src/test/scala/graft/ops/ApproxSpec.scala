@@ -206,6 +206,26 @@ class ApproxSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("histogram bucket: wide domains stay inside [0, buckets) (integral div, not rounded /)") {
+    // r12 ADVICE: with decimal `/` + floor, Spark's HALF_UP rounding at
+    // result scale 6 pushed values just below a bin edge UP one bin for
+    // hi−lo ≳ 2e6, and for hi−lo ≥ 2e6·buckets a value near hi yielded
+    // bucket == buckets — outside the clamp contract. These two rows
+    // fail under the old spelling and pin the `div` one.
+    import spark.implicits._
+    val wide = Seq(3999999999L, 1999999L, 0L, 3999999999L - 1).toDF("v")
+    val sk = Approx.histSketch(wide, col("v"), lo = 0L, hi = 4000000000L, buckets = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sk.keySet.forall(b => b >= 0 && b < 2), s"bucket out of range: $sk")
+    assert(sk(0) == 2 && sk(1) == 2, s"wrong bin split: $sk") // 0,1999999 → 0; the two near-hi → 1
+    // edge case: value one below a bin edge of a ≥2e6-wide domain stays
+    // in the LOWER bin (the old spelling rounded it up)
+    val edge = Seq(1999999L).toDF("v")
+    val one = Approx.histSketch(edge, col("v"), 0L, 4000000L, 2).collect()
+    assert(one.length == 1 && one.head.getInt(0) == 0,
+      s"value below the bin edge escaped its bin: ${one.mkString}")
+  }
+
   test("per-key histogram quantiles: every group's bracket holds; grouped merge == whole corpus") {
     val docs = Tables.documents(spark, sf).cache()
     val sketch = Approx.histSketchBy(docs, "source", col("n_chars"), 0L, 640L, 64)

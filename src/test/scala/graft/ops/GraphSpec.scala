@@ -123,6 +123,58 @@ class GraphSpec extends AnyFunSuite {
     assert(even == Map(1L -> 1L, 2L -> 2L), even)
   }
 
+  test("labelPropagationConverged: stable point == fixed-iter oracle; deep path shows why iters=3 under-propagates") {
+    // 1) existing bridged-triangles fixture: the trajectory stabilizes
+    //    after round 3 (round 4 is a no-op), so convergence detection
+    //    must stop there and equal the fixed-iter result at 3 AND 4
+    val nodes = (1L to 7L).toDF("id")
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val edges = und.union(und.select(col("dst"), col("src")))
+    val (conv, rounds) = Graph.labelPropagationConverged(nodes, edges, maxIters = 20)
+    val convMap = conv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rounds == 4, s"expected stability detected at round 4, got $rounds")
+    val fixed3 = Graph.labelPropagation(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed4 = Graph.labelPropagation(nodes, edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(convMap == fixed3 && convMap == fixed4,
+      s"converged $convMap != fixed-iter stable point $fixed3 / $fixed4")
+    // weighted spelling, equal weights: same stable point, same count
+    val wEdges = edges.withColumn("w", lit(1L))
+    val (convW, roundsW) =
+      Graph.labelPropagationConverged(nodes, wEdges, maxIters = 20, weightCol = Some("w"))
+    assert(roundsW == rounds &&
+      convW.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == convMap)
+
+    // 2) deep path (the 100 TB hazard): 40 nodes in a line, one
+    //    self-loop each (the inertia vote that makes synchronous LPA
+    //    monotone toward the component minimum — without it a path
+    //    2-cycles forever). iters=3 stops labels 3 hops out; converged
+    //    runs to the true stable point (everyone at the component min)
+    //    and pins HOW MANY rounds that took.
+    val n = 40L
+    val pNodes = (1L to n).toDF("id")
+    val pUnd = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val pEdges = pUnd.union(pUnd.select(col("dst"), col("src")))
+      .union((1L to n).map(i => (i, i)).toDF("src", "dst"))
+    val (deep, deepRounds) =
+      Graph.labelPropagationConverged(pNodes, pEdges, maxIters = 45)
+    val deepMap = deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deepMap.values.forall(_ == 1L),
+      s"stable point must be the component min everywhere: $deepMap")
+    assert(deepRounds == 40, // 39 propagating rounds + the no-op detection round
+      s"expected 40 rounds on a 40-node path, got $deepRounds")
+    val shallow = Graph.labelPropagation(pNodes, pEdges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shallow(40L) == 37L && shallow != deepMap,
+      s"fixed iters=3 must visibly under-propagate on the deep path: $shallow")
+    // cap behavior: maxIters smaller than the diameter returns the
+    // capped round count — the caller-visible signal to raise it
+    val (_, capped) = Graph.labelPropagationConverged(pNodes, pEdges, maxIters = 5)
+    assert(capped == 5, s"cap must fire at maxIters, got $capped")
+  }
+
   test("labelPropagationWeighted: strong edge outvotes two weak ones; equal weights == uniform") {
     // node 4's neighbors: weak 1 and 2 (w=1 each) and strong 6 (w=10).
     // Round 1 uniform: all vote-counts tie at 1 → min label 1 (the weak

@@ -38,11 +38,15 @@ def cmp(a: pd.DataFrame, b: pd.DataFrame):
             if x is None and y is None:
                 continue
             if isinstance(x, float) or isinstance(y, float):
+                # Driver strictness: the driver hashes values EXACTLY, so
+                # the local gate must too (r12's q49 passed locally at
+                # 1e-9 tolerance and failed the driver's hash). Bitwise
+                # equality via repr — the only escape is NaN==NaN.
                 fx, fy = float(x), float(y)
                 if math.isnan(fx) and math.isnan(fy):
                     continue
-                if abs(fx - fy) > 1e-9 * max(1.0, abs(fx), abs(fy)):
-                    return f"col {c} row {i}: {x!r} != {y!r}"
+                if repr(fx) != repr(fy):
+                    return f"col {c} row {i}: {fx!r} != {fy!r} (exact)"
             elif str(x) != str(y):
                 return f"col {c} row {i}: {x!r} != {y!r}"
     return None
