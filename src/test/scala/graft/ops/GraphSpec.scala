@@ -123,6 +123,28 @@ class GraphSpec extends AnyFunSuite {
     assert(even == Map(1L -> 1L, 2L -> 2L), even)
   }
 
+  test("pageRankConverged: exact integer fixpoint == fixed-iter oracle; cap visible") {
+    // the pageRank path fixture: 1–2–3–4 undirected; the exact integer
+    // trajectory must reach a true fixpoint (tolMicros = 0) — once it
+    // does, the result equals the fixed-iter operator at any deeper
+    // iters, which is the replayable pinned count
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val edges = und.union(und.select(col("dst"), col("src")))
+    val (conv, rounds) = Graph.pageRankConverged(nodes, edges, maxIters = 200)
+    assert(rounds < 200, s"expected an exact fixpoint below the cap, got $rounds")
+    val convMap = conv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixedAt = Graph.pageRank(nodes, edges, iters = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixedDeeper = Graph.pageRank(nodes, edges, iters = rounds + 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(convMap == fixedAt && convMap == fixedDeeper,
+      s"converged $convMap != fixed $fixedAt / deeper $fixedDeeper (rounds=$rounds)")
+    // cap: too few rounds returns maxIters — the raise-the-cap signal
+    val (_, capped) = Graph.pageRankConverged(nodes, edges, maxIters = 2)
+    assert(capped == 2, s"cap must fire, got $capped")
+  }
+
   test("labelPropagationConverged: stable point == fixed-iter oracle; deep path shows why iters=3 under-propagates") {
     // 1) existing bridged-triangles fixture: the trajectory stabilizes
     //    after round 3 (round 4 is a no-op), so convergence detection
