@@ -199,11 +199,14 @@ object Bench {
     def docsAt(n: Int) = scaledBy(Tables.documents(spark, sfDir), "doc_id", n)
     def embAt(n: Int) = scaledBy(Tables.embeddings(spark, sfDir), "vec_id", n)
     // zipfian fact + non-broadcastable dim for the salted_join arms:
-    // event_id parity survives scaledBy's even 1e9 offsets, so user 0
-    // stays the hot key in every copy (count n·|events|/2)
+    // event_id % 10 survives scaledBy's 1e9 offsets, so user 0 stays
+    // the hot key in every copy (count n·|events|/10 — 10 % of the
+    // corpus on one key: plenty to serialize one SMJ task, cheap
+    // enough that the pathological plain arm doesn't dominate probe
+    // wall-time at ×10)
     def skewedFact(n: Int) = scaledBy(Tables.events(spark, sfDir), "event_id", n)
       .withColumn("user_id",
-        when(col("event_id") % 2 === 0, lit(0L)).otherwise(col("user_id")))
+        when(col("event_id") % 10 === 0, lit(0L)).otherwise(col("user_id")))
     val userPadDim = Tables.events(spark, sfDir).select(col("user_id")).distinct()
       .withColumn("pad", lpad(lit("x"), 8192, "x")).persist()
     userPadDim.count()
@@ -541,8 +544,12 @@ object Bench {
         // once read as a spurious per_row_ratio > 1 on a mapPartitions
         // arm whose warmed ratio is ~0.7
         runToNoop(fn(1)); runToNoop(fn(k))
-        val t1 = timeSec(runToNoop(fn(1)))
-        val tk = timeSec(runToNoop(fn(k)))
+        // min-of-2: a probe arm is a single measurement, so one GC/OS
+        // hiccup on the ×k run once turned a 0.18 arm into a 2.8
+        // per-row "super-linear" red herring — min is the right
+        // statistic for interference on a deterministic workload
+        val t1 = math.min(timeSec(runToNoop(fn(1))), timeSec(runToNoop(fn(1))))
+        val tk = math.min(timeSec(runToNoop(fn(k))), timeSec(runToNoop(fn(k))))
         val ratio = tk / (k * math.max(1e-3, t1))
         Some(f""""$name":{"x1":$t1%.3f,"x$k":$tk%.3f,"per_row_ratio":$ratio%.3f}""")
       } catch { case e: Throwable =>

@@ -572,6 +572,34 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Convergence-run PageRank ([[graft.ops.Graph.pageRankConverged]],
+    * tolMicros = 0) over the persisted pair graph — g01's twin at the
+    * DETECTED integer fixpoint instead of a guessed iters, with the
+    * executed round count emitted on every row so the STOPPING DECISION
+    * itself hash-gates (the r12 verdict's iteration-contract ask made
+    * an oracle-gated query, not just a spec). The oracle unrolls the
+    * recurrence to the same cap — rounds past the fixpoint of a
+    * deterministic map are no-ops, so running to the cap and then
+    * selecting the FIRST stable round (and its index) replays early
+    * stopping exactly, including the cap-hit case where no round ≤ cap
+    * is stable (both engines then emit the cap's ranks and count). On
+    * the near-clique pair graph the fixpoint lands in ~2 rounds —
+    * symmetric neighborhoods make integer floors settle immediately —
+    * which is itself the measured argument that fixed iters=3 (g01)
+    * over-pays on this graph shape.
+    */
+  def g08PageRankConverged(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = jaccardPairGraph(spark, dir).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val (ranks, rounds) = graft.ops.Graph.pageRankConverged(
+      docs.select(col("doc_id").as("id")), edges, maxIters = 8)
+    ranks.select(col("id").as("doc_id"), col("rank"))
+      .withColumn("rounds", lit(rounds.toLong))
+      .orderBy(col("doc_id"))
+  }
+
   /** Link prediction ([[graft.ops.Graph.commonNeighbors]]) over the
     * persisted pair graph: for every doc pair sharing at least one
     * near-dup neighbor (the 2-hop candidate set — never all-pairs),
@@ -3272,6 +3300,55 @@ object Pipeline {
        |SELECT id AS doc_id, r AS rank FROM r$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Convergence-run PageRank replay (g08): unroll the recurrence to
+    * the cap (post-fixpoint rounds of a deterministic map are no-ops),
+    * stack every round into a history, and select the FIRST round equal
+    * to its predecessor — its ranks AND its index. Early stopping
+    * replayed without any recursion-with-stop machinery; the cap-hit
+    * case degrades identically on both engines (no stable round ≤ cap →
+    * emit the cap's ranks with rounds = cap).
+    */
+  private def pageRankConvergedOracle(cap: Int): String = {
+    // every r_i is referenced THREE times (c_{i+1}, r_{i+1}, hist) —
+    // without MATERIALIZED, CTE inlining re-expands the whole prefix
+    // per reference (exponential plans, "too many open files" on the
+    // parquet the jpairs CTEs read)
+    val iterCtes = (1 to cap).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id, CAST(sum(r${i - 1}.r // g.d) AS BIGINT) AS c
+         |  FROM edges e JOIN r${i - 1} ON r${i - 1}.id = e.src
+         |  JOIN deg g ON g.src = e.src
+         |  GROUP BY 1
+         |), r$i AS MATERIALIZED (
+         |  SELECT n.id, CAST(150000 + (85 * coalesce(c$i.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM r${i - 1} n LEFT JOIN c$i USING (id)
+         |)""".stripMargin
+    }.mkString(", ")
+    val histArms = (0 to cap)
+      .map(i => s"SELECT $i AS iter, id, r FROM r$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $ngramJaccardCtes, edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM jpairs
+       |  UNION ALL SELECT id_b, id_a FROM jpairs
+       |), deg AS MATERIALIZED (
+       |  SELECT src, count(*) AS d FROM edges GROUP BY 1
+       |), r0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM documents
+       |), $iterCtes, hist AS (
+       |  $histArms
+       |), diffs AS (
+       |  SELECT a.iter, sum(CASE WHEN a.r <> b.r THEN 1 ELSE 0 END) AS nch
+       |  FROM hist a JOIN hist b ON a.id = b.id AND b.iter = a.iter - 1
+       |  GROUP BY a.iter
+       |), kk AS (
+       |  SELECT CAST(coalesce(min(iter), $cap) AS BIGINT) AS k
+       |  FROM diffs WHERE nch = 0
+       |)
+       |SELECT id AS doc_id, r AS rank, (SELECT k FROM kk) AS rounds
+       |FROM hist WHERE iter = (SELECT k FROM kk)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Personalized-PageRank replay: the seeded start vector and the
     * conditional teleport floor over the same unrolled iteration CTEs.
     */
@@ -3724,6 +3801,7 @@ object Pipeline {
     "s05_kmeans_codebook" -> kmeansCodebookOracle(k = 8, iters = 3),
     "s06_pq_codes" -> pqCodesOracle(m = 4, k = 8, iters = 2, subDim = 16),
     "g01_pagerank" -> pageRankOracle(iters = 3),
+    "g08_pagerank_converged" -> pageRankConvergedOracle(cap = 8),
     // same damping/floor recurrence with rank*w // ws contributions;
     // weights = round(jaccard*1e6) on the identical rounded-6 double
     "g03_pagerank_weighted" -> pageRankWeightedOracle(iters = 3),
@@ -5607,6 +5685,7 @@ object Pipeline {
     "t26_chunk_windows"  -> t26ChunkWindows _,
     "t27_novelty"        -> t27Novelty _,
     "g01_pagerank"       -> g01PageRank _,
+    "g08_pagerank_converged" -> g08PageRankConverged _,
     "g03_pagerank_weighted" -> g03PageRankWeighted _,
     "g02_triangles"      -> g02Triangles _,
     "g04_link_predict"   -> g04LinkPredict _,

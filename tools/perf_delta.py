@@ -23,13 +23,20 @@ print(f"new queries ({len(added)}): "
       f"{sum(nq[q] for q in added):.1f}s total")
 for q in added:
     print(f"  {q}: {nq[q]:.2f}s")
-print(f"\nmovers |d| >= {thresh}s:")
+print(f"\nmovers |d| >= {thresh}s (spread = this run's min–max over its "
+      f"passes, ratio = spread/median — >0.5 means the delta is "
+      f"interference-suspect, not plan drift):")
+nsp, osp = new.get("spread", {}), old.get("spread", {})
 movers = sorted(shared, key=lambda q: -abs(nq[q] - oq[q]))
 for q in movers:
     d = nq[q] - oq[q]
     if abs(d) < thresh:
         break
-    print(f"| {q} | {oq[q]:.2f} | {nq[q]:.2f} | {d:+.2f} | |")
+    mn, mx = nsp.get(q, [nq[q], nq[q]])
+    ratio = (mx - mn) / nq[q] if nq[q] > 0 else 0.0
+    stab = " (stabilized)" if q in new.get("stabilized", []) else ""
+    print(f"| {q} | {oq[q]:.2f} | {nq[q]:.2f} | {d:+.2f} | "
+          f"{mn:.2f}–{mx:.2f} ({ratio:.2f}){stab} | |")
 sp = new.get("scale_probe", {})
 bad = {k: v for k, v in sp.items()
        if isinstance(v, dict) and v.get("per_row_ratio", 0) > 1.0}
