@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions.graftShingles
+import graft.ops.Num.round6
 
 /** Deduplication operators for training-data pipelines, smallest-shuffle
   * designs:
@@ -87,7 +88,7 @@ object Dedup {
         .withColumn("jaccard",
           col("interSize").cast("double") / (col("size_a") + col("size_b") - col("interSize")))
         .filter(col("jaccard") >= minJaccard)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("id_a"), col("id_b"), round6(col("jaccard")).as("jaccard"))
     }
   }
 
@@ -124,8 +125,8 @@ object Dedup {
         .withColumn("cont_b_in_a", col("interSize").cast("double") / col("size_b"))
         .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
         .select(col("id_a"), col("id_b"),
-          round(col("cont_a_in_b"), 6).as("cont_a_in_b"),
-          round(col("cont_b_in_a"), 6).as("cont_b_in_a"))
+          round6(col("cont_a_in_b")).as("cont_a_in_b"),
+          round6(col("cont_b_in_a")).as("cont_b_in_a"))
     }
   }
 
@@ -189,8 +190,8 @@ object Dedup {
       .withColumn("cont_b_in_a", col("interSize").cast("double") / col("size_b"))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= t)
       .select(col("id_a"), col("id_b"),
-        round(col("cont_a_in_b"), 6).as("cont_a_in_b"),
-        round(col("cont_b_in_a"), 6).as("cont_b_in_a"))
+        round6(col("cont_a_in_b")).as("cont_a_in_b"),
+        round6(col("cont_b_in_a")).as("cont_b_in_a"))
   }
 
   /** PPJoin strategy of [[ngramJaccardPairs]] (see its scaladoc). */
@@ -301,7 +302,7 @@ object Dedup {
       .withColumn("jaccard",
         col("interSize").cast("double") / (col("size_a") + col("size_b") - col("interSize")))
       .filter(col("jaccard") >= t)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round6(col("jaccard")).as("jaccard"))
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
     * per-doc sorted shingle sets: one array_intersect per pair.
@@ -316,7 +317,7 @@ object Dedup {
       .withColumn("jaccard",
         col("interSize").cast("double") / (col("size_a") + col("size_b") - col("interSize")))
       .filter(col("jaccard") >= t)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round6(col("jaccard")).as("jaccard"))
 
   // --------------------------------------------------------- MinHash LSH
 
@@ -768,8 +769,8 @@ object Dedup {
       .withColumn("cont_b_in_a", col("interSize").cast("double") / col("size_b"))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
       .select(col("id_a"), col("id_b"),
-        round(col("cont_a_in_b"), 6).as("cont_a_in_b"),
-        round(col("cont_b_in_a"), 6).as("cont_b_in_a"))
+        round6(col("cont_a_in_b")).as("cont_a_in_b"),
+        round6(col("cont_b_in_a")).as("cont_b_in_a"))
   }
 
   /** Incremental maintenance of a persisted pair graph

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions.graftDot
+import graft.ops.Num.round6
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -84,7 +85,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", sqrt(graftDot(col("cv"), col("cv"))))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("sim", round6(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
     rankTopK(scored, k)
   }
 
@@ -112,7 +113,7 @@ object Similarity {
     val scored = q.join(c, Seq("_lbl"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
-        round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        round6(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
     rankTopK(scored, k)
   }
 
@@ -136,7 +137,7 @@ object Similarity {
     GraftFunctions.ensureRegistered(vectors.sparkSession)
     val w = array(weights.map(lit): _*)
     vectors.select(col(idCol),
-        round(graftDot(asDouble(col(vecCol)), w) + lit(bias), 6).as("score"))
+        round6(graftDot(asDouble(col(vecCol)), w) + lit(bias)).as("score"))
       .withColumn("predicted", (col("score") > 0.0).cast("long"))
   }
 
@@ -318,7 +319,7 @@ object Similarity {
       col("_vv").as("_bv"), col("_vn").as("_bn"))
     val pairs = x.join(y, col("query_id") === col("_yq") && col("a") =!= col("b"))
       .select(col("query_id"), col("a"), col("b"),
-        round(round(graftDot(col("_av"), col("_bv")) / (col("_an") * col("_bn")), 6)
+        round(round6(graftDot(col("_av"), col("_bv")) / (col("_an") * col("_bn")))
           * lit(1e6), 0).cast("long").as("pair_micro"))
     mmrRerank(pool, pairs, k, lambdaMilli)
   }
@@ -376,7 +377,7 @@ object Similarity {
     // broadcasts; the full-width corpus streams through one hash join,
     // and the query join's left side is already candidate-sized
     val scored = broadcast(cand).join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
-      .withColumn("sim", round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("sim", round6(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
     rankTopK(scored, k)
   }
 
@@ -421,7 +422,7 @@ object Similarity {
     val signs = projectionSigns(inDim, outDim, seed)
     val v = asDouble(col(vecCol))
     vectors.select(col(idCol), posexplode(array(signs.map(s =>
-        round(graftDot(v, typedLit(s.toArray)), 6)): _*))
+        round6(graftDot(v, typedLit(s.toArray)))): _*))
       .as(Seq("proj_dim", "proj")))
   }
 
@@ -466,7 +467,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", sqrt(graftDot(col("cv"), col("cv"))))
     val scored = broadcast(cand).join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
-      .withColumn("sim", round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("sim", round6(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
     rankTopK(scored, k)
   }
 
@@ -708,7 +709,7 @@ object Similarity {
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand.withColumn("sim",
-      round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      round6(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
     rankTopK(scored, k)
   }
 
@@ -777,7 +778,7 @@ object Similarity {
     val cand = corpusLists.join(probeSide, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
     val scored = cand.withColumn("sim",
-      round(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      round6(graftDot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
     rankTopK(scored, k)
   }
 
@@ -926,7 +927,7 @@ object Similarity {
       val cv = r.getSeq[Double](1).toArray
       val cn = r.getDouble(2)
       val csim = graftDot(col(vec), typedLit(cv)) / (col(nrm) * lit(cn))
-      struct((-(if (rounded) round(csim, 6) else csim)).as("negsim"),
+      struct((-(if (rounded) round6(csim) else csim)).as("negsim"),
         lit(r.get(0)).as("centroid_id"))
     }
     slice(sort_array(array(sims.toIndexedSeq: _*), asc = true), 1, keep)
@@ -969,7 +970,7 @@ object Similarity {
           col("vec").as("cv"), col("norm").as("cn")))
         c.join(cb)
           .withColumn("negsim",
-            -round(graftDot(col("vec"), col("cv")) / (col("norm") * col("cn")), 6))
+            -round6(graftDot(col("vec"), col("cv")) / (col("norm") * col("cn"))))
           .groupBy(col("id"), col("vec"), col("norm"))
           .agg(min(struct(col("negsim"), col("cid"))).getField("cid").as("centroid_id"))
       } else {
@@ -983,7 +984,7 @@ object Similarity {
       col("vec").as("vb"), col("norm").as("nb"))
     a.join(b, Seq("centroid_id"))
       .filter(col("id_a") < col("id_b") && pairSim >= minSim)
-      .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
+      .select(col("id_a"), col("id_b"), round6(pairSim).as("sim"))
   }
 
   /** Per-dimension first-moment summary of an embedding corpus —
@@ -1019,9 +1020,9 @@ object Similarity {
     b.join(a, Seq("pos"))
       .select(col("pos").cast("long").as("pos"),
         col("cnt_before"), col("cnt_after"),
-        round(col("msum_before") / (col("cnt_before") * 1e6), 6).as("mean_before"),
-        round(col("msum_after") / (col("cnt_after") * 1e6), 6).as("mean_after"))
-      .withColumn("dmean", round(col("mean_after") - col("mean_before"), 6))
+        round6(col("msum_before") / (col("cnt_before") * 1e6)).as("mean_before"),
+        round6(col("msum_after") / (col("cnt_after") * 1e6)).as("mean_after"))
+      .withColumn("dmean", round6(col("mean_after") - col("mean_before")))
   }
 
   /** Scalar worst-case drift of an [[embeddingDrift]] report — the
@@ -1112,7 +1113,7 @@ object Similarity {
     val simMicros = st.map { case (_, sm, cnt) =>
       val cv = sm.map(s => s / (cnt * 1e6))
       val cn = math.sqrt(cv.map(x => x * x).sum)
-      round(round(graftDot(col("vec"), typedLit(cv)) / (col("norm") * lit(cn)), 6)
+      round(round6(graftDot(col("vec"), typedLit(cv)) / (col("norm") * lit(cn)))
         * 1e6, 0).cast("long")
     }
     val sorted = sort_array(array(simMicros: _*), asc = false)
@@ -1212,7 +1213,7 @@ object Similarity {
       val cv = sm.map(s => s / (cnt * 1e6))
       val cn = math.sqrt(cv.map(x => x * x).sum)
       struct(
-        (-round(graftDot(vec, typedLit(cv)) / (norm * lit(cn)), 6)).as("negsim"),
+        (-round6(graftDot(vec, typedLit(cv)) / (norm * lit(cn)))).as("negsim"),
         lit(cid).as("cid"))
     }
     array_min(array(sims: _*)).getField("cid")
@@ -1378,7 +1379,7 @@ object Similarity {
     val scored = codes.join(broadcast(lut), Seq("sub", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum("pdot").as("num"), sum("cnorm2").as("den2"), first("qn").as("qn"))
-      .withColumn("sim", round(col("num") / (col("qn") * sqrt(col("den2"))), 6))
+      .withColumn("sim", round6(col("num") / (col("qn") * sqrt(col("den2")))))
       .filter(col("query_id") =!= col("neighbor_id"))
     rankTopK(scored, k)
   }
@@ -1624,7 +1625,7 @@ object Similarity {
     // otherwise ride the exchange `tables` times)
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b") && pairSim >= minSim)
-      .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
+      .select(col("id_a"), col("id_b"), round6(pairSim).as("sim"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -1660,7 +1661,7 @@ object Similarity {
         .withColumn("isNew", lit(true)))
     a.join(b, Seq("table", "bucket"))
       .filter((!col("isNew") || col("id_a") < col("id_b")) && pairSim >= minSim)
-      .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
+      .select(col("id_a"), col("id_b"), round6(pairSim).as("sim"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -1694,7 +1695,7 @@ object Similarity {
     // pushed-down filter would land before it and run the dot product on
     // all n² ordered pairs instead of n²/2
     a.join(b, col("id_a") < col("id_b") && pairSim >= minSim)
-      .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
+      .select(col("id_a"), col("id_b"), round6(pairSim).as("sim"))
   }
 
   /** Incremental embedding near-dedup: pairs between a NEW batch and an
@@ -1730,6 +1731,6 @@ object Similarity {
     // to a CartesianProduct exchange of the whole corpus
     (if (broadcastBatch) broadcast(a) else a).join(b,
         (!col("isNew") || col("id_a") < col("id_b")) && pairSim >= minSim)
-      .select(col("id_a"), col("id_b"), round(pairSim, 6).as("sim"))
+      .select(col("id_a"), col("id_b"), round6(pairSim).as("sim"))
   }
 }

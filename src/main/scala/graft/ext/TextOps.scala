@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Num.round6
 
 /** Text-analysis operators for large-scale training-data pipelines.
   * All pure Catalyst built-ins (codegen'd, no UDFs) — every function is a
@@ -86,7 +87,7 @@ object TextOps {
   /** Composite quality score in [0,1]: longer docs with moderate
     * punctuation and some stopwords score higher.
     */
-  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
+  def qualityScore(text: Column): Column = round6(qualityScoreRaw(text))
 
   /** Un-rounded [[qualityScore]] — for callers that need a rounding mode
     * other than HALF_UP (e.g. the oracle-gated t05 floor-scales, since
@@ -1186,7 +1187,7 @@ object TextOps {
         col("m.n_chars").as("n_chars"),
         col("m.n_punct").as("n_punct"),
         when(col("m.n_tokens") === 0, lit(0.0))
-          .otherwise(round(col("m.stop_hits").cast("double") / col("m.n_tokens"), 6))
+          .otherwise(round6(col("m.stop_hits").cast("double") / col("m.n_tokens")))
           .as("stopword_ratio"),
         col("m.lang_pred").as("lang_pred"),
         col("m.fingerprint").as("fingerprint"),
@@ -1197,7 +1198,7 @@ object TextOps {
         val stopScore = least(
           when(col("n_tokens") === 0, lit(0.0))
             .otherwise(col("stop_hits").cast("double") / col("n_tokens")) * 5.0, lit(1.0))
-        round(lenScore * 0.5 + punctScore * 0.2 + stopScore * 0.3, 6)
+        round6(lenScore * 0.5 + punctScore * 0.2 + stopScore * 0.3)
       })
       .drop("stop_hits")
   }

@@ -5,6 +5,7 @@ import graft.ext.{Dedup, Fuzzy, Similarity, TextOps, UrlOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.ops.Num.round6
 
 /** LLM-pipeline operator surface: dedup family, similarity search, text
   * analysis, JSON/event-window queries. Every SQL-expressible operator
@@ -287,8 +288,7 @@ object Pipeline {
     val pairs = fuzzyPairSet(spark, dir)
       .join(dirty.select(col("id").as("id_a"), col("s").as("_sa")), "id_a")
       .join(cat.select(col("id").as("id_b"), col("s").as("_sb")), "id_b")
-      .withColumn("jw", round(
-        graft.functions.GraftFunctions.graftJaroWinkler(col("_sa"), col("_sb")), 6))
+      .withColumn("jw", round6(graft.functions.GraftFunctions.graftJaroWinkler(col("_sa"), col("_sb"))))
     pairs
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("id_a")).orderBy(col("jw").desc, col("id_b"))))
@@ -1219,7 +1219,7 @@ object Pipeline {
       .mkString("[", ", ", "]::DOUBLE[]")
 
   private def mmrOracle(nQueries: Int, pool: Int, k: Int, lam: Long): String = {
-    val sim = "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)"
+    val sim = "floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000"
     val head =
       s"""WITH pool AS (
          |  SELECT query_id, neighbor_id,
@@ -1232,7 +1232,7 @@ object Pipeline {
          |  WHERE rank <= $pool
          |), pairs AS (
          |  SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
-         |    CAST(round(round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)*1000000, 0) AS BIGINT) AS pair_micro
+         |    CAST(round(floor((list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000*1000000, 0) AS BIGINT) AS pair_micro
          |  FROM pool x JOIN pool y ON x.query_id = y.query_id AND x.neighbor_id != y.neighbor_id
          |  JOIN embeddings ea ON ea.vec_id = x.neighbor_id
          |  JOIN embeddings eb ON eb.vec_id = y.neighbor_id
@@ -2921,7 +2921,7 @@ object Pipeline {
          |  SELECT vec_id, e, centroid_id FROM (
          |    SELECT v.vec_id, v.e, c.centroid_id,
          |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.centroid_id) AS rn
+         |        ORDER BY floor((list_cosine_similarity(v.e, c.ce)) * 1000000 + 0.5) / 1000000 DESC, c.centroid_id) AS rn
          |    FROM v, c$i c) t
          |  WHERE rn = 1
          |), s$i AS (
@@ -2968,7 +2968,7 @@ object Pipeline {
        |  SELECT vec_id, centroid_id FROM (
        |    SELECT v.vec_id, c.centroid_id,
        |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.centroid_id) AS rn
+       |        ORDER BY floor((list_cosine_similarity(v.e, c.ce)) * 1000000 + 0.5) / 1000000 DESC, c.centroid_id) AS rn
        |    FROM v, cf c) t
        |  WHERE rn = 1
        |), w AS (
@@ -3013,7 +3013,7 @@ object Pipeline {
            |  SELECT vec_id, e, centroid_id FROM (
            |    SELECT v.vec_id, v.e, c.centroid_id,
            |      row_number() OVER (PARTITION BY v.vec_id
-           |        ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.centroid_id) AS rn
+           |        ORDER BY floor((list_cosine_similarity(v.e, c.ce)) * 1000000 + 0.5) / 1000000 DESC, c.centroid_id) AS rn
            |    FROM v_$s v, c${i}_$s c) t
            |  WHERE rn = 1
            |), s${i}_$s AS (
@@ -3040,7 +3040,7 @@ object Pipeline {
          |  SELECT vec_id, $s AS sub, centroid_id AS code FROM (
          |    SELECT v.vec_id, c.centroid_id,
          |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.centroid_id) AS rn
+         |        ORDER BY floor((list_cosine_similarity(v.e, c.ce)) * 1000000 + 0.5) / 1000000 DESC, c.centroid_id) AS rn
          |    FROM v_$s v, cf_$s c) t
          |  WHERE rn = 1
          |)""".stripMargin
@@ -3065,7 +3065,7 @@ object Pipeline {
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
       |      row_number() OVER (PARTITION BY a.vec_id
-      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+      |        ORDER BY floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 DESC,
       |                 b.vec_id) AS rank
       |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
       |    WHERE a.vec_id < 20) t
@@ -3113,7 +3113,7 @@ object Pipeline {
       |  GROUP BY 1, 2
       |), jpairs AS (
       |  SELECT ia AS id_a, ib AS id_b,
-      |    round(isz / CAST(sa.sz + sb.sz - isz AS DOUBLE), 6) AS jaccard
+      |    floor((isz / CAST(sa.sz + sb.sz - isz AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
       |  FROM inter
       |  JOIN sizes sa ON sa.doc_id = ia
       |  JOIN sizes sb ON sb.doc_id = ib
@@ -3150,8 +3150,8 @@ object Pipeline {
   private val containmentOracle =
     s"""WITH $ngramJaccardCtes
        |SELECT ia AS id_a, ib AS id_b,
-       |  round(isz / CAST(sa.sz AS DOUBLE), 6) AS cont_a_in_b,
-       |  round(isz / CAST(sb.sz AS DOUBLE), 6) AS cont_b_in_a
+       |  floor((isz / CAST(sa.sz AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS cont_a_in_b,
+       |  floor((isz / CAST(sb.sz AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS cont_b_in_a
        |FROM inter
        |JOIN sizes sa ON sa.doc_id = ia
        |JOIN sizes sb ON sb.doc_id = ib
@@ -4214,7 +4214,7 @@ object Pipeline {
     // the SAME ±1 literals both engines derive from (64, 16, seed 7)
     "s17_random_projection" -> (0 until 16).map(k =>
       "SELECT vec_id, " + k + " AS proj_dim, " +
-        s"round(list_dot_product(embedding::DOUBLE[], ${projSignSql(k)}), 6) AS proj " +
+        s"floor((list_dot_product(embedding::DOUBLE[], ${projSignSql(k)})) * 1000000 + 0.5) / 1000000 AS proj " +
         "FROM embeddings")
       .mkString("", "\nUNION ALL\n", "\nORDER BY vec_id, proj_dim"),
     // stage 1 (candidate top-64 in projected space) and stage 2
@@ -4228,16 +4228,16 @@ object Pipeline {
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY round(list_cosine_similarity(a.pv, b.pv), 6) DESC, b.vec_id) AS rnk
+         |        ORDER BY floor((list_cosine_similarity(a.pv, b.pv)) * 1000000 + 0.5) / 1000000 DESC, b.vec_id) AS rnk
          |    FROM proj a JOIN proj b ON a.vec_id != b.vec_id
          |    WHERE a.vec_id < 20) t
          |  WHERE rnk <= 64
          |)
          |SELECT query_id, neighbor_id, sim, rank FROM (
          |  SELECT c.query_id, c.neighbor_id,
-         |    round(list_cosine_similarity(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]), 6) AS sim,
+         |    floor((list_cosine_similarity(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 AS sim,
          |    row_number() OVER (PARTITION BY c.query_id
-         |      ORDER BY round(list_cosine_similarity(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[]), 6) DESC,
+         |      ORDER BY floor((list_cosine_similarity(qa.embedding::DOUBLE[], qb.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 DESC,
          |               c.neighbor_id) AS rank
          |  FROM cand c
          |  JOIN embeddings qa ON c.query_id = qa.vec_id
@@ -4256,9 +4256,9 @@ object Pipeline {
          |  FROM s2 GROUP BY centroid_id
          |), sims AS (
          |  SELECT v.vec_id, c.centroid_id,
-         |    CAST(round(round(list_cosine_similarity(v.e, c.ce), 6) * 1000000, 0) AS BIGINT) AS sim_micro,
+         |    CAST(round(floor((list_cosine_similarity(v.e, c.ce)) * 1000000 + 0.5) / 1000000 * 1000000, 0) AS BIGINT) AS sim_micro,
          |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.centroid_id) AS rn
+         |      ORDER BY floor((list_cosine_similarity(v.e, c.ce)) * 1000000 + 0.5) / 1000000 DESC, c.centroid_id) AS rn
          |  FROM v, cf c
          |), ab AS (
          |  SELECT vec_id,
@@ -4285,9 +4285,9 @@ object Pipeline {
         |    CAST(round(sim * 1000000, 0) AS BIGINT) AS sim_micro
         |  FROM (
         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |      round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |      floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 AS sim,
         |      row_number() OVER (PARTITION BY a.vec_id
-        |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |        ORDER BY floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 DESC,
         |                 b.vec_id) AS rank
         |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
         |    WHERE a.vec_id < 12) t
@@ -4324,10 +4324,10 @@ object Pipeline {
         |)
         |SELECT CAST(mb.pos AS BIGINT) AS pos,
         |  mb.cnt AS cnt_before, ma.cnt AS cnt_after,
-        |  round(mb.msum / (mb.cnt * 1000000.0), 6) AS mean_before,
-        |  round(ma.msum / (ma.cnt * 1000000.0), 6) AS mean_after,
-        |  round(round(ma.msum / (ma.cnt * 1000000.0), 6)
-        |      - round(mb.msum / (mb.cnt * 1000000.0), 6), 6) AS dmean
+        |  floor((mb.msum / (mb.cnt * 1000000.0)) * 1000000 + 0.5) / 1000000 AS mean_before,
+        |  floor((ma.msum / (ma.cnt * 1000000.0)) * 1000000 + 0.5) / 1000000 AS mean_after,
+        |  floor((floor((ma.msum / (ma.cnt * 1000000.0)) * 1000000 + 0.5) / 1000000
+        |      - floor((mb.msum / (mb.cnt * 1000000.0)) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) / 1000000 AS dmean
         |FROM mb JOIN ma USING (pos) ORDER BY pos""".stripMargin,
     // both arms replayed (BM25 with t16's integer weighting; exact
     // cosine with the s01 float convention), then the integer fusion
@@ -4356,7 +4356,7 @@ object Pipeline {
         |), sem AS (
         |  SELECT b.vec_id AS doc_id,
         |    row_number() OVER (
-        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |      ORDER BY floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 DESC,
         |               b.vec_id) AS rank
         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
         |  WHERE a.vec_id = 0
@@ -4375,8 +4375,8 @@ object Pipeline {
          |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
          |FROM (
          |  SELECT vec_id,
-         |    round(list_dot_product(embedding::DOUBLE[],
-         |      [${ProbeWeights.mkString(", ")}]::DOUBLE[]) + 0.05, 6) AS score
+         |    floor((list_dot_product(embedding::DOUBLE[],
+         |      [${ProbeWeights.mkString(", ")}]::DOUBLE[]) + 0.05) * 1000000 + 0.5) / 1000000 AS score
          |  FROM embeddings)
          |ORDER BY vec_id""".stripMargin,
     // stride arithmetic + 1-based list slicing; n>0 docs only, chunk
@@ -4660,9 +4660,9 @@ object Pipeline {
          |  SELECT d.did AS id_a, d.ds, c.id AS id_b, c.s
          |  FROM dirty d JOIN cat c ON levenshtein(d.ds, c.s) <= 2)
          |SELECT id_a, id_b AS match_id, jw FROM (
-         |  SELECT id_a, id_b, round(jaro_winkler_similarity(ds, s), 6) AS jw,
+         |  SELECT id_a, id_b, floor((jaro_winkler_similarity(ds, s)) * 1000000 + 0.5) / 1000000 AS jw,
          |    row_number() OVER (PARTITION BY id_a
-         |      ORDER BY round(jaro_winkler_similarity(ds, s), 6) DESC, id_b) AS rn
+         |      ORDER BY floor((jaro_winkler_similarity(ds, s)) * 1000000 + 0.5) / 1000000 DESC, id_b) AS rn
          |  FROM pairs) t
          |WHERE rn = 1 ORDER BY id_a""".stripMargin,
     "d28_entity_match" ->
@@ -4684,7 +4684,7 @@ object Pipeline {
          |ORDER BY id_a, id_b""".stripMargin,
     "d05_embedding_dups" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |  floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
@@ -4695,21 +4695,21 @@ object Pipeline {
         |     c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 0)
         |SELECT id_a, id_b, sim FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |    floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 AS sim
         |  FROM n a JOIN c b
         |    ON list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         |  UNION ALL
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |    floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 AS sim
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
         |   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         |) t ORDER BY id_a, id_b""".stripMargin,
     "s01_sim_topk" ->
       """SELECT query_id, neighbor_id, sim, rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |    floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 AS sim,
         |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |      ORDER BY floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 DESC,
         |               b.vec_id) AS rank
         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
         |  WHERE a.vec_id < 20) t
@@ -4719,9 +4719,9 @@ object Pipeline {
     "s09_trunc_topk" ->
       """SELECT query_id, neighbor_id, sim, rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity((a.embedding::DOUBLE[])[1:16], (b.embedding::DOUBLE[])[1:16]), 6) AS sim,
+        |    floor((list_cosine_similarity((a.embedding::DOUBLE[])[1:16], (b.embedding::DOUBLE[])[1:16])) * 1000000 + 0.5) / 1000000 AS sim,
         |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY round(list_cosine_similarity((a.embedding::DOUBLE[])[1:16], (b.embedding::DOUBLE[])[1:16]), 6) DESC,
+        |      ORDER BY floor((list_cosine_similarity((a.embedding::DOUBLE[])[1:16], (b.embedding::DOUBLE[])[1:16])) * 1000000 + 0.5) / 1000000 DESC,
         |               b.vec_id) AS rank
         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
         |  WHERE a.vec_id < 20) t
@@ -4736,7 +4736,7 @@ object Pipeline {
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |      row_number() OVER (PARTITION BY a.vec_id
-        |        ORDER BY round(list_cosine_similarity((a.embedding::DOUBLE[])[1:16], (b.embedding::DOUBLE[])[1:16]), 6) DESC,
+        |        ORDER BY floor((list_cosine_similarity((a.embedding::DOUBLE[])[1:16], (b.embedding::DOUBLE[])[1:16])) * 1000000 + 0.5) / 1000000 DESC,
         |                 b.vec_id) AS crank
         |    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
         |    WHERE a.vec_id < 20) t
@@ -4744,9 +4744,9 @@ object Pipeline {
         |)
         |SELECT query_id, neighbor_id, sim, rank FROM (
         |  SELECT c.query_id, c.neighbor_id,
-        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |    floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 AS sim,
         |    row_number() OVER (PARTITION BY c.query_id
-        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |      ORDER BY floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 DESC,
         |               c.neighbor_id) AS rank
         |  FROM cand c
         |  JOIN embeddings a ON a.vec_id = c.query_id
@@ -4757,9 +4757,9 @@ object Pipeline {
     "s08_filtered_topk" ->
       """SELECT query_id, neighbor_id, sim, rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |    floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 AS sim,
         |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |      ORDER BY floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 DESC,
         |               b.vec_id) AS rank
         |  FROM embeddings a JOIN embeddings b
         |    ON a.vec_id != b.vec_id AND a.label = b.label
@@ -4784,12 +4784,12 @@ object Pipeline {
         |  SELECT vec_id, e, centroid_id FROM (
         |    SELECT v.vec_id, v.e, cb.centroid_id,
         |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY round(list_cosine_similarity(v.e, cb.ce), 6) DESC, cb.centroid_id) AS rn
+        |        ORDER BY floor((list_cosine_similarity(v.e, cb.ce)) * 1000000 + 0.5) / 1000000 DESC, cb.centroid_id) AS rn
         |    FROM v, cb) t
         |  WHERE rn = 1
         |)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.e, b.e), 6) AS sim
+        |  floor((list_cosine_similarity(a.e, b.e)) * 1000000 + 0.5) / 1000000 AS sim
         |FROM assign a JOIN assign b
         |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.35

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.ops.Num.round6
 
 /** Native relational surface (SURVEY.md §2.13 Q1–Q10).
   *
@@ -204,9 +205,9 @@ object Relational {
         expr("percentile(l_quantity, array(0.5, 0.9))").as("p_qty"),
         expr("percentile(l_extendedprice, array(0.95))").as("p_price"))
       .select(col("l_returnflag"),
-        round(element_at(col("p_qty"), 1), 6).as("p50_qty"),
-        round(element_at(col("p_qty"), 2), 6).as("p90_qty"),
-        round(element_at(col("p_price"), 1), 6).as("p95_price"))
+        round6(element_at(col("p_qty"), 1)).as("p50_qty"),
+        round6(element_at(col("p_qty"), 2)).as("p90_qty"),
+        round6(element_at(col("p_price"), 1)).as("p95_price"))
       .orderBy(col("l_returnflag"))
 
   /** Q15 correlated EXISTS — planned as a left_semi join (no subquery
@@ -251,8 +252,8 @@ object Relational {
     Tables.orders(spark, dir)
       .withColumn("day", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long"))
       .select(col("o_custkey"), col("o_orderkey"),
-        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double") /
-          count(lit(1)).over(w), 6).as("avg_30d"))
+        round6(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("avg_30d"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -1273,9 +1274,9 @@ object Relational {
         |ORDER BY nationkey""".stripMargin,
     "q14_percentiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
-        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
-        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+        |  floor((quantile_cont(l_quantity, 0.5)) * 1000000 + 0.5) / 1000000 AS p50_qty,
+        |  floor((quantile_cont(l_quantity, 0.9)) * 1000000 + 0.5) / 1000000 AS p90_qty,
+        |  floor((quantile_cont(l_extendedprice, 0.95)) * 1000000 + 0.5) / 1000000 AS p95_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q15_exists" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
@@ -1292,8 +1293,8 @@ object Relational {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q17_moving_avg" ->
       """SELECT o_custkey, o_orderkey,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
-        |        / count(*) OVER w, 6) AS avg_30d
+        |  floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |        / count(*) OVER w) * 1000000 + 0.5) / 1000000 AS avg_30d
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
         |             RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
