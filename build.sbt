@@ -28,8 +28,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Pinned bench environment (r13 verdict task 7): the forked JVM used
+// to inherit default heap sizing + GC, so bench artifacts from
+// different windows could differ by GC ergonomics alone. Explicit GC,
+// Xms == Xmx (no heap-resize pauses mid-pass); Bench records the
+// resulting flags + max heap in the artifact's `jvm` header.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+UseG1GC",
 )

@@ -87,29 +87,60 @@ object Bench {
     // ---- measured: pass-by-pass over the WHOLE query list (pass 1 of
     // all queries, then pass 2, ...) rather than back-to-back per
     // query: a transient machine-load spike then lands on DIFFERENT
-    // queries in different passes and the median discards it
+    // queries in different passes and the median discards it.
+    //
+    // Per-pass protocol (r13 verdict task 1):
+    //  - every pass (main AND stabilization) opens with a fixed cheap
+    //    SENTINEL query whose time is recorded per pass: a suite-wide
+    //    machine stall is then attributable in the artifact itself
+    //    (sentinel slow => the machine, not the plans);
+    //  - a failed pass contributes NO timing sample (a near-zero or
+    //    stall-length sample from a throw would contaminate the
+    //    median), and a query that has failed once is skipped on the
+    //    remaining extra passes;
+    //  - the reported statistic is ROBUST: with >= 3 samples the
+    //    single max pass is dropped before taking the median, so one
+    //    GC/IO stall pass (r13 saw 42.7 s on a 3.7 s-median query)
+    //    cannot shift the reported number; the raw per-pass vectors
+    //    are emitted under `pass_times` for full auditability.
+    val sentinelFn: () => Unit = () =>
+      runToNoop(Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")))
+    val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val timings = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val failedSet = scala.collection.mutable.Set.empty[String]
-    for (_ <- 1 to passes; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      try { runToNoop(fn(spark, sfDir)) }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        failedSet += name
+    if (names.nonEmpty) sentinelFn() // unmeasured sentinel warmup
+    for (_ <- 1 to passes) {
+      if (names.nonEmpty) sentinelTimes += timeSec(sentinelFn())
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        try {
+          runToNoop(fn(spark, sfDir))
+          timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failedSet += name
+        }
       }
-      timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
     }
-    // ---- tail stabilization (r12 verdict task 4): a query whose
-    // pass-to-pass spread exceeds half its median gets extra measured
-    // passes — median-of-3 is noise for the expensive tail (t24/d11/d13
-    // showed 2.5–6× spread in r12), and a stabilized median is what
-    // lets PERF_DELTA.md tell a real regression from interference.
-    val extraPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "4").toInt
+    // robust per-query statistic: drop the single max sample when we
+    // have >= 3, then median; spread is over the POST-DROP set (the
+    // set the statistic is computed from)
+    def robustSamples(ts: Vector[Double]): Vector[Double] =
+      if (ts.size >= 3) ts.patch(ts.indexOf(ts.max), Nil, 1) else ts
     def spreadRatio(ts: Vector[Double]): Double = {
-      val med = median(ts)
-      if (ts.isEmpty || med <= 0) 0.0 else (ts.max - ts.min) / med
+      val r = robustSamples(ts)
+      val med = if (r.isEmpty) 0.0 else median(r)
+      if (r.isEmpty || med <= 0) 0.0 else (r.max - r.min) / med
     }
+    // ---- tail stabilization (r12 verdict task 4, protocol fixed per
+    // r13 verdict task 1): a query whose POST-DROP pass spread exceeds
+    // half its median gets extra measured passes, run pass-by-pass
+    // over the noisy subset with a sentinel opening each extra pass —
+    // the artifact can then tell "this query is noisy" from "the
+    // machine stalled during the extra passes".
+    val extraPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "4").toInt
     val stabilized =
       if (extraPasses <= 0 || probesOnly) Seq.empty[String]
       else {
@@ -119,19 +150,25 @@ object Bench {
         if (noisy.nonEmpty) System.err.println(
           s"[bench] stabilizing ${noisy.size} noisy queries (+$extraPasses " +
             s"passes): ${noisy.map(_._1).mkString(",")}")
-        for (_ <- 1 to extraPasses; (name, fn) <- noisy) {
-          val t0 = System.nanoTime()
-          try { runToNoop(fn(spark, sfDir)) }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            failedSet += name
+        for (_ <- 1 to extraPasses if noisy.nonEmpty) {
+          sentinelTimes += timeSec(sentinelFn())
+          for ((name, fn) <- noisy if !failedSet(name)) {
+            val t0 = System.nanoTime()
+            try {
+              runToNoop(fn(spark, sfDir))
+              timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              failedSet += name
+            }
           }
-          timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
         }
         noisy.map(_._1)
       }
     val results = names.map { case (name, _) =>
-      (name, median(timings(name)), timings(name).min, timings(name).max)
+      val r = robustSamples(timings(name))
+      if (r.isEmpty) (name, 0.0, 0.0, 0.0)
+      else (name, median(r), r.min, r.max)
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -177,9 +214,39 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (probesOnly) "bench_probes.json" else "bench_out.json")
     val stabJson = stabilized.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"stabilized":$stabJson,"failed":$failed,"scale_probe":$probeJson,"pair_probe":$pairJson,"hll_profile_max_err":$hllErr%.4f,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+    // per-pass raw samples (including any dropped max) — the audit
+    // trail behind the robust medians
+    val passTimes = names.map { case (name, _) =>
+      "\"" + name + "\":[" +
+        timings(name).map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val sentinelJson =
+      sentinelTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
+    // pinned environment (r13 verdict task 7): the forked JVM's flags
+    // and heap, so an artifact-to-artifact comparison can first check
+    // the environments match
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    val jvmFlags = rt.getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("-X") || a.startsWith("-XX"))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val maxHeapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
+    val jvmJson = s"""{"flags":$jvmFlags,"max_heap_mb":$maxHeapMb,"version":"${System.getProperty("java.version")}"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"stabilized":$stabJson,"failed":$failed,"pass_times":$passTimes,"sentinel":$sentinelJson,"jvm":$jvmJson,"scale_probe":$probeJson,"pair_probe":$pairJson,"hll_profile_max_err":$hllErr%.4f,"sf":"$sfDir"}"""
+    // the previous full-suite artifact becomes bench_prev.json so the
+    // run itself can regenerate docs/PERF_DELTA.md (r13 verdict task 2
+    // — the movement table lands in the SAME round as the bench)
+    val outP = java.nio.file.Paths.get(outPath)
+    if (!probesOnly && java.nio.file.Files.exists(outP))
+      java.nio.file.Files.copy(outP, java.nio.file.Paths.get("bench_prev.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.write(outP,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (!probesOnly) {
+      try PerfDelta.write("bench_prev.json", outPath, "docs/PERF_DELTA.md")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] perf delta generation failed: ${e.getMessage}")
+      }
+    }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"failed":$failed,"sf":"$sfDir","full_artifact":"$outPath"}""")
     spark.stop()
   }
@@ -503,10 +570,10 @@ object Bench {
         scaledBy(Tables.events(spark, sfDir), "event_id", n),
         "user_id", targetRowsPerTask = 1000L, topN = 10)),
       // the advisor CLOSING its own loop (r12 verdict task 6): a
-      // zipfian fact (half of all events collapse onto one hot user)
+      // zipfian fact (10 % of all events collapse onto one hot user)
       // joins a dim too wide to broadcast (8 KB pad per user → ~12 MB,
       // above the 10 MB AQE threshold, so the join genuinely shuffles).
-      // `plain` funnels the hot key's n/2 rows into ONE task;
+      // `plain` funnels the hot key's n/10 rows into ONE task;
       // `adaptive` spends the advisor's two count-aggs, then spreads
       // exactly the advised keys over their recommended salt_buckets.
       // The gated claim: adaptive per_row_ratio ≤ plain at ×k.

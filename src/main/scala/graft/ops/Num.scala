@@ -26,9 +26,12 @@ object Num {
     *
     * Semantics: half-up toward +∞ (for negative scores this differs
     * from HALF_UP-away-from-zero at exact ties — deterministic, which
-    * is the property the hash gate needs). Magnitudes here are scores
-    * in [−1, 1] and ratios in [0, 1]; x·10⁶ + 0.5 stays far below
-    * 2^53, so every step is exact-or-correctly-rounded.
+    * is the property the hash gate needs). Precondition: |x|·10⁶ must
+    * stay below 2^53 (i.e. |x| ≲ 9·10⁹) so every step is
+    * exact-or-correctly-rounded — callers range from [−1, 1] scores
+    * and [0, 1] ratios up to ~10⁵ magnitudes (q14 percentile prices,
+    * q17 moving averages), all far inside the bound; above it the
+    * +0.5 would be absorbed and the floor could land one ULP off.
     */
   def round6(c: Column): Column =
     floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)

@@ -424,8 +424,20 @@ class PlanSpec extends AnyFunSuite {
       s"KMV scans must each read exactly one column, schemas: $readSchemas")
     assert(plan.contains("TakeOrderedAndProject"),
       s"k-min must be TakeOrdered per-partition heaps, not a global sort:\n$plan")
-    assert(!plan.contains("Sort ") || plan.contains("TakeOrderedAndProject"),
-      s"no global sort in the sketch path:\n$plan")
+    // a standalone Sort node (one NOT printed as part of a
+    // TakeOrderedAndProject line) would mean a global sort snuck into
+    // the sketch path — assert that directly rather than the r13
+    // disjunction the previous assert made vacuously true. The ONE
+    // allowed Sort is the result-presentation orderBy over the
+    // column-count-sized stat rows (6 rows, keyed on the label column)
+    val standaloneSorts = plan.linesIterator
+      .filter(_.contains("Sort ["))
+      .filterNot(_.contains("TakeOrderedAndProject"))
+      .toSeq
+    assert(standaloneSorts.size <= 1 &&
+        standaloneSorts.forall(_.contains("Sort [column#")),
+      s"only the label-keyed presentation sort may appear — the KMV " +
+        s"sketch path itself must stay heap-based, got: $standaloneSorts\n$plan")
   }
 
   test("s14: cluster mixture — codegen assignment (no join to a codebook), quota join broadcasts") {
