@@ -190,7 +190,20 @@ object CurationTour {
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       val both = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       val nodes = exactKept.select(col("doc_id").as("id"))
-      val comm = graft.ops.Graph.labelPropagation(nodes, both, iters = 3)
+      // converged variant, not a guessed iters (r13 verdict task 3):
+      // the tour models the consumer path, and a deep component under
+      // fixed iters=3 would silently under-propagate — run to the
+      // detected stable labeling and surface a cap-hit loudly.
+      // Self-loops give every node an inertia vote: synchronous LPA
+      // 2-cycles forever on bipartite-ish structure (this fixture
+      // does), and the self-vote makes tie-breaking monotone toward
+      // the component minimum, guaranteeing convergence in diameter
+      // rounds (the labelPropagationConverged scaladoc's contract)
+      val withLoops = both.union(
+        nodes.select(col("id").as("src"), col("id").as("dst")))
+      val (comm, lpaRounds) =
+        graft.ops.Graph.labelPropagationConverged(nodes, withLoops, maxIters = 16)
+      require(lpaRounds < 16, s"LPA hit the round cap ($lpaRounds)")
       val cc = Dedup.clusters(pairs)
       // same community ⇒ same connected component (refinement), and
       // majority vote never yields FEWER groups than reachability

@@ -600,6 +600,33 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Convergence-run label propagation
+    * ([[graft.ops.Graph.labelPropagationConverged]]) over the persisted
+    * pair graph — g05's twin at the DETECTED stable labeling instead of
+    * a guessed iters, with the executed round count emitted on every
+    * row so the STOPPING DECISION itself hash-gates (the g08 pattern
+    * applied to communities — r13 verdict task 3). The oracle unrolls
+    * the voting recurrence to the same cap, stacks every round, and
+    * selects the FIRST round whose labels equal its predecessor's (and
+    * that round's index); post-fixpoint rounds of the deterministic
+    * majority-vote map are no-ops, so early stopping replays exactly,
+    * including the cap-hit case (no stable round ≤ cap → both engines
+    * emit the cap's labels with rounds = cap). On a deep path
+    * component this is the difference between a real community split
+    * and labels silently stopping three hops out.
+    */
+  def g09CommunitiesConverged(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = jaccardPairGraph(spark, dir).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val (labels, rounds) = graft.ops.Graph.labelPropagationConverged(
+      docs.select(col("doc_id").as("id")), edges, maxIters = 8)
+    labels.select(col("id").as("doc_id"), col("community"))
+      .withColumn("rounds", lit(rounds.toLong))
+      .orderBy(col("doc_id"))
+  }
+
   /** Link prediction ([[graft.ops.Graph.commonNeighbors]]) over the
     * persisted pair graph: for every doc pair sharing at least one
     * near-dup neighbor (the 2-hop candidate set — never all-pairs),
@@ -2053,9 +2080,17 @@ object Pipeline {
     * two concurrent runs on one host can't race each other's
     * write+swap against reads (r12 ADVICE).
     */
+  // one temp dir per JVM, created lazily (not per call): per-process
+  // uniqueness keeps the r12 concurrent-run race fix, while reuse +
+  // mode("overwrite") stops a bench run (warmup + measured + extra
+  // passes) from leaking a full index copy per invocation (r13 ADVICE)
+  private lazy val t36IndexDir: String =
+    java.nio.file.Files.createTempDirectory("graft_t36_text_index").toString
+  private lazy val d35IndexDir: String =
+    java.nio.file.Files.createTempDirectory("graft_d35_chunk_index").toString
+
   def t36Bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_t36_text_index")
-      .toString
+    val path = t36IndexDir
     TextOps.writeTextIndex(Tables.documents(spark, dir), path)
     TextOps.bm25ServeIndexed(spark, path,
       Seq("dup", "spark", "vector", "merge"), k = 20)
@@ -2343,9 +2378,8 @@ object Pipeline {
     */
   def d35ChunkProvenance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // per-process temp dir — see t36Bm25Indexed (r12 ADVICE race fix)
-    val path = java.nio.file.Files.createTempDirectory("graft_d35_chunk_index")
-      .toString
+    // per-JVM lazy temp dir — see t36IndexDir (race fix without the leak)
+    val path = d35IndexDir
     graft.ext.Dedup.writeChunkIndex(docs, path, maskBits = 6)
     val batch = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -3458,6 +3492,50 @@ object Pipeline {
        |SELECT id AS doc_id, label AS community FROM l$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Convergence-run LPA replay (g09): the g08 stacked-history pattern
+    * over the voting recurrence — unroll to the cap, stack every
+    * round's labels, select the first round equal to its predecessor
+    * (its labels AND its index), degrade to the cap identically on
+    * both engines. l-CTEs MATERIALIZED for the same reason as g08's
+    * r-CTEs (each referenced three times: v_{i+1}, l_{i+1}, hist).
+    */
+  private def labelPropagationConvergedOracle(cap: Int): String = {
+    val iterCtes = (1 to cap).map { i =>
+      s"""v$i AS (
+         |  SELECT e.dst AS id, l.label, count(*) AS c
+         |  FROM edges e JOIN l${i - 1} l ON l.id = e.src
+         |  GROUP BY 1, 2
+         |), p$i AS (
+         |  SELECT id, label FROM v$i
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) = 1
+         |), l$i AS MATERIALIZED (
+         |  SELECT l.id, coalesce(p$i.label, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN p$i ON p$i.id = l.id
+         |)""".stripMargin
+    }.mkString(", ")
+    val histArms = (0 to cap)
+      .map(i => s"SELECT $i AS iter, id, label FROM l$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $ngramJaccardCtes, edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM jpairs
+       |  UNION ALL SELECT id_b, id_a FROM jpairs
+       |), l0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |), $iterCtes, hist AS (
+       |  $histArms
+       |), diffs AS (
+       |  SELECT a.iter, sum(CASE WHEN a.label <> b.label THEN 1 ELSE 0 END) AS nch
+       |  FROM hist a JOIN hist b ON a.id = b.id AND b.iter = a.iter - 1
+       |  GROUP BY a.iter
+       |), kk AS (
+       |  SELECT CAST(coalesce(min(iter), $cap) AS BIGINT) AS k
+       |  FROM diffs WHERE nch = 0
+       |)
+       |SELECT id AS doc_id, label AS community, (SELECT k FROM kk) AS rounds
+       |FROM hist WHERE iter = (SELECT k FROM kk)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Duplication-profile replay: sizes + histogram + the singleton
     * bucket off the recursive-CTE components. (`lazy`: declared above
     * [[clusterLabelCtes]] — eager init would capture null.)
@@ -3807,6 +3885,7 @@ object Pipeline {
     "g03_pagerank_weighted" -> pageRankWeightedOracle(iters = 3),
     "g04_link_predict" -> linkPredictOracle,
     "g05_communities" -> labelPropagationOracle(iters = 3),
+    "g09_communities_converged" -> labelPropagationConvergedOracle(cap = 8),
     "g06_pagerank_seeded" -> pageRankSeededOracle(iters = 3),
     "g07_communities_weighted" -> labelPropagationWeightedOracle(iters = 3),
     "d38_dup_profile" -> dupProfileOracle,
@@ -5690,6 +5769,7 @@ object Pipeline {
     "g02_triangles"      -> g02Triangles _,
     "g04_link_predict"   -> g04LinkPredict _,
     "g05_communities"    -> g05Communities _,
+    "g09_communities_converged" -> g09CommunitiesConverged _,
     "g06_pagerank_seeded" -> g06PagerankSeeded _,
     "g07_communities_weighted" -> g07CommunitiesWeighted _,
     "d38_dup_profile"    -> d38DupProfile _,
