@@ -903,6 +903,112 @@ object TextOps {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** Extended-PII patterns (r13 verdict task 5) — the classes a
+    * takedown/compliance pass is actually asked for beyond
+    * email/phone/IP. All RE2-safe (no lookarounds, no backrefs) like
+    * the t10 set, so any RE2 engine replays them byte-identically.
+    *
+    * [[CardPattern]] deliberately requires SEPARATED groups
+    * (dddd-dddd-dddd-dddd or space-separated): an unseparated 16-digit
+    * run can't be told from an order id by shape alone, and it is
+    * still scrubbed downstream by [[PhonePattern]]'s ≥8-digit-run
+    * stage — the data never leaks, only the class label coarsens.
+    * Separated candidates are then VALIDATED (Luhn) before redaction,
+    * so a dashed order-id that fails the checksum survives.
+    */
+  val SsnPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val CardPattern = "[0-9]{4}([ -][0-9]{4}){3}"
+  val IbanPattern = "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"
+
+  private def nonEmptyChars(s: Column): Column =
+    filter(split(s, ""), c => c =!= "")
+
+  /** Luhn checksum over the digits of `s` (separators stripped): from
+    * the rightmost digit, every second digit doubles (minus 9 above 9)
+    * and the total must divide by 10. Pure codegen'd higher-order
+    * built-ins (transform with index + aggregate) — no UDF; the oracle
+    * replays the identical fold with DuckDB list lambdas.
+    */
+  def luhnValid(s: Column): Column = {
+    val rev = reverse(nonEmptyChars(regexp_replace(s, "[^0-9]", "")))
+    val total = aggregate(
+      transform(rev, (d, i) => {
+        val v = d.cast("long")
+        when(i % 2 === 0, v)
+          .otherwise(when(v * 2 > 9, v * 2 - 9).otherwise(v * 2))
+      }),
+      lit(0L), (acc, x) => acc + x)
+    total % 10 === 0
+  }
+
+  /** IBAN mod-97 check (ISO 7064): move the first four chars to the
+    * end, expand letters to two-digit values (A=10 … Z=35), and fold
+    * the digit string left-to-right as (acc·10 + d) mod 97 — the
+    * standard chunk-free spelling that never leaves long range. Valid
+    * iff the remainder is 1.
+    */
+  def ibanValid(s: Column): Column = {
+    val rearranged = concat(substring(s, 5, 64), substring(s, 1, 4))
+    val expanded = array_join(
+      transform(nonEmptyChars(rearranged),
+        ch => when(ch >= "A" && ch <= "Z", (ascii(ch) - 55).cast("string"))
+          .otherwise(ch)), "")
+    aggregate(nonEmptyChars(expanded), lit(0L),
+      (acc, d) => (acc * 10 + d.cast("long")) % 97) === 1
+  }
+
+  /** Redact every `pattern` match in `text` that passes `valid` with
+    * `tag`: extract candidates, filter by the checksum, fold the
+    * survivors through `replace`. The fold is over the (tiny)
+    * candidate list per row — still a narrow codegen projection, no
+    * shuffle, no UDF.
+    */
+  def redactValidated(text: Column, pattern: String,
+      valid: Column => Column, tag: String): Column =
+    aggregate(
+      filter(regexp_extract_all(text, lit(pattern), lit(0)), valid),
+      text, (acc, c) => replace(acc, c, lit(tag)))
+
+  /** [[redactPii]] extended with checksum-validated credit cards
+    * (Luhn), IBANs (mod-97), and SSN-shaped ids. Stage order is part
+    * of the contract, extending t10's email → IP → phone reasoning:
+    * cards and IBANs go BEFORE ssn/phone because a separated card is
+    * also a ≥8-char digit-dash run ([[PhonePattern]] would tag it
+    * `<PHONE>`) and an IBAN's digit tail is a plain digit run; SSN
+    * goes before phone for the same reason. A candidate that FAILS
+    * its checksum is left for the phone stage's digit-run scrubber —
+    * scrubbed, but not mislabeled as a card/IBAN.
+    */
+  def redactPiiExtended(text: Column): Column = {
+    val t1 = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Pattern, "<IP>")
+    val t3 = redactValidated(t2, CardPattern, luhnValid, "<CARD>")
+    val t4 = redactValidated(t3, IbanPattern, ibanValid, "<IBAN>")
+    val t5 = regexp_replace(t4, SsnPattern, "<SSN>")
+    regexp_replace(t5, PhonePattern, "<PHONE>")
+  }
+
+  /** Per-class redaction counts for [[redactPiiExtended]], each
+    * counted on the progressively redacted text exactly as its stage
+    * sees it (so an email's digits never count as a phone, and an
+    * invalid card never counts as a card). Returns the six stage
+    * counts in stage order.
+    */
+  def piiCountsExtended(text: Column): Seq[(String, Column)] = {
+    val t1 = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Pattern, "<IP>")
+    val t3 = redactValidated(t2, CardPattern, luhnValid, "<CARD>")
+    val t4 = redactValidated(t3, IbanPattern, ibanValid, "<IBAN>")
+    val t5 = regexp_replace(t4, SsnPattern, "<SSN>")
+    Seq(
+      "n_email" -> regexp_count(text, lit(EmailPattern)),
+      "n_ip" -> regexp_count(t1, lit(Ipv4Pattern)),
+      "n_card" -> size(filter(regexp_extract_all(t2, lit(CardPattern), lit(0)), luhnValid(_))),
+      "n_iban" -> size(filter(regexp_extract_all(t3, lit(IbanPattern), lit(0)), ibanValid(_))),
+      "n_ssn" -> regexp_count(t4, lit(SsnPattern)),
+      "n_phone" -> regexp_count(t5, lit(PhonePattern)))
+  }
+
   /** Count of redactions [[redactPii]] performs, counted stage by stage
     * on the progressively redacted text (so a digit run inside an email
     * is never double-counted, and an IP never counts as a phone).

@@ -1818,6 +1818,70 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Extended PII scrubbing under the gate
+    * ([[TextOps.redactPiiExtended]], r13 verdict task 5): t10's classes
+    * plus Luhn-VALIDATED credit cards, mod-97-VALIDATED IBANs, and
+    * SSN-shaped ids. The fixture text carries no PII, so the query
+    * injects all six classes deterministically from doc_id — the card
+    * gets a REAL Luhn check digit when doc_id is even and a corrupted
+    * one otherwise (likewise mod-97 for the IBAN on doc_id % 3), so
+    * the gate pins the checksum logic itself: a broken Luhn/mod-97
+    * would mis-classify half the corpus and hash-mismatch. Stage
+    * ordering is pinned the same way t10 pinned IP-before-phone: an
+    * invalid card/IBAN left in place must fall through to the phone
+    * stage's digit-run scrubber byte-identically in both engines.
+    * Output is the fully redacted text plus all six per-stage counts.
+    */
+  def t45RedactExtended(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    // 15 card payload digits (left positions 1..15): (doc_id + 7p) % 10
+    val cardDigits = transform(sequence(lit(1L), lit(15L)),
+      p => pmod(d + p * 7, lit(10)))
+    // Luhn weights with the check digit at right position 1: left
+    // position p sits at right position 17-p, doubled when even ⟺ p odd
+    // (0-based transform index i: p = i+1, so doubled at i even)
+    val luhnSum = aggregate(
+      transform(cardDigits, (dig, i) => {
+        val dbl = when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2)
+        when(i % 2 === 0, dbl).otherwise(dig)
+      }), lit(0L), (a, x) => a + x)
+    val cv = pmod(lit(10L) - pmod(luhnSum, lit(10L)), lit(10L))
+    val check = when(pmod(d, lit(2)) === 0, cv).otherwise(pmod(cv + 5, lit(10L)))
+    val d16 = concat(
+      array_join(transform(cardDigits, _.cast("string")), ""),
+      check.cast("string"))
+    val card = concat_ws("-", substring(d16, 1, 4), substring(d16, 5, 4),
+      substring(d16, 9, 4), substring(d16, 13, 4))
+    // 18 BBAN digits; check digits from the standard rearrangement
+    // (BBAN ++ "1314" (DE) ++ "00"), folded (acc·10+d) mod 97
+    val bbanDigits = transform(sequence(lit(1L), lit(18L)),
+      i => pmod(d * 3 + i, lit(10)))
+    val bban = array_join(transform(bbanDigits, _.cast("string")), "")
+    val m97 = aggregate(
+      concat(bbanDigits, array(lit(1L), lit(3L), lit(1L), lit(4L), lit(0L), lit(0L))),
+      lit(0L), (a, x) => (a * 10 + x) % 97)
+    val c97 = lit(98L) - m97
+    val cInv = when(c97 >= 98, lit(97L)).otherwise(c97 + 1)
+    val iban = concat(lit("DE"),
+      lpad(when(pmod(d, lit(3)) === 0, c97).otherwise(cInv).cast("string"), 2, "0"),
+      bban)
+    val ssn = concat_ws("-",
+      lpad(pmod(d * 13, lit(1000)).cast("string"), 3, "0"),
+      lpad(pmod(d, lit(100)).cast("string"), 2, "0"),
+      lpad(pmod(d * 7, lit(10000)).cast("string"), 4, "0"))
+    val withPii = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact: user"), col("doc_id"), lit("@example.com or +1 (555) 123-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" at 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"),
+        lit(" ssn: "), ssn, lit(" card: "), card, lit(" iban: "), iban).as("text"))
+    val countCols = TextOps.piiCountsExtended(col("text"))
+      .map { case (n, cc) => cc.cast("long").as(n) }
+    withPii.select(Seq(col("doc_id"),
+        TextOps.redactPiiExtended(col("text")).as("redacted")) ++ countCols: _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-JVM locations of already-built contamination indexes, keyed by
     * (data dir, n). Fresh temp dirs per process — never reused across
     * runs, so a regenerated fixture can't serve a stale artifact; within
@@ -3492,6 +3556,102 @@ object Pipeline {
        |SELECT id AS doc_id, label AS community FROM l$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** t45 replay: injection (card digits + Luhn check digit, BBAN +
+    * mod-97 check digits, SSN fields — all from doc_id), then the full
+    * six-stage chain with the SAME general Luhn/mod-97 validation the
+    * operator runs (DuckDB list lambdas mirror Spark's higher-order
+    * functions, 1-based list_transform index vs Spark's 0-based is
+    * absorbed by the parity flip), candidate fold-replace via
+    * list_reduce over a text-prepended candidate list.
+    */
+  private val t45RedactExtendedOracle =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    list_transform(range(1,16), p -> (doc_id + p*7) % 10) AS cd,
+      |    list_transform(range(1,19), i -> (doc_id*3 + i) % 10) AS bb
+      |  FROM documents
+      |), inj AS (
+      |  SELECT doc_id, text, cd, bb,
+      |    list_sum(list_transform(cd, (dig, p) -> CASE WHEN p % 2 = 1
+      |        THEN CASE WHEN dig*2 > 9 THEN dig*2 - 9 ELSE dig*2 END
+      |        ELSE dig END)) AS ls,
+      |    list_reduce(list_concat(bb, [1,3,1,4,0,0]), (a, x) -> (a*10 + x) % 97) AS m97
+      |  FROM base
+      |), fields AS (
+      |  SELECT doc_id, text,
+      |    array_to_string(list_transform(cd, x -> CAST(x AS VARCHAR)), '')
+      |      || CAST(CASE WHEN doc_id % 2 = 0 THEN (10 - ls % 10) % 10
+      |              ELSE ((10 - ls % 10) % 10 + 5) % 10 END AS VARCHAR) AS d16,
+      |    'DE' || lpad(CAST(CASE WHEN doc_id % 3 = 0 THEN 98 - m97
+      |        ELSE CASE WHEN 98 - m97 >= 98 THEN 97 ELSE 98 - m97 + 1 END END AS VARCHAR), 2, '0')
+      |      || array_to_string(list_transform(bb, x -> CAST(x AS VARCHAR)), '') AS iban,
+      |    lpad(CAST((doc_id*13) % 1000 AS VARCHAR), 3, '0') || '-'
+      |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+      |      || lpad(CAST((doc_id*7) % 10000 AS VARCHAR), 4, '0') AS ssn
+      |  FROM inj
+      |), withpii AS (
+      |  SELECT doc_id,
+      |    text || ' contact: user' || doc_id::VARCHAR || '@example.com or +1 (555) 123-'
+      |      || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      |      || ' at 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+      |      || ' ssn: ' || ssn
+      |      || ' card: ' || substr(d16,1,4) || '-' || substr(d16,5,4) || '-'
+      |        || substr(d16,9,4) || '-' || substr(d16,13,4)
+      |      || ' iban: ' || iban AS text
+      |  FROM fields
+      |), s1 AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      |  FROM withpii
+      |), s2 AS (
+      |  SELECT doc_id, text, t1,
+      |    regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2
+      |  FROM s1
+      |), s3 AS (
+      |  SELECT doc_id, text, t1, t2,
+      |    list_filter(regexp_extract_all(t2, '[0-9]{4}([ -][0-9]{4}){3}'),
+      |      c -> (list_sum(list_transform(
+      |              list_reverse(string_split_regex(regexp_replace(c, '[^0-9]', '', 'g'), '')),
+      |              (d, i) -> CASE WHEN i % 2 = 1 THEN CAST(d AS BIGINT)
+      |                        ELSE CASE WHEN 2*CAST(d AS BIGINT) > 9
+      |                             THEN 2*CAST(d AS BIGINT) - 9
+      |                             ELSE 2*CAST(d AS BIGINT) END END))
+      |            % 10) = 0) AS cards
+      |  FROM s2
+      |), s3b AS (
+      |  SELECT doc_id, text, t1, t2, cards,
+      |    list_reduce(list_prepend(t2, cards), (acc, c) -> replace(acc, c, '<CARD>')) AS t3
+      |  FROM s3
+      |), s4 AS (
+      |  SELECT doc_id, text, t1, t2, cards, t3,
+      |    list_filter(regexp_extract_all(t3, '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}'),
+      |      c -> (list_reduce(list_transform(
+      |              string_split_regex(array_to_string(list_transform(
+      |                string_split_regex(substr(c, 5) || substr(c, 1, 4), ''),
+      |                ch -> CASE WHEN ch BETWEEN 'A' AND 'Z'
+      |                      THEN CAST(ascii(ch) - 55 AS VARCHAR) ELSE ch END), ''), ''),
+      |              d -> CAST(d AS BIGINT)),
+      |            (a, b) -> (a*10 + b) % 97)) = 1) AS ibans
+      |  FROM s3b
+      |), s4b AS (
+      |  SELECT doc_id, text, t1, t2, cards, t3, ibans,
+      |    list_reduce(list_prepend(t3, ibans), (acc, c) -> replace(acc, c, '<IBAN>')) AS t4
+      |  FROM s4
+      |), s5 AS (
+      |  SELECT doc_id, text, t1, t2, cards, t3, ibans, t4,
+      |    regexp_replace(t4, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS t5
+      |  FROM s4b
+      |)
+      |SELECT doc_id,
+      |  regexp_replace(t5, '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
+      |  CAST(len(cards) AS BIGINT) AS n_card,
+      |  CAST(len(ibans) AS BIGINT) AS n_iban,
+      |  CAST(len(regexp_extract_all(t4, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+      |  CAST(len(regexp_extract_all(t5, '\+?[0-9][0-9()\-. ]{6,}[0-9]')) AS BIGINT) AS n_phone
+      |FROM s5 ORDER BY doc_id""".stripMargin
+
   /** Convergence-run LPA replay (g09): the g08 stacked-history pattern
     * over the voting recurrence — unroll to the cap, stack every
     * round's labels, select the first round equal to its predecessor
@@ -5082,6 +5242,7 @@ object Pipeline {
         |  CAST(max(abs(s)) AS BIGINT) AS peak
         |FROM f GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin,
     "t09_hash_split" -> hashSplitOracle,
+    "t45_redact_extended" -> t45RedactExtendedOracle,
     "t10_redact" ->
       """WITH withpii AS (
         |  SELECT doc_id,
@@ -5718,6 +5879,7 @@ object Pipeline {
     "t08_oov_rate"       -> t08OovRate _,
     "t09_hash_split"     -> t09HashSplit _,
     "t10_redact"         -> t10Redact _,
+    "t45_redact_extended" -> t45RedactExtended _,
     "e05_funnel"         -> e05Funnel _,
     "e07_cohort_retention" -> e07CohortRetention _,
     "e08_transitions"    -> e08Transitions _,

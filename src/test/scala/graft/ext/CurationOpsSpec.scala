@@ -90,6 +90,58 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.view.mapValues(_._1).toMap == g)
   }
 
+  test("luhnValid / ibanValid: published checksum vectors") {
+    val df = Seq(
+      "4111-1111-1111-1111", // Luhn-valid test card, dashed
+      "4111 1111 1111 1112", // corrupted check digit
+      "4111111111111111"     // same card unseparated
+    ).toDF("s").select(TextOps.luhnValid(col("s")).as("ok"))
+    assert(df.collect().map(_.getBoolean(0)).toSeq == Seq(true, false, true))
+    val ib = Seq(
+      "DE89370400440532013000", // published ISO 13616 example
+      "GB82WEST12345698765432", // letters inside the BBAN
+      "DE89370400440532013001"  // one digit off
+    ).toDF("s").select(TextOps.ibanValid(col("s")).as("ok"))
+    assert(ib.collect().map(_.getBoolean(0)).toSeq == Seq(true, true, false))
+  }
+
+  test("redactPiiExtended: stage order — validated classes before the phone digit-run scrubber") {
+    def red(t: String): String =
+      Seq(t).toDF("text").select(TextOps.redactPiiExtended(col("text")))
+        .head().getString(0)
+    // valid card tagged as a card; Luhn-invalid card falls through to
+    // the phone stage (scrubbed, coarser label) — the card-before-phone
+    // ordering contract, the t10 IP-before-phone case one class over
+    assert(red("pay 4111-1111-1111-1111 now") == "pay <CARD> now")
+    assert(red("pay 4111-1111-1111-1112 now") == "pay <PHONE> now")
+    // valid IBAN tagged; invalid IBAN's digit tail is a phone-run
+    assert(red("acct DE89370400440532013000 ok") == "acct <IBAN> ok")
+    assert(red("acct DE89370400440532013001 ok") == "acct DE<PHONE> ok")
+    // SSN before phone; IP before phone (carried from t10)
+    assert(red("ssn 123-45-6789 end") == "ssn <SSN> end")
+    assert(red("ip 10.0.0.1 end") == "ip <IP> end")
+    // all six classes in one line survive in order
+    assert(red("u@x.io 10.0.0.1 4111-1111-1111-1111 DE89370400440532013000 123-45-6789 +1 (555) 123-0042")
+      == "<EMAIL> <IP> <CARD> <IBAN> <SSN> <PHONE>")
+    // no candidates: text unchanged
+    assert(red("plain text, no pii") == "plain text, no pii")
+  }
+
+  test("piiCountsExtended: per-stage counts never double-count across classes") {
+    val t = "u@x.io 10.0.0.1 4111-1111-1111-1111 4111-1111-1111-1112 DE89370400440532013000 123-45-6789 +1 (555) 123-0042"
+    val row = Seq(t).toDF("text")
+      .select(TextOps.piiCountsExtended(col("text")).map { case (n, c) => c.cast("long").as(n) }: _*)
+      .head()
+    // the invalid card is NOT an n_card; it lands in n_phone with the
+    // injected phone number (2 phones total)
+    assert(row.getLong(0) == 1L, "n_email")
+    assert(row.getLong(1) == 1L, "n_ip")
+    assert(row.getLong(2) == 1L, "n_card")
+    assert(row.getLong(3) == 1L, "n_iban")
+    assert(row.getLong(4) == 1L, "n_ssn")
+    assert(row.getLong(5) == 2L, "n_phone")
+  }
+
   test("distinctiveTerms: hand shares, hapax suppression, TopKPerKey plan (no Window)") {
     // source A: 'aaa' ×6 exclusive (share 10⁶), 'common' ×5 of 10 global
     // (share 5·10⁵); 'rare' ×2 is suppressed by minCount=5
