@@ -534,6 +534,14 @@ object Bench {
         graft.ext.Multimodal.audioQualityRules(
           graft.ext.Multimodal.syntheticWavClasses(docsAt(n)))
       }),
+      // per-image JPEG encode+decode+metrics: the lossy-codec boundary
+      // is the cost (audio_gate's image twin, r13 task 4); one decode
+      // per row, payloads never shuffle — growth must be codec-linear
+      "jpeg_gate" -> (n => {
+        implicit val s: org.apache.spark.sql.SparkSession = spark
+        graft.ext.Multimodal.imageQualityRules(
+          graft.ext.Multimodal.syntheticJpeg(docsAt(n)))
+      }),
       // content-defined chunking: one codegen gear pass per row, no
       // shuffle — growth must be pure scan cost
       "cdc_chunks" -> (n => Dedup.chunkTable(docsAt(n))),

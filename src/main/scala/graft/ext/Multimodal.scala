@@ -31,6 +31,15 @@ object Multimodal {
   case class DecodedStats(media_id: Long, width: Int, height: Int, checksum: Long)
 
   val PngFormat = "image/png"
+  val JpegFormat = "image/jpeg"
+
+  /** Formats the image operators REALLY decode (vs opaque byte-feature
+    * payloads): lossless PNG via the byte-level codec, JPEG via the
+    * thread-local ImageIO reader (r13 verdict task 4 — a real crawl's
+    * image column is overwhelmingly JPEG).
+    */
+  def isDecodableImage(format: String): Boolean =
+    format == PngFormat || format == JpegFormat
 
   /** Byte-level PNG codec for the hot loop — the image twin of the
     * RIFF/WAVE rewrite: encode emits IHDR + one filter-0 deflated IDAT
@@ -212,6 +221,12 @@ object Multimodal {
     private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
       override def initialValue() = ImageIO.getImageReadersByFormatName("png").next()
     }
+    private val jpegWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue() = ImageIO.getImageWritersByFormatName("jpeg").next()
+    }
+    private val jpegReader = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue() = ImageIO.getImageReadersByFormatName("jpeg").next()
+    }
 
     /** Encode an RGB raster (row-major packed 0xRRGGBB ints) as a real
       * PNG — byte-level: IHDR (8-bit RGB, non-interlaced) + one
@@ -235,6 +250,63 @@ object Multimodal {
       */
     def decodePng(payload: Array[Byte]): (Int, Int, Array[Int]) =
       PngBytes.decode(payload).getOrElse(decodeViaImageIO(payload))
+
+    /** Encode an RGB raster as a real baseline JPEG at the given
+      * quality — the JDK's own codec (public ImageIO), driven through
+      * the same thread-local-writer + memory-cached-stream pattern
+      * that killed the PNG registry contention. Lossy: use
+      * [[decodeJpeg]] invariants (dims always; uniformity for
+      * flat rasters, whose blocks are DC-only) rather than pixel
+      * equality when gating.
+      */
+    def encodeJpeg(width: Int, height: Int, rgb: Array[Int],
+        qualityPct: Int = 85): Array[Byte] = {
+      require(rgb.length == width * height, s"raster ${rgb.length} != $width x $height")
+      require(qualityPct >= 1 && qualityPct <= 100, "quality in [1, 100]")
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, width, height, rgb, 0, width)
+      val out = new ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      val writer = jpegWriter.get()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(qualityPct / 100.0f)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally { writer.setOutput(null); ios.close() }
+      out.toByteArray
+    }
+
+    /** Decode a JPEG payload to (width, height, row-major 0xRRGGBB) via
+      * the thread-local reader — one reader per executor thread, no
+      * plugin-registry scan, no temp-file spooling in the hot loop.
+      */
+    def decodeJpeg(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(payload))
+      val reader = jpegReader.get()
+      val img =
+        try { reader.setInput(iis, true, true); reader.read(0) }
+        finally { reader.setInput(null); iis.close() }
+      require(img != null, "payload is not a decodable JPEG")
+      val (w, h) = (img.getWidth, img.getHeight)
+      (w, h, img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF))
+    }
+
+    /** Format-dispatched image decode — the one entry point the image
+      * operators use. Declared formats route directly (no sniffing
+      * cost); anything else is sniffed by magic bytes (JPEG SOI, then
+      * the PNG path, whose own ImageIO fallback format-sniffs the
+      * rest).
+      */
+    def decodeImage(format: String, payload: Array[Byte]): (Int, Int, Array[Int]) =
+      if (format == Multimodal.PngFormat) decodePng(payload)
+      else if (format == Multimodal.JpegFormat) decodeJpeg(payload)
+      else if (payload.length >= 2 && (payload(0) & 0xFF) == 0xFF &&
+        (payload(1) & 0xFF) == 0xD8) decodeJpeg(payload)
+      else decodePng(payload)
 
     private def decodeViaImageIO(payload: Array[Byte]): (Int, Int, Array[Int]) = {
       val img =
@@ -384,8 +456,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        if (r.meta.format == PngFormat) {
-          val (_, _, rgb) = MediaCodec.decodePng(r.payload)
+        if (isDecodableImage(r.meta.format)) {
+          val (_, _, rgb) = MediaCodec.decodeImage(r.meta.format, r.payload)
           MediaFeatures(r.media_id, r.meta.mediaType, r.payload.length,
             MediaCodec.pixelChecksum(rgb), MediaCodec.pixelHistogram(rgb))
         } else {
@@ -589,12 +661,14 @@ object Multimodal {
     require(targetWidth > 0 && targetHeight > 0, "target dims must be positive")
     media.mapPartitions { rows =>
       rows.map { r =>
-        require(r.meta.format == PngFormat,
+        require(isDecodableImage(r.meta.format),
           s"resize needs a decodable image payload, got ${r.meta.format}")
-        val (w, h, rgb) = MediaCodec.decodePng(r.payload)
+        val (w, h, rgb) = MediaCodec.decodeImage(r.meta.format, r.payload)
         val scaled = MediaCodec.scaleNearest(w, h, rgb, targetWidth, targetHeight)
+        // output is ALWAYS lossless PNG (a resize artifact must carry
+        // exactly the scaled pixels, whatever the input codec was)
         MediaRow(r.media_id,
-          r.meta.copy(width = targetWidth, height = targetHeight),
+          r.meta.copy(format = PngFormat, width = targetWidth, height = targetHeight),
           MediaCodec.encodePng(targetWidth, targetHeight, scaled))
       }
     }
@@ -609,7 +683,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, rgb) = MediaCodec.decodePng(r.payload)
+        val (w, h, rgb) = MediaCodec.decodeImage(r.meta.format, r.payload)
         DecodedStats(r.media_id, w, h, MediaCodec.pixelChecksum(rgb))
       }
     }
@@ -686,6 +760,33 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic JPEG per id: [[syntheticPng]]'s dims with
+    * a SOLID gray raster g = 28 + (id·37 mod 200) — REAL baseline
+    * JPEGs from the JDK encoder. Solid rasters are the deterministic
+    * island of a lossy codec: every 8×8 block is DC-only (AC
+    * coefficients are exactly zero for a constant block, and edge
+    * padding replicates the same constant), so the DECODED raster is
+    * uniform whatever the quantization did to the level — dims,
+    * dhash = 0, contrast = 0 and the extreme-pixel fractions are all
+    * oracle-replayable invariants even though pixel values are not.
+    * g ∈ [28, 227] keeps any DC drift away from the <16 / >239
+    * extreme bands.
+    */
+  def syntheticJpeg(docs: DataFrame, idCol: String = "doc_id")(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (8 + Math.floorMod(id, 9L)).toInt
+        val h = (8 + Math.floorMod(id, 5L)).toInt
+        val g = (28 + Math.floorMod(id * 37, 200L)).toInt
+        val rgb = Array.fill(w * h)((g << 16) | (g << 8) | g)
+        MediaRow(id, MediaMeta("image", JpegFormat, w, h),
+          MediaCodec.encodeJpeg(w, h, rgb))
+      }
+    }
+  }
+
   /** Per-image 56-bit dHash over REAL decoded payloads — one codec pass
     * per partition, narrow, output (media_id, dhash).
     */
@@ -693,7 +794,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, rgb) = MediaCodec.decodePng(r.payload)
+        val (w, h, rgb) = MediaCodec.decodeImage(r.meta.format, r.payload)
         (r.media_id, dhash56(w, h, rgb))
       }
     }.toDF("media_id", "dhash")
@@ -880,7 +981,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, rgb) = MediaCodec.decodePng(r.payload)
+        val (w, h, rgb) = MediaCodec.decodeImage(r.meta.format, r.payload)
         val n = (w * h).toLong
         require(n > 0, s"payload ${r.media_id} decodes to an empty raster")
         var sum = 0L; var mn = 255L; var mx = 0L; var dark = 0L; var bright = 0L

@@ -1033,6 +1033,33 @@ object Pipeline {
     graft.ext.Multimodal.imageQualityRules(media).orderBy(col("media_id"))
   }
 
+  /** JPEG decode path under the gate
+    * ([[graft.ext.Multimodal.syntheticJpeg]] →
+    * [[graft.ext.Multimodal.imageDhash]] / imageQualityRules /
+    * decodedStats — r13 verdict task 4): REAL JDK-encoded baseline
+    * JPEGs flow through the SAME production operators the PNG family
+    * uses (the decode-dispatch, not a bespoke path). A lossy codec
+    * can't gate on pixels, so the fixture is solid-gray rasters —
+    * DC-only blocks decode to a UNIFORM raster whatever quantization
+    * did to the level — and the gate pins the invariants that survive:
+    * exact decoded dims (and n_pixels), dhash = 0, contrast = 0, zero
+    * extreme-pixel fractions, keep = 0 (flat images drop on
+    * contrast). A byte-feature path, a garbage decode, or wrong dims
+    * all hash-mismatch.
+    */
+  def m12JpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticJpeg(Tables.documents(spark, dir))
+    val stats = graft.ext.Multimodal.decodedStats(media).toDF()
+      .select(col("media_id"), col("width"), col("height"))
+    val dh = graft.ext.Multimodal.imageDhash(media)
+    val qr = graft.ext.Multimodal.imageQualityRules(media)
+      .select(col("media_id"), col("n_pixels"), col("contrast"),
+        col("dark_micro"), col("bright_micro"), col("keep"))
+    stats.join(dh, "media_id").join(qr, "media_id")
+      .orderBy(col("media_id"))
+  }
+
   /** Corpus-trained bigram LM scoring ([[TextOps.bigramLmScore]]) —
     * the CCNet-style LM quality filter with the log-prob sum
     * rationalized to integer micro-units: add-one-smoothed average
@@ -4348,6 +4375,20 @@ object Pipeline {
         |FROM x JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin,
     // FULL-raster luma replay (every sw×sh pixel; the dHash CTEs only
     // sample an 8×8 grid); noise rides pixel (0,0)'s red channel
+    // decode-side invariants of the solid-gray JPEG fixture: dims from
+    // the generator formulas, uniformity constants — the values a real
+    // decode (and only a real decode) produces
+    "m12_jpeg_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 9 AS INT) AS width,
+        |  CAST(8 + doc_id % 5 AS INT) AS height,
+        |  CAST(0 AS BIGINT) AS dhash,
+        |  CAST((8 + doc_id % 9) * (8 + doc_id % 5) AS BIGINT) AS n_pixels,
+        |  CAST(0 AS BIGINT) AS contrast,
+        |  CAST(0 AS BIGINT) AS dark_micro,
+        |  CAST(0 AS BIGINT) AS bright_micro,
+        |  CAST(0 AS BIGINT) AS keep
+        |FROM documents ORDER BY media_id""".stripMargin,
     "m10_image_quality" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 50 AS img,
@@ -5956,6 +5997,7 @@ object Pipeline {
     "m07_audio_fingerprint" -> m07AudioFingerprint _,
     "m09_audio_quality"  -> m09AudioQuality _,
     "m10_image_quality"  -> m10ImageQuality _,
+    "m12_jpeg_decode"    -> m12JpegDecode _,
     "d16_audio_fp_pairs" -> d16AudioFpPairs _,
     "d17_url_dedup"      -> d17UrlDedup _,
     "d18_image_dhash_new" -> d18ImageDhashNew _,

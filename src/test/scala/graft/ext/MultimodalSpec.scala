@@ -134,6 +134,58 @@ class MultimodalSpec extends AnyFunSuite {
     media.unpersist()
   }
 
+  test("JPEG codec: real JDK baseline JPEGs; solid rasters decode uniform at exact dims") {
+    val g = 137
+    val rgb = Array.fill(20 * 11)((g << 16) | (g << 8) | g)
+    val jpg = MediaCodec.encodeJpeg(20, 11, rgb)
+    // a real JPEG: SOI marker, and lossy (not pass-through bytes)
+    assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8)
+    val (w, h, out) = MediaCodec.decodeJpeg(jpg)
+    assert(w == 20 && h == 11)
+    // DC-only blocks: the decoded raster is UNIFORM even though the
+    // level may have moved under quantization — the invariant the m12
+    // gate stands on
+    assert(out.distinct.length == 1)
+    // and the level stays near the encoded gray (DC drift is small)
+    val v = out(0) & 0xFF
+    assert(math.abs(v - g) <= 8, s"decoded level $v vs encoded $g")
+    // decodeImage dispatches by declared format AND by SOI sniffing
+    assert(MediaCodec.decodeImage(Multimodal.JpegFormat, jpg)._1 == 20)
+    assert(MediaCodec.decodeImage("application/octet-stream", jpg)._1 == 20)
+  }
+
+  test("JPEG payloads flow through the production image operators; resize re-emits lossless PNG") {
+    import spark.implicits._
+    val media = Multimodal.syntheticJpeg(docs.limit(30))
+    val rows = media.collect()
+    assert(rows.nonEmpty && rows.forall(r => (r.payload(0) & 0xFF) == 0xFF))
+    // dHash of a uniform raster is 0; quality metrics see zero contrast
+    val dh = Multimodal.imageDhash(media).collect()
+    assert(dh.forall(_.getLong(1) == 0L))
+    val qr = Multimodal.imageQualityRules(media)
+      .select("media_id", "contrast", "keep").collect()
+    assert(qr.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+    // decodedStats sees the generator dims
+    val st = Multimodal.decodedStats(media).collect()
+    assert(st.forall { d =>
+      d.width == (8 + Math.floorMod(d.media_id, 9L)).toInt &&
+        d.height == (8 + Math.floorMod(d.media_id, 5L)).toInt
+    })
+    // resize accepts JPEG input and emits a PNG artifact of the scaled
+    // pixels (uniform source -> uniform scaled raster, exact dims)
+    val rs = Multimodal.resize(media, 6, 6).collect()
+    assert(rs.forall { r =>
+      r.meta.format == Multimodal.PngFormat && {
+        val (w, h, rgb) = MediaCodec.decodePng(r.payload)
+        w == 6 && h == 6 && rgb.distinct.length == 1
+      }
+    })
+    // extractFeatures routes JPEG through the DECODED-pixel path: a
+    // uniform raster's histogram has one nonzero luma bucket
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.forall(_.embedding.count(_ > 0f) == 1))
+  }
+
   test("WAV codec round-trips exact PCM through a real RIFF encode/decode; layout is header-driven") {
     import graft.ext.Multimodal.AudioCodec
     val samples = Array.tabulate(1000)(i => ((i * 7919) % 65536 - 32768).toShort)
