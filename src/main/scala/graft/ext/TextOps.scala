@@ -1009,6 +1009,41 @@ object TextOps {
       "n_phone" -> regexp_count(t5, lit(PhonePattern)))
   }
 
+  /** Whole-table extended-PII report: the [[redactPiiExtended]] chain
+    * with every intermediate stage materialized ONCE as a column
+    * (nested projections Catalyst keeps apart — each alias is
+    * referenced more than once downstream and regex work is not
+    * "cheap", so CollapseProject won't re-inline it), then the final
+    * redacted text and all six per-class counts read the shared
+    * stages. The naive spelling recomputes each count's whole prefix
+    * chain per column — ~3× the regex work of this one.
+    */
+  def piiExtendedReport(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cardsOf = (t: Column) =>
+      filter(regexp_extract_all(t, lit(CardPattern), lit(0)), luhnValid(_))
+    val ibansOf = (t: Column) =>
+      filter(regexp_extract_all(t, lit(IbanPattern), lit(0)), ibanValid(_))
+    docs.select(col(idCol), col(textCol).as("_t0"))
+      .withColumn("_t1", regexp_replace(col("_t0"), EmailPattern, "<EMAIL>"))
+      .withColumn("_t2", regexp_replace(col("_t1"), Ipv4Pattern, "<IP>"))
+      .withColumn("_cards", cardsOf(col("_t2")))
+      .withColumn("_t3",
+        aggregate(col("_cards"), col("_t2"), (acc, c) => replace(acc, c, lit("<CARD>"))))
+      .withColumn("_ibans", ibansOf(col("_t3")))
+      .withColumn("_t4",
+        aggregate(col("_ibans"), col("_t3"), (acc, c) => replace(acc, c, lit("<IBAN>"))))
+      .withColumn("_t5", regexp_replace(col("_t4"), SsnPattern, "<SSN>"))
+      .select(col(idCol),
+        regexp_replace(col("_t5"), PhonePattern, "<PHONE>").as("redacted"),
+        regexp_count(col("_t0"), lit(EmailPattern)).cast("long").as("n_email"),
+        regexp_count(col("_t1"), lit(Ipv4Pattern)).cast("long").as("n_ip"),
+        size(col("_cards")).cast("long").as("n_card"),
+        size(col("_ibans")).cast("long").as("n_iban"),
+        regexp_count(col("_t4"), lit(SsnPattern)).cast("long").as("n_ssn"),
+        regexp_count(col("_t5"), lit(PhonePattern)).cast("long").as("n_phone"))
+  }
+
   /** Count of redactions [[redactPii]] performs, counted stage by stage
     * on the progressively redacted text (so a digit run inside an email
     * is never double-counted, and an IP never counts as a phone).

@@ -1902,11 +1902,7 @@ object Pipeline {
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
         lit(" at 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"),
         lit(" ssn: "), ssn, lit(" card: "), card, lit(" iban: "), iban).as("text"))
-    val countCols = TextOps.piiCountsExtended(col("text"))
-      .map { case (n, cc) => cc.cast("long").as(n) }
-    withPii.select(Seq(col("doc_id"),
-        TextOps.redactPiiExtended(col("text")).as("redacted")) ++ countCols: _*)
-      .orderBy(col("doc_id"))
+    TextOps.piiExtendedReport(withPii).orderBy(col("doc_id"))
   }
 
   /** Per-JVM locations of already-built contamination indexes, keyed by

@@ -702,6 +702,23 @@ class PlanSpec extends AnyFunSuite {
       s"blocklist must be the native expression:\n$plan")
   }
 
+  test("t45: extended redaction is one narrow pass — stages shared, no join, only the presentation sort") {
+    val plan = planOf("t45_redact_extended")
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"redaction must not shuffle before the sort:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Expand"),
+      s"redaction is a pure projection chain:\n$plan")
+    assert(!plan.toLowerCase.contains("udf") && !plan.contains("BatchEvalPython"),
+      s"checksum validation must be native higher-order expressions:\n$plan")
+    // stage reuse: each stage's regexp_replace appears ONCE in the
+    // optimized plan (the naive per-count spelling re-inlines the
+    // whole prefix chain per output column — <EMAIL> would show up
+    // 7+ times)
+    val emailStages = "<EMAIL>".r.findAllIn(plan).size
+    assert(emailStages <= 3,
+      s"email stage should be computed once and reused, found $emailStages occurrences:\n$plan")
+  }
+
   test("s09/s10: prefix slice happens BEFORE the pair join — full vectors never enter it") {
     // the join operand projections must carry the slice; if the slice
     // migrated above the join, the corpus would ship full-width vectors
