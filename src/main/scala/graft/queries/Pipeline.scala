@@ -618,8 +618,15 @@ object Pipeline {
   def g09CommunitiesConverged(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val pairs = jaccardPairGraph(spark, dir).select("id_a", "id_b")
+    // self-loops give every node an inertia vote: synchronous LPA
+    // 2-cycles forever on bipartite-ish structure (without them this
+    // fixture rides the cap every round — the gate then only ever
+    // exercises the cap path), and the self-vote makes tie-breaking
+    // monotone toward the component minimum, so the run genuinely
+    // STOPS and the early-stopping decision is what hash-gates
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
     val (labels, rounds) = graft.ops.Graph.labelPropagationConverged(
       docs.select(col("doc_id").as("id")), edges, maxIters = 8)
     labels.select(col("id").as("doc_id"), col("community"))
@@ -3702,6 +3709,7 @@ object Pipeline {
     s"""WITH $ngramJaccardCtes, edges AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM jpairs
        |  UNION ALL SELECT id_b, id_a FROM jpairs
+       |  UNION ALL SELECT doc_id, doc_id FROM documents
        |), l0 AS MATERIALIZED (
        |  SELECT doc_id AS id, doc_id AS label FROM documents
        |), $iterCtes, hist AS (
