@@ -144,8 +144,17 @@ object Bench {
     val stabilized =
       if (extraPasses <= 0 || probesOnly) Seq.empty[String]
       else {
+        // only the expensive tail stabilizes: a sub-second query's
+        // relative spread is JIT/page-cache noise whose ABSOLUTE
+        // contribution to the total is bounded by its own size —
+        // extra passes there buy nothing (r14: q29 at 0.48 s median
+        // spread 0.45-1.33 across 7 passes, pure cache states), while
+        // the r12 motivation was 2.5-6 s queries swinging seconds
         val noisy = names.filter { case (name, _) =>
-          !failedSet(name) && spreadRatio(timings(name)) > 0.5
+          !failedSet(name) && spreadRatio(timings(name)) > 0.5 && {
+            val r = robustSamples(timings(name))
+            r.nonEmpty && median(r) >= 1.0
+          }
         }
         if (noisy.nonEmpty) System.err.println(
           s"[bench] stabilizing ${noisy.size} noisy queries (+$extraPasses " +
