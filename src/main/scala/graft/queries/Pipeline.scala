@@ -1067,6 +1067,32 @@ object Pipeline {
       .orderBy(col("media_id"))
   }
 
+  /** JPEG-input resize under the gate — m12's composition partner:
+    * the thumbnailing path a crawl pipeline actually runs (decode the
+    * lossy payload, nearest-neighbor scale, re-emit lossless PNG of
+    * exactly the scaled pixels), driven end to end through
+    * [[graft.ext.Multimodal.resize]] → decodedStats / imageDhash /
+    * imageQualityRules on the EMITTED artifact. The solid-raster
+    * invariants survive the whole chain (uniform in ⇒ uniform scaled
+    * ⇒ uniform decoded): exact target dims, n_pixels, dhash = 0,
+    * contrast = 0, zero extreme fractions — a resize that pass-through
+    * copied bytes, dropped the decode dispatch, or scaled garbage
+    * hash-mismatches.
+    */
+  def m13JpegResize(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticJpeg(Tables.documents(spark, dir))
+    val resized = graft.ext.Multimodal.resize(media, targetWidth = 10, targetHeight = 7)
+    val stats = graft.ext.Multimodal.decodedStats(resized).toDF()
+      .select(col("media_id"), col("width"), col("height"))
+    val dh = graft.ext.Multimodal.imageDhash(resized)
+    val qr = graft.ext.Multimodal.imageQualityRules(resized)
+      .select(col("media_id"), col("n_pixels"), col("contrast"),
+        col("dark_micro"), col("bright_micro"))
+    stats.join(dh, "media_id").join(qr, "media_id")
+      .orderBy(col("media_id"))
+  }
+
   /** Corpus-trained bigram LM scoring ([[TextOps.bigramLmScore]]) —
     * the CCNet-style LM quality filter with the log-prob sum
     * rationalized to integer micro-units: add-one-smoothed average
@@ -4393,6 +4419,15 @@ object Pipeline {
         |  CAST(0 AS BIGINT) AS bright_micro,
         |  CAST(0 AS BIGINT) AS keep
         |FROM documents ORDER BY media_id""".stripMargin,
+    "m13_jpeg_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(10 AS INT) AS width, CAST(7 AS INT) AS height,
+        |  CAST(0 AS BIGINT) AS dhash,
+        |  CAST(70 AS BIGINT) AS n_pixels,
+        |  CAST(0 AS BIGINT) AS contrast,
+        |  CAST(0 AS BIGINT) AS dark_micro,
+        |  CAST(0 AS BIGINT) AS bright_micro
+        |FROM documents ORDER BY media_id""".stripMargin,
     "m10_image_quality" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 50 AS img,
@@ -6002,6 +6037,7 @@ object Pipeline {
     "m09_audio_quality"  -> m09AudioQuality _,
     "m10_image_quality"  -> m10ImageQuality _,
     "m12_jpeg_decode"    -> m12JpegDecode _,
+    "m13_jpeg_resize"    -> m13JpegResize _,
     "d16_audio_fp_pairs" -> d16AudioFpPairs _,
     "d17_url_dedup"      -> d17UrlDedup _,
     "d18_image_dhash_new" -> d18ImageDhashNew _,
