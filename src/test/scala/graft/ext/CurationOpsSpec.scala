@@ -105,6 +105,48 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(ib.collect().map(_.getBoolean(0)).toSeq == Seq(true, true, false))
   }
 
+  test("luhnValid / ibanValid: randomized parity vs plain-Scala references") {
+    // the Column implementations are higher-order-function folds whose
+    // index/parity conventions are easy to get subtly wrong — pin them
+    // against direct Scala spellings on seeded random inputs
+    def luhnRef(s: String): Boolean = {
+      val ds = s.filter(_.isDigit).reverse.map(_ - '0')
+      ds.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 0) d else { val x = d * 2; if (x > 9) x - 9 else x }
+      }.sum % 10 == 0
+    }
+    def ibanRef(s: String): Boolean = {
+      val r = s.drop(4) + s.take(4)
+      val digits = r.flatMap(c =>
+        if (c >= 'A' && c <= 'Z') (c - 'A' + 10).toString else c.toString)
+      digits.foldLeft(0L)((a, c) => (a * 10 + (c - '0')) % 97) == 1
+    }
+    val rnd = new scala.util.Random(42)
+    val cards = (1 to 120).map { _ =>
+      val groups = (1 to 4).map(_ => (1 to 4).map(_ => rnd.nextInt(10)).mkString)
+      groups.mkString(if (rnd.nextBoolean()) "-" else " ")
+    }
+    val ibans = (1 to 120).map { _ =>
+      val cc = s"${('A' + rnd.nextInt(26)).toChar}${('A' + rnd.nextInt(26)).toChar}"
+      val chk = f"${rnd.nextInt(100)}%02d"
+      val bban = (1 to (11 + rnd.nextInt(8))).map(_ =>
+        if (rnd.nextInt(4) == 0) ('A' + rnd.nextInt(26)).toChar
+        else ('0' + rnd.nextInt(10)).toChar).mkString
+      s"$cc$chk$bban"
+    }
+    val got = cards.toDF("s")
+      .select(col("s"), TextOps.luhnValid(col("s")).as("ok")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cards.foreach(c => assert(got(c) == luhnRef(c), s"luhn mismatch on $c"))
+    val gotI = ibans.toDF("s")
+      .select(col("s"), TextOps.ibanValid(col("s")).as("ok")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    ibans.foreach(c => assert(gotI(c) == ibanRef(c), s"iban mismatch on $c"))
+    // and at least a few random IBANs should be valid by construction
+    // chance is fine to be zero — validity is pinned by the published
+    // vectors; this test is about PARITY on arbitrary shapes
+  }
+
   test("redactPiiExtended: stage order — validated classes before the phone digit-run scrubber") {
     def red(t: String): String =
       Seq(t).toDF("text").select(TextOps.redactPiiExtended(col("text")))
