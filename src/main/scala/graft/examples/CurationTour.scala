@@ -47,6 +47,27 @@ object CurationTour {
         scrubbed.filter(TextOps.piiCount(col("text")) =!= 0).count() == 0
     }
 
+    // 1'. the EXTENDED chain (r14: checksum-validated cards/IBANs,
+    // SSNs) on the consumer path too: idempotent — placeholders carry
+    // no digits and checksum-failed remnants already fell through to
+    // the phone scrubber, so a second pass finds nothing — and the
+    // per-class counts on already-clean text are all zero
+    check("extended redaction (cards/IBANs/SSNs) is idempotent with zero residual counts") {
+      val ext = raw.select(col("doc_id"),
+        TextOps.redactPiiExtended(col("text")).as("text")).cache()
+      val countsClean = ext.select(
+        TextOps.piiCountsExtended(col("text"))
+          .map { case (nm, c) => c.cast("long").as(nm) }: _*)
+        .agg(sum(col("n_email") + col("n_ip") + col("n_card") +
+          col("n_iban") + col("n_ssn") + col("n_phone")).as("tot"))
+        .head().getLong(0)
+      val stable = ext
+        .filter(TextOps.redactPiiExtended(col("text")) =!= col("text"))
+        .count() == 0
+      ext.unpersist()
+      countsClean == 0L && stable
+    }
+
     // 1a. language ID: tag every doc with the marker-heuristic code —
     // the gate real pipelines filter on before any language-specific
     // stage (the fixture's text is English-shaped whatever its label,
