@@ -83,6 +83,15 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
+      // reclaim checkpoint/cache blocks the query left behind (the
+      // iterative operators' returned frames hold ONE live checkpoint
+      // each by contract — graft.ops.Blocks — and only the session
+      // lifecycle can know when it's consumed). Without this sweep the
+      // block manager accumulates dead blocks across 193 queries × N
+      // passes and the GC pressure lands on LATE passes of multi-job
+      // queries — the exact r14 noise signature (s02/t25/d37 late-pass
+      // degradation while single-job queries sat tight).
+      graft.ops.Blocks.sweep(spark)
     }
     // ---- measured: pass-by-pass over the WHOLE query list (pass 1 of
     // all queries, then pass 2, ...) rather than back-to-back per
@@ -122,7 +131,12 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           failedSet += name
         }
+        // outside the timing window: drop the blocks this query leaked
+        // so they can't tax any LATER query's measurement
+        graft.ops.Blocks.sweep(spark)
       }
+      // settle GC debt at the pass seam, not inside anyone's window
+      System.gc()
     }
     // robust per-query statistic: drop the single max sample when we
     // have >= 3, then median; spread is over the POST-DROP set (the
@@ -170,7 +184,9 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               failedSet += name
             }
+            graft.ops.Blocks.sweep(spark) // same seam hygiene as the main loop
           }
+          System.gc()
         }
         noisy.map(_._1)
       }
@@ -244,14 +260,22 @@ object Bench {
     // the previous full-suite artifact becomes bench_prev.json so the
     // run itself can regenerate docs/PERF_DELTA.md (r13 verdict task 2
     // — the movement table lands in the SAME round as the bench)
+    // prev artifact lives NEXT TO the out artifact (overridable), so a
+    // run writing elsewhere doesn't clobber ./bench_prev.json and two
+    // concurrent runs in one checkout don't race on a shared path
+    // (r14 advice — same class as the r12 temp-dir index fix)
     val outP = java.nio.file.Paths.get(outPath)
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", {
+      val parent = Option(outP.toAbsolutePath.getParent)
+      parent.map(_.resolve("bench_prev.json").toString).getOrElse("bench_prev.json")
+    })
     if (!probesOnly && java.nio.file.Files.exists(outP))
-      java.nio.file.Files.copy(outP, java.nio.file.Paths.get("bench_prev.json"),
+      java.nio.file.Files.copy(outP, java.nio.file.Paths.get(prevPath),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     java.nio.file.Files.write(outP,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (!probesOnly) {
-      try PerfDelta.write("bench_prev.json", outPath, "docs/PERF_DELTA.md")
+      try PerfDelta.write(prevPath, outPath, "docs/PERF_DELTA.md")
       catch { case e: Throwable =>
         System.err.println(s"[bench] perf delta generation failed: ${e.getMessage}")
       }

@@ -222,9 +222,12 @@ object CurationTour {
       // rounds (the labelPropagationConverged scaladoc's contract)
       val withLoops = both.union(
         nodes.select(col("id").as("src"), col("id").as("dst")))
-      val (comm, lpaRounds) =
+      // gate on the stable flag, not rounds < cap: a run converging
+      // exactly AT the cap is legitimate, and the count alone can't
+      // distinguish it from an unconverged cap hit (r14 advice)
+      val (comm, lpaRounds, lpaStable) =
         graft.ops.Graph.labelPropagationConverged(nodes, withLoops, maxIters = 16)
-      require(lpaRounds < 16, s"LPA hit the round cap ($lpaRounds)")
+      require(lpaStable, s"LPA hit the round cap unconverged ($lpaRounds rounds)")
       val cc = Dedup.clusters(pairs)
       // same community ⇒ same connected component (refinement), and
       // majority vote never yields FEWER groups than reachability

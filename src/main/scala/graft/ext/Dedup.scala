@@ -983,19 +983,13 @@ object Dedup {
     (labels.select(col("id"), col("cluster_id")), i)
   }
 
-  /** Free a [[org.apache.spark.sql.Dataset.localCheckpoint]]'s blocks.
-    * `Dataset.unpersist` only consults the CacheManager, which never
-    * sees checkpoint RDDs — without this each round's blocks would sit
-    * in the block manager until the job ends (bounded by the O(log d)
-    * round count, but a pure waste; boundedness of live checkpoint
-    * blocks is pinned in PropertySpec).
+  /** Free a [[org.apache.spark.sql.Dataset.localCheckpoint]]'s blocks —
+    * now the shared [[graft.ops.Blocks.free]] (every iterative operator
+    * follows the same one-live-checkpoint contract; see Blocks'
+    * scaladoc for why `Dataset.unpersist` can't do this).
     */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.ops.Blocks.free(df)
 
   /** `docs` minus every non-representative near-dup cluster member: the
     * composition a pipeline actually runs (pairs → [[clusters]] → keep

@@ -290,8 +290,16 @@ object Similarity {
         .withColumn("_rn", row_number().over(wPick)).filter(col("_rn") === 1)
         .select(col("query_id"), col("neighbor_id"),
           lit(i.toLong).as("mmr_rank"), col("rel_micro"), col("mmr_nano"))
-      selected = selected.unionByName(pick).localCheckpoint()
+      val next = selected.unionByName(pick).localCheckpoint()
+      // next is materialized: the previous iteration's checkpoint (and,
+      // after the last pick, the pinned rel/pairs inputs) are dead
+      // weight — free per the [[graft.ops.Blocks]] one-live-checkpoint
+      // contract
+      graft.ops.Blocks.free(selected)
+      selected = next
     }
+    graft.ops.Blocks.free(rel)
+    graft.ops.Blocks.free(pairs)
     selected.orderBy(col("query_id"), col("mmr_rank"))
   }
 

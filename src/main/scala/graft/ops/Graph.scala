@@ -104,8 +104,14 @@ object Graph {
       stable = next
         .join(r.select(col("id"), col("rank").as("_prev")), "id")
         .filter(abs(col("rank") - col("_prev")) > tolMicros).isEmpty
+      // next is materialized and the tolerance check has read r —
+      // the previous round's blocks are dead weight from here
+      // ([[graft.ops.Blocks]] contract: at most ONE live checkpoint
+      // survives the call, the returned frame)
+      Blocks.free(r)
       r = next
     }
+    if (materialize) Blocks.free(e) // r is a checkpoint; e is no longer needed
     (r, rounds)
   }
 
@@ -284,6 +290,7 @@ object Graph {
     val e = if (materialize) edges.select("src", "dst").localCheckpoint()
             else edges.select("src", "dst")
     var l = nodes.select(col("id"), col("id").as("label"))
+    var lOwned = false // only free checkpoints THIS call created
     for (_ <- 1 to iters) {
       val votes = e.join(l.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id"), col("label"))
@@ -292,10 +299,13 @@ object Graph {
         .groupBy("id")
         .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
         .select(col("id"), col("m.label").as("picked"))
-      l = l.join(pick, Seq("id"), "left")
+      val next = l.join(pick, Seq("id"), "left")
         .select(col("id"), coalesce(col("picked"), col("label")).as("label"))
         .localCheckpoint()
+      if (lOwned) Blocks.free(l)
+      l = next; lOwned = true
     }
+    if (materialize) Blocks.free(e) // final l is a checkpoint
     l.select(col("id"), col("label").as("community"))
   }
 
@@ -318,6 +328,7 @@ object Graph {
     val e0 = edges.select(col("src"), col("dst"), col(weightCol).as("_w"))
     val e = if (materialize) e0.localCheckpoint() else e0
     var l = nodes.select(col("id"), col("id").as("label"))
+    var lOwned = false // only free checkpoints THIS call created
     for (_ <- 1 to iters) {
       val votes = e.join(l.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id"), col("label"))
@@ -326,10 +337,13 @@ object Graph {
         .groupBy("id")
         .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
         .select(col("id"), col("m.label").as("picked"))
-      l = l.join(pick, Seq("id"), "left")
+      val next = l.join(pick, Seq("id"), "left")
         .select(col("id"), coalesce(col("picked"), col("label")).as("label"))
         .localCheckpoint()
+      if (lOwned) Blocks.free(l)
+      l = next; lOwned = true
     }
+    if (materialize) Blocks.free(e) // final l is a checkpoint
     l.select(col("id"), col("label").as("community"))
   }
 
@@ -337,16 +351,20 @@ object Graph {
     * CONVERGENCE DETECTION: the same deterministic vote rule (majority,
     * ties to the smallest label, `sum(w)` votes when `weightCol` is
     * set), but rounds stop as soon as NO label changed — capped at
-    * `maxIters`. Returns (labels, roundsRun): roundsRun < maxIters
-    * means round roundsRun was a no-op (the stable point), so the
-    * result equals the fixed-iter operator at EVERY iters >= roundsRun
-    * — the pinned iteration count the fixed-round spelling can't give
-    * you. roundsRun == maxIters means the cap fired first: either a
-    * genuinely deep component (raise the cap) or a synchronous-LPA
-    * oscillation (bipartite structures 2-cycle forever under any
-    * synchronous rule — add self-loop edges to give every node an
-    * inertia vote, which makes tie-breaking monotone toward the
-    * component minimum and guarantees convergence in diameter rounds).
+    * `maxIters`. Returns (labels, roundsRun, stable): stable means the
+    * LAST executed round was a no-op (the stable point), so the result
+    * equals the fixed-iter operator at EVERY iters >= roundsRun — the
+    * pinned iteration count the fixed-round spelling can't give you.
+    * stable == false means the cap fired first: either a genuinely
+    * deep component (raise the cap) or a synchronous-LPA oscillation
+    * (bipartite structures 2-cycle forever under any synchronous rule
+    * — add self-loop edges to give every node an inertia vote, which
+    * makes tie-breaking monotone toward the component minimum and
+    * guarantees convergence in diameter rounds). Gate cap-hit on
+    * `stable`, NOT on `roundsRun < maxIters`: a run that converges
+    * exactly AT the cap returns roundsRun == maxIters with
+    * stable == true, and the round count alone can't tell the two
+    * apart (r14 advice).
     *
     * Why it exists (r12 verdict task 7): a fixed iters=3 on a 100 TB
     * pair graph with one long path component silently under-propagates
@@ -358,7 +376,7 @@ object Graph {
     */
   def labelPropagationConverged(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 32, weightCol: Option[String] = None,
-      materialize: Boolean = true): (DataFrame, Int) = {
+      materialize: Boolean = true): (DataFrame, Int, Boolean) = {
     require(maxIters >= 1, "maxIters must be >= 1")
     val e0 = weightCol match {
       case Some(w) => edges.select(col("src"), col("dst"), col(w).as("_w"))
@@ -383,9 +401,11 @@ object Graph {
         .localCheckpoint()
       rounds += 1
       stable = next.filter(col("label") =!= col("_prev")).isEmpty
+      Blocks.free(l) // next is materialized; the previous round is dead
       l = next.select(col("id"), col("label"))
     }
-    (l.select(col("id"), col("label").as("community")), rounds)
+    if (materialize) Blocks.free(e) // final l is a checkpoint
+    (l.select(col("id"), col("label").as("community")), rounds, stable)
   }
 
   /** Link-prediction scores over an UNDIRECTED simple graph: for every

@@ -627,7 +627,7 @@ object Pipeline {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .union(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
-    val (labels, rounds) = graft.ops.Graph.labelPropagationConverged(
+    val (labels, rounds, _) = graft.ops.Graph.labelPropagationConverged(
       docs.select(col("doc_id").as("id")), edges, maxIters = 8)
     labels.select(col("id").as("doc_id"), col("community"))
       .withColumn("rounds", lit(rounds.toLong))

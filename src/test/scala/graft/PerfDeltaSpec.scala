@@ -14,13 +14,15 @@ class PerfDeltaSpec extends AnyFunSuite {
   private def artifact(total: Double, qs: Map[String, Double],
       spread: Map[String, (Double, Double)] = Map.empty,
       stabilized: Seq[String] = Seq.empty,
-      sentinel: Seq[Double] = Seq.empty): String = {
+      sentinel: Seq[Double] = Seq.empty,
+      failed: Seq[String] = Seq.empty): String = {
     val q = qs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val sp = spread.map { case (k, (a, b)) => s""""$k":[$a,$b]""" }.mkString("{", ",", "}")
     val st = stabilized.map("\"" + _ + "\"").mkString("[", ",", "]")
     val se = sentinel.mkString("[", ",", "]")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"spread":$sp,""" +
-      s""""passes":3,"stabilized":$st,"failed":[],"sentinel":$se,""" +
+      s""""passes":3,"stabilized":$st,"failed":$fl,"sentinel":$se,""" +
       s""""jvm":{"flags":["-Xmx8g"],"max_heap_mb":8192,"version":"17"},""" +
       s""""hll_profile_max_err":0.001,"sf":"/tmp/sf"}"""
   }
@@ -51,6 +53,33 @@ class PerfDeltaSpec extends AnyFunSuite {
     assert(md.contains("max heap 8192 MB"), md)
     // a's post-drop spread/median is 1.03 > 0.5 — it must be called out
     assert(md.contains("stabilized still > 0.5 spread/median after drop-max: a (1.03)"), md)
+  }
+
+  test("failed queries never rank as movers; 1-element spread entries don't crash") {
+    val dir = Files.createTempDirectory("perfdelta3")
+    val prev = dir.resolve("prev.json"); val cur = dir.resolve("cur.json")
+    val out = dir.resolve("PD.md")
+    // crash_q failed every cur pass (median 0.000) — without the filter
+    // it would top the movers as a fake −7.0 s 'improvement'; old_fail
+    // failed in PREV, so its cur number has no honest baseline either.
+    // stab_q carries a malformed 1-element spread entry (hand-built /
+    // older artifact) — the stabilized section must normalize, not
+    // MatchError (r14 advice, both items).
+    write(prev, artifact(10.0,
+      Map("a" -> 1.0, "crash_q" -> 7.0, "old_fail" -> 0.0, "stab_q" -> 2.0),
+      failed = Seq("old_fail")))
+    write(cur, artifact(6.0,
+      Map("a" -> 2.0, "crash_q" -> 0.0, "old_fail" -> 1.5, "stab_q" -> 2.0),
+      spread = Map("stab_q" -> (1.0, 1.0)),
+      stabilized = Seq("stab_q"), failed = Seq("crash_q")))
+    val curFixed = Files.readString(cur).replace(""""stab_q":[1.0,1.0]""", """"stab_q":[1.0]""")
+    write(cur, curFixed)
+    PerfDelta.write(prev.toString, cur.toString, out.toString, moverThreshold = 0.05)
+    val md = Files.readString(out)
+    assert(md.contains("| a | 1.00 | 2.00 | +1.00 |"), md)
+    assert(!md.contains("| crash_q |") && !md.contains("| old_fail |"), md)
+    assert(md.contains("failed: [crash_q]"), md)
+    assert(md.contains("stabilized (1): stab_q"), md)
   }
 
   test("no prior artifact: cur-only summary, no throw") {

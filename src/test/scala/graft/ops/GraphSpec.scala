@@ -153,7 +153,8 @@ class GraphSpec extends AnyFunSuite {
     val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
       (5L, 6L), (3L, 4L)).toDF("src", "dst")
     val edges = und.union(und.select(col("dst"), col("src")))
-    val (conv, rounds) = Graph.labelPropagationConverged(nodes, edges, maxIters = 20)
+    val (conv, rounds, stable) = Graph.labelPropagationConverged(nodes, edges, maxIters = 20)
+    assert(stable, "bridged-triangles fixture must converge under the cap")
     val convMap = conv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rounds == 4, s"expected stability detected at round 4, got $rounds")
     val fixed3 = Graph.labelPropagation(nodes, edges, iters = 3)
@@ -164,7 +165,7 @@ class GraphSpec extends AnyFunSuite {
       s"converged $convMap != fixed-iter stable point $fixed3 / $fixed4")
     // weighted spelling, equal weights: same stable point, same count
     val wEdges = edges.withColumn("w", lit(1L))
-    val (convW, roundsW) =
+    val (convW, roundsW, _) =
       Graph.labelPropagationConverged(nodes, wEdges, maxIters = 20, weightCol = Some("w"))
     assert(roundsW == rounds &&
       convW.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == convMap)
@@ -180,8 +181,9 @@ class GraphSpec extends AnyFunSuite {
     val pUnd = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
     val pEdges = pUnd.union(pUnd.select(col("dst"), col("src")))
       .union((1L to n).map(i => (i, i)).toDF("src", "dst"))
-    val (deep, deepRounds) =
+    val (deep, deepRounds, deepStable) =
       Graph.labelPropagationConverged(pNodes, pEdges, maxIters = 45)
+    assert(deepStable, "deep path with self-loops must converge under the cap")
     val deepMap = deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(deepMap.values.forall(_ == 1L),
       s"stable point must be the component min everywhere: $deepMap")
@@ -192,9 +194,16 @@ class GraphSpec extends AnyFunSuite {
     assert(shallow(40L) == 37L && shallow != deepMap,
       s"fixed iters=3 must visibly under-propagate on the deep path: $shallow")
     // cap behavior: maxIters smaller than the diameter returns the
-    // capped round count — the caller-visible signal to raise it
-    val (_, capped) = Graph.labelPropagationConverged(pNodes, pEdges, maxIters = 5)
-    assert(capped == 5, s"cap must fire at maxIters, got $capped")
+    // capped round count WITH stable=false — the round count alone is
+    // ambiguous (a run can converge exactly AT the cap), so the flag
+    // is the caller-visible raise-the-cap signal (r14 advice)
+    val (_, capped, cappedStable) = Graph.labelPropagationConverged(pNodes, pEdges, maxIters = 5)
+    assert(capped == 5 && !cappedStable, s"cap must fire unconverged at maxIters, got $capped stable=$cappedStable")
+    // converge exactly AT the cap: the 40-node path stabilizes in 40
+    // rounds, so maxIters=40 hits the cap AND the stable point — the
+    // case `rounds < cap` misclassifies and `stable` gets right
+    val (_, atCap, atCapStable) = Graph.labelPropagationConverged(pNodes, pEdges, maxIters = 40)
+    assert(atCap == 40 && atCapStable, s"converged-at-cap must report stable, got $atCap stable=$atCapStable")
   }
 
   test("labelPropagationWeighted: strong edge outvotes two weak ones; equal weights == uniform") {
