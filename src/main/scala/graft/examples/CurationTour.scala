@@ -9,7 +9,8 @@ import graft.ext.{Dedup, TextOps}
   * narrative — every stage a graft operator, chained the way a 100 TB
   * curation job runs them:
   *
-  *   raw docs → PII redaction → language ID → boilerplate-line
+  *   raw HTML pages → text extraction → PII redaction → language ID
+  *   → boilerplate-line
   *   removal → Gopher rule battery → quality / OOV / repetition
   *   filters → exact dedup → near-dup clusters (keep one) →
   *   decontamination vs a held-out eval set → BM25 retrieval for
@@ -35,8 +36,30 @@ object CurationTour {
       if (!ok) failed += 1
     }
 
-    val raw = Tables.documents(spark, sf).cache()
+    // 0. HTML → text: the tour now starts where a crawl pipeline does —
+    // each doc wrapped in a deterministic page skeleton (head with
+    // script/style blocks, tags, comments, entities), then extracted
+    // back ([[TextOps.htmlToText]]). The fixture text is already
+    // whitespace-normalized plain text, so extraction must be a perfect
+    // round trip — any leak from a script block, a tag fragment, or a
+    // broken entity decode fails the equality check on some doc.
+    // Doc-id-bearing junk lives ONLY in removed blocks (script,
+    // comment); the body's entity footer is CONSTANT, so duplicate
+    // documents stay duplicates for every downstream dedup stage.
+    val pages = Tables.documents(spark, sf).select(col("doc_id"), col("lang"),
+      col("source"),
+      concat(lit("<!DOCTYPE html><html><head><style>p { x > y; }</style>"),
+        lit("<script>var t = \"<p>leak d"), col("doc_id"), lit("</p>\";</script>"),
+        lit("</head><body><!-- c d"), col("doc_id"), lit(" --><p>"), col("text"),
+        lit("</p><p>&amp; &#169;</p></body></html>")).as("html"),
+      col("text").as("text0")).cache()
+    val raw = pages.select(col("doc_id"), col("lang"), col("source"),
+      TextOps.htmlToText(col("html")).as("text"), col("text0")).cache()
     val n0 = raw.count()
+    check("HTML extraction round-trips every doc's body text and leaks no markup") {
+      raw.filter(col("text") =!= concat(col("text0"), lit(" & ©"))).count() == 0 &&
+        raw.filter(col("text").contains("leak") || col("text").contains("<")).count() == 0
+    }
 
     // 1. scrub: redact PII in place, count what was touched
     val scrubbed = raw.select(col("doc_id"), col("lang"),
@@ -77,6 +100,33 @@ object CurationTour {
       langTagged.count() == n0 &&
         langTagged.filter(!col("lang_pred")
           .isin(TextOps.LangMarkers.keys.toSeq: _*)).count() == 0
+    }
+
+    // 1a'. per-line language segmentation (CCNet-style): real crawl
+    // docs are multi-line and mixed-language — inject a German marker
+    // line on every seventh doc, score PER LINE, and require (a) the
+    // mixed flag fires on exactly the injected docs, (b) the injected
+    // line classifies 'de' while the body line keeps its own label,
+    // (c) single-line docs' majority label agrees with the whole-doc
+    // tagger (the two operators must not drift apart)
+    check("per-line language ID flags exactly the injected mixed docs; majority tracks the doc tagger") {
+      val withLines = scrubbed.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit("\nder und die ist mit nicht")))
+          .otherwise(col("text")).as("text"))
+      val seg = TextOps.langIdByLine(withLines).cache()
+      val mixed = seg.filter(col("is_mixed")).select("doc_id").distinct()
+      val injected = scrubbed.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select("doc_id")
+      val flagsExact = mixed.exceptAll(injected).isEmpty &&
+        injected.exceptAll(mixed).isEmpty
+      val injectedLineDe = seg.filter(col("pos") === 1)
+        .filter(col("line_lang") =!= "de").count() == 0
+      val singleAgrees = seg.filter(!col("is_mixed"))
+        .join(langTagged.select(col("doc_id"), col("lang_pred")), "doc_id")
+        .filter(col("doc_lang") =!= col("lang_pred")).count() == 0
+      seg.unpersist()
+      flagsExact && injectedLineDe && singleAgrees
     }
 
     // 1b. strip corpus-level boilerplate lines (C4-style), windowed

@@ -375,12 +375,17 @@ object TextOps {
     * cross-engine hash gate (the DuckDB oracle replays every iteration
     * as a generated CTE chain).
     */
-  def bpeMerges(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+  def bpeMerges(docs: DataFrame, k: Int, textCol: String = "text",
+      lowercase: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val spark = docs.sparkSession
     val S = "\u001C"; val E = "\u001D"
+    // lowercase = false for byte-level pipelines: case-folding a
+    // byte-remapped string would rewrite alphabet chars and corrupt the
+    // byte mapping -- the caller folds case BEFORE the remap (t29b).
+    val baseText = if (lowercase) lower(col(textCol)) else col(textCol)
     var vocab = docs
-      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .select(explode(tokens(baseText)).as("w"))
       .filter(col("w") =!= "")
       // sentinel guard: a word containing U+001C/U+001D would alias
       // the symbol delimiters and corrupt every later merge — fail
@@ -458,7 +463,8 @@ object TextOps {
     * words at k=0, monotonically non-increasing in k).
     */
   def bpeEncode(docs: DataFrame, merges: Seq[BpeMerge],
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      lowercase: Boolean = true): DataFrame = {
     val S = "\u001C"; val E = "\u001D"
     // same loud sentinel guard as the trainer: encoding a document that
     // contains the delimiter bytes would silently mis-merge
@@ -466,7 +472,8 @@ object TextOps {
       assert_true(!col(textCol).rlike(s"[$S$E]"),
         concat(lit("bpeEncode: input contains the U+001C/U+001D sentinel bytes, doc "),
           col(idCol))), lit(true)))
-    val base = regexp_replace(trim(lower(col(textCol))), "[ \\t\\n\\f\\r]+", " ")
+    val folded = if (lowercase) lower(col(textCol)) else col(textCol)
+    val base = regexp_replace(trim(folded), "[ \\t\\n\\f\\r]+", " ")
     val wrapped = regexp_replace(base, "([^ ])", s"$S$$1$E")
     val encoded = merges.sortBy(_.step).foldLeft(wrapped) { (acc, m) =>
       replace(acc, lit(s"$S${m.lhs}$E$S${m.rhs}$E"), lit(s"$S${m.merged}$E"))
@@ -482,12 +489,13 @@ object TextOps {
     * the same corpus with them — the end-to-end tokenizer round trip
     * (train on the corpus, tokenize the corpus). */
   def bpeTrainEncode(docs: DataFrame, k: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val learned = bpeMerges(docs, k, textCol).collect().map { r =>
+      textCol: String = "text", idCol: String = "doc_id",
+      lowercase: Boolean = true): DataFrame = {
+    val learned = bpeMerges(docs, k, textCol, lowercase).collect().map { r =>
       BpeMerge(r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
         r.getLong(4))
     }.toSeq // bounded: k rows
-    bpeEncode(docs, learned, textCol, idCol)
+    bpeEncode(docs, learned, textCol, idCol, lowercase)
   }
 
   /** Frequency-threshold vocabulary coverage curve — the tokenizer /
@@ -632,6 +640,41 @@ object TextOps {
     struct(
       best.getField("h").cast("long").as("hits"),
       when(best.getField("h") > 0, best.getField("lang")).otherwise(lit("en")).as("lang"))
+  }
+
+  /** CCNet-style PER-LINE language identification — the mixed-language
+    * handler document-level [[langId]] can't be: a crawl page with an
+    * English navigation line around a German article gets the doc-level
+    * argmax wrong for every line. Each line (any (idCol, pos, line)
+    * segmentation works; callers usually pass documents and get
+    * [[linesBySeparator]] applied here) is scored independently with
+    * [[langIdScored]]; the doc-level label is the MAJORITY of line
+    * labels (ties → larger language code, the same convention as the
+    * scorer's own `greatest` tie-break), and `is_mixed` flags documents
+    * whose lines disagree — the rows a CCNet pipeline routes to
+    * per-line filtering instead of whole-doc keep/drop.
+    *
+    * Output: (idCol, pos, line_lang, line_hits, doc_lang, is_mixed),
+    * one row per line. Shuffle profile: the line split is narrow
+    * (posexplode); the majority needs one doc-keyed aggregation and one
+    * doc-keyed join back — both on the same key, so AQE plans the join
+    * without a second exchange of the aggregated (doc-sized) side.
+    */
+  def langIdByLine(docs: DataFrame, sep: String = "\n",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lines = linesBySeparator(docs, sep, textCol, idCol)
+    val scored = lines.select(col(idCol), col("pos"),
+      langIdScored(col("line")).as("s"))
+      .select(col(idCol), col("pos"),
+        col("s").getField("lang").as("line_lang"),
+        col("s").getField("hits").as("line_hits"))
+    val perDoc = scored.groupBy(col(idCol), col("line_lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        max(struct(col("c"), col("line_lang"))).getField("line_lang").as("doc_lang"),
+        (count_distinct(col("line_lang")) > 1).as("is_mixed"))
+    scored.join(perDoc, Seq(idCol))
   }
 
   /** Rolling-hash document fingerprint: polynomial rolling hash over the
@@ -1054,6 +1097,72 @@ object TextOps {
     regexp_count(text, lit(EmailPattern)) +
       regexp_count(afterEmail, lit(Ipv4Pattern)) +
       regexp_count(afterIp, lit(PhonePattern))
+  }
+
+  // ------------------------------------------------ HTML extraction
+
+  /** Decode decimal character references (`&#NNN;`) in the Latin-1
+    * range 1–255 — the numeric half of [[htmlToText]]'s entity stage.
+    * Codes above 255 (and malformed references) are left INTACT: Spark's
+    * `char(n)` wraps at 256 while DuckDB's `chr(n)` is a Unicode
+    * codepoint, so 1–255 is exactly the range where the two engines
+    * agree byte-for-byte; outside it the conservative move for a
+    * curation pipeline is to keep the reference visible rather than
+    * decode it differently on different engines. Hex references
+    * (`&#xNN;`) are likewise out of scope — rare in crawl HTML next to
+    * the decimal + named-core forms, and documented as a boundary.
+    *
+    * Spelling: split on the literal `&#`, then each tail either starts
+    * with `digits;` (decode + re-attach the remainder) or gets its
+    * `&#` restored. Pure codegen'd built-ins (split/transform/concat)
+    * — one narrow pass, no UDF, and DuckDB replays the identical
+    * list-transform.
+    */
+  def decodeDecimalEntities(text: Column): Column = {
+    val parts = split(text, java.util.regex.Pattern.quote("&#"), -1)
+    val tails = transform(slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), p => {
+      val digits = regexp_extract(p, "^([0-9]{1,3});", 1)
+      val code = when(digits =!= "", digits.cast("int")).otherwise(lit(-1))
+      when(code.between(1, 255),
+        concat(call_function("char", code),
+          p.substr(length(digits) + lit(2), length(p))))
+        .otherwise(concat(lit("&#"), p))
+    })
+    concat(element_at(parts, 1), concat_ws("", tails))
+  }
+
+  /** HTML-to-text extraction — the stage zero of every web-crawl
+    * curation pipeline (CommonCrawl → text before any of
+    * [[dropBoilerplateLines]]/[[gopherRules]]/[[qualityScore]] apply):
+    *
+    *   1. remove `<script>`/`<style>` BLOCKS wholesale (their contents
+    *      are code, not content — tag-stripping alone would leak them),
+    *      and `<!-- comments -->`;
+    *   2. strip every remaining tag (`<...>`, incl. doctype/closers);
+    *   3. decode character references — decimal Latin-1
+    *      ([[decodeDecimalEntities]]) first, then the named core set
+    *      (`&nbsp; &lt; &gt; &quot; &apos;`), with `&amp;` LAST so
+    *      `&amp;lt;` correctly yields the literal text `&lt;`;
+    *   4. collapse whitespace runs to single spaces and trim.
+    *
+    * Decoding runs AFTER tag-stripping, so `&lt;b&gt;` survives as the
+    * literal text `<b>` — the standard extractor contract (escaped
+    * markup IS content). All patterns are RE2-safe (no lookarounds or
+    * backrefs; `(?is)` + non-greedy only), so DuckDB replays the chain
+    * byte-identically under the oracle gate. One narrow codegen
+    * projection per document — no shuffle, linear at 100 TB.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(decodeDecimalEntities(noTags)) { case (acc, (ent, ch)) =>
+        replace(acc, lit(ent), lit(ch))
+      }
+    trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
   }
 
   /** BM25-style query-relevance top-k over the corpus — the retrieval

@@ -114,7 +114,9 @@ object GraftFunctions {
       }),
     ("graft_gear_chunks", classOf[GearChunks],
       (exprs: Seq[Expression]) => GearChunks(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
+        exprs(1).eval().asInstanceOf[Int])),
+    ("graft_byte_remap", classOf[ByteRemap],
+      (exprs: Seq[Expression]) => ByteRemap(exprs(0))))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry
@@ -159,6 +161,11 @@ object GraftFunctions {
 
   /** Unicode NFC normalization, codegen'd (requires [[ensureRegistered]]). */
   def graftNfc(text: Column): Column = call_function("graft_nfc", text)
+
+  /** GPT-2-style byte-to-printable remap with whitespace passthrough
+    * (see [[ByteRemap]]; requires [[ensureRegistered]]).
+    */
+  def graftByteRemap(text: Column): Column = call_function("graft_byte_remap", text)
 
   /** Native Jaro-Winkler similarity, DuckDB-exact semantics (requires
     * [[ensureRegistered]]).

@@ -1182,6 +1182,40 @@ object Pipeline {
     TextOps.bpeTrainEncode(Tables.documents(spark, dir), k = 8)
       .orderBy(col("doc_id"))
 
+  /** BYTE-LEVEL BPE encode ([[graft.functions.ByteRemap]] →
+    * [[TextOps.bpeTrainEncode]], r14 verdict task 5): production
+    * tokenizers are byte-level with byte-fallback — no input byte can
+    * fail to encode. The corpus is case-folded FIRST (folding after
+    * the remap would corrupt the byte alphabet), then seeded with
+    * non-ASCII bytes the word-level t29 could never see — an é
+    * (two-byte UTF-8, both bytes in the remap's identity range) on
+    * every third doc and a soft hyphen (C2 AD, where AD exercises the
+    * 256+rank fallback branch → U+0143) on another third — then every
+    * UTF-8 byte is remapped to the printable alphabet and the SAME
+    * train+encode machinery runs with lowercase=false. The oracle
+    * replays the remap as literal per-byte replacements and re-runs
+    * the full t29 CTE chain over the remapped source, so the remap
+    * table, the fallback branch, and the merges learned over remapped
+    * symbols all sit under the hash gate. Same plan shape as t29: one
+    * corpus pass per merge round, encode as a broadcast-literal
+    * replace chain — no new shuffle.
+    */
+  def t29bByteBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val d = col("doc_id")
+    val lowered = lower(col("text"))
+    val injected = when(pmod(d, lit(3)) === 0,
+        replace(lowered, lit("table"), lit("tabl\u00E9")))
+      .when(pmod(d, lit(3)) === 1,
+        replace(lowered, lit("merge"), lit("mer\u00ADge")))
+      .otherwise(lowered)
+    val remapped = graft.functions.GraftFunctions.graftByteRemap(injected)
+    TextOps.bpeTrainEncode(
+        Tables.documents(spark, dir).select(d, remapped.as("text")),
+        k = 8, lowercase = false)
+      .orderBy(col("doc_id"))
+  }
+
   /** Frequency-threshold vocabulary coverage curve
     * ([[TextOps.vocabCoverage]]): for each min-count cutoff, the kept
     * vocab size and the fraction of token occurrences it covers — the
@@ -1938,6 +1972,39 @@ object Pipeline {
     TextOps.piiExtendedReport(withPii).orderBy(col("doc_id"))
   }
 
+  /** HTML-to-text extraction under the gate ([[TextOps.htmlToText]],
+    * r14 verdict task 3): the fixture text is wrapped in a
+    * deterministic full-page skeleton — doctype, head with `<style>`
+    * and `<script>` BLOCKS whose contents contain `<`/`>`/fake tags
+    * (tag-stripping alone would leak them — removing blocks wholesale
+    * is what the gate pins), attribute-carrying tags, an HTML comment,
+    * and an entity battery: named core refs, decimal refs both
+    * in-range (`&#65+id%26;`, `&#169;`) and out-of-range (`&#999;`
+    * must survive INTACT), the double-escape `&amp;lt;` (must decode
+    * to the literal text `&lt;`, pinning amp-LAST ordering), and the
+    * malformed `&#;` / trailing `&#` (kept as-is). The DuckDB oracle
+    * replays injection + the whole four-stage chain byte-identically,
+    * so extraction IS the thing hash-gated, not a summary of it.
+    */
+  def t46HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val nl = "\n"
+    val html = concat(
+      lit("<!DOCTYPE html>" + nl + "<html lang=\"en\">" + nl + "<head>" + nl + "<title>Doc "), d,
+      lit("</title>" + nl +
+        "<style type=\"text/css\">body { color: #fff; } /* a > b */</style>" + nl +
+        "<script>if (1 < 2 && 2 > 1) { var s = \"<p>not content</p>\"; }</script>" + nl +
+        "</head>" + nl + "<body>" + nl + "<h1 class=\"t\">Doc &quot;"), d, lit("&quot; &#"),
+      (lit(65) + pmod(d, lit(26))).cast("string"), lit(";</h1>" + nl + "<!-- hidden "), d,
+      lit(" -->" + nl + "<p>"), col("text"),
+      lit("</p>" + nl + "<p>Tom&nbsp;&amp; Jerry &lt;tag&gt; &#169; id "), d,
+      lit(" &#999; &amp;lt; &#; x&#</p>" + nl + "</body>" + nl + "</html>"))
+    Tables.documents(spark, dir)
+      .select(d, TextOps.htmlToText(html).as("extracted"))
+      .withColumn("n_chars", length(col("extracted")).cast("long"))
+      .orderBy(d)
+  }
+
   /** Per-JVM locations of already-built contamination indexes, keyed by
     * (data dir, n). Fresh temp dirs per process — never reused across
     * runs, so a regenerated fixture can't serve a stale artifact; within
@@ -2175,6 +2242,29 @@ object Pipeline {
       .select(col("doc_id"), col("m.lang_pred").as("lang_pred"),
         col("m.lang_hits").as("hits"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-LINE language ID ([[TextOps.langIdByLine]], r14 verdict task
+    * 4): the fixture (single-line English-shaped docs) is extended
+    * with marker lines in a doc_id-cycled language plus a third French
+    * line on every fifth doc, so the corpus has genuinely
+    * mixed-language documents — the CCNet case. The gate covers the
+    * FULL per-line assignment table (the t15 CASE chain applied per
+    * line), the per-doc majority label with its (count desc, lang
+    * desc) tie-break, and the mixed-language flag.
+    */
+  def t47LangIdLines(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val line1 = when(pmod(d, lit(4)) === 0, lit("der und die ist mit nicht der und"))
+      .when(pmod(d, lit(4)) === 1, lit("le la les est et dans le la"))
+      .when(pmod(d, lit(4)) === 2, lit("el los es y con para el los"))
+      .otherwise(lit("the and of is with for the and"))
+    val multiline = concat(col("text"), lit("\n"), line1,
+      when(pmod(d, lit(5)) === 0, lit("\nles est et dans la le")).otherwise(lit("")))
+    TextOps.langIdByLine(
+        Tables.documents(spark, dir).select(d, multiline.as("text")))
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy(col("doc_id"), col("pos"))
   }
 
   /** BM25 query-relevance retrieval ([[TextOps.bm25TopK]]) — top-20
@@ -4000,7 +4090,15 @@ object Pipeline {
     * i's learned merge. Used by the t25 (merges) and t29 (encode)
     * oracles.
     */
-  private def bpeIterCtes(k: Int): String = {
+  private def bpeIterCtes(k: Int): String = bpeIterCtesOver(k,
+    "(SELECT doc_id, lower(text) AS text FROM documents)")
+
+  /** [[bpeIterCtes]] over an arbitrary case-folded (doc_id, text)
+    * source subquery — the byte-level twin (t29b) trains on the
+    * remapped corpus, so the training chain must read the same source
+    * the encode chain does. `src` lands as CTE `bsrc`.
+    */
+  private def bpeIterCtesOver(k: Int, src: String): String = {
     val iters = (1 to k).map { i =>
       s"""sy$i AS (
          |  SELECT regexp_extract_all(s, '\\x1c([^\\x1d]*)\\x1d', 1) AS sy, c FROM v${i - 1}
@@ -4016,11 +4114,13 @@ object Pipeline {
          |  FROM v${i - 1} v, m$i m
          |)""".stripMargin
     }.mkString(", ")
-    s"""v0 AS (
+    s"""bsrc AS (
+       |  SELECT doc_id, text FROM $src
+       |), v0 AS (
        |  SELECT regexp_replace(w, '(.)', chr(28) || '\\1' || chr(29), 'g') AS s, c FROM (
        |    SELECT word AS w, count(*) AS c FROM (
-       |      SELECT unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS word
-       |      FROM documents) t WHERE word != '' GROUP BY 1)
+       |      SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+')) AS word
+       |      FROM bsrc) t WHERE word != '' GROUP BY 1)
        |), $iters""".stripMargin
   }
 
@@ -4039,7 +4139,10 @@ object Pipeline {
     * each non-space char, apply the k merges in order as literal
     * replaces, count the surviving symbols (= chr(28) occurrences).
     */
-  private def bpeEncodeOracle(k: Int): String = {
+  private def bpeEncodeOracle(k: Int): String = bpeEncodeOracleOver(k,
+    "(SELECT doc_id, lower(text) AS text FROM documents)")
+
+  private def bpeEncodeOracleOver(k: Int, src: String): String = {
     val encChain = (1 to k).map { i =>
       s"""e$i AS (
          |  SELECT doc_id, replace(e.s, chr(28) || m.l || chr(29) || chr(28) || m.r || chr(29),
@@ -4047,20 +4150,35 @@ object Pipeline {
          |  FROM e${i - 1} e, m$i m
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH ${bpeIterCtes(k)}, e0 AS (
+    s"""WITH ${bpeIterCtesOver(k, src)}, e0 AS (
        |  SELECT doc_id,
        |    regexp_replace(
-       |      regexp_replace(trim(lower(text)), '[ \\t\\n\\f\\r]+', ' ', 'g'),
+       |      regexp_replace(trim(text), '[ \\t\\n\\f\\r]+', ' ', 'g'),
        |      '([^ ])', chr(28) || '\\1' || chr(29), 'g') AS s
-       |  FROM documents
+       |  FROM bsrc
        |), $encChain
        |SELECT d.doc_id AS doc_id,
        |  CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
        |       ELSE len(string_split_regex(trim(d.text), '[ \\t\\n\\f\\r]+')) END AS BIGINT) AS n_words,
        |  CAST(length(e.s) - length(replace(e.s, chr(28), '')) AS BIGINT) AS n_subwords
-       |FROM e$k e JOIN documents d USING (doc_id)
+       |FROM e$k e JOIN bsrc d USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** t29b: the byte-level twin — the oracle replays graft_byte_remap on
+    * the injected corpus as LITERAL remapped replacements (ASCII
+    * printable bytes are identity under the GPT-2 table; the two
+    * injected non-ASCII chars expand to their per-byte chars:
+    * é = C3 A9 → chr(195)||chr(169), soft hyphen = C2 AD →
+    * chr(194)||chr(323) — AD is byte 173, GPT-2 rank 67 → U+0143),
+    * then runs the t29 train+encode CTE chain over that source.
+    */
+  private val byteBpeSrc: String =
+    """(SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN replace(lower(text), 'table', 'tabl' || chr(195) || chr(169))
+      |         WHEN doc_id % 3 = 1 THEN replace(lower(text), 'merge', 'mer' || chr(194) || chr(323) || 'ge')
+      |         ELSE lower(text) END AS text
+      |   FROM documents)""".stripMargin
 
   /** d19: components → drop non-representatives → surviving corpus. */
   private val clusterDedupOracle =
@@ -4496,6 +4614,7 @@ object Pipeline {
     "d20_cluster_reps" -> clusterRepsOracle,
     "t25_bpe_merges" -> bpeMergesOracle(k = 8),
     "t29_bpe_encode" -> bpeEncodeOracle(k = 8),
+    "t29b_byte_bpe_encode" -> bpeEncodeOracleOver(k = 8, byteBpeSrc),
     // the ordinary-SQL running total IS the oracle; the engine side is
     // the two-phase distributed scan (t13's machinery)
     "t28_seq_pack" ->
@@ -5323,6 +5442,51 @@ object Pipeline {
         |FROM f GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin,
     "t09_hash_split" -> hashSplitOracle,
     "t45_redact_extended" -> t45RedactExtendedOracle,
+    // replays the full page-skeleton injection, then the four-stage
+    // extraction chain: script/style/comment block removal, tag strip,
+    // decimal-Latin-1 + named-core entity decode (amp LAST), whitespace
+    // collapse. RE2 `(?is)` + non-greedy only, so both engines run the
+    // same automaton; the list-transform mirrors Spark's split-on-'&#'
+    // decode including trailing-empty and malformed-tail behavior.
+    "t46_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<!DOCTYPE html>' || chr(10) || '<html lang="en">' || chr(10) || '<head>' || chr(10)
+        |    || '<title>Doc ' || doc_id::VARCHAR || '</title>' || chr(10)
+        |    || '<style type="text/css">body { color: #fff; } /* a > b */</style>' || chr(10)
+        |    || '<script>if (1 < 2 && 2 > 1) { var s = "<p>not content</p>"; }</script>' || chr(10)
+        |    || '</head>' || chr(10) || '<body>' || chr(10)
+        |    || '<h1 class="t">Doc &quot;' || doc_id::VARCHAR || '&quot; &#'
+        |    || (65 + doc_id % 26)::VARCHAR || ';</h1>' || chr(10)
+        |    || '<!-- hidden ' || doc_id::VARCHAR || ' -->' || chr(10)
+        |    || '<p>' || text || '</p>' || chr(10)
+        |    || '<p>Tom&nbsp;&amp; Jerry &lt;tag&gt; &#169; id ' || doc_id::VARCHAR
+        |    || ' &#999; &amp;lt; &#; x&#</p>' || chr(10) || '</body>' || chr(10) || '</html>' AS html
+        |  FROM documents
+        |), s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS x FROM h
+        |), s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS x FROM s1
+        |), s3 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2
+        |), s4 AS (SELECT doc_id, regexp_replace(x, '(?s)<[^>]*>', ' ', 'g') AS x FROM s3
+        |), sp AS (SELECT doc_id, string_split(x, '&#') AS p FROM s4
+        |), nd AS (
+        |  SELECT doc_id,
+        |    p[1] || array_to_string(list_transform(p[2:], q ->
+        |      CASE WHEN regexp_extract(q, '^([0-9]{1,3});', 1) <> ''
+        |                AND CAST(regexp_extract(q, '^([0-9]{1,3});', 1) AS INT) BETWEEN 1 AND 255
+        |           THEN chr(CAST(regexp_extract(q, '^([0-9]{1,3});', 1) AS INT))
+        |                || q[length(regexp_extract(q, '^([0-9]{1,3});', 1)) + 2:]
+        |           ELSE '&#' || q END), '') AS x
+        |  FROM sp
+        |), ne AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(x,
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS x
+        |  FROM nd
+        |)
+        |SELECT doc_id,
+        |  trim(regexp_replace(x, '[ \t\n\f\r]+', ' ', 'g')) AS extracted,
+        |  CAST(length(trim(regexp_replace(x, '[ \t\n\f\r]+', ' ', 'g'))) AS BIGINT) AS n_chars
+        |FROM ne ORDER BY doc_id""".stripMargin,
     "t10_redact" ->
       """WITH withpii AS (
         |  SELECT doc_id,
@@ -5725,6 +5889,71 @@ object Pipeline {
         |       ELSE 'de' END AS lang_pred,
         |  CAST(mx AS BIGINT) AS hits
         |FROM m ORDER BY doc_id""".stripMargin,
+    // the t15 marker CASE chain applied PER LINE over the injected
+    // multi-line corpus; doc majority = (count desc, lang desc) argmax
+    // (Spark's max(struct(c, lang)) tie-break), mixed = >1 distinct
+    // line label per doc
+    "t47_langid_lines" ->
+      """WITH base AS (
+        |  SELECT doc_id, text || chr(10) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'der und die ist mit nicht der und'
+        |         WHEN doc_id % 4 = 1 THEN 'le la les est et dans le la'
+        |         WHEN doc_id % 4 = 2 THEN 'el los es y con para el los'
+        |         ELSE 'the and of is with for the and' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'les est et dans la le' ELSE '' END AS text
+        |  FROM documents
+        |), ln AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM base
+        |), l AS (
+        |  SELECT doc_id, CAST(i.i AS BIGINT) AS pos, ls[CAST(i.i + 1 AS INT)] AS line
+        |  FROM ln, LATERAL (SELECT unnest(range(0, len(ls))) AS i) i
+        |), t AS (
+        |  SELECT doc_id, pos, line,
+        |    string_split_regex(trim(lower(line)), '[ \t\n\f\r]+') AS w
+        |  FROM l
+        |), s AS (
+        |  SELECT doc_id, pos,
+        |    len(list_filter(w, x -> x IN ('the','and','of','is','with','for'))) AS h_en,
+        |    len(list_filter(w, x -> x IN ('der','die','und','ist','nicht','mit'))) AS h_de,
+        |    len(list_filter(w, x -> x IN ('le','la','les','est','et','dans'))) AS h_fr,
+        |    len(list_filter(w, x -> x IN ('el','los','es','y','con','para'))) AS h_es,
+        |    len(list_filter(w, x -> x IN ('的','是','在','了','和','我')))
+        |      + (length(line) - length(replace(line, '的', '')))
+        |      + (length(line) - length(replace(line, '是', '')))
+        |      + (length(line) - length(replace(line, '在', '')))
+        |      + (length(line) - length(replace(line, '了', '')))
+        |      + (length(line) - length(replace(line, '和', '')))
+        |      + (length(line) - length(replace(line, '我', ''))) AS h_zh
+        |  FROM t
+        |), m AS (
+        |  SELECT doc_id, pos, h_en, h_de, h_fr, h_es, h_zh,
+        |    greatest(h_en, h_de, h_fr, h_es, h_zh) AS mx
+        |  FROM s
+        |), pl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN mx <= 0 THEN 'en'
+        |         WHEN h_zh = mx THEN 'zh'
+        |         WHEN h_fr = mx THEN 'fr'
+        |         WHEN h_es = mx THEN 'es'
+        |         WHEN h_en = mx THEN 'en'
+        |         ELSE 'de' END AS line_lang,
+        |    CAST(mx AS BIGINT) AS line_hits
+        |  FROM m
+        |), cnt AS (
+        |  SELECT doc_id, line_lang AS lng, count(*) AS c FROM pl GROUP BY 1, 2
+        |), mj AS (
+        |  SELECT doc_id, lng AS doc_lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lng DESC) AS rn
+        |  FROM cnt
+        |), mxl AS (
+        |  SELECT doc_id, doc_lang FROM mj WHERE rn = 1
+        |), mixed AS (
+        |  SELECT doc_id, count(DISTINCT lng) > 1 AS is_mixed FROM cnt GROUP BY doc_id
+        |)
+        |SELECT pl.doc_id, pl.pos, pl.line_lang, pl.line_hits,
+        |  mxl.doc_lang, mixed.is_mixed
+        |FROM pl JOIN mxl USING (doc_id) JOIN mixed USING (doc_id)
+        |ORDER BY pl.doc_id, pl.pos""".stripMargin,
     // Replays the five Gopher rules with the same micro-unit truncating
     // division (all operands non-negative, so DuckDB // == Spark div).
     "t20_gopher_rules" ->
@@ -5960,6 +6189,8 @@ object Pipeline {
     "t09_hash_split"     -> t09HashSplit _,
     "t10_redact"         -> t10Redact _,
     "t45_redact_extended" -> t45RedactExtended _,
+    "t46_html_extract"   -> t46HtmlExtract _,
+    "t47_langid_lines"   -> t47LangIdLines _,
     "e05_funnel"         -> e05Funnel _,
     "e07_cohort_retention" -> e07CohortRetention _,
     "e08_transitions"    -> e08Transitions _,
@@ -5991,6 +6222,7 @@ object Pipeline {
     "t25_bpe_merges"     -> t25BpeMerges _,
     "t28_seq_pack"       -> t28SeqPack _,
     "t29_bpe_encode"     -> t29BpeEncode _,
+    "t29b_byte_bpe_encode" -> t29bByteBpeEncode _,
     "t30_vocab_coverage" -> t30VocabCoverage _,
     "t31_dsir_weights"   -> t31DsirWeights _,
     "t32_blocklist"      -> t32Blocklist _,

@@ -400,4 +400,34 @@ class CurationOpsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(got == want)
   }
+
+  private def extract(html: String): String =
+    Seq(html).toDF("html")
+      .select(TextOps.htmlToText(col("html"))).collect()(0).getString(0)
+
+  test("htmlToText: script/style/comment BLOCKS vanish wholesale, tags strip, text survives") {
+    val html = "<html><head><style>body { a > b; }</style>" +
+      "<script>if (1 < 2) { var s = \"<p>leak</p>\"; }</script></head>" +
+      "<body><!-- note --><p class=\"x\">hello <b>world</b></p></body></html>"
+    assert(extract(html) == "hello world")
+    // tag-strip alone would have leaked "leak" / "b; }" — pin absence
+    assert(!extract(html).contains("leak"))
+  }
+
+  test("htmlToText: entity battery — named core, decimal Latin-1, amp LAST, malformed kept") {
+    assert(extract("Tom&nbsp;&amp; Jerry") == "Tom & Jerry")
+    assert(extract("&lt;b&gt; is text") == "<b> is text")          // escaped markup IS content
+    assert(extract("&#65;&#66;&#169;") == "AB©")              // decimal decode incl. non-ASCII
+    assert(extract("&amp;lt;") == "&lt;")                          // amp decodes LAST (no double decode)
+    assert(extract("keep &#999; &#; x&# tail") == "keep &#999; &#; x&# tail") // out-of-range + malformed intact
+    assert(extract("a&#10;b") == "a b")                            // decoded newline joins the collapse
+  }
+
+  test("htmlToText: whitespace collapses; plain text is a fixed point") {
+    assert(extract("  a\t\tb\n\nc  ") == "a b c")
+    val plain = "already clean text with words"
+    assert(extract(plain) == plain)
+    // idempotence on its own output (no markup survives one pass)
+    assert(extract(extract("<p>x &amp; y</p>")) == extract("<p>x &amp; y</p>"))
+  }
 }
