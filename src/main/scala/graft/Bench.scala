@@ -203,6 +203,11 @@ object Bench {
     val total = results.map(_._2).sum
     val probeJson = if (scaleK > 1) scaleProbe(spark, sfDir, scaleK) else "{}"
     val pairJson = if (scaleK > 1) pairProbe(spark, sfDir, scaleK) else "{}"
+    // second decade for the indexed serving family only (cheap arms)
+    val scaleK100 = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE100", "100").toInt
+    val probe100Json =
+      if (scaleK > 1 && scaleK100 > 1) serveProbe100(spark, sfDir, scaleK100)
+      else "{}"
     // continuous gate on the 100× profile path: max per-column relative
     // distinct-count error of the HLL profile (q28a) vs the exact
     // profile (q28) at THIS bench SF — the ≤ 2 % bound the fixture spec
@@ -256,7 +261,7 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val maxHeapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
     val jvmJson = s"""{"flags":$jvmFlags,"max_heap_mb":$maxHeapMb,"version":"${System.getProperty("java.version")}"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"stabilized":$stabJson,"failed":$failed,"pass_times":$passTimes,"sentinel":$sentinelJson,"jvm":$jvmJson,"scale_probe":$probeJson,"pair_probe":$pairJson,"hll_profile_max_err":$hllErr%.4f,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"stabilized":$stabJson,"failed":$failed,"pass_times":$passTimes,"sentinel":$sentinelJson,"jvm":$jvmJson,"scale_probe":$probeJson,"scale_probe_100":$probe100Json,"pair_probe":$pairJson,"hll_profile_max_err":$hllErr%.4f,"sf":"$sfDir"}"""
     // the previous full-suite artifact becomes bench_prev.json so the
     // run itself can regenerate docs/PERF_DELTA.md (r13 verdict task 2
     // — the movement table lands in the SAME round as the bench)
@@ -641,6 +646,107 @@ object Bench {
     lexArmFixed.unpersist(blocking = false)
     dirtyParts.unpersist(blocking = false)
     userPadDim.unpersist(blocking = false)
+    out
+  }
+
+  /** ×1-vs-×100 probe for the INDEXED serving family only (r14 verdict
+    * task 6): the flat-per-batch-cost claim for artifact-backed serving
+    * was measured only at ×10 — one more decade either confirms the
+    * asymptote or exposes a hidden corpus-bound term the first decade
+    * hid in fixed job overhead. Only the five cheap arms run here: each
+    * is an index PROBE (probe hashing / token slice / prefix join /
+    * broadcast semi scan), so the timed cost is per-batch, and the ×100
+    * index builds are amortized setup exactly as production amortizes
+    * them. Done-bar: every arm's ×100 per_row_ratio ≤ its ×10 ratio
+    * (per-row cost must keep FALLING as fixed overhead amortizes).
+    */
+  private def serveProbe100(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, k: Int): String = {
+    import graft.ext.{Dedup, Similarity, TextOps}
+    def docsAt(n: Int) = scaledBy(Tables.documents(spark, sfDir), "doc_id", n)
+    def embAt(n: Int) = scaledBy(Tables.embeddings(spark, sfDir), "vec_id", n)
+    def queries(n: Int) = embAt(n).filter(col("vec_id") < 20)
+    def partsAt(n: Int) = scaledBy(Tables.part(spark, sfDir), "p_partkey", n)
+      .select(col("p_partkey").as("id"),
+        concat(col("p_name"), lit("-"), col("p_brand"), lit("-"),
+          col("p_size").cast("string")).as("s"))
+    val dirtyParts = {
+      val base = partsAt(1).filter(col("id") < 1000000000L && col("id") % 30 === 0)
+      val pos = (conv(substring(md5(col("s")), 1, 4), 16, 10).cast("long")
+        % length(col("s"))).cast("int")
+      val d = base.select(col("id"),
+        concat(col("s").substr(lit(1), pos),
+          col("s").substr(pos + lit(2), length(col("s")))).as("s")).persist()
+      d.count()
+      d
+    }
+    val chunkBatch = {
+      val b = docsAt(1)
+        .filter(col("doc_id") < 1000000000L && col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000000000L).as("doc_id"),
+          concat(lit("EDIT >> "), col("text")).as("text")).persist()
+      b.count()
+      b
+    }
+    val ivfIdx: Map[Int, (DataFrame, DataFrame)] = Seq(1, k).map { n =>
+      val (cb, lists) = Similarity.ivfIndex(embAt(n), 16)
+      val cbC = cb.persist(); val listsC = lists.persist()
+      cbC.count(); listsC.count()
+      n -> ((cbC: DataFrame, listsC: DataFrame))
+    }.toMap
+    val lshParams = graft.ext.Similarity.LshParams(64, 12, 4, 1000L)
+    val lshIdx: Map[Int, DataFrame] = Seq(1, k).map { n =>
+      val idx = Similarity.lshIndex(embAt(n), lshParams.dim,
+        lshParams.bitsPerTable, lshParams.tables, lshParams.seedBase).persist()
+      idx.count()
+      n -> idx
+    }.toMap
+    val lexArmFixed = spark.range(20).selectExpr("id AS query_id")
+      .crossJoin(spark.range(1, 11).selectExpr("id AS rank"))
+      .selectExpr("query_id", "query_id * 3 + rank * 7 AS doc_id", "rank")
+      .persist()
+    lexArmFixed.count()
+    val fuzzyIdx: Map[Int, String] = Seq(1, k).map { n =>
+      val p = java.nio.file.Files.createTempDirectory("graft_bench_fuzzy100")
+        .toFile.getAbsolutePath + "/catalog"
+      graft.ext.Fuzzy.writeCatalogIndex(partsAt(n), p, maxDist = 2)
+      n -> p
+    }.toMap
+    val textIdx: Map[Int, String] = Seq(1, k).map { n =>
+      val p = java.nio.file.Files.createTempDirectory("graft_bench_text100")
+        .toFile.getAbsolutePath + "/ti"
+      TextOps.writeTextIndex(docsAt(n), p)
+      n -> p
+    }.toMap
+    val chunkIdx: Map[Int, String] = Seq(1, k).map { n =>
+      val p = java.nio.file.Files.createTempDirectory("graft_bench_chunks100")
+        .toFile.getAbsolutePath + "/ci"
+      Dedup.writeChunkIndex(docsAt(n), p)
+      n -> p
+    }.toMap
+    val probes: Seq[(String, Int => DataFrame)] = Seq(
+      "ivf_serve_indexed" -> (n => Similarity.ivfTopK(queries(n), embAt(n), k = 5,
+        nProbe = 4, corpusIndex = Some(ivfIdx(n)))),
+      "hybrid_serve" -> { n =>
+        val sem = Similarity.lshTopKIndexed(
+            embAt(n).filter(col("vec_id") < 20), lshIdx(n), 50, lshParams)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        Similarity.rrfFusePerQuery(Seq(sem, lexArmFixed), k = 10)
+      },
+      "bm25_indexed" -> (n => TextOps.bm25ServeIndexed(spark, textIdx(n),
+        Seq("dup", "spark", "vector", "merge"), k = 20)),
+      "fuzzy_serve_indexed" -> (n => graft.ext.Fuzzy.fuzzyJoinIndexed(
+        spark, dirtyParts, fuzzyIdx(n))),
+      "cdc_serve_indexed" -> (n => Dedup.chunkProvenanceIndexed(
+        spark, chunkIdx(n), chunkBatch)))
+    val out = probeRows(probes, k)
+    chunkBatch.unpersist(blocking = false)
+    dirtyParts.unpersist(blocking = false)
+    lexArmFixed.unpersist(blocking = false)
+    ivfIdx.values.foreach { case (cb, lists) =>
+      cb.unpersist(blocking = false); lists.unpersist(blocking = false)
+    }
+    lshIdx.values.foreach(_.unpersist(blocking = false))
     out
   }
 

@@ -1165,6 +1165,22 @@ object TextOps {
     trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
   }
 
+  /** Href extraction from anchor tags — the OTHER half of crawl-page
+    * processing next to [[htmlToText]]: the text feeds curation, the
+    * links feed the frontier/link-graph. Returns the `href` values of
+    * `<a>` tags (double-quoted attributes, any attribute order, any
+    * case, whitespace around `=` tolerated) in document order; empty
+    * hrefs are kept for the caller to filter (they are real anchors).
+    * Single-quoted/unquoted attribute spellings are a documented
+    * boundary (rare in modern markup; the RE2-safe double-quote form
+    * keeps the oracle replayable byte-for-byte). Pair with
+    * [[graft.ext.UrlOps.canonicalizeUrl]]/`registrableDomain` for the
+    * link graph — the t48 gate runs exactly that composition.
+    */
+  def htmlLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>"), lit(1))
+
   /** BM25-style query-relevance top-k over the corpus — the retrieval
     * primitive a curation pipeline uses for targeted filtering and
     * benchmark decontamination ("pull the k documents most relevant to

@@ -2244,6 +2244,45 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Link harvesting + canonicalization ([[TextOps.htmlLinks]] →
+    * [[graft.ext.UrlOps]]): the crawl-frontier half of page
+    * processing. Each doc gets a deterministic page with three anchors
+    * — mixed attribute case/whitespace (`HREF = "..."`), a
+    * scheme-uppercase `:80` fragment-bearing URL, utm params, and an
+    * EMPTY href (extracted but filtered, pinning the boundary) — then
+    * the extracted links run the t21 canonicalize/domain composition.
+    * The oracle replays extraction with the same RE2 pattern and
+    * canonicalization with t21's SQL fragments, so the whole
+    * page→frontier chain sits under the hash gate.
+    */
+  def t48HtmlLinks(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val url1 = concat(lit("https://"),
+      when(pmod(d, lit(4)) === 0, lit("www.")).otherwise(lit("")),
+      lit("site"), pmod(d, lit(23)).cast("string"),
+      element_at(array(lit(".com"), lit(".org"), lit(".net")),
+        (pmod(d, lit(3)) + 1).cast("int")),
+      when(pmod(d, lit(5)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/a/"), d,
+      when(pmod(d, lit(2)) === 0, lit("?utm_source=feed&q=1"))
+        .otherwise(lit("?q=1")))
+    val url2 = concat(lit("HTTP://site"), pmod(d, lit(7)).cast("string"),
+      lit(".com:80/b/"), d, lit("#frag"))
+    val html = concat(
+      lit("<html><body><p>intro</p><a class=\"x\" href=\""), url1,
+      lit("\">one</a><p>mid</p><a HREF = \""), url2,
+      lit("\">two</a><a href=\"\">anchor</a></body></html>"))
+    val links = Tables.documents(spark, dir)
+      .select(d, posexplode(TextOps.htmlLinks(html)))
+      .withColumnRenamed("col", "href")
+      .filter(col("href") =!= "")
+    val canon = graft.ext.UrlOps.canonicalizeUrl(col("href"))
+    links.select(d, col("pos").cast("long").as("pos"), col("href"),
+        canon.as("url_canon"),
+        graft.ext.UrlOps.registrableDomain(canon).as("domain"))
+      .orderBy(d, col("pos"))
+  }
+
   /** Per-LINE language ID ([[TextOps.langIdByLine]], r14 verdict task
     * 4): the fixture (single-line English-shaped docs) is extended
     * with marker lines in a doc_id-cycled language plus a third French
@@ -6103,6 +6142,57 @@ object Pipeline {
         |SELECT doc_id, url_canon, domain,
         |  count(*) OVER (PARTITION BY domain) AS dom_docs
         |FROM d ORDER BY doc_id""".stripMargin,
+    // replays anchor-href extraction with the same RE2 pattern, then
+    // the t21 canonicalize/domain SQL fragments per link; pos indexes
+    // ALL extracted anchors (the empty href occupies pos 2 and is then
+    // filtered, exactly as the Spark side posexplodes before filtering)
+    "t48_html_links" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>intro</p><a class="x" href="'
+        |    || 'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+        |    || 'site' || (doc_id % 23)::VARCHAR
+        |    || CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+        |    || '/a/' || doc_id::VARCHAR
+        |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&q=1' ELSE '?q=1' END
+        |    || '">one</a><p>mid</p><a HREF = "'
+        |    || 'HTTP://site' || (doc_id % 7)::VARCHAR || '.com:80/b/' || doc_id::VARCHAR || '#frag'
+        |    || '">two</a><a href="">anchor</a></body></html>' AS html
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(html, '(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>', 1) AS ls
+        |  FROM h
+        |), l AS (
+        |  SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, ls[CAST(i.i AS INT)] AS href
+        |  FROM ex, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) i
+        |), f AS (
+        |  SELECT * FROM l WHERE href <> ''
+        |), q AS (
+        |  SELECT doc_id, pos, href,
+        |    array_to_string(list_filter(
+        |      string_split(regexp_extract(
+        |        regexp_replace(href, '#.*$', ''), '\?([^#]*)', 1), '&'),
+        |      x -> NOT starts_with(x, 'utm_')), '&') AS kept_qs
+        |  FROM f
+        |), c AS (
+        |  SELECT doc_id, pos, href,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(href,
+        |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+        |      ':443$', ''), ':80$', '')
+        |    || regexp_replace(regexp_extract(href,
+        |         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+        |    || CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END
+        |      AS url_canon
+        |  FROM q
+        |)
+        |SELECT doc_id, pos, href, url_canon,
+        |  regexp_replace(lower(regexp_extract(url_canon,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
+        |    '^www\.', '') AS domain
+        |FROM c ORDER BY doc_id, pos""".stripMargin,
     // Retrains the bigram/unigram/vocab counts and replays the add-one
     // micro-unit arithmetic; DuckDB's flooring // on non-negative
     // operands == Spark's truncating div, and sum(BIGINT)'s HUGEINT
@@ -6191,6 +6281,7 @@ object Pipeline {
     "t45_redact_extended" -> t45RedactExtended _,
     "t46_html_extract"   -> t46HtmlExtract _,
     "t47_langid_lines"   -> t47LangIdLines _,
+    "t48_html_links"     -> t48HtmlLinks _,
     "e05_funnel"         -> e05Funnel _,
     "e07_cohort_retention" -> e07CohortRetention _,
     "e08_transitions"    -> e08Transitions _,

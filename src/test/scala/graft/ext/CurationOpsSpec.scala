@@ -423,6 +423,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(extract("a&#10;b") == "a b")                            // decoded newline joins the collapse
   }
 
+  test("htmlLinks: order, case, whitespace, empty href kept, single-quote boundary") {
+    def links(html: String): Seq[String] =
+      Seq(html).toDF("h").select(TextOps.htmlLinks(col("h")).as("l"))
+        .collect()(0).getSeq[String](0)
+    val html = "<html><a href=\"https://a.com/1\">x</a>" +
+      "<a class=\"z\" HREF = \"https://b.com/2\">y</a>" +
+      "<a href=\"\">empty</a>" +
+      "<a href='https://single.quote'>boundary: not extracted</a>" +
+      "<p href=\"https://not-an-anchor.com\">p is not a</p></html>"
+    assert(links(html) == Seq("https://a.com/1", "https://b.com/2", ""))
+    assert(links("no anchors here") == Seq.empty)
+  }
+
   test("htmlToText: whitespace collapses; plain text is a fixed point") {
     assert(extract("  a\t\tb\n\nc  ") == "a b c")
     val plain = "already clean text with words"
