@@ -39,4 +39,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+UseG1GC",
+  // r15: Xms only RESERVES; Linux commits heap pages on first touch, so
+  // at the driver's 89 g heap the shuffle-heavy pair-join family paid
+  // continuous page-fault+zeroing cost inside measured windows (d15
+  // 5.5-6.1 s isolated vs 2.7 s at 8 g — bisect in docs/PERF_NOTES.md).
+  // PreTouch moves the whole commit to JVM startup: d13 3.6→1.9 s,
+  // d15 5.5→1.9 s, spreads collapse. Costs a few seconds of extra JVM
+  // boot — outside every timing window.
+  "-XX:+AlwaysPreTouch",
 )

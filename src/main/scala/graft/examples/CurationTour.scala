@@ -51,7 +51,8 @@ object CurationTour {
       concat(lit("<!DOCTYPE html><html><head><style>p { x > y; }</style>"),
         lit("<script>var t = \"<p>leak d"), col("doc_id"), lit("</p>\";</script>"),
         lit("</head><body><!-- c d"), col("doc_id"), lit(" --><p>"), col("text"),
-        lit("</p><p>&amp; &#169;</p></body></html>")).as("html"),
+        lit("</p><p>&amp; &#169;</p><a href=\"HTTPS://WWW.Example.com:443/r/"),
+        col("doc_id"), lit("/\"></a></body></html>")).as("html"),
       col("text").as("text0")).cache()
     val raw = pages.select(col("doc_id"), col("lang"), col("source"),
       TextOps.htmlToText(col("html")).as("text"), col("text0")).cache()
@@ -59,6 +60,22 @@ object CurationTour {
     check("HTML extraction round-trips every doc's body text and leaks no markup") {
       raw.filter(col("text") =!= concat(col("text0"), lit(" & ©"))).count() == 0 &&
         raw.filter(col("text").contains("leak") || col("text").contains("<")).count() == 0
+    }
+
+    // 0'. the OTHER half of page processing: harvest each page's anchor
+    // into the crawl frontier — extraction, canonicalization (scheme/
+    // host case, default port, trailing slash) and registrable domain
+    // must land every link on the one expected frontier entry
+    check("link frontier: every page's anchor canonicalizes to its exact frontier entry") {
+      val canon = graft.ext.UrlOps.canonicalizeUrl(col("href"))
+      val frontier = pages
+        .select(col("doc_id"), explode(TextOps.htmlLinks(col("html"))).as("href"))
+        .select(col("doc_id"), canon.as("u"),
+          graft.ext.UrlOps.registrableDomain(canon).as("d"))
+      frontier.count() == n0 &&
+        frontier.filter(col("d") =!= "example.com").count() == 0 &&
+        frontier.filter(col("u") =!=
+          concat(lit("https://www.example.com/r/"), col("doc_id"))).count() == 0
     }
 
     // 1. scrub: redact PII in place, count what was touched

@@ -719,6 +719,42 @@ class PlanSpec extends AnyFunSuite {
       s"email stage should be computed once and reused, found $emailStages occurrences:\n$plan")
   }
 
+  test("t46/t48: page processing is one narrow pass — no join, only the presentation sort") {
+    // both halves of crawl-page work (text extraction, link harvesting)
+    // must stay pure per-row projection chains: at 100 TB the page
+    // corpus is the biggest table in the pipeline and any exchange
+    // before the (test-only) presentation sort would dominate the job
+    val pText = planOf("t46_html_extract")
+    assert("Exchange".r.findAllIn(pText).size <= 1,
+      s"extraction must not shuffle before the sort:\n$pText")
+    assert(!pText.contains("Join") && !pText.contains("Expand"),
+      s"extraction is a pure projection chain:\n$pText")
+    assert(!pText.toLowerCase.contains("udf") && !pText.contains("BatchEvalPython"),
+      s"extraction must be native regexp/replace expressions:\n$pText")
+    val pLinks = planOf("t48_html_links")
+    assert("Exchange".r.findAllIn(pLinks).size <= 1,
+      s"link harvesting must not shuffle before the sort:\n$pLinks")
+    assert(!pLinks.contains("Join"),
+      s"link harvesting joins nothing — canonicalization is per-row:\n$pLinks")
+    assert(pLinks.contains("Generate"),
+      s"links should explode at link cardinality (posexplode), not widen rows:\n$pLinks")
+  }
+
+  test("t47: per-line langid shuffles ONLY doc-keyed — two aggs + one join back, no corpus-wide window") {
+    val plan = planOf("t47_langid_lines")
+    // line scoring is narrow (posexplode + scorer projection); the only
+    // wide stages are the (doc, lang) count, the per-doc majority
+    // rollup, and the doc-keyed join back — bounded at 4 hash
+    // exchanges (plus the presentation sort's range exchange), all on
+    // doc-scaled keys, never on line content
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 4,
+      s"per-line langid grew an unexpected exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      s"majority must be an aggregation, not a corpus window:\n$plan")
+    assert(plan.contains("Generate"),
+      s"line split should be a posexplode Generate:\n$plan")
+  }
+
   test("s09/s10: prefix slice happens BEFORE the pair join — full vectors never enter it") {
     // the join operand projections must carry the slice; if the slice
     // migrated above the join, the corpus would ship full-width vectors
