@@ -98,6 +98,38 @@ object StreamTour {
       streamed.nonEmpty && streamed.forall { case (id, m) => batch(id) == m }
     }
 
+    check("streaming page processing (extract + links) equals the batch projection") {
+      // crawl ingest as a stream: pages arrive, HTML→text extraction
+      // and link harvesting run as the SAME stateless codegen
+      // projection the batch gate (t46/t48) proves — streaming needs
+      // no operator changes, only a sink
+      implicit val sql = spark.sqlContext
+      import graft.ext.TextOps
+      val pages = graft.Tables.documents(spark, sf)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), concat(
+          lit("<html><head><script>var x = \"<p>leak</p>\";</script></head><body><p>"),
+          col("text"), lit("</p><a href=\"https://Example.com:443/d/"), col("doc_id"),
+          lit("/\"></a><p>&amp; &#169;</p></body></html>")).as("html"))
+      def project(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        TextOps.htmlToText(col("html")).as("text"),
+        concat_ws("|", TextOps.htmlLinks(col("html"))).as("links"))
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val streamed = {
+        val q = project(input.toDF().toDF("doc_id", "html"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("tour_pages").start()
+        try {
+          input.addData(pages.as[(Long, String)].collect().toIndexedSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+        spark.table("tour_pages")
+      }
+      val batch = project(pages)
+      streamed.count() > 0 &&
+        streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty
+    }
+
     check("streaming dedup against the persisted minhash index equals the batch operator") {
       // online ingest: documents arrive as a stream, near-dups are found
       // by probing the parquet signature index built offline

@@ -677,6 +677,34 @@ object TextOps {
     scored.join(perDoc, Seq(idCol))
   }
 
+  /** The filtering CONSUMER of [[langIdByLine]] — CCNet's actual move:
+    * keep only the lines agreeing with the document's majority
+    * language and reassemble the survivors in order (the t12
+    * reassembly shape: collect_list of (pos, line) structs +
+    * sort_array — no corpus window). One row per input document;
+    * `n_dropped` counts the removed lines and a doc whose every line
+    * is majority-language passes through byte-identical. Needs the
+    * line TEXT, so it re-splits and joins the assignment table back on
+    * (id, pos) — a line-keyed join per doc, the same shuffle class as
+    * the majority aggregation itself.
+    */
+  def dropMinorityLanguageLines(docs: DataFrame, sep: String = "\n",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val assigned = langIdByLine(docs, sep, textCol, idCol)
+    val lines = linesBySeparator(docs, sep, textCol, idCol)
+    lines.join(assigned, Seq(idCol, "pos"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep,
+          transform(
+            sort_array(collect_list(when(col("line_lang") === col("doc_lang"),
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line"))).as("cleaned"),
+        max(col("doc_lang")).as("doc_lang"),
+        sum(when(col("line_lang") === col("doc_lang"), 0L).otherwise(1L))
+          .cast("long").as("n_dropped"))
+  }
+
   /** Rolling-hash document fingerprint: polynomial rolling hash over the
     * token-hash stream, mod 1e9+7 (keeps every intermediate < 2^35, so no
     * ANSI-mode overflow), order-sensitive.

@@ -2306,6 +2306,26 @@ object Pipeline {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** CCNet line FILTERING ([[TextOps.dropMinorityLanguageLines]]) —
+    * the consumer t47's assignment table exists for: drop every line
+    * disagreeing with the doc majority, reassemble survivors in order.
+    * Same injection as t47, so mixed docs genuinely lose lines (and
+    * unmixed docs pass through byte-identical — both pinned by the
+    * hash gate over cleaned text + drop counts).
+    */
+  def t47bLineFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val line1 = when(pmod(d, lit(4)) === 0, lit("der und die ist mit nicht der und"))
+      .when(pmod(d, lit(4)) === 1, lit("le la les est et dans le la"))
+      .when(pmod(d, lit(4)) === 2, lit("el los es y con para el los"))
+      .otherwise(lit("the and of is with for the and"))
+    val multiline = concat(col("text"), lit("\n"), line1,
+      when(pmod(d, lit(5)) === 0, lit("\nles est et dans la le")).otherwise(lit("")))
+    TextOps.dropMinorityLanguageLines(
+        Tables.documents(spark, dir).select(d, multiline.as("text")))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 query-relevance retrieval ([[TextOps.bm25TopK]]) — top-20
     * documents for the query `dup spark vector merge` (one corpus-rare
     * term, df≈5%, and three common ones, so the idf weighting — not
@@ -5993,6 +6013,71 @@ object Pipeline {
         |  mxl.doc_lang, mixed.is_mixed
         |FROM pl JOIN mxl USING (doc_id) JOIN mixed USING (doc_id)
         |ORDER BY pl.doc_id, pl.pos""".stripMargin,
+    // t47's chain with the line text carried through; survivors
+    // reassembled in pos order (string_agg FILTER, coalesce '' for the
+    // no-survivor edge, the t12 convention), drops counted per doc
+    "t47b_line_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id, text || chr(10) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'der und die ist mit nicht der und'
+        |         WHEN doc_id % 4 = 1 THEN 'le la les est et dans le la'
+        |         WHEN doc_id % 4 = 2 THEN 'el los es y con para el los'
+        |         ELSE 'the and of is with for the and' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'les est et dans la le' ELSE '' END AS text
+        |  FROM documents
+        |), ln AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM base
+        |), l AS (
+        |  SELECT doc_id, CAST(i.i AS BIGINT) AS pos, ls[CAST(i.i + 1 AS INT)] AS line
+        |  FROM ln, LATERAL (SELECT unnest(range(0, len(ls))) AS i) i
+        |), t AS (
+        |  SELECT doc_id, pos, line,
+        |    string_split_regex(trim(lower(line)), '[ \t\n\f\r]+') AS w
+        |  FROM l
+        |), s AS (
+        |  SELECT doc_id, pos, line,
+        |    len(list_filter(w, x -> x IN ('the','and','of','is','with','for'))) AS h_en,
+        |    len(list_filter(w, x -> x IN ('der','die','und','ist','nicht','mit'))) AS h_de,
+        |    len(list_filter(w, x -> x IN ('le','la','les','est','et','dans'))) AS h_fr,
+        |    len(list_filter(w, x -> x IN ('el','los','es','y','con','para'))) AS h_es,
+        |    len(list_filter(w, x -> x IN ('\u7684','\u662f','\u5728','\u4e86','\u548c','\u6211')))
+        |      + (length(line) - length(replace(line, '\u7684', '')))
+        |      + (length(line) - length(replace(line, '\u662f', '')))
+        |      + (length(line) - length(replace(line, '\u5728', '')))
+        |      + (length(line) - length(replace(line, '\u4e86', '')))
+        |      + (length(line) - length(replace(line, '\u548c', '')))
+        |      + (length(line) - length(replace(line, '\u6211', ''))) AS h_zh
+        |  FROM t
+        |), m AS (
+        |  SELECT doc_id, pos, line, h_en, h_de, h_fr, h_es, h_zh,
+        |    greatest(h_en, h_de, h_fr, h_es, h_zh) AS mx
+        |  FROM s
+        |), pl AS (
+        |  SELECT doc_id, pos, line,
+        |    CASE WHEN mx <= 0 THEN 'en'
+        |         WHEN h_zh = mx THEN 'zh'
+        |         WHEN h_fr = mx THEN 'fr'
+        |         WHEN h_es = mx THEN 'es'
+        |         WHEN h_en = mx THEN 'en'
+        |         ELSE 'de' END AS line_lang
+        |  FROM m
+        |), cnt AS (
+        |  SELECT doc_id, line_lang AS lng, count(*) AS c FROM pl GROUP BY 1, 2
+        |), mj AS (
+        |  SELECT doc_id, lng AS doc_lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lng DESC) AS rn
+        |  FROM cnt
+        |), mxl AS (
+        |  SELECT doc_id, doc_lang FROM mj WHERE rn = 1
+        |)
+        |SELECT pl.doc_id,
+        |  coalesce(string_agg(pl.line, chr(10) ORDER BY pl.pos)
+        |    FILTER (WHERE pl.line_lang = mxl.doc_lang), '') AS cleaned,
+        |  mxl.doc_lang,
+        |  CAST(count(*) FILTER (WHERE pl.line_lang <> mxl.doc_lang) AS BIGINT) AS n_dropped
+        |FROM pl JOIN mxl USING (doc_id)
+        |GROUP BY pl.doc_id, mxl.doc_lang
+        |ORDER BY pl.doc_id""".stripMargin,
     // Replays the five Gopher rules with the same micro-unit truncating
     // division (all operands non-negative, so DuckDB // == Spark div).
     "t20_gopher_rules" ->
@@ -6281,6 +6366,7 @@ object Pipeline {
     "t45_redact_extended" -> t45RedactExtended _,
     "t46_html_extract"   -> t46HtmlExtract _,
     "t47_langid_lines"   -> t47LangIdLines _,
+    "t47b_line_filter"   -> t47bLineFilter _,
     "t48_html_links"     -> t48HtmlLinks _,
     "e05_funnel"         -> e05Funnel _,
     "e07_cohort_retention" -> e07CohortRetention _,

@@ -82,6 +82,25 @@ class PerfDeltaSpec extends AnyFunSuite {
     assert(md.contains("stabilized (1): stab_q"), md)
   }
 
+  test("sentinel stall flag needs an ABSOLUTE excursion, not ratio alone") {
+    val dir = Files.createTempDirectory("perfdelta_sent")
+    val prev = dir.resolve("prev.json"); val cur = dir.resolve("cur.json")
+    // ratio 2.3 but max-min = 0.17 s: a steady run's ordinary jitter on
+    // a ~0.15 s sentinel — must NOT flag (the r15 false positive)
+    write(prev, artifact(10.0, Map("a" -> 1.0)))
+    write(cur, artifact(10.0, Map("a" -> 1.0),
+      sentinel = Seq(0.13, 0.30, 0.22)))
+    val out1 = dir.resolve("steady.md")
+    PerfDelta.write(prev.toString, cur.toString, out1.toString)
+    assert(Files.readString(out1).contains("(ambient steady)"))
+    // ratio 7.5 AND max-min = 1.1 s: a real stall — must flag
+    write(cur, artifact(10.0, Map("a" -> 1.0),
+      sentinel = Seq(0.17, 1.27, 0.2)))
+    val out2 = dir.resolve("stall.md")
+    PerfDelta.write(prev.toString, cur.toString, out2.toString)
+    assert(Files.readString(out2).contains("interference-suspect"))
+  }
+
   test("no prior artifact: cur-only summary, no throw") {
     val dir = Files.createTempDirectory("perfdelta2")
     val cur = dir.resolve("cur.json"); val out = dir.resolve("PD.md")
