@@ -436,6 +436,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(links("no anchors here") == Seq.empty)
   }
 
+  test("langIdByLine + dropMinorityLanguageLines: majority ties, mixed flag, byte-identical pass-through") {
+    val docs = Seq(
+      // 2-line tie en/de → larger lang code wins ('en'); the de line drops
+      (1L, "the and of is\nder die und ist"),
+      // 2-line tie en/fr → 'fr' wins; the ENGLISH line drops
+      (2L, "the and of is\nle la les est"),
+      // 3 lines, fr majority 2-1 → the en line drops
+      (3L, "the and of\nle la les est\nest et dans le"),
+      // single line → unmixed, byte-identical pass-through
+      (4L, "plain single line the"),
+      // no markers anywhere → every line defaults 'en', nothing drops
+      (5L, "xyz qqq\nzzz www")).toDF("doc_id", "text")
+    val seg = TextOps.langIdByLine(docs)
+    val byDoc = seg.select("doc_id", "doc_lang", "is_mixed").distinct()
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(byDoc(1L) == (("en", true)))
+    assert(byDoc(2L) == (("fr", true)))
+    assert(byDoc(3L) == (("fr", true)))
+    assert(byDoc(4L) == (("en", false)))
+    assert(byDoc(5L) == (("en", false)))
+    val cleaned = TextOps.dropMinorityLanguageLines(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("cleaned"), r.getAs[Long]("n_dropped")))).toMap
+    assert(cleaned(1L) == (("the and of is", 1L)))
+    assert(cleaned(2L) == (("le la les est", 1L)))
+    assert(cleaned(3L) == (("le la les est\nest et dans le", 1L)))
+    assert(cleaned(4L) == (("plain single line the", 0L)))
+    assert(cleaned(5L) == (("xyz qqq\nzzz www", 0L)))
+  }
+
   test("htmlToText: whitespace collapses; plain text is a fixed point") {
     assert(extract("  a\t\tb\n\nc  ") == "a b c")
     val plain = "already clean text with words"
