@@ -498,6 +498,78 @@ object TextOps {
     bpeEncode(docs, learned, textCol, idCol, lowercase)
   }
 
+  // ---------------------------------------- persisted tokenizer artifact
+
+  private def tokenizerParamsPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_tokenizer_params.json")
+
+  /** True iff `path` carries the tokenizer sidecar — the loud-failure
+    * marker the serve path checks (the text-index convention: a
+    * directory that is not a graft tokenizer must never be served).
+    */
+  def isTokenizer(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    fs.exists(tokenizerParamsPath(path))
+  }
+
+  /** Train `k` merges on `docs` and persist them as the TOKENIZER
+    * ARTIFACT — the ninth lifecycle family: production trains a
+    * tokenizer once per corpus snapshot and every encode job for the
+    * model's lifetime reads the artifact instead of re-running the k
+    * corpus-pass training iterations. The artifact is the k-row merge
+    * table (step order IS the replay order) plus a params sidecar
+    * (k, lowercase) so a serve call can't silently apply the merges
+    * under the wrong case-folding contract. There is deliberately no
+    * update-in-place: merges are globally coupled (iteration i's
+    * argmax depends on every prior merge), so the honest maintenance
+    * operation is retrain-and-swap, exactly what a model retrain does.
+    */
+  def writeTokenizer(docs: DataFrame, path: String, k: Int,
+      textCol: String = "text", lowercase: Boolean = true): Unit = {
+    val spark = docs.sparkSession
+    bpeMerges(docs, k, textCol, lowercase)
+      .select(col("step"), col("lhs"), col("rhs"), col("merged"), col("pair_count"))
+      .coalesce(1) // k rows — one file reads in one footer fetch
+      .write.mode("overwrite").parquet(path)
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    val out = fs.create(tokenizerParamsPath(path), true)
+    out.write(s"""{"k":$k,"lowercase":$lowercase}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The persisted merge table of [[writeTokenizer]], in step order,
+    * with its case-folding contract. Driver-side k rows by design —
+    * encode folds them into the PLAN as literals (see [[bpeEncode]]).
+    */
+  def readTokenizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[BpeMerge], Boolean) = {
+    require(isTokenizer(spark, path),
+      s"$path has no _graft_tokenizer_params.json sidecar — not a graft tokenizer")
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    val in = fs.open(tokenizerParamsPath(path))
+    val params = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lowercase = params.contains("\"lowercase\":true")
+    val merges = spark.read.parquet(path)
+      .orderBy(col("step")).collect()
+      .map(r => BpeMerge(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    (merges, lowercase)
+  }
+
+  /** Encode `docs` with a PERSISTED tokenizer — the serve half: k
+    * artifact rows read driver-side, folded into one narrow codegen
+    * replace-chain projection over the corpus (no shuffle, no join,
+    * no retraining pass). Output and semantics identical to
+    * [[bpeTrainEncode]] on the training corpus, which is exactly what
+    * the t49 gate pins (serve(artifact) == from-scratch).
+    */
+  def bpeEncodeIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (merges, lowercase) = readTokenizer(spark, path)
+    bpeEncode(docs, merges, textCol, idCol, lowercase)
+  }
+
   /** Frequency-threshold vocabulary coverage curve — the tokenizer /
     * vocab-sizing analytic: for each min-frequency cutoff f, the number
     * of distinct words with corpus count ≥ f (the vocab you'd keep),

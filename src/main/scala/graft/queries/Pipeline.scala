@@ -1182,6 +1182,25 @@ object Pipeline {
     TextOps.bpeTrainEncode(Tables.documents(spark, dir), k = 8)
       .orderBy(col("doc_id"))
 
+  /** BPE encode served from the PERSISTED tokenizer artifact
+    * ([[TextOps.writeTokenizer]] → [[TextOps.bpeEncodeIndexed]]) — the
+    * NINTH index-lifecycle family: production trains a tokenizer once
+    * per corpus snapshot, every encode job reads the k-row artifact
+    * and never re-runs the k corpus-pass training iterations.
+    * Registered as build + serve for oracle self-containment (the
+    * t36/d29 convention); the oracle is t29's UNCHANGED from-scratch
+    * SQL, so the hash gate pins serve(artifact) == from-scratch —
+    * every learned merge, its replay order, and the case-folding
+    * contract survive the round trip. Per-process temp target (the
+    * t36 pattern) so concurrent runs can't race on a shared path.
+    */
+  def t49BpeIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val path = t49TokenizerDir
+    TextOps.writeTokenizer(Tables.documents(spark, dir), path, k = 8)
+    TextOps.bpeEncodeIndexed(spark, path, Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+  }
+
   /** BYTE-LEVEL BPE encode ([[graft.functions.ByteRemap]] →
     * [[TextOps.bpeTrainEncode]], r14 verdict task 5): production
     * tokenizers are byte-level with byte-fallback — no input byte can
@@ -2355,6 +2374,8 @@ object Pipeline {
   // passes) from leaking a full index copy per invocation (r13 ADVICE)
   private lazy val t36IndexDir: String =
     java.nio.file.Files.createTempDirectory("graft_t36_text_index").toString
+  private lazy val t49TokenizerDir: String =
+    java.nio.file.Files.createTempDirectory("graft_t49_tokenizer").toString
   private lazy val d35IndexDir: String =
     java.nio.file.Files.createTempDirectory("graft_d35_chunk_index").toString
 
@@ -4674,6 +4695,8 @@ object Pipeline {
     "t25_bpe_merges" -> bpeMergesOracle(k = 8),
     "t29_bpe_encode" -> bpeEncodeOracle(k = 8),
     "t29b_byte_bpe_encode" -> bpeEncodeOracleOver(k = 8, byteBpeSrc),
+    // serve(artifact) == from-scratch: the t29 chain unchanged
+    "t49_bpe_indexed" -> bpeEncodeOracle(k = 8),
     // the ordinary-SQL running total IS the oracle; the engine side is
     // the two-phase distributed scan (t13's machinery)
     "t28_seq_pack" ->
@@ -6400,6 +6423,7 @@ object Pipeline {
     "t28_seq_pack"       -> t28SeqPack _,
     "t29_bpe_encode"     -> t29BpeEncode _,
     "t29b_byte_bpe_encode" -> t29bByteBpeEncode _,
+    "t49_bpe_indexed"    -> t49BpeIndexed _,
     "t30_vocab_coverage" -> t30VocabCoverage _,
     "t31_dsir_weights"   -> t31DsirWeights _,
     "t32_blocklist"      -> t32Blocklist _,

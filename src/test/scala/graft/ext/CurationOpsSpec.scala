@@ -436,6 +436,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(links("no anchors here") == Seq.empty)
   }
 
+  test("tokenizer artifact: write/read round trip, case contract, serve == from-scratch, loud non-tokenizer") {
+    val docs = Seq((1L, "Low low lower lowest"), (2L, "low lower newer new"),
+      (3L, "wider wide low")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_tok_spec")
+    val p = root.resolve("tok").toString
+    TextOps.writeTokenizer(docs, p, k = 4)
+    assert(TextOps.isTokenizer(spark, p))
+    val (merges, lowercase) = TextOps.readTokenizer(spark, p)
+    assert(lowercase && merges.size == 4 && merges.map(_.step) == Seq(1L, 2L, 3L, 4L))
+    // the artifact IS the training result: replaying it equals train+encode
+    val served = TextOps.bpeEncodeIndexed(spark, p, docs).orderBy("doc_id").collect().toSeq
+    val scratch = TextOps.bpeTrainEncode(docs, k = 4).orderBy("doc_id").collect().toSeq
+    assert(served == scratch)
+    // the case-folding contract survives the round trip: a
+    // lowercase=false tokenizer must NOT fold at serve time (the
+    // capitalized 'Low' stays a distinct symbol sequence)
+    val pCase = root.resolve("tok_case").toString
+    TextOps.writeTokenizer(docs, pCase, k = 4, lowercase = false)
+    val servedCase = TextOps.bpeEncodeIndexed(spark, pCase, docs).orderBy("doc_id").collect().toSeq
+    val scratchCase = TextOps.bpeTrainEncode(docs, k = 4, lowercase = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(servedCase == scratchCase)
+    assert(!TextOps.readTokenizer(spark, pCase)._2)
+    // not-a-tokenizer fails loudly, never serves garbage
+    val bare = root.resolve("bare").toString
+    docs.write.mode("overwrite").parquet(bare)
+    intercept[IllegalArgumentException] {
+      TextOps.bpeEncodeIndexed(spark, bare, docs)
+    }
+  }
+
   test("langIdByLine + dropMinorityLanguageLines: majority ties, mixed flag, byte-identical pass-through") {
     val docs = Seq(
       // 2-line tie en/de → larger lang code wins ('en'); the de line drops
