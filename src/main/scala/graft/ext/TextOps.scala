@@ -714,6 +714,27 @@ object TextOps {
       when(best.getField("h") > 0, best.getField("lang")).otherwise(lit("en")).as("lang"))
   }
 
+  /** Sentence segmentation — the unit between lines and token windows:
+    * chunking-for-RAG and per-sentence quality filters both want
+    * sentence boundaries, not arbitrary token cuts. Terminator-greedy
+    * split: each sentence is a maximal run of non-terminator chars
+    * plus its run of terminators (`...` and `?!` stay attached to one
+    * sentence), with an un-terminated trailing remnant kept as a final
+    * sentence (dropping it would silently lose text). Abbreviation
+    * handling (e.g., "Dr.") is a documented boundary — it needs a
+    * lexicon, and the deterministic terminator rule is what both
+    * engines can replay byte-identically (the pattern is RE2-safe:
+    * alternation + anchors, no lookbehind — RE2 has none). Sentences
+    * are space-trimmed; empty fragments dropped. One narrow codegen
+    * pass, no shuffle.
+    */
+  def sentences(text: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+
   /** CCNet-style PER-LINE language identification — the mixed-language
     * handler document-level [[langId]] can't be: a crawl page with an
     * English navigation line around a German article gets the doc-level

@@ -2345,6 +2345,36 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Sentence segmentation under the gate ([[TextOps.sentences]]): the
+    * fixture's unpunctuated token soup gets deterministic sentence
+    * structure injected — 8-token windows each closed by a cycling
+    * terminator (". ", "! ", "? ": multi-class coverage), a doubled
+    * terminator on every sixth doc (ellipsis-like runs must stay ONE
+    * sentence), and an UN-terminated trailing remnant on every fourth
+    * (must survive as the final sentence) — then the splitter must
+    * recover exactly the injected segmentation. Both engines run the
+    * same RE2-compatible pattern, so the oracle replays injection AND
+    * extraction byte-identically.
+    */
+  def t50Sentences(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val toks = TextOps.tokens(trim(col("text")))
+    val nW = ceil(size(toks) / lit(8.0)).cast("int")
+    val sent = transform(sequence(lit(0), greatest(nW, lit(1)) - 1), i =>
+      concat(concat_ws(" ", slice(toks, i * 8 + 1, lit(8))),
+        when(pmod(d + i.cast("long"), lit(3)) === 0, lit("."))
+          .when(pmod(d + i.cast("long"), lit(3)) === 1, lit("!"))
+          .otherwise(lit("?")),
+        when(pmod(d, lit(6)) === 0 && i === 0, lit("..")).otherwise(lit(""))))
+    val injected = concat(concat_ws(" ", sent),
+      when(pmod(d, lit(4)) === 0, lit(" trailing remnant")).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(d, posexplode(TextOps.sentences(injected)))
+      .select(d, col("pos").cast("long").as("pos"), col("col").as("sentence"))
+      .withColumn("n_chars", length(col("sentence")).cast("long"))
+      .orderBy(d, col("pos"))
+  }
+
   /** BM25 query-relevance retrieval ([[TextOps.bm25TopK]]) — top-20
     * documents for the query `dup spark vector merge` (one corpus-rare
     * term, df≈5%, and three common ones, so the idf weighting — not
@@ -4697,6 +4727,33 @@ object Pipeline {
     "t29b_byte_bpe_encode" -> bpeEncodeOracleOver(k = 8, byteBpeSrc),
     // serve(artifact) == from-scratch: the t29 chain unchanged
     "t49_bpe_indexed" -> bpeEncodeOracle(k = 8),
+    // replays injection (8-token windows + cycling/doubled terminators
+    // + trailing remnant) and the SAME RE2 extraction pattern
+    "t50_sentences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        |  FROM documents
+        |), inj AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      range(0, CAST(ceil(greatest(len(w), 1) / 8.0) AS BIGINT)),
+        |      i -> array_to_string(w[CAST(i*8+1 AS INT) : CAST(i*8+8 AS INT)], ' ')
+        |        || CASE CAST((doc_id + i) % 3 AS INT) WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '?' END
+        |        || CASE WHEN doc_id % 6 = 0 AND i = 0 THEN '..' ELSE '' END), ' ')
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' trailing remnant' ELSE '' END AS text
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$'),
+        |      s -> trim(s)), s -> s <> '') AS ls
+        |  FROM inj
+        |)
+        |SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos,
+        |  ls[CAST(i.i AS INT)] AS sentence,
+        |  CAST(length(ls[CAST(i.i AS INT)]) AS BIGINT) AS n_chars
+        |FROM ex, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) i
+        |ORDER BY doc_id, pos""".stripMargin,
     // the ordinary-SQL running total IS the oracle; the engine side is
     // the two-phase distributed scan (t13's machinery)
     "t28_seq_pack" ->
@@ -6424,6 +6481,7 @@ object Pipeline {
     "t29_bpe_encode"     -> t29BpeEncode _,
     "t29b_byte_bpe_encode" -> t29bByteBpeEncode _,
     "t49_bpe_indexed"    -> t49BpeIndexed _,
+    "t50_sentences"      -> t50Sentences _,
     "t30_vocab_coverage" -> t30VocabCoverage _,
     "t31_dsir_weights"   -> t31DsirWeights _,
     "t32_blocklist"      -> t32Blocklist _,

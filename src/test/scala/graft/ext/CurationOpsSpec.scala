@@ -436,6 +436,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(links("no anchors here") == Seq.empty)
   }
 
+  test("sentences: terminator runs attach, remnant kept, empties dropped, plain text is one sentence") {
+    def seg(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextOps.sentences(col("t")).as("s"))
+        .collect()(0).getSeq[String](0)
+    assert(seg("One. Two! Three?") == Seq("One.", "Two!", "Three?"))
+    assert(seg("Wait... what?! done") == Seq("Wait...", "what?!", "done")) // runs attach; remnant kept
+    assert(seg("no terminator at all") == Seq("no terminator at all"))
+    assert(seg("a.b.c") == Seq("a.", "b.", "c")) // no-space boundaries still split
+    assert(seg("...") == Seq.empty) // pure terminators: no content, no sentence
+    assert(seg("") == Seq.empty)
+    assert(seg("  spaced out.  ") == Seq("spaced out.")) // trimmed
+  }
+
   test("tokenizer artifact: write/read round trip, case contract, serve == from-scratch, loud non-tokenizer") {
     val docs = Seq((1L, "Low low lower lowest"), (2L, "low lower newer new"),
       (3L, "wider wide low")).toDF("doc_id", "text")
