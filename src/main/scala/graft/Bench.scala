@@ -583,6 +583,22 @@ object Bench {
       // content-defined chunking: one codegen gear pass per row, no
       // shuffle — growth must be pure scan cost
       "cdc_chunks" -> (n => Dedup.chunkTable(docsAt(n))),
+      // page processing (r15): HTML→text + link harvest as one narrow
+      // regexp projection per page — growth must be pure scan cost
+      "html_extract" -> (n => {
+        val html = concat(
+          lit("<html><head><script>var x = \"<p>no</p>\";</script></head><body><p>"),
+          col("text"), lit("</p><a href=\"https://Example.com:443/d/"),
+          col("doc_id"), lit("/\"></a><p>&amp; &#169;</p></body></html>"))
+        docsAt(n).select(col("doc_id"),
+          TextOps.htmlToText(html).as("text"),
+          concat_ws("|", TextOps.htmlLinks(html)).as("links"))
+      }),
+      // sentence segmentation (r15): one narrow regexp_extract_all
+      // pass, sentences out at sentence cardinality — scan-bound
+      "sentences" -> (n => docsAt(n).select(col("doc_id"),
+        posexplode(TextOps.sentences(
+          regexp_replace(col("text"), lit(" (table|value|scan) "), lit(". ")))))),
       // classifier training: each iteration is one map-side-combined
       // aggregation collecting a single 6-value row — growth must be
       // scan-bound (two iterations timed, eager by construction)
