@@ -2302,6 +2302,43 @@ object Pipeline {
       .orderBy(d, col("pos"))
   }
 
+  /** Link-graph rollup: t48's harvested per-link table aggregated to
+    * the (page source, target domain) crawl-prioritization table — the
+    * frontier summary a crawler ranks by (how many links, from how
+    * many distinct pages, does each source community send to each
+    * domain). Pure GROUP BY over the gate-proven narrow chain: the
+    * only shuffle is the rollup itself, keyed at domain cardinality.
+    */
+  def t51LinkGraph(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val url1 = concat(lit("https://"),
+      when(pmod(d, lit(4)) === 0, lit("www.")).otherwise(lit("")),
+      lit("site"), pmod(d, lit(23)).cast("string"),
+      element_at(array(lit(".com"), lit(".org"), lit(".net")),
+        (pmod(d, lit(3)) + 1).cast("int")),
+      when(pmod(d, lit(5)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/a/"), d,
+      when(pmod(d, lit(2)) === 0, lit("?utm_source=feed&q=1"))
+        .otherwise(lit("?q=1")))
+    val url2 = concat(lit("HTTP://site"), pmod(d, lit(7)).cast("string"),
+      lit(".com:80/b/"), d, lit("#frag"))
+    val html = concat(
+      lit("<html><body><p>intro</p><a class=\"x\" href=\""), url1,
+      lit("\">one</a><p>mid</p><a HREF = \""), url2,
+      lit("\">two</a><a href=\"\">anchor</a></body></html>"))
+    val links = Tables.documents(spark, dir)
+      .select(d, col("source"), explode(TextOps.htmlLinks(html)).as("href"))
+      .filter(col("href") =!= "")
+    val canon = graft.ext.UrlOps.canonicalizeUrl(col("href"))
+    links
+      .select(col("source"),
+        graft.ext.UrlOps.registrableDomain(canon).as("domain"), d)
+      .groupBy(col("source"), col("domain"))
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("doc_id")).as("n_pages"))
+      .orderBy(col("source"), col("domain"))
+  }
+
   /** Per-LINE language ID ([[TextOps.langIdByLine]], r14 verdict task
     * 4): the fixture (single-line English-shaped docs) is extended
     * with marker lines in a doc_id-cycled language plus a third French
@@ -6358,6 +6395,47 @@ object Pipeline {
         |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
         |    '^www\.', '') AS domain
         |FROM c ORDER BY doc_id, pos""".stripMargin,
+    // the t48 chain + (source, domain) rollup: link and distinct-page
+    // counts per crawl-prioritization cell
+    "t51_link_graph" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    '<html><body><p>intro</p><a class="x" href="'
+        |    || 'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+        |    || 'site' || (doc_id % 23)::VARCHAR
+        |    || CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+        |    || '/a/' || doc_id::VARCHAR
+        |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&q=1' ELSE '?q=1' END
+        |    || '">one</a><p>mid</p><a HREF = "'
+        |    || 'HTTP://site' || (doc_id % 7)::VARCHAR || '.com:80/b/' || doc_id::VARCHAR || '#frag'
+        |    || '">two</a><a href="">anchor</a></body></html>' AS html
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(html, '(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>', 1) AS ls
+        |  FROM h
+        |), f AS (
+        |  SELECT doc_id, source, unnest(ls) AS href FROM ex
+        |), fe AS (
+        |  SELECT * FROM f WHERE href <> ''
+        |), c AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(href,
+        |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+        |      ':443$', ''), ':80$', '') AS schemehost
+        |  FROM fe
+        |)
+        |SELECT source,
+        |  regexp_replace(lower(regexp_extract(schemehost,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
+        |    '^www\.', '') AS domain,
+        |  CAST(count(*) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+        |FROM c
+        |GROUP BY 1, 2
+        |ORDER BY source, domain""".stripMargin,
     // Retrains the bigram/unigram/vocab counts and replays the add-one
     // micro-unit arithmetic; DuckDB's flooring // on non-negative
     // operands == Spark's truncating div, and sum(BIGINT)'s HUGEINT
@@ -6482,6 +6560,7 @@ object Pipeline {
     "t29b_byte_bpe_encode" -> t29bByteBpeEncode _,
     "t49_bpe_indexed"    -> t49BpeIndexed _,
     "t50_sentences"      -> t50Sentences _,
+    "t51_link_graph"     -> t51LinkGraph _,
     "t30_vocab_coverage" -> t30VocabCoverage _,
     "t31_dsir_weights"   -> t31DsirWeights _,
     "t32_blocklist"      -> t32Blocklist _,
