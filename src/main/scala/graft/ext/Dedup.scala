@@ -606,6 +606,43 @@ object Dedup {
           / col("n_shingles") * 1e6) / 1e6).as("contamination"))
   }
 
+  /** [[ngramContamination]] with the 100 TB shuffle fix made
+    * BIT-IDENTICAL instead of approximate: eval shingles are prefiltered
+    * through the broadcast Bloom of the corpus shingle set
+    * ([[graft.ops.Prefilter.bloomSemiJoin]]) BEFORE the verify join, so
+    * the exchange carries only (true hits + fpp·misses) rows instead of
+    * every eval shingle — and the survivors still go through the exact
+    * shingle-keyed semi-join, so Bloom false positives are dropped and
+    * the output equals [[ngramContamination]] row for row at ANY fpp
+    * (the q21 bloomSemiJoin==join pattern applied to decontamination;
+    * registry-gated as d40 against d12's own oracle). The per-doc
+    * denominator (`n_shingles`) is counted BEFORE the prefilter — it is
+    * a property of the eval doc, not of the candidate set — via a
+    * map-side-combined aggregate that never crosses the Bloom.
+    */
+  def ngramContaminationBloomExact(evalDocs: DataFrame, corpus: DataFrame,
+      n: Int = 3, fpp: Double = 0.01, textCol: String = "text",
+      idCol: String = "doc_id", corpusShingles: Option[DataFrame] = None): DataFrame = {
+    GraftFunctions.ensureRegistered(evalDocs.sparkSession)
+    val evalSh = evalDocs.select(col(idCol),
+      explode(graftShingles(col(textCol), n)).as("shingle"))
+    // with a persisted [[contaminationIndex]] both the Bloom build and
+    // the verify side read the (already-distinct) artifact
+    val corpusSh = corpusShingles.map(_.select(col("shingle"))).getOrElse(
+      corpus.select(explode(graftShingles(col(textCol), n)).as("shingle")).distinct())
+    val totals = evalSh.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_shingles"))
+    val hits = graft.ops.Prefilter
+      .bloomSemiJoin(evalSh, corpusSh, "shingle", "shingle", fpp = fpp)
+      .join(corpusSh, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).cast("long").as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (floor(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+          / col("n_shingles") * 1e6) / 1e6).as("contamination"))
+  }
+
   // ---------------------------------------------------------- pair graph
 
   /** The parameters a persisted pair graph was computed under. `kind`

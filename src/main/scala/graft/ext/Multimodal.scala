@@ -308,6 +308,66 @@ object Multimodal {
         (payload(1) & 0xFF) == 0xD8) decodeJpeg(payload)
       else decodePng(payload)
 
+    /** Container metadata WITHOUT decode — the gating scan a 100 TB
+      * crawl runs before paying for any decompression: identify the
+      * container by MAGIC BYTES (never the declared format — crawled
+      * content lies about itself) and read (width, height, bit depth,
+      * channel count) straight from the header structures. PNG: the
+      * IHDR chunk that the signature forces to come first. JPEG: the
+      * marker-segment walk (length-prefixed, fill-byte tolerant) to
+      * the first SOF frame header — the walk must skip APPn/DQT/DHT
+      * correctly to land on SOF, so any length-arithmetic bug breaks
+      * the gated dims. Cost is O(header), not O(pixels): no inflate,
+      * no IDCT, no BufferedImage.
+      */
+    def sniffMeta(payload: Array[Byte]): (String, Int, Int, Int, Int) = {
+      if (payload.length >= 2 && (payload(0) & 0xFF) == 0xFF &&
+          (payload(1) & 0xFF) == 0xD8) parseJpegMeta(payload)
+      else if (payload.length >= 8 && (payload(0) & 0xFF) == 0x89 &&
+          payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G')
+        parsePngMeta(payload)
+      else throw new IllegalArgumentException(
+        "unrecognized container (no JPEG SOI or PNG signature)")
+    }
+
+    private def be16(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)
+    private def be32(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xFF) << 24) | ((p(i + 1) & 0xFF) << 16) |
+        ((p(i + 2) & 0xFF) << 8) | (p(i + 3) & 0xFF)
+
+    private def parseJpegMeta(p: Array[Byte]): (String, Int, Int, Int, Int) = {
+      var i = 2 // past SOI
+      while (i + 1 < p.length) {
+        require((p(i) & 0xFF) == 0xFF, s"corrupt marker stream at offset $i")
+        var m = p(i + 1) & 0xFF
+        i += 2
+        while (m == 0xFF && i < p.length) { m = p(i) & 0xFF; i += 1 } // fill bytes
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          // SOF frame header: len(2) precision(1) height(2) width(2) ncomp(1)
+          require(i + 7 < p.length, "truncated SOF segment")
+          return ("jpeg", be16(p, i + 5), be16(p, i + 3), p(i + 2) & 0xFF,
+            p(i + 7) & 0xFF)
+        }
+        require(m != 0xDA && m != 0xD9, "no SOF frame header before SOS/EOI")
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) () // standalone, no length
+        else { require(i + 1 < p.length, "truncated segment"); i += be16(p, i) }
+      }
+      throw new IllegalArgumentException("no SOF frame header in payload")
+    }
+
+    private def parsePngMeta(p: Array[Byte]): (String, Int, Int, Int, Int) = {
+      // signature(8) + IHDR chunk: len(4) 'IHDR'(4) w(4) h(4) depth(1) colortype(1)
+      require(p.length >= 26 && p(12) == 'I' && p(13) == 'H' &&
+        p(14) == 'D' && p(15) == 'R', "PNG signature without leading IHDR")
+      val ct = p(25) & 0xFF
+      val channels = ct match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case other => throw new IllegalArgumentException(s"bad PNG color type $other")
+      }
+      ("png", be32(p, 16), be32(p, 20), p(24) & 0xFF, channels)
+    }
+
     private def decodeViaImageIO(payload: Array[Byte]): (Int, Int, Array[Int]) = {
       val img =
         try {
@@ -785,6 +845,26 @@ object Multimodal {
           MediaCodec.encodeJpeg(w, h, rgb))
       }
     }
+  }
+
+  /** Container metadata without decode ([[MediaCodec.sniffMeta]]) over
+    * a mixed-container corpus: one narrow header-only pass emitting
+    * (media_id, container, width, height, bit_depth, n_channels). The
+    * container comes from MAGIC-BYTE sniffing, never `meta.format` —
+    * the declared format of crawled bytes is untrusted input. This is
+    * the scan that sizes/filters an image corpus BEFORE any decode is
+    * paid for (drop tiny/huge/deep-color payloads at O(header) cost);
+    * at 100 TB it is the difference between a metadata pass and a
+    * decompression pass over the whole corpus.
+    */
+  def containerMeta(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (c, w, h, depth, ch) = MediaCodec.sniffMeta(r.payload)
+        (r.media_id, c, w, h, depth, ch)
+      }
+    }.toDF("media_id", "container", "width", "height", "bit_depth", "n_channels")
   }
 
   /** Per-image 56-bit dHash over REAL decoded payloads — one codec pass

@@ -548,6 +548,57 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end crawl-graph PageRank: HTML pages → harvested links
+    * (t48's [[TextOps.htmlLinks]] + canonicalize/registrable-domain
+    * chain) → DOMAIN-level weighted edge list (page domain → target
+    * domain, weight = link count) →
+    * [[graft.ops.Graph.pageRankWeighted]]. This is the composition a
+    * crawl pipeline actually runs to rank its frontier: the same
+    * injected page fixture as t51 plus a deterministic page-domain
+    * formula, so the oracle replays harvesting, canonicalization, the
+    * rollup to edges, AND all three integer rank iterations. Scale
+    * shape: the harvest is one narrow projection per page; everything
+    * after the (page domain, target domain) rollup operates at DOMAIN
+    * cardinality — millions of nodes for a 100 TB crawl, not billions
+    * of pages — which is what makes web-graph centrality tractable.
+    */
+  def g10DomainPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val url1 = concat(lit("https://"),
+      when(pmod(d, lit(4)) === 0, lit("www.")).otherwise(lit("")),
+      lit("site"), pmod(d, lit(23)).cast("string"),
+      element_at(array(lit(".com"), lit(".org"), lit(".net")),
+        (pmod(d, lit(3)) + 1).cast("int")),
+      when(pmod(d, lit(5)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/a/"), d,
+      when(pmod(d, lit(2)) === 0, lit("?utm_source=feed&q=1"))
+        .otherwise(lit("?q=1")))
+    val url2 = concat(lit("HTTP://site"), pmod(d, lit(7)).cast("string"),
+      lit(".com:80/b/"), d, lit("#frag"))
+    val html = concat(
+      lit("<html><body><p>intro</p><a class=\"x\" href=\""), url1,
+      lit("\">one</a><p>mid</p><a HREF = \""), url2,
+      lit("\">two</a><a href=\"\">anchor</a></body></html>"))
+    val pageDomain = concat(lit("site"), pmod(d, lit(13)).cast("string"),
+      element_at(array(lit(".com"), lit(".org"), lit(".net")),
+        (pmod(d, lit(3)) + 1).cast("int")))
+    val links = Tables.documents(spark, dir)
+      .select(d, pageDomain.as("page_domain"),
+        explode(TextOps.htmlLinks(html)).as("href"))
+      .filter(col("href") =!= "")
+    val canon = graft.ext.UrlOps.canonicalizeUrl(col("href"))
+    val pairs = links.select(col("page_domain"),
+      graft.ext.UrlOps.registrableDomain(canon).as("domain"))
+    val edges = pairs
+      .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+    val nodes = pairs.select(col("page_domain").as("id"))
+      .unionByName(pairs.select(col("domain").as("id"))).distinct()
+    graft.ops.Graph.pageRankWeighted(nodes, edges, iters = 3)
+      .select(col("id").as("domain"), col("rank"))
+      .orderBy(col("domain"))
+  }
+
   /** Weighted PageRank ([[graft.ops.Graph.pageRankWeighted]]) over the
     * persisted pair graph with Jaccard-micro edge weights: a strong
     * near-duplicate pulls proportionally more of its partner's
@@ -1090,6 +1141,24 @@ object Pipeline {
       .select(col("media_id"), col("n_pixels"), col("contrast"),
         col("dark_micro"), col("bright_micro"))
     stats.join(dh, "media_id").join(qr, "media_id")
+      .orderBy(col("media_id"))
+  }
+
+  /** Header-only container metadata over a MIXED PNG/JPEG corpus
+    * ([[graft.ext.Multimodal.containerMeta]]): even ids carry real
+    * PNGs, odd ids real JPEGs, and the scan identifies each container
+    * by magic bytes and reads dims/depth/channels from IHDR / the
+    * SOF marker walk — no decode anywhere on the path. Both fixtures
+    * share the 8+id%9 × 8+id%5 dim formulas, so the oracle replays
+    * every column from id arithmetic; a wrong segment-length walk,
+    * sniff, or field offset hash-mismatches.
+    */
+  def m14ContainerMeta(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = Tables.documents(spark, dir)
+    val png = graft.ext.Multimodal.syntheticPng(docs.filter(col("doc_id") % 2 === 0))
+    val jpg = graft.ext.Multimodal.syntheticJpeg(docs.filter(col("doc_id") % 2 =!= 0))
+    graft.ext.Multimodal.containerMeta(png.unionByName(jpg))
       .orderBy(col("media_id"))
   }
 
@@ -2116,6 +2185,31 @@ object Pipeline {
     })
     Dedup.ngramContamination(
         docs.filter(col("doc_id") % 17 === 0), corpus, n = 3,
+        corpusShingles = Some(Dedup.readContaminationIndex(spark, path)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The Bloom-prefiltered EXACT decontamination scan
+    * ([[Dedup.ngramContaminationBloomExact]]) — d12's 100 TB scale path
+    * under the same oracle: the verify join runs only on shingles the
+    * broadcast corpus Bloom admits, and because the survivors are still
+    * exactly verified the result is bit-identical to d12 at any fpp.
+    * Same fixture split, same persisted [[Dedup.contaminationIndex]]
+    * artifact (feeding both the Bloom build and the verify side), same
+    * DuckDB SQL — so the gate proves the prefilter is lossless, not
+    * just that the approx twin is close.
+    */
+  def d40ContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    val path = contamIdx.computeIfAbsent((dir, 3), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_contam_idx")
+        .toFile.getAbsolutePath + "/idx"
+      Dedup.writeContaminationIndex(corpus, p, n = 3)
+      p
+    })
+    Dedup.ngramContaminationBloomExact(
+        docs.filter(col("doc_id") % 17 === 0), corpus, n = 3, fpp = 0.01,
         corpusShingles = Some(Dedup.readContaminationIndex(spark, path)))
       .orderBy(col("doc_id"))
   }
@@ -3668,6 +3762,73 @@ object Pipeline {
        |SELECT id AS doc_id, r AS rank FROM r$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** g10 replay: t51's harvest CTEs extended with the page-domain
+    * formula, rolled up to weighted domain edges, then the
+    * [[pageRankWeightedOracle]] iteration CTEs over that edge list.
+    */
+  private def domainPageRankOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id, CAST(sum(r${i - 1}.r * e.w // g.ws) AS BIGINT) AS c
+         |  FROM edges e JOIN r${i - 1} ON r${i - 1}.id = e.src
+         |  JOIN wsum g ON g.src = e.src
+         |  GROUP BY 1
+         |), r$i AS (
+         |  SELECT n.id, CAST(150000 + (85 * coalesce(c$i.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM r${i - 1} n LEFT JOIN c$i USING (id)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    'site' || (doc_id % 13)::VARCHAR
+       |    || CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+       |      AS page_domain,
+       |    '<html><body><p>intro</p><a class="x" href="'
+       |    || 'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+       |    || 'site' || (doc_id % 23)::VARCHAR
+       |    || CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+       |    || '/a/' || doc_id::VARCHAR
+       |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&q=1' ELSE '?q=1' END
+       |    || '">one</a><p>mid</p><a HREF = "'
+       |    || 'HTTP://site' || (doc_id % 7)::VARCHAR || '.com:80/b/' || doc_id::VARCHAR || '#frag'
+       |    || '">two</a><a href="">anchor</a></body></html>' AS html
+       |  FROM documents
+       |), ex AS (
+       |  SELECT doc_id, page_domain,
+       |    regexp_extract_all(html, '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"[^>]*>', 1) AS ls
+       |  FROM h
+       |), f AS (
+       |  SELECT doc_id, page_domain, unnest(ls) AS href FROM ex
+       |), fe AS (
+       |  SELECT * FROM f WHERE href <> ''
+       |), cc AS (
+       |  SELECT page_domain,
+       |    regexp_replace(regexp_replace(
+       |      lower(regexp_extract(href,
+       |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+       |      ':443$$', ''), ':80$$', '') AS schemehost
+       |  FROM fe
+       |), pairs AS (
+       |  SELECT page_domain,
+       |    regexp_replace(lower(regexp_extract(schemehost,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
+       |      '^www\\.', '') AS domain
+       |  FROM cc
+       |), edges AS (
+       |  SELECT page_domain AS src, domain AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM pairs GROUP BY 1, 2
+       |), nodes AS (
+       |  SELECT page_domain AS id FROM pairs UNION SELECT domain FROM pairs
+       |), wsum AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS ws FROM edges GROUP BY 1
+       |), r0 AS (
+       |  SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes
+       |), $iterCtes
+       |SELECT id AS domain, r AS rank FROM r$iters ORDER BY domain""".stripMargin
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""c$i AS (
@@ -4365,6 +4526,7 @@ object Pipeline {
     // same damping/floor recurrence with rank*w // ws contributions;
     // weights = round(jaccard*1e6) on the identical rounded-6 double
     "g03_pagerank_weighted" -> pageRankWeightedOracle(iters = 3),
+    "g10_domain_pagerank" -> domainPageRankOracle(iters = 3),
     "g04_link_predict" -> linkPredictOracle,
     "g05_communities" -> labelPropagationOracle(iters = 3),
     "g09_communities_converged" -> labelPropagationConvergedOracle(cap = 8),
@@ -4683,6 +4845,18 @@ object Pipeline {
         |  CAST(0 AS BIGINT) AS dark_micro,
         |  CAST(0 AS BIGINT) AS bright_micro,
         |  CAST(0 AS BIGINT) AS keep
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // every column is id arithmetic (shared dim formulas; PNG colortype
+    // 2 and baseline 3-component JPEG are both 8-bit, 3-channel) — the
+    // BYTES are proven by the Spark side's header parse, which must
+    // walk real marker/chunk structures to produce these values
+    "m14_container_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS container,
+        |  CAST(8 + doc_id % 9 AS INT) AS width,
+        |  CAST(8 + doc_id % 5 AS INT) AS height,
+        |  CAST(8 AS INT) AS bit_depth,
+        |  CAST(3 AS INT) AS n_channels
         |FROM documents ORDER BY media_id""".stripMargin,
     "m13_jpeg_resize" ->
       """SELECT doc_id AS media_id,
@@ -5011,6 +5185,9 @@ object Pipeline {
         |WHERE n > 0
         |ORDER BY doc_id, chunk_id""".stripMargin,
     "d12_contamination" -> contaminationOracle,
+    // d40 is the Bloom-prefiltered exact twin — SAME oracle as d12: the
+    // gate pins that the prefilter is lossless, not merely close
+    "d40_contamination_bloom" -> contaminationOracle,
     // first-seen attribution over the shared sh CTE (jpairs rides
     // along unused); SUM(CASE) cast to BIGINT to match Spark's long
     "t27_novelty" ->
@@ -6498,6 +6675,7 @@ object Pipeline {
     "d19_cluster_dedup"  -> d19ClusterDedup _,
     "d20_cluster_reps"   -> d20ClusterReps _,
     "d12_contamination"  -> d12Contamination _,
+    "d40_contamination_bloom" -> d40ContaminationBloom _,
     "t11_repetition"     -> t11Repetition _,
     "t12_line_dedup"     -> t12LineDedup _,
     "t13_token_shards"   -> t13TokenShards _,
@@ -6578,6 +6756,7 @@ object Pipeline {
     "g01_pagerank"       -> g01PageRank _,
     "g08_pagerank_converged" -> g08PageRankConverged _,
     "g03_pagerank_weighted" -> g03PageRankWeighted _,
+    "g10_domain_pagerank" -> g10DomainPagerank _,
     "g02_triangles"      -> g02Triangles _,
     "g04_link_predict"   -> g04LinkPredict _,
     "g05_communities"    -> g05Communities _,
@@ -6608,6 +6787,7 @@ object Pipeline {
     "m10_image_quality"  -> m10ImageQuality _,
     "m12_jpeg_decode"    -> m12JpegDecode _,
     "m13_jpeg_resize"    -> m13JpegResize _,
+    "m14_container_meta" -> m14ContainerMeta _,
     "d16_audio_fp_pairs" -> d16AudioFpPairs _,
     "d17_url_dedup"      -> d17UrlDedup _,
     "d18_image_dhash_new" -> d18ImageDhashNew _,

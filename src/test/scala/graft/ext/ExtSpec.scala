@@ -973,6 +973,30 @@ class ExtSpec extends AnyFunSuite {
     assert(extraRate <= 0.05, s"false-positive inflation $extraRate exceeds 5%")
   }
 
+  test("bloom-exact contamination == exact at any fpp (prefilter is lossless)") {
+    val evalDocs = docs.filter(col("doc_id") % 17 === 0)
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_shingles", "n_contaminated", "contamination").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = rows(Dedup.ngramContamination(evalDocs, corpus, 3))
+    assert(exact.nonEmpty)
+    assert(rows(Dedup.ngramContaminationBloomExact(evalDocs, corpus, 3, fpp = 0.01)) == exact,
+      "bloom-prefiltered exact contamination diverged from the exact scan")
+    // even a deliberately terrible filter (fpp = 0.5, floods the verify
+    // join with false positives) must not change the answer — the
+    // verify semi-join, not the Bloom, decides membership
+    assert(rows(Dedup.ngramContaminationBloomExact(evalDocs, corpus, 3, fpp = 0.5)) == exact,
+      "a high-fpp Bloom leaked false positives past the verify join")
+    // persisted-index probe: artifact feeds Bloom build AND verify side
+    val dir = java.nio.file.Files.createTempDirectory("graft_contam_bx").toFile.getAbsolutePath
+    Dedup.writeContaminationIndex(corpus, s"$dir/idx", n = 3)
+    val idx = Dedup.readContaminationIndex(spark, s"$dir/idx")
+    assert(rows(Dedup.ngramContaminationBloomExact(evalDocs, corpus, 3,
+      corpusShingles = Some(idx))) == exact,
+      "bloom-exact probe from the persisted index drifted")
+  }
+
   test("semantic dedup: subset of brute pairs; planted twins share a cluster and are found") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -154,6 +154,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.decodeImage("application/octet-stream", jpg)._1 == 20)
   }
 
+  test("containerMeta: header-only sniff matches decoded dims; declared format is ignored; garbage rejected") {
+    import org.apache.spark.sql.functions.col
+    val png = Multimodal.syntheticPng(docs.limit(30).filter(col("doc_id") % 2 === 0))
+    val jpg = Multimodal.syntheticJpeg(docs.limit(30).filter(col("doc_id") % 2 =!= 0))
+    val meta = Multimodal.containerMeta(png.unionByName(jpg)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .toMap
+    assert(meta.nonEmpty)
+    meta.foreach { case (id, (c, w, h, depth, ch)) =>
+      assert(c == (if (id % 2 == 0) "png" else "jpeg"), s"media $id sniffed as $c")
+      assert(w == 8 + (id % 9) && h == 8 + (id % 5), s"media $id dims ($w,$h)")
+      assert(depth == 8 && ch == 3, s"media $id depth/channels ($depth,$ch)")
+    }
+    // sniffing, not trusting: swap every declared format and nothing moves
+    import spark.implicits._
+    val lied = png.unionByName(jpg).map(r =>
+      r.copy(meta = r.meta.copy(format =
+        if (r.meta.format == Multimodal.PngFormat) Multimodal.JpegFormat
+        else Multimodal.PngFormat)))
+    val liedMeta = Multimodal.containerMeta(lied).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .toMap
+    assert(liedMeta == meta, "declared format leaked into the sniffed metadata")
+    // header cost only: parse succeeds on a TRUNCATED jpeg (headers
+    // intact, entropy data gone) — proof no decode runs on this path
+    val jr = jpg.head()
+    val sof = Multimodal.MediaCodec.sniffMeta(jr.payload)
+    val cut = jr.payload.take(jr.payload.length - 8)
+    assert(Multimodal.MediaCodec.sniffMeta(cut) == sof,
+      "sniffMeta read past the frame header (decode-shaped cost)")
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaCodec.sniffMeta(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    }
+  }
+
   test("JPEG payloads flow through the production image operators; resize re-emits lossless PNG") {
     import spark.implicits._
     val media = Multimodal.syntheticJpeg(docs.limit(30))
