@@ -427,6 +427,12 @@ object Bench {
       "repetition" -> (n => TextOps.repetitionRatio(docsAt(n))),
       "contam_bloom" -> (n => Dedup.ngramContaminationApprox(
         evalDocs(n), docsAt(n), n = 3, fpp = 0.01)),
+      // d40's bit-exact variant: Bloom prefilter + exact verify — the
+      // exchange carries only Bloom-admitted candidates, so growth
+      // must track the approx arm's (the extra semi-join is keyed at
+      // candidate cardinality, not eval-shingle cardinality)
+      "contam_bloom_exact" -> (n => Dedup.ngramContaminationBloomExact(
+        evalDocs(n), docsAt(n), n = 3, fpp = 0.01)),
       "lsh_serve" -> (n => Similarity.lshTopK(queries(n), embAt(n), k = 5,
         dim = 64, bitsPerTable = 12, tables = 4)),
       // full rebuild per call: TWO whole-corpus passes (codebook
@@ -579,6 +585,32 @@ object Bench {
         implicit val s: org.apache.spark.sql.SparkSession = spark
         graft.ext.Multimodal.imageQualityRules(
           graft.ext.Multimodal.syntheticJpeg(docsAt(n)))
+      }),
+      // header-only container metadata over mixed PNG/JPEG payloads:
+      // the timed cost is fixture encode + an O(header) marker/IHDR
+      // walk — never inflate or IDCT; growth must be codec-linear
+      // like jpeg_gate but with a smaller constant (no decode side)
+      "container_meta" -> (n => {
+        implicit val s: org.apache.spark.sql.SparkSession = spark
+        graft.ext.Multimodal.containerMeta(
+          graft.ext.Multimodal.syntheticPng(
+              docsAt(n).filter(col("doc_id") % 2 === 0))
+            .unionByName(graft.ext.Multimodal.syntheticJpeg(
+              docsAt(n).filter(col("doc_id") % 2 =!= 0))))
+      }),
+      // g10: the harvest is a narrow per-page projection and the graph
+      // after the rollup lives at DOMAIN cardinality — ×n multiplies
+      // pages, not domains (the mod formulas land every copy in the
+      // same ~100-domain space), so the rank iterations cost O(1) and
+      // growth must be harvest-scan-bound
+      "domain_pagerank" -> (n => {
+        val pairs = graft.queries.Pipeline.syntheticPageLinkDomains(docsAt(n))
+        val edges = pairs
+          .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
+          .agg(count(lit(1)).cast("long").as("w"))
+        val nodes = pairs.select(col("page_domain").as("id"))
+          .unionByName(pairs.select(col("domain").as("id"))).distinct()
+        graft.ops.Graph.pageRankWeighted(nodes, edges, iters = 3)
       }),
       // content-defined chunking: one codegen gear pass per row, no
       // shuffle — growth must be pure scan cost

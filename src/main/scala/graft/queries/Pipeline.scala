@@ -563,6 +563,23 @@ object Pipeline {
     * of pages — which is what makes web-graph centrality tractable.
     */
   def g10DomainPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = syntheticPageLinkDomains(Tables.documents(spark, dir))
+    val edges = pairs
+      .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+    val nodes = pairs.select(col("page_domain").as("id"))
+      .unionByName(pairs.select(col("domain").as("id"))).distinct()
+    graft.ops.Graph.pageRankWeighted(nodes, edges, iters = 3)
+      .select(col("id").as("domain"), col("rank"))
+      .orderBy(col("domain"))
+  }
+
+  /** The g10 fixture chain, factored for reuse by the bench probe:
+    * inject the t51 page skeleton + a deterministic page-domain
+    * formula, harvest hrefs, canonicalize, and emit one
+    * (page_domain, domain) row per harvested link.
+    */
+  def syntheticPageLinkDomains(docs: DataFrame): DataFrame = {
     val d = col("doc_id")
     val url1 = concat(lit("https://"),
       when(pmod(d, lit(4)) === 0, lit("www.")).otherwise(lit("")),
@@ -582,21 +599,13 @@ object Pipeline {
     val pageDomain = concat(lit("site"), pmod(d, lit(13)).cast("string"),
       element_at(array(lit(".com"), lit(".org"), lit(".net")),
         (pmod(d, lit(3)) + 1).cast("int")))
-    val links = Tables.documents(spark, dir)
+    val links = docs
       .select(d, pageDomain.as("page_domain"),
         explode(TextOps.htmlLinks(html)).as("href"))
       .filter(col("href") =!= "")
     val canon = graft.ext.UrlOps.canonicalizeUrl(col("href"))
-    val pairs = links.select(col("page_domain"),
+    links.select(col("page_domain"),
       graft.ext.UrlOps.registrableDomain(canon).as("domain"))
-    val edges = pairs
-      .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
-      .agg(count(lit(1)).cast("long").as("w"))
-    val nodes = pairs.select(col("page_domain").as("id"))
-      .unionByName(pairs.select(col("domain").as("id"))).distinct()
-    graft.ops.Graph.pageRankWeighted(nodes, edges, iters = 3)
-      .select(col("id").as("domain"), col("rank"))
-      .orderBy(col("domain"))
   }
 
   /** Weighted PageRank ([[graft.ops.Graph.pageRankWeighted]]) over the
