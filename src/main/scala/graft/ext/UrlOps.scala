@@ -81,4 +81,93 @@ object UrlOps {
         registrableDomain(canon).as("domain"))
       .withColumn("dom_docs", count(lit(1)).over(w))
   }
+
+  /** Parse per-domain robots.txt payloads into the RULE TABLE for one
+    * crawler identity: `(domain, rule_allow, prefix)` — the
+    * crawl-POLITENESS half of page processing (RFC 9309 subset).
+    *
+    * Semantics: comments (`#` to end of line) stripped, directive
+    * names case-insensitive, a GROUP is a maximal run of consecutive
+    * `User-agent` lines plus the Allow/Disallow rules that follow it;
+    * if any group names `userAgent` (case-insensitive) the agent obeys
+    * exactly those groups, otherwise the `*` groups; empty-valued
+    * rules are the RFC no-op; rules before any `User-agent` line
+    * belong to no group and bind nobody. BOUNDARY (documented): path
+    * patterns are treated as LITERAL prefixes — `*`/`$` wildcards and
+    * `Crawl-delay`/`Sitemap` directives are out of scope.
+    *
+    * Shape: one narrow line explode + windows PARTITIONED BY DOMAIN
+    * (a robots.txt is KB-sized, so per-domain windows never skew) and
+    * one domain-keyed group join — at crawl scale the output rule
+    * table is broadcastable to the frontier join in
+    * [[robotsDecisions]].
+    */
+  def parseRobots(robots: DataFrame, userAgent: String,
+      robotsCol: String = "robots_txt", domainCol: String = "domain"): DataFrame = {
+    val ua = userAgent.toLowerCase
+    val lines = robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("ln", "raw")))
+      .select(col("domain"), col("ln"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+      .select(col("domain"), col("ln"),
+        lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)).as("directive"),
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("value"))
+      .filter(col("directive").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy(col("domain")).orderBy(col("ln"))
+    val grouped = lines
+      .withColumn("ua_start", (col("directive") === "user-agent" &&
+        coalesce(lag(col("directive"), 1).over(w) =!= "user-agent", lit(true)))
+        .cast("int"))
+      .withColumn("grp", sum(col("ua_start")).over(w))
+    val groupUas = grouped.filter(col("directive") === "user-agent")
+      .groupBy(col("domain"), col("grp"))
+      .agg(max((lower(col("value")) === ua).cast("int")).as("names_ua"),
+        max((col("value") === "*").cast("int")).as("names_star"))
+    val selected = groupUas
+      .withColumn("has_ua",
+        max(col("names_ua")).over(Window.partitionBy(col("domain"))))
+      .filter((col("has_ua") === 1 && col("names_ua") === 1) ||
+        (col("has_ua") === 0 && col("names_star") === 1))
+      .select(col("domain"), col("grp"))
+    grouped
+      .filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
+      .join(selected, Seq("domain", "grp"))
+      .select(col("domain"), (col("directive") === "allow").as("rule_allow"),
+        col("value").as("prefix"))
+      .distinct()
+  }
+
+  /** Decide every frontier URL against a [[parseRobots]] rule table:
+    * longest-matching-prefix wins, an Allow beats a Disallow of equal
+    * length (the RFC tie rule), no matching rule means allowed. The
+    * match subject is everything after the authority (path + query,
+    * the Googlebot convention), `/` when empty. Output: the input
+    * columns + `(path, matched_allow, matched_prefix, allowed)` —
+    * matched columns NULL when no rule fired.
+    *
+    * `keyCols` must uniquely key `urls` (they partition the
+    * best-match window). Scale shape: the rule table is per-domain
+    * KB-sized — broadcast the join; the window partitions at URL
+    * granularity, so nothing skews.
+    */
+  def robotsDecisions(urls: DataFrame, rules: DataFrame, keyCols: Seq[String],
+      urlCol: String = "url_canon", domainCol: String = "domain"): DataFrame = {
+    val rawPath = regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val pathed = urls.withColumn("path",
+      when(rawPath === "", lit("/")).otherwise(rawPath))
+    val matches = pathed.join(rules, Seq(domainCol))
+      .filter(col("path").startsWith(col("prefix")))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(length(col("prefix")).desc, col("rule_allow").desc,
+        col("prefix").asc)
+    val best = matches.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(keyCols.map(col) :+ col("rule_allow").as("matched_allow") :+
+        col("prefix").as("matched_prefix"): _*)
+    pathed.join(best, keyCols, "left")
+      .withColumn("allowed", coalesce(col("matched_allow"), lit(true)))
+  }
 }

@@ -2405,6 +2405,45 @@ object Pipeline {
       .orderBy(d, col("pos"))
   }
 
+  /** robots.txt politeness decisions ([[graft.ext.UrlOps.parseRobots]]
+    * + [[graft.ext.UrlOps.robotsDecisions]]) over the t48 harvest: the
+    * crawl-frontier filter that runs right after link harvesting. The
+    * fixture synthesizes a deterministic robots.txt per harvested
+    * domain (formula over the site number k and TLD index t) that
+    * exercises the whole parser: comments, mixed-case directives,
+    * multi-group files, a `graftbot`-specific group that OVERRIDES `*`
+    * on k%4 domains, an RFC no-op empty Disallow, and an equal-length
+    * Allow/Disallow tie (k%7 ∧ (k+t)%2 domains) pinning the
+    * allow-wins rule. The gate covers the full per-link decision
+    * table — group selection, longest-prefix match, tie-break, and
+    * the no-match default all hash-gate.
+    */
+  def t52Robots(spark: SparkSession, dir: String): DataFrame = {
+    val links = t48HtmlLinks(spark, dir)
+    val k = regexp_extract(col("domain"), "site([0-9]+)", 1).cast("int")
+    val t = when(col("domain").endsWith(".com"), 0)
+      .when(col("domain").endsWith(".org"), 1).otherwise(2)
+    val robots = links.select(col("domain")).distinct()
+      .withColumn("robots_txt", concat(
+        lit("# graft politeness fixture\n"),
+        lit("User-Agent: *\n"),
+        when((k + t) % 2 === 0, lit("DisAllow: /a/\n")).otherwise(lit("")),
+        when(k % 3 === 0, lit("Allow: /a/1\n")).otherwise(lit("")),
+        when(k % 7 === 0, lit("Allow: /a/\n")).otherwise(lit("")),
+        when(k % 5 === 0, lit("Disallow:\n")).otherwise(lit("")),
+        when(k % 4 === 0, concat(
+          lit("\nUser-agent: graftbot\nDisallow: /b/\nAllow: /b/"),
+          k.cast("string"), lit("\n"))).otherwise(lit(""))))
+    val rules = graft.ext.UrlOps.parseRobots(robots, "graftbot")
+    graft.ext.UrlOps.robotsDecisions(links, rules, Seq("doc_id", "pos"))
+      .select(col("doc_id"), col("pos"), col("url_canon"), col("domain"),
+        col("path"),
+        // no-match rows carry '' — the gate checker hashes no NULLs
+        coalesce(col("matched_prefix"), lit("")).as("matched_prefix"),
+        col("allowed"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Link-graph rollup: t48's harvested per-link table aggregated to
     * the (page source, target domain) crawl-prioritization table — the
     * frontier summary a crawler ranks by (how many links, from how
@@ -3838,6 +3877,140 @@ object Pipeline {
        |SELECT id AS domain, r AS rank FROM r$iters ORDER BY domain""".stripMargin
   }
 
+  /** t52 replay: the t48 harvest CTEs, the per-domain robots.txt
+    * injection (same k/t formulas), the full parser (comment strip,
+    * directive extraction, group segmentation via lag+running-sum,
+    * group selection with the exact-UA-overrides-star rule), and the
+    * longest-prefix / allow-wins-ties / no-match-allows decision.
+    */
+  private val robotsOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><body><p>intro</p><a class="x" href="'
+      |    || 'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+      |    || 'site' || (doc_id % 23)::VARCHAR
+      |    || CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+      |    || '/a/' || doc_id::VARCHAR
+      |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&q=1' ELSE '?q=1' END
+      |    || '">one</a><p>mid</p><a HREF = "'
+      |    || 'HTTP://site' || (doc_id % 7)::VARCHAR || '.com:80/b/' || doc_id::VARCHAR || '#frag'
+      |    || '">two</a><a href="">anchor</a></body></html>' AS html
+      |  FROM documents
+      |), ex AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(html, '(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>', 1) AS ls
+      |  FROM h
+      |), l AS (
+      |  SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, ls[CAST(i.i AS INT)] AS href
+      |  FROM ex, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) i
+      |), f AS (
+      |  SELECT * FROM l WHERE href <> ''
+      |), q AS (
+      |  SELECT doc_id, pos, href,
+      |    array_to_string(list_filter(
+      |      string_split(regexp_extract(
+      |        regexp_replace(href, '#.*$', ''), '\?([^#]*)', 1), '&'),
+      |      x -> NOT starts_with(x, 'utm_')), '&') AS kept_qs
+      |  FROM f
+      |), c AS (
+      |  SELECT doc_id, pos, href,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(href,
+      |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+      |      ':443$', ''), ':80$', '')
+      |    || regexp_replace(regexp_extract(href,
+      |         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+      |    || CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END
+      |      AS url_canon
+      |  FROM q
+      |), links AS (
+      |  SELECT doc_id, pos, url_canon,
+      |    regexp_replace(lower(regexp_extract(url_canon,
+      |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
+      |      '^www\.', '') AS domain
+      |  FROM c
+      |), rb AS (
+      |  SELECT domain,
+      |    CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INT) AS k,
+      |    CASE WHEN domain LIKE '%.com' THEN 0
+      |         WHEN domain LIKE '%.org' THEN 1 ELSE 2 END AS t
+      |  FROM (SELECT DISTINCT domain FROM links)
+      |), robots AS (
+      |  SELECT domain,
+      |    '# graft politeness fixture' || chr(10)
+      |    || 'User-Agent: *' || chr(10)
+      |    || CASE WHEN (k + t) % 2 = 0 THEN 'DisAllow: /a/' || chr(10) ELSE '' END
+      |    || CASE WHEN k % 3 = 0 THEN 'Allow: /a/1' || chr(10) ELSE '' END
+      |    || CASE WHEN k % 7 = 0 THEN 'Allow: /a/' || chr(10) ELSE '' END
+      |    || CASE WHEN k % 5 = 0 THEN 'Disallow:' || chr(10) ELSE '' END
+      |    || CASE WHEN k % 4 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10)
+      |         || 'Disallow: /b/' || chr(10) || 'Allow: /b/' || k::VARCHAR || chr(10)
+      |       ELSE '' END AS robots_txt
+      |  FROM rb
+      |), rl0 AS (
+      |  SELECT domain, string_split(robots_txt, chr(10)) AS ls FROM robots
+      |), rlines AS (
+      |  SELECT domain, CAST(i.i - 1 AS BIGINT) AS ln,
+      |    trim(regexp_replace(ls[CAST(i.i AS INT)], '#.*$', '')) AS line
+      |  FROM rl0, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) i
+      |), rdir AS (
+      |  SELECT domain, ln,
+      |    lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS directive,
+      |    trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) AS value
+      |  FROM rlines WHERE line <> ''
+      |), rkept AS (
+      |  SELECT * FROM rdir WHERE directive IN ('user-agent', 'allow', 'disallow')
+      |), rstart AS (
+      |  SELECT domain, ln, directive, value,
+      |    CASE WHEN directive = 'user-agent' AND coalesce(
+      |        lag(directive) OVER (PARTITION BY domain ORDER BY ln), 'x')
+      |        <> 'user-agent'
+      |      THEN 1 ELSE 0 END AS ua_start
+      |  FROM rkept
+      |), rgrp AS (
+      |  SELECT domain, ln, directive, value,
+      |    CAST(sum(ua_start) OVER (PARTITION BY domain ORDER BY ln) AS BIGINT) AS grp
+      |  FROM rstart
+      |), guas AS (
+      |  SELECT domain, grp,
+      |    max(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END) AS names_ua,
+      |    max(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS names_star
+      |  FROM rgrp WHERE directive = 'user-agent' GROUP BY 1, 2
+      |), gsel AS (
+      |  SELECT domain, grp FROM (
+      |    SELECT domain, grp, names_ua, names_star,
+      |      max(names_ua) OVER (PARTITION BY domain) AS has_ua
+      |    FROM guas)
+      |  WHERE (has_ua = 1 AND names_ua = 1) OR (has_ua = 0 AND names_star = 1)
+      |), rules AS (
+      |  SELECT DISTINCT r.domain, r.directive = 'allow' AS rule_allow,
+      |    r.value AS prefix
+      |  FROM rgrp r JOIN gsel USING (domain, grp)
+      |  WHERE r.directive IN ('allow', 'disallow') AND r.value <> ''
+      |), pathed AS (
+      |  SELECT doc_id, pos, url_canon, domain,
+      |    CASE WHEN regexp_extract(url_canon,
+      |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) = ''
+      |      THEN '/' ELSE regexp_extract(url_canon,
+      |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) END AS path
+      |  FROM links
+      |), m AS (
+      |  SELECT p.doc_id, p.pos, r.rule_allow, r.prefix,
+      |    row_number() OVER (PARTITION BY p.doc_id, p.pos
+      |      ORDER BY length(r.prefix) DESC, r.rule_allow DESC, r.prefix ASC) AS rn
+      |  FROM pathed p JOIN rules r USING (domain)
+      |  WHERE starts_with(p.path, r.prefix)
+      |), best AS (
+      |  SELECT doc_id, pos, rule_allow AS matched_allow, prefix AS matched_prefix
+      |  FROM m WHERE rn = 1
+      |)
+      |SELECT p.doc_id, p.pos, p.url_canon, p.domain, p.path,
+      |  coalesce(b.matched_prefix, '') AS matched_prefix,
+      |  coalesce(b.matched_allow, TRUE) AS allowed
+      |FROM pathed p LEFT JOIN best b USING (doc_id, pos)
+      |ORDER BY doc_id, pos""".stripMargin
+
   private def pageRankOracle(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""c$i AS (
@@ -4536,6 +4709,7 @@ object Pipeline {
     // weights = round(jaccard*1e6) on the identical rounded-6 double
     "g03_pagerank_weighted" -> pageRankWeightedOracle(iters = 3),
     "g10_domain_pagerank" -> domainPageRankOracle(iters = 3),
+    "t52_robots" -> robotsOracle,
     "g04_link_predict" -> linkPredictOracle,
     "g05_communities" -> labelPropagationOracle(iters = 3),
     "g09_communities_converged" -> labelPropagationConvergedOracle(cap = 8),
@@ -6713,6 +6887,7 @@ object Pipeline {
     "t47_langid_lines"   -> t47LangIdLines _,
     "t47b_line_filter"   -> t47bLineFilter _,
     "t48_html_links"     -> t48HtmlLinks _,
+    "t52_robots"         -> t52Robots _,
     "e05_funnel"         -> e05Funnel _,
     "e07_cohort_retention" -> e07CohortRetention _,
     "e08_transitions"    -> e08Transitions _,

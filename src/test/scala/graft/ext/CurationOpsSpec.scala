@@ -14,6 +14,66 @@ class CurationOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("parseRobots/robotsDecisions: groups, UA override, ties, no-ops, headerless rules") {
+    val txt = Seq(
+      "# politeness header",
+      "Disallow: /orphan   # rule before any group: binds NOBODY",
+      "User-Agent: other-bot",
+      "User-agent: *",           // same group as other-bot (consecutive UA lines)
+      "DisAllow: /a/",
+      "Allow: /a/",              // equal-length tie with the Disallow: allow wins
+      "Allow: /a/special",
+      "Disallow:",               // empty value: RFC no-op
+      "",
+      "User-agent: graftbot",    // NEW group (previous line is a rule run)
+      "Disallow: /b/",
+      "Allow: /b/ok").mkString("\n")
+    val robots = Seq(("d1.com", txt),
+      ("d2.com", "User-agent: *\nDisallow: /")).toDF("domain", "robots_txt")
+
+    // graftbot: the exact-UA group overrides * on d1; d2 falls back to *
+    val gb = UrlOps.parseRobots(robots, "GraftBot")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+    assert(gb == Set(("d1.com", false, "/b/"), ("d1.com", true, "/b/ok"),
+      ("d2.com", false, "/")), s"graftbot rules: $gb")
+    // an unnamed bot uses the * group — including the tie pair — and
+    // never sees the orphan rule or the empty no-op
+    val anon = UrlOps.parseRobots(robots, "nobody")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+    assert(anon == Set(("d1.com", false, "/a/"), ("d1.com", true, "/a/"),
+      ("d1.com", true, "/a/special"), ("d2.com", false, "/")), s"star rules: $anon")
+
+    val urls = Seq(
+      (1L, "https://d1.com/a/x"),    // tie /a/ vs /a/: allow wins
+      (2L, "https://d1.com/a/special/page"), // longest prefix: allow
+      (3L, "https://d1.com/b/x"),    // graftbot-only path, * group: no match
+      (4L, "https://d1.com/orphan"), // headerless rule binds nobody
+      (5L, "https://d2.com"),        // empty path → '/' → Disallow: /
+      (6L, "https://d2.com/deep/page")).toDF("id", "url_canon")
+      .withColumn("domain", UrlOps.registrableDomain(col("url_canon")))
+    val dec = UrlOps.robotsDecisions(
+        urls, UrlOps.parseRobots(robots, "nobody"), Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("allowed"), Option(r.getAs[String]("matched_prefix"))))
+      .toMap
+    assert(dec(1L) == ((true, Some("/a/"))), s"tie: ${dec(1L)}")
+    assert(dec(2L) == ((true, Some("/a/special"))), s"longest: ${dec(2L)}")
+    assert(dec(3L) == ((true, None)), s"no-match default: ${dec(3L)}")
+    assert(dec(4L) == ((true, None)), s"orphan rule fired: ${dec(4L)}")
+    assert(dec(5L) == ((false, Some("/"))), s"root path: ${dec(5L)}")
+    assert(dec(6L) == ((false, Some("/"))), s"deep path: ${dec(6L)}")
+    // graftbot on the same urls: /b/x blocked, /b/ok allowed, /a/* free
+    val gdec = UrlOps.robotsDecisions(
+        urls, UrlOps.parseRobots(robots, "graftbot"), Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(gdec(1L) && gdec(2L) && !gdec(3L) && gdec(4L) && !gdec(5L))
+    val okUrl = Seq((7L, "https://d1.com/b/ok/sub")).toDF("id", "url_canon")
+      .withColumn("domain", UrlOps.registrableDomain(col("url_canon")))
+    val ok = UrlOps.robotsDecisions(
+      okUrl, UrlOps.parseRobots(robots, "graftbot"), Seq("id")).collect()(0)
+    assert(ok.getAs[Boolean]("allowed") && ok.getAs[String]("matched_prefix") == "/b/ok")
+  }
+
   test("canonicalizeUrl: case, ports, utm params, fragments, trailing slashes") {
     val cases = Seq(
       // lowercased scheme+host, default https port stripped
