@@ -612,6 +612,34 @@ object Bench {
           .unionByName(pairs.select(col("domain").as("id"))).distinct()
         graft.ops.Graph.pageRankWeighted(nodes, edges, iters = 3)
       }),
+      // g11: same harvest + domain-cardinality rollup as
+      // domain_pagerank, then two HITS iterations whose half-steps
+      // (weighted sum + 1-row L1 normalizer) live at domain
+      // cardinality — growth must stay harvest-scan-bound
+      "hits" -> (n => {
+        val pairs = graft.queries.Pipeline.syntheticPageLinkDomains(docsAt(n))
+        val edges = pairs
+          .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
+          .agg(count(lit(1)).cast("long").as("w"))
+        val nodes = pairs.select(col("page_domain").as("id"))
+          .unionByName(pairs.select(col("domain").as("id"))).distinct()
+        graft.ops.Graph.hits(nodes, edges, iters = 2)
+      }),
+      // WARC ingestion (t53): container injection + ONE codegen
+      // Content-Length byte walk per crawl file, records out at
+      // record cardinality, no shuffle — growth must be pure scan
+      // (container-bytes-linear) cost
+      "warc_parse" -> (n => TextOps.warcRecords(
+        graft.queries.Pipeline.syntheticWarcPages(docsAt(n)))),
+      // anchor-text rollup (t54): narrow extract/split/tokenize per
+      // page, then ONE rollup keyed at (domain, term) cardinality —
+      // the mod formulas keep the key space fixed under ×n, so growth
+      // must be harvest-scan-bound
+      "anchor_terms" -> (n =>
+        graft.queries.Pipeline.syntheticAnchorTermPairs(docsAt(n))
+          .groupBy(col("domain"), col("term"))
+          .agg(count(lit(1)).as("n_links"),
+            count_distinct(col("doc_id")).as("n_pages"))),
       // content-defined chunking: one codegen gear pass per row, no
       // shuffle — growth must be pure scan cost
       "cdc_chunks" -> (n => Dedup.chunkTable(docsAt(n))),

@@ -54,7 +54,37 @@ object CurationTour {
         lit("</p><p>&amp; &#169;</p><a href=\"HTTPS://WWW.Example.com:443/r/"),
         col("doc_id"), lit("/\"></a></body></html>")).as("html"),
       col("text").as("text0")).cache()
-    val raw = pages.select(col("doc_id"), col("lang"), col("source"),
+    // -1. WARC ingestion ([[TextOps.warcRecords]]): a crawl pipeline
+    // does not receive pages, it receives container FILES — each page
+    // arrives framed as a response record behind a warcinfo record,
+    // and the tour's first operator is the Content-Length byte walk.
+    // Everything downstream consumes the PARSED payload (a mis-framed
+    // walk would fail every later stage), and the explicit check pins
+    // record counts and byte-identity of payload vs the framed page.
+    val crlf = "\r\n"
+    val container = pages.select(col("doc_id"), col("lang"), col("source"),
+      col("text0"),
+      concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
+          "Content-Length: 15" + crlf + crlf + "software: graft" + crlf + crlf),
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: https://www.example.com/r/"), col("doc_id"),
+        lit(crlf + "Content-Length: "), octet_length(col("html")).cast("string"),
+        lit(crlf + crlf), col("html"), lit(crlf + crlf)).as("warc"))
+    val recs = TextOps.warcRecords(container).cache()
+    val nPages = pages.count()
+    check("WARC ingestion: the framed walk recovers every response payload byte-identically") {
+      recs.count() == 2 * nPages &&
+        recs.filter(col("rec_type") === "response").count() == nPages &&
+        recs.filter(col("rec_type") === "response")
+          .join(pages.select(col("doc_id"), col("html")), "doc_id")
+          .filter(col("payload") =!= col("html")).count() == 0
+    }
+    val pagesIn = recs.filter(col("rec_type") === "response")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("payload").as("html"), col("text0"))
+
+    val raw = pagesIn.select(col("doc_id"), col("lang"), col("source"),
       TextOps.htmlToText(col("html")).as("text"), col("text0")).cache()
     val n0 = raw.count()
     check("HTML extraction round-trips every doc's body text and leaks no markup") {

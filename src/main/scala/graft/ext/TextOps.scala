@@ -1302,6 +1302,57 @@ object TextOps {
     regexp_extract_all(html,
       lit("(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>"), lit(1))
 
+  /** Whole `<a href="...">text</a>` elements in document order — the
+    * anchor-TEXT half of link harvesting ([[htmlLinks]] yields only
+    * the hrefs): what a page's neighbors SAY about a target is the
+    * classic relevance/quality signal a crawl ranks frontier URLs by.
+    * Same RE2-safe double-quoted-href grammar as [[htmlLinks]], plus
+    * the anchor body up to the closing tag restricted to markup-free
+    * text (`[^<]*` — nested elements are a documented boundary, the
+    * htmlLinks single-quote rule). Callers split each element with
+    * [[anchorHref]] / [[anchorText]]; all three are byte-replayable
+    * in any RE2 engine, which is what puts the t54 rollup under the
+    * hash gate.
+    */
+  def htmlAnchorElements(html: Column): Column =
+    regexp_extract_all(html, lit(AnchorElementPattern), lit(0))
+
+  /** The anchor-element grammar shared by both engines (group 1 =
+    * href, group 2 = anchor text).
+    */
+  val AnchorElementPattern: String =
+    "(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+  /** The `href` of one [[htmlAnchorElements]] element. */
+  def anchorHref(element: Column): Column =
+    regexp_extract(element, AnchorElementPattern, 1)
+
+  /** The text body of one [[htmlAnchorElements]] element. */
+  def anchorText(element: Column): Column =
+    regexp_extract(element, AnchorElementPattern, 2)
+
+  /** WARC-style container ingestion — the step BEFORE [[htmlToText]] /
+    * [[htmlLinks]]: explode each crawl-file row into its framed
+    * records. One narrow pass per row through the codegen'd
+    * Content-Length byte walk ([[graft.functions.WarcRecords]] — see
+    * there for the framing contract and the prefix-keeping rejection
+    * rule), then a `posexplode`; no shuffle, records ordered as framed.
+    * Output keeps every input column except the container and adds
+    * `rec_pos, rec_type, uri, content_length, payload`.
+    */
+  def warcRecords(pages: DataFrame, containerCol: String = "warc"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(pages.sparkSession)
+    val keep = pages.columns.filterNot(_ == containerCol).map(col).toSeq
+    pages
+      .select(keep :+ posexplode(
+        graft.functions.GraftFunctions.graftWarcRecords(col(containerCol))): _*)
+      .withColumnRenamed("pos", "rec_pos")
+      .select(keep ++ Seq(col("rec_pos").cast("long"),
+        col("col.rec_type").as("rec_type"), col("col.uri").as("uri"),
+        col("col.content_length").as("content_length"),
+        col("col.payload").as("payload")): _*)
+  }
+
   /** BM25-style query-relevance top-k over the corpus — the retrieval
     * primitive a curation pipeline uses for targeted filtering and
     * benchmark decontamination ("pull the k documents most relevant to

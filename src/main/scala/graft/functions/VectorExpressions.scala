@@ -116,7 +116,9 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => GearChunks(exprs(0),
         exprs(1).eval().asInstanceOf[Int])),
     ("graft_byte_remap", classOf[ByteRemap],
-      (exprs: Seq[Expression]) => ByteRemap(exprs(0))))
+      (exprs: Seq[Expression]) => ByteRemap(exprs(0))),
+    ("graft_warc_records", classOf[WarcRecords],
+      (exprs: Seq[Expression]) => WarcRecords(exprs(0))))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry
@@ -166,6 +168,13 @@ object GraftFunctions {
     * (see [[ByteRemap]]; requires [[ensureRegistered]]).
     */
   def graftByteRemap(text: Column): Column = call_function("graft_byte_remap", text)
+
+  /** WARC-style container record walk — Content-Length-framed, prefix-
+    * keeping rejection (see [[WarcRecords]]; requires
+    * [[ensureRegistered]]).
+    */
+  def graftWarcRecords(container: Column): Column =
+    call_function("graft_warc_records", container)
 
   /** Native Jaro-Winkler similarity, DuckDB-exact semantics (requires
     * [[ensureRegistered]]).

@@ -194,6 +194,61 @@ object Graph {
     r
   }
 
+  /** HITS hubs-and-authorities over a weighted DIRECTED graph — the
+    * other classic crawl-frontier centrality next to
+    * [[pageRankWeighted]]: a good HUB is a page community that links
+    * to good authorities, a good AUTHORITY is one that good hubs link
+    * to. On a crawl's domain graph the authority score ranks FETCH
+    * targets while the hub score ranks SEED/re-crawl sources — the two
+    * sides of frontier scheduling.
+    *
+    * Integer-exact (the g01/g10 discipline — both engines replay the
+    * identical trajectory, no float drift): scores live in micros,
+    * each half-iteration is a weighted sum over in- (resp. out-) edges
+    * followed by L1 normalization `s·10⁶ div Σs` with truncating
+    * integer division (classic HITS normalizes by L2; L1 keeps every
+    * step a rational of longs, and the RANKING — the thing a frontier
+    * consumes — is scale-invariant). The normalizer stays in-plan as a
+    * broadcast 1-row cross join; nothing touches the driver. Overflow
+    * headroom: after normalization Σscore ≤ 10⁶, so a weighted sum is
+    * ≤ 10⁶·Σw — fine in a long for any real edge multiset.
+    *
+    * Nodes without in-edges hold authority 0, without out-edges hub 0
+    * (exact zeros under the gate, the g06 unreachable contract). Scale
+    * shape: two shuffles per half-iteration (the contribution rollup +
+    * the normalizer agg, the latter a 1-row reduce), all keyed at node
+    * cardinality — domain-level for a crawl, never page-level.
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 2,
+      weightCol: String = "w", materialize: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e0 = edges.select(col("src"), col("dst"), col(weightCol).as("w"))
+    val e = if (materialize) e0.localCheckpoint() else e0
+    val ids = nodes.select(col("id"))
+
+    // one weighted-sum + L1-normalize half-step: scores keyed by
+    // `from` flow along (from → to) edges and land keyed by `to`
+    def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
+      val raw = e.join(scores.withColumnRenamed("id", from), from)
+        .select(col(to).as("id"), (col("s") * col("w")).as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      val withZeros = ids.join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("c"), lit(0L)).as("c"))
+      val total = withZeros.agg(greatest(sum("c"), lit(1L)).as("tot"))
+      withZeros.crossJoin(broadcast(total))
+        .select(col("id"), expr("c * 1000000L div tot").as("s"))
+    }
+
+    var hub = ids.select(col("id"), lit(1000000L).as("s"))
+    var auth = ids.select(col("id"), lit(0L).as("s"))
+    for (_ <- 1 to iters) {
+      auth = halfStep(hub, "src", "dst")
+      hub = halfStep(auth, "dst", "src")
+    }
+    hub.withColumnRenamed("s", "hub_micro")
+      .join(auth.withColumnRenamed("s", "auth_micro"), "id")
+  }
+
   /** Per-node triangle participation counts over an UNDIRECTED simple
     * graph, by degree-ordered edge orientation — the standard
     * distributed formulation (each triangle is enumerated exactly once

@@ -2481,6 +2481,133 @@ object Pipeline {
       .orderBy(col("source"), col("domain"))
   }
 
+  /** WARC-style container ingestion under the gate
+    * ([[TextOps.warcRecords]] / [[graft.functions.WarcRecords]]): the
+    * step BEFORE every page-processing operator — a crawl file is a
+    * concatenation of Content-Length-framed records, and t46/t48/t47
+    * all start from the `response` payloads this walk yields. Each doc
+    * becomes a deterministic three-record container (warcinfo without
+    * a target URI, a response whose HTML payload embeds the
+    * DELIMITER TRAP `\r\n\r\nWARC/1.0\r\n` inside a comment plus a
+    * multi-byte `é` — so only a parser that frames by the
+    * Content-Length BYTE count, never by delimiter search or codepoint
+    * arithmetic, reproduces the records — and a metadata record). The
+    * oracle replays the injection formulas directly (the t45 pattern):
+    * every rec_type/uri/payload and the byte-exact content_length
+    * (`octet_length` ↔ `strlen`) sit under the hash gate, so a
+    * mis-framed walk truncates payloads or drops records and fails.
+    */
+  def t53WarcRecords(spark: SparkSession, dir: String): DataFrame =
+    TextOps.warcRecords(syntheticWarcPages(Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"), col("rec_pos"))
+
+  /** The t53 fixture chain, factored for reuse by the bench probe and
+    * the tour: each doc becomes a (doc_id, warc) three-record
+    * container with the delimiter trap and a multi-byte payload char.
+    */
+  def syntheticWarcPages(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val crlf = "\r\n"
+    val uri = concat(lit("https://site"), pmod(d, lit(23)).cast("string"),
+      lit(".com/a/"), d)
+    val p0 = concat(lit("software: graft-crawler/"), pmod(d, lit(5)).cast("string"))
+    val p1 = concat(lit("<html><body><p>"), col("text"),
+      lit("</p><!-- " + crlf + crlf + "WARC/1.0" + crlf + "Content-Length: 0" +
+        crlf + crlf + " --><p>café id "),
+      d, lit("</p></body></html>"))
+    val p2 = concat(lit("fetchTimeMs: "), pmod(d * 7, lit(997)).cast("string"))
+    def rec(t: String, u: org.apache.spark.sql.Column,
+        p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: " + t + crlf),
+      when(length(u) > 0, concat(lit("WARC-Target-URI: "), u, lit(crlf)))
+        .otherwise(lit("")),
+      lit("Content-Length: "), octet_length(p).cast("string"), lit(crlf + crlf),
+      p, lit(crlf + crlf))
+    docs.select(d,
+      concat(rec("warcinfo", lit(""), p0), rec("response", uri, p1),
+        rec("metadata", uri, p2)).as("warc"))
+  }
+
+  /** Anchor-TEXT harvesting rollup ([[TextOps.htmlAnchorElements]] +
+    * href/text splits): what linking pages SAY about a target domain —
+    * the classic crawl-frontier relevance signal next to t51's link
+    * counts. The t48 page skeleton gets term-bearing anchor bodies
+    * (cycling cased vocabulary so lowercasing is pinned, a numeric
+    * tail so terms spread) and the empty-href anchor keeps its body
+    * (`skip me` must NOT reach the rollup — the filter boundary is
+    * under the gate). Extraction, canonicalize/registrable-domain, the
+    * whitespace tokenization, and the (domain, term) rollup all replay
+    * in the oracle with the same RE2 patterns.
+    */
+  def t54AnchorTerms(spark: SparkSession, dir: String): DataFrame =
+    syntheticAnchorTermPairs(Tables.documents(spark, dir))
+      .groupBy(col("domain"), col("term"))
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("doc_id")).as("n_pages"))
+      .orderBy(col("domain"), col("term"))
+
+  /** The t54 fixture chain up to the rollup, factored for probe
+    * reuse: inject term-bearing anchors into the t48 page skeleton,
+    * extract whole elements, split href/text, filter the empty href,
+    * canonicalize to the registrable domain, and tokenize the
+    * lowercased anchor body — one (doc_id, domain, term) row per
+    * anchor term.
+    */
+  def syntheticAnchorTermPairs(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val url1 = concat(lit("https://"),
+      when(pmod(d, lit(4)) === 0, lit("www.")).otherwise(lit("")),
+      lit("site"), pmod(d, lit(23)).cast("string"),
+      element_at(array(lit(".com"), lit(".org"), lit(".net")),
+        (pmod(d, lit(3)) + 1).cast("int")),
+      when(pmod(d, lit(5)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/a/"), d,
+      when(pmod(d, lit(2)) === 0, lit("?utm_source=feed&q=1"))
+        .otherwise(lit("?q=1")))
+    val url2 = concat(lit("HTTP://site"), pmod(d, lit(7)).cast("string"),
+      lit(".com:80/b/"), d, lit("#frag"))
+    val a1 = concat(
+      element_at(array(lit("Breaking"), lit("daily"), lit("Local")),
+        (pmod(d, lit(3)) + 1).cast("int")),
+      lit(" news "), pmod(d, lit(11)).cast("string"))
+    val a2 = concat(lit("visit Site"), pmod(d, lit(7)).cast("string"),
+      lit(" archive"))
+    val html = concat(
+      lit("<html><body><p>intro</p><a class=\"x\" href=\""), url1,
+      lit("\">"), a1, lit("</a><p>mid</p><a HREF = \""), url2,
+      lit("\">"), a2, lit("</a><a href=\"\">skip me</a></body></html>"))
+    val els = docs
+      .select(d, explode(TextOps.htmlAnchorElements(html)).as("el"))
+    val pairs = els.select(d, TextOps.anchorHref(col("el")).as("href"),
+        TextOps.anchorText(col("el")).as("anchor"))
+      .filter(col("href") =!= "")
+    val canon = graft.ext.UrlOps.canonicalizeUrl(col("href"))
+    pairs.select(d, graft.ext.UrlOps.registrableDomain(canon).as("domain"),
+      explode(TextOps.tokens(lower(col("anchor")))).as("term"))
+  }
+
+  /** HITS hubs-and-authorities ([[graft.ops.Graph.hits]]) over the g10
+    * crawl domain graph — the OTHER frontier centrality: authority
+    * ranks fetch targets, hub ranks seed/re-crawl sources. Same
+    * harvest → (page domain, target domain) weighted rollup as g10,
+    * then two full integer HITS iterations (weighted sums + truncating
+    * L1 micros normalization); the oracle replays harvesting, the
+    * rollup, and every half-step of both iterations, so the in-plan
+    * normalizer and the exact-zero no-in-edge/no-out-edge contracts
+    * all sit under the hash gate.
+    */
+  def g11Hits(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = syntheticPageLinkDomains(Tables.documents(spark, dir))
+    val edges = pairs
+      .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+    val nodes = pairs.select(col("page_domain").as("id"))
+      .unionByName(pairs.select(col("domain").as("id"))).distinct()
+    graft.ops.Graph.hits(nodes, edges, iters = 2)
+      .select(col("id").as("domain"), col("hub_micro"), col("auth_micro"))
+      .orderBy(col("domain"))
+  }
+
   /** Per-LINE language ID ([[TextOps.langIdByLine]], r14 verdict task
     * 4): the fixture (single-line English-shaped docs) is extended
     * with marker lines in a doc_id-cycled language plus a third French
@@ -3877,6 +4004,81 @@ object Pipeline {
        |SELECT id AS domain, r AS rank FROM r$iters ORDER BY domain""".stripMargin
   }
 
+  /** g11 replay: the g10 harvest/rollup CTEs, then every HITS
+    * half-step — weighted in-edge (resp. out-edge) sums, zero-fill
+    * over the node set, and the truncating L1 micros normalization
+    * with its in-plan 1-row total.
+    */
+  private def hitsOracle(iters: Int): String = {
+    def half(prev: String, cur: String, joinOn: String, outKey: String) =
+      s"""${cur}c AS (
+         |  SELECT e.$outKey AS id, CAST(sum($prev.s * e.w) AS BIGINT) AS c
+         |  FROM edges e JOIN $prev ON $prev.id = e.$joinOn GROUP BY 1
+         |), ${cur}z AS (
+         |  SELECT n.id, coalesce(c, CAST(0 AS BIGINT)) AS c
+         |  FROM nodes n LEFT JOIN ${cur}c ON ${cur}c.id = n.id
+         |), ${cur}t AS (
+         |  SELECT greatest(CAST(sum(c) AS BIGINT), CAST(1 AS BIGINT)) AS tot
+         |  FROM ${cur}z
+         |), $cur AS (
+         |  SELECT id, CAST(c * 1000000 // tot AS BIGINT) AS s
+         |  FROM ${cur}z, ${cur}t
+         |)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      half(s"h${i - 1}", s"a$i", "src", "dst") + ", " +
+        half(s"a$i", s"h$i", "dst", "src")
+    }.mkString(", ")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    'site' || (doc_id % 13)::VARCHAR
+       |    || CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+       |      AS page_domain,
+       |    '<html><body><p>intro</p><a class="x" href="'
+       |    || 'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+       |    || 'site' || (doc_id % 23)::VARCHAR
+       |    || CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+       |    || '/a/' || doc_id::VARCHAR
+       |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&q=1' ELSE '?q=1' END
+       |    || '">one</a><p>mid</p><a HREF = "'
+       |    || 'HTTP://site' || (doc_id % 7)::VARCHAR || '.com:80/b/' || doc_id::VARCHAR || '#frag'
+       |    || '">two</a><a href="">anchor</a></body></html>' AS html
+       |  FROM documents
+       |), ex AS (
+       |  SELECT doc_id, page_domain,
+       |    regexp_extract_all(html, '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"[^>]*>', 1) AS ls
+       |  FROM h
+       |), f AS (
+       |  SELECT doc_id, page_domain, unnest(ls) AS href FROM ex
+       |), fe AS (
+       |  SELECT * FROM f WHERE href <> ''
+       |), cc AS (
+       |  SELECT page_domain,
+       |    regexp_replace(regexp_replace(
+       |      lower(regexp_extract(href,
+       |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+       |      ':443$$', ''), ':80$$', '') AS schemehost
+       |  FROM fe
+       |), pairs AS (
+       |  SELECT page_domain,
+       |    regexp_replace(lower(regexp_extract(schemehost,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
+       |      '^www\\.', '') AS domain
+       |  FROM cc
+       |), edges AS (
+       |  SELECT page_domain AS src, domain AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM pairs GROUP BY 1, 2
+       |), nodes AS (
+       |  SELECT page_domain AS id FROM pairs UNION SELECT domain FROM pairs
+       |), h0 AS (
+       |  SELECT id, CAST(1000000 AS BIGINT) AS s FROM nodes
+       |), $iterCtes
+       |SELECT h$iters.id AS domain, h$iters.s AS hub_micro, a$iters.s AS auth_micro
+       |FROM h$iters JOIN a$iters ON a$iters.id = h$iters.id
+       |ORDER BY domain""".stripMargin
+  }
+
   /** t52 replay: the t48 harvest CTEs, the per-domain robots.txt
     * injection (same k/t formulas), the full parser (comment strip,
     * directive extraction, group segmentation via lag+running-sum,
@@ -4709,7 +4911,100 @@ object Pipeline {
     // weights = round(jaccard*1e6) on the identical rounded-6 double
     "g03_pagerank_weighted" -> pageRankWeightedOracle(iters = 3),
     "g10_domain_pagerank" -> domainPageRankOracle(iters = 3),
+    "g11_hits" -> hitsOracle(iters = 2),
     "t52_robots" -> robotsOracle,
+    // t53 replay: the injection formulas directly (the t45 pattern) —
+    // rec_type/uri/payload per framed record plus the byte-exact
+    // content_length (strlen ↔ octet_length); a delimiter-driven or
+    // codepoint-counting walk on the Spark side cannot reproduce this
+    // table because the response payload embeds CRLFCRLF + magic and
+    // a 2-byte é
+    "t53_warc_records" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    'https://site' || (doc_id % 23)::VARCHAR || '.com/a/'
+        |      || doc_id::VARCHAR AS uri
+        |  FROM documents
+        |), recs AS (
+        |  SELECT doc_id, 0 AS p, 'warcinfo' AS rec_type, '' AS uri2,
+        |    'software: graft-crawler/' || (doc_id % 5)::VARCHAR AS payload
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'response', uri,
+        |    '<html><body><p>' || text || '</p><!-- '
+        |    || chr(13) || chr(10) || chr(13) || chr(10)
+        |    || 'WARC/1.0' || chr(13) || chr(10) || 'Content-Length: 0'
+        |    || chr(13) || chr(10) || chr(13) || chr(10)
+        |    || ' --><p>caf' || chr(233) || ' id ' || doc_id::VARCHAR
+        |    || '</p></body></html>'
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'metadata', uri,
+        |    'fetchTimeMs: ' || ((doc_id * 7) % 997)::VARCHAR
+        |  FROM base
+        |)
+        |SELECT doc_id, CAST(p AS BIGINT) AS rec_pos, rec_type, uri2 AS uri,
+        |  CAST(strlen(payload) AS BIGINT) AS content_length, payload
+        |FROM recs ORDER BY doc_id, rec_pos""".stripMargin,
+    // t54 replay: whole-element extraction with the same RE2 grammar,
+    // href/text group splits, the empty-href filter, the t21
+    // schemehost → domain fragments, whitespace tokenization of the
+    // lowercased anchor body, and the (domain, term) rollup
+    "t54_anchor_terms" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>intro</p><a class="x" href="'
+        |    || 'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+        |    || 'site' || (doc_id % 23)::VARCHAR
+        |    || CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+        |    || '/a/' || doc_id::VARCHAR
+        |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&q=1' ELSE '?q=1' END
+        |    || '">'
+        |    || CASE (doc_id % 3) WHEN 0 THEN 'Breaking' WHEN 1 THEN 'daily' ELSE 'Local' END
+        |    || ' news ' || (doc_id % 11)::VARCHAR
+        |    || '</a><p>mid</p><a HREF = "'
+        |    || 'HTTP://site' || (doc_id % 7)::VARCHAR || '.com:80/b/' || doc_id::VARCHAR || '#frag'
+        |    || '">visit Site' || (doc_id % 7)::VARCHAR || ' archive'
+        |    || '</a><a href="">skip me</a></body></html>' AS html
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(html,
+        |      '(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>', 0) AS els
+        |  FROM h
+        |), el AS (
+        |  SELECT doc_id, unnest(els) AS e FROM ex
+        |), p AS (
+        |  SELECT doc_id,
+        |    regexp_extract(e,
+        |      '(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>', 1) AS href,
+        |    regexp_extract(e,
+        |      '(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>', 2) AS anchor
+        |  FROM el
+        |), f AS (
+        |  SELECT * FROM p WHERE href <> ''
+        |), cc AS (
+        |  SELECT doc_id, anchor,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(href,
+        |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+        |      ':443$', ''), ':80$', '') AS schemehost
+        |  FROM f
+        |), dm AS (
+        |  SELECT doc_id, anchor,
+        |    regexp_replace(lower(regexp_extract(schemehost,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
+        |      '^www\.', '') AS domain
+        |  FROM cc
+        |), tm AS (
+        |  SELECT doc_id, domain,
+        |    unnest(string_split_regex(trim(lower(anchor)), '[ \t\n\f\r]+')) AS term
+        |  FROM dm
+        |)
+        |SELECT domain, term, CAST(count(*) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+        |FROM tm GROUP BY 1, 2 ORDER BY domain, term""".stripMargin,
     "g04_link_predict" -> linkPredictOracle,
     "g05_communities" -> labelPropagationOracle(iters = 3),
     "g09_communities_converged" -> labelPropagationConvergedOracle(cap = 8),
@@ -6888,6 +7183,8 @@ object Pipeline {
     "t47b_line_filter"   -> t47bLineFilter _,
     "t48_html_links"     -> t48HtmlLinks _,
     "t52_robots"         -> t52Robots _,
+    "t53_warc_records"   -> t53WarcRecords _,
+    "t54_anchor_terms"   -> t54AnchorTerms _,
     "e05_funnel"         -> e05Funnel _,
     "e07_cohort_retention" -> e07CohortRetention _,
     "e08_transitions"    -> e08Transitions _,
@@ -6941,6 +7238,7 @@ object Pipeline {
     "g08_pagerank_converged" -> g08PageRankConverged _,
     "g03_pagerank_weighted" -> g03PageRankWeighted _,
     "g10_domain_pagerank" -> g10DomainPagerank _,
+    "g11_hits"           -> g11Hits _,
     "g02_triangles"      -> g02Triangles _,
     "g04_link_predict"   -> g04LinkPredict _,
     "g05_communities"    -> g05Communities _,

@@ -496,6 +496,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(links("no anchors here") == Seq.empty)
   }
 
+  test("htmlAnchorElements: href/text split, order, case, nested-markup boundary") {
+    def anchors(html: String): Seq[(String, String)] =
+      Seq(html).toDF("h")
+        .select(explode(TextOps.htmlAnchorElements(col("h"))).as("e"))
+        .select(TextOps.anchorHref(col("e")), TextOps.anchorText(col("e")))
+        .as[(String, String)].collect().toSeq
+    val html = "<html><a href=\"https://a.com/1\">First Link</a>" +
+      "<a class=\"z\" HREF = \"https://b.com/2\">second</a>" +
+      "<a href=\"\">skip me</a>" + // empty href: extracted, caller filters
+      "<a href=\"https://c.com\"><b>nested</b></a>" + // boundary: body has markup
+      "<p href=\"https://not-an-anchor.com\">p is not a</p></html>"
+    assert(anchors(html) == Seq(
+      ("https://a.com/1", "First Link"),
+      ("https://b.com/2", "second"),
+      ("", "skip me")))
+    assert(anchors("no anchors") == Seq.empty)
+    // empty body is a legitimate anchor
+    assert(anchors("<a href=\"u\"></a>") == Seq(("u", "")))
+  }
+
   test("sentences: terminator runs attach, remnant kept, empties dropped, plain text is one sentence") {
     def seg(s: String): Seq[String] =
       Seq(s).toDF("t").select(TextOps.sentences(col("t")).as("s"))

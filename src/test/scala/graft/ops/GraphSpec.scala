@@ -262,6 +262,37 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: hand-computed weighted DAG; exact zero contracts; empty graph") {
+    // a →(2) c, b →(1) c, c →(1) d: a and b are pure hubs, c is the
+    // main authority AND a small hub, d a pure (weak) authority
+    val nodes = Seq("a", "b", "c", "d").toDF("id")
+    val edges = Seq(("a", "c", 2L), ("b", "c", 1L), ("c", "d", 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.hits(nodes, edges, iters = 2)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // iter 1: auth raw c=3e6, d=1e6 (tot 4e6) → c 750000, d 250000;
+    //         hub  raw a=1.5e6, b=.75e6, c=.25e6 (tot 2.5e6)
+    //           → a 600000, b 300000, c 100000
+    // iter 2: auth raw c = 2·600000+300000 = 1.5e6, d = 100000
+    //         (tot 1.6e6) → c 937500, d 62500
+    //         hub  raw a = 1875000, b = 937500, c = 62500
+    //         (tot 2875000) → a 652173, b 326086, c 21739 (truncated)
+    assert(r == Map(
+      "a" -> ((652173L, 0L)), "b" -> ((326086L, 0L)),
+      "c" -> ((21739L, 937500L)), "d" -> ((0L, 62500L))), r)
+    // zero contracts are EXACT: no in-edges → auth 0, no out → hub 0
+    assert(r("a")._2 == 0L && r("b")._2 == 0L && r("d")._1 == 0L)
+    // determinism
+    val again = Graph.hits(nodes, edges, iters = 2)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(again == r)
+    // empty edge set: the guarded normalizer yields all-zero scores,
+    // never a division failure
+    val empty = Graph.hits(nodes, edges.limit(0), iters = 2)
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(empty.forall(_ == ((0L, 0L))))
+  }
+
   test("commonNeighbors: hand graphs — path, square, K3 micros") {
     // path 1—2—3: only (1,3) share a neighbor; deg 1 each → jacc 10⁶
     val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
