@@ -640,6 +640,26 @@ object Bench {
           .groupBy(col("domain"), col("term"))
           .agg(count(lit(1)).as("n_links"),
             count_distinct(col("doc_id")).as("n_pages"))),
+      // crawl-frontier scheduler (t55): harvest → robots filter →
+      // first-seen URL dedup → rank join → per-domain budget; the two
+      // TopKPerKey cuts shuffle once each on linear key spaces (URLs
+      // carry doc_id), the rank join broadcasts at domain cardinality
+      // — growth must be link-linear, never super-linear
+      "crawl_frontier" -> (n => {
+        val docs = docsAt(n)
+        val allowed = graft.queries.Pipeline.robotsDecisionTable(docs)
+          .filter(col("allowed"))
+          .select(col("doc_id"), col("pos"), col("url_canon"), col("domain"))
+        val firstSeen = graft.ops.TopK.perKey(allowed, Seq("url_canon"),
+          Seq(("doc_id", false), ("pos", false)), 1)
+        val joined = firstSeen
+          .join(graft.queries.Pipeline.domainRanks(docs), Seq("domain"), "left")
+          .select(col("domain"), col("url_canon"),
+            coalesce(col("rank"), lit(0L)).as("domain_rank"),
+            col("doc_id"), col("pos"))
+        graft.ops.TopK.perKey(joined, Seq("domain"),
+          Seq(("doc_id", false), ("pos", false), ("url_canon", false)), 3)
+      }),
       // content-defined chunking: one codegen gear pass per row, no
       // shuffle — growth must be pure scan cost
       "cdc_chunks" -> (n => Dedup.chunkTable(docsAt(n))),

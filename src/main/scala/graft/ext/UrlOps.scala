@@ -139,6 +139,64 @@ object UrlOps {
       .distinct()
   }
 
+  /** Per-domain `Crawl-delay` extraction — the politeness TIMING half
+    * of robots parsing ([[parseRobots]] owns the allow/disallow half;
+    * this closes its documented Crawl-delay boundary). Group
+    * segmentation follows the same consecutive-User-agent rule and
+    * considers user-agent, allow, disallow AND crawl-delay lines (so
+    * groups match [[parseRobots]]'s exactly whenever no crawl-delay
+    * line sits between consecutive User-agent lines); group selection
+    * is the same exact-UA-overrides-`*` rule. From the selected
+    * groups, the delay is the MINIMUM integer-seconds value (the
+    * conservative choice when a file repeats the directive);
+    * non-numeric values are ignored (the RFC says nothing — dropping
+    * beats guessing); headerless lines bind nobody; a domain with no
+    * usable value gets `defaultDelayS`. Output: one `(domain,
+    * delay_s)` row per input domain, never NULL.
+    */
+  def parseCrawlDelay(robots: DataFrame, userAgent: String,
+      defaultDelayS: Long = 1L, robotsCol: String = "robots_txt",
+      domainCol: String = "domain"): DataFrame = {
+    val ua = userAgent.toLowerCase
+    val lines = robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("ln", "raw")))
+      .select(col("domain"), col("ln"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+      .select(col("domain"), col("ln"),
+        lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)).as("directive"),
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("value"))
+      .filter(col("directive").isin(
+        "user-agent", "allow", "disallow", "crawl-delay"))
+    val w = Window.partitionBy(col("domain")).orderBy(col("ln"))
+    val grouped = lines
+      .withColumn("ua_start", (col("directive") === "user-agent" &&
+        coalesce(lag(col("directive"), 1).over(w) =!= "user-agent", lit(true)))
+        .cast("int"))
+      .withColumn("grp", sum(col("ua_start")).over(w))
+    val groupUas = grouped.filter(col("directive") === "user-agent")
+      .groupBy(col("domain"), col("grp"))
+      .agg(max((lower(col("value")) === ua).cast("int")).as("names_ua"),
+        max((col("value") === "*").cast("int")).as("names_star"))
+    val selected = groupUas
+      .withColumn("has_ua",
+        max(col("names_ua")).over(Window.partitionBy(col("domain"))))
+      .filter((col("has_ua") === 1 && col("names_ua") === 1) ||
+        (col("has_ua") === 0 && col("names_star") === 1))
+      .select(col("domain"), col("grp"))
+    val delays = grouped
+      .filter(col("directive") === "crawl-delay" &&
+        col("value").rlike("^[0-9]+$"))
+      .join(selected, Seq("domain", "grp"))
+      .groupBy(col("domain"))
+      .agg(min(col("value").cast("long")).as("delay_s"))
+    robots.select(col(domainCol).as("domain")).distinct()
+      .join(delays, Seq("domain"), "left")
+      .select(col("domain"),
+        coalesce(col("delay_s"), lit(defaultDelayS)).as("delay_s"))
+  }
+
   /** Decide every frontier URL against a [[parseRobots]] rule table:
     * longest-matching-prefix wins, an Allow beats a Disallow of equal
     * length (the RFC tie rule), no matching rule means allowed. The

@@ -562,8 +562,14 @@ object Pipeline {
     * cardinality — millions of nodes for a 100 TB crawl, not billions
     * of pages — which is what makes web-graph centrality tractable.
     */
-  def g10DomainPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = syntheticPageLinkDomains(Tables.documents(spark, dir))
+  def g10DomainPagerank(spark: SparkSession, dir: String): DataFrame =
+    domainRanks(Tables.documents(spark, dir)).orderBy(col("domain"))
+
+  /** The g10 rank table without the presentation sort, factored for
+    * the t55 frontier composition's authority join.
+    */
+  def domainRanks(docs: DataFrame): DataFrame = {
+    val pairs = syntheticPageLinkDomains(docs)
     val edges = pairs
       .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
       .agg(count(lit(1)).cast("long").as("w"))
@@ -571,7 +577,6 @@ object Pipeline {
       .unionByName(pairs.select(col("domain").as("id"))).distinct()
     graft.ops.Graph.pageRankWeighted(nodes, edges, iters = 3)
       .select(col("id").as("domain"), col("rank"))
-      .orderBy(col("domain"))
   }
 
   /** The g10 fixture chain, factored for reuse by the bench probe:
@@ -2377,7 +2382,16 @@ object Pipeline {
     * canonicalization with t21's SQL fragments, so the whole
     * page→frontier chain sits under the hash gate.
     */
-  def t48HtmlLinks(spark: SparkSession, dir: String): DataFrame = {
+  def t48HtmlLinks(spark: SparkSession, dir: String): DataFrame =
+    syntheticHarvestedLinks(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** The t48 harvest chain without the presentation sort, factored so
+    * consumers (t52's decision table, t55's frontier) compose on the
+    * narrow unordered chain — a mid-plan `orderBy` would force a
+    * useless range-partition sort right before their own shuffles.
+    */
+  def syntheticHarvestedLinks(docs: DataFrame): DataFrame = {
     val d = col("doc_id")
     val url1 = concat(lit("https://"),
       when(pmod(d, lit(4)) === 0, lit("www.")).otherwise(lit("")),
@@ -2394,15 +2408,14 @@ object Pipeline {
       lit("<html><body><p>intro</p><a class=\"x\" href=\""), url1,
       lit("\">one</a><p>mid</p><a HREF = \""), url2,
       lit("\">two</a><a href=\"\">anchor</a></body></html>"))
-    val links = Tables.documents(spark, dir)
+    val links = docs
       .select(d, posexplode(TextOps.htmlLinks(html)))
       .withColumnRenamed("col", "href")
       .filter(col("href") =!= "")
     val canon = graft.ext.UrlOps.canonicalizeUrl(col("href"))
     links.select(d, col("pos").cast("long").as("pos"), col("href"),
-        canon.as("url_canon"),
-        graft.ext.UrlOps.registrableDomain(canon).as("domain"))
-      .orderBy(d, col("pos"))
+      canon.as("url_canon"),
+      graft.ext.UrlOps.registrableDomain(canon).as("domain"))
   }
 
   /** robots.txt politeness decisions ([[graft.ext.UrlOps.parseRobots]]
@@ -2418,30 +2431,53 @@ object Pipeline {
     * table — group selection, longest-prefix match, tie-break, and
     * the no-match default all hash-gate.
     */
-  def t52Robots(spark: SparkSession, dir: String): DataFrame = {
-    val links = t48HtmlLinks(spark, dir)
-    val k = regexp_extract(col("domain"), "site([0-9]+)", 1).cast("int")
-    val t = when(col("domain").endsWith(".com"), 0)
-      .when(col("domain").endsWith(".org"), 1).otherwise(2)
-    val robots = links.select(col("domain")).distinct()
-      .withColumn("robots_txt", concat(
-        lit("# graft politeness fixture\n"),
-        lit("User-Agent: *\n"),
-        when((k + t) % 2 === 0, lit("DisAllow: /a/\n")).otherwise(lit("")),
-        when(k % 3 === 0, lit("Allow: /a/1\n")).otherwise(lit("")),
-        when(k % 7 === 0, lit("Allow: /a/\n")).otherwise(lit("")),
-        when(k % 5 === 0, lit("Disallow:\n")).otherwise(lit("")),
-        when(k % 4 === 0, concat(
-          lit("\nUser-agent: graftbot\nDisallow: /b/\nAllow: /b/"),
-          k.cast("string"), lit("\n"))).otherwise(lit(""))))
-    val rules = graft.ext.UrlOps.parseRobots(robots, "graftbot")
+  def t52Robots(spark: SparkSession, dir: String): DataFrame =
+    robotsDecisionTable(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** The t52 decision table without the presentation sort, factored
+    * for the t55 frontier composition (same reasoning as
+    * [[syntheticHarvestedLinks]]).
+    */
+  def robotsDecisionTable(docs: DataFrame): DataFrame = {
+    val links = syntheticHarvestedLinks(docs)
+    val rules = graft.ext.UrlOps.parseRobots(syntheticRobots(links), "graftbot")
     graft.ext.UrlOps.robotsDecisions(links, rules, Seq("doc_id", "pos"))
       .select(col("doc_id"), col("pos"), col("url_canon"), col("domain"),
         col("path"),
         // no-match rows carry '' — the gate checker hashes no NULLs
         coalesce(col("matched_prefix"), lit("")).as("matched_prefix"),
         col("allowed"))
-      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** The per-domain robots.txt fixture, factored so the t52 decisions
+    * and the t56 delay schedule parse the SAME files. Rule lines are
+    * the original t52 battery; the Crawl-delay lines exercise the t56
+    * parser without touching t52 (its parser filters them out before
+    * segmentation): a HEADERLESS delay on k%11 domains (binds nobody),
+    * a malformed `fast` on k%9 (ignored — numeric guard), a `*`-group
+    * value on k%2, and a graftbot-group `7` on k%4 (the exact-UA
+    * override applies to delays too).
+    */
+  def syntheticRobots(links: DataFrame): DataFrame = {
+    val k = regexp_extract(col("domain"), "site([0-9]+)", 1).cast("int")
+    val t = when(col("domain").endsWith(".com"), 0)
+      .when(col("domain").endsWith(".org"), 1).otherwise(2)
+    links.select(col("domain")).distinct()
+      .withColumn("robots_txt", concat(
+        lit("# graft politeness fixture\n"),
+        when(k % 11 === 0, lit("Crawl-delay: 9\n")).otherwise(lit("")),
+        lit("User-Agent: *\n"),
+        when((k + t) % 2 === 0, lit("DisAllow: /a/\n")).otherwise(lit("")),
+        when(k % 3 === 0, lit("Allow: /a/1\n")).otherwise(lit("")),
+        when(k % 7 === 0, lit("Allow: /a/\n")).otherwise(lit("")),
+        when(k % 5 === 0, lit("Disallow:\n")).otherwise(lit("")),
+        when(k % 9 === 0, lit("Crawl-delay: fast\n")).otherwise(lit("")),
+        when(k % 2 === 0, concat(lit("Crawl-delay: "),
+          (k % 5 + 1).cast("string"), lit("\n"))).otherwise(lit("")),
+        when(k % 4 === 0, concat(
+          lit("\nUser-agent: graftbot\nDisallow: /b/\nAllow: /b/"),
+          k.cast("string"), lit("\nCrawl-delay: 7\n"))).otherwise(lit(""))))
   }
 
   /** Link-graph rollup: t48's harvested per-link table aggregated to
@@ -2606,6 +2642,75 @@ object Pipeline {
     graft.ops.Graph.hits(nodes, edges, iters = 2)
       .select(col("id").as("domain"), col("hub_micro"), col("auth_micro"))
       .orderBy(col("domain"))
+  }
+
+  /** The crawl-frontier SCHEDULER — the composition every stage of the
+    * crawl family exists for, under ONE hash gate (the t43
+    * composition-gate principle): harvest (t48) → politeness filter
+    * (t52, allowed rows only) → first-sighting URL dedup (one frontier
+    * row per canonical URL, earliest (doc, pos) wins — the custom
+    * [[graft.plans.TopKPerKeyNode]] at k = 1) → domain-authority join
+    * (g10's weighted PageRank at domain cardinality) → per-domain
+    * fetch BUDGET (top-3 URLs per domain, again TopKPerKey — a
+    * politeness crawler never takes unbounded URLs from one host). The
+    * oracle recomposes all five stages from scratch, so the gate pins
+    * the COMPOSITION: a dropped filter, a wrong dedup keeper, or a
+    * rank drift all hash-fail. Scale shape: both TopKPerKey cuts are
+    * single-exchange streaming group-limits (no window machinery), the
+    * rank join is a domain-cardinality broadcast, and nothing after
+    * the harvest runs at page cardinality except the two cuts' own
+    * shuffles.
+    */
+  def t55CrawlFrontier(spark: SparkSession, dir: String): DataFrame =
+    frontierTable(Tables.documents(spark, dir))
+      .orderBy(col("domain"), col("url_canon"))
+
+  /** The t55 frontier without the presentation sort, factored for the
+    * t56 schedule and the bench probe.
+    */
+  def frontierTable(docs: DataFrame): DataFrame = {
+    val allowed = robotsDecisionTable(docs)
+      .filter(col("allowed"))
+      .select(col("doc_id"), col("pos"), col("url_canon"), col("domain"))
+    val firstSeen = graft.ops.TopK.perKey(allowed,
+      keys = Seq("url_canon"),
+      order = Seq(("doc_id", false), ("pos", false)), k = 1)
+    val joined = firstSeen.join(domainRanks(docs), Seq("domain"), "left")
+      .select(col("domain"), col("url_canon"),
+        coalesce(col("rank"), lit(0L)).as("domain_rank"),
+        col("doc_id"), col("pos"))
+    graft.ops.TopK.perKey(joined, keys = Seq("domain"),
+      order = Seq(("doc_id", false), ("pos", false), ("url_canon", false)),
+      k = 3)
+  }
+
+  /** Politeness fetch SCHEDULE ([[graft.ext.UrlOps.parseCrawlDelay]])
+    * — the timing half the t55 frontier still lacked, closing t52's
+    * documented Crawl-delay boundary: each domain's budgeted URLs get
+    * consecutive fetch slots spaced by that domain's Crawl-delay (the
+    * exact-UA-overrides-`*` selection applies to delays too; minimum
+    * of repeated numeric values; malformed values ignored; headerless
+    * lines bind nobody; absent → 1 s default — every branch lives in
+    * the shared robots fixture). `fetch_at_ms = slot · delay_s · 1000`
+    * is pure integer arithmetic, so the whole schedule — parser,
+    * selection, defaulting, slot assignment — replays in the oracle.
+    * Scale shape: one window partitioned per DOMAIN over the ≤ 3-row
+    * budget groups, and the delay table joins as a domain-cardinality
+    * broadcast.
+    */
+  def t56FetchSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val delays = graft.ext.UrlOps.parseCrawlDelay(
+      syntheticRobots(syntheticHarvestedLinks(docs)), "graftbot")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
+      .orderBy(col("doc_id"), col("pos"), col("url_canon"))
+    frontierTable(docs).join(delays, Seq("domain"), "left")
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .select(col("domain"), col("url_canon"),
+        coalesce(col("delay_s"), lit(1L)).as("delay_s"), col("slot"),
+        (col("slot") * coalesce(col("delay_s"), lit(1L)) * 1000L)
+          .as("fetch_at_ms"))
+      .orderBy(col("domain"), col("url_canon"))
   }
 
   /** Per-LINE language ID ([[TextOps.langIdByLine]], r14 verdict task
@@ -4085,8 +4190,13 @@ object Pipeline {
     * group selection with the exact-UA-overrides-star rule), and the
     * longest-prefix / allow-wins-ties / no-match-allows decision.
     */
-  private val robotsOracle: String =
-    """WITH h AS (
+  /** The t52 decision-table CTE chain, everything through `best`
+    * (harvest, canonicalization, per-domain robots injection, the full
+    * parser, longest-prefix matching) — shared VERBATIM by the t55
+    * frontier composition, so the two gates replay the same SQL.
+    */
+  private val robotsDecisionCtes: String =
+    """h AS (
       |  SELECT doc_id,
       |    '<html><body><p>intro</p><a class="x" href="'
       |    || 'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
@@ -4141,13 +4251,17 @@ object Pipeline {
       |), robots AS (
       |  SELECT domain,
       |    '# graft politeness fixture' || chr(10)
+      |    || CASE WHEN k % 11 = 0 THEN 'Crawl-delay: 9' || chr(10) ELSE '' END
       |    || 'User-Agent: *' || chr(10)
       |    || CASE WHEN (k + t) % 2 = 0 THEN 'DisAllow: /a/' || chr(10) ELSE '' END
       |    || CASE WHEN k % 3 = 0 THEN 'Allow: /a/1' || chr(10) ELSE '' END
       |    || CASE WHEN k % 7 = 0 THEN 'Allow: /a/' || chr(10) ELSE '' END
       |    || CASE WHEN k % 5 = 0 THEN 'Disallow:' || chr(10) ELSE '' END
+      |    || CASE WHEN k % 9 = 0 THEN 'Crawl-delay: fast' || chr(10) ELSE '' END
+      |    || CASE WHEN k % 2 = 0 THEN 'Crawl-delay: ' || (k % 5 + 1)::VARCHAR || chr(10) ELSE '' END
       |    || CASE WHEN k % 4 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10)
       |         || 'Disallow: /b/' || chr(10) || 'Allow: /b/' || k::VARCHAR || chr(10)
+      |         || 'Crawl-delay: 7' || chr(10)
       |       ELSE '' END AS robots_txt
       |  FROM rb
       |), rl0 AS (
@@ -4206,12 +4320,133 @@ object Pipeline {
       |), best AS (
       |  SELECT doc_id, pos, rule_allow AS matched_allow, prefix AS matched_prefix
       |  FROM m WHERE rn = 1
-      |)
-      |SELECT p.doc_id, p.pos, p.url_canon, p.domain, p.path,
+      |)""".stripMargin
+
+  private val robotsOracle: String =
+    "WITH " + robotsDecisionCtes + "\n" +
+    """SELECT p.doc_id, p.pos, p.url_canon, p.domain, p.path,
       |  coalesce(b.matched_prefix, '') AS matched_prefix,
       |  coalesce(b.matched_allow, TRUE) AS allowed
       |FROM pathed p LEFT JOIN best b USING (doc_id, pos)
       |ORDER BY doc_id, pos""".stripMargin
+
+  /** t55 replay: the ENTIRE frontier-scheduler composition from
+    * scratch (the t43 composition-gate principle) — the t52 decision
+    * CTEs verbatim, the allowed filter, first-sighting URL dedup, the
+    * g10 page-domain pairing + weighted rank iterations (prefixed
+    * `pr`), the authority join, and the per-domain budget cut.
+    */
+  /** The t55 CTE chain through the budgeted frontier (`bud`), shared
+    * with the t56 schedule oracle.
+    */
+  private val crawlFrontierCtes: String = {
+    val prIters = (1 to 3).map { i =>
+      s"""prc$i AS (
+         |  SELECT e.dst AS id, CAST(sum(prr${i - 1}.r * e.w // g.ws) AS BIGINT) AS c
+         |  FROM predges e JOIN prr${i - 1} ON prr${i - 1}.id = e.src
+         |  JOIN prwsum g ON g.src = e.src
+         |  GROUP BY 1
+         |), prr$i AS (
+         |  SELECT n.id, CAST(150000 + (85 * coalesce(prc$i.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM prr${i - 1} n LEFT JOIN prc$i USING (id)
+         |)""".stripMargin
+    }.mkString(", ")
+    robotsDecisionCtes + ", " +
+    """dec AS (
+      |  SELECT p.doc_id, p.pos, p.url_canon, p.domain,
+      |    coalesce(b.matched_allow, TRUE) AS allowed
+      |  FROM pathed p LEFT JOIN best b USING (doc_id, pos)
+      |), al AS (
+      |  SELECT doc_id, pos, url_canon, domain FROM dec WHERE allowed
+      |), fsn AS (
+      |  SELECT * FROM al
+      |  QUALIFY row_number() OVER (PARTITION BY url_canon
+      |    ORDER BY doc_id, pos) = 1
+      |), pd AS (
+      |  SELECT doc_id,
+      |    'site' || (doc_id % 13)::VARCHAR
+      |    || CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+      |      AS page_domain
+      |  FROM documents
+      |), prpairs AS (
+      |  SELECT pd.page_domain, l.domain FROM links l JOIN pd USING (doc_id)
+      |), predges AS (
+      |  SELECT page_domain AS src, domain AS dst, CAST(count(*) AS BIGINT) AS w
+      |  FROM prpairs GROUP BY 1, 2
+      |), prnodes AS (
+      |  SELECT page_domain AS id FROM prpairs UNION SELECT domain FROM prpairs
+      |), prwsum AS (
+      |  SELECT src, CAST(sum(w) AS BIGINT) AS ws FROM predges GROUP BY 1
+      |), prr0 AS (
+      |  SELECT id, CAST(1000000 AS BIGINT) AS r FROM prnodes
+      |), """.stripMargin + prIters +
+    """, prank AS (
+      |  SELECT id AS domain, r AS rank FROM prr3
+      |), joined AS (
+      |  SELECT f.domain, f.url_canon,
+      |    coalesce(p.rank, CAST(0 AS BIGINT)) AS domain_rank,
+      |    f.doc_id, f.pos
+      |  FROM fsn f LEFT JOIN prank p ON p.domain = f.domain
+      |), bud AS (
+      |  SELECT domain, url_canon, domain_rank, doc_id, pos
+      |  FROM joined
+      |  QUALIFY row_number() OVER (PARTITION BY domain
+      |    ORDER BY doc_id, pos, url_canon) <= 3
+      |)""".stripMargin
+  }
+
+  private val crawlFrontierOracle: String =
+    "WITH " + crawlFrontierCtes + "\n" +
+    "SELECT domain, url_canon, domain_rank, doc_id, pos FROM bud\n" +
+    "ORDER BY domain, url_canon"
+
+  /** t56 replay: the whole frontier chain (`bud`), then the delay
+    * parser over the SAME `rdir` directive table — 4-directive group
+    * segmentation, the exact-UA selection, numeric-guarded MIN,
+    * 1-second defaulting — and the slot arithmetic.
+    */
+  private val fetchScheduleOracle: String =
+    "WITH " + crawlFrontierCtes + ", " +
+    """dkept AS (
+      |  SELECT domain, ln, directive, value FROM rdir
+      |  WHERE directive IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+      |), dstart AS (
+      |  SELECT domain, ln, directive, value,
+      |    CASE WHEN directive = 'user-agent' AND coalesce(
+      |        lag(directive) OVER (PARTITION BY domain ORDER BY ln), 'x')
+      |        <> 'user-agent'
+      |      THEN 1 ELSE 0 END AS ua_start
+      |  FROM dkept
+      |), dgrp AS (
+      |  SELECT domain, ln, directive, value,
+      |    CAST(sum(ua_start) OVER (PARTITION BY domain ORDER BY ln) AS BIGINT) AS grp
+      |  FROM dstart
+      |), dguas AS (
+      |  SELECT domain, grp,
+      |    max(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END) AS names_ua,
+      |    max(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS names_star
+      |  FROM dgrp WHERE directive = 'user-agent' GROUP BY 1, 2
+      |), dsel AS (
+      |  SELECT domain, grp FROM (
+      |    SELECT domain, grp, names_ua, names_star,
+      |      max(names_ua) OVER (PARTITION BY domain) AS has_ua
+      |    FROM dguas)
+      |  WHERE (has_ua = 1 AND names_ua = 1) OR (has_ua = 0 AND names_star = 1)
+      |), ddel AS (
+      |  SELECT g.domain, CAST(min(CAST(g.value AS BIGINT)) AS BIGINT) AS delay_s
+      |  FROM dgrp g JOIN dsel USING (domain, grp)
+      |  WHERE g.directive = 'crawl-delay' AND regexp_matches(g.value, '^[0-9]+$')
+      |  GROUP BY 1
+      |), sched AS (
+      |  SELECT b.domain, b.url_canon,
+      |    coalesce(d.delay_s, CAST(1 AS BIGINT)) AS delay_s,
+      |    CAST(row_number() OVER (PARTITION BY b.domain
+      |      ORDER BY b.doc_id, b.pos, b.url_canon) - 1 AS BIGINT) AS slot
+      |  FROM bud b LEFT JOIN ddel d USING (domain)
+      |)
+      |SELECT domain, url_canon, delay_s, slot,
+      |  CAST(slot * delay_s * 1000 AS BIGINT) AS fetch_at_ms
+      |FROM sched ORDER BY domain, url_canon""".stripMargin
 
   private def pageRankOracle(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
@@ -4913,6 +5148,8 @@ object Pipeline {
     "g10_domain_pagerank" -> domainPageRankOracle(iters = 3),
     "g11_hits" -> hitsOracle(iters = 2),
     "t52_robots" -> robotsOracle,
+    "t55_crawl_frontier" -> crawlFrontierOracle,
+    "t56_fetch_schedule" -> fetchScheduleOracle,
     // t53 replay: the injection formulas directly (the t45 pattern) —
     // rec_type/uri/payload per framed record plus the byte-exact
     // content_length (strlen ↔ octet_length); a delimiter-driven or
@@ -7185,6 +7422,8 @@ object Pipeline {
     "t52_robots"         -> t52Robots _,
     "t53_warc_records"   -> t53WarcRecords _,
     "t54_anchor_terms"   -> t54AnchorTerms _,
+    "t55_crawl_frontier" -> t55CrawlFrontier _,
+    "t56_fetch_schedule" -> t56FetchSchedule _,
     "e05_funnel"         -> e05Funnel _,
     "e07_cohort_retention" -> e07CohortRetention _,
     "e08_transitions"    -> e08Transitions _,

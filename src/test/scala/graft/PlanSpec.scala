@@ -96,6 +96,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("t55: both frontier cuts run on TopKPerKey; composition adds no Window, no mid-plan sort") {
+    val plan = planOf("t55_crawl_frontier")
+    // URL dedup (k=1) + per-domain budget (k=3): two streaming
+    // group-limits — never the window-function fallback
+    assert("TopKPerKey".r.findAllIn(plan).length >= 2, plan)
+    // the robots PARSER legitimately windows at rule cardinality; the
+    // frontier stages on top must add ZERO new window operators
+    val base = planOf("t52_robots")
+    def windows(p: String) = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows(plan) == windows(base),
+      s"frontier added windows: ${windows(plan)} vs base ${windows(base)}\n$plan")
+    // composing on the UNORDERED decision table: no rangepartitioning
+    // exchange anywhere below the final presentation sort
+    assert("rangepartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("q18: tiny period table joins as a broadcast nested loop (no shuffle range join)") {
     val plan = planOf("q18_range_join")
     assert(plan.contains("BroadcastNestedLoopJoin"), s"range join not broadcast:\n$plan")
@@ -738,6 +754,27 @@ class PlanSpec extends AnyFunSuite {
       s"link harvesting joins nothing — canonicalization is per-row:\n$pLinks")
     assert(pLinks.contains("Generate"),
       s"links should explode at link cardinality (posexplode), not widen rows:\n$pLinks")
+  }
+
+  test("t53/t54: container walk is one narrow codegen pass; anchor rollup shuffles once on (domain, term)") {
+    // WARC ingestion: the Content-Length walk + posexplode must reach
+    // the presentation sort without any hash exchange — at 100 TB the
+    // container corpus is the biggest input there is
+    val pWarc = planOf("t53_warc_records")
+    assert(!pWarc.contains("Exchange hashpartitioning"),
+      s"record walk shuffled:\n$pWarc")
+    assert(!pWarc.contains("Join") && pWarc.contains("Generate"),
+      s"records come from one explode, never a join:\n$pWarc")
+    assert(pWarc.contains("graft_warc_records"),
+      s"the walk must be the native expression:\n$pWarc")
+    // anchor-text rollup: extract/split/tokenize are per-row; the only
+    // exchanges are the exact-distinct's two-phase pair — a map-side
+    // combined (domain, term, doc_id) dedup shuffle, then the
+    // (domain, term) rollup at vocabulary cardinality — never a third
+    val pAnchor = planOf("t54_anchor_terms")
+    assert("Exchange hashpartitioning".r.findAllIn(pAnchor).size == 2,
+      s"anchor rollup is the two-phase distinct, nothing more:\n$pAnchor")
+    assert(!pAnchor.contains("Join"), s"no join in the rollup:\n$pAnchor")
   }
 
   test("t47: per-line langid shuffles ONLY doc-keyed — two aggs + one join back, no corpus-wide window") {

@@ -74,6 +74,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(ok.getAs[Boolean]("allowed") && ok.getAs[String]("matched_prefix") == "/b/ok")
   }
 
+  test("parseCrawlDelay: UA override, min of repeats, malformed ignored, headerless binds nobody, default") {
+    def delays(rows: Seq[(String, String)], ua: String): Map[String, Long] =
+      UrlOps.parseCrawlDelay(rows.toDF("domain", "robots_txt"), ua)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d1 = Seq(
+      "Crawl-delay: 9",          // headerless: binds nobody
+      "User-agent: *",
+      "Disallow: /a/",
+      "Crawl-delay: fast",       // non-numeric: ignored
+      "Crawl-delay: 5",
+      "Crawl-delay: 3",          // repeat: MIN wins
+      "",
+      "User-agent: graftbot",
+      "Crawl-delay: 7").mkString("\n")
+    val robots = Seq(
+      ("d1.com", d1),
+      ("d2.com", "User-agent: *\nDisallow: /"),      // no delay → default
+      ("d3.com", "Crawl-delay: 4"),                  // ONLY headerless → default
+      ("d4.com", "User-agent: *\nCrawl-delay: 08"))  // leading zero is numeric
+    // graftbot: the exact-UA group overrides the * group's 3
+    val gb = delays(robots, "GraftBot")
+    assert(gb == Map("d1.com" -> 7L, "d2.com" -> 1L, "d3.com" -> 1L,
+      "d4.com" -> 8L), gb)
+    // an unnamed bot takes the * group: min(5, 3), fast ignored
+    val anon = delays(robots, "nobody")
+    assert(anon("d1.com") == 3L && anon("d2.com") == 1L && anon("d3.com") == 1L)
+    // every input domain appears exactly once, never NULL
+    assert(anon.size == 4)
+  }
+
   test("canonicalizeUrl: case, ports, utm params, fragments, trailing slashes") {
     val cases = Seq(
       // lowercased scheme+host, default https port stripped
