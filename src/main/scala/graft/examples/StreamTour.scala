@@ -471,6 +471,40 @@ object StreamTour {
         exactP99 >= served.getLong(4) && exactP99 <= served.getLong(5)
     }
 
+    check("continuous link graph equals the batch rollup; cross-batch re-links merge exactly") {
+      // the crawl-prioritization table folded as pages arrive: state
+      // keys (source, domain, page) so distinct-page counts merge
+      // EXACTLY across batches — pages re-linking a domain later grow
+      // n_links but not n_pages
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("streamtour_links")
+        .toFile.getAbsolutePath
+      val pages = graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("source"),
+          concat(lit("<html><body><a href=\"https://site"),
+            pmod(col("doc_id"), lit(23)), lit(".com/p/"), col("doc_id"),
+            lit("\">x</a><a href=\"http://site"), pmod(col("doc_id"), lit(7)),
+            lit(".com:80/q\">y</a></body></html>")).as("html"))
+        .as[(Long, String, String)].collect()
+      val (p1, p2) = pages.splitAt(pages.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingLinks.startAt(
+        input.toDF().toDF("doc_id", "source", "html"),
+        s"$root/state", s"$root/ckpt")
+      try {
+        input.addData(p1.toIndexedSeq); q.processAllAvailable()
+        input.addData(p2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val served = graft.streaming.StreamingLinks.linkGraph(
+        spark.read.parquet(s"$root/state"))
+      val whole = graft.streaming.StreamingLinks.linkGraph(
+        graft.streaming.StreamingLinks.linkState(
+          graft.streaming.StreamingLinks.harvest(
+            pages.toSeq.toDF("doc_id", "source", "html"))))
+      served.exceptAll(whole).isEmpty && whole.exceptAll(served).isEmpty
+    }
+
     check("continuous spike detector state equals the batch hourly counts; report fires") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val root = java.nio.file.Files.createTempDirectory("streamtour_spike")
