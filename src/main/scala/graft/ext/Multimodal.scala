@@ -1139,6 +1139,74 @@ object Multimodal {
       "energy_per_sample", "silence_micro", "keep")
   }
 
+  /** Minimal per-payload audio report — (media_id, n_samples, peak,
+    * energy), all exact integers; the before/after measurement the m15
+    * normalization gate joins on. One decode per row, narrow.
+    */
+  def audioStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val s = AudioCodec.decodeWav(r.payload)
+        var energy = 0L; var peak = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = math.abs(s(i).toLong)
+          energy += v * v
+          if (v > peak) peak = v
+          i += 1
+        }
+        (r.media_id, s.length.toLong, peak, energy)
+      }
+    }.toDF("media_id", "n_samples", "peak", "energy")
+  }
+
+  /** Peak normalization — the loudness-leveling TRANSFORM of the audio
+    * family (the m13-resize analogue for sound): decode, find the peak
+    * magnitude, rescale every sample to `s' = s · targetPeak / peak`
+    * with TRUNCATING integer division (toward zero — the convention
+    * BOTH engines share: JVM `/` on longs and DuckDB/Spark-SQL integer
+    * division all truncate, so negative samples replay exactly; floor
+    * division would round them the other way and split the hash),
+    * re-encode losslessly. Contracts: `|s'| ≤ targetPeak` by
+    * construction; a peak already AT target reproduces samples
+    * bit-identically (gain 1 is exact); an all-zero payload passes
+    * through unchanged (no gain is defined for silence — pass-through
+    * beats an arbitrary choice, and the quality gate upstream drops
+    * silence anyway). One decode+encode per row, payloads never
+    * shuffle.
+    */
+  def normalizeAudio(media: Dataset[MediaRow],
+      targetPeak: Int = 28000): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(targetPeak > 0 && targetPeak <= 32767,
+      s"targetPeak must be in [1, 32767], got $targetPeak")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        require(r.meta.format == WavFormat,
+          s"normalizeAudio needs a $WavFormat payload, got ${r.meta.format}")
+        val s = AudioCodec.decodeWav(r.payload)
+        var peak = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = math.abs(s(i).toLong)
+          if (v > peak) peak = v
+          i += 1
+        }
+        if (peak == 0L) r
+        else {
+          val out = new Array[Short](s.length)
+          var j = 0
+          while (j < s.length) {
+            out(j) = (s(j).toLong * targetPeak / peak).toShort
+            j += 1
+          }
+          r.copy(payload = AudioCodec.encodeWav(out))
+        }
+      }
+    }
+  }
+
   // ---------------------------------------------------------------------
   // PNG metadata: tEXt chunks inserted/parsed at the BYTE level per the
   // PNG spec (length + type + data + CRC32 over type||data) — real

@@ -1323,6 +1323,29 @@ object TextOps {
   val AnchorElementPattern: String =
     "(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)</a>"
 
+  /** Structured page metadata — title, meta description, canonical
+    * URL: the three fields a crawl's PAGE TABLE carries next to the
+    * extracted text (title for retrieval/display, description for
+    * snippet quality signals, canonical for dedup — a page declaring
+    * another URL canonical is the site itself saying "duplicate").
+    * First match wins (document order — `regexp_extract` semantics in
+    * both engines); no match yields `''`, never NULL. Same RE2-safe
+    * double-quoted grammar discipline as [[htmlLinks]]; the
+    * name-before-content / rel-before-href attribute order is the
+    * documented boundary (the overwhelmingly common spelling).
+    */
+  val TitlePattern: String = "(?is)<title[^>]*>([^<]*)</title>"
+  val MetaDescPattern: String =
+    "(?is)<meta\\s[^>]*?name\\s*=\\s*\"description\"[^>]*?content\\s*=\\s*\"([^\"]*)\"[^>]*>"
+  val CanonicalPattern: String =
+    "(?is)<link\\s[^>]*?rel\\s*=\\s*\"canonical\"[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>"
+
+  def pageTitle(html: Column): Column = regexp_extract(html, TitlePattern, 1)
+  def pageMetaDescription(html: Column): Column =
+    regexp_extract(html, MetaDescPattern, 1)
+  def pageCanonical(html: Column): Column =
+    regexp_extract(html, CanonicalPattern, 1)
+
   /** The `href` of one [[htmlAnchorElements]] element. */
   def anchorHref(element: Column): Column =
     regexp_extract(element, AnchorElementPattern, 1)

@@ -1176,6 +1176,32 @@ object Pipeline {
       .orderBy(col("media_id"))
   }
 
+  /** Audio peak normalization under the gate
+    * ([[graft.ext.Multimodal.normalizeAudio]] — the loudness-leveling
+    * TRANSFORM next to m13's image resize): the class-seeded WAV
+    * corpus is rescaled to a 28000 peak with TRUNCATING division (the
+    * convention JVM `/` and DuckDB `//` share on negatives — floor
+    * would round negative samples the other way and split the hash), then
+    * measured before and after ([[graft.ext.Multimodal.audioStats]]).
+    * The oracle regenerates every PCM sample from id arithmetic,
+    * applies the same `(s · 28000) // peak` rescale, and re-derives
+    * n/peak/energy — so the whole decode → gain → re-encode → decode
+    * chain sits under the hash, including the `peak_out ≤ 28000`
+    * contract and gain-1 exactness.
+    */
+  def m15AudioNormalize(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticWavClasses(
+      Tables.documents(spark, dir))
+    val before = graft.ext.Multimodal.audioStats(media)
+      .select(col("media_id"), col("n_samples"), col("peak").as("peak_in"))
+    val after = graft.ext.Multimodal.audioStats(
+        graft.ext.Multimodal.normalizeAudio(media, targetPeak = 28000))
+      .select(col("media_id"), col("peak").as("peak_out"),
+        col("energy").as("energy_out"))
+    before.join(after, "media_id").orderBy(col("media_id"))
+  }
+
   /** Corpus-trained bigram LM scoring ([[TextOps.bigramLmScore]]) —
     * the CCNet-style LM quality filter with the log-prob sum
     * rationalized to integer micro-units: add-one-smoothed average
@@ -2698,6 +2724,41 @@ object Pipeline {
     * budget groups, and the delay table joins as a domain-cardinality
     * broadcast.
     */
+  /** Structured page metadata ([[TextOps.pageTitle]] /
+    * `pageMetaDescription` / `pageCanonical`): the three fields a
+    * crawl's page table carries next to the extracted text — title,
+    * description, canonical URL (the site's own duplicate
+    * declaration). The fixture exercises a decoy `keywords` meta
+    * BEFORE the description (the name-filter must skip it), an
+    * attribute-bearing title tag, an ABSENT description on every
+    * fourth doc (no-match must yield `''`, the NULL-free contract),
+    * and a decoy SECOND title in the body on every sixth (first match
+    * wins — both engines' `regexp_extract` semantics). All three
+    * extractors replay verbatim in the oracle.
+    */
+  def t57PageMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val desc = concat(lit("Summary "), pmod(d, lit(13)), lit(" of doc "), d)
+    val canon = concat(lit("https://site"), pmod(d, lit(23)), lit(".com/a/"), d)
+    val html = concat(
+      lit("<html><head><meta charset=\"utf-8\">" +
+        "<meta name=\"keywords\" content=\"k1,k2\"><title id=\"t\">Doc "), d,
+      lit(" overview</title>"),
+      when(pmod(d, lit(4)) =!= 0,
+        concat(lit("<meta name=\"description\" content=\""), desc, lit("\">")))
+        .otherwise(lit("")),
+      lit("<link rel=\"canonical\" href=\""), canon,
+      lit("\"></head><body><p>"), col("text"),
+      when(pmod(d, lit(6)) === 0, lit("<title>decoy second title</title>"))
+        .otherwise(lit("")),
+      lit("</p></body></html>"))
+    Tables.documents(spark, dir).select(d,
+        TextOps.pageTitle(html).as("title"),
+        TextOps.pageMetaDescription(html).as("description"),
+        TextOps.pageCanonical(html).as("canonical"))
+      .orderBy(d)
+  }
+
   def t56FetchSchedule(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val delays = graft.ext.UrlOps.parseCrawlDelay(
@@ -5573,6 +5634,66 @@ object Pipeline {
         |  CAST(8 AS INT) AS bit_depth,
         |  CAST(3 AS INT) AS n_channels
         |FROM documents ORDER BY media_id""".stripMargin,
+    // m15 replay: regenerate every PCM sample of the class-seeded WAV
+    // from id arithmetic (full per-class length, not just the
+    // fingerprint window), peak, the (s · 28000) // peak rescale —
+    // DuckDB `//` TRUNCATES toward zero on negatives, exactly like JVM
+    // long division — and the after-measurements
+    "m15_audio_normalize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 50 AS img, (doc_id // 50) % 3 AS nz
+        |  FROM documents
+        |), samp AS (
+        |  SELECT doc_id, i.i AS i,
+        |    CASE WHEN i.i = 0 THEN ((img * 31 + 101 * nz) % 65536) - 32768
+        |         ELSE ((img * 31 + i.i * (257 + img * 13) + 3 * i.i * i.i)
+        |               % 65536) - 32768 END AS s
+        |  FROM dims, LATERAL (
+        |    SELECT unnest(range(0, 512 + (dims.doc_id % 50))) AS i) i
+        |), pk AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(max(abs(s)) AS BIGINT) AS peak_in
+        |  FROM samp GROUP BY 1
+        |), ns AS (
+        |  SELECT s.doc_id, (s.s * 28000) // p.peak_in AS s2
+        |  FROM samp s JOIN pk p USING (doc_id)
+        |), o AS (
+        |  SELECT doc_id, CAST(max(abs(s2)) AS BIGINT) AS peak_out,
+        |    CAST(sum(s2 * s2) AS BIGINT) AS energy_out
+        |  FROM ns GROUP BY 1
+        |)
+        |SELECT p.doc_id AS media_id, p.n_samples, p.peak_in,
+        |  o.peak_out, o.energy_out
+        |FROM pk p JOIN o USING (doc_id) ORDER BY media_id""".stripMargin,
+    // t57 replay: identical injection + the three extractors verbatim
+    // (DuckDB regexp_extract also yields '' on no match and takes the
+    // FIRST match)
+    "t57_page_meta" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><meta charset="utf-8">'
+        |    || '<meta name="keywords" content="k1,k2"><title id="t">Doc '
+        |    || doc_id::VARCHAR || ' overview</title>'
+        |    || CASE WHEN doc_id % 4 <> 0 THEN
+        |         '<meta name="description" content="Summary '
+        |         || (doc_id % 13)::VARCHAR || ' of doc ' || doc_id::VARCHAR || '">'
+        |       ELSE '' END
+        |    || '<link rel="canonical" href="https://site' || (doc_id % 23)::VARCHAR
+        |    || '.com/a/' || doc_id::VARCHAR || '"></head><body><p>' || text
+        |    || CASE WHEN doc_id % 6 = 0 THEN '<title>decoy second title</title>'
+        |       ELSE '' END
+        |    || '</p></body></html>' AS html
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1) AS title,
+        |  regexp_extract(html,
+        |    '(?is)<meta\s[^>]*?name\s*=\s*"description"[^>]*?content\s*=\s*"([^"]*)"[^>]*>',
+        |    1) AS description,
+        |  regexp_extract(html,
+        |    '(?is)<link\s[^>]*?rel\s*=\s*"canonical"[^>]*?href\s*=\s*"([^"]*)"[^>]*>',
+        |    1) AS canonical
+        |FROM h ORDER BY doc_id""".stripMargin,
     "m13_jpeg_resize" ->
       """SELECT doc_id AS media_id,
         |  CAST(10 AS INT) AS width, CAST(7 AS INT) AS height,
@@ -7509,6 +7630,8 @@ object Pipeline {
     "m12_jpeg_decode"    -> m12JpegDecode _,
     "m13_jpeg_resize"    -> m13JpegResize _,
     "m14_container_meta" -> m14ContainerMeta _,
+    "m15_audio_normalize" -> m15AudioNormalize _,
+    "t57_page_meta"      -> t57PageMeta _,
     "d16_audio_fp_pairs" -> d16AudioFpPairs _,
     "d17_url_dedup"      -> d17UrlDedup _,
     "d18_image_dhash_new" -> d18ImageDhashNew _,

@@ -526,6 +526,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(links("no anchors here") == Seq.empty)
   }
 
+  test("pageTitle/pageMetaDescription/pageCanonical: first match wins, decoys skipped, no-match is ''") {
+    def meta(html: String): (String, String, String) =
+      Seq(html).toDF("h").select(
+        TextOps.pageTitle(col("h")), TextOps.pageMetaDescription(col("h")),
+        TextOps.pageCanonical(col("h")))
+        .as[(String, String, String)].collect()(0)
+    val full = "<html><head><meta charset=\"utf-8\">" +
+      "<meta name=\"keywords\" content=\"skip,me\">" + // decoy: wrong name
+      "<title id=\"x\">First Title</title>" +
+      "<meta name=\"description\" content=\"the summary\">" +
+      "<link rel=\"stylesheet\" href=\"/skip.css\">" + // decoy: wrong rel
+      "<link rel=\"canonical\" href=\"https://a.com/c\">" +
+      "</head><body><title>second title</title></body></html>"
+    assert(meta(full) == (("First Title", "the summary", "https://a.com/c")))
+    // nothing present → '' everywhere, never NULL
+    assert(meta("<html><body>plain</body></html>") == (("", "", "")))
+    // empty title element is a match with empty text
+    assert(meta("<title></title>")._1 == "")
+  }
+
   test("htmlAnchorElements: href/text split, order, case, nested-markup boundary") {
     def anchors(html: String): Seq[(String, String)] =
       Seq(html).toDF("h")

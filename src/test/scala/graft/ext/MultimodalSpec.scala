@@ -482,6 +482,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(4L)._6 == 2500L)
   }
 
+  test("normalizeAudio: truncating gain, negative rounding, silence pass-through, gain-1 identity") {
+    import spark.implicits._
+    import graft.ext.Multimodal.{AudioCodec, MediaMeta, MediaRow}
+    def clip(id: Long, samples: Array[Short]) =
+      MediaRow(id, MediaMeta("audio", Multimodal.WavFormat, 0, 0),
+        AudioCodec.encodeWav(samples))
+    val media = Seq(
+      // peak 4, target 10: 3→7 (30/4 trunc), -3→-7 (TRUNCATION toward
+      // zero — floor would give -8), 4→10, -4→-10
+      clip(1L, Array[Short](3, -3, 4, -4)),
+      clip(2L, Array.fill(5)(0.toShort)),          // silence: pass-through
+      clip(3L, Array[Short](10, -10, 5)),          // peak == target: identity
+      clip(4L, Array[Short](Short.MinValue, 100))  // -32768 rail: exact -10
+    ).toDS()
+    val out = Multimodal.normalizeAudio(media, targetPeak = 10)
+      .collect().map(r => r.media_id -> AudioCodec.decodeWav(r.payload)).toMap
+    assert(out(1L).toSeq == Seq[Short](7, -7, 10, -10), out(1L).toSeq)
+    assert(out(2L).toSeq == Seq[Short](0, 0, 0, 0, 0), "silence must pass through")
+    assert(out(3L).toSeq == Seq[Short](10, -10, 5), "gain 1 must be exact")
+    assert(out(4L)(0) == -10 && out(4L)(1) == 0, out(4L).toSeq) // 100·10/32768 = 0
+    // |s'| ≤ target everywhere
+    assert(out.values.forall(_.forall(s => math.abs(s.toInt) <= 10)))
+    // non-WAV payloads fail loudly, never silently mangle
+    val bad = Seq(MediaRow(9L, MediaMeta("image", Multimodal.PngFormat, 1, 1),
+      Array[Byte](1, 2, 3))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.normalizeAudio(bad).collect()
+    }
+    assert(e.getMessage.contains("normalizeAudio") ||
+      Option(e.getCause).exists(_.getMessage.contains("normalizeAudio")))
+    // audioStats recomputes: doc 1 after = 49+49+100+100
+    val st = Multimodal.audioStats(Multimodal.normalizeAudio(media, 10))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(st(1L) == ((4L, 10L, 298L)), st(1L))
+  }
+
   test("hammingPairsNew: equals full pairs restricted to the batch; batch supersedes") {
     import spark.implicits._
     val media = Multimodal.syntheticPngClasses(docs.limit(100))
