@@ -598,6 +598,28 @@ object Bench {
             .unionByName(graft.ext.Multimodal.syntheticJpeg(
               docsAt(n).filter(col("doc_id") % 2 =!= 0))))
       }),
+      // audio peak normalization (m15): one decode + gain + re-encode
+      // per row (the audio_gate cost model plus the encode side) —
+      // growth must be codec-linear, payloads never shuffle
+      "audio_normalize" -> (n => {
+        implicit val s: org.apache.spark.sql.SparkSession = spark
+        graft.ext.Multimodal.audioStats(
+          graft.ext.Multimodal.normalizeAudio(
+            graft.ext.Multimodal.syntheticWavClasses(docsAt(n))))
+      }),
+      // structured page metadata (t57): three regexp_extract
+      // projections per page, no explode, no shuffle — pure scan cost
+      "page_meta" -> (n => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><meta name=\"description\" content=\"s"), col("doc_id"),
+          lit("\"><link rel=\"canonical\" href=\"https://e.com/"), col("doc_id"),
+          lit("\"></head><body><p>"), col("text"), lit("</p></body></html>"))
+        docsAt(n).select(col("doc_id"),
+          TextOps.pageTitle(html).as("title"),
+          TextOps.pageMetaDescription(html).as("description"),
+          TextOps.pageCanonical(html).as("canonical"))
+      }),
       // g10: the harvest is a narrow per-page projection and the graph
       // after the rollup lives at DOMAIN cardinality — ×n multiplies
       // pages, not domains (the mod formulas land every copy in the

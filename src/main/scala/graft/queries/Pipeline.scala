@@ -2724,6 +2724,58 @@ object Pipeline {
     * budget groups, and the delay table joins as a domain-cardinality
     * broadcast.
     */
+  /** Domain reputation — the crawl FEEDBACK table: which domains
+    * produce keepable text. Per registrable domain of each doc's URL
+    * (the t21 formula): doc count, Gopher keep rate and exact-dup rate
+    * in truncating integer micros, and total words — exactly the
+    * quality-weighted signal a crawler folds back into its frontier
+    * ranking (g10 rank says who is LINKED; this says who is WORTH
+    * fetching; t55 consumes both at the same domain key). The oracle
+    * recomposes all three signals from scratch — the t20 metric CTEs,
+    * the d01 first-occurrence dup flag (partitioned BY TEXT; the Spark
+    * side windows on sha2 — the scale-correct key, same flags), the
+    * t21 domain chain — and the micro-rate rollup, so the gate pins
+    * the COMPOSITION (the t43 principle). Scale shape: three narrow
+    * per-doc projections, one text-hash-keyed window, one
+    * doc-id-keyed join pair, one rollup at domain cardinality.
+    */
+  def t58DomainReputation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val id = col("doc_id")
+    val url = concat(
+      lit("https://"),
+      when(id % 4 === 0, lit("www.")).when(id % 4 === 1, lit("WWW."))
+        .otherwise(lit("")),
+      lit("site"), (id % 23).cast("string"),
+      element_at(array(lit(".com"), lit(".org"), lit(".net")),
+        (id % 3 + 1).cast("int")),
+      when(id % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), id.cast("string"),
+      when(id % 2 === 1, lit("/")).otherwise(lit("")),
+      when(id % 2 === 0, concat(lit("?utm_source=feed&id="), id.cast("string")))
+        .otherwise(concat(lit("?id="), id.cast("string"))),
+      when(id % 7 === 0, lit("#sec")).otherwise(lit("")))
+    val domains = docs.select(id, url.as("url"))
+      .select(id, graft.ext.UrlOps.registrableDomain(
+        graft.ext.UrlOps.canonicalizeUrl(col("url"))).as("domain"))
+    val quality = TextOps.gopherRules(docs)
+      .select(id, col("n_words"), col("keep"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(id)
+    val dups = docs.select(id, sha2(col("text"), 256).as("h"))
+      .withColumn("dup", (row_number().over(w) > 1).cast("long"))
+      .select(id, col("dup"))
+    domains.join(quality, "doc_id").join(dups, "doc_id")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_keep"),
+        sum("dup").as("n_dup"), sum("n_words").as("words_total"))
+      .select(col("domain"), col("n_docs"),
+        expr("n_keep * 1000000L div n_docs").as("keep_micro"),
+        expr("n_dup * 1000000L div n_docs").as("dup_micro"),
+        col("words_total"))
+      .orderBy(col("domain"))
+  }
+
   /** Structured page metadata ([[TextOps.pageTitle]] /
     * `pageMetaDescription` / `pageCanonical`): the three fields a
     * crawl's page table carries next to the extracted text — title,
@@ -5665,6 +5717,69 @@ object Pipeline {
         |SELECT p.doc_id AS media_id, p.n_samples, p.peak_in,
         |  o.peak_out, o.energy_out
         |FROM pk p JOIN o USING (doc_id) ORDER BY media_id""".stripMargin,
+    // t58 replay: the COMPOSITION from scratch — t20's metric CTEs,
+    // the d01 first-occurrence dup flag partitioned by raw text, the
+    // t21 host→domain fragment, and the truncating micro-rate rollup
+    "t58_domain_reputation" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS n_words,
+        |    length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) AS nonws,
+        |    len(regexp_extract_all(text, '#|\.\.\.|…')) AS sym,
+        |    string_split_regex(trim(text), '[ \t\n\f\r]+') AS raw_toks,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (nonws * 1000000) // n_words END AS mwl_micro,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (sym * 1000000) // n_words END AS sym_micro,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (len(list_filter(raw_toks,
+        |                x -> regexp_matches(x, '[A-Za-z]'))) * 1000000)
+        |              // n_words END AS alpha_micro,
+        |    len(list_intersect(toks,
+        |      ['the','a','an','and','or','of','to','in','is','it'])) AS stop_hits
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, n_words,
+        |    CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+        |               AND mwl_micro BETWEEN 3000000 AND 10000000
+        |               AND sym_micro <= 100000
+        |               AND alpha_micro >= 800000
+        |               AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |  FROM m
+        |), dd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1
+        |      THEN 1 ELSE 0 END AS dup
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(
+        |      CASE WHEN doc_id % 4 = 0 THEN 'www.'
+        |           WHEN doc_id % 4 = 1 THEN 'WWW.' ELSE '' END ||
+        |      'site' || (doc_id % 23)::VARCHAR ||
+        |      CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |           ELSE '.net' END), '^www\.', '') AS domain
+        |  FROM documents
+        |), j AS (
+        |  SELECT u.domain, g.n_words, g.keep, dd.dup
+        |  FROM u JOIN g USING (doc_id) JOIN dd USING (doc_id)
+        |), r AS (
+        |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(keep) AS BIGINT) AS n_keep,
+        |    CAST(sum(dup) AS BIGINT) AS n_dup,
+        |    CAST(sum(n_words) AS BIGINT) AS words_total
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT domain, n_docs,
+        |  CAST((n_keep * 1000000) // n_docs AS BIGINT) AS keep_micro,
+        |  CAST((n_dup * 1000000) // n_docs AS BIGINT) AS dup_micro,
+        |  words_total
+        |FROM r ORDER BY domain""".stripMargin,
     // t57 replay: identical injection + the three extractors verbatim
     // (DuckDB regexp_extract also yields '' on no match and takes the
     // FIRST match)
@@ -7632,6 +7747,7 @@ object Pipeline {
     "m14_container_meta" -> m14ContainerMeta _,
     "m15_audio_normalize" -> m15AudioNormalize _,
     "t57_page_meta"      -> t57PageMeta _,
+    "t58_domain_reputation" -> t58DomainReputation _,
     "d16_audio_fp_pairs" -> d16AudioFpPairs _,
     "d17_url_dedup"      -> d17UrlDedup _,
     "d18_image_dhash_new" -> d18ImageDhashNew _,
