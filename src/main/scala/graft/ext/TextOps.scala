@@ -1403,6 +1403,43 @@ object TextOps {
     * df/N statistics are term-cardinality-sized and broadcast back;
     * top-k is a TakeOrdered, never a global sort.
     */
+  /** Exact-PHRASE occurrence search — the retrieval primitive
+    * bag-of-words BM25 cannot express (and the shape benchmark
+    * decontamination actually needs: "does this eval PROMPT appear
+    * verbatim", not "do its words co-occur"). Token-sequence
+    * semantics over the house whitespace tokenization (lowercased, so
+    * it composes with [[bm25TopK]]'s convention): a hit at position p
+    * means tokens p..p+k−1 equal the phrase. Returns one row per doc
+    * with ≥ 1 hit: `(doc_id, n_hits, first_pos)` (0-based).
+    *
+    * Plan shape, the reason this scales: positions of NON-PHRASE
+    * tokens never leave the scan — the per-word `token = w_i` filters
+    * run against the exploded projection before any exchange, so the
+    * k−1 adjacency semi-joins shuffle only the phrase words'
+    * positions (corpus-frequency-of-w sized, not corpus sized), keyed
+    * (doc_id, pos). Overlapping occurrences all count ("aaa" has two
+    * "a a" hits) — the honest sliding-window contract, pinned by the
+    * oracle's window replay.
+    */
+  def phraseOccurrences(docs: DataFrame, phrase: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val words = phrase.map(_.toLowerCase)
+    val p = docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))))
+      .toDF("doc_id", "pos", "tok")
+    var cur = p.filter(col("tok") === words.head)
+      .select(col("doc_id"), col("pos"))
+    for (i <- 1 until words.length) {
+      val pi = p.filter(col("tok") === words(i))
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+      cur = cur.join(pi, Seq("doc_id", "pos"), "left_semi")
+    }
+    cur.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("pos")).cast("long").as("first_pos"))
+  }
+
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
       idfCap: Long = 1000000000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

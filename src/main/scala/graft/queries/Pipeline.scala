@@ -2724,6 +2724,28 @@ object Pipeline {
     * budget groups, and the delay table joins as a domain-cardinality
     * broadcast.
     */
+  /** Exact-phrase retrieval ([[TextOps.phraseOccurrences]]) — the
+    * verbatim-match decontamination primitive next to t16's
+    * bag-of-words BM25: positions of `spark vector merge` over the
+    * corpus with a deterministic injection (every ninth doc gets the
+    * phrase appended, every 27th twice — so multi-hit counting is
+    * under the gate alongside any NATURAL occurrences the token soup
+    * produces). The oracle replays injection + the full sliding-window
+    * token-sequence semantics (1-based list walk, rebased to the
+    * 0-based positions), so hit counts AND first positions hash-gate.
+    */
+  def t59PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val injected = Tables.documents(spark, dir).select(d,
+      concat(col("text"),
+        when(pmod(d, lit(9)) === 0, lit(" spark vector merge"))
+          .otherwise(lit("")),
+        when(pmod(d, lit(27)) === 0, lit(" spark vector merge"))
+          .otherwise(lit(""))).as("text"))
+    TextOps.phraseOccurrences(injected, Seq("spark", "vector", "merge"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Domain reputation — the crawl FEEDBACK table: which domains
     * produce keepable text. Per registrable domain of each doc's URL
     * (the t21 formula): doc count, Gopher keep rate and exact-dup rate
@@ -5717,6 +5739,30 @@ object Pipeline {
         |SELECT p.doc_id AS media_id, p.n_samples, p.peak_in,
         |  o.peak_out, o.energy_out
         |FROM pk p JOIN o USING (doc_id) ORDER BY media_id""".stripMargin,
+    // t59 replay: injection + the sliding-window token-sequence walk
+    // (DuckDB lists are 1-based; first_pos rebases to the Spark side's
+    // 0-based posexplode)
+    "t59_phrase_search" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 9 = 0 THEN ' spark vector merge' ELSE '' END ||
+        |    CASE WHEN doc_id % 27 = 0 THEN ' spark vector merge' ELSE '' END
+        |      AS text
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS T
+        |  FROM inj
+        |), hits AS (
+        |  SELECT doc_id, i.i AS pos1
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(T) - 1)) AS i) i
+        |  WHERE T[CAST(i.i AS INT)] = 'spark'
+        |    AND T[CAST(i.i + 1 AS INT)] = 'vector'
+        |    AND T[CAST(i.i + 2 AS INT)] = 'merge'
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(pos1) - 1 AS BIGINT) AS first_pos
+        |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // t58 replay: the COMPOSITION from scratch — t20's metric CTEs,
     // the d01 first-occurrence dup flag partitioned by raw text, the
     // t21 host→domain fragment, and the truncating micro-rate rollup
@@ -7748,6 +7794,7 @@ object Pipeline {
     "m15_audio_normalize" -> m15AudioNormalize _,
     "t57_page_meta"      -> t57PageMeta _,
     "t58_domain_reputation" -> t58DomainReputation _,
+    "t59_phrase_search"  -> t59PhraseSearch _,
     "d16_audio_fp_pairs" -> d16AudioFpPairs _,
     "d17_url_dedup"      -> d17UrlDedup _,
     "d18_image_dhash_new" -> d18ImageDhashNew _,

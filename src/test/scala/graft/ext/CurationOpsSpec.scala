@@ -526,6 +526,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(links("no anchors here") == Seq.empty)
   }
 
+  test("phraseOccurrences: sliding-window overlap counting, case, single word, hitless docs absent") {
+    def hits(docs: Seq[(Long, String)], phrase: Seq[String]): Map[Long, (Long, Long)] =
+      TextOps.phraseOccurrences(docs.toDF("doc_id", "text"), phrase)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Seq(
+      (1L, "the quick Brown fox and the brown fox again"),
+      (2L, "a a a a"),            // overlapping "a a": 3 sliding hits
+      (3L, "brown nothing fox"),  // words present, sequence absent
+      (4L, ""))                   // empty doc: no rows
+    assert(hits(docs, Seq("Brown", "FOX")) ==
+      Map(1L -> ((2L, 2L))), "case-insensitive, both occurrences, first at 2")
+    assert(hits(docs, Seq("a", "a")) == Map(2L -> ((3L, 0L))),
+      "overlaps all count")
+    assert(hits(docs, Seq("fox")) ==
+      Map(1L -> ((2L, 3L)), 3L -> ((1L, 2L))), "single-word phrase")
+    assert(hits(docs, Seq("missing", "phrase")).isEmpty)
+  }
+
   test("pageTitle/pageMetaDescription/pageCanonical: first match wins, decoys skipped, no-match is ''") {
     def meta(html: String): (String, String, String) =
       Seq(html).toDF("h").select(
