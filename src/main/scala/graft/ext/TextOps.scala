@@ -119,7 +119,7 @@ object TextOps {
     */
   def gopherRules(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", minWords: Int = 30,
-      maxWords: Int = 100000): DataFrame = {
+      maxWords: Int = 100000, keepCols: Seq[String] = Nil): DataFrame = {
     val text = col(textCol)
     val toks = tokens(text)
     val nWords = tokenCount(text).cast("long")
@@ -129,16 +129,18 @@ object TextOps {
     val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
     val stopHits = size(array_intersect(
       tokens(lower(text)), array(StopwordsEn.map(lit): _*))).cast("long")
-    docs.select(col(idCol), nWords.as("n_words"), nonWs.as("_nonws"),
-        sym.as("_sym"), alphaWords.as("_alpha"), stopHits.as("stop_hits"))
-      .select(col(idCol), col("n_words"),
+    val passthrough = keepCols.map(col)
+    docs.select(Seq(col(idCol), nWords.as("n_words"), nonWs.as("_nonws"),
+        sym.as("_sym"), alphaWords.as("_alpha"), stopHits.as("stop_hits")) ++
+        passthrough: _*)
+      .select(Seq(col(idCol), col("n_words"),
         when(col("n_words") === 0, 0L)
           .otherwise(expr("_nonws * 1000000 div n_words")).as("mwl_micro"),
         when(col("n_words") === 0, 0L)
           .otherwise(expr("_sym * 1000000 div n_words")).as("sym_micro"),
         when(col("n_words") === 0, 0L)
           .otherwise(expr("_alpha * 1000000 div n_words")).as("alpha_micro"),
-        col("stop_hits"))
+        col("stop_hits")) ++ passthrough: _*)
       .withColumn("keep",
         (col("n_words").between(minWords, maxWords) &&
           col("mwl_micro").between(3000000L, 10000000L) &&

@@ -2757,9 +2757,10 @@ object Pipeline {
     * the d01 first-occurrence dup flag (partitioned BY TEXT; the Spark
     * side windows on sha2 — the scale-correct key, same flags), the
     * t21 domain chain — and the micro-rate rollup, so the gate pins
-    * the COMPOSITION (the t43 principle). Scale shape: three narrow
-    * per-doc projections, one text-hash-keyed window, one
-    * doc-id-keyed join pair, one rollup at domain cardinality.
+    * the COMPOSITION (the t43 principle). Scale shape: ONE per-doc
+    * projection carries all three signals (no doc-keyed joins — the
+    * oracle joins, the engine does not have to), then a text-hash
+    * window and a domain-cardinality rollup — two exchanges total.
     */
   def t58DomainReputation(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -2777,17 +2778,19 @@ object Pipeline {
       when(id % 2 === 0, concat(lit("?utm_source=feed&id="), id.cast("string")))
         .otherwise(concat(lit("?id="), id.cast("string"))),
       when(id % 7 === 0, lit("#sec")).otherwise(lit("")))
-    val domains = docs.select(id, url.as("url"))
-      .select(id, graft.ext.UrlOps.registrableDomain(
-        graft.ext.UrlOps.canonicalizeUrl(col("url"))).as("domain"))
-    val quality = TextOps.gopherRules(docs)
-      .select(id, col("n_words"), col("keep"))
+    val canon = graft.ext.UrlOps.canonicalizeUrl(url)
+    // ONE projection carries all three per-doc signals (quality
+    // metrics, text hash, domain) — no doc-keyed joins; the only
+    // exchanges left are the dup window (text-hash-keyed) and the
+    // domain rollup
+    val sig = TextOps.gopherRules(
+      docs.select(id, col("text"),
+        graft.ext.UrlOps.registrableDomain(canon).as("domain"),
+        sha2(col("text"), 256).as("h")),
+      keepCols = Seq("domain", "h"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h")).orderBy(id)
-    val dups = docs.select(id, sha2(col("text"), 256).as("h"))
-      .withColumn("dup", (row_number().over(w) > 1).cast("long"))
-      .select(id, col("dup"))
-    domains.join(quality, "doc_id").join(dups, "doc_id")
+    sig.withColumn("dup", (row_number().over(w) > 1).cast("long"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_keep"),
         sum("dup").as("n_dup"), sum("n_words").as("words_total"))

@@ -777,6 +777,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!pAnchor.contains("Join"), s"no join in the rollup:\n$pAnchor")
   }
 
+  test("t58: one signal projection, no doc-keyed join — dup window + domain rollup are the only exchanges") {
+    val plan = planOf("t58_domain_reputation")
+    assert(!plan.contains("Join"),
+      s"signals must ride ONE projection, never join per doc:\n$plan")
+    // text-hash window + two-phase rollup partials land in ≤ 2 hash
+    // exchanges; the presentation sort adds the single range exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("t47: per-line langid shuffles ONLY doc-keyed — two aggs + one join back, no corpus-wide window") {
     val plan = planOf("t47_langid_lines")
     // line scoring is narrow (posexplode + scorer projection); the only
