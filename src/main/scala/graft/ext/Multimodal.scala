@@ -1003,6 +1003,119 @@ object Multimodal {
     }
   }
 
+  /** Silence-padded synthetic WAV fixture for the trim family: the
+    * [[syntheticWavClasses]] chirp wrapped in `id % 7` leading and
+    * `id % 5` trailing noise-floor samples (`(id + i) % 3 − 1` ∈
+    * {−1, 0, 1} — nonzero but far below any trim threshold), so trims
+    * have real work on both ends and the whole padded stream replays
+    * from id arithmetic.
+    */
+  def syntheticWavPadded(docs: DataFrame, idCol: String = "doc_id",
+      classes: Int = 50, noiseLevels: Int = 3)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = Math.floorMod(id, classes.toLong)
+        val nz = Math.floorMod(id / classes, noiseLevels.toLong)
+        val n = (512 + Math.floorMod(img, 384L)).toInt
+        val lead = Math.floorMod(id, 7L).toInt
+        val trail = Math.floorMod(id, 5L).toInt
+        val samples = new Array[Short](lead + n + trail)
+        var i = 0
+        while (i < samples.length) {
+          val v: Long =
+            if (i < lead || i >= lead + n) Math.floorMod(id + i, 3L) - 1L
+            else {
+              val j = i - lead
+              val base =
+                if (j == 0) img * 31 + 101 * nz
+                else img * 31 + j.toLong * (257 + img * 13) + 3L * j * j
+              Math.floorMod(base, 65536L) - 32768L
+            }
+          samples(i) = v.toShort
+          i += 1
+        }
+        MediaRow(id, MediaMeta("audio", WavFormat, 0, 0), AudioCodec.encodeWav(samples))
+      }
+    }
+  }
+
+  /** Per-payload silence BOUNDS at `threshold` — one decode pass
+    * emitting the edit [[trimSilence]] will make: `(media_id,
+    * n_samples, lead, trail, kept_peak)` where lead/trail count the
+    * samples before the first / after the last with `|s| > threshold`
+    * (an all-quiet clip reports lead = n, trail = 0, kept_peak = 0).
+    * All integers — replayable positionally in SQL, which is what
+    * puts the m16 trim chain under the hash gate.
+    */
+  def silenceBounds(media: Dataset[MediaRow], threshold: Long): DataFrame = {
+    import media.sparkSession.implicits._
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val s = AudioCodec.decodeWav(r.payload)
+        var first = -1; var last = -1
+        var i = 0
+        while (i < s.length) {
+          if (math.abs(s(i).toLong) > threshold) {
+            if (first < 0) first = i
+            last = i
+          }
+          i += 1
+        }
+        if (first < 0) (r.media_id, s.length.toLong, s.length.toLong, 0L, 0L)
+        else {
+          var peak = 0L
+          var j = first
+          while (j <= last) {
+            val v = math.abs(s(j).toLong)
+            if (v > peak) peak = v
+            j += 1
+          }
+          (r.media_id, s.length.toLong, first.toLong,
+            (s.length - 1 - last).toLong, peak)
+        }
+      }
+    }.toDF("media_id", "n_samples", "lead", "trail", "kept_peak")
+  }
+
+  /** Leading/trailing silence TRIM — the speech-pipeline edit next to
+    * [[normalizeAudio]]'s gain: drop every sample before the first and
+    * after the last with `|s| > threshold`, re-encode the kept slice
+    * losslessly. An all-quiet payload trims to the EMPTY clip (zero
+    * samples — a valid WAV with data length 0, the honest answer for
+    * noise-floor audio; downstream length gates drop it). Interior
+    * quiet runs are untouched — trim is an EDGE edit, not a gate. One
+    * decode+encode per row, payloads never shuffle; [[silenceBounds]]
+    * is the decision's audit twin (m16 joins the two, pinning
+    * n_out = n − lead − trail and peak_out = kept_peak).
+    */
+  def trimSilence(media: Dataset[MediaRow], threshold: Long): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        require(r.meta.format == WavFormat,
+          s"trimSilence needs a $WavFormat payload, got ${r.meta.format}")
+        val s = AudioCodec.decodeWav(r.payload)
+        var first = -1; var last = -1
+        var i = 0
+        while (i < s.length) {
+          if (math.abs(s(i).toLong) > threshold) {
+            if (first < 0) first = i
+            last = i
+          }
+          i += 1
+        }
+        val kept =
+          if (first < 0) new Array[Short](0)
+          else java.util.Arrays.copyOfRange(s, first, last + 1)
+        r.copy(payload = AudioCodec.encodeWav(kept))
+      }
+    }
+  }
+
   /** Energy-profile audio fingerprint (Chromaprint-flavored, integer
     * end to end): decode the WAV, take the first `windows · window`
     * samples (every payload must cover them), per-window energy

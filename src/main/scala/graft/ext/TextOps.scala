@@ -1442,6 +1442,96 @@ object TextOps {
         min(col("pos")).cast("long").as("first_pos"))
   }
 
+  /** Within-window term CO-OCCURRENCE search — the proximity
+    * generalization of [[phraseOccurrences]] (a phrase is the ordered
+    * window-1 special case): a hit is a position pair `(pa, pb)` with
+    * `termA` at pa, `termB` at pb and `|pb − pa| ≤ window`, unordered
+    * — "vector NEAR merge" retrieval, the query shape between
+    * bag-of-words BM25 (no position constraint) and exact phrase
+    * (adjacency). One row per doc with ≥ 1 pair:
+    * `(doc_id, n_pairs, min_span)`. All pairs count (two term-A
+    * occurrences near one term-B yield two) — the honest contract the
+    * oracle's pair replay pins.
+    *
+    * Plan shape, same argument as [[phraseOccurrences]]: the per-term
+    * `token = w` filters run against the exploded projection before
+    * any exchange, so only the two terms' positions (corpus term
+    * frequency sized, not corpus sized) shuffle into the doc-keyed
+    * equi-join; the window test is a post-join filter on the co-doc
+    * pairs.
+    */
+  def proximityOccurrences(docs: DataFrame, termA: String, termB: String,
+      window: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val (wa, wb) = (termA.toLowerCase, termB.toLowerCase)
+    require(wa != wb, "proximity terms must differ")
+    val p = docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))))
+      .toDF("doc_id", "pos", "tok")
+    val a = p.filter(col("tok") === wa)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val b = p.filter(col("tok") === wb)
+      .select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("pb") - col("pa")) <= window)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pb") - col("pa"))).cast("long").as("min_span"))
+  }
+
+  /** Sparse tf-idf COSINE retrieval — the vector-space twin of
+    * [[bm25TopK]] over the same inverted-index plan shape. Weights are
+    * integer-rationalized (saturated tf times a rational milli-idf,
+    * the t16 pattern): dot product, query norm² and document norm² are
+    * EXACT longs, order-free under summation; the only float steps are
+    * the final long→double casts and the correctly-rounded IEEE
+    * sqrt/multiply/divide — bit-identical in any IEEE engine — and the
+    * emitted rank key is the TRUNCATED micro-cosine, so no
+    * rounding-sensitive float ever decides a row. Query terms absent
+    * from the corpus drop out of the query vector (df = 0 ⇒ no posting
+    * to weigh — the boundary a from-scratch replay shares). Returns
+    * `(doc_id, dot, d2, cos_micro)` for the top k by
+    * (cos_micro desc, doc_id).
+    *
+    * Scale shape: the df/idf table is token-keyed (the inverted-index
+    * build — one corpus-sized token shuffle shared with the norm
+    * pass); doc norms are a per-corpus ARTIFACT in spirit (persist
+    * next to the t36 text index and serving touches only the query
+    * terms' postings); the dot product aggregates only rows whose
+    * token is in the broadcast-literal query list; the top-k is a
+    * TakeOrdered, never a global sort.
+    */
+  def tfidfCosineTopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      tfCap: Long = 100L, idfCap: Long = 100000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("doc_id", "token")
+      .agg(least(count(lit(1)), lit(tfCap)).as("tfs"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = dfT.crossJoin(nDocs).select(col("token"),
+      least(lit(idfCap), expr("(1000 * (n_docs + 1)) div (df + 1)")).as("idf"))
+    val w = tf.join(idf, "token")
+      .select(col("doc_id"), col("token"),
+        (col("tfs") * col("idf")).as("w"), col("idf"))
+    val dnorm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("d2"))
+    val q2 = idf.where(col("token").isin(terms: _*))
+      .agg(sum(col("idf") * col("idf")).as("q2"))
+    val dot = w.where(col("token").isin(terms: _*))
+      .groupBy("doc_id").agg(sum(col("idf") * col("w")).as("dot"))
+    dot.join(dnorm, "doc_id").crossJoin(q2)
+      .select(col("doc_id"), col("dot"), col("d2"),
+        floor(col("dot").cast("double") /
+          (sqrt(col("q2").cast("double")) * sqrt(col("d2").cast("double")))
+          * 1e6).cast("long").as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("doc_id")).limit(k)
+  }
+
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
       idfCap: Long = 1000000000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

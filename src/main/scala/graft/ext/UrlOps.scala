@@ -197,6 +197,60 @@ object UrlOps {
         coalesce(col("delay_s"), lit(defaultDelayS)).as("delay_s"))
   }
 
+  /** `Sitemap:` directive extraction — the crawl-DISCOVERY half of
+    * robots parsing ([[parseRobots]] owns allow/disallow,
+    * [[parseCrawlDelay]] owns timing; this closes parseRobots'
+    * documented Sitemap boundary). Per RFC 9309 §2.3 sitemap lines are
+    * UA-INDEPENDENT — they live outside any User-agent group and bind
+    * every crawler — so no group segmentation runs here: every
+    * non-comment `Sitemap:` line (directive case-insensitive, value
+    * whitespace-trimmed, empty values dropped) yields one
+    * `(domain, sitemap_url)` row, de-duplicated. Same line machinery
+    * as [[parseRobots]]: comments stripped `#`-to-EOL, RE2-safe
+    * directive/value split, all replayable in DuckDB — which is what
+    * puts the t60 discovery chain under the hash gate.
+    */
+  def sitemapDirectives(robots: DataFrame, robotsCol: String = "robots_txt",
+      domainCol: String = "domain"): DataFrame =
+    robots
+      .select(col(domainCol).as("domain"),
+        explode(split(col(robotsCol), "\n")).as("raw"))
+      .select(col("domain"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+      .select(col("domain"),
+        lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)).as("directive"),
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("value"))
+      .filter(col("directive") === "sitemap" && col("value") =!= "")
+      .select(col("domain"), col("value").as("sitemap_url"))
+      .distinct()
+
+  /** The `<url>…</url>` entry blocks of a sitemap XML payload, in
+    * document order. RE2-safe (non-greedy block match, `(?is)` for
+    * case/newline tolerance) so the extraction replays byte-for-byte
+    * in DuckDB; pair with [[sitemapLoc]]/[[sitemapLastmod]] per block.
+    * Namespaced/sitemap-INDEX files (`<sitemapindex>`) are a
+    * documented boundary — an index's `<sitemap><loc>` children name
+    * more sitemap files, not pages, and recursing is a driver-side
+    * fetch loop, not a per-row transform.
+    */
+  def sitemapEntries(xml: Column): Column =
+    regexp_extract_all(xml, lit("(?is)<url\\s*>.*?</url\\s*>"), lit(0))
+
+  /** The whitespace-trimmed `<loc>` value of one [[sitemapEntries]]
+    * block ('' when absent — callers filter, the htmlLinks empty-href
+    * convention).
+    */
+  def sitemapLoc(entry: Column): Column =
+    trim(regexp_extract(entry, "(?is)<loc\\s*>([^<]*)</loc\\s*>", 1))
+
+  /** The whitespace-trimmed `<lastmod>` value of one [[sitemapEntries]]
+    * block ('' when the optional tag is absent — kept as the empty
+    * string so the gate hashes no NULLs).
+    */
+  def sitemapLastmod(entry: Column): Column =
+    trim(regexp_extract(entry, "(?is)<lastmod\\s*>([^<]*)</lastmod\\s*>", 1))
+
   /** Decide every frontier URL against a [[parseRobots]] rule table:
     * longest-matching-prefix wins, an Allow beats a Disallow of equal
     * length (the RFC tie rule), no matching rule means allowed. The

@@ -228,6 +228,43 @@ object Sampling {
     hashSplit(grouped, Seq(groupCol), splits, seed, splitCol)
   }
 
+  /** Epoch ALLOCATION for a token-budgeted training mix — the planning
+    * step after [[temperatureMixture]]/[[domainMixture]] decide
+    * shares: given a per-source token inventory (`tokensCol`) and a
+    * target budget of `budgetX` × the corpus token total split EVENLY
+    * across sources (the diversity-first convention when no curated
+    * weights exist), emit per source how many FULL passes to take and
+    * the micro-probability of sampling the remainder pass:
+    *
+    *   target  = (Σ tokens · budgetX) div n_sources
+    *   epochs  = target div tokens
+    *   frac    = ((target mod tokens) · 10⁶) div tokens
+    *
+    * All truncating integer arithmetic on non-negative longs — the mix
+    * PLAN itself is replayable and sits under a hash gate (t63). The
+    * even split means rare sources repeat (epochs > 1, the upsampling
+    * a diversity-weighted mix implies) while dominant sources
+    * subsample (epochs = 0 plus a fraction). Input is the per-source
+    * inventory (source-cardinality sized); everything here is
+    * broadcast-scale arithmetic over it — the corpus-sized token count
+    * that feeds it is the caller's one scan.
+    */
+  def epochAllocation(perSource: DataFrame, budgetX: Long = 2L,
+      sourceCol: String = "source",
+      tokensCol: String = "tokens_avail"): DataFrame = {
+    require(budgetX > 0, "budgetX must be positive")
+    val tot = perSource.agg(
+      sum(col(tokensCol)).as("_tt"), count(lit(1)).as("_ns"))
+    perSource.select(col(sourceCol).as("source"),
+        col(tokensCol).as("tokens_avail"))
+      .crossJoin(tot)
+      .withColumn("target_tokens", expr(s"(_tt * $budgetX) div _ns"))
+      .withColumn("epochs_full", expr("target_tokens div tokens_avail"))
+      .withColumn("frac_micro",
+        expr("((target_tokens % tokens_avail) * 1000000) div tokens_avail"))
+      .drop("_tt", "_ns")
+  }
+
   def domainMixture(docs: DataFrame, domainCol: String, weightCol: Column,
       total: Long, idCol: String = "doc_id", maxDomains: Long = 100000L): DataFrame = {
     require(total > 0, "total must be positive")

@@ -1035,6 +1035,23 @@ object Pipeline {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Token-budget epoch allocation
+    * ([[graft.ops.Sampling.epochAllocation]]) — the mix PLAN for a
+    * 2×-budget training run with even per-source shares: one corpus
+    * scan builds the per-source token inventory (t20's word-count
+    * convention), then the allocator's truncating div/mod arithmetic
+    * emits full epochs + remainder micro-probability per source, all
+    * under the hash gate.
+    */
+  def t63EpochAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val inv = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(TextOps.tokenCount(col("text")).cast("long"))
+        .as("tokens_avail"))
+    graft.ops.Sampling.epochAllocation(inv, budgetX = 2L)
+      .orderBy(col("source"))
+  }
+
   /** Leakage-safe split ([[graft.ops.Sampling.leakageSafeSplit]]):
     * t09's deterministic hash split keyed on the near-dup COMPONENT
     * (d11's connected components over the persisted pair graph), so a
@@ -1200,6 +1217,32 @@ object Pipeline {
       .select(col("media_id"), col("peak").as("peak_out"),
         col("energy").as("energy_out"))
     before.join(after, "media_id").orderBy(col("media_id"))
+  }
+
+  /** Silence trimming under the gate
+    * ([[graft.ext.Multimodal.trimSilence]] +
+    * [[graft.ext.Multimodal.silenceBounds]]): the speech-pipeline EDGE
+    * edit next to m15's gain. The padded fixture wraps each class
+    * chirp in id-derived noise-floor samples; the query joins the
+    * bounds table (n_in, lead, trail) with the measured stats of the
+    * ACTUALLY re-encoded payload (n_out, peak_out), so the oracle's
+    * positional replay pins both the decision (first/last sample above
+    * threshold — including chirp edges that happen to sit below it,
+    * which trim further than the injected padding) and the
+    * decode → slice → re-encode → decode chain's consistency with it.
+    */
+  def m16AudioTrim(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.ext.Multimodal.syntheticWavPadded(
+      Tables.documents(spark, dir))
+    val bounds = graft.ext.Multimodal.silenceBounds(media, threshold = 100L)
+      .select(col("media_id"), col("n_samples").as("n_in"),
+        col("lead"), col("trail"))
+    val after = graft.ext.Multimodal.audioStats(
+        graft.ext.Multimodal.trimSilence(media, threshold = 100L))
+      .select(col("media_id"), col("n_samples").as("n_out"),
+        col("peak").as("peak_out"))
+    bounds.join(after, "media_id").orderBy(col("media_id"))
   }
 
   /** Corpus-trained bigram LM scoring ([[TextOps.bigramLmScore]]) —
@@ -2746,6 +2789,106 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Sitemap-driven frontier DISCOVERY
+    * ([[graft.ext.UrlOps.sitemapDirectives]] → [[graft.ext.UrlOps.sitemapEntries]]
+    * → loc/lastmod extraction → the t21 canonicalization): the crawl
+    * seed source next to t48's link harvesting — a site's own
+    * declaration of its pages, reached through robots.txt. The robots
+    * fixture exercises the directive parse (a COMMENTED-out Sitemap
+    * line that must be ignored, a mixed-case `SiteMap:` spelling with
+    * extra value whitespace, an empty-valued directive that drops, and
+    * domains with no directive at all); the XML fixture exercises the
+    * entry parse (attribute-free `<url >` with whitespace inside tags,
+    * loc values wrapped in spaces, an UPPERCASE-scheme loc the
+    * canonicalizer must lowercase, `utm_` params it must strip while
+    * keeping the rest, an OPTIONAL lastmod — absent rows carry `''`,
+    * the NULL-free contract — and a whitespace-only loc entry that is
+    * extracted, occupies its pos, then filters, the t48 empty-href
+    * convention). The oracle replays robots synthesis, line parse, XML
+    * synthesis, block/field extraction, and canonicalization with the
+    * identical RE2 patterns, so the entire discovery chain sits under
+    * the hash gate. Scale shape: everything is narrow per-row
+    * map/explode work off a domain-cardinality input — the only
+    * exchanges are the directive `distinct` and the presentation sort.
+    */
+  def t60Sitemap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val doms = docs.select(concat(lit("site"),
+        pmod(col("doc_id"), lit(23)).cast("string"),
+        element_at(array(lit(".com"), lit(".org"), lit(".net")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int"))).as("domain"))
+      .distinct()
+    val k = regexp_extract(col("domain"), "site([0-9]+)", 1).cast("int")
+    val t = when(col("domain").endsWith(".com"), 0)
+      .when(col("domain").endsWith(".org"), 1).otherwise(2)
+    val robots = doms.select(col("domain"), concat(
+      lit("# discovery fixture\nUser-agent: *\nDisallow: /tmp/\n"),
+      when(k % 5 === 0, lit("# Sitemap: https://ignored.example/s.xml\n"))
+        .otherwise(lit("")),
+      when((k + t) % 2 === 0, concat(lit("Sitemap: https://"), col("domain"),
+        lit("/sitemap.xml\n"))).otherwise(lit("")),
+      when(k % 6 === 0, concat(lit("SiteMap:   https://"), col("domain"),
+        lit("/sitemap2.xml\n"))).otherwise(lit("")),
+      when(k % 9 === 0, lit("Sitemap:\n")).otherwise(lit("")))
+      .as("robots_txt"))
+    val sm = graft.ext.UrlOps.sitemapDirectives(robots)
+    val s = when(col("sitemap_url").endsWith("sitemap2.xml"), 2).otherwise(1)
+    val n = pmod(k + s, lit(3)) + 1
+    val entries = transform(sequence(lit(0), n - 1), j =>
+      concat(lit("<url >\n  <loc>  "),
+        when(j === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        col("domain"), lit("/pg/"), s.cast("string"), lit("/"),
+        j.cast("string"),
+        when(pmod(j, lit(2)) === 1, lit("?utm_campaign=sm&x=1"))
+          .otherwise(lit("")),
+        lit("  </loc>\n"),
+        when(pmod(j + s, lit(2)) === 0,
+          concat(lit("  <lastmod> 2026-0"),
+            (pmod(j + k, lit(9)) + 1).cast("string"),
+            lit("-15 </lastmod>\n"))).otherwise(lit("")),
+        lit("</url>")))
+    val xml = concat(lit("<urlset>\n"), array_join(entries, "\n"),
+      when(k % 7 === 0, lit("\n<url><loc>   </loc></url>"))
+        .otherwise(lit("")),
+      lit("\n</urlset>"))
+    val parsed = sm.select(col("domain"), col("sitemap_url"),
+        posexplode(graft.ext.UrlOps.sitemapEntries(xml)))
+      .withColumnRenamed("col", "entry")
+      .select(col("domain"), col("sitemap_url"),
+        col("pos").cast("long").as("pos"),
+        graft.ext.UrlOps.sitemapLoc(col("entry")).as("loc"),
+        graft.ext.UrlOps.sitemapLastmod(col("entry")).as("lastmod"))
+      .filter(col("loc") =!= "")
+    parsed.select(col("domain"), col("sitemap_url"), col("pos"), col("loc"),
+        graft.ext.UrlOps.canonicalizeUrl(col("loc")).as("url_canon"),
+        col("lastmod"))
+      .orderBy(col("domain"), col("sitemap_url"), col("pos"))
+  }
+
+  /** Proximity retrieval ([[TextOps.proximityOccurrences]]) — "quasar
+    * NEAR pulsar" within a 3-token window, the query shape between
+    * t16's bag-of-words and t59's exact phrase. The injection puts a
+    * span-3 co-occurrence on every fifth doc (a hit at exactly the
+    * window edge), a span-5 one on every seventh (filtered — the
+    * boundary pins ≤, not <), and BOTH on multiples of 35, where the
+    * cross-segment pairs (a second quasar one token left of the first
+    * pulsar) prove all-pairs counting rather than per-segment
+    * matching. The oracle replays tokenization and the pair/window
+    * arithmetic positionally, so counts and min spans hash-gate.
+    */
+  def t61Proximity(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val injected = Tables.documents(spark, dir).select(d,
+      concat(col("text"),
+        when(pmod(d, lit(5)) === 0, lit(" quasar alpha beta pulsar"))
+          .otherwise(lit("")),
+        when(pmod(d, lit(7)) === 0,
+          lit(" quasar alpha beta gamma delta pulsar"))
+          .otherwise(lit(""))).as("text"))
+    TextOps.proximityOccurrences(injected, "quasar", "pulsar", window = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Domain reputation — the crawl FEEDBACK table: which domains
     * produce keepable text. Per registrable domain of each doc's URL
     * (the t21 formula): doc count, Gopher keep rate and exact-dup rate
@@ -2934,6 +3077,17 @@ object Pipeline {
     */
   def t16Bm25(spark: SparkSession, dir: String): DataFrame =
     TextOps.bm25TopK(Tables.documents(spark, dir),
+      Seq("dup", "spark", "vector", "merge"), k = 20)
+
+  /** Sparse tf-idf cosine retrieval ([[TextOps.tfidfCosineTopK]]) —
+    * the SAME query as t16 under the vector-space model instead of
+    * BM25, so the two rankings are directly comparable fixtures. Dot,
+    * q², d² are exact integer sums (order-free); the cosine is the
+    * truncated micro value of correctly-rounded IEEE sqrt/divide steps
+    * over identical longs, so the gate covers the float finish too.
+    */
+  def t62TfidfCosine(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfCosineTopK(Tables.documents(spark, dir),
       Seq("dup", "spark", "vector", "merge"), k = 20)
 
   /** t16 served from the persisted inverted index
@@ -5288,6 +5442,200 @@ object Pipeline {
     "t52_robots" -> robotsOracle,
     "t55_crawl_frontier" -> crawlFrontierOracle,
     "t56_fetch_schedule" -> fetchScheduleOracle,
+    // t62 replay: inverted-index tf/df from scratch, the rational
+    // milli-idf with its cap, exact long dot/norms, and the same
+    // cast → sqrt → divide → truncate float finish (every step IEEE
+    // correctly-rounded, so the micro-cosine is bit-stable)
+    "t62_tfidf_cosine" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS token
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, token FROM toks WHERE token <> ''
+        |), tf AS (
+        |  SELECT doc_id, token, least(count(*), 100) AS tfs
+        |  FROM tk GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+        |), nd AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), idf AS (
+        |  SELECT token,
+        |    least(100000, (1000 * (n_docs + 1)) // (df + 1)) AS idf
+        |  FROM dfq, nd
+        |), w AS (
+        |  SELECT tf.doc_id, tf.token, tf.tfs * idf.idf AS w, idf.idf
+        |  FROM tf JOIN idf USING (token)
+        |), dn AS (
+        |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS d2 FROM w GROUP BY 1
+        |), qi AS (
+        |  SELECT CAST(sum(idf * idf) AS BIGINT) AS q2 FROM idf
+        |  WHERE token IN ('dup', 'spark', 'vector', 'merge')
+        |), dt AS (
+        |  SELECT doc_id, CAST(sum(idf * w) AS BIGINT) AS dot
+        |  FROM w WHERE token IN ('dup', 'spark', 'vector', 'merge')
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.dot, n.d2,
+        |  CAST(floor(CAST(d.dot AS DOUBLE)
+        |    / (sqrt(CAST(q.q2 AS DOUBLE)) * sqrt(CAST(n.d2 AS DOUBLE)))
+        |    * 1e6) AS BIGINT) AS cos_micro
+        |FROM dt d JOIN dn n USING (doc_id), qi q
+        |ORDER BY cos_micro DESC, doc_id LIMIT 20""".stripMargin,
+    // t63 replay: the per-source word inventory (t20's word-count
+    // convention) and the allocator's truncating div/mod plan
+    "t63_epoch_alloc" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+'))
+        |    END AS n_words
+        |  FROM documents
+        |), s AS (
+        |  SELECT source, CAST(sum(n_words) AS BIGINT) AS tokens_avail
+        |  FROM w GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(tokens_avail) AS BIGINT) AS tt,
+        |    CAST(count(*) AS BIGINT) AS ns
+        |  FROM s
+        |)
+        |SELECT source, tokens_avail,
+        |  (tt * 2) // ns AS target_tokens,
+        |  ((tt * 2) // ns) // tokens_avail AS epochs_full,
+        |  ((((tt * 2) // ns) % tokens_avail) * 1000000) // tokens_avail
+        |    AS frac_micro
+        |FROM s, t ORDER BY source""".stripMargin,
+    // t61 replay: the same injection + 1-based positional token scan
+    // as t59, two term position sets, the |pb-pa| <= 3 pair filter
+    "t61_proximity" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' quasar alpha beta pulsar'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' quasar alpha beta gamma delta pulsar' ELSE '' END
+        |      AS text
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS T
+        |  FROM inj
+        |), a AS (
+        |  SELECT doc_id, i.i AS pa
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(T) + 1)) AS i) i
+        |  WHERE T[CAST(i.i AS INT)] = 'quasar'
+        |), b AS (
+        |  SELECT doc_id, i.i AS pb
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(T) + 1)) AS i) i
+        |  WHERE T[CAST(i.i AS INT)] = 'pulsar'
+        |), pr AS (
+        |  SELECT a.doc_id, abs(b.pb - a.pa) AS span
+        |  FROM a JOIN b ON a.doc_id = b.doc_id
+        |  WHERE abs(b.pb - a.pa) <= 3
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(min(span) AS BIGINT) AS min_span
+        |FROM pr GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // t60 replay: robots synthesis → comment-strip/directive line
+    // parse (sitemap lines only, UA-independent) → XML synthesis via
+    // list_transform → (?is) block/field extraction → the t21
+    // canonicalization fragments on loc; the whitespace-only loc
+    // occupies its pos and then filters (the t48 empty-href rule)
+    "t60_sitemap" ->
+      """WITH doms AS (
+        |  SELECT DISTINCT 'site' || (doc_id % 23)::VARCHAR ||
+        |    CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |         ELSE '.net' END AS domain
+        |  FROM documents
+        |), kt AS (
+        |  SELECT domain,
+        |    CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INT) AS k,
+        |    CASE WHEN domain LIKE '%.com' THEN 0
+        |         WHEN domain LIKE '%.org' THEN 1 ELSE 2 END AS t
+        |  FROM doms
+        |), rb AS (
+        |  SELECT domain, k,
+        |    '# discovery fixture' || chr(10) || 'User-agent: *' || chr(10)
+        |    || 'Disallow: /tmp/' || chr(10)
+        |    || CASE WHEN k % 5 = 0
+        |         THEN '# Sitemap: https://ignored.example/s.xml' || chr(10)
+        |         ELSE '' END
+        |    || CASE WHEN (k + t) % 2 = 0
+        |         THEN 'Sitemap: https://' || domain || '/sitemap.xml' || chr(10)
+        |         ELSE '' END
+        |    || CASE WHEN k % 6 = 0
+        |         THEN 'SiteMap:   https://' || domain || '/sitemap2.xml' || chr(10)
+        |         ELSE '' END
+        |    || CASE WHEN k % 9 = 0 THEN 'Sitemap:' || chr(10) ELSE '' END
+        |      AS robots_txt
+        |  FROM kt
+        |), ln AS (
+        |  SELECT domain, k, trim(regexp_replace(l.l, '#.*$', '')) AS line
+        |  FROM rb, LATERAL (SELECT unnest(string_split(robots_txt, chr(10))) AS l) l
+        |), sm AS (
+        |  SELECT DISTINCT domain, k,
+        |    trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) AS sitemap_url
+        |  FROM ln
+        |  WHERE line <> ''
+        |    AND lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) = 'sitemap'
+        |    AND trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) <> ''
+        |), gen AS (
+        |  SELECT domain, k, sitemap_url,
+        |    CASE WHEN sitemap_url LIKE '%sitemap2.xml' THEN 2 ELSE 1 END AS s
+        |  FROM sm
+        |), xmls AS (
+        |  SELECT domain, sitemap_url,
+        |    '<urlset>' || chr(10) ||
+        |    array_to_string(list_transform(range(0, ((k + s) % 3) + 1), j ->
+        |      '<url >' || chr(10) || '  <loc>  ' ||
+        |      CASE WHEN j = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+        |      domain || '/pg/' || s::VARCHAR || '/' || j::VARCHAR ||
+        |      CASE WHEN j % 2 = 1 THEN '?utm_campaign=sm&x=1' ELSE '' END ||
+        |      '  </loc>' || chr(10) ||
+        |      CASE WHEN (j + s) % 2 = 0
+        |        THEN '  <lastmod> 2026-0' || (((j + k) % 9) + 1)::VARCHAR
+        |          || '-15 </lastmod>' || chr(10)
+        |        ELSE '' END ||
+        |      '</url>'), chr(10)) ||
+        |    CASE WHEN k % 7 = 0
+        |      THEN chr(10) || '<url><loc>   </loc></url>' ELSE '' END ||
+        |    chr(10) || '</urlset>' AS xml
+        |  FROM gen
+        |), ex AS (
+        |  SELECT domain, sitemap_url,
+        |    regexp_extract_all(xml, '(?is)<url\s*>.*?</url\s*>', 0) AS es
+        |  FROM xmls
+        |), en AS (
+        |  SELECT domain, sitemap_url, CAST(i.i - 1 AS BIGINT) AS pos,
+        |    es[CAST(i.i AS INT)] AS entry
+        |  FROM ex, LATERAL (SELECT unnest(range(1, len(es) + 1)) AS i) i
+        |), fl AS (
+        |  SELECT domain, sitemap_url, pos,
+        |    trim(regexp_extract(entry, '(?is)<loc\s*>([^<]*)</loc\s*>', 1)) AS loc,
+        |    trim(regexp_extract(entry, '(?is)<lastmod\s*>([^<]*)</lastmod\s*>', 1))
+        |      AS lastmod
+        |  FROM en
+        |), ne AS (
+        |  SELECT * FROM fl WHERE loc <> ''
+        |), q AS (
+        |  SELECT domain, sitemap_url, pos, loc, lastmod,
+        |    array_to_string(list_filter(
+        |      string_split(regexp_extract(
+        |        regexp_replace(loc, '#.*$', ''), '\?([^#]*)', 1), '&'),
+        |      x -> NOT starts_with(x, 'utm_')), '&') AS kept_qs
+        |  FROM ne
+        |)
+        |SELECT domain, sitemap_url, pos, loc,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(loc,
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+        |    ':443$', ''), ':80$', '')
+        |  || regexp_replace(regexp_extract(loc,
+        |       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+        |  || CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END AS url_canon,
+        |  lastmod
+        |FROM q ORDER BY domain, sitemap_url, pos""".stripMargin,
     // t53 replay: the injection formulas directly (the t45 pattern) —
     // rec_type/uri/payload per framed record plus the byte-exact
     // content_length (strlen ↔ octet_length); a delimiter-driven or
@@ -5716,6 +6064,47 @@ object Pipeline {
     // fingerprint window), peak, the (s · 28000) // peak rescale —
     // DuckDB `//` TRUNCATES toward zero on negatives, exactly like JVM
     // long division — and the after-measurements
+    // m16 replay: the padded sample stream from id arithmetic, the
+    // first/last-above-threshold bounds (left joins keep the all-quiet
+    // degenerate case exact), and the kept-slice n/peak
+    "m16_audio_trim" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 50 AS img, (doc_id // 50) % 3 AS nz,
+        |    doc_id % 7 AS lead_n, doc_id % 5 AS trail_n,
+        |    512 + (doc_id % 50) AS n
+        |  FROM documents
+        |), samp AS (
+        |  SELECT doc_id, i.i AS i,
+        |    CASE WHEN i.i < lead_n OR i.i >= lead_n + n
+        |           THEN ((doc_id + i.i) % 3) - 1
+        |         WHEN i.i = lead_n THEN ((img * 31 + 101 * nz) % 65536) - 32768
+        |         ELSE ((img * 31 + (i.i - lead_n) * (257 + img * 13)
+        |               + 3 * (i.i - lead_n) * (i.i - lead_n)) % 65536) - 32768
+        |    END AS s
+        |  FROM dims, LATERAL (
+        |    SELECT unnest(range(0, dims.lead_n + dims.n + dims.trail_n)) AS i) i
+        |), tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_in FROM samp GROUP BY 1
+        |), ab AS (
+        |  SELECT doc_id, i FROM samp WHERE abs(s) > 100
+        |), bnd AS (
+        |  SELECT doc_id, CAST(min(i) AS BIGINT) AS first_i,
+        |    CAST(max(i) AS BIGINT) AS last_i
+        |  FROM ab GROUP BY 1
+        |), kept AS (
+        |  SELECT s.doc_id, CAST(max(abs(s.s)) AS BIGINT) AS peak_out
+        |  FROM samp s JOIN bnd b USING (doc_id)
+        |  WHERE s.i BETWEEN b.first_i AND b.last_i
+        |  GROUP BY 1
+        |)
+        |SELECT t.doc_id AS media_id, t.n_in,
+        |  coalesce(b.first_i, t.n_in) AS lead,
+        |  CAST(coalesce(t.n_in - 1 - b.last_i, 0) AS BIGINT) AS trail,
+        |  CAST(coalesce(b.last_i - b.first_i + 1, 0) AS BIGINT) AS n_out,
+        |  coalesce(k.peak_out, 0) AS peak_out
+        |FROM tot t LEFT JOIN bnd b USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
     "m15_audio_normalize" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 50 AS img, (doc_id // 50) % 3 AS nz
@@ -7795,9 +8184,14 @@ object Pipeline {
     "m13_jpeg_resize"    -> m13JpegResize _,
     "m14_container_meta" -> m14ContainerMeta _,
     "m15_audio_normalize" -> m15AudioNormalize _,
+    "m16_audio_trim"     -> m16AudioTrim _,
     "t57_page_meta"      -> t57PageMeta _,
     "t58_domain_reputation" -> t58DomainReputation _,
     "t59_phrase_search"  -> t59PhraseSearch _,
+    "t60_sitemap"        -> t60Sitemap _,
+    "t61_proximity"      -> t61Proximity _,
+    "t62_tfidf_cosine"   -> t62TfidfCosine _,
+    "t63_epoch_alloc"    -> t63EpochAlloc _,
     "d16_audio_fp_pairs" -> d16AudioFpPairs _,
     "d17_url_dedup"      -> d17UrlDedup _,
     "d18_image_dhash_new" -> d18ImageDhashNew _,

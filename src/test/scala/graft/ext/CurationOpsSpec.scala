@@ -104,6 +104,46 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(anon.size == 4)
   }
 
+  test("sitemapDirectives: UA-independent, comment/case/padding/empty-value/duplicate handling") {
+    val txt = Seq(
+      "# Sitemap: https://d1.com/commented.xml",   // commented out: ignored
+      "User-agent: *",
+      "Disallow: /a/",
+      "Sitemap: https://d1.com/sitemap.xml",
+      "SiteMap:    https://d1.com/sm2.xml   ",     // mixed case + padding
+      "Sitemap:",                                  // empty value: dropped
+      "Sitemap: https://d1.com/sitemap.xml"        // duplicate: distinct
+    ).mkString("\n")
+    val robots = Seq(("d1.com", txt),
+      ("d2.com", "User-agent: *\nDisallow: /")).toDF("domain", "robots_txt")
+    val sm = UrlOps.sitemapDirectives(robots).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sm == Set(("d1.com", "https://d1.com/sitemap.xml"),
+      ("d1.com", "https://d1.com/sm2.xml")), sm)
+  }
+
+  test("sitemapEntries/Loc/Lastmod: case-insensitive tags, whitespace, optional lastmod, blank loc") {
+    val xml =
+      """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <loc>  https://d1.com/a  </loc>
+        |    <lastmod>2026-01-02</lastmod>
+        |  </url>
+        |  <URL ><LOC>https://d1.com/b</LOC></URL>
+        |  <url><loc>   </loc></url>
+        |</urlset>""".stripMargin
+    val rows = Seq(xml).toDF("xml")
+      .select(posexplode(UrlOps.sitemapEntries(col("xml"))))
+      .toDF("pos", "entry")
+      .select(col("pos"), UrlOps.sitemapLoc(col("entry")).as("loc"),
+        UrlOps.sitemapLastmod(col("entry")).as("lastmod"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(
+      (0, "https://d1.com/a", "2026-01-02"),
+      (1, "https://d1.com/b", ""),        // uppercase tags, no lastmod
+      (2, "", "")), rows)                 // blank loc extracted, caller filters
+  }
+
   test("canonicalizeUrl: case, ports, utm params, fragments, trailing slashes") {
     val cases = Seq(
       // lowercased scheme+host, default https port stripped
@@ -542,6 +582,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(hits(docs, Seq("fox")) ==
       Map(1L -> ((2L, 3L)), 3L -> ((1L, 2L))), "single-word phrase")
     assert(hits(docs, Seq("missing", "phrase")).isEmpty)
+  }
+
+  test("proximityOccurrences: unordered window, edge-inclusive, all pairs count, hitless docs absent") {
+    def near(docs: Seq[(Long, String)], a: String, b: String, w: Int): Map[Long, (Long, Long)] =
+      TextOps.proximityOccurrences(docs.toDF("doc_id", "text"), a, b, w)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Seq(
+      (1L, "alpha x beta"),      // span 2 == window: edge is INCLUSIVE
+      (2L, "alpha x x beta"),    // span 3 > window: filtered
+      (3L, "beta alpha"),        // unordered: b-before-a still pairs
+      (4L, "alpha x beta alpha"),// pairs (0,2) and (3,2): both count
+      (5L, ""))                  // empty doc: no rows
+    assert(near(docs, "ALPHA", "Beta", 2) == Map(
+      1L -> ((1L, 2L)), 3L -> ((1L, 1L)), 4L -> ((2L, 1L))),
+      near(docs, "ALPHA", "Beta", 2))
+    // widening the window admits doc 2
+    assert(near(docs, "alpha", "beta", 3).keySet == Set(1L, 2L, 3L, 4L))
+    // degenerate parameters fail loudly
+    intercept[IllegalArgumentException] {
+      TextOps.proximityOccurrences(docs.toDF("doc_id", "text"), "x", "X", 2)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.proximityOccurrences(docs.toDF("doc_id", "text"), "a", "b", 0)
+    }
   }
 
   test("pageTitle/pageMetaDescription/pageCanonical: first match wins, decoys skipped, no-match is ''") {

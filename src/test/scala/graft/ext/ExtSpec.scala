@@ -632,6 +632,32 @@ class ExtSpec extends AnyFunSuite {
     assert(topIds.sameElements(again))
   }
 
+  test("tfidfCosineTopK: exact integer dot/norms, Cauchy bound, absent query terms drop") {
+    import spark.implicits._
+    val docs2 = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y y"), (4L, "w"))
+      .toDF("doc_id", "text")
+    val top = TextOps.tfidfCosineTopK(docs2, Seq("x", "y", "missing"), k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // N=4; df x:2 y:2 z:1 w:1 → idf = (1000·5)//(df+1): x,y 1666; z,w 2500.
+    // 'missing' has no posting → drops from the query vector; q2 = 2·1666².
+    val q2 = 2L * 1666 * 1666
+    def micro(dot: Long, d2: Long): Long =
+      math.floor(dot.toDouble / (math.sqrt(q2.toDouble) * math.sqrt(d2.toDouble)) * 1e6).toLong
+    val d1 = (1666L * 3332 + 1666L * 1666, 3332L * 3332 + 1666L * 1666)
+    val d2v = (1666L * 1666, 1666L * 1666 + 2500L * 2500)
+    val d3 = (1666L * 4998, 4998L * 4998)
+    assert(top == Map(
+      1L -> ((d1._1, d1._2, micro(d1._1, d1._2))),
+      2L -> ((d2v._1, d2v._2, micro(d2v._1, d2v._2))),
+      3L -> ((d3._1, d3._2, micro(d3._1, d3._2)))), top)
+    assert(!top.contains(4L), "no shared term → no row")
+    // Cauchy-Schwarz on exact integers: cosine never exceeds 1
+    assert(top.values.forall(_._3 <= 1000000L))
+    // the two-term doc out-ranks the single-term docs (direction, not length)
+    assert(top(1L)._3 > top(3L)._3 && top(3L)._3 > top(2L)._3)
+  }
+
   test("pq: identical vectors get identical codes; encode deterministic; ADC finds dup partners") {
     val state = Similarity.pqTrain(emb, m = 4, k = 8, iters = 2)
     val codes = Similarity.pqEncode(emb, state).cache()

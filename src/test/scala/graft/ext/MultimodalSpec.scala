@@ -518,6 +518,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(st(1L) == ((4L, 10L, 298L)), st(1L))
   }
 
+  test("trimSilence/silenceBounds: edge-only trim, inclusive interior quiet, all-quiet empties, bounds == edit") {
+    import spark.implicits._
+    import graft.ext.Multimodal.{AudioCodec, MediaMeta, MediaRow}
+    def clip(id: Long, samples: Array[Short]) =
+      MediaRow(id, MediaMeta("audio", Multimodal.WavFormat, 0, 0),
+        AudioCodec.encodeWav(samples))
+    val media = Seq(
+      clip(1L, Array[Short](0, 50, 200, -300, 1, 0)), // pad both ends
+      clip(2L, Array[Short](1, -1, 99)),              // all-quiet: empty out
+      clip(3L, Array[Short](101)),                    // nothing to trim
+      clip(4L, Array[Short](200, 0, 0, 200))          // interior quiet KEPT
+    ).toDS()
+    val out = Multimodal.trimSilence(media, threshold = 100L)
+      .collect().map(r => r.media_id -> AudioCodec.decodeWav(r.payload).toSeq).toMap
+    assert(out(1L) == Seq[Short](200, -300), out(1L))
+    assert(out(2L).isEmpty, "all-quiet clip must trim to the empty clip")
+    assert(out(3L) == Seq[Short](101))
+    assert(out(4L) == Seq[Short](200, 0, 0, 200), "interior quiet is not trimmed")
+    // bounds table is the edit's audit twin: n_out = n - lead - trail,
+    // peak matches the kept slice
+    val b = Multimodal.silenceBounds(media, threshold = 100L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(b(1L) == ((6L, 2L, 2L, 300L)), b(1L))
+    assert(b(2L) == ((3L, 3L, 0L, 0L)), "all-quiet: lead = n, trail = 0, peak 0")
+    assert(b(3L) == ((1L, 0L, 0L, 101L)))
+    assert(b(4L) == ((4L, 0L, 0L, 200L)))
+    b.foreach { case (id, (n, lead, trail, _)) =>
+      assert(out(id).length.toLong == n - lead - trail, s"clip $id") }
+    // non-WAV payloads fail loudly
+    val bad = Seq(MediaRow(9L, MediaMeta("image", Multimodal.PngFormat, 1, 1),
+      Array[Byte](1, 2, 3))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.trimSilence(bad, 100L).collect()
+    }
+    assert(e.getMessage.contains("trimSilence") ||
+      Option(e.getCause).exists(_.getMessage.contains("trimSilence")))
+  }
+
   test("hammingPairsNew: equals full pairs restricted to the batch; batch supersedes") {
     import spark.implicits._
     val media = Multimodal.syntheticPngClasses(docs.limit(100))

@@ -144,6 +144,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("epochAllocation: even targets, truncating epochs, remainder micro-probability") {
+    import spark.implicits._
+    val inv = Seq(("A", 100L), ("B", 10L), ("C", 1000L))
+      .toDF("source", "tokens_avail")
+    // total 1110 · 2x = 2220 over 3 sources → target 740 each
+    val plan = Sampling.epochAllocation(inv, budgetX = 2L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(plan == Map(
+      "A" -> ((100L, 740L, 7L, 400000L)),   // 7 full passes + 40/100
+      "B" -> ((10L, 740L, 74L, 0L)),        // divides exactly
+      "C" -> ((1000L, 740L, 0L, 740000L))), // subsample: 740/1000
+      plan)
+    // the plan never over-commits: full passes stay within target and
+    // the remainder probability is a proper fraction
+    plan.values.foreach { case (tok, target, ep, frac) =>
+      assert(ep * tok <= target && frac >= 0L && frac < 1000000L,
+        s"$tok $target $ep $frac")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochAllocation(inv, budgetX = 0L)
+    }
+  }
+
   test("leakageSafeSplit: components share a label; singletons agree with hashSplit") {
     import spark.implicits._
     val ids = (1L to 10L).toDF("doc_id")
