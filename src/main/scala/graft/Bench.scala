@@ -620,6 +620,43 @@ object Bench {
           TextOps.pageMetaDescription(html).as("description"),
           TextOps.pageCanonical(html).as("canonical"))
       }),
+      // sitemap discovery (t60): robots directive parse + XML entry
+      // extraction are narrow per-row regex work; the ×n distinct over
+      // the FIXED mod-derived domain space is the only data-sized
+      // stage, so growth must be distinct-scan-bound
+      "sitemap_parse" -> (n =>
+        graft.queries.Pipeline.sitemapDiscovery(docsAt(n))),
+      // proximity search (t61): only the two probe terms' positions
+      // leave the scan (term-frequency sized), then a doc-keyed
+      // equi-join with the window filter — growth must be term-linear
+      "proximity" -> (n => TextOps.proximityOccurrences(
+        docsAt(n).select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit(" quasar alpha beta pulsar")).otherwise(lit("")))
+            .as("text")),
+        "quasar", "pulsar", window = 3)),
+      // sparse tf-idf cosine (t62): one token-keyed shuffle builds
+      // df/idf + norms, the dot aggregates only the query terms'
+      // postings, top-k is a TakeOrdered — growth must be token-linear
+      "tfidf_cosine" -> (n => TextOps.tfidfCosineTopK(docsAt(n),
+        Seq("dup", "spark", "vector", "merge"), k = 20)),
+      // audio silence trim (m16): one decode + bound scan + slice
+      // re-encode per row (the audio_normalize cost model) — growth
+      // must be codec-linear, payloads never shuffle
+      "audio_trim" -> (n => {
+        implicit val s: org.apache.spark.sql.SparkSession = spark
+        graft.ext.Multimodal.audioStats(
+          graft.ext.Multimodal.trimSilence(
+            graft.ext.Multimodal.syntheticWavPadded(docsAt(n)), 100L))
+      }),
+      // epoch allocation (t63): the corpus scan builds the per-source
+      // inventory (map-side combined at FIXED source cardinality); the
+      // allocator itself is source-sized arithmetic — scan-bound
+      "epoch_alloc" -> (n => graft.ops.Sampling.epochAllocation(
+        docsAt(n).groupBy(col("source"))
+          .agg(sum(TextOps.tokenCount(col("text")).cast("long"))
+            .as("tokens_avail")))),
       // g10: the harvest is a narrow per-page projection and the graph
       // after the rollup lives at DOMAIN cardinality — ×n multiplies
       // pages, not domains (the mod formulas land every copy in the

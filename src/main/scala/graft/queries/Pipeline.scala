@@ -2811,8 +2811,14 @@ object Pipeline {
     * map/explode work off a domain-cardinality input — the only
     * exchanges are the directive `distinct` and the presentation sort.
     */
-  def t60Sitemap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def t60Sitemap(spark: SparkSession, dir: String): DataFrame =
+    sitemapDiscovery(Tables.documents(spark, dir))
+      .orderBy(col("domain"), col("sitemap_url"), col("pos"))
+
+  /** The t60 discovery chain without the presentation sort, factored
+    * for probe reuse (the [[syntheticHarvestedLinks]] reasoning).
+    */
+  def sitemapDiscovery(docs: DataFrame): DataFrame = {
     val doms = docs.select(concat(lit("site"),
         pmod(col("doc_id"), lit(23)).cast("string"),
         element_at(array(lit(".com"), lit(".org"), lit(".net")),
@@ -2862,7 +2868,6 @@ object Pipeline {
     parsed.select(col("domain"), col("sitemap_url"), col("pos"), col("loc"),
         graft.ext.UrlOps.canonicalizeUrl(col("loc")).as("url_canon"),
         col("lastmod"))
-      .orderBy(col("domain"), col("sitemap_url"), col("pos"))
   }
 
   /** Proximity retrieval ([[TextOps.proximityOccurrences]]) — "quasar
