@@ -1392,6 +1392,121 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** The coarse quantizer of the IVF-PQ composite index: the
+    * md5-seeded sampled codebook in [[ivfIndex]]'s `(id, vec, norm)`
+    * serving shape. md5 ordering (not [[ivfIndex]]'s xxhash64) because
+    * the composite's assignment sits under a SQL hash gate (s21) and
+    * md5 is the replayable convention ([[semanticDupPairs]]'s s04
+    * precedent).
+    */
+  def ivfPqCoarse(corpus: DataFrame, nLists: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", sqrt(graftDot(col("vec"), col("vec"))))
+      .orderBy(graft.functions.Cols.md5Uint32(col("id").cast("string")), col("id"))
+      .limit(nLists)
+  }
+
+  /** IVF-PQ composite INDEX build — the FAISS IndexIVFPQ layout over
+    * the house conventions: coarse quantizer = [[ivfPqCoarse]]'s
+    * md5-seeded codebook (rounded-cosine argmax assignment, ties to
+    * the smallest centroid id), fine quantizer = [[pqTrain]]'s
+    * per-subspace codebooks over the same corpus. PQ encodes the
+    * ORIGINAL vector, not the residual (FAISS `by_residual=false`):
+    * residual PQ needs L2 geometry plus a zero-residual escape hatch
+    * (a vector that IS a centroid has no cosine direction), so the
+    * no-residual mode is what keeps the whole build replayable — a
+    * documented boundary, not an accident. Output: one row per
+    * (vector, subspace): `(vec_id, list_id, sub, code)` — integers
+    * only, the s06 gate surface with the coarse assignment riding
+    * along. Persist partitioned by list_id; [[ivfPqTopK]] then reads
+    * only nProbe/nLists of the code rows on top of PQ's ~68× byte
+    * shrink — the real IndexIVFPQ cost model.
+    */
+  def ivfPqCodes(corpus: DataFrame, nLists: Int = 16, m: Int = 4,
+      k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cbRows = ivfPqCoarse(corpus, nLists, idCol, vecCol).collect()
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", sqrt(graftDot(col("vec"), col("vec"))))
+    val assigned = c.withColumn("list_id",
+        element_at(nearestCentroidsExpr(cbRows, "vec", "norm", 1, rounded = true), 1)
+          .getField("centroid_id"))
+      .select(col("id").as("vec_id"), col("list_id"))
+    pqEncode(corpus, pqTrain(corpus, m, k, iters, idCol, vecCol), idCol, vecCol)
+      .join(assigned, "vec_id")
+      .select(col("vec_id"), col("list_id"), col("sub"), col("code"))
+  }
+
+  /** ADC serving over an [[ivfPqCodes]] index: probe the `nProbe`
+    * nearest coarse lists per query (the build's rounded-argmax
+    * ordering), then [[pqTopK]]'s broadcast-LUT scoring restricted to
+    * the probed lists' codes — the corpus side touches only integer
+    * codes of nProbe/nLists of the lists. At nProbe = nLists this
+    * EQUALS [[pqTopK]] row for row (pinned in ExtSpec); below it the
+    * usual IVF recall trade applies. Probe set and coarse codebook are
+    * bounded driver state (the [[pqTopK]] LUT contract).
+    */
+  def ivfPqTopK(probes: DataFrame, codes: DataFrame, state: DataFrame,
+      coarse: DataFrame, k: Int = 10, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxProbes: Long = 65536L): DataFrame = {
+    val spark = probes.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    requireBounded(probes, maxProbes, "ivfPqTopK probe set", "maxProbes")
+    val cbRows = coarse.select(col("id").cast("long"), col("vec"), col("norm")).collect()
+    require(nProbe >= 1 && nProbe <= cbRows.length,
+      s"nProbe $nProbe must be in [1, ${cbRows.length}]")
+    val stRows = state.select(col("sub").cast("int"), col("centroid_id").cast("long"),
+      col("pos").cast("int"), col("csum").cast("long"), col("cnt").cast("long")).collect()
+    val bySub = stRows.groupBy(_.getInt(0))
+    val m = bySub.keys.max + 1
+    val centroids: Map[(Int, Long), Array[Double]] = bySub.flatMap { case (s, rs) =>
+      stateFromRows(rs, 1, 2, 3, 4).map { case (cid, sm, cnt) =>
+        ((s, cid), sm.map(x => x / (cnt * 1e6)))
+      }
+    }.toMap
+    val pr = probes.select(col(idCol).cast("long").as("query_id"),
+        asDouble(col(vecCol)).as("qv")).collect()
+    // per-query probed lists, driver-side over the already-bounded
+    // probe set: the same (−rounded sim, id) order the build assigned by
+    val probeLists = pr.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      cbRows.map { cr =>
+        val cv = cr.getSeq[Double](1).toArray
+        val sim = math.floor(
+          qv.zip(cv).map { case (a, b) => a * b }.sum / (qn * cr.getDouble(2))
+            * 1e6 + 0.5) / 1e6
+        (qid, cr.getLong(0), sim)
+      }.sortBy { case (_, cid, s) => (-s, cid) }
+        .take(nProbe).map { case (q, c, _) => (q, c) }
+    }.toSeq.toDF("query_id", "list_id")
+    val lut = pr.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val d = qv.length / m
+      centroids.map { case ((s, cid), cv) =>
+        val qs = qv.slice(s * d, s * d + d)
+        val pdot = qs.zip(cv).map { case (a, b) => a * b }.sum
+        (qid, s, cid, pdot, cv.map(x => x * x).sum, qn)
+      }
+    }.toSeq.toDF("query_id", "sub", "code", "pdot", "cnorm2", "qn")
+    val cand = codes.join(broadcast(probeLists), Seq("list_id"))
+      .select(col("query_id"), col("vec_id"), col("sub"), col("code"))
+    val scored = cand.join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("pdot").as("num"), sum("cnorm2").as("den2"), first("qn").as("qn"))
+      .withColumn("sim", round6(col("num") / (col("qn") * sqrt(col("den2")))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    rankTopK(scored, k)
+  }
+
   /** A [[trainCodebook]] state frame as `(centroid_id, centroid)`
     * double vectors — the serving-side codebook shape
     * ([[ivfIndex]]-style argmax assignment takes it from here).

@@ -505,6 +505,21 @@ object Pipeline {
       .orderBy(col("vec_id"), col("sub"))
   }
 
+  /** IVF-PQ composite index build ([[Similarity.ivfPqCodes]]): the
+    * FAISS IndexIVFPQ layout — every vector carries its coarse
+    * inverted-list assignment AND its per-subspace PQ codes in one
+    * integer table. The oracle composes the s06 PQ replay with the s04
+    * coarse-assignment replay, so the composite build (both quantizers
+    * plus their interaction on the same corpus) sits under one hash
+    * gate; serving ([[Similarity.ivfPqTopK]] — probe nProbe lists,
+    * ADC-score only their codes) is pinned against [[Similarity.pqTopK]]
+    * in ExtSpec at full probe width.
+    */
+  def s21IvfPqCodes(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqCodes(Tables.embeddings(spark, dir),
+        nLists = 16, m = 4, k = 8, iters = 2)
+      .orderBy(col("vec_id"), col("sub"))
+
   /** Asymmetric containment pairs ([[Dedup.ngramContainmentPairs]]) —
     * the quote/inclusion detector Jaccard misses: a doc mostly
     * contained in another survives on EITHER direction's ratio. Same
@@ -4064,6 +4079,56 @@ object Pipeline {
     * ending in the encode argmax. Output is integers only.
     */
   private def pqCodesOracle(m: Int, k: Int, iters: Int, subDim: Int): String = {
+    val (subCtes, union) = pqChainCtes(m, k, iters, subDim)
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |), ord AS (
+       |  SELECT vec_id FROM v
+       |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id
+       |  LIMIT $k
+       |), $subCtes
+       |SELECT vec_id, sub, code FROM ($union) u ORDER BY vec_id, sub""".stripMargin
+  }
+
+  /** s21 replay: the FULL s06 PQ chain (seeds, both Lloyd's
+    * iterations, final encode, every subspace) joined with the s04
+    * coarse-codebook assignment — md5-ordered `nLists` seed rows,
+    * rounded-cosine argmax, smallest-id tie-break — so the composite
+    * IVF-PQ index build (coarse list AND fine codes) sits under one
+    * hash gate.
+    */
+  private def ivfPqOracle(nLists: Int, m: Int, k: Int, iters: Int,
+      subDim: Int): String = {
+    val (subCtes, union) = pqChainCtes(m, k, iters, subDim)
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |), ord AS (
+       |  SELECT vec_id FROM v
+       |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id
+       |  LIMIT $k
+       |), $subCtes, coarse_cb AS (
+       |  SELECT vec_id AS list_cid, e AS ce FROM v
+       |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id
+       |  LIMIT $nLists
+       |), coarse AS (
+       |  SELECT vec_id, list_cid AS list_id FROM (
+       |    SELECT v.vec_id, c.list_cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY floor((list_cosine_similarity(v.e, c.ce)) * 1000000 + 0.5) / 1000000 DESC, c.list_cid) AS rn
+       |    FROM v, coarse_cb c) t
+       |  WHERE rn = 1
+       |)
+       |SELECT u.vec_id, c.list_id, u.sub, u.code
+       |FROM ($union) u JOIN coarse c USING (vec_id)
+       |ORDER BY vec_id, sub""".stripMargin
+  }
+
+  /** The s06 PQ train/encode replay as reusable parts: per-subspace
+    * CTE chains (seed → `iters` Lloyd's rounds → final encode) and the
+    * all-subspace UNION — callers provide the `v`/`ord` base CTEs.
+    */
+  private def pqChainCtes(m: Int, k: Int, iters: Int,
+      subDim: Int): (String, String) = {
     val subCtes = (0 until m).map { s =>
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
@@ -4108,14 +4173,7 @@ object Pipeline {
          |)""".stripMargin
     }.mkString(", ")
     val union = (0 until m).map(s => s"SELECT * FROM enc_$s").mkString(" UNION ALL ")
-    s"""WITH v AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-       |), ord AS (
-       |  SELECT vec_id FROM v
-       |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id
-       |  LIMIT $k
-       |), $subCtes
-       |SELECT vec_id, sub, code FROM ($union) u ORDER BY vec_id, sub""".stripMargin
+    (subCtes, union)
   }
 
   /** Exact top-5 joined against itself → recall 1.0 per query — the
@@ -5437,6 +5495,7 @@ object Pipeline {
     "d04_simhash_pairs" -> simhashXxhPairsOracle,
     "s05_kmeans_codebook" -> kmeansCodebookOracle(k = 8, iters = 3),
     "s06_pq_codes" -> pqCodesOracle(m = 4, k = 8, iters = 2, subDim = 16),
+    "s21_ivfpq_codes" -> ivfPqOracle(nLists = 16, m = 4, k = 8, iters = 2, subDim = 16),
     "g01_pagerank" -> pageRankOracle(iters = 3),
     "g08_pagerank_converged" -> pageRankConvergedOracle(cap = 8),
     // same damping/floor recurrence with rank*w // ws contributions;
@@ -8085,6 +8144,7 @@ object Pipeline {
     "s04_semantic_dedup" -> s04SemanticDedup _,
     "s05_kmeans_codebook" -> s05KmeansCodebook _,
     "s06_pq_codes"       -> s06PqCodes _,
+    "s21_ivfpq_codes"    -> s21IvfPqCodes _,
     "s07_sq_codes"       -> s07SqCodes _,
     "t01_text_stats"     -> t01TextStats _,
     "t07_bpe_tokens"     -> t07BpeTokens _,

@@ -658,6 +658,50 @@ class ExtSpec extends AnyFunSuite {
     assert(top(1L)._3 > top(3L)._3 && top(3L)._3 > top(2L)._3)
   }
 
+  test("ivfPq: codes == pqEncode + coarse assign; full-probe serve == pqTopK; narrow probe reads only its lists") {
+    val state = Similarity.pqTrain(emb, m = 4, k = 8, iters = 2)
+    val composite = Similarity.ivfPqCodes(emb, nLists = 16, m = 4, k = 8, iters = 2).cache()
+    // fine codes are exactly pqEncode's; one list per vector
+    val fine = composite.select("vec_id", "sub", "code")
+    val direct = Similarity.pqEncode(emb, state)
+    assert(fine.exceptAll(direct).isEmpty && direct.exceptAll(fine).isEmpty)
+    val listsPerVec = composite.groupBy("vec_id")
+      .agg(countDistinct(col("list_id")).as("n")).filter(col("n") =!= 1).count()
+    assert(listsPerVec == 0L, "a vector must live in exactly one inverted list")
+    // full probe width: the composite serve IS pqTopK, row for row
+    val q = emb.filter(col("vec_id") < 10)
+    val coarse = Similarity.ivfPqCoarse(emb, nLists = 16)
+    val viaIvf = Similarity.ivfPqTopK(q, composite, state, coarse, k = 5, nProbe = 16)
+    val viaPq = Similarity.pqTopK(q, direct, state, k = 5)
+    assert(viaIvf.exceptAll(viaPq).isEmpty && viaPq.exceptAll(viaIvf).isEmpty)
+    // narrow probe: every returned neighbor sits in one of its query's
+    // probed lists (the serve never touched an unprobed list)
+    val narrow = Similarity.ivfPqTopK(q, composite, state, coarse, k = 5, nProbe = 2)
+    val cb = coarse.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val probed: Map[Long, Set[Long]] = q
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>")).collect().map { r =>
+        val qv = r.getSeq[Double](1).toArray
+        val qn = math.sqrt(qv.map(x => x * x).sum)
+        val lists = cb.map { case (cid, cv, cn) =>
+          val sim = math.floor(
+            qv.zip(cv).map { case (a, b) => a * b }.sum / (qn * cn) * 1e6 + 0.5) / 1e6
+          (cid, sim)
+        }.sortBy { case (cid, s) => (-s, cid) }.take(2).map(_._1).toSet
+        r.getLong(0) -> lists
+      }.toMap
+    val vecList = composite.select(col("vec_id").as("neighbor_id"), col("list_id"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val narrowRows = narrow.select("query_id", "neighbor_id").collect()
+    assert(narrowRows.nonEmpty)
+    narrowRows.foreach { r =>
+      assert(probed(r.getLong(0)).contains(vecList(r.getLong(1))),
+        s"neighbor ${r.getLong(1)} came from an unprobed list for query ${r.getLong(0)}")
+    }
+    composite.unpersist()
+  }
+
   test("pq: identical vectors get identical codes; encode deterministic; ADC finds dup partners") {
     val state = Similarity.pqTrain(emb, m = 4, k = 8, iters = 2)
     val codes = Similarity.pqEncode(emb, state).cache()
