@@ -1428,14 +1428,26 @@ object Similarity {
       k: Int = 8, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val cbRows = ivfPqCoarse(corpus, nLists, idCol, vecCol).collect()
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    ivfPqEncodeWith(corpus,
+      ivfPqCoarse(corpus, nLists, idCol, vecCol).collect(),
+      pqTrain(corpus, m, k, iters, idCol, vecCol), idCol, vecCol)
+  }
+
+  /** The [[ivfPqCodes]] encode against EXISTING quantizers (coarse
+    * codebook rows + PQ state) — the batch-side computation factored
+    * out so incremental maintenance ([[updateIvfPqIndex]]) reuses the
+    * live quantizers instead of retraining.
+    */
+  private def ivfPqEncodeWith(vectors: DataFrame,
+      cbRows: Array[org.apache.spark.sql.Row], state: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val c = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
       .withColumn("norm", sqrt(graftDot(col("vec"), col("vec"))))
     val assigned = c.withColumn("list_id",
         element_at(nearestCentroidsExpr(cbRows, "vec", "norm", 1, rounded = true), 1)
           .getField("centroid_id"))
       .select(col("id").as("vec_id"), col("list_id"))
-    pqEncode(corpus, pqTrain(corpus, m, k, iters, idCol, vecCol), idCol, vecCol)
+    pqEncode(vectors, state, idCol, vecCol)
       .join(assigned, "vec_id")
       .select(col("vec_id"), col("list_id"), col("sub"), col("code"))
   }
@@ -1719,6 +1731,141 @@ object Similarity {
       s"probe dim $probeDim != index dim ${p.dim} (index at $path)")
     val (codes, state) = readPqIndex(spark, path)
     pqTopK(probes, codes, state, k, idCol, vecCol)
+  }
+
+  case class IvfPqParams(nLists: Int, m: Int, k: Int, iters: Int, dim: Int)
+
+  private def ivfPqParamsPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_ivfpq_params.json")
+
+  private[ext] def writeIvfPqParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, p: IvfPqParams): Unit = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    val out = fs.create(ivfPqParamsPath(path), true)
+    try out.write(
+      s"""{"nLists":${p.nLists},"m":${p.m},"k":${p.k},"iters":${p.iters},"dim":${p.dim}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The [[IvfPqParams]] sidecar of a persisted IVF-PQ index; None if
+    * absent.
+    */
+  def readIvfPqIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[IvfPqParams] = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    if (!fs.exists(ivfPqParamsPath(path))) return None
+    val in = fs.open(ivfPqParamsPath(path))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def field(key: String) = s""""$key":(-?[0-9]+)""".r.findFirstMatchIn(txt).map(_.group(1))
+    for {
+      n <- field("nLists"); m <- field("m"); k <- field("k")
+      i <- field("iters"); d <- field("dim")
+    } yield IvfPqParams(n.toInt, m.toInt, k.toInt, i.toInt, d.toInt)
+  }
+
+  /** Persist an IVF-PQ composite index — the TENTH index-lifecycle
+    * family: `<path>/coarse` (the (id, vec, norm) coarse quantizer),
+    * `<path>/codebook` (the integer PQ state), `<path>/codes` (the
+    * [[ivfPqCodes]] table REPARTITIONED ON list_id — the probe prune
+    * key, so a serve reads only its nProbe/nLists fraction of the code
+    * files), plus a `_graft_ivfpq_params.json` sidecar that pins the
+    * full parameter tuple (a wrong (nLists, m, k) would join fine and
+    * return garbage — the PQ-sidecar footgun with one more knob).
+    */
+  def writeIvfPqIndex(vectors: DataFrame, path: String, nLists: Int = 16,
+      m: Int = 4, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = vectors.sparkSession
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    val coarse = ivfPqCoarse(vectors, nLists, idCol, vecCol)
+    val state = pqTrain(vectors, m, k, iters, idCol, vecCol)
+    coarse.write.mode("overwrite").parquet(s"$path/coarse")
+    state.write.mode("overwrite").parquet(s"$path/codebook")
+    ivfPqEncodeWith(vectors, coarse.collect(), state, idCol, vecCol)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    writeIvfPqParams(spark, path, IvfPqParams(nLists, m, k, iters, dim))
+  }
+
+  /** Read a persisted [[writeIvfPqIndex]] back as
+    * (codes, PQ state, coarse codebook).
+    */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/coarse"))
+
+  /** [[ivfPqTopK]] against a persisted index, parameters validated
+    * from the sidecar — the footgun-free composite serving call.
+    */
+  def ivfPqTopKAt(spark: org.apache.spark.sql.SparkSession, probes: DataFrame,
+      k: Int, path: String, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = readIvfPqIndexParams(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path has no _graft_ivfpq_params.json sidecar; serve with ivfPqTopK explicitly"))
+    val probeDim = probes.select(size(col(vecCol))).head().getInt(0)
+    require(probeDim == p.dim,
+      s"probe dim $probeDim != index dim ${p.dim} (index at $path)")
+    require(nProbe >= 1 && nProbe <= p.nLists,
+      s"nProbe $nProbe must be in [1, ${p.nLists}] (index at $path)")
+    val (codes, state, coarse) = readIvfPqIndex(spark, path)
+    ivfPqTopK(probes, codes, state, coarse, k, nProbe, idCol, vecCol)
+  }
+
+  /** Incremental maintenance of a persisted IVF-PQ index: assign +
+    * encode the ingest batch against the LIVE quantizers (coarse
+    * codebook AND PQ state both stable on upsert — membership changes
+    * live in the code rows, retraining is a rebuild decision on
+    * distribution drift, the FAISS convention both parents follow),
+    * drop stale rows of re-ingested ids, and promote through the
+    * fuse-guarded [[IndexLifecycle.swapIn]]. Batch dimensionality is
+    * validated against the sidecar. `update == re-encode(grown) under
+    * the live quantizers` is pinned in IndexLifecycleSpec.
+    */
+  def updateIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      newVectors: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val p = readIvfPqIndexParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no _graft_ivfpq_params.json sidecar — not an index this can update"))
+    val batchDim = newVectors.select(size(col(vecCol))).head().getInt(0)
+    require(batchDim == p.dim,
+      s"batch dim $batchDim != index dim ${p.dim} — encoding would be garbage")
+    val (codes, state, coarse) = readIvfPqIndex(spark, path)
+    val kept = codes.join(newVectors.select(col(idCol).as("vec_id")),
+      Seq("vec_id"), "left_anti")
+    val fresh = ivfPqEncodeWith(newVectors, coarse.collect(), state, idCol, vecCol)
+    val rebuild = s"${path}_rebuild"
+    coarse.write.mode("overwrite").parquet(s"$rebuild/coarse")
+    state.write.mode("overwrite").parquet(s"$rebuild/codebook")
+    kept.unionByName(fresh)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").parquet(s"$rebuild/codes")
+    writeIvfPqParams(spark, rebuild, p)
+    IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
+  /** Deletion propagation for a persisted IVF-PQ index: purge every
+    * code row of the forgotten ids and swap; both quantizers and the
+    * sidecar carry over (`forget == codes minus ids`, pinned in
+    * IndexLifecycleSpec).
+    */
+  def forgetIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, forgetIds: DataFrame, idCol: String = "vec_id"): Unit = {
+    val p = readIvfPqIndexParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no _graft_ivfpq_params.json sidecar — not an index this can update"))
+    val (codes, state, coarse) = readIvfPqIndex(spark, path)
+    val rebuild = s"${path}_rebuild"
+    coarse.write.mode("overwrite").parquet(s"$rebuild/coarse")
+    state.write.mode("overwrite").parquet(s"$rebuild/codebook")
+    codes.join(forgetIds.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_anti")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").parquet(s"$rebuild/codes")
+    writeIvfPqParams(spark, rebuild, p)
+    IndexLifecycle.swapIn(spark, rebuild, path)
   }
 
   /** [[cosineDupPairs]] at corpus scale: random-hyperplane LSH buckets

@@ -646,6 +646,61 @@ class IndexLifecycleSpec extends AnyFunSuite {
       .count() > 0)
   }
 
+  test("IVF-PQ index upsert + forget: both quantizers stable, codes == re-encode; sidecar serving") {
+    val root = Files.createTempDirectory("graft_ivfpq_upd").toFile.getAbsolutePath
+    val live = s"$root/ivfpq"
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    Similarity.writeIvfPqIndex(base, live, nLists = 16, m = 4, k = 8, iters = 2)
+    val (codes0, state0, coarse0) = Similarity.readIvfPqIndex(spark, live)
+    val stateBefore = state0.collect().map(_.toString).sorted.toSeq
+    val coarseBefore = coarse0.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // reload == recompute (build determinism through the artifact)
+    assert(sameRows(codes0,
+      Similarity.ivfPqCodes(base, nLists = 16, m = 4, k = 8, iters = 2)))
+    // sidecar serving == explicit serving on the same pieces
+    val q = emb.filter(col("vec_id") < 5)
+    assert(topkRows(Similarity.ivfPqTopKAt(spark, q, k = 3, live, nProbe = 4)) ==
+      topkRows(Similarity.ivfPqTopK(q, codes0, state0, coarse0, k = 3, nProbe = 4)))
+    // upsert: fresh ids + one superseded id with flipped content
+    val changedId = base.select(min("vec_id")).head.getLong(0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") === changedId)
+        .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding")))
+    Similarity.updateIvfPqIndex(spark, batch, live)
+    val (codes1, state1, coarse1) = Similarity.readIvfPqIndex(spark, live)
+    assert(state1.collect().map(_.toString).sorted.toSeq == stateBefore,
+      "PQ state must not retrain on upsert")
+    assert(coarse1.select("id").collect().map(_.getLong(0)).sorted.toSeq == coarseBefore,
+      "coarse quantizer must not move on upsert")
+    val grown = emb.filter(col("vec_id") =!= changedId)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(batch.filter(col("vec_id") === changedId))
+    // codes == a fresh encode of the grown corpus under the LIVE quantizers
+    assert(sameRows(codes1.select("vec_id", "sub", "code"),
+      Similarity.pqEncode(grown, state1)),
+      "IVF-PQ upsert codes drifted from re-encoding under the live PQ state")
+    // and every grown vector still carries exactly one list assignment
+    assert(codes1.groupBy("vec_id")
+      .agg(countDistinct(col("list_id")).as("n"))
+      .filter(col("n") =!= 1).count() == 0L)
+    // dimension mismatch refused loudly
+    intercept[IllegalArgumentException] {
+      Similarity.updateIvfPqIndex(spark,
+        emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")), live)
+    }
+    // forget purges every code row of the ids, quantizers carry over
+    val gone = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    Similarity.forgetIvfPqIndex(spark, live, gone)
+    val (codes2, state2, _) = Similarity.readIvfPqIndex(spark, live)
+    assert(state2.collect().map(_.toString).sorted.toSeq == stateBefore)
+    assert(codes2.join(gone, Seq("vec_id"), "left_semi").count() == 0L)
+    assert(sameRows(codes2.select("vec_id", "sub", "code"),
+      Similarity.pqEncode(grown.join(gone, Seq("vec_id"), "left_anti"), state2)))
+    // sidecar serving still works on the maintained artifact
+    assert(Similarity.ivfPqTopKAt(spark, q, k = 3, live, nProbe = 4).count() > 0)
+  }
+
   test("text index: serve == from-scratch both variants; upsert/forget == rebuild; supersede; stats count token-less docs; loud non-index") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
