@@ -372,6 +372,15 @@ object Bench {
       d.count()
       d
     }
+    // prebuilt IVF-PQ composite artifacts for the ivfpq_serve_indexed
+    // arm — the writeIvfPqIndex production path, built outside the
+    // timed fn like every serve index here
+    val ivfPqIdx: Map[Int, String] = Seq(1, k).map { n =>
+      val p = java.nio.file.Files.createTempDirectory("graft_bench_ivfpq")
+        .toFile.getAbsolutePath + "/ivfpq"
+      Similarity.writeIvfPqIndex(embAt(n), p, nLists = 16, m = 4, k = 8, iters = 2)
+      n -> p
+    }.toMap
     // prebuilt catalog indexes for the fuzzy_serve_indexed arm — built
     // outside the timed fn (the writeCatalogIndex production path)
     val fuzzyIdx: Map[Int, String] = Seq(1, k).map { n =>
@@ -447,6 +456,12 @@ object Bench {
       // probe hashing + the nProbe/nCentroids candidate join + rank
       "ivf_serve_indexed" -> (n => Similarity.ivfTopK(queries(n), embAt(n), k = 5,
         nProbe = 4, corpusIndex = Some(ivfIdx(n)))),
+      // the composite: probe a PREBUILT IVF-PQ artifact — timed work is
+      // the probe LUT + the nProbe/nLists integer-code join + rank; the
+      // corpus' floats are never read (PQ's ~68× shrink under IVF's
+      // nProbe/nLists prune)
+      "ivfpq_serve_indexed" -> (n => Similarity.ivfPqTopKAt(
+        spark, queries(n), k = 5, ivfPqIdx(n), nProbe = 4)),
       // coarse-to-fine serving: 16-dim prefix pool + full-width rerank —
       // the corpus-sized stage touches d'/d of the bytes; growth should
       // stay scan-bound like the other serving arms
@@ -808,7 +823,7 @@ object Bench {
     * task 6): the flat-per-batch-cost claim for artifact-backed serving
     * was measured only at ×10 — one more decade either confirms the
     * asymptote or exposes a hidden corpus-bound term the first decade
-    * hid in fixed job overhead. Only the five cheap arms run here: each
+    * hid in fixed job overhead. Only the six cheap arms run here: each
     * is an index PROBE (probe hashing / token slice / prefix join /
     * broadcast semi scan), so the timed cost is per-batch, and the ×100
     * index builds are amortized setup exactly as production amortizes
@@ -867,6 +882,12 @@ object Bench {
       graft.ext.Fuzzy.writeCatalogIndex(partsAt(n), p, maxDist = 2)
       n -> p
     }.toMap
+    val ivfPqIdx: Map[Int, String] = Seq(1, k).map { n =>
+      val p = java.nio.file.Files.createTempDirectory("graft_bench_ivfpq100")
+        .toFile.getAbsolutePath + "/ivfpq"
+      Similarity.writeIvfPqIndex(embAt(n), p, nLists = 16, m = 4, k = 8, iters = 2)
+      n -> p
+    }.toMap
     val textIdx: Map[Int, String] = Seq(1, k).map { n =>
       val p = java.nio.file.Files.createTempDirectory("graft_bench_text100")
         .toFile.getAbsolutePath + "/ti"
@@ -893,7 +914,9 @@ object Bench {
       "fuzzy_serve_indexed" -> (n => graft.ext.Fuzzy.fuzzyJoinIndexed(
         spark, dirtyParts, fuzzyIdx(n))),
       "cdc_serve_indexed" -> (n => Dedup.chunkProvenanceIndexed(
-        spark, chunkIdx(n), chunkBatch)))
+        spark, chunkIdx(n), chunkBatch)),
+      "ivfpq_serve_indexed" -> (n => Similarity.ivfPqTopKAt(
+        spark, queries(n), k = 5, ivfPqIdx(n), nProbe = 4)))
     val out = probeRows(probes, k)
     chunkBatch.unpersist(blocking = false)
     dirtyParts.unpersist(blocking = false)
