@@ -651,6 +651,26 @@ object Bench {
               lit(" quasar alpha beta pulsar")).otherwise(lit("")))
             .as("text")),
         "quasar", "pulsar", window = 3)),
+      // domain boilerplate (t64): line explode + (domain, line)-keyed
+      // df + doc-keyed reassembly — the ×n copies land in the SAME
+      // mod-derived domain space, so the df key stays bounded and
+      // growth must be line-linear
+      "domain_boilerplate" -> (n => {
+        val d = col("doc_id")
+        val kk = pmod(d, lit(23)).cast("string")
+        val domain = concat(lit("site"), kk,
+          element_at(array(lit(".com"), lit(".org"), lit(".net")),
+            (pmod(d, lit(3)) + 1).cast("int")))
+        val page = concat(lit("Home | About site"), kk, lit("\n"), col("text"),
+          lit("\nCopyright site"), kk, lit(" all rights reserved"))
+        val lines = docsAt(n)
+          .select(d, domain.as("domain"), posexplode(split(page, "\n")))
+          .withColumnRenamed("col", "line")
+        TextOps.dropDomainBoilerplate(lines, minDf = 3)
+      }),
+      // per-doc keywords (t65): the t62 weight build + a TopKPerKey
+      // cut (no corpus-wide window) — growth must be token-linear
+      "doc_keywords" -> (n => TextOps.docKeywords(docsAt(n), k = 3)),
       // sparse tf-idf cosine (t62): one token-keyed shuffle builds
       // df/idf + norms, the dot aggregates only the query terms'
       // postings, top-k is a TakeOrdered — growth must be token-linear

@@ -942,6 +942,76 @@ object TextOps {
         sum(when(col("keep"), 0L).otherwise(1L)).cast("long").as("n_removed"))
   }
 
+  /** The per-domain `(domain, line, line_df)` document-frequency table
+    * — [[lineDfTable]] keyed by registrable domain. Site chrome
+    * (navigation, footers, cookie banners) repeats WITHIN one domain
+    * and nowhere else, so the corpus-wide table either misses it
+    * (small sites never reach a global threshold) or needs a threshold
+    * so low it eats real prose; CCNet's per-shard dedup is the same
+    * idea — the domain key is its web-crawl instantiation. Persistable
+    * parquet like [[lineDfTable]].
+    */
+  def domainLineDfTable(lines: DataFrame, idCol: String = "doc_id",
+      domainCol: String = "domain"): DataFrame =
+    lines.groupBy(col(domainCol), col("line"))
+      .agg(countDistinct(col(idCol)).as("line_df"))
+
+  /** [[dropBoilerplateLines]] scoped to a domain: drop every line seen
+    * in ≥ `minDf` distinct documents OF THE SAME DOMAIN, reassemble
+    * survivors in document order. `lines` must carry the domain column
+    * alongside (idCol, pos, line); a cross-domain duplicate line is
+    * deliberately NOT dropped here (that is t12's corpus-wide job —
+    * the two operators compose). Same conservative unknown-line rule
+    * and shuffle profile as the corpus-wide twin, with the df stage
+    * keyed (domain, line) — at crawl scale that key never skews (a
+    * domain's chrome vocabulary is KB-sized).
+    */
+  def dropDomainBoilerplate(lines: DataFrame, minDf: Int, sep: String = "\n",
+      idCol: String = "doc_id", domainCol: String = "domain",
+      dfTable: Option[DataFrame] = None): DataFrame = {
+    val freq = dfTable.getOrElse(domainLineDfTable(lines, idCol, domainCol))
+    val joined = lines.join(freq, Seq(domainCol, "line"), "left")
+      .withColumn("keep", coalesce(col("line_df"), lit(1L)) < minDf)
+    joined.groupBy(col(idCol), col(domainCol))
+      .agg(
+        concat_ws(sep,
+          transform(
+            sort_array(collect_list(when(col("keep"), struct(col("pos"), col("line"))))),
+            s => s.getField("line"))).as("cleaned"),
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).cast("long").as("n_removed"))
+  }
+
+  /** Per-document top-k KEYWORDS by the [[tfidfCosineTopK]] integer
+    * weight (saturated tf × rational milli-idf) — the doc-tagging /
+    * index-summary op next to t44's per-SOURCE distinctive terms.
+    * Exact longs rank (w desc, token asc), so the whole table
+    * hash-gates; the cut is the custom TopKPerKey prune (one shuffle,
+    * no corpus-wide window), rank re-derived per doc on the k
+    * survivors only.
+    */
+  def docKeywords(docs: DataFrame, k: Int = 3, tfCap: Long = 100L,
+      idfCap: Long = 100000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("doc_id", "token")
+      .agg(least(count(lit(1)), lit(tfCap)).as("tfs"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = dfT.crossJoin(nDocs).select(col("token"),
+      least(lit(idfCap), expr("(1000 * (n_docs + 1)) div (df + 1)")).as("idf"))
+    val w = tf.join(idf, "token")
+      .select(col("doc_id"), col("token"), (col("tfs") * col("idf")).as("w"))
+    val cut = graft.ops.TopK.perKey(w, Seq("doc_id"),
+      Seq(("w", true), ("token", false)), k)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("w").desc, col("token"))
+    cut.withColumn("rank", row_number().over(win).cast("long"))
+  }
+
   // ------------------------------------------- repeated-span removal
 
   /** (idCol, pos, gram) sliding word n-grams per document — imperative

@@ -1050,6 +1050,46 @@ object Pipeline {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Domain-scoped boilerplate removal
+    * ([[TextOps.dropDomainBoilerplate]]) — site chrome dies on the
+    * (domain, line) key where t12's corpus-wide rule can't see it: the
+    * fixture wraps every doc's text in its domain's navigation header
+    * and copyright footer (shared by the ~7 docs of that exact domain,
+    * and TEXTUALLY identical across same-k domains of different TLDs —
+    * which must NOT merge, pinning the per-domain keying), so the
+    * chrome drops, the prose survives, and the oracle replays
+    * injection, line split, per-domain df, the < 3 keep rule, and
+    * ordered reassembly byte-identically.
+    */
+  def t64DomainBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val k = pmod(d, lit(23)).cast("string")
+    val domain = concat(lit("site"), k,
+      element_at(array(lit(".com"), lit(".org"), lit(".net")),
+        (pmod(d, lit(3)) + 1).cast("int")))
+    val page = concat(
+      lit("Home | About site"), k, lit("\n"),
+      col("text"),
+      lit("\nCopyright site"), k, lit(" all rights reserved"))
+    val docs = Tables.documents(spark, dir)
+      .select(d, domain.as("domain"), page.as("text"))
+    val lines = docs.select(d, col("domain"),
+        posexplode(split(col("text"), "\n")))
+      .withColumnRenamed("col", "line")
+    TextOps.dropDomainBoilerplate(lines, minDf = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document keyword extraction ([[TextOps.docKeywords]]): the
+    * top-3 tf-idf terms per doc under t62's exact integer weight —
+    * the doc-tagging table next to t44's per-source terms. The cut is
+    * the custom TopKPerKey prune; the oracle replays the weight build
+    * and the (w desc, token) QUALIFY cut.
+    */
+  def t65DocKeywords(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docKeywords(Tables.documents(spark, dir), k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
   /** Token-budget epoch allocation
     * ([[graft.ops.Sampling.epochAllocation]]) — the mix PLAN for a
     * 2×-budget training run with even per-source shares: one corpus
@@ -5506,6 +5546,66 @@ object Pipeline {
     "t52_robots" -> robotsOracle,
     "t55_crawl_frontier" -> crawlFrontierOracle,
     "t56_fetch_schedule" -> fetchScheduleOracle,
+    // t64 replay: injection, line split (trailing empties kept in both
+    // engines), per-(domain, line) df, the < 3 keep rule, ordered
+    // FILTER reassembly and drop counts
+    "t64_domain_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'site' || (doc_id % 23)::VARCHAR ||
+        |    CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |         ELSE '.net' END AS domain,
+        |    'Home | About site' || (doc_id % 23)::VARCHAR || chr(10) || text
+        |      || chr(10) || 'Copyright site' || (doc_id % 23)::VARCHAR
+        |      || ' all rights reserved' AS page
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, domain, string_split(page, chr(10)) AS ls FROM d
+        |), lines AS (
+        |  SELECT doc_id, domain, CAST(i.i - 1 AS BIGINT) AS pos,
+        |    ls[CAST(i.i AS INT)] AS line
+        |  FROM sp, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) i
+        |), df AS (
+        |  SELECT domain, line, count(DISTINCT doc_id) AS line_df
+        |  FROM lines GROUP BY 1, 2
+        |)
+        |SELECT doc_id, domain,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE line_df < 3), '') AS cleaned,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE line_df >= 3) AS BIGINT) AS n_removed
+        |FROM lines JOIN df USING (domain, line)
+        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // t65 replay: the t62 weight build + the (w desc, token) QUALIFY cut
+    "t65_doc_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS token
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, token FROM toks WHERE token <> ''
+        |), tf AS (
+        |  SELECT doc_id, token, least(count(*), 100) AS tfs
+        |  FROM tk GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+        |), nd AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), idf AS (
+        |  SELECT token,
+        |    least(100000, (1000 * (n_docs + 1)) // (df + 1)) AS idf
+        |  FROM dfq, nd
+        |), w AS (
+        |  SELECT tf.doc_id, tf.token, CAST(tf.tfs * idf.idf AS BIGINT) AS w
+        |  FROM tf JOIN idf USING (token)
+        |)
+        |SELECT doc_id, token, w,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY w DESC, token) AS BIGINT) AS rank
+        |FROM w
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY w DESC, token) <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     // t62 replay: inverted-index tf/df from scratch, the rational
     // milli-idf with its cap, exact long dot/norms, and the same
     // cast → sqrt → divide → truncate float finish (every step IEEE
@@ -8257,6 +8357,8 @@ object Pipeline {
     "t61_proximity"      -> t61Proximity _,
     "t62_tfidf_cosine"   -> t62TfidfCosine _,
     "t63_epoch_alloc"    -> t63EpochAlloc _,
+    "t64_domain_boilerplate" -> t64DomainBoilerplate _,
+    "t65_doc_keywords"   -> t65DocKeywords _,
     "d16_audio_fp_pairs" -> d16AudioFpPairs _,
     "d17_url_dedup"      -> d17UrlDedup _,
     "d18_image_dhash_new" -> d18ImageDhashNew _,

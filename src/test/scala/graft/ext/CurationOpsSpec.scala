@@ -584,6 +584,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(hits(docs, Seq("missing", "phrase")).isEmpty)
   }
 
+  test("dropDomainBoilerplate: per-domain keying, cross-domain twins kept, pure-chrome docs survive, stale df conservative") {
+    // "nav" repeats in 3 docs of d1 (dropped there) but only 2 of d2
+    // (kept there) — the per-domain key is what decides, not the text
+    val lines = Seq(
+      (1L, "d1", 0, "nav"), (1L, "d1", 1, "body one"),
+      (2L, "d1", 0, "nav"), (2L, "d1", 1, "body two"),
+      (3L, "d1", 0, "nav"),                    // pure chrome: survives empty
+      (4L, "d2", 0, "nav"), (4L, "d2", 1, "body four"),
+      (5L, "d2", 0, "nav")
+    ).toDF("doc_id", "domain", "pos", "line")
+    val out = TextOps.dropDomainBoilerplate(lines, minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("body one", 2L, 1L)), out(1L))
+    assert(out(3L) == (("", 1L, 1L)), "pure-boilerplate doc must survive, empty")
+    assert(out(4L) == (("nav\nbody four", 2L, 0L)),
+      "a line under the domain's threshold must be kept")
+    assert(out(5L) == (("nav", 1L, 0L)))
+    // a stale df table missing a line keeps it (unknown = df 1)
+    val stale = Seq(("d1", "nav", 5L)).toDF("domain", "line", "line_df")
+    val cons = TextOps.dropDomainBoilerplate(lines, minDf = 3, dfTable = Some(stale))
+      .filter(col("doc_id") === 1L).collect()(0)
+    assert(cons.getString(2) == "body one" && cons.getLong(4) == 1L)
+  }
+
   test("proximityOccurrences: unordered window, edge-inclusive, all pairs count, hitless docs absent") {
     def near(docs: Seq[(Long, String)], a: String, b: String, w: Int): Map[Long, (Long, Long)] =
       TextOps.proximityOccurrences(docs.toDF("doc_id", "text"), a, b, w)

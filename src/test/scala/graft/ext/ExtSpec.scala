@@ -658,6 +658,26 @@ class ExtSpec extends AnyFunSuite {
     assert(top(1L)._3 > top(3L)._3 && top(3L)._3 > top(2L)._3)
   }
 
+  test("docKeywords: exact integer ranking, tf saturation, TopKPerKey cut") {
+    import spark.implicits._
+    val docs2 = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y y"), (4L, "w"))
+      .toDF("doc_id", "text")
+    val kw = TextOps.docKeywords(docs2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // idf: x,y (1000·5)//3 = 1666; z,w (1000·5)//2 = 2500
+    assert(kw == Set(
+      (1L, "x", 2L * 1666, 1L), (1L, "y", 1666L, 2L),   // tf breaks the idf tie
+      (2L, "z", 2500L, 1L), (2L, "x", 1666L, 2L),       // rarer term outranks
+      (3L, "y", 3L * 1666, 1L),                          // fewer terms than k: emit what exists
+      (4L, "w", 2500L, 1L)), kw)
+    // saturation: a 200-fold repeat caps at tfCap
+    val sat = TextOps.docKeywords(
+      Seq((9L, Seq.fill(200)("x").mkString(" "))).toDF("doc_id", "text"),
+      k = 1, tfCap = 100L).collect()(0)
+    assert(sat.getLong(2) == 100L * 1000L, sat.getLong(2)) // tfCap · ((1000·2) div 2)
+  }
+
   test("ivfPq: codes == pqEncode + coarse assign; full-probe serve == pqTopK; narrow probe reads only its lists") {
     val state = Similarity.pqTrain(emb, m = 4, k = 8, iters = 2)
     val composite = Similarity.ivfPqCodes(emb, nLists = 16, m = 4, k = 8, iters = 2).cache()
