@@ -108,6 +108,40 @@ object CurationTour {
           concat(lit("https://www.example.com/r/"), col("doc_id"))).count() == 0
     }
 
+    // 0''. domain-scoped chrome removal
+    // ([[TextOps.dropDomainBoilerplate]]): a crawl page carries its
+    // SITE's navigation/footer, which repeats within the domain and
+    // nowhere else — the (domain, line) df key removes it without a
+    // prose-eating global threshold. The check wraps each extracted
+    // page in per-source chrome (source standing in for the domain),
+    // strips it, and pins: chrome never survives, and every doc whose
+    // prose is UNIQUE within its source round-trips exactly (duplicate
+    // prose may legitimately cross the in-domain threshold too — the
+    // operator's contract, not a bug, so those docs are exempted).
+    check("domain chrome strips on the (domain, line) key and unique prose round-trips") {
+      val chromed = raw.select(col("doc_id"), col("source").as("domain"),
+        col("text"),
+        concat(lit("Home | About "), col("source"), lit("\n"), col("text"),
+          lit("\n(c) "), col("source")).as("page"))
+      val lines = chromed.select(col("doc_id"), col("domain"),
+          posexplode(org.apache.spark.sql.functions.split(col("page"), "\n")))
+        .withColumnRenamed("col", "line")
+      val cleaned = TextOps.dropDomainBoilerplate(lines, minDf = 3).cache()
+      val uniqProse = raw.groupBy(col("source"), col("text"))
+        .agg(count(lit(1)).as("c")).filter(col("c") === 1)
+        .join(raw.select(col("doc_id"), col("source"), col("text")),
+          Seq("source", "text"))
+        .select(col("doc_id"), col("text"))
+      val ok = cleaned.count() == n0 &&
+        cleaned.filter(col("n_removed") < 2L).count() == 0 &&
+        cleaned.filter(col("cleaned").contains("Home | About") ||
+          col("cleaned").contains("(c) ")).count() == 0 &&
+        cleaned.join(uniqProse, "doc_id")
+          .filter(col("cleaned") =!= col("text")).count() == 0
+      cleaned.unpersist()
+      ok
+    }
+
     // 1. scrub: redact PII in place, count what was touched
     val scrubbed = raw.select(col("doc_id"), col("lang"),
       TextOps.redactPii(col("text")).as("text"),
