@@ -47,4 +47,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // d15 5.5→1.9 s, spreads collapse. Costs a few seconds of extra JVM
   // boot — outside every timing window.
   "-XX:+AlwaysPreTouch",
+  // r16: the 222-query suite's whole-stage-codegen classes overflow the
+  // default segmented code cache (~117 MB non-profiled); the official r15
+  // bench hit "CodeHeap 'non-profiled nmethods' is full. Compiler has
+  // been disabled" at uptime 2440 s of 3139, so the run's tail executed
+  // interpreted/C1. 512 MB keeps every generated class JIT-compiled for
+  // the full suite; Bench records it in the artifact's `jvm` header.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -1358,42 +1358,64 @@ object TextOps {
     trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
   }
 
+  /** One attribute-VALUE grammar shared by every HTML extractor here:
+    * double-quoted, single-quoted, or unquoted (terminated by
+    * whitespace / quote / `>`) — the three spellings real crawl HTML
+    * actually uses. The single capture group INCLUDES the delimiters
+    * (a group cannot span alternation arms); strip them with
+    * [[stripAttrValueQuotes]] after extraction. RE2-safe, so the
+    * identical alternation replays in DuckDB.
+    */
+  private[ext] val AttrValuePattern: String =
+    "(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
+
+  /** Drop the surrounding quotes of one [[AttrValuePattern]] capture —
+    * the grammar guarantees matched delimiters, so a first-character
+    * check suffices (and replays as a plain CASE/substr in SQL).
+    */
+  def stripAttrValueQuotes(v: Column): Column =
+    when(v.startsWith("\"") || v.startsWith("'"),
+      v.substr(lit(2), length(v) - 2)).otherwise(v)
+
   /** Href extraction from anchor tags — the OTHER half of crawl-page
     * processing next to [[htmlToText]]: the text feeds curation, the
     * links feed the frontier/link-graph. Returns the `href` values of
-    * `<a>` tags (double-quoted attributes, any attribute order, any
-    * case, whitespace around `=` tolerated) in document order; empty
-    * hrefs are kept for the caller to filter (they are real anchors).
-    * Single-quoted/unquoted attribute spellings are a documented
-    * boundary (rare in modern markup; the RE2-safe double-quote form
-    * keeps the oracle replayable byte-for-byte). Pair with
-    * [[graft.ext.UrlOps.canonicalizeUrl]]/`registrableDomain` for the
-    * link graph — the t48 gate runs exactly that composition.
+    * `<a>` tags (double-quoted, single-quoted, or unquoted values —
+    * [[AttrValuePattern]] — any attribute order, any case, whitespace
+    * around `=` tolerated) in document order; empty hrefs are kept for
+    * the caller to filter (they are real anchors; only the quoted
+    * spellings can be empty — an unquoted value needs ≥ 1 char). Pair
+    * with [[graft.ext.UrlOps.canonicalizeUrl]]/`registrableDomain` for
+    * the link graph — the t48 gate runs exactly that composition.
     */
   def htmlLinks(html: Column): Column =
-    regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>"), lit(1))
+    transform(
+      regexp_extract_all(html,
+        lit("(?is)<a\\b[^>]*?href\\s*=\\s*" + AttrValuePattern + "[^>]*>"),
+        lit(1)),
+      v => stripAttrValueQuotes(v))
 
-  /** Whole `<a href="...">text</a>` elements in document order — the
+  /** Whole `<a href=...>text</a>` elements in document order — the
     * anchor-TEXT half of link harvesting ([[htmlLinks]] yields only
     * the hrefs): what a page's neighbors SAY about a target is the
     * classic relevance/quality signal a crawl ranks frontier URLs by.
-    * Same RE2-safe double-quoted-href grammar as [[htmlLinks]], plus
-    * the anchor body up to the closing tag restricted to markup-free
-    * text (`[^<]*` — nested elements are a documented boundary, the
-    * htmlLinks single-quote rule). Callers split each element with
-    * [[anchorHref]] / [[anchorText]]; all three are byte-replayable
-    * in any RE2 engine, which is what puts the t54 rollup under the
-    * hash gate.
+    * Same three-spelling href grammar as [[htmlLinks]]
+    * ([[AttrValuePattern]]), plus the anchor body up to the closing
+    * tag restricted to markup-free text (`[^<]*` — nested elements are
+    * the remaining documented boundary). Callers split each element
+    * with [[anchorHref]] / [[anchorText]]; all three are
+    * byte-replayable in any RE2 engine, which is what puts the t54
+    * rollup under the hash gate.
     */
   def htmlAnchorElements(html: Column): Column =
     regexp_extract_all(html, lit(AnchorElementPattern), lit(0))
 
   /** The anchor-element grammar shared by both engines (group 1 =
-    * href, group 2 = anchor text).
+    * href with its delimiters — strip with [[stripAttrValueQuotes]] —
+    * group 2 = anchor text).
     */
   val AnchorElementPattern: String =
-    "(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    "(?is)<a\\b[^>]*?href\\s*=\\s*" + AttrValuePattern + "[^>]*>([^<]*)</a>"
 
   /** Structured page metadata — title, meta description, canonical
     * URL: the three fields a crawl's PAGE TABLE carries next to the
@@ -1401,26 +1423,31 @@ object TextOps {
     * snippet quality signals, canonical for dedup — a page declaring
     * another URL canonical is the site itself saying "duplicate").
     * First match wins (document order — `regexp_extract` semantics in
-    * both engines); no match yields `''`, never NULL. Same RE2-safe
-    * double-quoted grammar discipline as [[htmlLinks]]; the
-    * name-before-content / rel-before-href attribute order is the
-    * documented boundary (the overwhelmingly common spelling).
+    * both engines); no match yields `''`, never NULL. Attribute VALUES
+    * follow the three-spelling [[AttrValuePattern]] grammar (the
+    * name/rel selector values too); the name-before-content /
+    * rel-before-href attribute order is the documented boundary (the
+    * overwhelmingly common spelling).
     */
   val TitlePattern: String = "(?is)<title[^>]*>([^<]*)</title>"
   val MetaDescPattern: String =
-    "(?is)<meta\\s[^>]*?name\\s*=\\s*\"description\"[^>]*?content\\s*=\\s*\"([^\"]*)\"[^>]*>"
+    "(?is)<meta\\s[^>]*?name\\s*=\\s*[\"']?description[\"']?[\\s>][^>]*?content\\s*=\\s*" +
+      AttrValuePattern + "[^>]*>"
   val CanonicalPattern: String =
-    "(?is)<link\\s[^>]*?rel\\s*=\\s*\"canonical\"[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>"
+    "(?is)<link\\s[^>]*?rel\\s*=\\s*[\"']?canonical[\"']?[\\s>][^>]*?href\\s*=\\s*" +
+      AttrValuePattern + "[^>]*>"
 
   def pageTitle(html: Column): Column = regexp_extract(html, TitlePattern, 1)
   def pageMetaDescription(html: Column): Column =
-    regexp_extract(html, MetaDescPattern, 1)
+    stripAttrValueQuotes(regexp_extract(html, MetaDescPattern, 1))
   def pageCanonical(html: Column): Column =
-    regexp_extract(html, CanonicalPattern, 1)
+    stripAttrValueQuotes(regexp_extract(html, CanonicalPattern, 1))
 
-  /** The `href` of one [[htmlAnchorElements]] element. */
+  /** The `href` of one [[htmlAnchorElements]] element (delimiters
+    * stripped).
+    */
   def anchorHref(element: Column): Column =
-    regexp_extract(element, AnchorElementPattern, 1)
+    stripAttrValueQuotes(regexp_extract(element, AnchorElementPattern, 1))
 
   /** The text body of one [[htmlAnchorElements]] element. */
   def anchorText(element: Column): Column =
@@ -1566,11 +1593,12 @@ object TextOps {
     *
     * Scale shape: the df/idf table is token-keyed (the inverted-index
     * build — one corpus-sized token shuffle shared with the norm
-    * pass); doc norms are a per-corpus ARTIFACT in spirit (persist
-    * next to the t36 text index and serving touches only the query
-    * terms' postings); the dot product aggregates only rows whose
-    * token is in the broadcast-literal query list; the top-k is a
-    * TakeOrdered, never a global sort.
+    * pass); the dot product aggregates only rows whose token is in
+    * the broadcast-literal query list; the top-k is a TakeOrdered,
+    * never a global sort. This is the FROM-SCRATCH twin: at corpus
+    * scale, build the [[writeTfidfIndex]] artifact once and serve
+    * queries through [[tfidfCosineTopKAt]] — it touches only the
+    * query terms' postings (t62b pins serve(index) == this).
     */
   def tfidfCosineTopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
       tfCap: Long = 100L, idfCap: Long = 100000L,
@@ -1828,6 +1856,202 @@ object TextOps {
       .join(ids, Seq("doc_id"), "left_anti")
     val rebuild = s"${path}_rebuild"
     writeTextIndexAt(spark, keptP, keptD, rebuild)
+    graft.ext.IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
+  // ---------------------------------------------- persisted tf-idf index
+
+  /** Build parameters of a persisted tf-idf index — baked into every
+    * weight/norm in the artifact, so they ride a sidecar and serving
+    * reads them from there (a call-site literal can't disagree with
+    * the build).
+    */
+  case class TfidfParams(tfCap: Long, idfCap: Long)
+
+  private def tfidfParamsPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_tfidf_params.json")
+
+  /** True iff `path` carries the tf-idf sidecar — the loud-failure
+    * marker every lifecycle entry point checks.
+    */
+  def isTfidfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    fs.exists(tfidfParamsPath(path))
+  }
+
+  private def requireTfidfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    require(isTfidfIndex(spark, path),
+      s"$path has no _graft_tfidf_params.json sidecar — not a graft tf-idf index")
+
+  /** The [[TfidfParams]] sidecar of a persisted index. */
+  def readTfidfIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[TfidfParams] = {
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    if (!fs.exists(tfidfParamsPath(path))) return None
+    val in = fs.open(tfidfParamsPath(path))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def field(key: String) = s""""$key":(-?[0-9]+)""".r.findFirstMatchIn(txt).map(_.group(1))
+    for { t <- field("tfCap"); i <- field("idfCap") }
+      yield TfidfParams(t.toLong, i.toLong)
+  }
+
+  /** (tf grain, doc grain) of a corpus under the tf-idf model: the
+    * SATURATED term-frequency rows `(doc_id, token, tfs)` — the only
+    * per-document state the model needs (df/idf/norms are derived
+    * corpus statistics, recomputed by every build so update/forget
+    * stay exact) — and the doc-grain id table (a token-less doc has no
+    * tf row but still counts in n_docs, the textIndexFrames rule).
+    */
+  private[ext] def tfidfGrainFrames(docs: DataFrame, tfCap: Long,
+      idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val grain = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(least(count(lit(1)), lit(tfCap)).as("tfs"))
+    (grain, ids)
+  }
+
+  private def writeTfidfIndexAt(spark: org.apache.spark.sql.SparkSession,
+      grain: DataFrame, docIds: DataFrame, p: TfidfParams, path: String): Unit = {
+    // corpus statistics re-derived from the grain on EVERY build: an
+    // added/forgotten doc moves df of its tokens, which moves idf,
+    // which moves the weight of every doc sharing those tokens — norms
+    // are global by construction, so they recompute (integer-narrow
+    // shuffles at token/doc cardinality; never a re-tokenize)
+    val dfT = grain.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docIds.agg(count(lit(1)).as("n_docs"))
+    val idf = dfT.crossJoin(nDocs).select(col("token"),
+      least(lit(p.idfCap), expr("(1000 * (n_docs + 1)) div (df + 1)")).as("idf"))
+    val w = grain.join(idf, "token")
+      .select(col("doc_id"), col("token"), col("tfs"),
+        (col("tfs") * col("idf")).as("w"))
+    val dnorm = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("d2"))
+    // the norm DENORMALIZES onto each posting row (the dl-rides-the-
+    // postings rule of the text index): a query then reads ONLY its
+    // terms' slices — no doc-cardinality norms join at serve time
+    val postings = w.join(dnorm, "doc_id")
+      .select(col("token"), col("doc_id"), col("tfs"), col("d2"))
+    postings
+      .repartitionByRange(col("token"))
+      .sortWithinPartitions(col("token"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    docIds.select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+    docIds.agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    val fs = graft.fs.Fs.getFileSystem(spark.sparkContext.hadoopConfiguration, path)
+    val out = fs.create(tfidfParamsPath(path), true)
+    try out.write(
+      s"""{"v":1,"tfCap":${p.tfCap},"idfCap":${p.idfCap},"tokenizer":"ws"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Persist the tf-idf vector-space index of a corpus — the ELEVENTH
+    * index-lifecycle family (and the artifact [[tfidfCosineTopK]]'s
+    * doc promised): `postings/` at (token, doc) grain carrying the
+    * saturated tf AND the doc's norm² (token-range-partitioned and
+    * sorted, so a term predicate prunes to a file slice), `docs/` at
+    * doc grain (exact n_docs under token-less docs), `stats/` as the
+    * 1-row broadcast side, the params sidecar marking the artifact.
+    * [[tfidfCosineTopKAt]] answers cosine retrieval against it
+    * touching ONLY the query terms' postings — at 100 TB the build is
+    * the one corpus pass, and a per-query corpus pass is the
+    * difference between serving and a batch job. Maintained at batch
+    * cost by [[updateTfidfIndex]]/[[forgetTfidfIndex]] under the
+    * fuse-guarded swap; `serve(index) == from-scratch` is the t62b
+    * hash gate (t62's oracle, unchanged).
+    */
+  def writeTfidfIndex(docs: DataFrame, path: String, tfCap: Long = 100L,
+      idfCap: Long = 100000L,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val (grain, ids) = tfidfGrainFrames(docs, tfCap, idCol, textCol)
+    writeTfidfIndexAt(docs.sparkSession, grain, ids,
+      TfidfParams(tfCap, idfCap), path)
+  }
+
+  /** [[tfidfCosineTopK]] served from a persisted [[writeTfidfIndex]]
+    * artifact: identical integer-rational weighting (df of each query
+    * term is the row count of its postings slice — every posting of a
+    * token lives in that slice, so it is the same number the
+    * from-scratch pass derives; idf re-derives from it and the 1-row
+    * stats side under the sidecar's caps) and the identical
+    * IEEE-exact cosine finish, but the corpus contribution is a PRUNED
+    * postings read with the doc norm riding each row — query cost is
+    * the query terms' postings plus two kilobyte-sized sides,
+    * independent of corpus size.
+    */
+  def tfidfCosineTopKAt(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: Seq[String], k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    requireTfidfIndex(spark, path)
+    val p = readTfidfIndexParams(spark, path).get
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val tf = spark.read.parquet(s"$path/postings")
+      .where(col("token").isin(terms: _*))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = spark.read.parquet(s"$path/stats")
+    val idf = dfT.crossJoin(stats).select(col("token"),
+      least(lit(p.idfCap), expr("(1000 * (n_docs + 1)) div (df + 1)")).as("idf"))
+    val q2 = idf.agg(sum(col("idf") * col("idf")).as("q2"))
+    val dot = tf.join(broadcast(idf), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf") * col("tfs") * col("idf")).as("dot"),
+        max(col("d2")).as("d2"))
+    dot.crossJoin(q2)
+      .select(col("doc_id"), col("dot"), col("d2"),
+        floor(col("dot").cast("double") /
+          (sqrt(col("q2").cast("double")) * sqrt(col("d2").cast("double")))
+          * 1e6).cast("long").as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("doc_id")).limit(k)
+  }
+
+  /** Fold an ingest batch into a persisted tf-idf index WITHOUT
+    * re-tokenizing the corpus: stale rows of re-ingested ids drop
+    * first, the batch tokenizes in one narrow pass, df/idf/norms
+    * re-derive from the merged tf grain (exact — see
+    * [[writeTfidfIndexAt]]'s recompute note), and the merged build
+    * promotes through the fuse-guarded [[IndexLifecycle.swapIn]].
+    * Params come from the live sidecar and are rewritten unchanged;
+    * `update == rebuild` over the grown corpus is spec-pinned.
+    */
+  def updateTfidfIndex(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    requireTfidfIndex(spark, path)
+    val p = readTfidfIndexParams(spark, path).get
+    val newIds = newDocs.select(col(idCol).cast("long").as("doc_id"))
+    val keptG = spark.read.parquet(s"$path/postings")
+      .join(newIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("token"), col("tfs"))
+    val keptD = spark.read.parquet(s"$path/docs")
+      .join(newIds, Seq("doc_id"), "left_anti")
+    val (freshG, freshD) = tfidfGrainFrames(newDocs, p.tfCap, idCol, textCol)
+    val rebuild = s"${path}_rebuild"
+    writeTfidfIndexAt(spark, keptG.unionByName(freshG),
+      keptD.unionByName(freshD), p, rebuild)
+    graft.ext.IndexLifecycle.swapIn(spark, rebuild, path)
+  }
+
+  /** Deletion propagation for a persisted tf-idf index: the forgotten
+    * ids' grain and doc rows go, df/idf/norms re-derive, the purged
+    * build swaps in — `forget == rebuild(minus ids)` is spec-pinned.
+    */
+  def forgetTfidfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, forgetIds: DataFrame, idCol: String = "doc_id"): Unit = {
+    requireTfidfIndex(spark, path)
+    val p = readTfidfIndexParams(spark, path).get
+    val ids = forgetIds.select(col(idCol).cast("long").as("doc_id"))
+    val keptG = spark.read.parquet(s"$path/postings")
+      .join(ids, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("token"), col("tfs"))
+    val keptD = spark.read.parquet(s"$path/docs")
+      .join(ids, Seq("doc_id"), "left_anti")
+    val rebuild = s"${path}_rebuild"
+    writeTfidfIndexAt(spark, keptG, keptD, p, rebuild)
     graft.ext.IndexLifecycle.swapIn(spark, rebuild, path)
   }
 

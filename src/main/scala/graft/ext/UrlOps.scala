@@ -92,9 +92,12 @@ object UrlOps {
     * if any group names `userAgent` (case-insensitive) the agent obeys
     * exactly those groups, otherwise the `*` groups; empty-valued
     * rules are the RFC no-op; rules before any `User-agent` line
-    * belong to no group and bind nobody. BOUNDARY (documented): path
-    * patterns are treated as LITERAL prefixes — `*`/`$` wildcards and
-    * `Crawl-delay`/`Sitemap` directives are out of scope.
+    * belong to no group and bind nobody. Path patterns may carry the
+    * RFC 9309 §2.2.3 wildcards — `*` (any character run) and a
+    * trailing `$` (end-of-path anchor) — which [[robotsDecisions]]
+    * matches and ranks by literal specificity. `Crawl-delay` /
+    * `Sitemap` directives live in [[parseCrawlDelay]] /
+    * [[sitemapDirectives]].
     *
     * Shape: one narrow line explode + windows PARTITIONED BY DOMAIN
     * (a robots.txt is KB-sized, so per-domain windows never skew) and
@@ -237,6 +240,22 @@ object UrlOps {
   def sitemapEntries(xml: Column): Column =
     regexp_extract_all(xml, lit("(?is)<url\\s*>.*?</url\\s*>"), lit(0))
 
+  /** The `<sitemap>…</sitemap>` CHILD blocks of a sitemap-INDEX
+    * payload (`<sitemapindex>` — what every large site actually serves
+    * at its robots-declared sitemap URL): each block's `<loc>` names
+    * another sitemap FILE, not a page. Same RE2-safe non-greedy
+    * grammar as [[sitemapEntries]]; extract each child's url with
+    * [[sitemapLoc]] (the tag grammar is identical), then parse the
+    * fetched child payloads with [[sitemapEntries]] — one recursion
+    * level, which covers the standard index-of-leaf-sitemaps layout.
+    * Indexes nested deeper than one level (an index naming another
+    * index) remain a documented boundary. A plain `<urlset>` payload
+    * has no `<sitemap>` blocks, so this yields an empty array on leaf
+    * files — callers can route payloads by emptiness without sniffing.
+    */
+  def sitemapIndexEntries(xml: Column): Column =
+    regexp_extract_all(xml, lit("(?is)<sitemap\\s*>.*?</sitemap\\s*>"), lit(0))
+
   /** The whitespace-trimmed `<loc>` value of one [[sitemapEntries]]
     * block ('' when absent — callers filter, the htmlLinks empty-href
     * convention).
@@ -251,18 +270,54 @@ object UrlOps {
   def sitemapLastmod(entry: Column): Column =
     trim(regexp_extract(entry, "(?is)<lastmod\\s*>([^<]*)</lastmod\\s*>", 1))
 
+  /** The RE2 regex equivalent of one robots.txt path pattern
+    * (RFC 9309 §2.2.3): regex metacharacters in literal runs are
+    * escaped, `*` becomes `.*`, and a single TRAILING `$` becomes the
+    * end-of-subject anchor (a `$` anywhere else is literal — the
+    * convention of every major implementation). Anchored at the start
+    * (`^`), open at the end — a wildcard-free pattern degrades to the
+    * classic literal-prefix match. Built from RE2-safe pieces only, so
+    * the identical conversion replays in any RE2 engine (the t52b
+    * oracle re-derives it in SQL).
+    */
+  def robotsPatternRegex(pattern: Column): Column = {
+    val anchored = pattern.rlike("\\$$")
+    val base = when(anchored, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    // escape every RE2 metacharacter EXCEPT '*' (translated below);
+    // the replacement emits a literal backslash before the char
+    val esc = regexp_replace(base, "([.\\[\\]{}()+?^$|\\\\])", "\\\\$1")
+    concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** The literal-character count of a robots path pattern — RFC 9309's
+    * longest-match specificity key: wildcards (`*` anywhere, one
+    * trailing `$`) contribute nothing, every other character counts.
+    */
+  def robotsPatternLitLen(pattern: Column): Column =
+    length(regexp_replace(regexp_replace(pattern, "\\$$", ""), "\\*", ""))
+
   /** Decide every frontier URL against a [[parseRobots]] rule table:
-    * longest-matching-prefix wins, an Allow beats a Disallow of equal
-    * length (the RFC tie rule), no matching rule means allowed. The
-    * match subject is everything after the authority (path + query,
-    * the Googlebot convention), `/` when empty. Output: the input
-    * columns + `(path, matched_allow, matched_prefix, allowed)` —
-    * matched columns NULL when no rule fired.
+    * most-specific-match wins (specificity = the pattern's LITERAL
+    * length, so a 7-literal-char wildcard pattern like
+    * `/a/&#42;.php` beats `/a/` with 3 — the RFC 9309 longest-match
+    * rule generalized to wildcards), an
+    * Allow beats a Disallow of equal specificity (the RFC tie rule),
+    * no matching rule means allowed. Patterns may carry `*` / trailing
+    * `$` wildcards ([[robotsPatternRegex]]); wildcard-free rules match
+    * as plain literal prefixes, exactly as before. The match subject
+    * is everything after the authority (path + query, the Googlebot
+    * convention), `/` when empty. Output: the input columns +
+    * `(path, matched_allow, matched_prefix, allowed)` — matched
+    * columns NULL when no rule fired.
     *
     * `keyCols` must uniquely key `urls` (they partition the
     * best-match window). Scale shape: the rule table is per-domain
     * KB-sized — broadcast the join; the window partitions at URL
-    * granularity, so nothing skews.
+    * granularity, so nothing skews. The regex compiles per candidate
+    * row (a non-foldable pattern can't be codegen-cached), which is
+    * fine at rule-table fan-out — a domain's rule count is tiny.
     */
   def robotsDecisions(urls: DataFrame, rules: DataFrame, keyCols: Seq[String],
       urlCol: String = "url_canon", domainCol: String = "domain"): DataFrame = {
@@ -271,9 +326,9 @@ object UrlOps {
     val pathed = urls.withColumn("path",
       when(rawPath === "", lit("/")).otherwise(rawPath))
     val matches = pathed.join(rules, Seq(domainCol))
-      .filter(col("path").startsWith(col("prefix")))
+      .filter(regexp_like(col("path"), robotsPatternRegex(col("prefix"))))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(length(col("prefix")).desc, col("rule_allow").desc,
+      .orderBy(robotsPatternLitLen(col("prefix")).desc, col("rule_allow").desc,
         col("prefix").asc)
     val best = matches.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

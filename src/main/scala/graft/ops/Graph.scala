@@ -242,11 +242,95 @@ object Graph {
     var hub = ids.select(col("id"), lit(1000000L).as("s"))
     var auth = ids.select(col("id"), lit(0L).as("s"))
     for (_ <- 1 to iters) {
-      auth = halfStep(hub, "src", "dst")
-      hub = halfStep(auth, "dst", "src")
+      // materialize each round (the pageRankWeighted discipline —
+      // Graph.scala's join-chain lineage doubles per iteration, so an
+      // uncheckpointed run at iters=10+ builds an exponentially nested
+      // plan) and free the previous round's blocks immediately
+      // ([[graft.ops.Blocks]] contract)
+      val a0 = halfStep(hub, "src", "dst")
+      val a = if (materialize) a0.localCheckpoint() else a0
+      val h0 = halfStep(a, "dst", "src")
+      val h = if (materialize) h0.localCheckpoint() else h0
+      if (materialize) { Blocks.free(hub); Blocks.free(auth) }
+      auth = a
+      hub = h
     }
-    hub.withColumnRenamed("s", "hub_micro")
+    val out = hub.withColumnRenamed("s", "hub_micro")
       .join(auth.withColumnRenamed("s", "auth_micro"), "id")
+    if (!materialize) out
+    else {
+      // collapse the two final half-step checkpoints into ONE returned
+      // table so at most one live checkpoint survives the call
+      val result = out.localCheckpoint()
+      Blocks.free(hub); Blocks.free(auth); Blocks.free(e)
+      result
+    }
+  }
+
+  /** Convergence-run HITS — [[hits]] at the DETECTED fixpoint instead
+    * of a guessed iteration count (the g08/g09 pattern applied to
+    * hubs-and-authorities): run full iterations until BOTH score
+    * vectors repeat their predecessor's exactly (the integer
+    * recurrence is deterministic, so one repeated round is a true
+    * fixpoint — every later round replays it) or `maxIters` fires.
+    * `tolMicros` relaxes equality to a per-node absolute band.
+    *
+    * Returns (scores, roundsRun, stable): `stable == true` means the
+    * LAST executed round was a no-op, so the scores are the
+    * recurrence's fixpoint; `stable == false` means the cap fired
+    * first — a truncating-integer HITS can limit-cycle rather than
+    * settle, and the flag (NOT the round count — a run converging
+    * exactly at the cap still reports stable) is what callers must
+    * branch on before trusting the scores as converged. Same
+    * per-round localCheckpoint + free discipline as [[hits]], so plan
+    * depth and block-manager residency stay constant however far the
+    * trajectory runs.
+    */
+  def hitsConverged(nodes: DataFrame, edges: DataFrame, maxIters: Int = 64,
+      tolMicros: Long = 0L, weightCol: String = "w",
+      materialize: Boolean = true): (DataFrame, Int, Boolean) = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    require(tolMicros >= 0L, "tolMicros must be >= 0")
+    val e0 = edges.select(col("src"), col("dst"), col(weightCol).as("w"))
+    val e = if (materialize) e0.localCheckpoint() else e0
+    val ids = nodes.select(col("id"))
+
+    def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
+      val raw = e.join(scores.withColumnRenamed("id", from), from)
+        .select(col(to).as("id"), (col("s") * col("w")).as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      val withZeros = ids.join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("c"), lit(0L)).as("c"))
+      val total = withZeros.agg(greatest(sum("c"), lit(1L)).as("tot"))
+      withZeros.crossJoin(broadcast(total))
+        .select(col("id"), expr("c * 1000000L div tot").as("s"))
+    }
+
+    var hub = ids.select(col("id"), lit(1000000L).as("s")).localCheckpoint()
+    var auth = ids.select(col("id"), lit(0L).as("s")).localCheckpoint()
+    var rounds = 0
+    var stable = false
+    while (rounds < maxIters && !stable) {
+      val a = halfStep(hub, "src", "dst").localCheckpoint()
+      val h = halfStep(a, "dst", "src").localCheckpoint()
+      rounds += 1
+      // one round is stable when BOTH vectors sit within tol of their
+      // predecessors — checked after h/a are materialized, so the
+      // previous round's blocks are dead weight from here
+      stable = h.join(hub.select(col("id"), col("s").as("_prev")), "id")
+        .filter(abs(col("s") - col("_prev")) > tolMicros).isEmpty &&
+        a.join(auth.select(col("id"), col("s").as("_prev")), "id")
+          .filter(abs(col("s") - col("_prev")) > tolMicros).isEmpty
+      Blocks.free(hub); Blocks.free(auth)
+      hub = h
+      auth = a
+    }
+    val result = hub.withColumnRenamed("s", "hub_micro")
+      .join(auth.withColumnRenamed("s", "auth_micro"), "id")
+      .localCheckpoint()
+    Blocks.free(hub); Blocks.free(auth)
+    if (materialize) Blocks.free(e)
+    (result, rounds, stable)
   }
 
   /** Per-node triangle participation counts over an UNDIRECTED simple

@@ -612,10 +612,19 @@ object Pipeline {
         .otherwise(lit("?q=1")))
     val url2 = concat(lit("HTTP://site"), pmod(d, lit(7)).cast("string"),
       lit(".com:80/b/"), d, lit("#frag"))
+    // same messy-attribute anchors as [[syntheticHarvestedLinks]] —
+    // the two harvest fixtures stay identical so the t55 composition's
+    // rank join sees the domains its own links produce
+    val url3 = concat(lit("https://site"), pmod(d, lit(11)).cast("string"),
+      lit(".org/c/"), d)
+    val url4 = concat(lit("HTTPS://WWW.Site"), pmod(d, lit(13)).cast("string"),
+      lit(".NET/d/"), d, lit("?utm_x=1&z="), pmod(d, lit(3)).cast("string"))
     val html = concat(
       lit("<html><body><p>intro</p><a class=\"x\" href=\""), url1,
       lit("\">one</a><p>mid</p><a HREF = \""), url2,
-      lit("\">two</a><a href=\"\">anchor</a></body></html>"))
+      lit("\">two</a><a href='"), url3,
+      lit("'>three</a><a href="), url4,
+      lit(" class=z>four</a><a href=\"\">anchor</a></body></html>"))
     val pageDomain = concat(lit("site"), pmod(d, lit(13)).cast("string"),
       element_at(array(lit(".com"), lit(".org"), lit(".net")),
         (pmod(d, lit(3)) + 1).cast("int")))
@@ -2528,10 +2537,21 @@ object Pipeline {
         .otherwise(lit("?q=1")))
     val url2 = concat(lit("HTTP://site"), pmod(d, lit(7)).cast("string"),
       lit(".com:80/b/"), d, lit("#frag"))
+    // the messy-attribute spellings (r15 verdict task 6): a
+    // single-quoted href and an unquoted one (terminated by the space
+    // before the next attribute), the latter with an uppercase
+    // scheme/host + a stripped utm_ param so the canonicalizer runs on
+    // both new branches too
+    val url3 = concat(lit("https://site"), pmod(d, lit(11)).cast("string"),
+      lit(".org/c/"), d)
+    val url4 = concat(lit("HTTPS://WWW.Site"), pmod(d, lit(13)).cast("string"),
+      lit(".NET/d/"), d, lit("?utm_x=1&z="), pmod(d, lit(3)).cast("string"))
     val html = concat(
       lit("<html><body><p>intro</p><a class=\"x\" href=\""), url1,
       lit("\">one</a><p>mid</p><a HREF = \""), url2,
-      lit("\">two</a><a href=\"\">anchor</a></body></html>"))
+      lit("\">two</a><a href='"), url3,
+      lit("'>three</a><a href="), url4,
+      lit(" class=z>four</a><a href=\"\">anchor</a></body></html>"))
     val links = docs
       .select(d, posexplode(TextOps.htmlLinks(html)))
       .withColumnRenamed("col", "href")
@@ -2602,6 +2622,56 @@ object Pipeline {
         when(k % 4 === 0, concat(
           lit("\nUser-agent: graftbot\nDisallow: /b/\nAllow: /b/"),
           k.cast("string"), lit("\nCrawl-delay: 7\n"))).otherwise(lit(""))))
+  }
+
+  /** RFC 9309 WILDCARD politeness decisions
+    * ([[graft.ext.UrlOps.robotsDecisions]] over a `*`/`$` rule
+    * battery — closing t52's documented wildcard boundary): the same
+    * t48 harvest decided against a per-domain fixture that exercises
+    * every wildcard branch — a mid-pattern `*` disallow, an ANCHORED
+    * allow that outranks it by literal length (9 vs 4: the RFC
+    * longest-match rule generalized to wildcards), an equal-literal
+    * Allow/Disallow tie on the same anchored pattern (allow wins), a
+    * literal rule beaten by a MORE-literal wildcard (`/c/` vs the
+    * anchored 4-literal-char `/c/&#42;7$`), a `?`-bearing pattern
+    * that must be regex-ESCAPED
+    * before matching, and a graftbot-specific wildcard group that
+    * overrides the `*` groups entirely. The oracle re-derives the
+    * pattern→RE2 conversion (escape, `*`→`.*`, trailing-`$` anchor)
+    * and the literal-length precedence in SQL, so the full wildcard
+    * decision table — conversion, matching, specificity, tie-break,
+    * no-match default — sits under the hash gate.
+    */
+  def t52bRobotsWildcards(spark: SparkSession, dir: String): DataFrame = {
+    val links = syntheticHarvestedLinks(Tables.documents(spark, dir))
+    val rules = graft.ext.UrlOps.parseRobots(
+      syntheticRobotsWildcard(links), "graftbot")
+    graft.ext.UrlOps.robotsDecisions(links, rules, Seq("doc_id", "pos"))
+      .select(col("doc_id"), col("pos"), col("url_canon"), col("domain"),
+        col("path"),
+        coalesce(col("matched_prefix"), lit("")).as("matched_prefix"),
+        col("allowed"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** The t52b wildcard robots fixture (formula over the site number
+    * k): see [[t52bRobotsWildcards]] for what each rule pins.
+    */
+  def syntheticRobotsWildcard(links: DataFrame): DataFrame = {
+    val k = regexp_extract(col("domain"), "site([0-9]+)", 1).cast("int")
+    links.select(col("domain")).distinct()
+      .withColumn("robots_txt", concat(
+        lit("# graft wildcard fixture\nUser-Agent: *\n"),
+        when(k % 2 === 0, lit("Disallow: /a/*1\n")).otherwise(lit("")),
+        when(k % 3 === 0, lit("Allow: /a/*1?q=1$\n")).otherwise(lit("")),
+        when(k % 4 === 0, lit("Disallow: /b/*3$\n")).otherwise(lit("")),
+        when(k % 8 === 0, lit("Allow: /b/*3$\n")).otherwise(lit("")),
+        when(k % 5 === 0, lit("Disallow: /c/\nAllow: /c/*7$\n"))
+          .otherwise(lit("")),
+        when(k % 7 === 0, lit("Disallow: /d/*?z=2$\n")).otherwise(lit("")),
+        when(k % 5 === 0, lit("Disallow:\n")).otherwise(lit("")),
+        when(k % 6 === 0, lit("\nUser-agent: graftbot\nDisallow: /*3$\n"))
+          .otherwise(lit(""))))
   }
 
   /** Link-graph rollup: t48's harvested per-link table aggregated to
@@ -2732,10 +2802,21 @@ object Pipeline {
       lit(" news "), pmod(d, lit(11)).cast("string"))
     val a2 = concat(lit("visit Site"), pmod(d, lit(7)).cast("string"),
       lit(" archive"))
+    // messy-attribute anchors (r15 verdict task 6): term-bearing
+    // bodies behind a single-quoted and an unquoted href, so the t54
+    // rollup exercises all three value spellings
+    val url3 = concat(lit("https://site"), pmod(d, lit(11)).cast("string"),
+      lit(".org/c/"), d)
+    val url4 = concat(lit("HTTPS://WWW.Site"), pmod(d, lit(13)).cast("string"),
+      lit(".NET/d/"), d, lit("?utm_x=1&z="), pmod(d, lit(3)).cast("string"))
+    val a3 = concat(lit("old Archive "), pmod(d, lit(5)).cast("string"))
     val html = concat(
       lit("<html><body><p>intro</p><a class=\"x\" href=\""), url1,
       lit("\">"), a1, lit("</a><p>mid</p><a HREF = \""), url2,
-      lit("\">"), a2, lit("</a><a href=\"\">skip me</a></body></html>"))
+      lit("\">"), a2, lit("</a><a href='"), url3,
+      lit("'>"), a3, lit("</a><a href="), url4,
+      lit(" rel=nofollow>read More now</a>" +
+        "<a href=\"\">skip me</a></body></html>"))
     val els = docs
       .select(d, explode(TextOps.htmlAnchorElements(html)).as("el"))
     val pairs = els.select(d, TextOps.anchorHref(col("el")).as("href"),
@@ -2765,6 +2846,37 @@ object Pipeline {
       .unionByName(pairs.select(col("domain").as("id"))).distinct()
     graft.ops.Graph.hits(nodes, edges, iters = 2)
       .select(col("id").as("domain"), col("hub_micro"), col("auth_micro"))
+      .orderBy(col("domain"))
+  }
+
+  /** Convergence-run HITS ([[graft.ops.Graph.hitsConverged]]) over the
+    * g11 domain graph — the g08/g09 pattern applied to
+    * hubs-and-authorities (r15 verdict task 4): run to the DETECTED
+    * fixpoint (both integer score vectors repeating their
+    * predecessor's exactly) under a cap of 8 — the fixture genuinely
+    * STOPS at round 7, so the gate covers a real early-stopping
+    * decision, not just the cap — and emit the executed
+    * round count AND the stable flag on every row so the STOPPING
+    * DECISION itself hash-gates — including the cap-hit case, where a
+    * truncating-integer HITS that limit-cycles must report
+    * stable = false rather than masquerade as converged (the loud path
+    * GraphSpec pins). The oracle unrolls both half-steps to the cap,
+    * stacks every round's (hub, auth) into a history, and selects the
+    * FIRST round equal to its predecessor on BOTH vectors — or the cap
+    * with stable = false.
+    */
+  def g12HitsConverged(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = syntheticPageLinkDomains(Tables.documents(spark, dir))
+    val edges = pairs
+      .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+    val nodes = pairs.select(col("page_domain").as("id"))
+      .unionByName(pairs.select(col("domain").as("id"))).distinct()
+    val (scores, rounds, stable) =
+      graft.ops.Graph.hitsConverged(nodes, edges, maxIters = 8)
+    scores.select(col("id").as("domain"), col("hub_micro"), col("auth_micro"))
+      .withColumn("rounds", lit(rounds.toLong))
+      .withColumn("stable", lit(stable))
       .orderBy(col("domain"))
   }
 
@@ -2873,7 +2985,11 @@ object Pipeline {
   /** The t60 discovery chain without the presentation sort, factored
     * for probe reuse (the [[syntheticHarvestedLinks]] reasoning).
     */
-  def sitemapDiscovery(docs: DataFrame): DataFrame = {
+  /** The t60 robots-synthesis + `Sitemap:` directive chain up to the
+    * (domain, sitemap_url) table, factored so the t60b INDEX recursion
+    * discovers its sitemaps through the identical robots fixture.
+    */
+  private def sitemapDirectiveTable(docs: DataFrame): DataFrame = {
     val doms = docs.select(concat(lit("site"),
         pmod(col("doc_id"), lit(23)).cast("string"),
         element_at(array(lit(".com"), lit(".org"), lit(".net")),
@@ -2892,7 +3008,12 @@ object Pipeline {
         lit("/sitemap2.xml\n"))).otherwise(lit("")),
       when(k % 9 === 0, lit("Sitemap:\n")).otherwise(lit("")))
       .as("robots_txt"))
-    val sm = graft.ext.UrlOps.sitemapDirectives(robots)
+    graft.ext.UrlOps.sitemapDirectives(robots)
+  }
+
+  def sitemapDiscovery(docs: DataFrame): DataFrame = {
+    val sm = sitemapDirectiveTable(docs)
+    val k = regexp_extract(col("domain"), "site([0-9]+)", 1).cast("int")
     val s = when(col("sitemap_url").endsWith("sitemap2.xml"), 2).otherwise(1)
     val n = pmod(k + s, lit(3)) + 1
     val entries = transform(sequence(lit(0), n - 1), j =>
@@ -2921,6 +3042,88 @@ object Pipeline {
         graft.ext.UrlOps.sitemapLastmod(col("entry")).as("lastmod"))
       .filter(col("loc") =!= "")
     parsed.select(col("domain"), col("sitemap_url"), col("pos"), col("loc"),
+        graft.ext.UrlOps.canonicalizeUrl(col("loc")).as("url_canon"),
+        col("lastmod"))
+  }
+
+  /** Sitemap-INDEX recursion ([[graft.ext.UrlOps.sitemapIndexEntries]]
+    * → child `<loc>` extraction → child-payload synthesis →
+    * [[graft.ext.UrlOps.sitemapEntries]] on each child — one level,
+    * closing t60's documented `<sitemapindex>` boundary): what every
+    * large site actually serves at its robots-declared sitemap URL is
+    * an index whose `<sitemap><loc>` children name the real page
+    * sitemaps. Discovery goes through the SAME robots fixture as t60
+    * ([[sitemapDirectiveTable]]); the index fixture exercises
+    * whitespace inside `<sitemap >` tags, space-padded child locs, a
+    * whitespace-only child loc that is extracted, occupies its pos,
+    * then filters (the t48 empty-href convention), and per-child
+    * entry counts/lastmods that depend on the CHILD id — so a parse
+    * that mixes up which child produced which page hash-fails. The
+    * child "fetch" is a deterministic synthesis from the child URL
+    * (both engines replay it — the t60 machinery applied twice).
+    * Indexes nested deeper than one level remain a documented
+    * boundary. Scale shape: narrow per-row map/explode work at
+    * domain×child cardinality; the only exchanges are the directive
+    * distinct and the presentation sort.
+    */
+  def t60bSitemapIndex(spark: SparkSession, dir: String): DataFrame =
+    sitemapIndexDiscovery(Tables.documents(spark, dir))
+      .orderBy(col("domain"), col("sitemap_url"), col("child_pos"), col("pos"))
+
+  /** The t60b discovery chain without the presentation sort. */
+  def sitemapIndexDiscovery(docs: DataFrame): DataFrame = {
+    val sm = sitemapDirectiveTable(docs)
+    val k = regexp_extract(col("domain"), "site([0-9]+)", 1).cast("int")
+    val s = when(col("sitemap_url").endsWith("sitemap2.xml"), 2).otherwise(1)
+    val nc = pmod(k + s, lit(2)) + 1
+    val children = transform(sequence(lit(0), nc - 1), c =>
+      concat(lit("<sitemap >\n  <loc> https://"), col("domain"), lit("/sm/"),
+        s.cast("string"), lit("/"), c.cast("string"),
+        lit(".xml </loc>\n</sitemap>")))
+    val indexXml = concat(lit("<sitemapindex>\n"), array_join(children, "\n"),
+      when(k % 4 === 0, lit("\n<sitemap><loc>   </loc></sitemap>"))
+        .otherwise(lit("")),
+      lit("\n</sitemapindex>"))
+    val childTable = sm.select(col("domain"), col("sitemap_url"),
+        posexplode(graft.ext.UrlOps.sitemapIndexEntries(indexXml)))
+      .withColumnRenamed("col", "child_entry")
+      .select(col("domain"), col("sitemap_url"),
+        col("pos").cast("long").as("child_pos"),
+        graft.ext.UrlOps.sitemapLoc(col("child_entry")).as("child_url"))
+      .filter(col("child_url") =!= "")
+    // the child "fetch": a deterministic leaf payload derived from the
+    // child URL's own (s, c) coordinates — the replayable stand-in for
+    // the per-child HTTP get a real crawler issues here
+    val k2 = regexp_extract(col("domain"), "site([0-9]+)", 1).cast("int")
+    val s2 = regexp_extract(col("child_url"), "/sm/([0-9]+)/", 1).cast("int")
+    val c2 = regexp_extract(col("child_url"), "/sm/[0-9]+/([0-9]+)\\.xml", 1)
+      .cast("int")
+    val n = pmod(k2 + s2 + c2, lit(3)) + 1
+    val entries = transform(sequence(lit(0), n - 1), j =>
+      concat(lit("<url >\n  <loc>  https://"), col("domain"), lit("/pg/"),
+        s2.cast("string"), lit("/"), c2.cast("string"), lit("/"),
+        j.cast("string"),
+        when(pmod(j, lit(2)) === 1, lit("?utm_campaign=sm&x=1"))
+          .otherwise(lit("")),
+        lit("  </loc>\n"),
+        when(pmod(j + c2, lit(2)) === 0,
+          concat(lit("  <lastmod> 2026-1"),
+            pmod(j + k2, lit(2)).cast("string"),
+            lit("-01 </lastmod>\n"))).otherwise(lit("")),
+        lit("</url>")))
+    val leafXml = concat(lit("<urlset>\n"), array_join(entries, "\n"),
+      lit("\n</urlset>"))
+    childTable.select(col("domain"), col("sitemap_url"), col("child_pos"),
+        col("child_url"),
+        posexplode(graft.ext.UrlOps.sitemapEntries(leafXml)))
+      .withColumnRenamed("col", "entry")
+      .select(col("domain"), col("sitemap_url"), col("child_pos"),
+        col("child_url"), col("pos").cast("long").as("pos"),
+        graft.ext.UrlOps.sitemapLoc(col("entry")).as("loc"),
+        graft.ext.UrlOps.sitemapLastmod(col("entry")).as("lastmod"))
+      .filter(col("loc") =!= "")
+      .select(col("domain"), col("sitemap_url"), col("child_pos"),
+        col("child_url"), col("pos"), col("loc"),
         graft.ext.UrlOps.canonicalizeUrl(col("loc")).as("url_canon"),
         col("lastmod"))
   }
@@ -3020,15 +3223,27 @@ object Pipeline {
     val d = col("doc_id")
     val desc = concat(lit("Summary "), pmod(d, lit(13)), lit(" of doc "), d)
     val canon = concat(lit("https://site"), pmod(d, lit(23)), lit(".com/a/"), d)
+    // the three attribute-value spellings (r15 verdict task 6): the
+    // description meta flips to single-quoted name+content on
+    // d%3 == 1, and the canonical link cycles unquoted / single- /
+    // double-quoted on d%5 — messy-HTML branches under the same gate
+    val descMeta = when(pmod(d, lit(3)) === 1,
+        concat(lit("<meta name='description' content='"), desc, lit("'>")))
+      .otherwise(
+        concat(lit("<meta name=\"description\" content=\""), desc, lit("\">")))
+    val canonLink = when(pmod(d, lit(5)) === 0,
+        concat(lit("<link rel=canonical href="), canon, lit(">")))
+      .when(pmod(d, lit(5)) === 1,
+        concat(lit("<link rel='canonical' href='"), canon, lit("'>")))
+      .otherwise(
+        concat(lit("<link rel=\"canonical\" href=\""), canon, lit("\">")))
     val html = concat(
       lit("<html><head><meta charset=\"utf-8\">" +
         "<meta name=\"keywords\" content=\"k1,k2\"><title id=\"t\">Doc "), d,
       lit(" overview</title>"),
-      when(pmod(d, lit(4)) =!= 0,
-        concat(lit("<meta name=\"description\" content=\""), desc, lit("\">")))
-        .otherwise(lit("")),
-      lit("<link rel=\"canonical\" href=\""), canon,
-      lit("\"></head><body><p>"), col("text"),
+      when(pmod(d, lit(4)) =!= 0, descMeta).otherwise(lit("")),
+      canonLink,
+      lit("</head><body><p>"), col("text"),
       when(pmod(d, lit(6)) === 0, lit("<title>decoy second title</title>"))
         .otherwise(lit("")),
       lit("</p></body></html>"))
@@ -3171,11 +3386,31 @@ object Pipeline {
     java.nio.file.Files.createTempDirectory("graft_t49_tokenizer").toString
   private lazy val d35IndexDir: String =
     java.nio.file.Files.createTempDirectory("graft_d35_chunk_index").toString
+  private lazy val t62bIndexDir: String =
+    java.nio.file.Files.createTempDirectory("graft_t62b_tfidf_index").toString
 
   def t36Bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
     val path = t36IndexDir
     TextOps.writeTextIndex(Tables.documents(spark, dir), path)
     TextOps.bm25ServeIndexed(spark, path,
+      Seq("dup", "spark", "vector", "merge"), k = 20)
+  }
+
+  /** t62 served from the persisted tf-idf index
+    * ([[TextOps.writeTfidfIndex]] → [[TextOps.tfidfCosineTopKAt]]) —
+    * the ELEVENTH index-lifecycle family under the gate (r15 verdict
+    * task 2). Registered as build + serve for oracle self-containment
+    * (the t36/d29 convention); the oracle is t62's UNCHANGED
+    * from-scratch SQL, so the hash gate pins
+    * `serve(index) == from-scratch` — every saturated tf, df, idf,
+    * baked norm², and the IEEE-exact cosine finish survive the round
+    * trip through the artifact. Same per-process temp-dir discipline
+    * as t36 (r12/r13 ADVICE).
+    */
+  def t62bTfidfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val path = t62bIndexDir
+    TextOps.writeTfidfIndex(Tables.documents(spark, dir), path)
+    TextOps.tfidfCosineTopKAt(spark, path,
       Seq("dup", "spark", "vector", "merge"), k = 20)
   }
 
@@ -4467,16 +4702,27 @@ object Pipeline {
        |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&q=1' ELSE '?q=1' END
        |    || '">one</a><p>mid</p><a HREF = "'
        |    || 'HTTP://site' || (doc_id % 7)::VARCHAR || '.com:80/b/' || doc_id::VARCHAR || '#frag'
-       |    || '">two</a><a href="">anchor</a></body></html>' AS html
+       |    || '">two</a><a href='''
+       |    || 'https://site' || (doc_id % 11)::VARCHAR || '.org/c/' || doc_id::VARCHAR
+       |    || '''>three</a><a href='
+       |    || 'HTTPS://WWW.Site' || (doc_id % 13)::VARCHAR || '.NET/d/' || doc_id::VARCHAR
+       |    || '?utm_x=1&z=' || (doc_id % 3)::VARCHAR
+       |    || ' class=z>four</a><a href="">anchor</a></body></html>' AS html
        |  FROM documents
        |), ex AS (
        |  SELECT doc_id, page_domain,
-       |    regexp_extract_all(html, '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"[^>]*>', 1) AS ls
+       |    regexp_extract_all(html,
+       |      '(?is)<a\\b[^>]*?href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)[^>]*>', 1) AS ls
        |  FROM h
        |), f AS (
-       |  SELECT doc_id, page_domain, unnest(ls) AS href FROM ex
+       |  SELECT doc_id, page_domain, unnest(ls) AS href0 FROM ex
+       |), fs AS (
+       |  SELECT doc_id, page_domain,
+       |    CASE WHEN starts_with(href0, '"') OR starts_with(href0, '''')
+       |      THEN substr(href0, 2, length(href0) - 2) ELSE href0 END AS href
+       |  FROM f
        |), fe AS (
-       |  SELECT * FROM f WHERE href <> ''
+       |  SELECT * FROM fs WHERE href <> ''
        |), cc AS (
        |  SELECT page_domain,
        |    regexp_replace(regexp_replace(
@@ -4509,24 +4755,34 @@ object Pipeline {
     * over the node set, and the truncating L1 micros normalization
     * with its in-plan 1-row total.
     */
+  /** One HITS half-step in SQL (weighted sum → zero-fill → L1
+    * normalizer → truncating micros), shared by the fixed-iters and
+    * convergence oracles; `materialized` pins the per-round CTEs in
+    * the convergence unroll (each is referenced by the next half AND
+    * the history stack — the g08 CTE-inlining rule).
+    */
+  private def hitsHalfSql(prev: String, cur: String, joinOn: String,
+      outKey: String, materialized: Boolean = false): String = {
+    val mat = if (materialized) " MATERIALIZED" else ""
+    s"""${cur}c AS (
+       |  SELECT e.$outKey AS id, CAST(sum($prev.s * e.w) AS BIGINT) AS c
+       |  FROM edges e JOIN $prev ON $prev.id = e.$joinOn GROUP BY 1
+       |), ${cur}z AS (
+       |  SELECT n.id, coalesce(c, CAST(0 AS BIGINT)) AS c
+       |  FROM nodes n LEFT JOIN ${cur}c ON ${cur}c.id = n.id
+       |), ${cur}t AS (
+       |  SELECT greatest(CAST(sum(c) AS BIGINT), CAST(1 AS BIGINT)) AS tot
+       |  FROM ${cur}z
+       |), $cur AS$mat (
+       |  SELECT id, CAST(c * 1000000 // tot AS BIGINT) AS s
+       |  FROM ${cur}z, ${cur}t
+       |)""".stripMargin
+  }
+
   private def hitsOracle(iters: Int): String = {
-    def half(prev: String, cur: String, joinOn: String, outKey: String) =
-      s"""${cur}c AS (
-         |  SELECT e.$outKey AS id, CAST(sum($prev.s * e.w) AS BIGINT) AS c
-         |  FROM edges e JOIN $prev ON $prev.id = e.$joinOn GROUP BY 1
-         |), ${cur}z AS (
-         |  SELECT n.id, coalesce(c, CAST(0 AS BIGINT)) AS c
-         |  FROM nodes n LEFT JOIN ${cur}c ON ${cur}c.id = n.id
-         |), ${cur}t AS (
-         |  SELECT greatest(CAST(sum(c) AS BIGINT), CAST(1 AS BIGINT)) AS tot
-         |  FROM ${cur}z
-         |), $cur AS (
-         |  SELECT id, CAST(c * 1000000 // tot AS BIGINT) AS s
-         |  FROM ${cur}z, ${cur}t
-         |)""".stripMargin
     val iterCtes = (1 to iters).map { i =>
-      half(s"h${i - 1}", s"a$i", "src", "dst") + ", " +
-        half(s"a$i", s"h$i", "dst", "src")
+      hitsHalfSql(s"h${i - 1}", s"a$i", "src", "dst") + ", " +
+        hitsHalfSql(s"a$i", s"h$i", "dst", "src")
     }.mkString(", ")
     s"""WITH h AS (
        |  SELECT doc_id,
@@ -4542,16 +4798,27 @@ object Pipeline {
        |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&q=1' ELSE '?q=1' END
        |    || '">one</a><p>mid</p><a HREF = "'
        |    || 'HTTP://site' || (doc_id % 7)::VARCHAR || '.com:80/b/' || doc_id::VARCHAR || '#frag'
-       |    || '">two</a><a href="">anchor</a></body></html>' AS html
+       |    || '">two</a><a href='''
+       |    || 'https://site' || (doc_id % 11)::VARCHAR || '.org/c/' || doc_id::VARCHAR
+       |    || '''>three</a><a href='
+       |    || 'HTTPS://WWW.Site' || (doc_id % 13)::VARCHAR || '.NET/d/' || doc_id::VARCHAR
+       |    || '?utm_x=1&z=' || (doc_id % 3)::VARCHAR
+       |    || ' class=z>four</a><a href="">anchor</a></body></html>' AS html
        |  FROM documents
        |), ex AS (
        |  SELECT doc_id, page_domain,
-       |    regexp_extract_all(html, '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"[^>]*>', 1) AS ls
+       |    regexp_extract_all(html,
+       |      '(?is)<a\\b[^>]*?href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)[^>]*>', 1) AS ls
        |  FROM h
        |), f AS (
-       |  SELECT doc_id, page_domain, unnest(ls) AS href FROM ex
+       |  SELECT doc_id, page_domain, unnest(ls) AS href0 FROM ex
+       |), fs AS (
+       |  SELECT doc_id, page_domain,
+       |    CASE WHEN starts_with(href0, '"') OR starts_with(href0, '''')
+       |      THEN substr(href0, 2, length(href0) - 2) ELSE href0 END AS href
+       |  FROM f
        |), fe AS (
-       |  SELECT * FROM f WHERE href <> ''
+       |  SELECT * FROM fs WHERE href <> ''
        |), cc AS (
        |  SELECT page_domain,
        |    regexp_replace(regexp_replace(
@@ -4579,6 +4846,101 @@ object Pipeline {
        |ORDER BY domain""".stripMargin
   }
 
+  /** g12 replay: the g11 graph CTEs, both half-steps unrolled to the
+    * cap (MATERIALIZED — each round is referenced by the next half AND
+    * the history), every round's (hub, auth) stacked, and the FIRST
+    * round equal to its predecessor on BOTH vectors selected — its
+    * scores, its index, and the stable flag; no stable round ≤ cap
+    * degrades to (cap, false) identically on both engines.
+    */
+  private def hitsConvergedOracle(cap: Int): String = {
+    val iterCtes = (1 to cap).map { i =>
+      hitsHalfSql(s"h${i - 1}", s"a$i", "src", "dst", materialized = true) +
+        ", " +
+        hitsHalfSql(s"a$i", s"h$i", "dst", "src", materialized = true)
+    }.mkString(", ")
+    val histArms = (1 to cap).map(i =>
+      s"SELECT $i AS iter, h$i.id, h$i.s AS hub, a$i.s AS auth " +
+        s"FROM h$i JOIN a$i ON a$i.id = h$i.id")
+      .mkString("\n  UNION ALL ")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    'site' || (doc_id % 13)::VARCHAR
+       |    || CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+       |      AS page_domain,
+       |    '<html><body><p>intro</p><a class="x" href="'
+       |    || 'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+       |    || 'site' || (doc_id % 23)::VARCHAR
+       |    || CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+       |    || '/a/' || doc_id::VARCHAR
+       |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&q=1' ELSE '?q=1' END
+       |    || '">one</a><p>mid</p><a HREF = "'
+       |    || 'HTTP://site' || (doc_id % 7)::VARCHAR || '.com:80/b/' || doc_id::VARCHAR || '#frag'
+       |    || '">two</a><a href='''
+       |    || 'https://site' || (doc_id % 11)::VARCHAR || '.org/c/' || doc_id::VARCHAR
+       |    || '''>three</a><a href='
+       |    || 'HTTPS://WWW.Site' || (doc_id % 13)::VARCHAR || '.NET/d/' || doc_id::VARCHAR
+       |    || '?utm_x=1&z=' || (doc_id % 3)::VARCHAR
+       |    || ' class=z>four</a><a href="">anchor</a></body></html>' AS html
+       |  FROM documents
+       |), ex AS (
+       |  SELECT doc_id, page_domain,
+       |    regexp_extract_all(html,
+       |      '(?is)<a\\b[^>]*?href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)[^>]*>', 1) AS ls
+       |  FROM h
+       |), f AS (
+       |  SELECT doc_id, page_domain, unnest(ls) AS href0 FROM ex
+       |), fs AS (
+       |  SELECT doc_id, page_domain,
+       |    CASE WHEN starts_with(href0, '"') OR starts_with(href0, '''')
+       |      THEN substr(href0, 2, length(href0) - 2) ELSE href0 END AS href
+       |  FROM f
+       |), fe AS (
+       |  SELECT * FROM fs WHERE href <> ''
+       |), cc AS (
+       |  SELECT page_domain,
+       |    regexp_replace(regexp_replace(
+       |      lower(regexp_extract(href,
+       |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+       |      ':443$$', ''), ':80$$', '') AS schemehost
+       |  FROM fe
+       |), pairs AS (
+       |  SELECT page_domain,
+       |    regexp_replace(lower(regexp_extract(schemehost,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
+       |      '^www\\.', '') AS domain
+       |  FROM cc
+       |), edges AS MATERIALIZED (
+       |  SELECT page_domain AS src, domain AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM pairs GROUP BY 1, 2
+       |), nodes AS MATERIALIZED (
+       |  SELECT page_domain AS id FROM pairs UNION SELECT domain FROM pairs
+       |), h0 AS (
+       |  SELECT id, CAST(1000000 AS BIGINT) AS s FROM nodes
+       |), a0 AS (
+       |  SELECT id, CAST(0 AS BIGINT) AS s FROM nodes
+       |), $iterCtes, hist AS (
+       |  SELECT 0 AS iter, h0.id, h0.s AS hub, a0.s AS auth
+       |  FROM h0 JOIN a0 ON a0.id = h0.id
+       |  UNION ALL $histArms
+       |), diffs AS (
+       |  SELECT a.iter,
+       |    sum(CASE WHEN a.hub <> b.hub OR a.auth <> b.auth THEN 1 ELSE 0 END) AS nch
+       |  FROM hist a JOIN hist b ON a.id = b.id AND b.iter = a.iter - 1
+       |  GROUP BY a.iter
+       |), kk AS (
+       |  SELECT CAST(coalesce(min(iter), $cap) AS BIGINT) AS k,
+       |    count(*) > 0 AS stable
+       |  FROM diffs WHERE nch = 0
+       |)
+       |SELECT id AS domain, hub AS hub_micro, auth AS auth_micro,
+       |  (SELECT k FROM kk) AS rounds, (SELECT stable FROM kk) AS stable
+       |FROM hist WHERE iter = (SELECT k FROM kk)
+       |ORDER BY domain""".stripMargin
+  }
+
   /** t52 replay: the t48 harvest CTEs, the per-domain robots.txt
     * injection (same k/t formulas), the full parser (comment strip,
     * directive extraction, group segmentation via lag+running-sum,
@@ -4590,7 +4952,11 @@ object Pipeline {
     * parser, longest-prefix matching) — shared VERBATIM by the t55
     * frontier composition, so the two gates replay the same SQL.
     */
-  private val robotsDecisionCtes: String =
+  /** The t48 harvest chain in SQL, `h` through `links` — shared by the
+    * t52/t55/t56 decision CTEs and the t52b wildcard battery (plus the
+    * `pathed` projection both matchers decide over).
+    */
+  private val harvestLinkCtes: String =
     """h AS (
       |  SELECT doc_id,
       |    '<html><body><p>intro</p><a class="x" href="'
@@ -4602,17 +4968,28 @@ object Pipeline {
       |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&q=1' ELSE '?q=1' END
       |    || '">one</a><p>mid</p><a HREF = "'
       |    || 'HTTP://site' || (doc_id % 7)::VARCHAR || '.com:80/b/' || doc_id::VARCHAR || '#frag'
-      |    || '">two</a><a href="">anchor</a></body></html>' AS html
+      |    || '">two</a><a href='''
+      |    || 'https://site' || (doc_id % 11)::VARCHAR || '.org/c/' || doc_id::VARCHAR
+      |    || '''>three</a><a href='
+      |    || 'HTTPS://WWW.Site' || (doc_id % 13)::VARCHAR || '.NET/d/' || doc_id::VARCHAR
+      |    || '?utm_x=1&z=' || (doc_id % 3)::VARCHAR
+      |    || ' class=z>four</a><a href="">anchor</a></body></html>' AS html
       |  FROM documents
       |), ex AS (
       |  SELECT doc_id,
-      |    regexp_extract_all(html, '(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>', 1) AS ls
+      |    regexp_extract_all(html,
+      |      '(?is)<a\b[^>]*?href\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)[^>]*>', 1) AS ls
       |  FROM h
       |), l AS (
-      |  SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, ls[CAST(i.i AS INT)] AS href
+      |  SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, ls[CAST(i.i AS INT)] AS href0
       |  FROM ex, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) i
+      |), lq AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN starts_with(href0, '"') OR starts_with(href0, '''')
+      |      THEN substr(href0, 2, length(href0) - 2) ELSE href0 END AS href
+      |  FROM l
       |), f AS (
-      |  SELECT * FROM l WHERE href <> ''
+      |  SELECT * FROM lq WHERE href <> ''
       |), q AS (
       |  SELECT doc_id, pos, href,
       |    array_to_string(list_filter(
@@ -4637,7 +5014,18 @@ object Pipeline {
       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
       |      '^www\.', '') AS domain
       |  FROM c
-      |), rb AS (
+      |), pathed AS (
+      |  SELECT doc_id, pos, url_canon, domain,
+      |    CASE WHEN regexp_extract(url_canon,
+      |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) = ''
+      |      THEN '/' ELSE regexp_extract(url_canon,
+      |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) END AS path
+      |  FROM links
+      |)""".stripMargin
+
+  private val robotsDecisionCtes: String =
+    harvestLinkCtes + ", " +
+    """rb AS (
       |  SELECT domain,
       |    CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INT) AS k,
       |    CASE WHEN domain LIKE '%.com' THEN 0
@@ -4659,7 +5047,26 @@ object Pipeline {
       |         || 'Crawl-delay: 7' || chr(10)
       |       ELSE '' END AS robots_txt
       |  FROM rb
-      |), rl0 AS (
+      |)""".stripMargin + ", " + robotsParserCtes + ", " +
+    """m AS (
+      |  SELECT p.doc_id, p.pos, r.rule_allow, r.prefix,
+      |    row_number() OVER (PARTITION BY p.doc_id, p.pos
+      |      ORDER BY length(r.prefix) DESC, r.rule_allow DESC, r.prefix ASC) AS rn
+      |  FROM pathed p JOIN rules r USING (domain)
+      |  WHERE starts_with(p.path, r.prefix)
+      |), best AS (
+      |  SELECT doc_id, pos, rule_allow AS matched_allow, prefix AS matched_prefix
+      |  FROM m WHERE rn = 1
+      |)""".stripMargin
+
+  /** The robots.txt PARSER chain in SQL (`robots` → `rules`): line
+    * split, comment strip, directive extraction, consecutive-UA group
+    * segmentation, exact-UA-overrides-star selection — shared verbatim
+    * by the t52 literal battery and the t52b wildcard battery (the two
+    * differ only in fixture and matcher).
+    */
+  private lazy val robotsParserCtes: String =
+    """rl0 AS (
       |  SELECT domain, string_split(robots_txt, chr(10)) AS ls FROM robots
       |), rlines AS (
       |  SELECT domain, CAST(i.i - 1 AS BIGINT) AS ln,
@@ -4699,27 +5106,71 @@ object Pipeline {
       |    r.value AS prefix
       |  FROM rgrp r JOIN gsel USING (domain, grp)
       |  WHERE r.directive IN ('allow', 'disallow') AND r.value <> ''
-      |), pathed AS (
-      |  SELECT doc_id, pos, url_canon, domain,
-      |    CASE WHEN regexp_extract(url_canon,
-      |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) = ''
-      |      THEN '/' ELSE regexp_extract(url_canon,
-      |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) END AS path
-      |  FROM links
-      |), m AS (
-      |  SELECT p.doc_id, p.pos, r.rule_allow, r.prefix,
-      |    row_number() OVER (PARTITION BY p.doc_id, p.pos
-      |      ORDER BY length(r.prefix) DESC, r.rule_allow DESC, r.prefix ASC) AS rn
-      |  FROM pathed p JOIN rules r USING (domain)
-      |  WHERE starts_with(p.path, r.prefix)
-      |), best AS (
-      |  SELECT doc_id, pos, rule_allow AS matched_allow, prefix AS matched_prefix
-      |  FROM m WHERE rn = 1
       |)""".stripMargin
 
   private val robotsOracle: String =
     "WITH " + robotsDecisionCtes + "\n" +
     """SELECT p.doc_id, p.pos, p.url_canon, p.domain, p.path,
+      |  coalesce(b.matched_prefix, '') AS matched_prefix,
+      |  coalesce(b.matched_allow, TRUE) AS allowed
+      |FROM pathed p LEFT JOIN best b USING (doc_id, pos)
+      |ORDER BY doc_id, pos""".stripMargin
+
+  /** t52b replay: the shared harvest + parser CTEs over the WILDCARD
+    * fixture, then the regex matcher — pattern→RE2 conversion
+    * (trailing-`$` detect/strip, escape every RE2 metachar except `*`,
+    * `*`→`.*`, re-anchor), literal-length specificity (wildcards count
+    * zero), allow-wins tie, no-match default. The conversion is
+    * re-derived IN SQL so Spark's [[graft.ext.UrlOps.robotsPatternRegex]]
+    * has an independent twin, not a shared helper.
+    */
+  private val robotsWildcardOracle: String =
+    "WITH " + harvestLinkCtes + ", " +
+    """rb AS (
+      |  SELECT domain,
+      |    CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INT) AS k
+      |  FROM (SELECT DISTINCT domain FROM links)
+      |), robots AS (
+      |  SELECT domain,
+      |    '# graft wildcard fixture' || chr(10) || 'User-Agent: *' || chr(10)
+      |    || CASE WHEN k % 2 = 0 THEN 'Disallow: /a/*1' || chr(10) ELSE '' END
+      |    || CASE WHEN k % 3 = 0 THEN 'Allow: /a/*1?q=1$' || chr(10) ELSE '' END
+      |    || CASE WHEN k % 4 = 0 THEN 'Disallow: /b/*3$' || chr(10) ELSE '' END
+      |    || CASE WHEN k % 8 = 0 THEN 'Allow: /b/*3$' || chr(10) ELSE '' END
+      |    || CASE WHEN k % 5 = 0
+      |         THEN 'Disallow: /c/' || chr(10) || 'Allow: /c/*7$' || chr(10)
+      |         ELSE '' END
+      |    || CASE WHEN k % 7 = 0 THEN 'Disallow: /d/*?z=2$' || chr(10) ELSE '' END
+      |    || CASE WHEN k % 5 = 0 THEN 'Disallow:' || chr(10) ELSE '' END
+      |    || CASE WHEN k % 6 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10)
+      |         || 'Disallow: /*3$' || chr(10)
+      |       ELSE '' END AS robots_txt
+      |  FROM rb
+      |)""".stripMargin + ", " + robotsParserCtes + ", " +
+    """rx AS (
+      |  SELECT domain, rule_allow, prefix,
+      |    CASE WHEN ends_with(prefix, '$')
+      |      THEN substr(prefix, 1, length(prefix) - 1) ELSE prefix END AS base,
+      |    ends_with(prefix, '$') AS anchored
+      |  FROM rules
+      |), rr AS (
+      |  SELECT domain, rule_allow, prefix,
+      |    '^' || replace(regexp_replace(base,
+      |        '([.\[\]{}()+?^$|\\])', '\\\1', 'g'), '*', '.*')
+      |      || CASE WHEN anchored THEN '$' ELSE '' END AS rgx,
+      |    length(replace(base, '*', '')) AS lit_len
+      |  FROM rx
+      |), m AS (
+      |  SELECT p.doc_id, p.pos, r.rule_allow, r.prefix,
+      |    row_number() OVER (PARTITION BY p.doc_id, p.pos
+      |      ORDER BY r.lit_len DESC, r.rule_allow DESC, r.prefix ASC) AS rn
+      |  FROM pathed p JOIN rr r USING (domain)
+      |  WHERE regexp_matches(p.path, r.rgx)
+      |), best AS (
+      |  SELECT doc_id, pos, rule_allow AS matched_allow, prefix AS matched_prefix
+      |  FROM m WHERE rn = 1
+      |)
+      |SELECT p.doc_id, p.pos, p.url_canon, p.domain, p.path,
       |  coalesce(b.matched_prefix, '') AS matched_prefix,
       |  coalesce(b.matched_allow, TRUE) AS allowed
       |FROM pathed p LEFT JOIN best b USING (doc_id, pos)
@@ -5529,6 +5980,50 @@ object Pipeline {
        |  CAST(n_tokens AS BIGINT) AS keep_tokens, n_members
        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  /** t62 replay — retokenize, saturate tf at 100, idf with the +1
+    * smoothing under the 100000 cap, exact integer dot/norms, the
+    * IEEE-exact cosine finish. Shared verbatim by t62 (from-scratch)
+    * and t62b (artifact round trip): serve(index) == from-scratch IS
+    * the t62b gate.
+    */
+  private val tfidfCosineOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS token
+      |  FROM documents
+      |), tk AS (
+      |  SELECT doc_id, token FROM toks WHERE token <> ''
+      |), tf AS (
+      |  SELECT doc_id, token, least(count(*), 100) AS tfs
+      |  FROM tk GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+      |), nd AS (
+      |  SELECT count(*) AS n_docs FROM documents
+      |), idf AS (
+      |  SELECT token,
+      |    least(100000, (1000 * (n_docs + 1)) // (df + 1)) AS idf
+      |  FROM dfq, nd
+      |), w AS (
+      |  SELECT tf.doc_id, tf.token, tf.tfs * idf.idf AS w, idf.idf
+      |  FROM tf JOIN idf USING (token)
+      |), dn AS (
+      |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS d2 FROM w GROUP BY 1
+      |), qi AS (
+      |  SELECT CAST(sum(idf * idf) AS BIGINT) AS q2 FROM idf
+      |  WHERE token IN ('dup', 'spark', 'vector', 'merge')
+      |), dt AS (
+      |  SELECT doc_id, CAST(sum(idf * w) AS BIGINT) AS dot
+      |  FROM w WHERE token IN ('dup', 'spark', 'vector', 'merge')
+      |  GROUP BY 1
+      |)
+      |SELECT d.doc_id, d.dot, n.d2,
+      |  CAST(floor(CAST(d.dot AS DOUBLE)
+      |    / (sqrt(CAST(q.q2 AS DOUBLE)) * sqrt(CAST(n.d2 AS DOUBLE)))
+      |    * 1e6) AS BIGINT) AS cos_micro
+      |FROM dt d JOIN dn n USING (doc_id), qi q
+      |ORDER BY cos_micro DESC, doc_id LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // xxhash64 replayed in DuckDB by the generated XXH64 CTE chain —
     // the former rows-only registry row is now under the full hash gate
@@ -5543,7 +6038,9 @@ object Pipeline {
     "g03_pagerank_weighted" -> pageRankWeightedOracle(iters = 3),
     "g10_domain_pagerank" -> domainPageRankOracle(iters = 3),
     "g11_hits" -> hitsOracle(iters = 2),
+    "g12_hits_converged" -> hitsConvergedOracle(cap = 8),
     "t52_robots" -> robotsOracle,
+    "t52b_robots_wildcards" -> robotsWildcardOracle,
     "t55_crawl_frontier" -> crawlFrontierOracle,
     "t56_fetch_schedule" -> fetchScheduleOracle,
     // t64 replay: injection, line split (trailing empties kept in both
@@ -5610,43 +6107,11 @@ object Pipeline {
     // milli-idf with its cap, exact long dot/norms, and the same
     // cast → sqrt → divide → truncate float finish (every step IEEE
     // correctly-rounded, so the micro-cosine is bit-stable)
-    "t62_tfidf_cosine" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS token
-        |  FROM documents
-        |), tk AS (
-        |  SELECT doc_id, token FROM toks WHERE token <> ''
-        |), tf AS (
-        |  SELECT doc_id, token, least(count(*), 100) AS tfs
-        |  FROM tk GROUP BY 1, 2
-        |), dfq AS (
-        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
-        |), nd AS (
-        |  SELECT count(*) AS n_docs FROM documents
-        |), idf AS (
-        |  SELECT token,
-        |    least(100000, (1000 * (n_docs + 1)) // (df + 1)) AS idf
-        |  FROM dfq, nd
-        |), w AS (
-        |  SELECT tf.doc_id, tf.token, tf.tfs * idf.idf AS w, idf.idf
-        |  FROM tf JOIN idf USING (token)
-        |), dn AS (
-        |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS d2 FROM w GROUP BY 1
-        |), qi AS (
-        |  SELECT CAST(sum(idf * idf) AS BIGINT) AS q2 FROM idf
-        |  WHERE token IN ('dup', 'spark', 'vector', 'merge')
-        |), dt AS (
-        |  SELECT doc_id, CAST(sum(idf * w) AS BIGINT) AS dot
-        |  FROM w WHERE token IN ('dup', 'spark', 'vector', 'merge')
-        |  GROUP BY 1
-        |)
-        |SELECT d.doc_id, d.dot, n.d2,
-        |  CAST(floor(CAST(d.dot AS DOUBLE)
-        |    / (sqrt(CAST(q.q2 AS DOUBLE)) * sqrt(CAST(n.d2 AS DOUBLE)))
-        |    * 1e6) AS BIGINT) AS cos_micro
-        |FROM dt d JOIN dn n USING (doc_id), qi q
-        |ORDER BY cos_micro DESC, doc_id LIMIT 20""".stripMargin,
+    "t62_tfidf_cosine" -> tfidfCosineOracle,
+    // t62b: the from-scratch t62 SQL UNCHANGED — the artifact round
+    // trip (build postings/norms, serve the query slice) must land on
+    // the identical top-k table
+    "t62b_tfidf_indexed" -> tfidfCosineOracle,
     // t63 replay: the per-source word inventory (t20's word-count
     // convention) and the allocator's truncating div/mod plan
     "t63_epoch_alloc" ->
@@ -5800,6 +6265,130 @@ object Pipeline {
         |  || CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END AS url_canon,
         |  lastmod
         |FROM q ORDER BY domain, sitemap_url, pos""".stripMargin,
+    // t60b replay: the t60 robots/directive CTEs verbatim, the INDEX
+    // payload synthesis, <sitemap> block + child-loc extraction (the
+    // whitespace-only child loc occupies its pos and filters), the
+    // per-child (s, c) re-derivation FROM THE CHILD URL, the leaf
+    // synthesis, and the t60 entry/canonicalization machinery applied
+    // to each child's payload
+    "t60b_sitemap_index" ->
+      """WITH doms AS (
+        |  SELECT DISTINCT 'site' || (doc_id % 23)::VARCHAR ||
+        |    CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |         ELSE '.net' END AS domain
+        |  FROM documents
+        |), kt AS (
+        |  SELECT domain,
+        |    CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INT) AS k,
+        |    CASE WHEN domain LIKE '%.com' THEN 0
+        |         WHEN domain LIKE '%.org' THEN 1 ELSE 2 END AS t
+        |  FROM doms
+        |), rb AS (
+        |  SELECT domain, k,
+        |    '# discovery fixture' || chr(10) || 'User-agent: *' || chr(10)
+        |    || 'Disallow: /tmp/' || chr(10)
+        |    || CASE WHEN k % 5 = 0
+        |         THEN '# Sitemap: https://ignored.example/s.xml' || chr(10)
+        |         ELSE '' END
+        |    || CASE WHEN (k + t) % 2 = 0
+        |         THEN 'Sitemap: https://' || domain || '/sitemap.xml' || chr(10)
+        |         ELSE '' END
+        |    || CASE WHEN k % 6 = 0
+        |         THEN 'SiteMap:   https://' || domain || '/sitemap2.xml' || chr(10)
+        |         ELSE '' END
+        |    || CASE WHEN k % 9 = 0 THEN 'Sitemap:' || chr(10) ELSE '' END
+        |      AS robots_txt
+        |  FROM kt
+        |), ln AS (
+        |  SELECT domain, k, trim(regexp_replace(l.l, '#.*$', '')) AS line
+        |  FROM rb, LATERAL (SELECT unnest(string_split(robots_txt, chr(10))) AS l) l
+        |), sm AS (
+        |  SELECT DISTINCT domain, k,
+        |    trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) AS sitemap_url
+        |  FROM ln
+        |  WHERE line <> ''
+        |    AND lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) = 'sitemap'
+        |    AND trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) <> ''
+        |), gen AS (
+        |  SELECT domain, k, sitemap_url,
+        |    CASE WHEN sitemap_url LIKE '%sitemap2.xml' THEN 2 ELSE 1 END AS s
+        |  FROM sm
+        |), ixml AS (
+        |  SELECT domain, sitemap_url, k,
+        |    '<sitemapindex>' || chr(10) ||
+        |    array_to_string(list_transform(range(0, ((k + s) % 2) + 1), c ->
+        |      '<sitemap >' || chr(10) || '  <loc> https://' || domain || '/sm/'
+        |      || s::VARCHAR || '/' || c::VARCHAR || '.xml </loc>' || chr(10)
+        |      || '</sitemap>'), chr(10)) ||
+        |    CASE WHEN k % 4 = 0
+        |      THEN chr(10) || '<sitemap><loc>   </loc></sitemap>' ELSE '' END ||
+        |    chr(10) || '</sitemapindex>' AS xml
+        |  FROM gen
+        |), cex AS (
+        |  SELECT domain, sitemap_url, k,
+        |    regexp_extract_all(xml, '(?is)<sitemap\s*>.*?</sitemap\s*>', 0) AS cs
+        |  FROM ixml
+        |), cen AS (
+        |  SELECT domain, sitemap_url, k, CAST(i.i - 1 AS BIGINT) AS child_pos,
+        |    trim(regexp_extract(cs[CAST(i.i AS INT)],
+        |      '(?is)<loc\s*>([^<]*)</loc\s*>', 1)) AS child_url
+        |  FROM cex, LATERAL (SELECT unnest(range(1, len(cs) + 1)) AS i) i
+        |), cf AS (
+        |  SELECT * FROM cen WHERE child_url <> ''
+        |), cgen AS (
+        |  SELECT domain, sitemap_url, child_pos, child_url, k,
+        |    CAST(regexp_extract(child_url, '/sm/([0-9]+)/', 1) AS INT) AS s2,
+        |    CAST(regexp_extract(child_url, '/sm/[0-9]+/([0-9]+)\.xml', 1) AS INT) AS c2
+        |  FROM cf
+        |), lxml AS (
+        |  SELECT domain, sitemap_url, child_pos, child_url,
+        |    '<urlset>' || chr(10) ||
+        |    array_to_string(list_transform(range(0, ((k + s2 + c2) % 3) + 1), j ->
+        |      '<url >' || chr(10) || '  <loc>  https://' || domain || '/pg/'
+        |      || s2::VARCHAR || '/' || c2::VARCHAR || '/' || j::VARCHAR ||
+        |      CASE WHEN j % 2 = 1 THEN '?utm_campaign=sm&x=1' ELSE '' END ||
+        |      '  </loc>' || chr(10) ||
+        |      CASE WHEN (j + c2) % 2 = 0
+        |        THEN '  <lastmod> 2026-1' || ((j + k) % 2)::VARCHAR
+        |          || '-01 </lastmod>' || chr(10)
+        |        ELSE '' END ||
+        |      '</url>'), chr(10)) ||
+        |    chr(10) || '</urlset>' AS xml
+        |  FROM cgen
+        |), ex2 AS (
+        |  SELECT domain, sitemap_url, child_pos, child_url,
+        |    regexp_extract_all(xml, '(?is)<url\s*>.*?</url\s*>', 0) AS es
+        |  FROM lxml
+        |), en2 AS (
+        |  SELECT domain, sitemap_url, child_pos, child_url,
+        |    CAST(i.i - 1 AS BIGINT) AS pos, es[CAST(i.i AS INT)] AS entry
+        |  FROM ex2, LATERAL (SELECT unnest(range(1, len(es) + 1)) AS i) i
+        |), fl2 AS (
+        |  SELECT domain, sitemap_url, child_pos, child_url, pos,
+        |    trim(regexp_extract(entry, '(?is)<loc\s*>([^<]*)</loc\s*>', 1)) AS loc,
+        |    trim(regexp_extract(entry, '(?is)<lastmod\s*>([^<]*)</lastmod\s*>', 1))
+        |      AS lastmod
+        |  FROM en2
+        |), ne2 AS (
+        |  SELECT * FROM fl2 WHERE loc <> ''
+        |), q2 AS (
+        |  SELECT domain, sitemap_url, child_pos, child_url, pos, loc, lastmod,
+        |    array_to_string(list_filter(
+        |      string_split(regexp_extract(
+        |        regexp_replace(loc, '#.*$', ''), '\?([^#]*)', 1), '&'),
+        |      x -> NOT starts_with(x, 'utm_')), '&') AS kept_qs
+        |  FROM ne2
+        |)
+        |SELECT domain, sitemap_url, child_pos, child_url, pos, loc,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(loc,
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+        |    ':443$', ''), ':80$', '')
+        |  || regexp_replace(regexp_extract(loc,
+        |       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+        |  || CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END AS url_canon,
+        |  lastmod
+        |FROM q2 ORDER BY domain, sitemap_url, child_pos, pos""".stripMargin,
     // t53 replay: the injection formulas directly (the t45 pattern) —
     // rec_type/uri/payload per framed record plus the byte-exact
     // content_length (strlen ↔ octet_length); a delimiter-driven or
@@ -5853,22 +6442,35 @@ object Pipeline {
         |    || '</a><p>mid</p><a HREF = "'
         |    || 'HTTP://site' || (doc_id % 7)::VARCHAR || '.com:80/b/' || doc_id::VARCHAR || '#frag'
         |    || '">visit Site' || (doc_id % 7)::VARCHAR || ' archive'
-        |    || '</a><a href="">skip me</a></body></html>' AS html
+        |    || '</a><a href=''' || 'https://site' || (doc_id % 11)::VARCHAR
+        |    || '.org/c/' || doc_id::VARCHAR || '''>'
+        |    || 'old Archive ' || (doc_id % 5)::VARCHAR
+        |    || '</a><a href='
+        |    || 'HTTPS://WWW.Site' || (doc_id % 13)::VARCHAR || '.NET/d/'
+        |    || doc_id::VARCHAR || '?utm_x=1&z=' || (doc_id % 3)::VARCHAR
+        |    || ' rel=nofollow>read More now</a>'
+        |    || '<a href="">skip me</a></body></html>' AS html
         |  FROM documents
         |), ex AS (
         |  SELECT doc_id,
         |    regexp_extract_all(html,
-        |      '(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>', 0) AS els
+        |      '(?is)<a\b[^>]*?href\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)[^>]*>([^<]*)</a>', 0) AS els
         |  FROM h
         |), el AS (
         |  SELECT doc_id, unnest(els) AS e FROM ex
-        |), p AS (
+        |), p0 AS (
         |  SELECT doc_id,
         |    regexp_extract(e,
-        |      '(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>', 1) AS href,
+        |      '(?is)<a\b[^>]*?href\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)[^>]*>([^<]*)</a>', 1) AS href0,
         |    regexp_extract(e,
-        |      '(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>', 2) AS anchor
+        |      '(?is)<a\b[^>]*?href\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)[^>]*>([^<]*)</a>', 2) AS anchor
         |  FROM el
+        |), p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN starts_with(href0, '"') OR starts_with(href0, '''')
+        |      THEN substr(href0, 2, length(href0) - 2) ELSE href0 END AS href,
+        |    anchor
+        |  FROM p0
         |), f AS (
         |  SELECT * FROM p WHERE href <> ''
         |), cc AS (
@@ -6392,25 +6994,49 @@ object Pipeline {
         |    || '<meta name="keywords" content="k1,k2"><title id="t">Doc '
         |    || doc_id::VARCHAR || ' overview</title>'
         |    || CASE WHEN doc_id % 4 <> 0 THEN
-        |         '<meta name="description" content="Summary '
-        |         || (doc_id % 13)::VARCHAR || ' of doc ' || doc_id::VARCHAR || '">'
+        |         CASE WHEN doc_id % 3 = 1 THEN
+        |           '<meta name=''description'' content=''Summary '
+        |           || (doc_id % 13)::VARCHAR || ' of doc ' || doc_id::VARCHAR || ''''
+        |           || '>'
+        |         ELSE
+        |           '<meta name="description" content="Summary '
+        |           || (doc_id % 13)::VARCHAR || ' of doc ' || doc_id::VARCHAR || '">'
+        |         END
         |       ELSE '' END
-        |    || '<link rel="canonical" href="https://site' || (doc_id % 23)::VARCHAR
-        |    || '.com/a/' || doc_id::VARCHAR || '"></head><body><p>' || text
+        |    || CASE WHEN doc_id % 5 = 0 THEN
+        |         '<link rel=canonical href=https://site' || (doc_id % 23)::VARCHAR
+        |         || '.com/a/' || doc_id::VARCHAR || '>'
+        |       WHEN doc_id % 5 = 1 THEN
+        |         '<link rel=''canonical'' href=''https://site' || (doc_id % 23)::VARCHAR
+        |         || '.com/a/' || doc_id::VARCHAR || '''>'
+        |       ELSE
+        |         '<link rel="canonical" href="https://site' || (doc_id % 23)::VARCHAR
+        |         || '.com/a/' || doc_id::VARCHAR || '">'
+        |       END
+        |    || '</head><body><p>' || text
         |    || CASE WHEN doc_id % 6 = 0 THEN '<title>decoy second title</title>'
         |       ELSE '' END
         |    || '</p></body></html>' AS html
         |  FROM documents
+        |), x AS (
+        |  SELECT doc_id,
+        |    regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1) AS title,
+        |    regexp_extract(html,
+        |      '(?is)<meta\s[^>]*?name\s*=\s*["'']?description["'']?[\s>][^>]*?content\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)[^>]*>',
+        |      1) AS description0,
+        |    regexp_extract(html,
+        |      '(?is)<link\s[^>]*?rel\s*=\s*["'']?canonical["'']?[\s>][^>]*?href\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)[^>]*>',
+        |      1) AS canonical0
+        |  FROM h
         |)
-        |SELECT doc_id,
-        |  regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1) AS title,
-        |  regexp_extract(html,
-        |    '(?is)<meta\s[^>]*?name\s*=\s*"description"[^>]*?content\s*=\s*"([^"]*)"[^>]*>',
-        |    1) AS description,
-        |  regexp_extract(html,
-        |    '(?is)<link\s[^>]*?rel\s*=\s*"canonical"[^>]*?href\s*=\s*"([^"]*)"[^>]*>',
-        |    1) AS canonical
-        |FROM h ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, title,
+        |  CASE WHEN starts_with(description0, '"') OR starts_with(description0, '''')
+        |    THEN substr(description0, 2, length(description0) - 2)
+        |    ELSE description0 END AS description,
+        |  CASE WHEN starts_with(canonical0, '"') OR starts_with(canonical0, '''')
+        |    THEN substr(canonical0, 2, length(canonical0) - 2)
+        |    ELSE canonical0 END AS canonical
+        |FROM x ORDER BY doc_id""".stripMargin,
     "m13_jpeg_resize" ->
       """SELECT doc_id AS media_id,
         |  CAST(10 AS INT) AS width, CAST(7 AS INT) AS height,
@@ -8090,17 +8716,28 @@ object Pipeline {
         |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&q=1' ELSE '?q=1' END
         |    || '">one</a><p>mid</p><a HREF = "'
         |    || 'HTTP://site' || (doc_id % 7)::VARCHAR || '.com:80/b/' || doc_id::VARCHAR || '#frag'
-        |    || '">two</a><a href="">anchor</a></body></html>' AS html
+        |    || '">two</a><a href='''
+        |    || 'https://site' || (doc_id % 11)::VARCHAR || '.org/c/' || doc_id::VARCHAR
+        |    || '''>three</a><a href='
+        |    || 'HTTPS://WWW.Site' || (doc_id % 13)::VARCHAR || '.NET/d/' || doc_id::VARCHAR
+        |    || '?utm_x=1&z=' || (doc_id % 3)::VARCHAR
+        |    || ' class=z>four</a><a href="">anchor</a></body></html>' AS html
         |  FROM documents
         |), ex AS (
         |  SELECT doc_id,
-        |    regexp_extract_all(html, '(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>', 1) AS ls
+        |    regexp_extract_all(html,
+        |      '(?is)<a\b[^>]*?href\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)[^>]*>', 1) AS ls
         |  FROM h
         |), l AS (
-        |  SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, ls[CAST(i.i AS INT)] AS href
+        |  SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, ls[CAST(i.i AS INT)] AS href0
         |  FROM ex, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) i
+        |), lq AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN starts_with(href0, '"') OR starts_with(href0, '''')
+        |      THEN substr(href0, 2, length(href0) - 2) ELSE href0 END AS href
+        |  FROM l
         |), f AS (
-        |  SELECT * FROM l WHERE href <> ''
+        |  SELECT * FROM lq WHERE href <> ''
         |), q AS (
         |  SELECT doc_id, pos, href,
         |    array_to_string(list_filter(
@@ -8259,6 +8896,7 @@ object Pipeline {
     "t47b_line_filter"   -> t47bLineFilter _,
     "t48_html_links"     -> t48HtmlLinks _,
     "t52_robots"         -> t52Robots _,
+    "t52b_robots_wildcards" -> t52bRobotsWildcards _,
     "t53_warc_records"   -> t53WarcRecords _,
     "t54_anchor_terms"   -> t54AnchorTerms _,
     "t55_crawl_frontier" -> t55CrawlFrontier _,
@@ -8317,6 +8955,7 @@ object Pipeline {
     "g03_pagerank_weighted" -> g03PageRankWeighted _,
     "g10_domain_pagerank" -> g10DomainPagerank _,
     "g11_hits"           -> g11Hits _,
+    "g12_hits_converged" -> g12HitsConverged _,
     "g02_triangles"      -> g02Triangles _,
     "g04_link_predict"   -> g04LinkPredict _,
     "g05_communities"    -> g05Communities _,
@@ -8354,8 +8993,10 @@ object Pipeline {
     "t58_domain_reputation" -> t58DomainReputation _,
     "t59_phrase_search"  -> t59PhraseSearch _,
     "t60_sitemap"        -> t60Sitemap _,
+    "t60b_sitemap_index" -> t60bSitemapIndex _,
     "t61_proximity"      -> t61Proximity _,
     "t62_tfidf_cosine"   -> t62TfidfCosine _,
+    "t62b_tfidf_indexed" -> t62bTfidfIndexed _,
     "t63_epoch_alloc"    -> t63EpochAlloc _,
     "t64_domain_boilerplate" -> t64DomainBoilerplate _,
     "t65_doc_keywords"   -> t65DocKeywords _,

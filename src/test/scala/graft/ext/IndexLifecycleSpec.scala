@@ -758,6 +758,71 @@ class IndexLifecycleSpec extends AnyFunSuite {
       s"term filter not pushed to the postings scan:\n$plan")
   }
 
+  test("tfidf index: serve == from-scratch; upsert/forget == rebuild; supersede; norms ride postings; loud non-index") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val root = Files.createTempDirectory("graft_tfidf_idx").toFile.getAbsolutePath
+    val live = s"$root/tfi"; val ref = s"$root/ref"
+    val terms = Seq("dup", "spark", "vector", "merge")
+    TextOps.writeTfidfIndex(docs, live)
+    assert(TextOps.isTfidfIndex(spark, live))
+    assert(TextOps.readTfidfIndexParams(spark, live)
+      .contains(TextOps.TfidfParams(100L, 100000L)))
+    assert(sameRows(TextOps.tfidfCosineTopKAt(spark, live, terms, k = 20),
+      TextOps.tfidfCosineTopK(docs, terms, k = 20)),
+      "indexed serving drifted from the from-scratch pass")
+    // upsert == rebuild(grown); supersede: re-ingested ids carry
+    // CHANGED text — their stale postings must go, and the df/idf/norm
+    // recompute must ripple to every doc sharing their tokens
+    val changed = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" spark spark")))
+    TextOps.updateTfidfIndex(spark, changed, live)
+    val grown = docs.filter(col("doc_id") % 10 =!= 0).unionByName(changed)
+    TextOps.writeTfidfIndex(grown, ref)
+    assert(sameRows(spark.read.parquet(s"$live/postings"),
+      spark.read.parquet(s"$ref/postings")), "upsert postings != rebuild")
+    assert(sameRows(spark.read.parquet(s"$live/stats"),
+      spark.read.parquet(s"$ref/stats")), "upsert stats != rebuild")
+    assert(sameRows(TextOps.tfidfCosineTopKAt(spark, live, terms, k = 20),
+      TextOps.tfidfCosineTopK(grown, terms, k = 20)),
+      "serving missed the supersede")
+    // forget == rebuild(minus ids)
+    val gone = docs.filter(col("doc_id") % 11 === 7).select("doc_id")
+    TextOps.forgetTfidfIndex(spark, live, gone)
+    val refForget = s"$root/ref_forget"
+    TextOps.writeTfidfIndex(grown.join(gone, Seq("doc_id"), "left_anti"), refForget)
+    assert(sameRows(spark.read.parquet(s"$live/postings"),
+      spark.read.parquet(s"$refForget/postings")), "forget postings != rebuild")
+    assert(sameRows(TextOps.tfidfCosineTopKAt(spark, live, terms, k = 20),
+      TextOps.tfidfCosineTopK(grown.join(gone, Seq("doc_id"), "left_anti"),
+        terms, k = 20)), "serving missed the forget")
+    // n_docs comes from the doc-grain table: a token-less doc has no
+    // postings row but still counts (it moves every idf)
+    val tiny = Seq((1L, "alpha beta"), (2L, "")).toDF("doc_id", "text")
+    val tinyPath = s"$root/tiny"
+    TextOps.writeTfidfIndex(tiny, tinyPath)
+    assert(spark.read.parquet(s"$tinyPath/stats").head().getLong(0) == 2L)
+    // with n=2, df(alpha)=1 → idf = (1000·3) div 2 = 1500; tfs=1 →
+    // w=1500 per token, d2 = 2·1500² — the norm RIDES each posting row
+    val tinyP = spark.read.parquet(s"$tinyPath/postings")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(tinyP.toSet == Set(("alpha", 1L, 1L, 4500000L), ("beta", 1L, 1L, 4500000L)),
+      tinyP.mkString(", "))
+    // a directory without the sidecar is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      TextOps.tfidfCosineTopKAt(spark, s"$root/nope", terms)
+    }
+    assert(e.getMessage.contains("sidecar"), e.getMessage)
+    // the 100 TB contract: the term predicate reaches the postings
+    // parquet scan — a query reads its terms' file slice, never the
+    // corpus (the norms ride the slice, so there is no doc-cardinality
+    // join either: exactly one parquet scan of postings in the plan)
+    val plan = TextOps.tfidfCosineTopKAt(spark, live, terms, k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"term filter not pushed to the postings scan:\n$plan")
+  }
+
   test("minhash index upsert + forget == full rebuild") {
     val docs = Tables.documents(spark, sf)
     val root = Files.createTempDirectory("graft_mh_upd").toFile.getAbsolutePath

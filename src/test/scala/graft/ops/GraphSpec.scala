@@ -293,6 +293,33 @@ class GraphSpec extends AnyFunSuite {
     assert(empty.forall(_ == ((0L, 0L))))
   }
 
+  test("hitsConverged: detected fixpoint == hits at that round; cap-hit is loud via the stable flag; empty graph settles") {
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    val nodes = Seq("a", "b", "c", "d").toDF("id")
+    val edges = Seq(("a", "c", 2L), ("b", "c", 1L), ("c", "d", 1L))
+      .toDF("src", "dst", "w")
+    val (scores, rounds, stable) = Graph.hitsConverged(nodes, edges, maxIters = 64)
+    assert(stable, "the hand DAG must reach an exact integer fixpoint")
+    assert(rounds >= 2 && rounds < 64)
+    val conv = toMap(scores)
+    // the converged scores ARE hits at the detected round, and every
+    // later round is a no-op (one repeated round of a deterministic
+    // map is a true fixpoint)
+    assert(conv == toMap(Graph.hits(nodes, edges, iters = rounds)))
+    assert(conv == toMap(Graph.hits(nodes, edges, iters = rounds + 3)))
+    // cap-hit: one round cannot repeat the (10^6, 0) init on this
+    // graph — the FLAG (not the round count) is what callers must
+    // branch on before trusting the scores as converged
+    val (s1, r1, st1) = Graph.hitsConverged(nodes, edges, maxIters = 1)
+    assert(!st1 && r1 == 1)
+    assert(toMap(s1) == toMap(Graph.hits(nodes, edges, iters = 1)))
+    // empty edge set: zeros repeat from round 2 — converged, all zero
+    val (s0, r0, st0) = Graph.hitsConverged(nodes, edges.limit(0), maxIters = 8)
+    assert(st0 && r0 == 2)
+    assert(s0.collect().forall(x => x.getLong(1) == 0L && x.getLong(2) == 0L))
+  }
+
   test("commonNeighbors: hand graphs — path, square, K3 micros") {
     // path 1—2—3: only (1,3) share a neighbor; deg 1 each → jacc 10⁶
     val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
