@@ -232,10 +232,9 @@ object UrlOps {
     * document order. RE2-safe (non-greedy block match, `(?is)` for
     * case/newline tolerance) so the extraction replays byte-for-byte
     * in DuckDB; pair with [[sitemapLoc]]/[[sitemapLastmod]] per block.
-    * Namespaced/sitemap-INDEX files (`<sitemapindex>`) are a
-    * documented boundary — an index's `<sitemap><loc>` children name
-    * more sitemap files, not pages, and recursing is a driver-side
-    * fetch loop, not a per-row transform.
+    * For sitemap-INDEX payloads (`<sitemapindex>`) extract the child
+    * sitemap urls with [[sitemapIndexEntries]] first, then apply this
+    * to each fetched child — the t60b chain.
     */
   def sitemapEntries(xml: Column): Column =
     regexp_extract_all(xml, lit("(?is)<url\\s*>.*?</url\\s*>"), lit(0))

@@ -74,6 +74,82 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(ok.getAs[Boolean]("allowed") && ok.getAs[String]("matched_prefix") == "/b/ok")
   }
 
+  test("robots wildcards: pattern→regex conversion, literal-length precedence, $ anchor, escaped metachars") {
+    // conversion unit cases: regex + literal length per pattern
+    def conv(patterns: Seq[String]): Seq[(String, String, Int)] =
+      patterns.toDF("p").select(col("p"),
+          UrlOps.robotsPatternRegex(col("p")).as("rx"),
+          UrlOps.robotsPatternLitLen(col("p")).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(conv(Seq("/a/", "/a/*1", "/b/*3$", "/d/*?z=2$", "/*.php$", "/x$y")) == Seq(
+      ("/a/", "^/a/", 3),                       // wildcard-free: plain prefix
+      ("/a/*1", "^/a/.*1", 4),                  // mid *
+      ("/b/*3$", "^/b/.*3$", 4),                // trailing $ anchors
+      ("/d/*?z=2$", "^/d/.*\\?z=2$", 7),        // ? escaped, $ anchors
+      ("/*.php$", "^/.*\\.php$", 5),            // . escaped
+      ("/x$y", "^/x\\$y", 4)))                  // mid $ is literal
+    // decisions over a wildcard battery: specificity by LITERAL length,
+    // allow-wins tie, anchored rules, regex metachars never leak
+    val robots = Seq(("d.com", Seq(
+      "User-agent: *",
+      "Disallow: /a/*1",        // lit 4
+      "Allow: /a/*1?q=1$",      // lit 9: outranks the disallow where both match
+      "Disallow: /b/*3$",       // lit 4 — equal tie with the next line
+      "Allow: /b/*3$",          //   → allow wins
+      "Disallow: /c/",          // lit 3 literal
+      "Allow: /c/*7$"           // lit 4 wildcard beats it for ids ending in 7
+    ).mkString("\n"))).toDF("domain", "robots_txt")
+    val rules = UrlOps.parseRobots(robots, "graftbot")
+    val urls = Seq(
+      (1L, "https://d.com/a/21?q=1"),  // both /a/ rules match → allow (lit 9)
+      (2L, "https://d.com/a/22?q=1"),  // only the disallow (…1 before ?q=1 missing)
+      (3L, "https://d.com/b/13"),      // equal-literal tie → allow
+      (4L, "https://d.com/b/14"),      // $ anchor: no rule matches → default
+      (5L, "https://d.com/c/17"),      // wildcard outranks the literal /c/
+      (6L, "https://d.com/c/18")       // only the literal /c/ → disallow
+    ).toDF("id", "url_canon")
+      .withColumn("domain", UrlOps.registrableDomain(col("url_canon")))
+    val dec = UrlOps.robotsDecisions(urls, rules, Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("allowed"), Option(r.getAs[String]("matched_prefix")))))
+      .toMap
+    assert(dec(1L) == ((true, Some("/a/*1?q=1$"))), dec(1L))
+    assert(dec(2L) == ((false, Some("/a/*1"))), dec(2L))
+    assert(dec(3L) == ((true, Some("/b/*3$"))), dec(3L))
+    assert(dec(4L) == ((true, None)), dec(4L))
+    assert(dec(5L) == ((true, Some("/c/*7$"))), dec(5L))
+    assert(dec(6L) == ((false, Some("/c/"))), dec(6L))
+  }
+
+  test("sitemapIndexEntries: <sitemap> child blocks only, leaf files yield none, one-level recursion shape") {
+    val index =
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sitemap>
+        |    <loc> https://d.com/sm/1.xml </loc>
+        |  </sitemap>
+        |  <SITEMAP ><LOC>https://d.com/sm/2.xml</LOC></SITEMAP>
+        |  <sitemap><loc>   </loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val kids = Seq(index).toDF("xml")
+      .select(posexplode(UrlOps.sitemapIndexEntries(col("xml"))))
+      .toDF("pos", "entry")
+      .select(col("pos"), UrlOps.sitemapLoc(col("entry")).as("loc"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(kids == Seq((0, "https://d.com/sm/1.xml"),
+      (1, "https://d.com/sm/2.xml"), (2, "")), kids)
+    // a LEAF sitemap has no <sitemap> blocks (the wrapper tag's name
+    // does not prefix-match the child grammar), and an index's <url>
+    // decoys are equally invisible to the child extractor
+    val leaf = "<urlset><url><loc>https://d.com/p</loc></url></urlset>"
+    assert(Seq(leaf).toDF("xml")
+      .select(UrlOps.sitemapIndexEntries(col("xml")).as("e"))
+      .collect()(0).getSeq[String](0).isEmpty)
+    // and sitemapEntries on the INDEX payload finds no page entries
+    assert(Seq(index).toDF("xml")
+      .select(UrlOps.sitemapEntries(col("xml")).as("e"))
+      .collect()(0).getSeq[String](0).isEmpty)
+  }
+
   test("parseCrawlDelay: UA override, min of repeats, malformed ignored, headerless binds nobody, default") {
     def delays(rows: Seq[(String, String)], ua: String): Map[String, Long] =
       UrlOps.parseCrawlDelay(rows.toDF("domain", "robots_txt"), ua)
@@ -553,17 +629,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(extract("a&#10;b") == "a b")                            // decoded newline joins the collapse
   }
 
-  test("htmlLinks: order, case, whitespace, empty href kept, single-quote boundary") {
+  test("htmlLinks: order, case, whitespace, empty href kept, all three value spellings") {
     def links(html: String): Seq[String] =
       Seq(html).toDF("h").select(TextOps.htmlLinks(col("h")).as("l"))
         .collect()(0).getSeq[String](0)
     val html = "<html><a href=\"https://a.com/1\">x</a>" +
       "<a class=\"z\" HREF = \"https://b.com/2\">y</a>" +
       "<a href=\"\">empty</a>" +
-      "<a href='https://single.quote'>boundary: not extracted</a>" +
+      "<a href='https://single.quote/3'>single-quoted</a>" +
+      "<a href=https://unquoted.example/4?a=1 rel=nofollow>unquoted stops at whitespace</a>" +
+      "<a href=https://unquoted.example/5>unquoted stops at the tag close</a>" +
+      "<a href=''>single-quoted empty</a>" +
       "<p href=\"https://not-an-anchor.com\">p is not a</p></html>"
-    assert(links(html) == Seq("https://a.com/1", "https://b.com/2", ""))
+    assert(links(html) == Seq("https://a.com/1", "https://b.com/2", "",
+      "https://single.quote/3", "https://unquoted.example/4?a=1",
+      "https://unquoted.example/5", ""))
     assert(links("no anchors here") == Seq.empty)
+    // a double-quoted value may CONTAIN a single quote and vice versa —
+    // only the matching delimiter closes it
+    assert(links("<a href=\"https://a.com/it's\">q</a>") == Seq("https://a.com/it's"))
   }
 
   test("phraseOccurrences: sliding-window overlap counting, case, single word, hitless docs absent") {
@@ -651,6 +735,14 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(meta("<html><body>plain</body></html>") == (("", "", "")))
     // empty title element is a match with empty text
     assert(meta("<title></title>")._1 == "")
+    // messy-attribute spellings: single-quoted name+content, unquoted
+    // rel and href — all three value forms land on the same fields
+    val messy = "<head><meta name='description' content='single quoted'>" +
+      "<link rel=canonical href=https://a.com/u></head>"
+    assert(meta(messy) == (("", "single quoted", "https://a.com/u")))
+    val mixed = "<head><meta name=\"description\" content='mix &amp; match'>" +
+      "<link rel='canonical' href=\"https://a.com/m\"></head>"
+    assert(meta(mixed) == (("", "mix &amp; match", "https://a.com/m")))
   }
 
   test("htmlAnchorElements: href/text split, order, case, nested-markup boundary") {
@@ -671,6 +763,10 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(anchors("no anchors") == Seq.empty)
     // empty body is a legitimate anchor
     assert(anchors("<a href=\"u\"></a>") == Seq(("u", "")))
+    // messy-attribute spellings carry their bodies too
+    assert(anchors("<a href='https://s.com/1'>sq body</a>" +
+      "<a href=https://u.com/2 rel=x>uq body</a>") ==
+      Seq(("https://s.com/1", "sq body"), ("https://u.com/2", "uq body")))
   }
 
   test("sentences: terminator runs attach, remnant kept, empties dropped, plain text is one sentence") {
