@@ -315,12 +315,14 @@ object Graph {
       val h = halfStep(a, "dst", "src").localCheckpoint()
       rounds += 1
       // one round is stable when BOTH vectors sit within tol of their
-      // predecessors — checked after h/a are materialized, so the
+      // predecessors — the two comparisons union into a SINGLE action
+      // (per-round driver jobs are the dominant cost at domain
+      // cardinality); checked after h/a are materialized, so the
       // previous round's blocks are dead weight from here
       stable = h.join(hub.select(col("id"), col("s").as("_prev")), "id")
-        .filter(abs(col("s") - col("_prev")) > tolMicros).isEmpty &&
-        a.join(auth.select(col("id"), col("s").as("_prev")), "id")
-          .filter(abs(col("s") - col("_prev")) > tolMicros).isEmpty
+        .unionByName(
+          a.join(auth.select(col("id"), col("s").as("_prev")), "id"))
+        .filter(abs(col("s") - col("_prev")) > tolMicros).isEmpty
       Blocks.free(hub); Blocks.free(auth)
       hub = h
       auth = a

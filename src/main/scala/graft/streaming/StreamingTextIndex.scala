@@ -37,4 +37,33 @@ object StreamingTextIndex {
       .trigger(trigger)
       .start()
   }
+
+  /** The tf-idf sibling of [[startAt]]: fold a document stream into a
+    * persisted [[TextOps.writeTfidfIndex]] artifact (the ELEVENTH
+    * lifecycle family's continuous member). Bootstrap on the first
+    * micro-batch, [[TextOps.updateTfidfIndex]] after — stale rows of
+    * re-ingested ids drop, df/idf/norms recompute from the merged tf
+    * grain (corpus statistics are global by construction), and the
+    * build promotes through the fuse-guarded swap, so
+    * [[TextOps.tfidfCosineTopKAt]] serves from-scratch-identical
+    * cosines off the folded state at any time (spec-pinned). Per-batch
+    * cost is tokenize(batch) + the integer-narrow derived-stat
+    * recompute — never a corpus re-tokenize.
+    */
+  def startAtTfidf(docsStream: DataFrame, path: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val spark = docsStream.sparkSession
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!TextOps.isTfidfIndex(spark, path))
+          TextOps.writeTfidfIndex(batch, path, idCol = idCol, textCol = textCol)
+        else
+          TextOps.updateTfidfIndex(spark, batch, path, idCol, textCol)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }
