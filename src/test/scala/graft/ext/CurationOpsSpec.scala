@@ -150,6 +150,52 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](0).isEmpty)
   }
 
+  test("expandSitemaps: depth-2 walk with provenance, cycle drop, fetch gap, whitespace loc, depth cap") {
+    val seeds = Seq(("d.com", "https://d.com/root.xml"))
+      .toDF("domain", "sitemap_url")
+    def idx(locs: String*): String =
+      "<sitemapindex>" + locs.map(l =>
+        s"<sitemap >\n  <loc> $l </loc>\n</sitemap>").mkString("\n") +
+        "</sitemapindex>"
+    def leaf(locs: String*): String =
+      "<urlset>" + locs.map(l =>
+        s"<url ><loc>  $l  </loc></url>").mkString("\n") + "</urlset>"
+    val payloads = Seq(
+      // root: an index child, a leaf child, a SELF-cycle, an unfetched
+      // child, and a whitespace-only loc
+      ("https://d.com/root.xml", idx("https://d.com/a.xml",
+        "https://d.com/b.xml", "https://d.com/root.xml",
+        "https://d.com/missing.xml", "   ")),
+      // a: index of one leaf PLUS a back-reference to the root (a
+      // 2-hop cycle — already visited at level 0)
+      ("https://d.com/a.xml", idx("https://d.com/c.xml",
+        "https://d.com/root.xml")),
+      ("https://d.com/b.xml", leaf("https://d.com/p/b0")),
+      ("https://d.com/c.xml", leaf("https://d.com/p/c0", "https://d.com/p/c1"))
+    ).toDF("url", "xml")
+    val got = UrlOps.expandSitemaps(seeds, payloads, maxDepth = 3)
+      .collect().map(r => (r.getAs[String]("leaf_url"),
+        r.getAs[Long]("depth"), r.getAs[Long]("pos"),
+        r.getAs[String]("loc"), r.getAs[String]("sitemap_url"))).toSet
+    assert(got == Set(
+      ("https://d.com/b.xml", 1L, 0L, "https://d.com/p/b0", "https://d.com/root.xml"),
+      ("https://d.com/c.xml", 2L, 0L, "https://d.com/p/c0", "https://d.com/root.xml"),
+      ("https://d.com/c.xml", 2L, 1L, "https://d.com/p/c1", "https://d.com/root.xml")), got)
+    // depth cap: maxDepth = 2 stops before c.xml is ever fetched —
+    // only the depth-1 leaf lists
+    val capped = UrlOps.expandSitemaps(seeds, payloads, maxDepth = 2)
+      .collect().map(_.getAs[String]("leaf_url")).toSet
+    assert(capped == Set("https://d.com/b.xml"), capped)
+    // a root that is ITSELF a leaf lists at depth 0
+    val leafSeed = Seq(("e.com", "https://e.com/s.xml"))
+      .toDF("domain", "sitemap_url")
+    val leafPay = Seq(("https://e.com/s.xml", leaf("https://e.com/p")))
+      .toDF("url", "xml")
+    val d0 = UrlOps.expandSitemaps(leafSeed, leafPay, maxDepth = 3)
+      .collect().map(r => (r.getAs[Long]("depth"), r.getAs[String]("loc")))
+    assert(d0.toSeq == Seq((0L, "https://e.com/p")), d0.toSeq)
+  }
+
   test("parseCrawlDelay: UA override, min of repeats, malformed ignored, headerless binds nobody, default") {
     def delays(rows: Seq[(String, String)], ua: String): Map[String, Long] =
       UrlOps.parseCrawlDelay(rows.toDF("domain", "robots_txt"), ua)

@@ -362,4 +362,38 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got3.values.forall(_ == 0L))
   }
+
+  test("pageRankWeightedFrom: warm continuation == longer cold run; absent nodes start at the uniform prior") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val und = Seq((1L, 2L, 900000L), (1L, 3L, 100000L)).toDF("src", "dst", "w")
+    val edges = und.union(und.select(col("dst"), col("src"), col("w")))
+    // the recurrence is Markov in the rank vector: 2 cold rounds then
+    // 3 warm rounds over the same edges must equal 5 cold rounds
+    val mid = Graph.pageRankWeighted(nodes, edges, iters = 2)
+    val warm = Graph.pageRankWeightedFrom(nodes, edges, mid, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = Graph.pageRankWeighted(nodes, edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm == cold, s"warm $warm != cold $cold")
+    // a node the init never saw (4) seeds at 10⁶ exactly: grow the
+    // graph by edge 1→4 and warm one round — node 4's contribution
+    // into 1 is computed FROM the prior, and 4 itself lands on
+    // 150000 + 85% of what flowed in from 1
+    val nodes2 = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val grown = edges.union(Seq((1L, 4L, 500000L), (4L, 1L, 500000L))
+      .toDF("src", "dst", "w"))
+    val init1 = Seq((1L, 2000000L), (2L, 915000L), (3L, 235000L))
+      .toDF("id", "rank")
+    val w1 = Graph.pageRankWeightedFrom(nodes2, grown, init1, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 1's weight sum is now 9·10⁵+10⁵+5·10⁵ = 1.5·10⁶; node 4
+    // receives 2·10⁶·5·10⁵ div 1.5·10⁶ = 666666
+    //   → 150000 + 85·666666 div 100 = 716666
+    assert(w1(4L) == 716666L, w1.toString)
+    // node 1 receives 2 and 3 wholly (each has only the edge into 1)
+    // plus the unseen node's PRIOR through its only edge:
+    //   915000 + 235000 + 10⁶ = 2150000
+    //   → 150000 + 85·2150000 div 100 = 1977500
+    assert(w1(1L) == 1977500L, w1.toString)
+  }
 }
