@@ -409,6 +409,23 @@ object Bench {
       TextOps.writeTfidfIndex(docsAt(n), p)
       n -> p
     }.toMap
+    // prebuilt rank artifacts for the rank_warm_update arm — built
+    // outside the timed fn (the writeRankIndex production path): the
+    // g13 lifecycle's claim is a recrawl warm-starts from the
+    // persisted vector instead of re-converging from uniform, so the
+    // timed cost is current-snapshot harvest/rollup + the warm rounds
+    val rankIdx: Map[Int, String] = Seq(1, k).map { n =>
+      val p = java.nio.file.Files.createTempDirectory("graft_bench_rank")
+        .toFile.getAbsolutePath + "/ri"
+      val pairs = graft.queries.Pipeline.syntheticPageLinkDomains(docsAt(n))
+      val edges = pairs
+        .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
+        .agg(count(lit(1)).cast("long").as("w"))
+      val nodes = pairs.select(col("page_domain").as("id"))
+        .unionByName(pairs.select(col("domain").as("id"))).distinct()
+      graft.ops.RankIndex.writeRankIndex(nodes, edges, p, iters = 3)
+      n -> p
+    }.toMap
     // prebuilt chunk stores for the cdc_serve_indexed arm — built
     // outside the timed fn (the writeChunkIndex production path): the
     // lifecycle's claim is that an ingest batch never re-chunks the
@@ -686,6 +703,11 @@ object Bench {
       // per-doc keywords (t65): the t62 weight build + a TopKPerKey
       // cut (no corpus-wide window) — growth must be token-linear
       "doc_keywords" -> (n => TextOps.docKeywords(docsAt(n), k = 3)),
+      // t65 served from the persisted tf-idf artifact: keyword
+      // extraction off the saturated integer grain — no corpus
+      // re-tokenize; must beat the from-scratch arm in absolute time
+      "keywords_indexed" -> (n => TextOps.docKeywordsAt(spark,
+        tfidfIdx(n), k = 3)),
       // sparse tf-idf cosine (t62): one token-keyed shuffle builds
       // df/idf + norms, the dot aggregates only the query terms'
       // postings, top-k is a TakeOrdered — growth must be token-linear
@@ -734,6 +756,28 @@ object Bench {
           .unionByName(pairs.select(col("domain").as("id"))).distinct()
         graft.ops.Graph.hits(nodes, edges, iters = 2)
       }),
+      // warm-start rank maintenance (g13): harvest/rollup of the
+      // CURRENT snapshot (page-linear) + 2 warm rounds off the
+      // persisted vector — the domain space is fixed under ×n, so the
+      // rank rounds cost O(1) and growth must be harvest-scan-bound
+      // (the from-uniform alternative pays the full convergence depth)
+      "rank_warm_update" -> (n => {
+        val pairs = graft.queries.Pipeline.syntheticPageLinkDomains(docsAt(n))
+        val edges = pairs
+          .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
+          .agg(count(lit(1)).cast("long").as("w"))
+        val nodes = pairs.select(col("page_domain").as("id"))
+          .unionByName(pairs.select(col("domain").as("id"))).distinct()
+        graft.ops.Graph.pageRankWeightedFrom(nodes, edges,
+          graft.ops.RankIndex.ranksAt(spark, rankIdx(n)), iters = 2)
+      }),
+      // bounded-depth sitemap-tree walk (t60c): payload synthesis +
+      // three fetch-join levels, all at domain×sitemap-file
+      // cardinality — the only ×n-linear stage is the directive
+      // table's distinct over the grown doc scan, so growth must be
+      // scan-bound
+      "sitemap_tree" -> (n =>
+        graft.queries.Pipeline.sitemapTreeDiscovery(docsAt(n))),
       // WARC ingestion (t53): container injection + ONE codegen
       // Content-Length byte walk per crawl file, records out at
       // record cardinality, no shuffle — growth must be pure scan

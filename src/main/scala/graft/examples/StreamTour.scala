@@ -505,6 +505,45 @@ object StreamTour {
       served.exceptAll(whole).isEmpty && whole.exceptAll(served).isEmpty
     }
 
+    check("continuous frontier equals the batch build; a late earlier sighting takes the slot") {
+      // the t55 scheduler folded as decided harvest rows arrive:
+      // first-sighting state merges by MIN, so ordering across
+      // batches cannot change the served frontier
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("streamtour_frontier")
+        .toFile.getAbsolutePath
+      val decided = graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), lit(0L).as("pos"),
+          concat(lit("https://site"), pmod(col("doc_id"), lit(23)),
+            lit(".com/p/"), pmod(col("doc_id"), lit(50))).as("url_canon"),
+          concat(lit("site"), pmod(col("doc_id"), lit(23)), lit(".com"))
+            .as("domain"),
+          (pmod(col("doc_id"), lit(9)) =!= 0).as("allowed"))
+        .as[(Long, Long, String, String, Boolean)].collect()
+      // reverse the second half so EARLIER sightings of shared URLs
+      // arrive in the LATER batch — the min-merge must still win
+      val (f1, f2) = decided.splitAt(decided.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, String, Boolean)]
+      val q = graft.streaming.StreamingFrontier.startAt(
+        input.toDF().toDF("doc_id", "pos", "url_canon", "domain", "allowed"),
+        s"$root/state", s"$root/ckpt")
+      try {
+        input.addData(f2.reverse.toIndexedSeq); q.processAllAvailable()
+        input.addData(f1.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val ranks = graft.queries.Pipeline.domainRanks(
+        graft.Tables.documents(spark, sf))
+      val served = graft.streaming.StreamingFrontier.frontier(
+        spark.read.parquet(s"$root/state"), ranks)
+      val whole = graft.streaming.StreamingFrontier.frontier(
+        graft.streaming.StreamingFrontier.sightingState(
+          decided.toSeq.toDF("doc_id", "pos", "url_canon", "domain",
+            "allowed")), ranks)
+      served.exceptAll(whole).isEmpty && whole.exceptAll(served).isEmpty &&
+        served.count() > 0
+    }
+
     check("continuous spike detector state equals the batch hourly counts; report fires") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val root = java.nio.file.Files.createTempDirectory("streamtour_spike")

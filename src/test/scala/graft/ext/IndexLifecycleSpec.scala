@@ -771,6 +771,12 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(sameRows(TextOps.tfidfCosineTopKAt(spark, live, terms, k = 20),
       TextOps.tfidfCosineTopK(docs, terms, k = 20)),
       "indexed serving drifted from the from-scratch pass")
+    // the batch half (t65b): keyword extraction off the same artifact
+    // equals the from-scratch operator — tf saturation, df/idf caps,
+    // and the (w desc, token) tie rule all survive the grain
+    assert(sameRows(TextOps.docKeywordsAt(spark, live, k = 3),
+      TextOps.docKeywords(docs, k = 3)),
+      "indexed keyword extraction drifted from the from-scratch pass")
     // upsert == rebuild(grown); supersede: re-ingested ids carry
     // CHANGED text — their stale postings must go, and the df/idf/norm
     // recompute must ripple to every doc sharing their tokens
