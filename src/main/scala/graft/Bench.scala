@@ -771,6 +771,13 @@ object Bench {
         graft.ops.Graph.pageRankWeightedFrom(nodes, edges,
           graft.ops.RankIndex.ranksAt(spark, rankIdx(n)), iters = 2)
       }),
+      // freshness-weighted recrawl schedule (t66): the dated-entry
+      // table is sitemap-entry cardinality (domain-fixed under ×n),
+      // the rank join a domain-cardinality broadcast — the ×n-linear
+      // stages are the directive distinct and the rank harvest, so
+      // growth must be scan-bound like domain_pagerank
+      "recrawl_schedule" -> (n =>
+        graft.queries.Pipeline.recrawlTable(docsAt(n))),
       // bounded-depth sitemap-tree walk (t60c): payload synthesis +
       // three fetch-join levels, all at domain×sitemap-file
       // cardinality — the only ×n-linear stage is the directive

@@ -3360,6 +3360,45 @@ object Pipeline {
         col("lastmod"))
   }
 
+  /** Freshness-weighted RECRAWL schedule — the crawl loop's third
+    * scheduling table next to t55 (what to fetch FIRST) and t56 (WHEN
+    * politeness allows): which known pages to REFETCH, composing the
+    * two signals a real recrawl planner runs on — sitemap `lastmod`
+    * recency (a page that changed recently changes often — the
+    * standard adaptive-recrawl heuristic) and domain authority (g10's
+    * weighted PageRank). All integer:
+    * `age_days = max(datediff(asof, lastmod), 0)` and
+    * `priority = domain_rank · 1000 div (age_days + 1)`, then a
+    * per-domain top-2 budget through the custom TopKPerKey cut (a
+    * recrawl wave is per-host bounded exactly like a first-fetch
+    * wave). `asof` is a pinned literal — both engines parse the same
+    * ISO dates, so the whole schedule (date arithmetic, rank
+    * trajectory, budget cut, tie rule) hash-gates. Scale shape: the
+    * dated-entry table is sitemap-entry cardinality, the rank join a
+    * domain-cardinality broadcast, the cut one exchange.
+    */
+  def t66RecrawlSchedule(spark: SparkSession, dir: String): DataFrame =
+    recrawlTable(Tables.documents(spark, dir))
+      .orderBy(col("domain"), col("priority").desc, col("url_canon"))
+
+  /** The t66 schedule without the presentation sort, factored for the
+    * bench probe (the t55/t60 convention).
+    */
+  def recrawlTable(docs: DataFrame): DataFrame = {
+    val aged = sitemapDiscovery(docs)
+      .filter(col("lastmod") =!= "")
+      .select(col("domain"), col("url_canon"), col("lastmod"),
+        greatest(datediff(to_date(lit("2026-10-01")),
+          to_date(col("lastmod"))), lit(0)).cast("long").as("age_days"))
+    val prio = aged.join(domainRanks(docs), Seq("domain"), "left")
+      .select(col("domain"), col("url_canon"), col("lastmod"),
+        col("age_days"), coalesce(col("rank"), lit(0L)).as("domain_rank"))
+      .withColumn("priority",
+        expr("(domain_rank * 1000) div (age_days + 1)"))
+    graft.ops.TopK.perKey(prio, keys = Seq("domain"),
+      order = Seq(("priority", true), ("url_canon", false)), k = 2)
+  }
+
   /** Proximity retrieval ([[TextOps.proximityOccurrences]]) — "quasar
     * NEAR pulsar" within a 3-token window, the query shape between
     * t16's bag-of-words and t59's exact phrase. The injection puts a
@@ -5067,6 +5106,109 @@ object Pipeline {
     * wrong warm seed, a stale weight sum, or a dropped delta edge all
     * hash-fail.
     */
+  /** The t60 robots -> directives -> sitemap-XML -> entries ->
+    * canonicalization chain as shared CTEs ending in `canon`
+    * (domain, sitemap_url, pos, loc, url_canon, lastmod) — used
+    * verbatim by the t60 oracle and composed with the harvest/rank
+    * CTEs by the t66 recrawl-schedule oracle.
+    */
+  private val sitemapEntriesCtes: String =
+    """doms AS (
+        |  SELECT DISTINCT 'site' || (doc_id % 23)::VARCHAR ||
+        |    CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |         ELSE '.net' END AS domain
+        |  FROM documents
+        |), kt AS (
+        |  SELECT domain,
+        |    CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INT) AS k,
+        |    CASE WHEN domain LIKE '%.com' THEN 0
+        |         WHEN domain LIKE '%.org' THEN 1 ELSE 2 END AS t
+        |  FROM doms
+        |), rb AS (
+        |  SELECT domain, k,
+        |    '# discovery fixture' || chr(10) || 'User-agent: *' || chr(10)
+        |    || 'Disallow: /tmp/' || chr(10)
+        |    || CASE WHEN k % 5 = 0
+        |         THEN '# Sitemap: https://ignored.example/s.xml' || chr(10)
+        |         ELSE '' END
+        |    || CASE WHEN (k + t) % 2 = 0
+        |         THEN 'Sitemap: https://' || domain || '/sitemap.xml' || chr(10)
+        |         ELSE '' END
+        |    || CASE WHEN k % 6 = 0
+        |         THEN 'SiteMap:   https://' || domain || '/sitemap2.xml' || chr(10)
+        |         ELSE '' END
+        |    || CASE WHEN k % 9 = 0 THEN 'Sitemap:' || chr(10) ELSE '' END
+        |      AS robots_txt
+        |  FROM kt
+        |), ln AS (
+        |  SELECT domain, k, trim(regexp_replace(l.l, '#.*$', '')) AS line
+        |  FROM rb, LATERAL (SELECT unnest(string_split(robots_txt, chr(10))) AS l) l
+        |), sm AS (
+        |  SELECT DISTINCT domain, k,
+        |    trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) AS sitemap_url
+        |  FROM ln
+        |  WHERE line <> ''
+        |    AND lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) = 'sitemap'
+        |    AND trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) <> ''
+        |), gen AS (
+        |  SELECT domain, k, sitemap_url,
+        |    CASE WHEN sitemap_url LIKE '%sitemap2.xml' THEN 2 ELSE 1 END AS s
+        |  FROM sm
+        |), xmls AS (
+        |  SELECT domain, sitemap_url,
+        |    '<urlset>' || chr(10) ||
+        |    array_to_string(list_transform(range(0, ((k + s) % 3) + 1), j ->
+        |      '<url >' || chr(10) || '  <loc>  ' ||
+        |      CASE WHEN j = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+        |      domain || '/pg/' || s::VARCHAR || '/' || j::VARCHAR ||
+        |      CASE WHEN j % 2 = 1 THEN '?utm_campaign=sm&x=1' ELSE '' END ||
+        |      '  </loc>' || chr(10) ||
+        |      CASE WHEN (j + s) % 2 = 0
+        |        THEN '  <lastmod> 2026-0' || (((j + k) % 9) + 1)::VARCHAR
+        |          || '-15 </lastmod>' || chr(10)
+        |        ELSE '' END ||
+        |      '</url>'), chr(10)) ||
+        |    CASE WHEN k % 7 = 0
+        |      THEN chr(10) || '<url><loc>   </loc></url>' ELSE '' END ||
+        |    chr(10) || '</urlset>' AS xml
+        |  FROM gen
+        |), ex AS (
+        |  SELECT domain, sitemap_url,
+        |    regexp_extract_all(xml, '(?is)<url\s*>.*?</url\s*>', 0) AS es
+        |  FROM xmls
+        |), en AS (
+        |  SELECT domain, sitemap_url, CAST(i.i - 1 AS BIGINT) AS pos,
+        |    es[CAST(i.i AS INT)] AS entry
+        |  FROM ex, LATERAL (SELECT unnest(range(1, len(es) + 1)) AS i) i
+        |), fl AS (
+        |  SELECT domain, sitemap_url, pos,
+        |    trim(regexp_extract(entry, '(?is)<loc\s*>([^<]*)</loc\s*>', 1)) AS loc,
+        |    trim(regexp_extract(entry, '(?is)<lastmod\s*>([^<]*)</lastmod\s*>', 1))
+        |      AS lastmod
+        |  FROM en
+        |), ne AS (
+        |  SELECT * FROM fl WHERE loc <> ''
+        |), q AS (
+        |  SELECT domain, sitemap_url, pos, loc, lastmod,
+        |    array_to_string(list_filter(
+        |      string_split(regexp_extract(
+        |        regexp_replace(loc, '#.*$', ''), '\?([^#]*)', 1), '&'),
+        |      x -> NOT starts_with(x, 'utm_')), '&') AS kept_qs
+        |  FROM ne
+        
+        |), canon AS (
+        |  SELECT domain, sitemap_url, pos, loc,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(loc,
+        |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+        |      ':443$', ''), ':80$', '')
+        |    || regexp_replace(regexp_extract(loc,
+        |         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+        |    || CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END AS url_canon,
+        |    lastmod
+        |  FROM q
+        |)""".stripMargin
+
   /** t65 replay (shared verbatim by t65b — the artifact round trip is
     * Spark-side only, so serve(index) == from-scratch is what hashes):
     * tokenize, saturate tf, df/idf under the caps, weight, per-doc
@@ -5101,6 +5243,44 @@ object Pipeline {
       |QUALIFY row_number() OVER (PARTITION BY doc_id
       |  ORDER BY w DESC, token) <= 3
       |ORDER BY doc_id, rank""".stripMargin
+
+  /** t66 replay: the t60 entry chain (`canon`) + the g10 harvest/rank
+    * chain (prefixed `p`/`z` — no CTE-name collisions with the t60
+    * chain) + the integer freshness/priority arithmetic + the QUALIFY
+    * budget cut. Composition rule as crawlFrontierCtes: concatenate
+    * pre-stripped parts, never re-stripMargin inner text.
+    */
+  private val recrawlScheduleOracle: String =
+    "WITH " + sitemapEntriesCtes + ",\n" +
+    domainPairCtes("p", "") + ",\n" +
+    """zedges AS (
+      |  SELECT page_domain AS src, domain AS dst,
+      |    CAST(count(*) AS BIGINT) AS w
+      |  FROM ppairs GROUP BY 1, 2
+      |), znodes AS (
+      |  SELECT page_domain AS id FROM ppairs UNION SELECT domain FROM ppairs
+      |), zwsum AS (
+      |  SELECT src, CAST(sum(w) AS BIGINT) AS ws FROM zedges GROUP BY 1
+      |), zr0 AS (
+      |  SELECT id, CAST(1000000 AS BIGINT) AS r FROM znodes
+      |), """.stripMargin + rankIterCtes("z", 3) + ",\n" +
+    """aged AS (
+      |  SELECT domain, url_canon, lastmod,
+      |    CAST(greatest(date_diff('day', CAST(lastmod AS DATE),
+      |      DATE '2026-10-01'), 0) AS BIGINT) AS age_days
+      |  FROM canon WHERE lastmod <> ''
+      |), pri AS (
+      |  SELECT a.domain, a.url_canon, a.lastmod, a.age_days,
+      |    CAST(coalesce(z.r, 0) AS BIGINT) AS domain_rank,
+      |    CAST((coalesce(z.r, 0) * 1000) // (a.age_days + 1) AS BIGINT)
+      |      AS priority
+      |  FROM aged a LEFT JOIN zr3 z ON z.id = a.domain
+      |)
+      |SELECT domain, url_canon, lastmod, age_days, domain_rank, priority
+      |FROM pri
+      |QUALIFY row_number() OVER (PARTITION BY domain
+      |  ORDER BY priority DESC, url_canon) <= 2
+      |ORDER BY domain, priority DESC, url_canon""".stripMargin
 
   private def warmRankOracle(baseIters: Int, warmIters: Int): String =
     // concatenation, not interpolation-inside-stripMargin: the inner
@@ -6433,6 +6613,7 @@ object Pipeline {
     // t55b: t55's oracle UNCHANGED — the gate pins frontier(artifact
     // ranks) == frontier(from-scratch ranks)
     "t55b_frontier_indexed" -> crawlFrontierOracle,
+    "t66_recrawl_schedule" -> recrawlScheduleOracle,
     "t56_fetch_schedule" -> fetchScheduleOracle,
     // t64 replay: injection, line split (trailing empties kept in both
     // engines), per-(domain, line) df, the < 3 keep rule, ordered
@@ -6539,99 +6720,9 @@ object Pipeline {
     // canonicalization fragments on loc; the whitespace-only loc
     // occupies its pos and then filters (the t48 empty-href rule)
     "t60_sitemap" ->
-      """WITH doms AS (
-        |  SELECT DISTINCT 'site' || (doc_id % 23)::VARCHAR ||
-        |    CASE (doc_id % 3) WHEN 0 THEN '.com' WHEN 1 THEN '.org'
-        |         ELSE '.net' END AS domain
-        |  FROM documents
-        |), kt AS (
-        |  SELECT domain,
-        |    CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INT) AS k,
-        |    CASE WHEN domain LIKE '%.com' THEN 0
-        |         WHEN domain LIKE '%.org' THEN 1 ELSE 2 END AS t
-        |  FROM doms
-        |), rb AS (
-        |  SELECT domain, k,
-        |    '# discovery fixture' || chr(10) || 'User-agent: *' || chr(10)
-        |    || 'Disallow: /tmp/' || chr(10)
-        |    || CASE WHEN k % 5 = 0
-        |         THEN '# Sitemap: https://ignored.example/s.xml' || chr(10)
-        |         ELSE '' END
-        |    || CASE WHEN (k + t) % 2 = 0
-        |         THEN 'Sitemap: https://' || domain || '/sitemap.xml' || chr(10)
-        |         ELSE '' END
-        |    || CASE WHEN k % 6 = 0
-        |         THEN 'SiteMap:   https://' || domain || '/sitemap2.xml' || chr(10)
-        |         ELSE '' END
-        |    || CASE WHEN k % 9 = 0 THEN 'Sitemap:' || chr(10) ELSE '' END
-        |      AS robots_txt
-        |  FROM kt
-        |), ln AS (
-        |  SELECT domain, k, trim(regexp_replace(l.l, '#.*$', '')) AS line
-        |  FROM rb, LATERAL (SELECT unnest(string_split(robots_txt, chr(10))) AS l) l
-        |), sm AS (
-        |  SELECT DISTINCT domain, k,
-        |    trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) AS sitemap_url
-        |  FROM ln
-        |  WHERE line <> ''
-        |    AND lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) = 'sitemap'
-        |    AND trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) <> ''
-        |), gen AS (
-        |  SELECT domain, k, sitemap_url,
-        |    CASE WHEN sitemap_url LIKE '%sitemap2.xml' THEN 2 ELSE 1 END AS s
-        |  FROM sm
-        |), xmls AS (
-        |  SELECT domain, sitemap_url,
-        |    '<urlset>' || chr(10) ||
-        |    array_to_string(list_transform(range(0, ((k + s) % 3) + 1), j ->
-        |      '<url >' || chr(10) || '  <loc>  ' ||
-        |      CASE WHEN j = 0 THEN 'HTTPS://' ELSE 'https://' END ||
-        |      domain || '/pg/' || s::VARCHAR || '/' || j::VARCHAR ||
-        |      CASE WHEN j % 2 = 1 THEN '?utm_campaign=sm&x=1' ELSE '' END ||
-        |      '  </loc>' || chr(10) ||
-        |      CASE WHEN (j + s) % 2 = 0
-        |        THEN '  <lastmod> 2026-0' || (((j + k) % 9) + 1)::VARCHAR
-        |          || '-15 </lastmod>' || chr(10)
-        |        ELSE '' END ||
-        |      '</url>'), chr(10)) ||
-        |    CASE WHEN k % 7 = 0
-        |      THEN chr(10) || '<url><loc>   </loc></url>' ELSE '' END ||
-        |    chr(10) || '</urlset>' AS xml
-        |  FROM gen
-        |), ex AS (
-        |  SELECT domain, sitemap_url,
-        |    regexp_extract_all(xml, '(?is)<url\s*>.*?</url\s*>', 0) AS es
-        |  FROM xmls
-        |), en AS (
-        |  SELECT domain, sitemap_url, CAST(i.i - 1 AS BIGINT) AS pos,
-        |    es[CAST(i.i AS INT)] AS entry
-        |  FROM ex, LATERAL (SELECT unnest(range(1, len(es) + 1)) AS i) i
-        |), fl AS (
-        |  SELECT domain, sitemap_url, pos,
-        |    trim(regexp_extract(entry, '(?is)<loc\s*>([^<]*)</loc\s*>', 1)) AS loc,
-        |    trim(regexp_extract(entry, '(?is)<lastmod\s*>([^<]*)</lastmod\s*>', 1))
-        |      AS lastmod
-        |  FROM en
-        |), ne AS (
-        |  SELECT * FROM fl WHERE loc <> ''
-        |), q AS (
-        |  SELECT domain, sitemap_url, pos, loc, lastmod,
-        |    array_to_string(list_filter(
-        |      string_split(regexp_extract(
-        |        regexp_replace(loc, '#.*$', ''), '\?([^#]*)', 1), '&'),
-        |      x -> NOT starts_with(x, 'utm_')), '&') AS kept_qs
-        |  FROM ne
-        |)
-        |SELECT domain, sitemap_url, pos, loc,
-        |  regexp_replace(regexp_replace(
-        |    lower(regexp_extract(loc,
-        |      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
-        |    ':443$', ''), ':80$', '')
-        |  || regexp_replace(regexp_extract(loc,
-        |       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
-        |  || CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END AS url_canon,
-        |  lastmod
-        |FROM q ORDER BY domain, sitemap_url, pos""".stripMargin,
+      ("WITH " + sitemapEntriesCtes + """
+        |SELECT domain, sitemap_url, pos, loc, url_canon, lastmod
+        |FROM canon ORDER BY domain, sitemap_url, pos""".stripMargin),
     // t60b replay: the t60 robots/directive CTEs verbatim, the INDEX
     // payload synthesis, <sitemap> block + child-loc extraction (the
     // whitespace-only child loc occupies its pos and filters), the
@@ -9370,6 +9461,7 @@ object Pipeline {
     "t55_crawl_frontier" -> t55CrawlFrontier _,
     "t55b_frontier_indexed" -> t55bFrontierIndexed _,
     "t65b_keywords_indexed" -> t65bKeywordsIndexed _,
+    "t66_recrawl_schedule" -> t66RecrawlSchedule _,
     "t56_fetch_schedule" -> t56FetchSchedule _,
     "e05_funnel"         -> e05Funnel _,
     "e07_cohort_retention" -> e07CohortRetention _,
