@@ -108,6 +108,47 @@ object CurationTour {
           concat(lit("https://www.example.com/r/"), col("doc_id"))).count() == 0
     }
 
+    // 0'b. the RE-CRAWL loop: rank the first snapshot into a persisted
+    // artifact, warm-update it when a delta batch discovers a new
+    // domain ([[graft.ops.RankIndex]] — never a from-uniform
+    // reconvergence), then schedule refetches by freshness × the
+    // SERVED authority (the t66 arithmetic): a stale page loses its
+    // slot to fresh ones whatever its domain's rank
+    check("re-crawl loop: warm rank update == cold continuation; stale page schedules last") {
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("curation_rank")
+        .toFile.getAbsolutePath + "/ri"
+      val e1 = Seq(("a.com", "b.org", 3L), ("b.org", "a.com", 1L),
+        ("a.com", "c.net", 1L)).toDF("src", "dst", "w")
+      val n1 = Seq("a.com", "b.org", "c.net").toDF("id")
+      graft.ops.RankIndex.writeRankIndex(n1, e1, root, iters = 2)
+      // the next crawl batch discovers d.io linked from a.com
+      val e2 = e1.union(Seq(("a.com", "d.io", 2L)).toDF("src", "dst", "w"))
+      val n2 = n1.union(Seq("d.io").toDF("id"))
+      graft.ops.RankIndex.updateRankIndex(spark, root, n2, e2, iters = 2)
+      val served = graft.ops.RankIndex.ranksAt(spark, root)
+      val cold = graft.ops.Graph.pageRankWeightedFrom(n2, e2,
+        graft.ops.Graph.pageRankWeighted(n1, e1, iters = 2), iters = 2)
+      val same = served
+        .join(cold.withColumnRenamed("rank", "r2"), "id")
+        .filter(col("rank") =!= col("r2")).isEmpty
+      val entries = Seq(
+        ("a.com", "https://a.com/p1", "2026-09-30"),
+        ("a.com", "https://a.com/p2", "2026-01-01"),
+        ("d.io", "https://d.io/p1", "2026-09-29"))
+        .toDF("domain", "url_canon", "lastmod")
+      val aged = entries.select(col("domain"), col("url_canon"),
+        greatest(datediff(to_date(lit("2026-10-01")),
+          to_date(col("lastmod"))), lit(0)).cast("long").as("age_days"))
+      val ord = aged
+        .join(served.withColumnRenamed("id", "domain"), Seq("domain"))
+        .withColumn("priority", expr("(rank * 1000) div (age_days + 1)"))
+        .orderBy(col("priority").desc)
+        .select("url_canon").collect().map(_.getString(0))
+      same && served.count() == 4 && ord.length == 3 &&
+        ord.last == "https://a.com/p2"
+    }
+
     // 0''. domain-scoped chrome removal
     // ([[TextOps.dropDomainBoilerplate]]): a crawl page carries its
     // SITE's navigation/footer, which repeats within the domain and
