@@ -112,6 +112,38 @@ class PlanSpec extends AnyFunSuite {
     assert("rangepartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("t55b: frontier authority comes from the rank ARTIFACT — both cuts on TopKPerKey, no graph iteration in the serve plan") {
+    val plan = planOf("t55b_frontier_indexed")
+    assert("TopKPerKey".r.findAllIn(plan).length >= 2, plan)
+    // the rank join's build side is a parquet scan of the artifact,
+    // not the pageRankWeighted join chain t55 re-runs per query
+    assert(plan.contains("graft_t55b_rank_index"),
+      s"rank side is not the artifact scan:\n$plan")
+    // same zero-added-windows contract as t55
+    val base = planOf("t52_robots")
+    def windows(p: String) = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows(plan) == windows(base),
+      s"frontier added windows: ${windows(plan)} vs base ${windows(base)}\n$plan")
+  }
+
+  test("g13: the SERVE plan is an artifact scan + sort — no recompute, no documents scan") {
+    val plan = planOf("g13_rank_update")
+    assert(plan.contains("graft_g13_rank_index"), plan)
+    // serving never touches the corpus or re-runs an iteration: the
+    // only exchange is the presentation sort's range partitioning
+    assert(!plan.contains("documents.parquet"),
+      s"serve plan re-reads the corpus:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, plan)
+  }
+
+  test("t65b: keyword serving reads only the tf-idf artifact — no corpus re-tokenize") {
+    val plan = planOf("t65b_keywords_indexed")
+    assert(plan.contains("graft_t65b_tfidf_index"), plan)
+    assert(!plan.contains("documents.parquet"),
+      s"serve plan re-reads the corpus:\n$plan")
+    assert("TopKPerKey".r.findAllIn(plan).length >= 1, plan)
+  }
+
   test("q18: tiny period table joins as a broadcast nested loop (no shuffle range join)") {
     val plan = planOf("q18_range_join")
     assert(plan.contains("BroadcastNestedLoopJoin"), s"range join not broadcast:\n$plan")
