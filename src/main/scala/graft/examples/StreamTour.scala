@@ -544,6 +544,47 @@ object StreamTour {
         served.count() > 0
     }
 
+    check("continuous domain ranks equal the batch warm replay after two crawl batches") {
+      // the authority leg of the streaming crawl stack: edges fold,
+      // the rank artifact warm-updates one round per batch — served
+      // ranks must equal the batch replay (build on rollup-1, warm on
+      // the merged rollup) EXACTLY
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("streamtour_rank")
+        .toFile.getAbsolutePath
+      val pages = graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("source"),
+          concat(lit("<html><body><a href=\"https://site"),
+            pmod(col("doc_id"), lit(23)), lit(".com/p/"), col("doc_id"),
+            lit("\">x</a></body></html>")).as("html"))
+        .as[(Long, String, String)].collect()
+      val (p1, p2) = pages.splitAt(pages.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingRank.startAt(
+        input.toDF().toDF("doc_id", "source", "html"),
+        s"$root/edges", s"$root/ranks", s"$root/ckpt")
+      try {
+        input.addData(p1.toIndexedSeq); q.processAllAvailable()
+        input.addData(p2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      def rollup(ps: Seq[(Long, String, String)]) =
+        graft.streaming.StreamingRank.domainEdges(
+          graft.streaming.StreamingLinks.linkState(
+            graft.streaming.StreamingLinks.harvest(
+              ps.toSeq.toDF("doc_id", "source", "html"))))
+      def nodesOf(e: org.apache.spark.sql.DataFrame) =
+        e.select(col("src").as("id"))
+          .unionByName(e.select(col("dst").as("id"))).distinct()
+      val e1 = rollup(p1.toSeq); val eAll = rollup(pages.toSeq)
+      val replay = graft.ops.Graph.pageRankWeightedFrom(nodesOf(eAll), eAll,
+        graft.ops.Graph.pageRankWeighted(nodesOf(e1), e1, iters = 1),
+        iters = 1)
+      val served = graft.ops.RankIndex.ranksAt(spark, s"$root/ranks")
+      served.exceptAll(replay).isEmpty && replay.exceptAll(served).isEmpty &&
+        served.count() > 0
+    }
+
     check("continuous spike detector state equals the batch hourly counts; report fires") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val root = java.nio.file.Files.createTempDirectory("streamtour_spike")
