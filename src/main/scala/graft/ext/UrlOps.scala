@@ -302,7 +302,11 @@ object UrlOps {
   def expandSitemaps(seeds: DataFrame, payloads: DataFrame,
       maxDepth: Int = 3): DataFrame = {
     require(maxDepth >= 1, "maxDepth must be >= 1")
-    val pay = payloads.select(col("url"), col("xml"))
+    // fetch-table materialized once: each level's fetch join consumes
+    // it twice (leaf split + child split), so an unmaterialized payload
+    // synthesis — for the t60c fixture a whole directive-table chain —
+    // would re-evaluate ~2× per level in every checkpoint job
+    val pay = payloads.select(col("url"), col("xml")).localCheckpoint()
     var frontier = seeds
       .select(col("domain"), col("sitemap_url"),
         col("sitemap_url").as("url"), lit(0L).as("depth"))
@@ -349,6 +353,7 @@ object UrlOps {
     }
     graft.ops.Blocks.free(frontier)
     graft.ops.Blocks.free(visited)
+    graft.ops.Blocks.free(pay)
     // collapse the per-level leaf checkpoints into ONE returned table
     // (at most one live checkpoint survives the call)
     val out = levelLeaves.reduce(_.unionByName(_)).localCheckpoint()

@@ -14,8 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * free itself (the caller reads the frame lazily, and a freed
   * localCheckpoint cannot recompute — its lineage is truncated by
   * design). Contract: every graft iterative operator frees its
-  * intermediate rounds eagerly and returns AT MOST ONE live
-  * checkpointed table; a long-lived session (the bench harness, a
+  * intermediate rounds eagerly and returns a frame holding O(1) live
+  * checkpointed tables — one materialized result, or for the
+  * lazy-returning rank loops the checkpointed edge and node-id inputs
+  * the plan reads (never one per round); a long-lived session (the bench harness, a
   * notebook) calls [[sweep]] between units of work to reclaim those
   * finals. A short-lived job (Verify, a spark-submit batch) can ignore
   * all of this — the JVM exit reclaims everything.

@@ -49,12 +49,19 @@ object Graph {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val joined = edges.join(deg, "src")
     val e = if (materialize) joined.localCheckpoint() else joined
-    var r = nodes.select(col("id"), lit(1000000L).as("rank"))
+    // materialize the node-id frame ONCE: the per-iteration zero-restore
+    // join otherwise embeds the caller's whole `nodes` subtree (for the
+    // crawl queries: a documents scan + link harvest + distinct) iters+1
+    // times in the final plan — r16 measured g10's single action at 16
+    // parquet scans / 44 exchanges from exactly this duplication
+    val ids0 = nodes.select(col("id"))
+    val ids = if (materialize) ids0.localCheckpoint() else ids0
+    var r = ids.select(col("id"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = e.join(r.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("rank div d").as("c"))
         .groupBy("id").agg(sum("c").as("c"))
-      r = nodes.select(col("id")).join(contrib, Seq("id"), "left")
+      r = ids.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("rank"))
     }
@@ -88,14 +95,18 @@ object Graph {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val joined = edges.join(deg, "src")
     val e = if (materialize) joined.localCheckpoint() else joined
-    var r = nodes.select(col("id"), lit(1000000L).as("rank")).localCheckpoint()
+    // node ids materialized once — every round's zero-restore join
+    // would otherwise re-evaluate the caller's `nodes` subtree (see
+    // [[pageRank]]); freed before return (the result is a checkpoint)
+    val ids = nodes.select(col("id")).localCheckpoint()
+    var r = ids.select(col("id"), lit(1000000L).as("rank")).localCheckpoint()
     var rounds = 0
     var stable = false
     while (rounds < maxIters && !stable) {
       val contrib = e.join(r.select(col("id").as("src"), col("rank")), "src")
         .select(col("dst").as("id"), expr("rank div d").as("c"))
         .groupBy("id").agg(sum("c").as("c"))
-      val next = nodes.select(col("id")).join(contrib, Seq("id"), "left")
+      val next = ids.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
@@ -111,6 +122,7 @@ object Graph {
       Blocks.free(r)
       r = next
     }
+    Blocks.free(ids) // every consumer of ids has materialized
     if (materialize) Blocks.free(e) // r is a checkpoint; e is no longer needed
     (r, rounds)
   }
@@ -144,10 +156,12 @@ object Graph {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val joined = edges.join(deg, "src")
     val e = if (materialize) joined.localCheckpoint() else joined
-    val seeded = nodes.select(col("id"))
+    val seeded0 = nodes.select(col("id"))
       .join(seeds.select(col("id")).distinct().withColumn("_s", lit(1)),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("_s"), lit(0)).as("is_seed"))
+    // materialized once — referenced per iteration (see [[pageRank]])
+    val seeded = if (materialize) seeded0.localCheckpoint() else seeded0
     var r = seeded.select(col("id"), col("is_seed"),
       (col("is_seed").cast("long") * 1000000L).as("rank"))
     for (_ <- 1 to iters) {
@@ -182,12 +196,15 @@ object Graph {
     val wsum = edges.groupBy("src").agg(sum(col(weightCol)).as("ws"))
     val joined = edges.join(wsum, "src")
     val e = if (materialize) joined.localCheckpoint() else joined
-    var r = nodes.select(col("id"), lit(1000000L).as("rank"))
+    // node ids materialized once — see [[pageRank]]
+    val ids0 = nodes.select(col("id"))
+    val ids = if (materialize) ids0.localCheckpoint() else ids0
+    var r = ids.select(col("id"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = e.join(r.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr(s"rank * $weightCol div ws").as("c"))
         .groupBy("id").agg(sum("c").as("c"))
-      r = nodes.select(col("id")).join(contrib, Seq("id"), "left")
+      r = ids.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("rank"))
     }
@@ -221,14 +238,17 @@ object Graph {
     val wsum = edges.groupBy("src").agg(sum(col(weightCol)).as("ws"))
     val joined = edges.join(wsum, "src")
     val e = if (materialize) joined.localCheckpoint() else joined
-    var r = nodes.select(col("id"))
+    // node ids materialized once — see [[pageRank]]
+    val ids0 = nodes.select(col("id"))
+    val ids = if (materialize) ids0.localCheckpoint() else ids0
+    var r = ids
       .join(init.select(col("id"), col("rank").as("_init")), Seq("id"), "left")
       .select(col("id"), coalesce(col("_init"), lit(1000000L)).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = e.join(r.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr(s"rank * $weightCol div ws").as("c"))
         .groupBy("id").agg(sum("c").as("c"))
-      r = nodes.select(col("id")).join(contrib, Seq("id"), "left")
+      r = ids.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("rank"))
     }
@@ -265,7 +285,11 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     val e0 = edges.select(col("src"), col("dst"), col(weightCol).as("w"))
     val e = if (materialize) e0.localCheckpoint() else e0
-    val ids = nodes.select(col("id"))
+    // node ids materialized once — referenced by every half-step's
+    // zero-restore join (see [[pageRank]]: without this the caller's
+    // whole `nodes` subtree re-evaluates per half-step)
+    val ids0 = nodes.select(col("id"))
+    val ids = if (materialize) ids0.localCheckpoint() else ids0
 
     // one weighted-sum + L1-normalize half-step: scores keyed by
     // `from` flow along (from → to) edges and land keyed by `to`
@@ -280,32 +304,36 @@ object Graph {
         .select(col("id"), expr("c * 1000000L div tot").as("s"))
     }
 
-    var hub = ids.select(col("id"), lit(1000000L).as("s"))
-    var auth = ids.select(col("id"), lit(0L).as("s"))
+    // both vectors ride ONE combined (id, a_s, h_s) frame per round:
+    // one checkpoint job per round instead of two (the auth half-step's
+    // node-cardinality subtree re-evaluates inside the hub side of the
+    // same job — far cheaper than a whole extra driver job per round)
+    var cur = ids.select(col("id"), lit(0L).as("a_s"), lit(1000000L).as("h_s"))
+    var curOwned = false
     for (_ <- 1 to iters) {
       // materialize each round (the pageRankWeighted discipline —
       // Graph.scala's join-chain lineage doubles per iteration, so an
       // uncheckpointed run at iters=10+ builds an exponentially nested
       // plan) and free the previous round's blocks immediately
       // ([[graft.ops.Blocks]] contract)
-      val a0 = halfStep(hub, "src", "dst")
-      val a = if (materialize) a0.localCheckpoint() else a0
-      val h0 = halfStep(a, "dst", "src")
-      val h = if (materialize) h0.localCheckpoint() else h0
-      if (materialize) { Blocks.free(hub); Blocks.free(auth) }
-      auth = a
-      hub = h
+      val a = halfStep(cur.select(col("id"), col("h_s").as("s")), "src", "dst")
+      val h = halfStep(a, "dst", "src")
+      val nxt0 = a.withColumnRenamed("s", "a_s")
+        .join(h.withColumnRenamed("s", "h_s"), "id")
+      if (materialize) {
+        val nxt = nxt0.localCheckpoint()
+        if (curOwned) Blocks.free(cur)
+        cur = nxt; curOwned = true
+      } else cur = nxt0
     }
-    val out = hub.withColumnRenamed("s", "hub_micro")
-      .join(auth.withColumnRenamed("s", "auth_micro"), "id")
-    if (!materialize) out
-    else {
-      // collapse the two final half-step checkpoints into ONE returned
-      // table so at most one live checkpoint survives the call
-      val result = out.localCheckpoint()
-      Blocks.free(hub); Blocks.free(auth); Blocks.free(e)
-      result
+    val out = cur.select(col("id"), col("h_s").as("hub_micro"),
+      col("a_s").as("auth_micro"))
+    if (materialize) {
+      // the returned frame reads only the final round's checkpoint —
+      // edge and id blocks are dead weight from here
+      Blocks.free(e); Blocks.free(ids)
     }
+    out
   }
 
   /** Convergence-run HITS — [[hits]] at the DETECTED fixpoint instead
@@ -334,7 +362,8 @@ object Graph {
     require(tolMicros >= 0L, "tolMicros must be >= 0")
     val e0 = edges.select(col("src"), col("dst"), col(weightCol).as("w"))
     val e = if (materialize) e0.localCheckpoint() else e0
-    val ids = nodes.select(col("id"))
+    // node ids materialized once — see [[hits]]; freed before return
+    val ids = nodes.select(col("id")).localCheckpoint()
 
     def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
       val raw = e.join(scores.withColumnRenamed("id", from), from)
@@ -347,33 +376,35 @@ object Graph {
         .select(col("id"), expr("c * 1000000L div tot").as("s"))
     }
 
-    var hub = ids.select(col("id"), lit(1000000L).as("s")).localCheckpoint()
-    var auth = ids.select(col("id"), lit(0L).as("s")).localCheckpoint()
+    // both vectors ride ONE combined (id, a_s, h_s) checkpoint per
+    // round (the [[hits]] r16 restructure): one materialization job +
+    // one stability action per round instead of two + one
+    var cur = ids.select(col("id"), lit(0L).as("a_s"),
+      lit(1000000L).as("h_s")).localCheckpoint()
     var rounds = 0
     var stable = false
     while (rounds < maxIters && !stable) {
-      val a = halfStep(hub, "src", "dst").localCheckpoint()
-      val h = halfStep(a, "dst", "src").localCheckpoint()
+      val a = halfStep(cur.select(col("id"), col("h_s").as("s")), "src", "dst")
+      val h = halfStep(a, "dst", "src")
+      val nxt = a.withColumnRenamed("s", "a_s")
+        .join(h.withColumnRenamed("s", "h_s"), "id").localCheckpoint()
       rounds += 1
       // one round is stable when BOTH vectors sit within tol of their
-      // predecessors — the two comparisons union into a SINGLE action
-      // (per-round driver jobs are the dominant cost at domain
-      // cardinality: the A/B with the short-circuiting two-action
-      // variant ran ~50 % slower per pass); checked after h/a are
+      // predecessors — a single join + OR-filter over the two combined
+      // frames, ONE action (per-round driver jobs are the dominant
+      // cost at domain cardinality); checked after nxt is
       // materialized, so the previous round's blocks are dead weight
       // from here
-      stable = h.join(hub.select(col("id"), col("s").as("_prev")), "id")
-        .unionByName(
-          a.join(auth.select(col("id"), col("s").as("_prev")), "id"))
-        .filter(abs(col("s") - col("_prev")) > tolMicros).isEmpty
-      Blocks.free(hub); Blocks.free(auth)
-      hub = h
-      auth = a
+      stable = nxt.join(cur.select(col("id"), col("a_s").as("_pa"),
+          col("h_s").as("_ph")), "id")
+        .filter(abs(col("a_s") - col("_pa")) > tolMicros ||
+          abs(col("h_s") - col("_ph")) > tolMicros).isEmpty
+      Blocks.free(cur)
+      cur = nxt
     }
-    val result = hub.withColumnRenamed("s", "hub_micro")
-      .join(auth.withColumnRenamed("s", "auth_micro"), "id")
-      .localCheckpoint()
-    Blocks.free(hub); Blocks.free(auth)
+    val result = cur.select(col("id"), col("h_s").as("hub_micro"),
+      col("a_s").as("auth_micro"))
+    Blocks.free(ids)
     if (materialize) Blocks.free(e)
     (result, rounds, stable)
   }

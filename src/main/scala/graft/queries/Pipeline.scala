@@ -584,14 +584,22 @@ object Pipeline {
     * the t55 frontier composition's authority join.
     */
   def domainRanks(docs: DataFrame): DataFrame = {
-    val pairs = syntheticPageLinkDomains(docs)
+    // harvest ONCE: edges and nodes both consume `pairs`, and
+    // pageRankWeighted materializes each eagerly — without the
+    // checkpoint the documents scan + href harvest re-evaluates in
+    // every one of those jobs (r16: g10's plan carried 16 scans)
+    val pairs = syntheticPageLinkDomains(docs).localCheckpoint()
     val edges = pairs
       .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
       .agg(count(lit(1)).cast("long").as("w"))
     val nodes = pairs.select(col("page_domain").as("id"))
       .unionByName(pairs.select(col("domain").as("id"))).distinct()
-    graft.ops.Graph.pageRankWeighted(nodes, edges, iters = 3)
+    val ranks = graft.ops.Graph.pageRankWeighted(nodes, edges, iters = 3)
       .select(col("id").as("domain"), col("rank"))
+    // the operator checkpointed its edge/id inputs eagerly — the
+    // harvest blocks are dead weight from here
+    graft.ops.Blocks.free(pairs)
+    ranks
   }
 
   /** The g10 fixture chain, factored for reuse by the bench probe:
@@ -2838,15 +2846,21 @@ object Pipeline {
     * all sit under the hash gate.
     */
   def g11Hits(spark: SparkSession, dir: String): DataFrame = {
+    // harvest once — the domainRanks r16 pattern (hits materializes
+    // edges and ids eagerly; the returned frame reads only its final
+    // round's checkpoint)
     val pairs = syntheticPageLinkDomains(Tables.documents(spark, dir))
+      .localCheckpoint()
     val edges = pairs
       .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
       .agg(count(lit(1)).cast("long").as("w"))
     val nodes = pairs.select(col("page_domain").as("id"))
       .unionByName(pairs.select(col("domain").as("id"))).distinct()
-    graft.ops.Graph.hits(nodes, edges, iters = 2)
+    val out = graft.ops.Graph.hits(nodes, edges, iters = 2)
       .select(col("id").as("domain"), col("hub_micro"), col("auth_micro"))
       .orderBy(col("domain"))
+    graft.ops.Blocks.free(pairs)
+    out
   }
 
   /** Convergence-run HITS ([[graft.ops.Graph.hitsConverged]]) over the
@@ -2866,7 +2880,11 @@ object Pipeline {
     * with stable = false.
     */
   def g12HitsConverged(spark: SparkSession, dir: String): DataFrame = {
+    // harvest once — the domainRanks r16 pattern (the convergence loop
+    // runs ~7 rounds here; unmaterialized, the harvest re-evaluated in
+    // every round's checkpoint job)
     val pairs = syntheticPageLinkDomains(Tables.documents(spark, dir))
+      .localCheckpoint()
     val edges = pairs
       .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
       .agg(count(lit(1)).cast("long").as("w"))
@@ -2874,6 +2892,7 @@ object Pipeline {
       .unionByName(pairs.select(col("domain").as("id"))).distinct()
     val (scores, rounds, stable) =
       graft.ops.Graph.hitsConverged(nodes, edges, maxIters = 8)
+    graft.ops.Blocks.free(pairs)
     scores.select(col("id").as("domain"), col("hub_micro"), col("auth_micro"))
       .withColumn("rounds", lit(rounds.toLong))
       .withColumn("stable", lit(stable))
@@ -2916,11 +2935,17 @@ object Pipeline {
       (nodes, edges)
     }
     val path = g13RankIndexDir
-    val (bNodes, bEdges) = graph(syntheticPageLinkDomains(
-      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
+    // each snapshot's harvest checkpointed once and freed after its
+    // write consumes it (the domainRanks r16 pattern)
+    val bPairs = syntheticPageLinkDomains(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)).localCheckpoint()
+    val (bNodes, bEdges) = graph(bPairs)
     graft.ops.RankIndex.writeRankIndex(bNodes, bEdges, path, iters = 3)
-    val (fNodes, fEdges) = graph(syntheticPageLinkDomains(docs))
+    graft.ops.Blocks.free(bPairs)
+    val fPairs = syntheticPageLinkDomains(docs).localCheckpoint()
+    val (fNodes, fEdges) = graph(fPairs)
     graft.ops.RankIndex.updateRankIndex(spark, path, fNodes, fEdges, iters = 2)
+    graft.ops.Blocks.free(fPairs)
     graft.ops.RankIndex.ranksAt(spark, path)
       .select(col("id").as("domain"), col("rank"))
       .orderBy(col("domain"))
@@ -2965,7 +2990,11 @@ object Pipeline {
     val firstSeen = graft.ops.TopK.perKey(allowed,
       keys = Seq("url_canon"),
       order = Seq(("doc_id", false), ("pos", false)), k = 1)
-    val joined = firstSeen.join(ranks, Seq("domain"), "left")
+    // the rank table is domain-cardinality BY DESIGN (the whole point
+    // of the rollup) — pin the broadcast: served from a checkpoint or
+    // artifact it carries no size estimate, and the planner would
+    // otherwise degrade this join to a sort-merge over the URL table
+    val joined = firstSeen.join(broadcast(ranks), Seq("domain"), "left")
       .select(col("domain"), col("url_canon"),
         coalesce(col("rank"), lit(0L)).as("domain_rank"),
         col("doc_id"), col("pos"))
@@ -2991,7 +3020,8 @@ object Pipeline {
     */
   def t55bFrontierIndexed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = syntheticPageLinkDomains(docs)
+    // harvest once — the domainRanks r16 pattern
+    val pairs = syntheticPageLinkDomains(docs).localCheckpoint()
     val edges = pairs
       .groupBy(col("page_domain").as("src"), col("domain").as("dst"))
       .agg(count(lit(1)).cast("long").as("w"))
@@ -2999,6 +3029,7 @@ object Pipeline {
       .unionByName(pairs.select(col("domain").as("id"))).distinct()
     val path = t55bRankDir
     graft.ops.RankIndex.writeRankIndex(nodes, edges, path, iters = 3)
+    graft.ops.Blocks.free(pairs)
     val ranks = graft.ops.RankIndex.ranksAt(spark, path)
       .select(col("id").as("domain"), col("rank"))
     frontierWith(docs, ranks).orderBy(col("domain"), col("url_canon"))
@@ -3263,7 +3294,11 @@ object Pipeline {
     * factored for the bench probe (the t60 convention).
     */
   def sitemapTreeDiscovery(docs: DataFrame): DataFrame = {
-    val sm = sitemapDirectiveTable(docs)
+    // the directive table feeds the seed frame and all four payload
+    // branches (roots/mids/leaf1/leaf2) — materialize it once so the
+    // payload-synthesis checkpoint inside expandSitemaps evaluates the
+    // robots/directive chain a single time instead of 4×
+    val sm = sitemapDirectiveTable(docs).localCheckpoint()
     val k = regexp_extract(col("domain"), "site([0-9]+)", 1).cast("int")
     val s = when(col("sitemap_url").endsWith("sitemap2.xml"), 2).otherwise(1)
 
@@ -3353,11 +3388,15 @@ object Pipeline {
 
     val payloads = roots.unionByName(mids).unionByName(leaf1)
       .unionByName(leaf2)
-    graft.ext.UrlOps.expandSitemaps(sm, payloads, maxDepth = 3)
+    val out = graft.ext.UrlOps.expandSitemaps(sm, payloads, maxDepth = 3)
       .select(col("domain"), col("sitemap_url"), col("depth"),
         col("leaf_url"), col("pos"), col("loc"),
         graft.ext.UrlOps.canonicalizeUrl(col("loc")).as("url_canon"),
         col("lastmod"))
+    // expandSitemaps checkpointed its seed and payload inputs eagerly
+    // and returns its own collapsed checkpoint — sm is dead weight
+    graft.ops.Blocks.free(sm)
+    out
   }
 
   /** Freshness-weighted RECRAWL schedule — the crawl loop's third
@@ -3390,7 +3429,8 @@ object Pipeline {
       .select(col("domain"), col("url_canon"), col("lastmod"),
         greatest(datediff(to_date(lit("2026-10-01")),
           to_date(col("lastmod"))), lit(0)).cast("long").as("age_days"))
-    val prio = aged.join(domainRanks(docs), Seq("domain"), "left")
+    // domain-cardinality broadcast — see frontierWith
+    val prio = aged.join(broadcast(domainRanks(docs)), Seq("domain"), "left")
       .select(col("domain"), col("url_canon"), col("lastmod"),
         col("age_days"), coalesce(col("rank"), lit(0L)).as("domain_rank"))
       .withColumn("priority",
@@ -3531,7 +3571,9 @@ object Pipeline {
       syntheticRobots(syntheticHarvestedLinks(docs)), "graftbot")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
       .orderBy(col("doc_id"), col("pos"), col("url_canon"))
-    frontierTable(docs).join(delays, Seq("domain"), "left")
+    // the delay table is domain-cardinality — broadcast for the same
+    // reason as frontierWith's rank join
+    frontierTable(docs).join(broadcast(delays), Seq("domain"), "left")
       .withColumn("slot", (row_number().over(w) - 1).cast("long"))
       .select(col("domain"), col("url_canon"),
         coalesce(col("delay_s"), lit(1L)).as("delay_s"), col("slot"),
