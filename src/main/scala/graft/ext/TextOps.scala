@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Num.round6
 
@@ -756,20 +757,40 @@ object TextOps {
     * without a second exchange of the aggregated (doc-sized) side.
     */
   def langIdByLine(docs: DataFrame, sep: String = "\n",
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    langLineTable(docs, sep, textCol, idCol)
+      .select(col(idCol), col("pos"), col("line_lang"), col("line_hits"),
+        col("doc_lang"), col("is_mixed"))
+
+  /** The per-line assignment table WITH the line text carried through —
+    * shared by [[langIdByLine]] and [[dropMinorityLanguageLines]].
+    *
+    * r16 shape: the majority rollup rides two DOC-KEYED windows over
+    * the scored lines instead of a two-level aggregation joined back —
+    * the scorer (a per-language marker scan, the expensive part of the
+    * whole operator) previously appeared on BOTH sides of that join
+    * and was evaluated twice per line; the window form evaluates it
+    * once and drops the join. Both windows partition by the document
+    * key (a document's lines — KB-bounded), never corpus-wide.
+    */
+  private def langLineTable(docs: DataFrame, sep: String,
+      textCol: String, idCol: String): DataFrame = {
     val lines = linesBySeparator(docs, sep, textCol, idCol)
-    val scored = lines.select(col(idCol), col("pos"),
+    val scored = lines.select(col(idCol), col("pos"), col("line"),
       langIdScored(col("line")).as("s"))
-      .select(col(idCol), col("pos"),
+      .select(col(idCol), col("pos"), col("line"),
         col("s").getField("lang").as("line_lang"),
         col("s").getField("hits").as("line_hits"))
-    val perDoc = scored.groupBy(col(idCol), col("line_lang"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(
-        max(struct(col("c"), col("line_lang"))).getField("line_lang").as("doc_lang"),
-        (count_distinct(col("line_lang")) > 1).as("is_mixed"))
-    scored.join(perDoc, Seq(idCol))
+    val wLang = Window.partitionBy(col(idCol), col("line_lang"))
+    val wDoc = Window.partitionBy(col(idCol))
+    scored
+      .withColumn("c", count(lit(1)).over(wLang))
+      .withColumn("doc_lang",
+        max(struct(col("c"), col("line_lang"))).over(wDoc)
+          .getField("line_lang"))
+      .withColumn("is_mixed",
+        size(collect_set(col("line_lang")).over(wDoc)) > 1)
+      .drop("c")
   }
 
   /** The filtering CONSUMER of [[langIdByLine]] — CCNet's actual move:
@@ -778,16 +799,17 @@ object TextOps {
     * reassembly shape: collect_list of (pos, line) structs +
     * sort_array — no corpus window). One row per input document;
     * `n_dropped` counts the removed lines and a doc whose every line
-    * is majority-language passes through byte-identical. Needs the
-    * line TEXT, so it re-splits and joins the assignment table back on
-    * (id, pos) — a line-keyed join per doc, the same shuffle class as
-    * the majority aggregation itself.
+    * is majority-language passes through byte-identical. The line TEXT
+    * rides the shared [[langLineTable]], so no re-split and no
+    * (id, pos) join back — one doc-keyed reassembly aggregation over
+    * the already-assigned lines.
     */
   def dropMinorityLanguageLines(docs: DataFrame, sep: String = "\n",
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val assigned = langIdByLine(docs, sep, textCol, idCol)
-    val lines = linesBySeparator(docs, sep, textCol, idCol)
-    lines.join(assigned, Seq(idCol, "pos"))
+    // r16: the shared [[langLineTable]] already carries the line text,
+    // so the former re-split + (id, pos) join back is gone — one
+    // scored-line pass feeds the reassembly directly
+    langLineTable(docs, sep, textCol, idCol)
       .groupBy(col(idCol))
       .agg(
         concat_ws(sep,

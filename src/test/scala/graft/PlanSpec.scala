@@ -818,17 +818,22 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
   }
 
-  test("t47: per-line langid shuffles ONLY doc-keyed — two aggs + one join back, no corpus-wide window") {
+  test("t47: per-line langid scores each line ONCE — doc-keyed windows, no join back, no corpus-wide window") {
     val plan = planOf("t47_langid_lines")
-    // line scoring is narrow (posexplode + scorer projection); the only
-    // wide stages are the (doc, lang) count, the per-doc majority
-    // rollup, and the doc-keyed join back — bounded at 4 hash
-    // exchanges (plus the presentation sort's range exchange), all on
+    // r16: the majority rollup rides doc-keyed windows over ONE scored
+    // projection (the former two-agg + join-back shape evaluated the
+    // scorer on both sides of the join — twice per line); the only
+    // hash exchanges are the two window partitionings, both on
     // doc-scaled keys, never on line content
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 4,
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       s"per-line langid grew an unexpected exchange:\n$plan")
-    assert(!plan.contains("Window"),
-      s"majority must be an aggregation, not a corpus window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"assignment must not join back to the lines:\n$plan")
+    // every window is doc-partitioned — the corpus-wide hazard is an
+    // EMPTY partition spec, which plans as Exchange SinglePartition
+    // (a single-task sort at 100 TB)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"windows must be doc-partitioned, never corpus-wide:\n$plan")
     assert(plan.contains("Generate"),
       s"line split should be a posexplode Generate:\n$plan")
   }
