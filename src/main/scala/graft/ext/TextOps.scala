@@ -654,9 +654,15 @@ object TextOps {
       langCol: String = "lang"): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     import org.apache.spark.sql.expressions.Window
+    // persisted (lazily — no extra action, statistics kept): the
+    // scored table feeds both the histogram chain and the final rank
+    // join, and without the cache the whole bigram-LM pipeline behind
+    // it is evaluated twice per query (r16: t24's plan carried 24
+    // parquet scans). The session seam (Blocks.sweep) reclaims blocks.
     val scored = docs.select(col(idCol), col(langCol))
       .join(bigramLmScore(docs, textCol, idCol).select(col(idCol), col("lm_micro")),
         Seq(idCol))
+      .persist()
     val hist = scored.groupBy(col(langCol), col("lm_micro"))
       .agg(count(lit(1)).as("_c"))
     val cumW = Window.partitionBy(col(langCol)).orderBy(col("lm_micro").desc)
