@@ -285,7 +285,13 @@ object Bench {
         System.err.println(s"[bench] perf delta generation failed: ${e.getMessage}")
       }
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"failed":$failed,"sf":"$sfDir","full_artifact":"$outPath"}""")
+    // the stdout line carries the per-query medians too (r16 verdict
+    // task 1: the driver's round-over-round PERF comparison reads ONLY
+    // this line, and with total-only it had n_common=0 — blind to every
+    // per-query movement). pass_times/spread/probes stay artifact-only:
+    // the medians map for 231 queries is ~7 KB, the raw vectors are what
+    // overflowed line-driven captures in r6/r7.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfDir","full_artifact":"$outPath"}""")
     spark.stop()
   }
 

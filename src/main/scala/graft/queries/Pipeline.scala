@@ -2591,8 +2591,21 @@ object Pipeline {
     * for the t55 frontier composition (same reasoning as
     * [[syntheticHarvestedLinks]]).
     */
-  def robotsDecisionTable(docs: DataFrame): DataFrame = {
-    val links = syntheticHarvestedLinks(docs)
+  def robotsDecisionTable(docs: DataFrame): DataFrame =
+    // harvest ONCE (r16 narrow-checkpoint pattern, r17): the links
+    // table feeds the robots synthesis (domain distinct), the rule
+    // match AND the decision join-back — three whole-harvest
+    // evaluations (documents scan + href explode + canonicalization)
+    // inside one action without the checkpoint. Links are narrow
+    // strings/longs, never arrays. The returned frame reads the
+    // checkpoint lazily; the session seam (Blocks.sweep) reclaims it.
+    robotsDecisionsFromLinks(syntheticHarvestedLinks(docs).localCheckpoint())
+
+  /** The t52 decision chain over an already-materialized links frame,
+    * factored so t56 can share ONE harvest checkpoint between the
+    * decision table and the Crawl-delay table.
+    */
+  private def robotsDecisionsFromLinks(links: DataFrame): DataFrame = {
     val rules = graft.ext.UrlOps.parseRobots(syntheticRobots(links), "graftbot")
     graft.ext.UrlOps.robotsDecisions(links, rules, Seq("doc_id", "pos"))
       .select(col("doc_id"), col("pos"), col("url_canon"), col("domain"),
@@ -2651,7 +2664,9 @@ object Pipeline {
     * no-match default — sits under the hash gate.
     */
   def t52bRobotsWildcards(spark: SparkSession, dir: String): DataFrame = {
+    // harvest once — the robotsDecisionTable r17 pattern
     val links = syntheticHarvestedLinks(Tables.documents(spark, dir))
+      .localCheckpoint()
     val rules = graft.ext.UrlOps.parseRobots(
       syntheticRobotsWildcard(links), "graftbot")
     graft.ext.UrlOps.robotsDecisions(links, rules, Seq("doc_id", "pos"))
@@ -2983,8 +2998,17 @@ object Pipeline {
     * persisted [[graft.ops.RankIndex]] artifact instead of
     * re-iterating the graph per query.
     */
-  def frontierWith(docs: DataFrame, ranks: DataFrame): DataFrame = {
-    val allowed = robotsDecisionTable(docs)
+  def frontierWith(docs: DataFrame, ranks: DataFrame): DataFrame =
+    frontierFromLinks(
+      syntheticHarvestedLinks(docs).localCheckpoint(), ranks)
+
+  /** [[frontierWith]] over an already-materialized links frame — the
+    * t56 seam: the fetch schedule derives its Crawl-delay table from
+    * the SAME harvest checkpoint the frontier's politeness filter
+    * reads, instead of re-harvesting.
+    */
+  private def frontierFromLinks(links: DataFrame, ranks: DataFrame): DataFrame = {
+    val allowed = robotsDecisionsFromLinks(links)
       .filter(col("allowed"))
       .select(col("doc_id"), col("pos"), col("url_canon"), col("domain"))
     val firstSeen = graft.ops.TopK.perKey(allowed,
@@ -3567,13 +3591,19 @@ object Pipeline {
 
   def t56FetchSchedule(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // ONE harvest checkpoint feeds both the frontier's politeness
+    // filter and the Crawl-delay parse (r17: the schedule used to
+    // re-harvest for the delay table on top of frontierTable's three
+    // harvest evaluations)
+    val links = syntheticHarvestedLinks(docs).localCheckpoint()
     val delays = graft.ext.UrlOps.parseCrawlDelay(
-      syntheticRobots(syntheticHarvestedLinks(docs)), "graftbot")
+      syntheticRobots(links), "graftbot")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
       .orderBy(col("doc_id"), col("pos"), col("url_canon"))
     // the delay table is domain-cardinality — broadcast for the same
     // reason as frontierWith's rank join
-    frontierTable(docs).join(broadcast(delays), Seq("domain"), "left")
+    frontierFromLinks(links, domainRanks(docs))
+      .join(broadcast(delays), Seq("domain"), "left")
       .withColumn("slot", (row_number().over(w) - 1).cast("long"))
       .select(col("domain"), col("url_canon"),
         coalesce(col("delay_s"), lit(1L)).as("delay_s"), col("slot"),
