@@ -208,6 +208,11 @@ object Bench {
     val probe100Json =
       if (scaleK > 1 && scaleK100 > 1) serveProbe100(spark, sfDir, scaleK100)
       else "{}"
+    // ×100 domain-space growth for the iterative graph family (r16
+    // verdict task 8) — artifact-only, like every probe block
+    val graphProbeJson =
+      if (scaleK > 1 && scaleK100 > 1) graphProbe100(spark, scaleK100)
+      else "{}"
     // continuous gate on the 100× profile path: max per-column relative
     // distinct-count error of the HLL profile (q28a) vs the exact
     // profile (q28) at THIS bench SF — the ≤ 2 % bound the fixture spec
@@ -261,7 +266,7 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val maxHeapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
     val jvmJson = s"""{"flags":$jvmFlags,"max_heap_mb":$maxHeapMb,"version":"${System.getProperty("java.version")}"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"stabilized":$stabJson,"failed":$failed,"pass_times":$passTimes,"sentinel":$sentinelJson,"jvm":$jvmJson,"scale_probe":$probeJson,"scale_probe_100":$probe100Json,"pair_probe":$pairJson,"hll_profile_max_err":$hllErr%.4f,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"stabilized":$stabJson,"failed":$failed,"pass_times":$passTimes,"sentinel":$sentinelJson,"jvm":$jvmJson,"scale_probe":$probeJson,"scale_probe_100":$probe100Json,"graph_probe_100":$graphProbeJson,"pair_probe":$pairJson,"hll_profile_max_err":$hllErr%.4f,"sf":"$sfDir"}"""
     // the previous full-suite artifact becomes bench_prev.json so the
     // run itself can regenerate docs/PERF_DELTA.md (r13 verdict task 2
     // — the movement table lands in the SAME round as the bench)
@@ -1025,6 +1030,49 @@ object Bench {
       cb.unpersist(blocking = false); lists.unpersist(blocking = false)
     }
     lshIdx.values.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** ×1-vs-×100 DOMAIN-SPACE probe for the iterative graph family
+    * (r16 verdict task 8): the suite's fixture keeps the domain space
+    * FIXED under id-salting (the mod-formula domains), so the g10–g13
+    * probes above only show harvest-scan growth — they cannot show
+    * what the r16 checkpoint pattern costs when the GRAPH ITSELF grows
+    * off-fixture. Here the graph is synthetic and dense-ish (8
+    * out-edges per node, weight 1–7) and the node count grows ×k: per
+    * iteration the operators are two edge/node-cardinality shuffles,
+    * so per_row_ratio (t(×k) / (k·t(×1))) must stay ≤ ~1 — a ratio
+    * ≫ 1 would mean the checkpoint/loop machinery hides a
+    * super-linear or driver-side term that the fixed-domain fixture
+    * masked. Arms mirror g10 (weighted rank), g11 (HITS) and g13
+    * (warm-start rank); convergence-detected variants are excluded on
+    * purpose — their round count varies with the graph, which would
+    * confound the ratio.
+    */
+  private def graphProbe100(spark: org.apache.spark.sql.SparkSession,
+      k: Int): String = {
+    import graft.ops.Graph
+    val baseN = 10000L
+    def nodesAt(n: Int) = spark.range(baseN * n).select(col("id"))
+    def edgesAt(n: Int) = {
+      val nn = baseN * n
+      spark.range(nn).select(col("id").as("src"),
+          explode(array((0 until 8).map(j =>
+            pmod(col("id") * (2 * j + 3) + j, lit(nn))): _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("w", pmod(col("src") + col("dst"), lit(7)) + lit(1))
+    }
+    val out = probeRows(Seq(
+      "rank_dense_domains" -> (n =>
+        Graph.pageRankWeighted(nodesAt(n), edgesAt(n), iters = 3)),
+      "hits_dense_domains" -> (n =>
+        Graph.hits(nodesAt(n), edgesAt(n), iters = 2)),
+      "rank_warm_dense_domains" -> (n =>
+        Graph.pageRankWeightedFrom(nodesAt(n), edgesAt(n),
+          nodesAt(n).select(col("id"),
+            (lit(900000L) + pmod(col("id"), lit(200000L))).as("rank")),
+          iters = 2))), k)
+    graft.ops.Blocks.sweep(spark) // reclaim the arms' loop checkpoints
     out
   }
 

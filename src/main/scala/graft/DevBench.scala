@@ -11,9 +11,37 @@ object DevBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val explain = args.contains("--explain")
-    val names = args.filterNot(_.startsWith("--"))
+    val countJobs = args.contains("--jobs")
+    val names0 = args.filterNot(_.startsWith("--"))
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val names = if (names0.sameElements(Array("all")))
+      SparkEntry.queries.keys.toSeq.sorted else names0.toSeq
+    if (countJobs) {
+      // jobs-per-query audit (r16 verdict task 6): run each query once
+      // warm, once measured under its own job group, and report how
+      // many driver jobs the single noop action issued — every job
+      // beyond 1 is an eager materialization (checkpoint/collect/
+      // broadcast-build) worth knowing about. Dev-only: the full Bench
+      // never sets job groups.
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          graft.ops.Blocks.sweep(spark)
+          spark.sparkContext.setJobGroup(name, name)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          spark.sparkContext.clearJobGroup()
+          Thread.sleep(200) // status store is fed asynchronously
+          val n = spark.sparkContext.statusTracker.getJobIdsForGroup(name).length
+          println(f"$name%-28s jobs: $n")
+          graft.ops.Blocks.sweep(spark)
+        } catch { case e: Throwable =>
+          println(s"$name FAILED: ${e.getMessage}")
+        }
+      }
+      spark.stop(); return
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) {

@@ -1006,9 +1006,13 @@ object Dedup {
           Seq("cluster_id"), "left")
         .select(col("id"), coalesce(col("grand"), col("cluster_id")).as("cluster_id"),
           col("prev"))
-        .localCheckpoint()
-      // narrow filter+count over the checkpoint's in-memory blocks —
-      // the round's joins ran exactly once, in the checkpoint job
+        .localCheckpoint(false)
+      // ONE job per round (r16 verdict task 5): the checkpoint is LAZY
+      // and the convergence count is its materializing action — the
+      // filter+count scans every partition of the round's RDD, caching
+      // the blocks as a side effect (localCheckpoint marks the RDD
+      // persisted; the first full pass fills it), so the separate eager
+      // checkpoint job this loop used to run bought no information
       val changed = updated.filter(col("cluster_id") =!= col("prev")).count()
       unpersistCheckpoint(labels)
       labels = updated

@@ -447,72 +447,56 @@ object TextOps {
       .select(regexp_replace(col("w"), "(.)", s"$S$$1$E").as("s"), col("c"))
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
-    // the adjacent symbol pairs of a (slice of a) vocab generation,
-    // weighted by word count × sign — the building block of both the
-    // initial full pair count and the per-step INCREMENTAL delta
-    def pairsOf(slice: DataFrame, sign: Long): DataFrame = slice
-      .select(regexp_extract_all(col("s"), lit(s"$S([^$E]*)$E"), lit(1)).as("sy"),
-        col("c"))
-      .filter(size(col("sy")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(sy) - 2), j -> struct(sy[j] AS l, sy[j+1] AS r))")).as("p"),
-        (col("c") * lit(sign)).as("c"))
-      .select(col("p.l").as("l"), col("p.r").as("r"), col("c"))
-    // ONE action per merge step, and the step's work is INCREMENTAL
-    // (r16 verdict task 2): a merge of (l, r) only changes pair counts
-    // inside words that contain ⟨l⟩⟨r⟩, so instead of re-extracting and
-    // re-aggregating EVERY pair of EVERY word per step (a full
-    // vocab-sized regex + shuffle, k times), the pair-count table is
-    // carried across steps and each step folds in a delta built from
-    // the affected words only (− their old pairs, + their pairs after
-    // the replace). Exact integer counts by induction, so the argmax —
-    // and therefore the learned merge sequence under the oracle gate —
-    // is unchanged. The argmax action materializes the new pair-count
-    // generation and, transitively, the vocab generation its delta
-    // reads; generations are freed once their children are materialized
-    // (vocab g is the recompute parent of unmaterialized g+1, so it
-    // outlives the pc generation by one step).
-    var pc = pairsOf(vocab, 1L)
-      .groupBy(col("l"), col("r")).agg(sum(col("c")).as("cnt"))
-      .persist()
-    val liveVocab = scala.collection.mutable.ArrayBuffer[DataFrame](vocab)
-    val livePc = scala.collection.mutable.ArrayBuffer[DataFrame](pc)
+    // ONE action per merge step: the pair-count argmax below reads
+    // every partition of the current (freshly-persisted) vocab, so it
+    // BOTH returns the merge and materializes the generation into the
+    // cache — the separate materializing count() this loop used to run
+    // made t25 two jobs per step for no extra information. The
+    // previous generation (what the current one derives from by a
+    // single replace) stays cached until the argmax returns, then is
+    // freed; a mid-loop failure frees both via the try/finally.
+    //
+    // An INCREMENTAL variant (carry the pair-count table across steps,
+    // fold in a ± delta from only the words containing the merged
+    // pair) was tried in r17 and MEASURED 2.5× SLOWER (t25 2.0 → 4.9 s,
+    // family t25/t29/t29b/t49 10.2 → 20.7 s official bench): the delta
+    // still re-aggregates the full pair table per step (union +
+    // groupBy — DataFrames cannot update keyed state in place), pays
+    // TWO extra regex extractions over the affected words, and doubles
+    // the per-step persist traffic. Reverted — the per-step cost here
+    // is the vocab-sized regex scan, and the incremental bookkeeping
+    // costs more than it saves at every scale where the vocab fits.
+    var prevGen: DataFrame = null
     try {
       var step = 1
       while (step <= k) {
-        val best = pc
+        val best = vocab
+          .select(regexp_extract_all(col("s"), lit(s"$S([^$E]*)$E"), lit(1)).as("sy"),
+            col("c"))
+          .filter(size(col("sy")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(sy) - 2), j -> struct(sy[j] AS l, sy[j+1] AS r))")).as("p"),
+            col("c"))
+          .groupBy(col("p.l"), col("p.r")).agg(sum(col("c")).as("cnt"))
           .orderBy(col("cnt").desc, col("l"), col("r"))
           .limit(1).collect() // bounded: ONE row per iteration
-        // pc is now materialized (and so is the vocab generation its
-        // delta read): everything two generations back is dead weight
-        if (livePc.size >= 2) livePc.remove(0).unpersist(blocking = false)
-        if (liveVocab.size >= 3) liveVocab.remove(0).unpersist(blocking = false)
+        // vocab is now fully cached; its parent generation can go
+        if (prevGen != null) { prevGen.unpersist(blocking = false); prevGen = null }
         if (best.isEmpty) { step = k + 1 } // fully merged corpus: stop early
         else {
           val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           merges += BpeMerge(step.toLong, l, r, l + r, cnt)
-          val pat = s"$S$l$E$S$r$E"; val rep = s"$S$l$r$E"
-          // literal Contains — no regex; only affected words re-extract
-          val affected = vocab.filter(col("s").contains(pat))
-          val delta = pairsOf(affected, -1L).unionByName(
-            pairsOf(affected.withColumn("s",
-              replace(col("s"), lit(pat), lit(rep))), 1L))
-          val nextPc = pc.select(col("l"), col("r"), col("cnt").as("c"))
-            .unionByName(delta)
-            .groupBy(col("l"), col("r")).agg(sum(col("c")).as("cnt"))
-            .filter(col("cnt") > 0L)
+          val next = vocab
+            .withColumn("s", replace(col("s"), lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E")))
             .persist()
-          val nextVocab = vocab
-            .withColumn("s", replace(col("s"), lit(pat), lit(rep)))
-            .persist()
-          pc = nextPc; vocab = nextVocab
-          livePc += pc; liveVocab += vocab
+          prevGen = vocab
+          vocab = next
           step += 1
         }
       }
     } finally {
-      livePc.foreach(_.unpersist(blocking = false))
-      liveVocab.foreach(_.unpersist(blocking = false))
+      if (prevGen != null) prevGen.unpersist(blocking = false)
+      vocab.unpersist(blocking = false)
     }
     spark.createDataFrame(merges.toSeq)
   }

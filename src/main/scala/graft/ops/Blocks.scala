@@ -48,6 +48,38 @@ object Blocks {
       case _ => ()
     }
 
+  /** The REAL materialized size of an (eagerly) localCheckpointed
+    * frame, read from the block manager with NO job: sums mem+disk
+    * bytes of every `LogicalRDD` leaf in the plan. None when any leaf
+    * is not a checkpoint or its blocks are not (yet) reported — the
+    * caller must then treat the size as unknown, not zero. The honest
+    * input to a broadcast decision (guide §3: broadcast only what
+    * FITS): planner estimates over checkpointed chains are garbage,
+    * and a counting job would cost what this lookup gets for free.
+    */
+  def materializedBytes(df: DataFrame): Option[Long] = {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var allCheckpoints = true
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => ids += lr.rdd.id
+      case leaf if leaf.children.isEmpty &&
+          leaf.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode] =>
+        leaf match {
+          case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+          case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => ()
+          case _ => allCheckpoints = false
+        }
+      case _ => ()
+    }
+    if (!allCheckpoints || ids.isEmpty) None
+    else {
+      val info = df.sparkSession.sparkContext.getRDDStorageInfo
+        .filter(i => ids.contains(i.id))
+      if (info.length != ids.distinct.size) None
+      else Some(info.map(i => i.memSize + i.diskSize).sum)
+    }
+  }
+
   /** Unpersist EVERY persistent RDD in the context — cached frames and
     * checkpoint blocks alike — and return how many were dropped. For
     * session-lifecycle seams where no live frame is still being
@@ -59,6 +91,16 @@ object Blocks {
   def sweep(spark: SparkSession): Int = {
     val rdds = spark.sparkContext.getPersistentRDDs
     rdds.values.foreach(_.unpersist(blocking = false))
+    // ALSO clear the CacheManager: a query-internal `.persist()` (the
+    // t24/t31 lazy-cache pattern) registers an InMemoryRelation entry
+    // on the DRIVER that unpersisting the RDDs above does not remove —
+    // across a long session those entries accumulate one per distinct
+    // cached plan (r16 advice). The session seam is exactly where no
+    // live frame may depend on a cache, so dropping the entries is
+    // safe, and it keeps the no-cross-query-caching contract honest:
+    // the next query re-materializes from parquet rather than silently
+    // rebinding to a warm entry.
+    spark.catalog.clearCache()
     rdds.size
   }
 }

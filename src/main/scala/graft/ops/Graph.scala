@@ -97,8 +97,11 @@ object Graph {
     val e = if (materialize) joined.localCheckpoint() else joined
     // node ids materialized once — every round's zero-restore join
     // would otherwise re-evaluate the caller's `nodes` subtree (see
-    // [[pageRank]]); freed before return (the result is a checkpoint)
-    val ids = nodes.select(col("id")).localCheckpoint()
+    // [[pageRank]]); freed before return (the result is a checkpoint).
+    // Guarded by `materialize` (r16 advice): an opt-out caller must not
+    // pay an eager job either — it accepts the per-round re-evaluation.
+    val ids0 = nodes.select(col("id"))
+    val ids = if (materialize) ids0.localCheckpoint() else ids0
     var r = ids.select(col("id"), lit(1000000L).as("rank")).localCheckpoint()
     var rounds = 0
     var stable = false
@@ -106,25 +109,32 @@ object Graph {
       val contrib = e.join(r.select(col("id").as("src"), col("rank")), "src")
         .select(col("dst").as("id"), expr("rank div d").as("c"))
         .groupBy("id").agg(sum("c").as("c"))
+      // ONE job per round (r16 verdict task 5, the clusters fusion):
+      // the previous round's rank rides the LAZY checkpoint as `_prev`,
+      // and the tolerance count below is the checkpoint's materializing
+      // action — the old protocol (eager checkpoint job + a separate
+      // join-and-isEmpty action, the latter take-escalating over EVERY
+      // partition exactly when the round IS stable) paid 2+ driver jobs
+      // per round for the same information
       val next = ids.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
-        .localCheckpoint()
-      rounds += 1
-      stable = next
         .join(r.select(col("id"), col("rank").as("_prev")), "id")
-        .filter(abs(col("rank") - col("_prev")) > tolMicros).isEmpty
-      // next is materialized and the tolerance check has read r —
-      // the previous round's blocks are dead weight from here
+        .localCheckpoint(false)
+      rounds += 1
+      stable = next.filter(abs(col("rank") - col("_prev")) > tolMicros)
+        .count() == 0L
+      // next is materialized (by the count) and has read r — the
+      // previous round's blocks are dead weight from here
       // ([[graft.ops.Blocks]] contract: at most ONE live checkpoint
       // survives the call, the returned frame)
       Blocks.free(r)
       r = next
     }
-    Blocks.free(ids) // every consumer of ids has materialized
+    if (materialize) Blocks.free(ids) // every consumer of ids has materialized
     if (materialize) Blocks.free(e) // r is a checkpoint; e is no longer needed
-    (r, rounds)
+    (r.select(col("id"), col("rank")), rounds)
   }
 
   /** Personalized PageRank — [[pageRank]] with the teleport mass
@@ -362,8 +372,11 @@ object Graph {
     require(tolMicros >= 0L, "tolMicros must be >= 0")
     val e0 = edges.select(col("src"), col("dst"), col(weightCol).as("w"))
     val e = if (materialize) e0.localCheckpoint() else e0
-    // node ids materialized once — see [[hits]]; freed before return
-    val ids = nodes.select(col("id")).localCheckpoint()
+    // node ids materialized once — see [[hits]]; freed before return.
+    // Guarded by `materialize` (r16 advice): an opt-out caller must not
+    // pay an eager job either — it accepts the per-round re-evaluation.
+    val ids1 = nodes.select(col("id"))
+    val ids = if (materialize) ids1.localCheckpoint() else ids1
 
     def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
       val raw = e.join(scores.withColumnRenamed("id", from), from)
@@ -377,8 +390,14 @@ object Graph {
     }
 
     // both vectors ride ONE combined (id, a_s, h_s) checkpoint per
-    // round (the [[hits]] r16 restructure): one materialization job +
-    // one stability action per round instead of two + one
+    // round (the [[hits]] r16 restructure), and the round's SINGLE
+    // driver job both materializes it and answers the stability
+    // question (r16 verdict task 5): the previous round's scores ride
+    // the LAZY checkpoint as `_pa`/`_ph` and the OR-filter count below
+    // is its materializing action — the old protocol (eager checkpoint
+    // job + a separate join-and-isEmpty, the latter take-escalating
+    // over every partition exactly when the round IS stable) paid 2+
+    // driver jobs per round for the same information
     var cur = ids.select(col("id"), lit(0L).as("a_s"),
       lit(1000000L).as("h_s")).localCheckpoint()
     var rounds = 0
@@ -387,24 +406,21 @@ object Graph {
       val a = halfStep(cur.select(col("id"), col("h_s").as("s")), "src", "dst")
       val h = halfStep(a, "dst", "src")
       val nxt = a.withColumnRenamed("s", "a_s")
-        .join(h.withColumnRenamed("s", "h_s"), "id").localCheckpoint()
-      rounds += 1
-      // one round is stable when BOTH vectors sit within tol of their
-      // predecessors — a single join + OR-filter over the two combined
-      // frames, ONE action (per-round driver jobs are the dominant
-      // cost at domain cardinality); checked after nxt is
-      // materialized, so the previous round's blocks are dead weight
-      // from here
-      stable = nxt.join(cur.select(col("id"), col("a_s").as("_pa"),
+        .join(h.withColumnRenamed("s", "h_s"), "id")
+        .join(cur.select(col("id"), col("a_s").as("_pa"),
           col("h_s").as("_ph")), "id")
-        .filter(abs(col("a_s") - col("_pa")) > tolMicros ||
-          abs(col("h_s") - col("_ph")) > tolMicros).isEmpty
+        .localCheckpoint(false)
+      rounds += 1
+      stable = nxt.filter(abs(col("a_s") - col("_pa")) > tolMicros ||
+          abs(col("h_s") - col("_ph")) > tolMicros).count() == 0L
+      // nxt is materialized (by the count) and has read cur — the
+      // previous round's blocks are dead weight from here
       Blocks.free(cur)
       cur = nxt
     }
     val result = cur.select(col("id"), col("h_s").as("hub_micro"),
       col("a_s").as("auth_micro"))
-    Blocks.free(ids)
+    if (materialize) Blocks.free(ids)
     if (materialize) Blocks.free(e)
     (result, rounds, stable)
   }
@@ -609,13 +625,18 @@ object Graph {
         .groupBy("id")
         .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
         .select(col("id"), col("m.label").as("picked"))
+      // ONE job per round (r16 verdict task 5, the clusters fusion):
+      // `_prev` already rides the round frame, so the LAZY checkpoint's
+      // materializing action IS the stability count — the old eager
+      // checkpoint + isEmpty (take-escalating over every partition
+      // exactly when the round IS stable) paid 2+ jobs per round
       val next = l.join(pick, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("picked"), col("label")).as("label"),
           col("label").as("_prev"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       rounds += 1
-      stable = next.filter(col("label") =!= col("_prev")).isEmpty
+      stable = next.filter(col("label") =!= col("_prev")).count() == 0L
       Blocks.free(l) // next is materialized; the previous round is dead
       l = next.select(col("id"), col("label"))
     }

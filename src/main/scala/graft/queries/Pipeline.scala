@@ -3002,6 +3002,47 @@ object Pipeline {
     frontierFromLinks(
       syntheticHarvestedLinks(docs).localCheckpoint(), ranks)
 
+  /** Broadcast-hint a domain-cardinality table only when its REAL size
+    * fits (r16 verdict task 7; guide §3 "broadcast only what fits").
+    * The table is localCheckpointed eagerly — ONE cheap job at domain
+    * cardinality, which the downstream broadcast build would have paid
+    * anyway to evaluate the chain — and its exact materialized bytes
+    * come from the block manager with no extra job
+    * ([[graft.ops.Blocks.materializedBytes]]). Under the cap the hint
+    * is pinned (a checkpoint carries no planner estimate, and r16
+    * measured the unhinted fallback degrade t55's rank join to a
+    * sort-merge over the URL table); over it — a pathological corpus
+    * with 10⁸+ domains — the join degrades to the planner's choice
+    * instead of an 8 GB-cap failure or a driver OOM. Cap overridable
+    * via `spark.graft.domainBroadcastCap` (bytes) for clusters whose
+    * driver/executor headroom differs from the 256 MB local default.
+    */
+  private def broadcastIfFits(df: DataFrame): DataFrame = {
+    val cap = df.sparkSession.conf
+      .get("spark.graft.domainBroadcastCap", (256L << 20).toString).toLong
+    // Two zero-job size sources, either one under the cap pins the
+    // hint:
+    //  - the planner's own estimate — reliable for artifact-backed
+    //    tables (the t55b/g13 rank parquet), useless over checkpoints;
+    //  - the REAL block-manager bytes of the chain's checkpoint LEAVES
+    //    ([[graft.ops.Blocks.materializedBytes]]) — the rank/delay
+    //    rollups only ever CONTRACT their materialized inputs (ids/
+    //    edges/links), so leaf bytes upper-bound the table. At bench
+    //    scale that is KBs–MBs (hint pinned, plans unchanged from
+    //    r16); on a pathological 10⁸-domain corpus both sources blow
+    //    the cap and the join degrades to the planner's choice instead
+    //    of an 8 GB-cap failure or a driver OOM.
+    // Deliberately NO eager materialization here: an earlier variant
+    // localCheckpointed `df` to measure its exact size and MEASURED
+    // SLOWER (t55 3.2 → 4.5 s, t56 3.5 → 4.2 s) — the hoisted
+    // checkpoint serializes a chain the broadcast-exchange thread
+    // otherwise evaluates CONCURRENTLY with the probe side's stages.
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= cap ||
+        graft.ops.Blocks.materializedBytes(df).exists(_ <= cap)) broadcast(df)
+    else df
+  }
+
   /** [[frontierWith]] over an already-materialized links frame — the
     * t56 seam: the fetch schedule derives its Crawl-delay table from
     * the SAME harvest checkpoint the frontier's politeness filter
@@ -3015,10 +3056,11 @@ object Pipeline {
       keys = Seq("url_canon"),
       order = Seq(("doc_id", false), ("pos", false)), k = 1)
     // the rank table is domain-cardinality BY DESIGN (the whole point
-    // of the rollup) — pin the broadcast: served from a checkpoint or
-    // artifact it carries no size estimate, and the planner would
-    // otherwise degrade this join to a sort-merge over the URL table
-    val joined = firstSeen.join(broadcast(ranks), Seq("domain"), "left")
+    // of the rollup) — pin the broadcast when its measured size fits:
+    // served from a checkpoint or artifact it carries no size
+    // estimate, and the planner would otherwise degrade this join to
+    // a sort-merge over the URL table
+    val joined = firstSeen.join(broadcastIfFits(ranks), Seq("domain"), "left")
       .select(col("domain"), col("url_canon"),
         coalesce(col("rank"), lit(0L)).as("domain_rank"),
         col("doc_id"), col("pos"))
@@ -3453,8 +3495,8 @@ object Pipeline {
       .select(col("domain"), col("url_canon"), col("lastmod"),
         greatest(datediff(to_date(lit("2026-10-01")),
           to_date(col("lastmod"))), lit(0)).cast("long").as("age_days"))
-    // domain-cardinality broadcast — see frontierWith
-    val prio = aged.join(broadcast(domainRanks(docs)), Seq("domain"), "left")
+    // domain-cardinality broadcast, size-gated — see broadcastIfFits
+    val prio = aged.join(broadcastIfFits(domainRanks(docs)), Seq("domain"), "left")
       .select(col("domain"), col("url_canon"), col("lastmod"),
         col("age_days"), coalesce(col("rank"), lit(0L)).as("domain_rank"))
       .withColumn("priority",
@@ -3601,9 +3643,9 @@ object Pipeline {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
       .orderBy(col("doc_id"), col("pos"), col("url_canon"))
     // the delay table is domain-cardinality — broadcast for the same
-    // reason as frontierWith's rank join
+    // reason as frontierWith's rank join, size-gated the same way
     frontierFromLinks(links, domainRanks(docs))
-      .join(broadcast(delays), Seq("domain"), "left")
+      .join(broadcastIfFits(delays), Seq("domain"), "left")
       .withColumn("slot", (row_number().over(w) - 1).cast("long"))
       .select(col("domain"), col("url_canon"),
         coalesce(col("delay_s"), lit(1L)).as("delay_s"), col("slot"),

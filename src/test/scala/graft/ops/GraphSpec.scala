@@ -123,6 +123,36 @@ class GraphSpec extends AnyFunSuite {
     assert(even == Map(1L -> 1L, 2L -> 2L), even)
   }
 
+  test("converged loops: fused single-job rounds keep schemas clean and honor materialize=false") {
+    // r17: the stability check rides the round's lazy checkpoint as a
+    // _prev/_pa/_ph column whose count IS the materializing action —
+    // the carried columns must never leak into the returned frames,
+    // and the materialize opt-out (no eager ids checkpoint) must give
+    // the identical trajectory
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val edges = und.union(und.select(col("dst"), col("src")))
+    val (pr, _) = Graph.pageRankConverged(nodes, edges, maxIters = 200)
+    assert(pr.columns.toSeq == Seq("id", "rank"), pr.columns.toSeq)
+    val (prLazy, _) = Graph.pageRankConverged(nodes, edges, maxIters = 200,
+      materialize = false)
+    assert(pr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      prLazy.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val hNodes = Seq("a", "b", "c", "d").toDF("id")
+    val hEdges = Seq(("a", "c", 2L), ("b", "c", 1L), ("c", "d", 1L))
+      .toDF("src", "dst", "w")
+    val (hs, _, hStable) = Graph.hitsConverged(hNodes, hEdges, maxIters = 64)
+    assert(hStable)
+    assert(hs.columns.toSeq == Seq("id", "hub_micro", "auth_micro"),
+      hs.columns.toSeq)
+    val (hsLazy, _, _) = Graph.hitsConverged(hNodes, hEdges, maxIters = 64,
+      materialize = false)
+    assert(hs.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      hsLazy.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+    val (lp, _, _) = Graph.labelPropagationConverged(nodes, edges, maxIters = 20)
+    assert(lp.columns.toSeq == Seq("id", "community"), lp.columns.toSeq)
+  }
+
   test("pageRankConverged: exact integer fixpoint == fixed-iter oracle; cap visible") {
     // the pageRank path fixture: 1–2–3–4 undirected; the exact integer
     // trajectory must reach a true fixpoint (tolMicros = 0) — once it
